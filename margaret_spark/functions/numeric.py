@@ -1,0 +1,31 @@
+"""Deterministic numeric aggregation helpers.
+
+Floating-point ``SUM`` is order-dependent, and Spark's shuffle order is
+nondeterministic — two runs (or Spark vs an external oracle) can
+disagree in the last ulps. For any aggregate whose value must be
+*exactly* reproducible we sum in fixed-point decimal (exact,
+order-independent) and cast the final result back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column | str, scale: int = 4, precision: int = 38) -> Column:
+    """Order-independent sum: cast each double to DECIMAL(p, s), sum
+    exactly, return as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 4, precision: int = 38) -> Column:
+    """Order-independent mean: exact decimal sum divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale, precision) / F.count(c)
+
+
+def round_div(num: Column, den: Column, digits: int = 6) -> Column:
+    """Rounded ratio of two deterministic quantities."""
+    return F.round(num / den, digits)

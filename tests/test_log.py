@@ -1,0 +1,117 @@
+"""Log contract suite: the reference's golden query-semantics table
+(``test/simple.go:126-254``) and point-lookup contract
+(``test/get.go:16-65``), run against every backend — the same
+backend-parameterized registry shape as ``test/registry.go:15-23``.
+"""
+
+import pytest
+
+from margaret_spark import (
+    SEQ_EMPTY,
+    ErrNulled,
+    Gt,
+    Gte,
+    Limit,
+    Live,
+    Lt,
+    Lte,
+    MemLog,
+    OffsetLog,
+    OutOfBounds,
+    QuerySpecError,
+    Reverse,
+    SeqWrap,
+)
+
+
+def make_log(kind, spark, tmp_path):
+    if kind == "mem":
+        return MemLog(spark)
+    return OffsetLog(spark, str(tmp_path / "offsetlog"))
+
+
+BACKENDS = ["mem", "offset"]
+
+
+@pytest.fixture(params=BACKENDS)
+def log(request, spark, tmp_path):
+    return make_log(request.param, spark, tmp_path)
+
+
+# The golden table from test/simple.go:126-236 (values [1,2,3] unless noted).
+GOLDEN = [
+    ("simple", [1, 2, 3], [], [1, 2, 3]),
+    ("reverse", [1, 2, 3, 4, 5], [Reverse(True)], [5, 4, 3, 2, 1]),
+    ("reverse-false", [1, 2, 3], [Reverse(False)], [1, 2, 3]),
+    ("gt0", [1, 2, 3], [Gt(0)], [2, 3]),
+    ("gte1", [1, 2, 3], [Gte(1)], [2, 3]),
+    ("lt2", [1, 2, 3], [Lt(2)], [1, 2]),
+    ("lte1", [1, 2, 3], [Lte(1)], [1, 2]),
+    ("limit2", [1, 2, 3], [Limit(2)], [1, 2]),
+    ("reverse-limit2", [1, 2, 3, 4, 5], [Reverse(True), Limit(2)], [5, 4]),
+    ("seqwrap", [1, 2, 3], [SeqWrap(True)], [(0, 1), (1, 2), (2, 3)]),
+    ("gt-lte", [1, 2, 3, 4, 5], [Gt(0), Lte(3)], [2, 3, 4]),
+]
+
+
+@pytest.mark.parametrize("name,values,specs,expected", GOLDEN, ids=[g[0] for g in GOLDEN])
+def test_golden_query_semantics(log, name, values, specs, expected):
+    log.append_many(values)
+    assert list(log.query(*specs)) == expected
+
+
+def test_live_reverse_rejected(log):
+    # offset2/log.go:418-420: Reverse+Live is invalid.
+    with pytest.raises(QuerySpecError):
+        list(log.query(Live(True), Reverse(True)))
+
+
+def test_conflicting_bounds_rejected(log):
+    with pytest.raises(QuerySpecError):
+        list(log.query(Gt(0), Gte(1)))
+    with pytest.raises(QuerySpecError):
+        list(log.query(Lt(5), Lte(4)))
+
+
+def test_get_contract(log):
+    # test/get.go:16-65: appended values come back with dense seqs.
+    for i, v in enumerate([10, 20, 30]):
+        assert log.append(v) == i
+    assert log.seq() == 2
+    assert [log.get(i) for i in range(3)] == [10, 20, 30]
+    with pytest.raises(OutOfBounds):
+        log.get(3)
+    with pytest.raises(OutOfBounds):
+        log.get(-1)
+
+
+def test_empty_log(log):
+    assert log.seq() == SEQ_EMPTY
+    assert list(log.query()) == []
+
+
+def test_query_past_end_is_eos(log):
+    log.append_many([1, 2, 3])
+    assert list(log.query(Gt(2))) == []
+
+
+def test_check_consistency(log):
+    log.append_many([1, 2, 3, 4])
+    log.check_consistency()
+
+
+def test_changes_observable(log):
+    seen = []
+    cancel = log.changes().subscribe(seen.append)
+    log.append(1)
+    log.append(2)
+    cancel()
+    log.append(3)
+    assert seen == [0, 1]
+
+
+def test_query_df_algebra(log):
+    log.append_many([1, 2, 3, 4, 5])
+    df = log.query_df(Gt(0), Lte(3))
+    rows = sorted((r["seq"], r["value"]) for r in df.collect())
+    assert rows == [(1, 2), (2, 3), (3, 4)]
