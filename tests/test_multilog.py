@@ -1,0 +1,177 @@
+"""MultiLog contract suite (reference ``multilog/test/multilog.go:35-705``,
+``multilog/test/sublog.go:21-159``) and the prime-factor fan-out
+end-to-end fixture (``multilog/test/sink.go:166-257``)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from margaret_spark import Gt, Gte, Limit, Lt, Lte, MemLog, Reverse, SeqWrap
+from margaret_spark.errors import SEQ_SUBLOG_DELETED, ErrSublogDeleted, OutOfBounds
+from margaret_spark.indexes import MultilogSink, build_index, fanout
+from margaret_spark.multilog import MemMultiLog, OffsetMultiLog
+
+
+@pytest.fixture(params=["mem", "offset"])
+def mlog(request, spark, tmp_path):
+    if request.param == "mem":
+        return MemMultiLog(spark)
+    return OffsetMultiLog(spark, str(tmp_path / "mlog"))
+
+
+def test_sublog_append_get_rank(mlog):
+    # sublog is a sorted set of main-log seqs; get(n) = Select(n)
+    sub = mlog.get("2")
+    for v in [4, 2, 8, 2, 6]:  # out of order + duplicate
+        sub.append(v)
+    assert sub.seq() == 3  # cardinality-1 (dup collapsed)
+    assert [sub.get(i) for i in range(4)] == [2, 4, 6, 8]
+    with pytest.raises(OutOfBounds):
+        sub.get(4)
+
+
+def test_sublog_query_algebra(mlog):
+    # multilog/test/multilog.go:407-697: the rank-domain golden cases
+    sub = mlog.get("2")
+    members = [2, 4, 6, 8, 10, 12, 14, 16, 18]
+    for v in members:
+        sub.append(v)
+    assert list(sub.query()) == members
+    assert list(sub.query(Lte(3))) == members[:4]
+    assert list(sub.query(Lt(3))) == members[:3]
+    assert list(sub.query(Limit(1))) == [2]
+    assert list(sub.query(Reverse(True))) == members[::-1]
+    assert list(sub.query(Gte(1))) == members[1:]
+    assert list(sub.query(Gt(0), SeqWrap(True)))[0] == (1, 4)
+
+
+def test_list_has_delete_poisoned(mlog):
+    a = mlog.get("fii")
+    b = mlog.get("faa")
+    a.append(1)
+    b.append(2)
+    assert mlog.list() == ["faa", "fii"]
+    assert mlog.has("fii") and not mlog.has("nope")
+
+    mlog.delete("fii")
+    assert mlog.list() == ["faa"]
+    # poisoned handle: multilog/multilog.go:16-18, seq.go:14
+    assert a.seq() == SEQ_SUBLOG_DELETED
+    with pytest.raises(ErrSublogDeleted):
+        a.append(3)
+    with pytest.raises(ErrSublogDeleted):
+        a.get(0)
+    # a fresh Get() starts a new, empty sublog
+    a2 = mlog.get("fii")
+    assert a2.append(9) == 0
+    assert mlog.has("fii")
+
+
+def test_reopen_persistence(spark, tmp_path):
+    # "local fork" regression (multilog/test/multilog.go:257-…):
+    # reopen must see persisted entries.
+    path = str(tmp_path / "ml")
+    m1 = OffsetMultiLog(spark, path)
+    s = m1.get("k")
+    s.append(5)
+    s.append(3)
+    m2 = OffsetMultiLog(spark, path)
+    assert m2.get("k").seq() == 1
+    assert [m2.get("k").get(i) for i in range(2)] == [3, 5]
+    assert m2.list() == ["k"]
+
+
+def test_delete_persists_across_reopen(spark, tmp_path):
+    path = str(tmp_path / "ml")
+    m1 = OffsetMultiLog(spark, path)
+    m1.get("k").append(5)
+    m1.get("j").append(1)
+    m1.delete("k")
+    m2 = OffsetMultiLog(spark, path)
+    assert m2.list() == ["j"]
+
+
+def test_ranks_df_matches_pull_api(mlog):
+    for a, vals in {"x": [3, 1, 9], "y": [2]}.items():
+        sub = mlog.get(a)
+        for v in vals:
+            sub.append(v)
+    rows = {
+        (r["addr"], r["rank"]): r["main_seq"] for r in mlog.ranks_df().collect()
+    }
+    assert rows == {("x", 0): 1, ("x", 1): 3, ("x", 2): 9, ("y", 0): 2}
+
+
+# --- the end-to-end fan-out fixture (multilog/test/sink.go:166-257) -------
+
+
+def _prime_factors(n: int) -> list[int]:
+    out, d = [], 2
+    while d * d <= n:
+        if n % d == 0:
+            out.append(d)
+            while n % d == 0:
+                n //= d
+        d += 1
+    if n > 1:
+        out.append(n)
+    return out
+
+
+EXPECTED_SUBLOGS = {
+    "2": [2, 4, 6, 8, 10, 12, 14, 16, 18],
+    "3": [3, 6, 9, 12, 15, 18],
+    "5": [5, 10, 15],
+    "7": [7, 14],
+    "11": [11],
+    "13": [13],
+    "17": [17],
+    "19": [19],
+}
+
+
+def test_prime_factor_fanout_pull(spark, mlog, tmp_path):
+    log = MemLog(spark)
+    log.append_many(list(range(20)))  # value == seq
+
+    def route(seq, value, ml):
+        for p in _prime_factors(value):
+            ml.get(str(p)).append(seq)
+
+    sink = MultilogSink(route, mlog, cursor_path=str(tmp_path / "cursor.json"))
+    build_index(log, sink)
+    assert sink.get_seq() == 19
+    for addr, expect in EXPECTED_SUBLOGS.items():
+        assert list(mlog.get(addr).query()) == expect, addr
+    # resume: nothing new → no-op; then new appends only
+    build_index(log, sink)
+    assert list(mlog.get("2").query()) == EXPECTED_SUBLOGS["2"]
+    log.append(20)  # 20 = 2^2 * 5
+    build_index(log, sink)
+    assert list(mlog.get("2").query()) == EXPECTED_SUBLOGS["2"] + [20]
+    assert list(mlog.get("5").query()) == EXPECTED_SUBLOGS["5"] + [20]
+
+
+def test_prime_factor_fanout_dataframe(spark, tmp_path):
+    # The scalable path: same routing as an exploded array column.
+    mlog = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    log = MemLog(spark)
+    log.append_many(list(range(20)))
+    df = log.df().where(~F.col("nulled"))
+    # routing as a JVM-side array expression: no Python on the hot path
+    primes = F.array(*[F.lit(p) for p in [2, 3, 5, 7, 11, 13, 17, 19]])
+    addrs = F.when(
+        F.col("value") >= 2,
+        F.transform(
+            F.filter(primes, lambda p: F.col("value") % p == 0),
+            lambda p: p.cast("string"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    routed = fanout(df.withColumn("addrs", addrs), F.col("addrs"))
+    mlog.append_df(routed)
+    for addr, expect in EXPECTED_SUBLOGS.items():
+        got = [
+            r["main_seq"]
+            for r in mlog.df().where(F.col("addr") == addr).orderBy("main_seq").collect()
+        ]
+        assert got == expect, addr
