@@ -28,4 +28,14 @@ def davg(col: Column | str, scale: int = 4, precision: int = 38) -> Column:
 
 def round_div(num: Column, den: Column, digits: int = 6) -> Column:
     """Rounded ratio of two deterministic quantities."""
-    return F.round(num / den, digits)
+    return pround(num / den, digits)
+
+
+def pround(col: Column, digits: int = 6) -> Column:
+    """Portable round-half-up for non-negative doubles:
+    ``floor(x·10^d + 0.5) / 10^d``. Engine ``round()`` implementations
+    disagree at representation boundaries (decimal-string HALF_UP vs
+    scaled-multiply); this expression tree is plain IEEE arithmetic, so
+    any engine evaluating it gets the bit-identical result."""
+    scale = float(10**digits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)

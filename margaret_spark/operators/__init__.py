@@ -1,0 +1,42 @@
+"""Large-scale training-data pipeline operators — the beyond-reference
+extension surface (BASELINE.json north star). All hot paths are
+JVM-side DataFrame expressions; Python appears only in Arrow-batched
+``mapInPandas`` for genuinely imperative work (multimodal decode)."""
+
+from margaret_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_dedup_pairs,
+    embedding_dedup_pairs,
+)
+from margaret_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from margaret_spark.operators.text import (
+    token_stats,
+    lang_id,
+    quality_score,
+    bpe_ish_token_count,
+    doc_fingerprint,
+)
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_dedup_pairs",
+    "embedding_dedup_pairs",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "token_stats",
+    "lang_id",
+    "quality_score",
+    "bpe_ish_token_count",
+    "doc_fingerprint",
+]

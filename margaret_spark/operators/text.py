@@ -1,0 +1,146 @@
+"""Text analysis operators: token/character statistics, quality
+scoring, heuristic language ID, BPE-ish token counting, and document
+fingerprinting — all as built-in column expressions (regexp/array/
+aggregate), so a 100 TB corpus pass stays inside whole-stage codegen.
+
+Every function here is *deterministic* and engine-portable: the exact
+same arithmetic can be (and, in ``__spark_entry__``, is) expressed in
+ANSI SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from margaret_spark.functions.shingling import words
+from margaret_spark.functions.numeric import pround
+
+# Tiny per-language stopword lists for the heuristic language ID.
+# Order matters for deterministic tie-breaking (first wins ties).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+}
+
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+_DIGIT_RE = r"[0-9]"
+# BPE-ish pre-tokenization: letter runs, digit runs, single other glyphs
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_CJK_RE = r"[一-鿿]"
+
+
+def _count_re(col: Column, pattern: str) -> Column:
+    """Occurrences of a regex — via length difference after removal,
+    which is portable to engines without regexp_count."""
+    return F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str, round_digits: int = 4) -> DataFrame:
+    """Per-document statistics used by quality filters."""
+    t = F.col(text_col)
+    toks = words(t)
+    n_tokens = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        pround(
+            F.when(
+                n_tokens > 0,
+                (F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_tokens),
+            ).otherwise(F.lit(0.0)),
+            round_digits,
+        ).alias("avg_token_len"),
+        _count_re(t, _PUNCT_RE).alias("n_punct"),
+        _count_re(t, _DIGIT_RE).alias("n_digits"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 4
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: rewards reasonable length and
+    lexical diversity, penalizes punctuation/digit soup. Deterministic
+    rational arithmetic only."""
+    t = F.col(text_col)
+    toks = words(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    diversity = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, _count_re(t, _PUNCT_RE).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0, _count_re(t, _DIGIT_RE).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    length_term = F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_term
+        + F.lit(0.4) * diversity
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio + digit_ratio, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        pround(score, round_digits).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: CJK characters ⇒ zh; otherwise the
+    language whose stopword list matches the most tokens (ties break
+    in fixed declaration order; no match at all ⇒ 'und')."""
+    t = F.col(text_col)
+    toks = words(t)
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(_count_re(t, _CJK_RE) > 0, F.lit("zh")).otherwise(
+        F.when(best <= 0, F.lit("und")).otherwise(
+            # first language achieving the max wins (deterministic)
+            F.when(scores["en"] == best, F.lit("en"))
+            .when(scores["de"] == best, F.lit("de"))
+            .when(scores["es"] == best, F.lit("es"))
+            .otherwise(F.lit("fr"))
+        )
+    )
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def bpe_ish_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token count under a BPE-style pre-tokenizer (letter runs, digit
+    runs, single punctuation glyphs) — the cheap proxy for LLM token
+    accounting over a corpus."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, base: int = 31, mod: int = 1_000_000_007
+) -> DataFrame:
+    """Polynomial rolling hash over the lowercased text's code points
+    (Karp–Rabin): fp = Σ fp·base + cp (mod m). A sequential fold via
+    ``aggregate`` — exact integer arithmetic, portable to any engine
+    with a reduce primitive."""
+    t = F.lower(F.col(text_col))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substring(t, i, 1)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % mod,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,203 @@
+"""Pipeline-operator tests over the driver testdata (sf0.001) plus
+small synthetic fixtures for the semantics-sensitive cases."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from margaret_spark.operators.dedup import (
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup_pairs,
+)
+from margaret_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from margaret_spark.operators.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, "aa"), (1, "bb"), (2, "aa"), (3, "aa")], "id long, text string"
+    )
+    rows = {r["keep_id"]: r["dup_count"] for r in exact_dedup(df, "id", "text").collect()}
+    assert rows == {0: 3, 1: 1}
+
+
+NEAR_DUP_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "a completely different sentence with other words entirely"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+]
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] < 1.0
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact(spark):
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(df, "id", "text", threshold=0.5).collect()
+    }
+    # verified candidates are a subset of exact; the exact dup must survive
+    assert mh <= exact
+    assert (0, 3) in mh
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in simhash(df, "id", "text").collect()}
+    assert sigs[0] == sigs[3]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dedup_pairs(df, "id", "text", max_hamming=16).collect()
+    }
+    assert pairs[(0, 3)] == 0
+    assert (0, 1) in pairs
+
+
+def test_embedding_dedup_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0], 0),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dedup_pairs(
+            df, "vec_id", "embedding", threshold=0.99, block_col="label"
+        ).collect()
+    }
+    assert pairs == {(0, 1)}
+
+    topk = brute_force_topk(df, df.where(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in topk.collect()]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_lsh_topk_on_real_embeddings(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_bucketed_topk(emb, queries, k=5, nbits=4)
+    # LSH results must be genuine vectors with correct cosines: every
+    # (query, neighbor, cosine) it returns must appear in the exact
+    # scoring (rank may differ due to bucketing)
+    ex = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, queries, k=10**6).collect()
+    }
+    for r in approx.collect():
+        assert ex[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+    assert approx.groupBy("query_id").count().collect()  # non-degenerate
+
+
+def test_token_stats_and_quality(docs):
+    st = token_stats(docs, "doc_id", "text")
+    row = st.where(F.col("doc_id") == 0).collect()[0]
+    assert row["n_tokens"] > 0 and row["n_chars"] > 0
+    assert st.where(F.col("n_tokens") <= 0).count() == 0
+    q = quality_score(docs, "doc_id", "text")
+    bad = q.where((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_lang_id_heuristic(spark, docs):
+    # NOTE: the driver's synthetic corpus assigns `lang` labels at
+    # random over identical word-soup text, so agreement with the label
+    # is not meaningful there. Verify the heuristic on real-language
+    # fixtures + determinism on the corpus.
+    fixtures = [
+        (0, "the cat and the dog went to the market", "en"),
+        (1, "der Hund und die Katze ist nicht ein Tier", "de"),
+        (2, "el perro y la casa es que en un lugar", "es"),
+        (3, "le chien et la maison est dans les champs", "fr"),
+        (4, "这是 一个 中文 文档 测试", "zh"),
+        (5, "xyzzy plugh qwerty", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in fixtures], "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df, "doc_id", "text").collect()}
+    assert got == {i: lang for i, _, lang in fixtures}
+    # deterministic over the real corpus (two runs identical)
+    a = sorted(map(tuple, lang_id(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, lang_id(docs, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_bpe_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame([(0, "Hello, world 42!"), (1, "")], "id long, text string")
+    counts = {r["id"]: r["n_bpe_tokens"] for r in bpe_ish_token_count(df, "id", "text").collect()}
+    # Hello , world 42 !  -> 5
+    assert counts == {0: 5, 1: 0}
+    fps = {r["id"]: r["fingerprint"] for r in doc_fingerprint(df, "id", "text").collect()}
+    # reference implementation in pure python
+    def rolling(s):
+        acc = 0
+        for ch in s.lower():
+            acc = (acc * 31 + ord(ch)) % 1_000_000_007
+        return acc
+    assert fps[0] == rolling("Hello, world 42!")
+    assert fps[1] == 0
+
+
+def test_multimodal_plumbing(spark):
+    from margaret_spark.operators.multimodal import (
+        decode_image,
+        extract_image_meta,
+        make_fake_image_blob,
+        resize_image,
+        sample_video_frames,
+    )
+
+    rows = [(0, make_fake_image_blob(8, 6, 3)), (1, make_fake_image_blob(4, 4, 1))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+
+    meta = {r["doc_id"]: (r["format"], r["width"], r["height"], r["channels"])
+            for r in extract_image_meta(df, "doc_id", "blob").collect()}
+    assert meta == {0: ("fimg", 8, 6, 3), 1: ("fimg", 4, 4, 1)}
+
+    decoded = {r["doc_id"]: r for r in decode_image(df, "doc_id", "blob", fake=True).collect()}
+    assert decoded[0]["width"] == 8 and len(decoded[0]["pixels"]) == 8 * 6 * 3
+
+    with pytest.raises(Exception):  # stub path surfaces NotImplementedError
+        decode_image(df, "doc_id", "blob", fake=False).collect()
+
+    resized = resize_image(df, "doc_id", "blob", 2, 2, fake=True).collect()
+    assert all(bytes(r["blob"][:4]) == b"FIMG" for r in resized)
+
+    frames = sample_video_frames(df, "doc_id", "blob", every_n=1, fake=True).collect()
+    assert len(frames) == 3 + 1  # channels double as frame count in the fake
