@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "log_scan",
+    "log_reverse",
+    "kvidx_latest",
+    "sink_fanout_multi",
+    "mlog_ranks",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_daily",
+    "events_json",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_topk",
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    import __spark_entry__ as entry
+    from margaret_spark.session import get_spark
+
+    spark = get_spark(app_name="margaret-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM/executor pool so the first query isn't charged
+    # session startup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

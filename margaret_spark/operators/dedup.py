@@ -70,6 +70,10 @@ def _shingle_index(
         if mode == "char"
         else word_shingles(F.col(text_col), n=n)
     )
+    # A document corpus often arrives as few large files; shingling is
+    # CPU-heavy per row, so spread the docs across the full parallelism
+    # before exploding (round-robin, results unaffected).
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     inv = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
     if max_df is not None:
         keep = (
@@ -223,10 +227,14 @@ def simhash(
     """(id, simhash long): sign of per-bit weighted sums of token
     hashes. 64 conditional-sum aggregates over the exploded token
     index; the signature is assembled with shifts — no Python."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(words(F.col(text_col))).alias("tok"),
-    ).withColumn("__h", F.xxhash64(F.col("tok")))
+    toks = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.col(text_col))).alias("tok"),
+        )
+        .withColumn("__h", F.xxhash64(F.col("tok")))
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -134,9 +134,10 @@ def doc_fingerprint(
     ``aggregate`` — exact integer arithmetic, portable to any engine
     with a reduce primitive."""
     t = F.lower(F.col(text_col))
+    # split-to-chars is O(n); per-index substring would be O(n²) per doc
     codes = F.transform(
-        F.sequence(F.lit(1), F.length(t)),
-        lambda i: F.ascii(F.substring(t, i, 1)).cast("long"),
+        F.filter(F.split(t, ""), lambda ch: ch != ""),
+        lambda ch: F.ascii(ch).cast("long"),
     )
     fp = F.aggregate(
         codes,
