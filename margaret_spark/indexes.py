@@ -176,7 +176,7 @@ class OffsetSetterIndex(SeqSetterIndex):
                 schema=schema,
             )
             final = os.path.join(self._ups_dir, f"up-{uid:020d}.parquet")
-            tmp = final + ".tmp"
+            tmp = os.path.join(self._ups_dir, f".up-{uid:020d}.parquet.tmp")
             pq.write_table(table, tmp)
             os.rename(tmp, final)
 

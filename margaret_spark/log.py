@@ -398,7 +398,7 @@ class OffsetLog(Log):
         )
         last = first + len(values) - 1
         final = os.path.join(self._data_dir, f"part-{first:020d}-{last:020d}.parquet")
-        tmp = final + ".tmp"
+        tmp = os.path.join(self._data_dir, f".part-{first:020d}-{last:020d}.parquet.tmp")
         pq.write_table(table, tmp)
         os.rename(tmp, final)  # atomic publish: readers never see torn files
 
@@ -467,7 +467,7 @@ class OffsetLog(Log):
             schema=schema,
         )
         final = os.path.join(self._patch_dir, f"patch-{pid:020d}.parquet")
-        tmp = final + ".tmp"
+        tmp = os.path.join(self._patch_dir, f".patch-{pid:020d}.parquet.tmp")
         pq.write_table(table, tmp)
         os.rename(tmp, final)
         self._patch_id = pid + 1
@@ -492,7 +492,11 @@ class OffsetLog(Log):
                 T.StructField("value", self.value_type, True),
             ]
         )
-        return self.spark.read.schema(schema).parquet(self._data_dir)
+        return (
+            self.spark.read.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(self._data_dir)
+        )
 
     def df(self) -> DataFrame:
         base = self._base_df()
@@ -506,7 +510,11 @@ class OffsetLog(Log):
                 T.StructField("value", self.value_type, True),
             ]
         )
-        patches = self.spark.read.schema(patch_schema).parquet(self._patch_dir)
+        patches = (
+            self.spark.read.schema(patch_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(self._patch_dir)
+        )
         w = Window.partitionBy("seq").orderBy(F.col("patch_id").desc())
         latest = (
             patches.withColumn("__rn", F.row_number().over(w))

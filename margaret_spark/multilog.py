@@ -304,7 +304,7 @@ class OffsetMultiLog(MultiLog):
         import pyarrow.parquet as pq
 
         final = os.path.join(d, name)
-        tmp = final + ".tmp"
+        tmp = os.path.join(d, "." + name + ".tmp")
         pq.write_table(table, tmp)
         os.rename(tmp, final)
 
