@@ -129,6 +129,17 @@ def q_log_reverse(spark, sf_dir):
     )
 
 
+def q_log_append_seq(spark, sf_dir):
+    """Dense gap-free seq assignment (op 1, Append): the distributed
+    two-pass partition-offset technique over a range-sorted corpus —
+    after a global sort, partition-major order IS global order, so the
+    assigned seq equals the rank without any single-partition window."""
+    from margaret_spark.functions.seqassign import with_dense_seq
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id")
+    return with_dense_seq(docs, order_within=F.col("doc_id")).select("seq", "doc_id")
+
+
 def q_log_nulled_overlay(spark, sf_dir):
     """Null-redaction overlay view (ops 6/7): a patch table LEFT-JOINed
     over the log; here 'error' events play the nulled set."""
@@ -486,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_range": q_log_range,
         "log_limit": q_log_limit,
         "log_reverse": q_log_reverse,
+        "log_append_seq": q_log_append_seq,
         "log_nulled_overlay": q_log_nulled_overlay,
         "log_check_consistency": q_log_check_consistency,
         "mlog_list": q_mlog_list,
@@ -572,6 +584,10 @@ def oracle_sql() -> dict[str, str]:
         "log_reverse": (
             "SELECT event_id AS seq, event_type, value FROM events "
             "ORDER BY event_id DESC LIMIT 100"
+        ),
+        "log_append_seq": (
+            "SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq, "
+            "doc_id FROM documents"
         ),
         "log_nulled_overlay": (
             "SELECT e.event_id AS seq, "

@@ -1,0 +1,73 @@
+"""Source connectors: a thin catalog over directory-of-tables layouts
+(like the driver's ``/root/testdata/sf*``) supporting parquet, csv,
+and json line files, with schema pinning.
+
+The reference's equivalent surface is its codec-parameterized log
+openers (``offset2/test/test.go:18-38``) — here a "table" is any
+columnar/delimited file family Spark can scan, and the catalog's job
+is to make reads declarative so Catalyst sees a single well-typed
+relation (pushdown/pruning intact).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json",
+               ".jsonl": "json", ".ndjson": "json"}
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Read one table from a file/directory, inferring the format from
+    the extension unless given. Always pass ``schema`` in production
+    paths — inference is a full extra scan at 100 TB."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1]
+        fmt = _EXT_FORMAT.get(ext, "parquet")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return reader.format(fmt).options(**options).load(path)
+
+
+class Catalog:
+    """A directory of tables (``<root>/<name>.<ext>``), registered as
+    temp views on demand so SQL and DataFrame code share one naming."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 schemas: dict[str, T.StructType] | None = None):
+        self.spark = spark
+        self.root = root
+        self.schemas = schemas or {}
+
+    def path(self, name: str) -> str:
+        for ext in _EXT_FORMAT:
+            p = os.path.join(self.root, name + ext)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"no table file for {name!r} under {self.root}")
+
+    def table(self, name: str) -> DataFrame:
+        return read_table(self.spark, self.path(name), schema=self.schemas.get(name))
+
+    def register_all(self) -> list[str]:
+        names = sorted(
+            {os.path.splitext(f)[0] for f in os.listdir(self.root)
+             if os.path.splitext(f)[1] in _EXT_FORMAT}
+        )
+        for n in names:
+            self.table(n).createOrReplaceTempView(n)
+        return names

@@ -1,0 +1,123 @@
+"""Plan-quality assertions (the optimizer contract) and source/sink
+layer tests (catalog, partitioned/bucketed writers, log compaction)."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from margaret_spark import ErrNulled, Gt, Lte, OffsetLog
+from margaret_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_udf,
+    assert_pushed_filters,
+    plan_summary,
+)
+from margaret_spark.sources import Catalog, compact_log, read_table, write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_log_query_pushdown(spark, tmp_path):
+    log = OffsetLog(spark, str(tmp_path / "log"))
+    log.append_many(list(range(100)))
+    df = log.query_df(Gt(10), Lte(20))
+    assert_pushed_filters(df, "GreaterThan(seq,10)", "LessThanOrEqual(seq,20)")
+    assert_no_python_udf(df)
+
+
+def test_entry_queries_plan_quality(spark):
+    """The headline queries must broadcast their dims and keep Python
+    out of the plan."""
+    import __spark_entry__ as entry
+
+    q3 = entry.q_tpch_q3(spark, SF)
+    assert_broadcast_join(q3, at_least=1)
+    assert_no_python_udf(q3)
+
+    q5 = entry.q_tpch_q5(spark, SF)
+    assert_broadcast_join(q5, at_least=2)
+    assert_no_python_udf(q5)
+
+    # every declared query stays off the Python path
+    for name, fn in entry.queries().items():
+        assert_no_python_udf(fn(spark, SF))
+
+
+def test_lineitem_filter_pushdown(spark):
+    li = read_table(spark, f"{SF}/lineitem.parquet").where(F.col("l_orderkey") == 42)
+    assert_pushed_filters(li, "EqualTo(l_orderkey,42)")
+
+
+def test_catalog(spark):
+    # events carries a TIMESTAMP(NANOS) column Spark can't infer —
+    # exactly what Catalog schema pinning is for
+    from __spark_entry__ import _EVENTS_SCHEMA
+
+    cat = Catalog(spark, SF, schemas={"events": _EVENTS_SCHEMA})
+    names = cat.register_all()
+    assert "lineitem" in names and "events" in names
+    n = spark.sql("SELECT count(*) AS n FROM region").collect()[0]["n"]
+    assert n == 5
+    assert spark.sql("SELECT max(event_id) FROM events").collect()[0][0] == 999
+
+
+def test_read_table_csv_json(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    csv_path = str(tmp_path / "t.csv")
+    df.write.option("header", "true").csv(csv_path)
+    back = read_table(spark, csv_path, fmt="csv")
+    assert {tuple(r) for r in back.collect()} == {("1", "a"), ("2", "b")} or {
+        tuple(r) for r in back.collect()
+    } == {(1, "a"), (2, "b")}
+    json_path = str(tmp_path / "t.json")
+    df.write.json(json_path)
+    assert read_table(spark, json_path, fmt="json").count() == 2
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    ev = read_table(spark, f"{SF}/events.parquet".replace("events", "orders"))
+    out = str(tmp_path / "orders_by_status")
+    write_partitioned(ev, out, ["o_orderstatus"])
+    part_dirs = [d for d in os.listdir(out) if d.startswith("o_orderstatus=")]
+    assert len(part_dirs) >= 2
+    pruned = spark.read.parquet(out).where(F.col("o_orderstatus") == part_dirs[0].split("=")[1])
+    # partition filter → no pushed data filters needed, scan reads 1 dir
+    assert pruned.count() > 0
+
+
+def test_compact_log_preserves_semantics(spark, tmp_path):
+    log = OffsetLog(spark, str(tmp_path / "log"))
+    for i in range(20):
+        log.append(i)  # 20 tiny files
+    log.null(3)
+    log.replace(5, 555)
+    before = list(log.query())
+    n_files_before = len(log._data_files())
+    assert n_files_before == 20
+
+    n_after = compact_log(log, target_files=2)
+    assert n_after <= 2
+    assert len(log._data_files()) == n_after
+
+    after = list(log.query())
+    assert after == before
+    assert isinstance(after[3], ErrNulled)
+    assert after[5] == 555
+    with pytest.raises(ErrNulled):
+        log.get(3)
+    assert log.get(5) == 555
+    log.check_consistency()
+    # appends continue seamlessly after compaction
+    assert log.append(999) == 20
+    assert log.get(20) == 999
+
+
+def test_compact_log_no_patches(spark, tmp_path):
+    log = OffsetLog(spark, str(tmp_path / "log"))
+    log.append_many(list(range(10)))
+    log.append_many(list(range(10, 30)))
+    assert compact_log(log, target_files=1) == 1
+    assert list(log.query()) == list(range(30))
+    log.check_consistency()
