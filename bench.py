@@ -57,6 +57,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # one warm-up run (JIT/codegen compilation), then measure
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

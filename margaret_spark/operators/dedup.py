@@ -98,15 +98,51 @@ def ngram_jaccard_pairs(
     round_digits: int = 6,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (id_a < id_b,
-    jaccard ≥ threshold) via the inverted-index self-join."""
-    inv, sizes = _shingle_index(df, id_col, text_col, mode, n, max_df)
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("__inter"))
+    jaccard ≥ threshold).
+
+    Pair generation is group-then-combine rather than a self-join: the
+    inverted index is grouped per shingle (one shuffle), co-occurring
+    pairs are emitted as in-array combinations, and a second shuffle
+    counts them — the shingle expression is evaluated once instead of
+    three times, and no join of the index against itself is needed.
+    Per-shingle posting lists are held in memory during the combine,
+    so on corpora where a shingle can be ubiquitous set ``max_df``
+    (which also caps the quadratic pair blow-up; the filter is
+    deterministic, both sides of the dedup agree on the universe)."""
+    sh = (
+        char_shingles(F.col(text_col), n=n)
+        if mode == "char"
+        else word_shingles(F.col(text_col), n=n)
     )
+    d = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    with_sh = d.select(F.col(id_col).alias("id"), sh.alias("__sh"))
+    inv = with_sh.select("id", F.explode("__sh").alias("shingle"))
+    if max_df is not None:
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(keep), "shingle", "inner")
+        sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
+    else:
+        sizes = with_sh.select("id", F.size("__sh").alias("set_size"))
+    groups = inv.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("__ids"))
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy("p.id_a", "p.id_b").agg(F.count("*").alias("__inter"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("__sa"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("__sb"))
     return (
@@ -225,19 +261,25 @@ def simhash(
     bits: int = 64,
 ) -> DataFrame:
     """(id, simhash long): sign of per-bit weighted sums of token
-    hashes. 64 conditional-sum aggregates over the exploded token
-    index; the signature is assembled with shifts — no Python."""
+    hashes. Token occurrences are pre-aggregated to (id, hash, weight)
+    first — the 64 conditional-sum aggregates then run over distinct
+    hashes instead of every occurrence (identical result: Σ±1 per
+    occurrence ≡ ±weight per distinct hash), which is a large win on
+    natural-language corpora where tokens repeat heavily."""
     toks = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(
             F.col(id_col).alias("id"),
             F.explode(words(F.col(text_col))).alias("tok"),
         )
-        .withColumn("__h", F.xxhash64(F.col("tok")))
+        .groupBy("id", F.xxhash64(F.col("tok")).alias("__h"))
+        .agg(F.count("*").alias("__w"))
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, F.col("__w")
+            ).otherwise(-F.col("__w"))
         ).alias(f"__b{i}")
         for i in range(bits)
     ]
