@@ -115,8 +115,10 @@ def ngram_jaccard_pairs(
         else word_shingles(F.col(text_col), n=n)
     )
     d = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    with_sh = d.select(F.col(id_col).alias("id"), sh.alias("__sh"))
-    inv = with_sh.select("id", F.explode("__sh").alias("shingle"))
+    # one-step select+explode: keeps the shingle expression a single
+    # Generate input (no intermediate array column for the optimizer to
+    # split a duplicate filter out of)
+    inv = d.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
     if max_df is not None:
         keep = (
             inv.groupBy("shingle")
@@ -127,7 +129,7 @@ def ngram_jaccard_pairs(
         inv = inv.join(F.broadcast(keep), "shingle", "inner")
         sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
     else:
-        sizes = with_sh.select("id", F.size("__sh").alias("set_size"))
+        sizes = d.select(F.col(id_col).alias("id"), F.size(sh).alias("set_size"))
     groups = inv.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("__ids"))
     pairs = groups.select(
         F.explode(
@@ -216,10 +218,13 @@ def minhash_dedup_pairs(
             )
         ).alias("band", "bucket"),
     )
+    # merge-hint: see simhash_dedup_pairs — reuses the banding shuffle
+    # for both join sides instead of recomputing it for a broadcast.
     cand = (
         banded.alias("x")
+        .hint("merge")
         .join(
-            banded.alias("y"),
+            banded.alias("y").hint("merge"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.id") < F.col("y.id")),
@@ -227,21 +232,34 @@ def minhash_dedup_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard (false positives die here)
-    inv, sizes = _shingle_index(df, id_col, text_col, mode, n, max_df=None)
-    a = inv.select(F.col("id").alias("id_a"), "shingle")
-    b = inv.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__inter"))
+    # verify candidates with exact jaccard (false positives die here).
+    # Two id-equi-joins against the per-doc shingle arrays plus an
+    # array_intersect beat re-exploding the inverted index: the shuffle
+    # carries |candidates| + |docs| rows, never |candidates|·|shingles|.
+    sh = (
+        char_shingles(F.col(text_col), n=n)
+        if mode == "char"
+        else word_shingles(F.col(text_col), n=n)
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("__sa"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("__sb"))
+    arrays = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"), sh.alias("__sh")
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(
+            arrays.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sha")),
+            "id_a",
+        )
+        .join(
+            arrays.select(F.col("id").alias("id_b"), F.col("__sh").alias("__shb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sha", "__shb")).alias("__inter"),
+            F.size("__sha").alias("__sa"),
+            F.size("__shb").alias("__sb"),
+        )
         .withColumn(
             "jaccard",
             pround(
@@ -322,28 +340,35 @@ def simhash_dedup_pairs(
             )
         ).alias("block", "bval"),
     )
-    cand = (
+    # The Hamming check lives INSIDE the join condition: in-bucket
+    # combinations are enumerated and discarded in the join operator
+    # itself, so only true near-dup pairs (not the O(bucket²) candidate
+    # set) ever hit the distinct's shuffle.
+    # merge-hint the self-join: both sides are the identical subplan, so
+    # a sort-merge join reuses one shuffle exchange for both sides — a
+    # broadcast join would recompute the whole signature pipeline for
+    # the build side.
+    return (
         blocks.alias("x")
+        .hint("merge")
         .join(
-            blocks.alias("y"),
+            blocks.alias("y").hint("merge"),
             (F.col("x.block") == F.col("y.block"))
             & (F.col("x.bval") == F.col("y.bval"))
-            & (F.col("x.id") < F.col("y.id")),
+            & (F.col("x.id") < F.col("y.id"))
+            & (
+                F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+                <= max_hamming
+            ),
         )
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("__ha"),
-            F.col("y.simhash").alias("__hb"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias(
+                "hamming"
+            ),
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -357,25 +382,32 @@ def embedding_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity. With ``block_col``
     the join is per-block (IVF-style: compare only within a cell);
-    without it, all-pairs — only for small/filtered inputs."""
+    without it, all-pairs — only for small/filtered inputs.
+
+    Norms are computed per ROW before the join (not per pair); the
+    per-pair dot goes through the Arrow-batched ``pair_dot`` — same
+    accumulation order, so values match the fold/oracle exactly."""
+    from margaret_spark.functions.vectors import l2_norm, pair_dot
+
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
         *([F.col(block_col).alias("__blk")] if block_col else []),
     )
     cond = F.col("id_a") < F.col("id_b")
     joined = (
         a.join(b, ["__blk"]).where(cond) if block_col else a.join(b, cond)
     )
+    cos = pair_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
-        joined.withColumn(
-            "cosine", pround(cosine_sim(F.col("__va"), F.col("__vb")), round_digits)
-        )
+        joined.withColumn("cosine", pround(cos, round_digits))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -22,7 +22,13 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from margaret_spark.functions.vectors import cosine_sim, dot
+from margaret_spark.functions.vectors import (
+    cosine_sim,
+    dot,
+    infer_dim,
+    l2_norm,
+    pair_dot,
+)
 from margaret_spark.functions.numeric import pround
 
 
@@ -37,19 +43,27 @@ def brute_force_topk(
     """Exact top-k neighbors per query by cosine (self-matches excluded).
 
     Ranking uses the *rounded* similarity with neighbor-id tiebreak so
-    results are stable across accumulation orders and engines."""
+    results are stable across accumulation orders and engines. Norms
+    are precomputed per row; the per-pair dot is the Arrow-batched
+    ``pair_dot`` (same accumulation order as the fold — see
+    functions.vectors)."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    cos = pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine", pround(cosine_sim(F.col("__qv"), F.col("__cv")), round_digits)
-        )
+        .withColumn("cosine", pround(cos, round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -69,7 +83,7 @@ def _hyperplanes_df(spark: SparkSession, dim: int, nbits: int, seed: int) -> Dat
 
 
 def _signatures(
-    df: DataFrame, id_alias: str, vec_col: str, planes: DataFrame
+    df: DataFrame, id_alias: str, vec_col: str, planes: DataFrame, dim: int | None = None
 ) -> DataFrame:
     """bucket = bits of sign(v·h_i), folded into a long. The plane table
     is broadcast; signing is |v|·nbits rows through codegen."""
@@ -77,9 +91,9 @@ def _signatures(
         df.crossJoin(F.broadcast(planes))
         .withColumn(
             "__bit",
-            F.when(dot(F.col(vec_col), F.col("plane")) >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
+            F.when(
+                dot(F.col(vec_col), F.col("plane"), dim) >= 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
         )
         .groupBy(id_alias)
         .agg(F.sum(F.expr("shiftleft(__bit, plane_id)")).alias("bucket"))
@@ -99,20 +113,27 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket."""
     spark = corpus.sparkSession
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = infer_dim(corpus, vec_col)
     planes = _hyperplanes_df(spark, dim, nbits, seed)
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
     c_sig = _signatures(c, "neighbor_id", "__cv", planes).join(c, "neighbor_id")
     q_sig = _signatures(q, "query_id", "__qv", planes).join(q, "query_id")
 
+    cos = pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     scored = (
         q_sig.join(c_sig, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine", pround(cosine_sim(F.col("__qv"), F.col("__cv")), round_digits)
-        )
+        .withColumn("cosine", pround(cos, round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -31,7 +31,8 @@ def plan_summary(df: DataFrame) -> dict:
         "sortmerge_joins": len(re.findall(r"SortMergeJoin", s)),
         "shuffles": len(re.findall(r"Exchange", s)) - len(re.findall(r"BroadcastExchange", s)),
         "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", s))),
-        "python_evals": len(re.findall(r"(BatchEvalPython|ArrowEvalPython)", s)),
+        "python_evals": len(re.findall(r"BatchEvalPython", s)),
+        "arrow_evals": len(re.findall(r"ArrowEvalPython", s)),
         "scans": len(re.findall(r"Scan parquet", s)),
     }
 
@@ -50,9 +51,15 @@ def assert_broadcast_join(df: DataFrame, at_least: int = 1) -> None:
     assert n >= at_least, f"expected ≥{at_least} broadcast joins, plan has {n}"
 
 
-def assert_no_python_udf(df: DataFrame) -> None:
-    """Hot-path discipline: no row-at-a-time or Arrow Python eval nodes
-    in the plan (mapInPandas stages are exempt by design — they won't
-    appear in plans built from pure column expressions)."""
-    n = plan_summary(df)["python_evals"]
-    assert n == 0, f"plan contains {n} Python eval node(s)"
+def assert_no_python_udf(df: DataFrame, allow_arrow: bool = False) -> None:
+    """Hot-path discipline: row-at-a-time Python eval (BatchEvalPython)
+    is NEVER allowed. Arrow-batched eval (ArrowEvalPython — pandas
+    UDFs) is allowed only where the operator declares it: pair-scoring
+    kernels that a single codegen expression cannot express without
+    blowing the JIT method limit (see functions.vectors)."""
+    summary = plan_summary(df)
+    n = summary["python_evals"]
+    assert n == 0, f"plan contains {n} row-at-a-time Python eval node(s)"
+    if not allow_arrow:
+        a = summary["arrow_evals"]
+        assert a == 0, f"plan contains {a} undeclared ArrowEvalPython node(s)"

@@ -38,6 +38,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # InferFiltersFromGenerate duplicates the generator expression
+        # into a filter that predicate-pushdown then moves below our
+        # deliberate repartition-before-compute exchanges — so an
+        # expensive array expression (shingling, banding) is evaluated
+        # a second time at the scan's (possibly single-file)
+        # parallelism. Our exploded arrays are never empty-heavy, so
+        # the inferred filter only costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -40,9 +40,12 @@ def test_entry_queries_plan_quality(spark):
     assert_broadcast_join(q5, at_least=2)
     assert_no_python_udf(q5)
 
-    # every declared query stays off the Python path
+    # every declared query stays off the row-at-a-time Python path;
+    # the embedding pair-scorers declare the Arrow-batched dot kernel
+    # (functions.vectors.pair_dot)
+    ARROW_OK = {"dedup_embedding", "ann_topk", "ann_lsh"}
     for name, fn in entry.queries().items():
-        assert_no_python_udf(fn(spark, SF))
+        assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)
 
 
 def test_lineitem_filter_pushdown(spark):
