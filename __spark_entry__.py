@@ -154,6 +154,21 @@ def q_log_nulled_overlay(spark, sf_dir):
     )
 
 
+def q_log_replace_overlay(spark, sf_dir):
+    """Replace (in-place update) overlay view (op 7): a patch table
+    coalesced over the log — here 'purchase' events get their value
+    doubled, standing in for Replace(seq, payload)."""
+    ev = _events_log(spark, sf_dir).select("seq", "value", "event_type")
+    patch = ev.where(F.col("event_type") == "purchase").select(
+        "seq", (F.col("value") * 2).alias("__pv")
+    )
+    return ev.join(F.broadcast(patch), "seq", "left").select(
+        "seq",
+        F.coalesce(F.col("__pv"), F.col("value")).alias("value"),
+        F.col("__pv").isNotNull().alias("replaced"),
+    )
+
+
 def q_log_check_consistency(spark, sf_dir):
     """fsck invariants as one aggregation row (op 8)."""
     return _events_log(spark, sf_dir).agg(
@@ -384,6 +399,54 @@ def q_events_daily(spark, sf_dir):
     )
 
 
+_SESSION_GAP_NANOS = 30 * 60 * 1_000_000_000
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): per-user session
+    windows with event counts and value totals — the batch twin of a
+    streaming session-window aggregation. One shuffle on user_id
+    shared by both windows and the final grouping."""
+    # microsecond resolution on both engines: the raw nanos column is
+    # truncated with integer division, matching DuckDB's epoch_us()
+    ev = _events(spark, sf_dir).withColumn("tsu", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    new_sess = F.when(
+        F.lag("tsu").over(w).isNull()
+        | ((F.col("tsu") - F.lag("tsu").over(w)) > F.lit(_SESSION_GAP_NANOS // 1000)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("tsu", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("__new", new_sess)
+        .withColumn("session_idx", F.sum("__new").over(run).cast("long"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("tsu").alias("start_ts"),
+            F.max("tsu").alias("end_ts"),
+            dsum("value", scale=6).alias("sum_value"),
+        )
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP (event_type, day): grouping-set totals at three levels in
+    one pass (partial aggregation handles all levels map-side)."""
+    ev = _events(spark, sf_dir)
+    day = F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.floor(F.col("ts") / F.lit(_NANOS_PER_DAY)).cast("int"),
+    )
+    return (
+        ev.withColumn("day", day)
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), dsum("value", scale=6).alias("sum_value"))
+    )
+
+
 def q_events_json(spark, sf_dir):
     """JSON codec surface (§2.5 op 37): extract props.k, aggregate."""
     ev = _events(spark, sf_dir)
@@ -429,6 +492,34 @@ def q_dedup_simhash(spark, sf_dir):
 def q_dedup_embedding(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the jaccard near-dup pairs: every doc
+    labeled with the min doc_id of its duplicate component (iterative
+    min-label propagation — the one algorithm here that is a driver
+    LOOP of DataFrame jobs, converging in O(diameter) rounds)."""
+    from margaret_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2, mode="word", n=3)
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-cell ANN: seeded centroids, corpus bucketed by nearest cell,
+    queries probe their 4 nearest cells only."""
+    from margaret_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+
+
+def q_text_topterms(spark, sf_dir):
+    from margaret_spark.operators.text import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=50)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -499,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_reverse": q_log_reverse,
         "log_append_seq": q_log_append_seq,
         "log_nulled_overlay": q_log_nulled_overlay,
+        "log_replace_overlay": q_log_replace_overlay,
         "log_check_consistency": q_log_check_consistency,
         "mlog_list": q_mlog_list,
         "mlog_ranks": q_mlog_ranks,
@@ -515,15 +607,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "events_daily": q_events_daily,
+        "events_sessions": q_events_sessions,
+        "events_rollup": q_events_rollup,
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
+        "text_topterms": q_text_topterms,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_bpe_count": q_text_bpe_count,
@@ -595,6 +692,15 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(p.op = 'null', FALSE) AS nulled "
             "FROM events e LEFT JOIN "
             "(SELECT event_id, 'null' AS op FROM events WHERE event_type = 'error') p "
+            "ON e.event_id = p.event_id"
+        ),
+        "log_replace_overlay": (
+            "SELECT e.event_id AS seq, "
+            "COALESCE(p.pv, e.value) AS value, "
+            "p.pv IS NOT NULL AS replaced "
+            "FROM events e LEFT JOIN "
+            "(SELECT event_id, value * 2 AS pv FROM events "
+            "WHERE event_type = 'purchase') p "
             "ON e.event_id = p.event_id"
         ),
         "log_check_consistency": (
@@ -700,6 +806,29 @@ def oracle_sql() -> dict[str, str]:
             + _pr("CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)") + " AS avg_value "
             "FROM events GROUP BY CAST(ts AS DATE), event_type"
         ),
+        "events_sessions": (
+            # DuckDB reads the nanos column at µs precision; both sides
+            # work on integer microseconds (Spark: ts div 1000)
+            "SELECT user_id, session_idx, count(*) AS n_events, "
+            "min(tsu) AS start_ts, max(tsu) AS end_ts, "
+            "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value "
+            "FROM ("
+            "SELECT user_id, tsu, value, "
+            "CAST(SUM(CASE WHEN prev_ts IS NULL "
+            "OR tsu - prev_ts > 1800000000 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY tsu, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS session_idx "
+            "FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu, value, "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts "
+            "FROM events)"
+            ") GROUP BY user_id, session_idx"
+        ),
+        "events_rollup": (
+            "SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, "
+            "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))"
+        ),
         "events_json": (
             "SELECT event_type, "
             "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
@@ -720,6 +849,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
             "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2"
         ),
+        "dedup_clusters": (
+            f"WITH RECURSIVE s AS ({_SHINGLES}), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+            "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id), "
+            "pairs AS (SELECT id_a, id_b FROM inter "
+            "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+            "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, root) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node) "
+            "SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY node"
+        ),
         "dedup_embedding": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             + _pr(_cosine_sql("a.embedding", "b.embedding")) + " AS cosine "
@@ -735,6 +882,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM embeddings WHERE vec_id < 5) q "
             "JOIN embeddings c ON q.vec_id <> c.vec_id"
             ") WHERE rank <= 5"
+        ),
+        "ann_ivf": (
+            "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent "
+            "FROM embeddings ORDER BY vec_id LIMIT 16), "
+            "cell AS (SELECT neighbor_id, cent_id, cv FROM ("
+            "SELECT e.vec_id AS neighbor_id, c.cent_id, e.embedding AS cv, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            + _pr(_cosine_sql("e.embedding", "c.cent"))
+            + " DESC, c.cent_id ASC) AS cr "
+            "FROM embeddings e CROSS JOIN cents c) WHERE cr = 1), "
+            "probe AS (SELECT query_id, cent_id, qv FROM ("
+            "SELECT q.vec_id AS query_id, c.cent_id, q.embedding AS qv, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            + _pr(_cosine_sql("q.embedding", "c.cent"))
+            + " DESC, c.cent_id ASC) AS cr "
+            "FROM (SELECT * FROM embeddings WHERE vec_id < 5) q "
+            "CROSS JOIN cents c) WHERE cr <= 4) "
+            "SELECT query_id, neighbor_id, cosine, rank FROM ("
+            "SELECT p.query_id, l.neighbor_id, "
+            + _pr(_cosine_sql("p.qv", "l.cv"))
+            + " AS cosine, "
+            "CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY "
+            + _pr(_cosine_sql("p.qv", "l.cv"))
+            + " DESC, l.neighbor_id ASC) AS INT) AS rank "
+            "FROM probe p JOIN cell l ON p.cent_id = l.cent_id "
+            "WHERE p.query_id <> l.neighbor_id) WHERE rank <= 5"
+        ),
+        "text_topterms": (
+            "SELECT token, doc_freq, total_count FROM ("
+            "SELECT token, count(*) AS doc_freq, "
+            "CAST(sum(n) AS BIGINT) AS total_count FROM ("
+            f"SELECT doc_id, tok AS token, count(*) AS n FROM "
+            f"(SELECT doc_id, unnest({_WORDS}) AS tok FROM documents) "
+            "GROUP BY doc_id, tok"
+            ") GROUP BY token) ORDER BY doc_freq DESC, token ASC LIMIT 50"
         ),
         "text_stats": (
             f"SELECT doc_id, length(text) AS n_chars, len({_WORDS}) AS n_tokens, "

@@ -26,14 +26,20 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "events_daily",
+    "events_sessions",
+    "events_rollup",
     "events_json",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding",
+    "dedup_clusters",
     "ann_topk",
+    "ann_ivf",
     "text_stats",
     "text_langid",
+    "text_topterms",
     "text_fingerprint",
 ]
 

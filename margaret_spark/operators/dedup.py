@@ -372,6 +372,57 @@ def simhash_dedup_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    gets ``cluster_id`` = the smallest doc id reachable through the
+    pair graph (singletons map to themselves). The canonical "keep one
+    per duplicate group" step downstream of any pair generator.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds — near-dup clusters are shallow, so
+    a handful. Each round is one shuffle join + one aggregation;
+    ``localCheckpoint`` truncates the lineage so plans don't grow
+    exponentially across iterations (a real failure mode at scale).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = df.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("cluster_id")
+    ).localCheckpoint(eager=False)
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("cluster_id").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("__nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce(F.col("__nmin"), F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "__chg"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = updated.where(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            return labels.select(F.col("node").alias(id_col), "cluster_id")
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     id_col: str,

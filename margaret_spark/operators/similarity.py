@@ -75,6 +75,83 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: the corpus is partitioned into ``nlist`` inverted
+    cells by nearest centroid; a query scores only the ``nprobe``
+    nearest cells' members instead of the whole corpus.
+
+    Centroids are the ``nlist`` lowest-id corpus vectors (seeded —
+    deterministic and oracle-expressible; a k-means refinement would
+    drop in here without changing the query shape). Cell assignment
+    and probing both rank by (rounded cosine desc, centroid id asc),
+    so results are exactly reproducible across engines.
+
+    Scale shape: centroids broadcast to both assignment scans; the
+    candidate join is an equi-join on cell id (a shuffle keyed by
+    cell), never a cross join. Recall < 1 by design (ANN trade)."""
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cent"),
+            l2_norm(F.col(vec_col)).alias("__centn"),
+        )
+    )
+
+    def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__n"),
+        ).crossJoin(cents).withColumn(
+            "__sim",
+            pround(
+                pair_dot(F.col("__v"), F.col("__cent"))
+                / (F.col("__n") * F.col("__centn")),
+                round_digits,
+            ),
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("__sim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .where(F.col("__cr") <= n)
+            .select(id_alias, "cent_id", "__v", "__n")
+        )
+
+    cells = nearest_cells(corpus, "neighbor_id", 1).withColumnRenamed(
+        "__v", "__cv"
+    ).withColumnRenamed("__n", "__cn")
+    probes = nearest_cells(queries, "query_id", nprobe).withColumnRenamed(
+        "__v", "__qv"
+    ).withColumnRenamed("__n", "__qn")
+
+    cos = pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    scored = (
+        probes.join(cells, "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", pround(cos, round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes_df(spark: SparkSession, dim: int, nbits: int, seed: int) -> DataFrame:
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((nbits, dim))

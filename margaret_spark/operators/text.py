@@ -145,3 +145,29 @@ def doc_fingerprint(
         lambda acc, c: (acc * base + c) % mod,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level term statistics: the top-k tokens by document
+    frequency (ties broken by token), with total occurrence counts.
+    The building block for stopword discovery / df-cap selection
+    (e.g. the ``max_df`` knob of the jaccard dedup).
+
+    Shape at scale: explode → partial-aggregated groupBy on token →
+    TakeOrdered(k). The shuffle carries one row per distinct (doc,
+    token) pre-aggregated map-side, and top-k never materializes a
+    full sort."""
+    toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("token")
+    )
+    per_doc = toks.groupBy("id", "token").agg(F.count("*").alias("__n"))
+    stats = per_doc.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("__n").cast("long").alias("total_count"),
+    )
+    return stats.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(k)

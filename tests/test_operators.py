@@ -201,3 +201,54 @@ def test_multimodal_plumbing(spark):
 
     frames = sample_video_frames(df, "doc_id", "blob", every_n=1, fake=True).collect()
     assert len(frames) == 3 + 1  # channels double as frame count in the fake
+
+
+def test_dedup_clusters(spark):
+    from margaret_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string")
+    # components: {1,2,3} (chained), {5,6}, singleton {4}
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (5, 6, 0.7)], "id_a long, id_b long, jaccard double"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_long_chain(spark):
+    from margaret_spark.operators.dedup import dedup_clusters
+
+    n = 12  # diameter > 1 forces multiple propagation rounds
+    docs = spark.createDataFrame([(i, "") for i in range(n)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "id_a long, id_b long, jaccard double"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_ivf_full_probe_matches_brute_force(spark):
+    from margaret_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 3")
+    # probing every cell makes IVF exhaustive -> identical to brute force
+    nlist = 8
+    ivf = ivf_topk(emb, queries, k=5, nlist=nlist, nprobe=nlist).collect()
+    bf = brute_force_topk(emb, queries, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in ivf)) == \
+           sorted(((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in bf))
+
+
+def test_top_terms(spark):
+    from margaret_spark.operators.text import top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "b")], "doc_id long, text string"
+    )
+    rows = top_terms(docs, "doc_id", "text", k=2).collect()
+    # df: a=2, b=2, c=1 -> top2 by (df desc, token asc) = a, b
+    assert [(r["token"], r["doc_freq"], r["total_count"]) for r in rows] == [
+        ("a", 2, 3), ("b", 2, 2)
+    ]
