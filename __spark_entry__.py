@@ -484,9 +484,12 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash hamming pairs (no SQL oracle: bit-sig banding)."""
+    """SimHash hamming pairs (no SQL oracle: bit-sig banding).
+    max_hamming=3 on 64-bit signatures is the classic near-dup
+    setting; with 4 pigeonhole blocks of 16 bits, block buckets stay
+    small and the candidate join cheap."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=8)
+    return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 def q_dedup_embedding(spark, sf_dir):

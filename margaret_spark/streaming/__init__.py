@@ -3,5 +3,14 @@ from margaret_spark.streaming.live import (
     stream_changes,
     stream_build_index,
 )
+from margaret_spark.streaming.stateful import stream_latest_index
+from margaret_spark.streaming.windows import session_windows, windowed_agg
 
-__all__ = ["LiveTail", "stream_changes", "stream_build_index"]
+__all__ = [
+    "LiveTail",
+    "stream_changes",
+    "stream_build_index",
+    "stream_latest_index",
+    "session_windows",
+    "windowed_agg",
+]

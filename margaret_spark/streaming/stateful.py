@@ -1,0 +1,101 @@
+"""Custom stateful streaming operators.
+
+:func:`stream_latest_index` is margaret's ``SetterIndex`` (key →
+latest value, ``indexes/index.go:27-46``) built as a true incremental
+streaming operator: per-key state lives in Spark's state store across
+micro-batches via ``applyInPandasWithState``, and each batch emits
+ONLY the keys whose latest value changed — the streaming twin of the
+batch ``latest_by_key`` reduction. The reference's observable cells
+map to the update stream delivered to ``on_updates``.
+
+Scale shape: state is partitioned by key across executors (the state
+store shuffles once per micro-batch on the grouping key); no driver
+state, no growing lineage — this is the applyInPandasWithState path
+the engine reserves for semantics Spark's built-in aggregations can't
+express (emit-only-changes with arbitrary per-key payloads).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from margaret_spark.log import OffsetLog
+
+
+def _latest_func(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    best_seq, best_val = state.get if state.exists else (-1, None)
+    changed = False
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        i = pdf["seq"].idxmax()
+        seq = int(pdf["seq"][i])
+        if seq > best_seq:
+            best_seq, best_val = seq, pdf["__v"][i]
+            changed = True
+    if changed:
+        state.update((best_seq, best_val))
+        yield pd.DataFrame(
+            {"addr": [key[0]], "upd_seq": [best_seq], "value": [best_val]}
+        )
+
+
+def stream_latest_index(
+    log: OffsetLog,
+    key_expr,
+    on_updates: Callable[[pd.DataFrame], None],
+    checkpoint_dir: str,
+    value_expr=None,
+    available_now: bool = True,
+):
+    """Run the streaming SetterIndex over a log's append stream.
+
+    ``key_expr`` / ``value_expr`` are Column expressions over the log
+    schema producing the index addr (cast to string) and the stored
+    value (cast to string; the reference stores codec-opaque blobs —
+    stringly state keeps the state schema fixed). ``on_updates``
+    receives one pandas DataFrame (addr, upd_seq, value) per
+    micro-batch holding only the keys that changed.
+
+    Returns None after catch-up when ``available_now``, else the
+    running StreamingQuery.
+    """
+    src = log.spark.readStream.schema(log._base_df().schema).parquet(log._data_dir)
+    if value_expr is None:
+        value_expr = F.col("value")
+    keyed = src.select(
+        key_expr.cast("string").alias("addr"),
+        F.col("seq"),
+        value_expr.cast("string").alias("__v"),
+    )
+    out = keyed.groupBy("addr").applyInPandasWithState(
+        _latest_func,
+        outputStructType="addr string, upd_seq long, value string",
+        stateStructType="upd_seq long, value string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            on_updates(pdf)
+
+    w = (
+        out.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()

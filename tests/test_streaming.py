@@ -118,3 +118,100 @@ def test_stream_build_index_exactly_once(spark, tmp_path):
     odd2 = [r["main_seq"] for r in mlog.df().where(F.col("addr") == "odd").orderBy("main_seq").collect()]
     assert even2 == [0, 2, 4, 6, 8, 10]
     assert odd2 == [1, 3, 5, 7, 9, 11]
+
+
+def test_stream_latest_index_emits_only_changes(spark, tmp_path):
+    """applyInPandasWithState SetterIndex: per-key latest in the state
+    store; each batch emits only changed keys, and a resumed run does
+    not re-emit already-indexed state."""
+    from margaret_spark.streaming import stream_latest_index
+
+    log = OffsetLog(spark, str(tmp_path / "log"))
+    log.append_many([100, 201, 102, 203, 104])  # key = value % 2
+    updates = []
+    ckpt = str(tmp_path / "ck")
+
+    stream_latest_index(
+        log, F.col("value") % 2, updates.append, ckpt, available_now=True
+    )
+    latest = {}
+    for pdf in updates:
+        for _, r in pdf.iterrows():
+            latest[r["addr"]] = (r["upd_seq"], r["value"])
+    assert latest == {"0": (4, "104"), "1": (3, "203")}
+
+    # resume with new appends: only the changed key is emitted
+    updates.clear()
+    log.append(305)  # key "1", seq 5
+    stream_latest_index(
+        log, F.col("value") % 2, updates.append, ckpt, available_now=True
+    )
+    emitted = {r["addr"]: (r["upd_seq"], r["value"]) for pdf in updates for _, r in pdf.iterrows()}
+    assert emitted == {"1": (5, "305")}
+
+
+def test_windowed_agg_batch_stream_parity(spark, tmp_path):
+    """The same windowed_agg plan runs batch and streaming; an
+    availableNow pass over the files must equal the batch answer."""
+    import datetime as dt
+    from margaret_spark.streaming import windowed_agg
+
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i * 7),
+            "a" if i % 2 else "b",
+            float(i),
+        )
+        for i in range(10)
+    ]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src_dir = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).write.parquet(src_dir)
+
+    batch = windowed_agg(
+        spark.read.parquet(src_dir), "ts", keys=["event_type"], window="15 minutes"
+    )
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in batch.collect()
+    }
+
+    got = {}
+
+    def on_batch(bdf, bid):
+        for r in bdf.collect():
+            got[(r["window_start"], r["event_type"])] = (r["n"], r["sum_value"])
+
+    sdf = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        windowed_agg(sdf, "ts", keys=["event_type"], window="15 minutes")
+        .writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert got == expect and len(expect) > 0
+
+
+def test_session_windows_batch(spark):
+    import datetime as dt
+    from margaret_spark.streaming import session_windows
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),   # same session (gap 30m)
+        (1, base + dt.timedelta(minutes=60), 4.0),   # new session
+        (2, base, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in session_windows(df, "ts", ["user_id"], gap="30 minutes").collect()
+    }
+    assert got[(1, base)] == (2, 3.0)
+    assert got[(1, base + dt.timedelta(minutes=60))] == (1, 4.0)
+    assert got[(2, base)] == (1, 8.0)
