@@ -380,6 +380,56 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6-style forecasting revenue change: pure filter +
+    aggregate — every predicate must reach the parquet scan
+    (PushedFilters), no shuffle beyond the single-row agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share: lineitem joins a broadcast
+    part dim; conditional aggregation over the join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo, scale=6).alias("promo_revenue"),
+            dsum(rev, scale=6).alias("total_revenue"),
+        )
+    )
+
+
+def q_orders_topn_per_cust(spark, sf_dir):
+    """Top-3 orders per customer by price (rank window, id tiebreak)
+    for the first 50 customers — the grouped-top-k pattern."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
 def q_events_daily(spark, sf_dir):
     """Tumbling daily window per event_type — the batch twin of the
     streaming windowed aggregation (SURVEY §2.2 op 15 / streaming).
@@ -609,6 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "orders_topn_per_cust": q_orders_topn_per_cust,
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
@@ -802,6 +855,33 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' "
             "AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' "
             "GROUP BY n_name"
+        ),
+        "tpch_q6": (
+            "SELECT "
+            "CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue, "
+            "COUNT(*) AS n FROM lineitem "
+            "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' "
+            "AND CAST(l_shipdate AS DATE) < DATE '1997-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 "
+            "AND l_quantity < 24"
+        ),
+        "tpch_q14": (
+            "SELECT "
+            "CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END "
+            "AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01' "
+            "AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'"
+        ),
+        "orders_topn_per_cust": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn "
+            "FROM orders WHERE o_custkey <= 50) WHERE rn <= 3"
         ),
         "events_daily": (
             "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n, "

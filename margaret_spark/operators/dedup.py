@@ -171,15 +171,18 @@ def minhash_signatures(
     mode: str = "word",
     n: int = 3,
 ) -> DataFrame:
-    """(id, sig array<long>): k-permutation MinHash, each permutation a
-    seeded xxhash64 — k aggregate-mins over the exploded shingle index,
-    all JVM-side."""
+    """(id, sig array<long>): k-permutation MinHash as k aggregate-mins
+    over the exploded shingle index, all JVM-side. The shingle STRING
+    is hashed once; each permutation re-hashes the resulting 8-byte
+    long with a distinct seed — k× cheaper than k string hashes, with
+    the same independence (xxhash64 avalanches the combined input)."""
     inv, _ = _shingle_index(df, id_col, text_col, mode, n, max_df=None)
+    hashed = inv.select("id", F.xxhash64("shingle").alias("__h"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__m{i}")
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
         for i in range(num_hashes)
     ]
-    agg = inv.groupBy("id").agg(*mins)
+    agg = hashed.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
 
 

@@ -40,6 +40,15 @@ def test_entry_queries_plan_quality(spark):
     assert_broadcast_join(q5, at_least=2)
     assert_no_python_udf(q5)
 
+    # Q6: the numeric predicates must reach the parquet scan
+    q6 = entry.q_tpch_q6(spark, SF)
+    assert_pushed_filters(
+        q6, "GreaterThanOrEqual(l_discount,0.05)", "LessThan(l_quantity,24"
+    )
+
+    q14 = entry.q_tpch_q14(spark, SF)
+    assert_broadcast_join(q14, at_least=1)
+
     # every declared query stays off the row-at-a-time Python path;
     # the embedding pair-scorers declare the Arrow-batched dot kernel
     # (functions.vectors.pair_dot)
