@@ -203,3 +203,81 @@ def sample_video_frames(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, blob_col).mapInPandas(sample, out_schema)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_audio_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """(id, format, sample_rate, n_samples, channels, duration_s,
+    n_bytes): audio header parse, partition-preserving mapInPandas."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(AUDIO_META_SCHEMA.fields)
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_parse_header(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [m[0] if m else None for m in metas],
+                    "sample_rate": [m[1] if m else None for m in metas],
+                    "n_samples": [m[2] if m else None for m in metas],
+                    "channels": [m[3] if m else None for m in metas],
+                    "duration_s": [
+                        (m[2] / m[1]) if m and m[1] else None for m in metas
+                    ],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf[blob_col]],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(parse, out_schema)
+
+
+def audio_features(
+    df: DataFrame, id_col: str, blob_col: str, fake: bool = False
+) -> DataFrame:
+    """Feature-extraction stage: (id, rms double, zero_crossings int).
+    STUB decode (a real torchaudio/librosa body drops in unchanged);
+    ``fake=True`` computes the features over the fake payload bytes
+    centered at 128, so the numbers are real and deterministic."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.IntegerType()),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires an audio library not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "test path"
+                )
+            ids, rms, zc = [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                hdr = _parse_header(b)
+                if hdr is None or hdr[0] != "faud":
+                    continue
+                x = np.frombuffer(bytes(b[16:]), dtype=np.uint8).astype(np.float64) - 128.0
+                ids.append(i)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                zc.append(int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0)
+            yield pd.DataFrame({id_col: ids, "rms": rms, "zero_crossings": zc})
+
+    return df.select(id_col, blob_col).mapInPandas(feats, out_schema)

@@ -252,3 +252,23 @@ def test_top_terms(spark):
     assert [(r["token"], r["doc_freq"], r["total_count"]) for r in rows] == [
         ("a", 2, 3), ("b", 2, 2)
     ]
+
+
+def test_audio_plumbing(spark):
+    from margaret_spark.operators.multimodal import (
+        audio_features,
+        extract_audio_meta,
+        make_fake_audio_blob,
+    )
+
+    rows = [(0, make_fake_audio_blob(16000, 32000, 1)), (1, make_fake_audio_blob(8000, 8000, 2))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    meta = {r["doc_id"]: (r["format"], r["sample_rate"], r["n_samples"], r["duration_s"])
+            for r in extract_audio_meta(df, "doc_id", "blob").collect()}
+    assert meta == {0: ("faud", 16000, 32000, 2.0), 1: ("faud", 8000, 8000, 1.0)}
+
+    feats = {r["doc_id"]: r for r in audio_features(df, "doc_id", "blob", fake=True).collect()}
+    assert feats[0]["rms"] > 0 and feats[0]["zero_crossings"] >= 0
+
+    with pytest.raises(Exception):
+        audio_features(df, "doc_id", "blob", fake=False).collect()

@@ -1,0 +1,84 @@
+"""Property-based contract tests: the query algebra on both backends
+must agree with an independent list-slicing model for every
+combination of bounds, limit, reverse, and seq-wrap — a generative
+version of the reference's golden table (``test/simple.go:126-254``).
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from margaret_spark import Gt, Gte, Limit, Lt, Lte, MemLog, OffsetLog, Reverse, SeqWrap
+
+VALUES = [v * 10 for v in range(7)]  # seqs 0..6
+
+
+@pytest.fixture(scope="module")
+def logs(spark, tmp_path_factory):
+    mem = MemLog(spark)
+    mem.append_many(VALUES)
+    off = OffsetLog(spark, str(tmp_path_factory.mktemp("prop") / "log"))
+    off.append_many(VALUES)
+    return [mem, off]
+
+
+spec_strategy = st.fixed_dictionaries(
+    {
+        "lo": st.one_of(
+            st.none(),
+            st.tuples(st.sampled_from(["gt", "gte"]), st.integers(-2, 8)),
+        ),
+        "hi": st.one_of(
+            st.none(),
+            st.tuples(st.sampled_from(["lt", "lte"]), st.integers(-2, 8)),
+        ),
+        "limit": st.one_of(st.none(), st.integers(0, 8)),
+        "reverse": st.booleans(),
+        "seqwrap": st.booleans(),
+    }
+)
+
+
+def model(case):
+    entries = list(enumerate(VALUES))
+    if case["lo"] is not None:
+        kind, s = case["lo"]
+        entries = [e for e in entries if (e[0] > s if kind == "gt" else e[0] >= s)]
+    if case["hi"] is not None:
+        kind, s = case["hi"]
+        entries = [e for e in entries if (e[0] < s if kind == "lt" else e[0] <= s)]
+    if case["reverse"]:
+        entries = entries[::-1]
+    if case["limit"] is not None:
+        entries = entries[: case["limit"]]
+    return entries if case["seqwrap"] else [v for _, v in entries]
+
+
+def specs_of(case):
+    specs = []
+    if case["lo"] is not None:
+        kind, s = case["lo"]
+        specs.append(Gt(s) if kind == "gt" else Gte(s))
+    if case["hi"] is not None:
+        kind, s = case["hi"]
+        specs.append(Lt(s) if kind == "lt" else Lte(s))
+    if case["limit"] is not None:
+        specs.append(Limit(case["limit"]))
+    if case["reverse"]:
+        specs.append(Reverse(True))
+    if case["seqwrap"]:
+        specs.append(SeqWrap(True))
+    return specs
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=spec_strategy)
+def test_query_algebra_matches_model(logs, case):
+    expect = model(case)
+    for log in logs:
+        got = list(log.query(*specs_of(case)))
+        assert got == expect, f"{type(log).__name__} {case}: {got} != {expect}"
