@@ -433,35 +433,117 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
     block_col: str | None = None,
     round_digits: int = 6,
+    nblocks: int = 8,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine similarity. With ``block_col``
-    the join is per-block (IVF-style: compare only within a cell);
-    without it, all-pairs — only for small/filtered inputs.
+    """Near-duplicate pairs by cosine similarity (id_a < id_b,
+    rounded cosine ≥ threshold).
 
-    Norms are computed per ROW before the join (not per pair); the
-    per-pair dot goes through the Arrow-batched ``pair_dot`` — same
-    accumulation order, so values match the fold/oracle exactly."""
-    from margaret_spark.functions.vectors import l2_norm, pair_dot
+    With ``block_col`` the join is per-block (IVF-style: compare only
+    within a cell). Without it, EXACT all-pairs via blocked matrix
+    scoring: ids are hashed into ``nblocks`` buckets; each unordered
+    bucket pair becomes one ``applyInPandas`` group that scores the
+    S×T cosine matrix in numpy with per-DIMENSION accumulation — bit
+    identical to the sequential fold, but each vector crosses the
+    Arrow boundary once per bucket pair instead of once per pair
+    (O(N·√P) transfer instead of O(P)). ``nblocks`` scales with
+    corpus size so a block pair fits executor memory."""
+    if block_col is not None:
+        from margaret_spark.functions.vectors import l2_norm, pair_dot
 
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        l2_norm(F.col(vec_col)).alias("__na"),
-        *([F.col(block_col).alias("__blk")] if block_col else []),
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            l2_norm(F.col(vec_col)).alias("__na"),
+            F.col(block_col).alias("__blk"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            l2_norm(F.col(vec_col)).alias("__nb"),
+            F.col(block_col).alias("__blk"),
+        )
+        joined = a.join(b, ["__blk"]).where(F.col("id_a") < F.col("id_b"))
+        cos = pair_dot(F.col("__va"), F.col("__vb")) / (
+            F.col("__na") * F.col("__nb")
+        )
+        return (
+            joined.withColumn("cosine", pround(cos, round_digits))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    return _blocked_allpairs_cosine(
+        df, id_col, vec_col, threshold, round_digits, nblocks
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        l2_norm(F.col(vec_col)).alias("__nb"),
-        *([F.col(block_col).alias("__blk")] if block_col else []),
+
+
+def _blocked_allpairs_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int,
+    nblocks: int,
+) -> DataFrame:
+    spark = df.sparkSession
+    bp = [(i * nblocks + j, i, j) for i in range(nblocks) for j in range(i, nblocks)]
+    bp_df = F.broadcast(spark.createDataFrame(bp, "bp long, bi int, bj int"))
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks)).cast("int").alias("blk"),
     )
-    cond = F.col("id_a") < F.col("id_b")
-    joined = (
-        a.join(b, ["__blk"]).where(cond) if block_col else a.join(b, cond)
+    left = bp_df.join(v, F.col("bi") == F.col("blk")).select(
+        "bp", "bi", "bj", F.lit(0).alias("side"), "id", "v"
     )
-    cos = pair_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-    return (
-        joined.withColumn("cosine", pround(cos, round_digits))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    right = bp_df.join(v, F.col("bj") == F.col("blk")).select(
+        "bp", "bi", "bj", F.lit(1).alias("side"), "id", "v"
+    )
+    both = left.union(right)
+    scale = float(10**round_digits)
+    thr = float(threshold)
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        L = pdf[pdf["side"] == 0]
+        R = pdf[pdf["side"] == 1]
+        if len(L) == 0 or len(R) == 0:
+            return empty
+        same = bool(pdf["bi"].iloc[0] == pdf["bj"].iloc[0])
+        A = np.stack(L["v"].to_numpy())
+        B = np.stack(R["v"].to_numpy())
+        acc = np.zeros((len(L), len(R)), dtype=np.float64)
+        na = np.zeros(len(L), dtype=np.float64)
+        nb = np.zeros(len(R), dtype=np.float64)
+        # per-dimension accumulation: each (i,j) entry follows the exact
+        # left-fold order 0 + a0*b0 + a1*b1 + ... (see functions.vectors)
+        for d in range(A.shape[1]):
+            a = A[:, d].astype(np.float64)
+            b = B[:, d].astype(np.float64)
+            acc += a[:, None] * b[None, :]
+            na += a * a
+            nb += b * b
+        cos = acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        cosr = np.floor(cos * scale + 0.5) / scale
+        ii, jj = np.nonzero(cosr >= thr)
+        if len(ii) == 0:
+            return empty
+        ia = L["id"].to_numpy()[ii]
+        ib = R["id"].to_numpy()[jj]
+        c = cosr[ii, jj]
+        if same:
+            keep = ia < ib  # both orientations present in a same-block pair
+            ia, ib, c = ia[keep], ib[keep], c[keep]
+        else:
+            lo = np.minimum(ia, ib)
+            hi = np.maximum(ia, ib)
+            ia, ib = lo, hi
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": c})
+
+    return both.groupBy("bp").applyInPandas(
+        score, "id_a long, id_b long, cosine double"
     )
