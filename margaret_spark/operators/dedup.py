@@ -201,7 +201,10 @@ def minhash_dedup_pairs(
     path for near-dup: candidate generation never leaves its LSH
     bucket. Output schema matches :func:`ngram_jaccard_pairs`."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, mode, n)
+    # materialized once — see simhash_dedup_pairs
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, mode, n).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -244,8 +247,11 @@ def minhash_dedup_pairs(
         if mode == "char"
         else word_shingles(F.col(text_col), n=n)
     )
-    arrays = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col).alias("id"), sh.alias("__sh")
+    # materialized once — joined against both pair sides below
+    arrays = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), sh.alias("__sh"))
+        .localCheckpoint(eager=False)
     )
     return (
         cand.join(
@@ -328,7 +334,10 @@ def simhash_dedup_pairs(
     from equality joins on block values — never a cross join."""
     nblocks = max_hamming + 1
     width = bits // nblocks
-    sigs = simhash(df, id_col, text_col, bits)
+    # materialize signatures once: the self-join would otherwise run
+    # the whole tokenize→aggregate pipeline for each side (plan-level
+    # exchange reuse is not guaranteed across the join's aliases)
+    sigs = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
     blocks = sigs.select(
         "id",
         "simhash",
