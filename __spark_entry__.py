@@ -575,6 +575,15 @@ def q_text_topterms(spark, sf_dir):
     return top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=50)
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The end-to-end curation pipeline: quality bar + canonical
+    near-dup representative per cluster (operators.pipeline)."""
+    from margaret_spark.operators.pipeline import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(docs, "doc_id", "text", min_quality=0.5, jaccard_threshold=0.2)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -672,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -714,6 +724,45 @@ def _pr(expr: str, digits: int = 6) -> str:
     IEEE expression tree, so results are bit-identical to Spark's."""
     scale = f"{float(10**digits):.1f}"
     return f"(FLOOR(({expr}) * {scale} + 0.5) / {scale})"
+
+
+# clusters-over-jaccard-pairs CTE chain (shared by dedup_clusters and
+# corpus_curation): pairs at threshold 0.2, undirected edges, min
+# reachable id per node via recursive closure
+_CLUSTER_CTES = (
+    f"s AS ({_SHINGLES}), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id), "
+    "pairs AS (SELECT id_a, id_b FROM inter "
+    "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+    "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2), "
+    "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(node, root) AS ("
+    "SELECT doc_id, doc_id FROM documents "
+    "UNION "
+    "SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)"
+)
+
+def _quality_sql() -> str:
+    pr = _pr(
+        "0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + "
+        "0.4 * (CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END) + "
+        "0.2 * (1.0 - least("
+        "(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) + "
+        "(CASE WHEN n_chars > 0 THEN CAST(n_digits AS DOUBLE) / n_chars ELSE 0.0 END), 1.0))",
+        4,
+    )
+    return (
+        "SELECT doc_id, " + pr + " AS quality "
+        "FROM (SELECT doc_id, length(text) AS n_chars, "
+        f"len({_WORDS}) AS n_tokens, len(list_distinct({_WORDS})) AS n_distinct, "
+        "length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct, "
+        "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits "
+        "FROM documents)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -933,22 +982,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2"
         ),
         "dedup_clusters": (
-            f"WITH RECURSIVE s AS ({_SHINGLES}), "
-            "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
-            "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id "
-            "GROUP BY a.doc_id, b.doc_id), "
-            "pairs AS (SELECT id_a, id_b FROM inter "
-            "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
-            "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2), "
-            "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
-            "UNION SELECT id_b, id_a FROM pairs), "
-            "reach(node, root) AS ("
-            "SELECT doc_id, doc_id FROM documents "
-            "UNION "
-            "SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node) "
+            "WITH RECURSIVE " + _CLUSTER_CTES + " "
             "SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY node"
+        ),
+        "corpus_curation": (
+            "WITH RECURSIVE " + _CLUSTER_CTES + ", "
+            "clusters AS (SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY node), "
+            "quality AS (" + _quality_sql() + ") "
+            "SELECT q.doc_id, q.quality, c.cluster_id, "
+            "(q.quality >= 0.5 AND q.doc_id = c.cluster_id) AS keep "
+            "FROM quality q JOIN clusters c ON q.doc_id = c.doc_id"
         ),
         "dedup_embedding": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
@@ -1014,22 +1059,7 @@ def oracle_sql() -> dict[str, str]:
             f"len(list_distinct({_WORDS})) AS n_distinct_tokens "
             "FROM documents"
         ),
-        "text_quality": (
-            "SELECT doc_id, "
-            + _pr(
-                "0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) + "
-                "0.4 * (CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END) + "
-                "0.2 * (1.0 - least("
-                "(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) + "
-                "(CASE WHEN n_chars > 0 THEN CAST(n_digits AS DOUBLE) / n_chars ELSE 0.0 END), 1.0))",
-                4,
-            ) + " AS quality "
-            "FROM (SELECT doc_id, length(text) AS n_chars, "
-            f"len({_WORDS}) AS n_tokens, len(list_distinct({_WORDS})) AS n_distinct, "
-            "length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct, "
-            "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits "
-            "FROM documents)"
-        ),
+        "text_quality": _quality_sql(),
         "text_langid": (
             "SELECT doc_id, CASE "
             "WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) > 0 THEN 'zh' "

@@ -272,3 +272,26 @@ def test_audio_plumbing(spark):
 
     with pytest.raises(Exception):
         audio_features(df, "doc_id", "blob", fake=False).collect()
+
+
+def test_curate_corpus(spark):
+    from margaret_spark.operators.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "!!!! ???? 1234 5678"),  # low quality
+            (3, "completely unrelated text about spark engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curate_corpus(
+        docs, "doc_id", "text", min_quality=0.5, jaccard_threshold=0.3
+    ).collect()}
+    # 0 and 1 are near-dups -> same cluster, only 0 is canonical
+    assert rows[0]["cluster_id"] == 0 and rows[1]["cluster_id"] == 0
+    assert rows[0]["keep"] and not rows[1]["keep"]
+    # 2 fails the quality bar even though it is its own cluster
+    assert rows[2]["cluster_id"] == 2 and not rows[2]["keep"]
+    assert rows[3]["keep"]
