@@ -1,0 +1,70 @@
+"""Skew mitigation for aggregations: salted two-phase groupBy.
+
+AQE's skew handling covers JOINS (splitting oversized partitions),
+and partial map-side aggregation covers most skewed groupBys — but an
+aggregation whose per-key state is large (collect_set, exact distinct
+counts) still funnels each hot key through one reducer. Salting
+splits a hot key across ``salt`` reducers in phase 1 and merges the
+per-salt partials in phase 2: two small shuffles instead of one
+skewed one.
+
+Works for any algebraic aggregate (merge of partials == aggregate of
+whole). The helper takes phase-1 aggregate expressions and phase-2
+merge expressions by name.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt: int, col_name: str = "__salt") -> DataFrame:
+    """Deterministic pseudo-random salt in [0, salt) — spreads rows of
+    a hot key across reducers without changing results for algebraic
+    aggregates. Uses a hash of all columns rather than rand() so runs
+    are reproducible."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    merge_aggs: Sequence[Column],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy (keys + salt) with
+    ``partial_aggs``, then groupBy keys with ``merge_aggs`` over the
+    partial columns. Example::
+
+        salted_agg(
+            df, ["k"],
+            partial_aggs=[F.count("*").alias("__n"), F.sum("v").alias("__s")],
+            merge_aggs=[F.sum("__n").alias("n"), F.sum("__s").alias("sum_v")],
+            salt=32,
+        )
+    """
+    phase1 = with_salt(df, salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+    return phase1.groupBy(*keys).agg(*merge_aggs)
+
+
+def salted_distinct_count(
+    df: DataFrame, keys: Sequence[str], value_col: str, salt: int = 16
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key without funnelling a hot
+    key's whole value set through one reducer: phase 1 dedups within
+    (key, salt-of-value) — the same value always lands in the same
+    salt bucket, so cross-bucket double counting is impossible —
+    phase 2 sums bucket cardinalities."""
+    salted = df.select(
+        *keys, F.col(value_col), F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt)).alias("__salt")
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        F.countDistinct(value_col).alias("__dc")
+    )
+    return phase1.groupBy(*keys).agg(F.sum("__dc").cast("long").alias("distinct_count"))

@@ -295,3 +295,36 @@ def test_curate_corpus(spark):
     # 2 fails the quality bar even though it is its own cluster
     assert rows[2]["cluster_id"] == 2 and not rows[2]["keep"]
     assert rows[3]["keep"]
+
+
+def test_salted_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+    from margaret_spark.functions.skew import salted_agg, salted_distinct_count
+
+    # one hot key (90% of rows) + long tail
+    rows = [("hot" if i % 10 else f"k{i}", i % 7, float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, v long, x double")
+
+    plain = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("sum_v")).collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in salted_agg(
+            df, ["k"],
+            partial_aggs=[F.count("*").alias("__n"), F.sum("v").alias("__s")],
+            merge_aggs=[F.sum("__n").alias("n"), F.sum("__s").cast("long").alias("sum_v")],
+            salt=8,
+        ).collect()
+    }
+    assert salted == plain
+
+    plain_dc = {
+        r["k"]: r["dc"] for r in df.groupBy("k").agg(F.countDistinct("v").alias("dc")).collect()
+    }
+    salted_dc = {
+        r["k"]: r["distinct_count"]
+        for r in salted_distinct_count(df, ["k"], "v", salt=8).collect()
+    }
+    assert salted_dc == plain_dc
