@@ -23,17 +23,22 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def plan_summary(df: DataFrame) -> dict:
-    """Cheap structural facts about the physical plan."""
+    """Cheap structural facts about the physical plan. Node counts are
+    taken from the formatted explain's numbered detail entries
+    (``(n) NodeName``) so each operator counts exactly once."""
     s = explain_str(df)
+    nodes = re.findall(r"^\(\d+\)\s+(\w[\w ]*?)(?:\s*\[codegen|\s*$)", s, re.M)
+    count = lambda name: sum(1 for n in nodes if n.startswith(name))
     return {
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", s),
-        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", s)),
-        "sortmerge_joins": len(re.findall(r"SortMergeJoin", s)),
-        "shuffles": len(re.findall(r"Exchange", s)) - len(re.findall(r"BroadcastExchange", s)),
+        "broadcast_joins": count("BroadcastHashJoin")
+        + count("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": count("SortMergeJoin"),
+        "shuffles": count("Exchange"),
         "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", s))),
-        "python_evals": len(re.findall(r"BatchEvalPython", s)),
-        "arrow_evals": len(re.findall(r"ArrowEvalPython", s)),
-        "scans": len(re.findall(r"Scan parquet", s)),
+        "python_evals": count("BatchEvalPython"),
+        "arrow_evals": count("ArrowEvalPython") + count("FlatMapGroupsInPandas"),
+        "scans": count("Scan parquet"),
     }
 
 
