@@ -497,6 +497,17 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_events_distinct_users(spark, sf_dir):
+    """Exact COUNT(DISTINCT user) per event_type via the salted
+    two-phase plan (functions.skew): the hot event_type's user set is
+    partitioned across salt buckets by value hash — no single reducer
+    holds a whole hot key's state."""
+    from margaret_spark.functions.skew import salted_distinct_count
+
+    ev = _events(spark, sf_dir)
+    return salted_distinct_count(ev, ["event_type"], "user_id", salt=16)
+
+
 def q_events_json(spark, sf_dir):
     """JSON codec surface (§2.5 op 37): extract props.k, aggregate."""
     ev = _events(spark, sf_dir)
@@ -674,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
+        "events_distinct_users": q_events_distinct_users,
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -960,6 +972,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, "
             "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))"
+        ),
+        "events_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS distinct_count "
+            "FROM events GROUP BY event_type"
         ),
         "events_json": (
             "SELECT event_type, "

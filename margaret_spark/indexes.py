@@ -334,15 +334,16 @@ def latest_by_key(
     value_cols: list[str] | None = None,
 ) -> DataFrame:
     """Relational SetterIndex materialization: latest value per key by
-    sequence — ``max_by`` semantics via a rank window. One shuffle on
-    the key; with AQE, skewed keys are split automatically."""
-    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
-    out_cols = [key_col] + (value_cols or [c for c in df.columns if c != key_col])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(*out_cols)
+    sequence, as a ``max_by`` aggregation. Unlike a rank window (which
+    sorts every key's rows inside its partition), max_by is algebraic:
+    partial aggregation keeps one row per key map-side, so the shuffle
+    carries |keys| rows — the right plan when a hot key has millions
+    of updates."""
+    out_cols = value_cols or [c for c in df.columns if c != key_col]
+    picked = df.groupBy(key_col).agg(
+        F.max_by(F.struct(*[F.col(c) for c in out_cols]), F.col(seq_col)).alias("__s")
     )
+    return picked.select(key_col, *[F.col(f"__s.{c}").alias(c) for c in out_cols])
 
 
 def fanout(
