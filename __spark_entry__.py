@@ -508,6 +508,50 @@ def q_events_distinct_users(spark, sf_dir):
     return salted_distinct_count(ev, ["event_type"], "user_id", salt=16)
 
 
+def q_stream_events_daily(spark, sf_dir):
+    """events consumed as a STREAM: file-source + watermarked 1-day
+    tumbling window, drained with availableNow and materialized — the
+    result must equal the batch/SQL daily counts exactly. Puts the
+    Structured Streaming path itself on the oracle-checked surface."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.streaming import windowed_agg
+
+    # the file source wants a directory: stream the sf dir, filtered
+    # down to the events table's file
+    sdf = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = sdf.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ets"), "event_type"
+    )
+    agg = windowed_agg(ev, "ets", keys=["event_type"], window="1 day", watermark="0 seconds")
+
+    acc: dict = {}
+
+    def on_batch(bdf, bid):
+        for r in bdf.collect():
+            acc[(r["window_start"], r["event_type"])] = r["n"]
+
+    ckpt = tempfile.mkdtemp(prefix="stream_daily_")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(on_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [(ws.date(), et, int(n)) for (ws, et), n in acc.items()]
+    return spark.createDataFrame(rows, "day date, event_type string, n long")
+
+
 def q_events_json(spark, sf_dir):
     """JSON codec surface (§2.5 op 37): extract props.k, aggregate."""
     ev = _events(spark, sf_dir)
@@ -687,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_distinct_users": q_events_distinct_users,
         "events_json": q_events_json,
+        "stream_events_daily": q_stream_events_daily,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -976,6 +1021,10 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS distinct_count "
             "FROM events GROUP BY event_type"
+        ),
+        "stream_events_daily": (
+            "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n "
+            "FROM events GROUP BY CAST(ts AS DATE), event_type"
         ),
         "events_json": (
             "SELECT event_type, "
