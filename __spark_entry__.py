@@ -416,6 +416,60 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4-style order-priority check: orders in 1996-Q1 having
+    at least one late lineitem — a LEFT SEMI join (the EXISTS shape;
+    no fan-out, lineitem only contributes existence)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    # the synthetic lineitem carries only l_shipdate; "late" = shipped
+    # more than a year after the order window opened
+    late = _t(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1997-01-01").cast("date")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join (NOT EXISTS): customers with no orders in 1997H2+,
+    counted per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") >= F.lit("1997-07-01").cast("date")
+    ).select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17-style small-quantity revenue: lineitems below 20% of
+    their part's average quantity — the correlated scalar subquery
+    decorrelated into an aggregate + equi-join on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        pround(
+            (dsum("l_quantity") / F.count("*")) * F.lit(0.2), 6
+        ).alias("__thresh")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < F.col("__thresh"))
+        .agg(
+            dsum("l_extendedprice").alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q_orders_topn_per_cust(spark, sf_dir):
     """Top-3 orders per customer by price (rank window, id tiebreak)
     for the first 50 customers — the grouped-top-k pattern."""
@@ -725,6 +779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q17": q_tpch_q17,
+        "customers_without_orders": q_customers_without_orders,
         "orders_topn_per_cust": q_orders_topn_per_cust,
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
@@ -981,6 +1038,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01' "
             "AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+            "WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' "
+            "AND CAST(o_orderdate AS DATE) < DATE '1996-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01') "
+            "GROUP BY o_orderpriority"
+        ),
+        "tpch_q17": (
+            "WITH avg_qty AS (SELECT l_partkey, "
+            + _pr(
+                "(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)) * 0.2"
+            )
+            + " AS thresh FROM lineitem GROUP BY l_partkey) "
+            "SELECT "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price, "
+            "COUNT(*) AS n "
+            "FROM lineitem JOIN avg_qty USING (l_partkey) "
+            "WHERE l_quantity < thresh"
+        ),
+        "customers_without_orders": (
+            "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND CAST(o.o_orderdate AS DATE) >= DATE '1997-07-01') "
+            "GROUP BY c_mktsegment"
         ),
         "orders_topn_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
