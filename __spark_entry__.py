@@ -147,7 +147,9 @@ def q_log_nulled_overlay(spark, sf_dir):
     patch = ev.where(F.col("event_type") == "error").select(
         "seq", F.lit("null").alias("op")
     )
-    return ev.join(F.broadcast(patch), "seq", "left").select(
+    # patch overlays are usually tiny, but this demo's patch set scales
+    # with the log — no hint, the join strategy follows the stats
+    return ev.join(patch, "seq", "left").select(
         "seq",
         F.when(F.col("op") == "null", F.lit(None)).otherwise(F.col("value")).alias("value"),
         F.coalesce(F.col("op") == "null", F.lit(False)).alias("nulled"),
@@ -162,7 +164,7 @@ def q_log_replace_overlay(spark, sf_dir):
     patch = ev.where(F.col("event_type") == "purchase").select(
         "seq", (F.col("value") * 2).alias("__pv")
     )
-    return ev.join(F.broadcast(patch), "seq", "left").select(
+    return ev.join(patch, "seq", "left").select(
         "seq",
         F.coalesce(F.col("__pv"), F.col("value")).alias("value"),
         F.col("__pv").isNotNull().alias("replaced"),
@@ -341,7 +343,10 @@ def q_tpch_q3(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no explicit broadcast hint: customer SCALES with the data, so
+        # the right strategy is size-dependent — stats/AQE broadcast it
+        # at small SF and shuffle-join it at 100 TB
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority")
         .agg(dsum(rev, scale=6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -369,9 +374,12 @@ def q_tpch_q5(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer/supplier scale with the data — no explicit hints;
+        # only the fixed-size region/nation chain inside `dims` stays
+        # broadcast-worthy by stats at any SF
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(dims),
+            dims,
             (li.l_suppkey == dims.s_suppkey)
             & (customer.c_nationkey == dims.s_nationkey),
         )
@@ -408,7 +416,7 @@ def q_tpch_q14(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)  # part scales; let stats pick
         .agg(
             dsum(promo, scale=6).alias("promo_revenue"),
             dsum(rev, scale=6).alias("total_revenue"),

@@ -76,15 +76,22 @@ def _shingle_index(
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     inv = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
     if max_df is not None:
-        keep = (
-            inv.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_df)
-            .select("shingle")
-        )
-        inv = inv.join(F.broadcast(keep), "shingle", "inner")
+        inv = inv.join(F.broadcast(_stop_shingles(inv, max_df)), "shingle", "left_anti")
     sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
     return inv, sizes
+
+
+def _stop_shingles(inv: DataFrame, max_df: int) -> DataFrame:
+    """Shingles above the document-frequency cap. This is the side to
+    BROADCAST: the stop list is small by construction at any corpus
+    size (only the hottest shingles), while the complementary keep
+    list is the entire shingle universe."""
+    return (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > max_df)
+        .select("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -120,13 +127,7 @@ def ngram_jaccard_pairs(
     # split a duplicate filter out of)
     inv = d.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
     if max_df is not None:
-        keep = (
-            inv.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_df)
-            .select("shingle")
-        )
-        inv = inv.join(F.broadcast(keep), "shingle", "inner")
+        inv = inv.join(F.broadcast(_stop_shingles(inv, max_df)), "shingle", "left_anti")
         sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
     else:
         sizes = d.select(F.col(id_col).alias("id"), F.size(sh).alias("set_size"))
