@@ -498,6 +498,20 @@ class OffsetLog(Log):
             .parquet(self._data_dir)
         )
 
+    def stream_df(self, max_files_per_trigger: int | None = None) -> DataFrame:
+        """The log as a streaming DataFrame (file source): catch-up
+        over stored entries, then each append as its file is
+        discovered — the substrate for live queries, Changes(), and
+        streaming index builds. Patches are NOT overlaid (the live
+        path replays appended frames, as in the reference).
+        ``max_files_per_trigger`` bounds catch-up batch size."""
+        reader = self.spark.readStream.schema(self._base_df().schema).option(
+            "pathGlobFilter", "*.parquet"
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.parquet(self._data_dir)
+
     def df(self) -> DataFrame:
         base = self._base_df()
         if not self._has_patches():

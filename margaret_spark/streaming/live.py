@@ -61,11 +61,7 @@ class LiveTail:
         self._query = None
         self._lock = threading.Lock()
 
-        src = (
-            log.spark.readStream.schema(log._base_df().schema)
-            .option("maxFilesPerTrigger", 64)
-            .parquet(log._data_dir)
-        )
+        src = log.stream_df(max_files_per_trigger=64)
         pred = self.plan.seq_predicate(F.col("seq"))
         if pred is not None:
             src = src.where(pred)
@@ -125,7 +121,7 @@ def stream_changes(log: OffsetLog) -> tuple[Observable, Callable[[], None]]:
     stop_fn)."""
     obs = Observable()
 
-    src = log.spark.readStream.schema(log._base_df().schema).parquet(log._data_dir)
+    src = log.stream_df()
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         row = batch_df.agg(F.max("seq").alias("mx")).collect()[0]
@@ -156,7 +152,7 @@ def stream_build_index(
     ``available_now=True`` = one catch-up run that terminates (the
     reference's batch rebuild); ``False`` = continuous follow.
     """
-    src = log.spark.readStream.schema(log._base_df().schema).parquet(log._data_dir)
+    src = log.stream_df()
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch(batch_df)

@@ -68,7 +68,7 @@ def stream_latest_index(
     Returns None after catch-up when ``available_now``, else the
     running StreamingQuery.
     """
-    src = log.spark.readStream.schema(log._base_df().schema).parquet(log._data_dir)
+    src = log.stream_df()
     if value_expr is None:
         value_expr = F.col("value")
     keyed = src.select(
