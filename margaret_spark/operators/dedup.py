@@ -408,9 +408,20 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = df.select(
-        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("cluster_id")
-    ).localCheckpoint(eager=False)
+    # iterate ONLY over nodes that have an edge — the duplicate graph
+    # is a tiny fraction of the corpus; every other document is its
+    # own singleton cluster and is unioned back in at the end
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node").cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    singletons = (
+        df.select(F.col(id_col).alias("node"))
+        .join(edges.select(F.col("src").alias("node")).distinct(), "node", "left_anti")
+        .select("node", F.col("node").cast("long").alias("cluster_id"))
+    )
     while True:
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -433,7 +444,9 @@ def dedup_clusters(
         changed = updated.where(F.col("__chg")).limit(1).count()
         labels = updated.drop("__chg")
         if changed == 0:
-            return labels.select(F.col("node").alias(id_col), "cluster_id")
+            return labels.unionByName(singletons).select(
+                F.col("node").alias(id_col), "cluster_id"
+            )
 
 
 def embedding_dedup_pairs(
