@@ -75,6 +75,64 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd's refinement: init = the ``k`` lowest-id
+    vectors, then ``iters`` rounds of (assign to nearest centroid by
+    rounded cosine with centroid-id tiebreak) → (cell mean). Returns
+    (cent_id, cent array<double>).
+
+    Scale shape per round: one broadcast of k centroids, one narrow
+    assignment pass, one posexplode + two-level aggregation for the
+    means (shuffle keyed on (cell, dim) then cell — never on the
+    vectors themselves). Lineage is checkpoint-truncated per round."""
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("cent"),
+        )
+    ).localCheckpoint(eager=False)
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        scored = v.crossJoin(cents).withColumn(
+            "__sim",
+            pround(
+                pair_dot(F.col("v"), F.col("cent"))
+                / (l2_norm(F.col("v")) * l2_norm(F.col("cent"))),
+                round_digits,
+            ),
+        )
+        w = Window.partitionBy("id").orderBy(F.col("__sim").desc(), F.col("cent_id").asc())
+        assigned = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("cent_id", "v")
+        )
+        dims = assigned.select(
+            "cent_id", F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x")
+        )
+        means = (
+            dims.groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm"))
+            .select(
+                "cent_id",
+                F.transform(F.col("__pm"), lambda s: s["m"]).alias("cent"),
+            )
+        )
+        cents = F.broadcast(means).localCheckpoint(eager=False)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -84,27 +142,31 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: the corpus is partitioned into ``nlist`` inverted
     cells by nearest centroid; a query scores only the ``nprobe``
     nearest cells' members instead of the whole corpus.
 
-    Centroids are the ``nlist`` lowest-id corpus vectors (seeded —
-    deterministic and oracle-expressible; a k-means refinement would
-    drop in here without changing the query shape). Cell assignment
-    and probing both rank by (rounded cosine desc, centroid id asc),
-    so results are exactly reproducible across engines.
+    Default centroids are the ``nlist`` lowest-id corpus vectors
+    (seeded — deterministic and oracle-expressible); pass
+    ``centroids=kmeans_centroids(corpus, k=nlist)`` for refined cells
+    with better recall — the query shape is unchanged. Cell
+    assignment and probing both rank by (rounded cosine desc,
+    centroid id asc), so results are exactly reproducible.
 
     Scale shape: centroids broadcast to both assignment scans; the
     candidate join is an equi-join on cell id (a shuffle keyed by
     cell), never a cross join. Recall < 1 by design (ANN trade)."""
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col).asc()).limit(nlist).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent")
+        )
     cents = F.broadcast(
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(nlist)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("__cent"),
-            l2_norm(F.col(vec_col)).alias("__centn"),
+        centroids.select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
         )
     )
 

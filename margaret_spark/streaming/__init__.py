@@ -3,7 +3,7 @@ from margaret_spark.streaming.live import (
     stream_changes,
     stream_build_index,
 )
-from margaret_spark.streaming.stateful import stream_latest_index
+from margaret_spark.streaming.stateful import stream_dedup_exact, stream_latest_index
 from margaret_spark.streaming.windows import session_windows, windowed_agg
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "stream_changes",
     "stream_build_index",
     "stream_latest_index",
+    "stream_dedup_exact",
     "session_windows",
     "windowed_agg",
 ]

@@ -99,3 +99,71 @@ def stream_latest_index(
         q.awaitTermination()
         return None
     return w.trigger(processingTime="500 milliseconds").start()
+
+
+def _first_seen_func(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen = state.exists
+    best_seq = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        i = pdf["seq"].idxmin()
+        seq = int(pdf["seq"][i])
+        if best_seq is None or seq < best_seq:
+            best_seq = seq
+    if best_seq is None or seen:
+        return
+    state.update((best_seq,))
+    yield pd.DataFrame({"content_hash": [key[0]], "keep_seq": [best_seq]})
+
+
+def stream_dedup_exact(
+    log: OffsetLog,
+    content_expr,
+    on_keepers: Callable[[pd.DataFrame], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming exact deduplication over a log's append stream: the
+    state store remembers every content hash ever seen; each
+    micro-batch emits only FIRST-SEEN entries (smallest seq wins
+    within a batch, earlier batches win across batches — arrival
+    order, like the log). The streaming twin of
+    ``operators.dedup.exact_dedup``: a training-data ingest keeps one
+    copy of each document no matter how often it re-arrives, with
+    exactly-once resume from the checkpoint.
+
+    ``content_expr`` is a Column over the log schema (e.g. the
+    document text); it is hashed engine-side (sha2-256) so the state
+    key and shuffle carry 64 hex chars, never the content.
+    ``on_keepers`` receives one pandas DataFrame
+    (content_hash, keep_seq) per micro-batch."""
+    src = log.stream_df()
+    keyed = src.select(
+        F.sha2(content_expr.cast("string"), 256).alias("content_hash"), F.col("seq")
+    )
+    out = keyed.groupBy("content_hash").applyInPandasWithState(
+        _first_seen_func,
+        outputStructType="content_hash string, keep_seq long",
+        stateStructType="keep_seq long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            on_keepers(pdf)
+
+    w = (
+        out.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()

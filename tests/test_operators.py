@@ -328,3 +328,32 @@ def test_salted_agg_matches_plain(spark):
         for r in salted_distinct_count(df, ["k"], "v", salt=8).collect()
     }
     assert salted_dc == plain_dc
+
+
+def test_kmeans_refined_ivf(spark, emb):
+    from margaret_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, k=4, iters=2)
+    rows = cents.collect()
+    assert len(rows) == 4 and all(len(r["cent"]) == 64 for r in rows)
+    # deterministic across recomputation
+    again = kmeans_centroids(emb, k=4, iters=2).collect()
+    assert sorted((r["cent_id"], tuple(r["cent"])) for r in rows) == sorted(
+        (r["cent_id"], tuple(r["cent"])) for r in again
+    )
+
+    queries = emb.where(F.col("vec_id") < 3)
+    refined = ivf_topk(emb, queries, k=5, nlist=4, nprobe=2, centroids=cents)
+    # every returned cosine must be a genuine exact score
+    ex = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, queries, k=10**6).collect()
+    }
+    out = refined.collect()
+    assert len(out) > 0
+    for r in out:
+        assert ex[(r["query_id"], r["neighbor_id"])] == r["cosine"]

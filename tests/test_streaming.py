@@ -215,3 +215,28 @@ def test_session_windows_batch(spark):
     assert got[(1, base)] == (2, 3.0)
     assert got[(1, base + dt.timedelta(minutes=60))] == (1, 4.0)
     assert got[(2, base)] == (1, 8.0)
+
+
+def test_stream_dedup_exact_first_seen_wins(spark, tmp_path):
+    """Stateful streaming dedup: first arrival of each content keeps;
+    re-arrivals (same or later batches, even after resume) emit
+    nothing."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.streaming import stream_dedup_exact
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(["aa", "bb", "aa", "cc", "bb"])  # seqs 0..4
+    keepers = []
+    ckpt = str(tmp_path / "ck")
+
+    stream_dedup_exact(log, F.col("value"), keepers.append, ckpt, available_now=True)
+    got = {r["keep_seq"] for pdf in keepers for _, r in pdf.iterrows()}
+    assert got == {0, 1, 3}
+
+    # resume: one new content, one re-arrival of old content
+    keepers.clear()
+    log.append_many(["aa", "dd"])  # seqs 5, 6
+    stream_dedup_exact(log, F.col("value"), keepers.append, ckpt, available_now=True)
+    got2 = {r["keep_seq"] for pdf in keepers for _, r in pdf.iterrows()}
+    assert got2 == {6}
