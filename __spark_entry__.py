@@ -478,6 +478,66 @@ def q_tpch_q17(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-style two-nation volume: revenue shipped between
+    NATION_1 and NATION_2 (both directions) by year. The fixed-size
+    nation dim joins twice under different roles; the fact chain
+    shuffles on its join keys."""
+    nation = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    supp_n = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    ))
+    cust_n = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
+    ))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(supp_n, supplier.s_nationkey == F.col("__snk"))
+        .join(cust_n, customer.c_nationkey == F.col("__cnk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).alias("l_year"),
+        )
+        .agg(dsum(rev, scale=6).alias("revenue"))
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19-style disjunctive-predicate revenue: OR of
+    brand/size/quantity conjunctions across the part join — the shape
+    that exercises predicate normalization and join-condition
+    filtering."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(10, 25)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(dsum(rev, scale=6).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
 def q_orders_topn_per_cust(spark, sf_dir):
     """Top-3 orders per customer by price (rank window, id tiebreak)
     for the first 50 customers — the grouped-top-k pattern."""
@@ -788,7 +848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
         "tpch_q4": q_tpch_q4,
+        "tpch_q7": q_tpch_q7,
         "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
         "customers_without_orders": q_customers_without_orders,
         "orders_topn_per_cust": q_orders_topn_per_cust,
         "events_daily": q_events_daily,
@@ -1055,6 +1117,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l.l_orderkey = o.o_orderkey "
             "AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01') "
             "GROUP BY o_orderpriority"
+        ),
+        "tpch_q7": (
+            "SELECT supp_nation, cust_nation, l_year, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue "
+            "FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "year(CAST(l_shipdate AS DATE)) AS l_year, l_extendedprice, l_discount "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') "
+            "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')) "
+            "GROUP BY supp_nation, cust_nation, l_year"
+        ),
+        "tpch_q19": (
+            "SELECT "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, "
+            "COUNT(*) AS n "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 "
+            "AND l_quantity BETWEEN 10 AND 25)"
         ),
         "tpch_q17": (
             "WITH avg_qty AS (SELECT l_partkey, "
