@@ -264,6 +264,21 @@ def q_mlog_delete(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_mlog_set_ops(spark, sf_dir):
+    """Set algebra over sublog address sets (margaret's List() per
+    multilog composed relationally): customers that have orders
+    INTERSECT customers above an account-balance bar, minus a deleted
+    set — intersect/except as first-class plan nodes."""
+    with_orders = _mlog(spark, sf_dir).select("addr").distinct()
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("addr"))
+    )
+    deleted = spark.createDataFrame([(7,), (11,)], "addr long")
+    return with_orders.intersect(rich).exceptAll(deleted).select("addr")
+
+
 def q_kvidx_latest(spark, sf_dir):
     """SetterIndex materialization (ops 31/32/34): latest value per key
     (key=user_id) by seq — max_by semantics."""
@@ -604,6 +619,17 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE (event_type, user_id % 10): all four grouping-set levels
+    in one pass."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("user_shard", (F.col("user_id") % 10).cast("long"))
+        .cube("event_type", "user_shard")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     """ROLLUP (event_type, day): grouping-set totals at three levels in
     one pass (partial aggregation handles all levels map-side)."""
@@ -616,6 +642,17 @@ def q_events_rollup(spark, sf_dir):
         ev.withColumn("day", day)
         .rollup("event_type", "day")
         .agg(F.count("*").alias("n"), dsum("value", scale=6).alias("sum_value"))
+    )
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``: both compute the same linear
+    interpolation over the sorted group)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        pround(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        pround(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
     )
 
 
@@ -838,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlog_cardinalities": q_mlog_cardinalities,
         "mlog_has": q_mlog_has,
         "mlog_delete": q_mlog_delete,
+        "mlog_set_ops": q_mlog_set_ops,
         "kvidx_latest": q_kvidx_latest,
         "kvidx_point": q_kvidx_point,
         "sink_fanout": q_sink_fanout,
@@ -856,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
+        "events_cube": q_events_cube,
+        "events_quantiles": q_events_quantiles,
         "events_distinct_users": q_events_distinct_users,
         "events_json": q_events_json,
         "stream_events_daily": q_stream_events_daily,
@@ -1029,6 +1069,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT o_custkey AS addr FROM orders "
             "WHERE o_custkey NOT IN (1, 2, 3)"
         ),
+        "mlog_set_ops": (
+            "SELECT addr FROM ("
+            "SELECT DISTINCT o_custkey AS addr FROM orders "
+            "INTERSECT "
+            "SELECT c_custkey AS addr FROM customer WHERE c_acctbal > 5000"
+            ") EXCEPT ALL (SELECT addr FROM (VALUES (7), (11)) t(addr))"
+        ),
         "kvidx_latest": (
             "SELECT user_id AS addr, event_id AS upd_seq, value, event_type "
             "FROM events QUALIFY row_number() OVER "
@@ -1196,6 +1243,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, "
             "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))"
+        ),
+        "events_cube": (
+            "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_shard, "
+            "count(*) AS n FROM events "
+            "GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))"
+        ),
+        "events_quantiles": (
+            "SELECT event_type, "
+            + _pr("quantile_cont(value, 0.5)") + " AS p50, "
+            + _pr("quantile_cont(value, 0.95)") + " AS p95 "
+            "FROM events GROUP BY event_type"
         ),
         "events_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS distinct_count "
