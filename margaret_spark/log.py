@@ -512,9 +512,21 @@ class OffsetLog(Log):
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         return reader.parquet(self._data_dir)
 
-    def df(self) -> DataFrame:
+    def df(
+        self, as_of_seq: int | None = None, as_of_patch: int | None = None
+    ) -> DataFrame:
+        """Read view with the null/replace overlay applied. ``as_of_seq``
+        / ``as_of_patch`` bound the view to a recorded snapshot point
+        (see ``sources/snapshot.py``): appends after ``as_of_seq`` and
+        patches at/after ``as_of_patch`` are invisible. The seq bound is
+        an ordinary pushed filter, so row-group pruning still applies."""
         base = self._base_df()
-        if not self._has_patches():
+        if as_of_seq is not None:
+            base = base.where(F.col("seq") <= F.lit(as_of_seq))
+        has_patches = (
+            self._has_patches() if as_of_patch is None else as_of_patch > 0
+        )
+        if not has_patches:
             return base.withColumn("nulled", F.lit(False))
         patch_schema = T.StructType(
             [
@@ -529,6 +541,8 @@ class OffsetLog(Log):
             .option("pathGlobFilter", "*.parquet")
             .parquet(self._patch_dir)
         )
+        if as_of_patch is not None:
+            patches = patches.where(F.col("patch_id") < F.lit(as_of_patch))
         w = Window.partitionBy("seq").orderBy(F.col("patch_id").desc())
         latest = (
             patches.withColumn("__rn", F.row_number().over(w))

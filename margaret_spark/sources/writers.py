@@ -42,6 +42,98 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def _file_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dns, fns in os.walk(path)
+            for f in fns
+        )
+    return os.path.getsize(path)
+
+
+def compact_small_files(
+    log,
+    small_file_bytes: int = 64 << 20,
+    target_file_bytes: int = 256 << 20,
+) -> int:
+    """Size-tiered compaction: merge contiguous runs of small data
+    files into larger seq-sorted files, leaving files already at tier
+    size untouched.
+
+    This is the steady-state policy for an append-heavy log: unlike
+    :func:`compact_log` (a full rewrite), each pass costs O(bytes in
+    small files), never O(log size), so at 100 TB a background
+    compactor absorbs append amplification without ever rewriting cold
+    data. Runs are merged driver-side with pyarrow — by definition a
+    run fits in ``target_file_bytes``. Patches are untouched: the
+    overlay joins by ``seq``, not by file. Returns the number of runs
+    merged.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with log._lock:
+        runs: list[list[tuple[int, int, str]]] = []
+        cur: list[tuple[int, int, str]] = []
+        cur_bytes = 0
+
+        def flush():
+            nonlocal cur, cur_bytes
+            if len(cur) > 1:
+                runs.append(cur)
+            cur, cur_bytes = [], 0
+
+        for lo, hi, path in log._data_files():
+            b = _file_bytes(path)
+            if b >= small_file_bytes:
+                flush()
+                continue
+            if cur and cur_bytes + b > target_file_bytes:
+                flush()
+            cur.append((lo, hi, path))
+            cur_bytes += b
+        flush()
+
+        for run in runs:
+            table = pa.concat_tables(
+                pq.read_table(p, schema=log._arrow()) for _lo, _hi, p in run
+            ).sort_by("seq")
+            lo, hi = run[0][0], run[-1][1]
+            final = os.path.join(log._data_dir, f"part-{lo:020d}-{hi:020d}.parquet")
+            tmp = os.path.join(log._data_dir, f".part-{lo:020d}-{hi:020d}.parquet.tmp")
+            pq.write_table(table, tmp)
+            for _l, _h, p in run:
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
+            os.rename(tmp, final)
+        log._seq = log._recover_seq()
+        return len(runs)
+
+
+def maybe_compact(
+    log,
+    max_small_files: int = 64,
+    small_file_bytes: int = 64 << 20,
+    target_file_bytes: int = 256 << 20,
+) -> int:
+    """Scheduling policy over :func:`compact_small_files`: compact only
+    once enough small files have accumulated (the ticker-threshold
+    analog of the reference's batched flushes,
+    ``indexes/badger/index.go:29-31,88-92``). Cheap to call after every
+    append batch. Returns runs merged (0 = below threshold)."""
+    n_small = sum(
+        1
+        for _lo, _hi, p in log._data_files()
+        if _file_bytes(p) < small_file_bytes
+    )
+    if n_small < max_small_files:
+        return 0
+    return compact_small_files(log, small_file_bytes, target_file_bytes)
+
+
 def compact_log(log, target_files: int = 1) -> int:
     """Compact an OffsetLog's data directory into ``target_files``
     large seq-sorted files — the answer to small-append amplification
@@ -52,6 +144,11 @@ def compact_log(log, target_files: int = 1) -> int:
     Keeps every invariant: dense seq, range-encoded file names,
     readers before/after see identical contents. Returns the new data
     file count.
+
+    Folding patches renumbers ``patch_id``, so earlier
+    ``SnapshotCatalog`` manifests over this log stop being readable
+    (the vacuum-drops-time-travel trade; :func:`compact_small_files`
+    has no such effect).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq

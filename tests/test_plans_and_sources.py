@@ -133,3 +133,93 @@ def test_compact_log_no_patches(spark, tmp_path):
     assert compact_log(log, target_files=1) == 1
     assert list(log.query()) == list(range(30))
     log.check_consistency()
+
+
+def test_compact_small_files_size_tiered(spark, tmp_path):
+    from margaret_spark.sources import compact_small_files, maybe_compact
+
+    log = OffsetLog(spark, str(tmp_path / "log"))
+    for i in range(30):
+        log.append(i)  # 30 tiny files
+    log.null(2)
+    log.replace(7, 777)
+    before = list(log.query())
+
+    # everything is tiny -> one run, one merged file
+    assert compact_small_files(log, small_file_bytes=1 << 20) == 1
+    assert len(log._data_files()) == 1
+    assert list(log.query()) == before
+    log.check_consistency()
+
+    # the merged file is now "large": further passes must not touch it
+    big = log._data_files()[0]
+    big_bytes = os.path.getsize(big[2])
+    log.append_many(list(range(30, 40)))
+    log.append(40)
+    assert compact_small_files(log, small_file_bytes=big_bytes) == 1
+    files = log._data_files()
+    assert files[0] == big  # untouched cold file
+    assert len(files) == 2
+    assert list(log.query())[30:] == list(range(30, 41))
+    assert log.append(41) == 41
+
+    # scheduling: below threshold is a no-op
+    assert maybe_compact(log, max_small_files=64, small_file_bytes=big_bytes) == 0
+
+
+def test_compact_small_files_respects_target_bytes(spark, tmp_path):
+    from margaret_spark.sources import compact_small_files
+
+    log = OffsetLog(spark, str(tmp_path / "log"))
+    for chunk in range(6):
+        log.append_many(list(range(chunk * 100, (chunk + 1) * 100)))
+    per_file = os.path.getsize(log._data_files()[0][2])
+    # target fits ~2 files per run -> 3 merged runs
+    n = compact_small_files(
+        log, small_file_bytes=10 * per_file, target_file_bytes=2 * per_file + 100
+    )
+    assert n == 3
+    assert list(log.query()) == list(range(600))
+    log.check_consistency()
+
+
+def test_snapshot_catalog_cross_log_cut(spark, tmp_path):
+    from margaret_spark.sources import SnapshotCatalog, compact_small_files
+
+    a = OffsetLog(spark, str(tmp_path / "a"))
+    b = OffsetLog(spark, str(tmp_path / "b"))
+    a.append_many([1, 2, 3])
+    b.append_many([10, 20])
+    b.null(0)
+
+    cat = SnapshotCatalog(str(tmp_path / "snaps"))
+    sid = cat.snapshot({"a": a, "b": b}, note="cut-1")
+    assert sid == 0
+
+    # post-snapshot mutations are invisible in the as-of views
+    a.append(4)
+    a.null(1)
+    b.replace(1, 99)
+    views = cat.read_all(sid, {"a": a, "b": b})
+    a_rows = {r["seq"]: (r["value"], r["nulled"]) for r in views["a"].collect()}
+    b_rows = {r["seq"]: (r["value"], r["nulled"]) for r in views["b"].collect()}
+    assert a_rows == {0: (1, False), 1: (2, False), 2: (3, False)}
+    assert b_rows == {0: (None, True), 1: (20, False)}
+
+    # head reads still see everything
+    assert a.get(3) == 4
+    assert b.get(1) == 99
+
+    # a second snapshot pins the new state; ids are monotonic
+    sid2 = cat.snapshot({"a": a, "b": b})
+    assert sid2 == 1
+    v2 = cat.read(sid2, "b", b)
+    assert {r["seq"]: r["value"] for r in v2.where(~F.col("nulled")).collect()} == {1: 99}
+
+    # size-tiered compaction does not invalidate snapshots
+    compact_small_files(a, small_file_bytes=1 << 20)
+    again = {r["seq"]: r["value"] for r in cat.read(sid, "a", a).collect()}
+    assert again == {0: 1, 1: 2, 2: 3}
+
+    cat.drop(sid)
+    assert cat.ids() == [sid2]
