@@ -473,6 +473,108 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10-style returned-item report: revenue lost to returns
+    per customer over one quarter, top 20. Fact-side filters (return
+    flag, date window) cut before the join; nation stays broadcast-able
+    (fixed size), customer/orders shuffle on their keys."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev, scale=6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18-style large-volume customers: orders whose total
+    quantity exceeds 200 (the IN + GROUP BY/HAVING subquery as a
+    semi-join against a pre-aggregate), top 100 by order value."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", scale=6).alias("total_qty"))
+        .where(F.col("total_qty") > 200)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-style global sales opportunity: customers with
+    above-average positive balance and no recent orders (since
+    1999-01-01), summarized per nation — a decorrelated scalar
+    subquery (broadcast one-row average) composed with an anti-join."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (dsum("c_acctbal", scale=6) / F.count("*")).alias("__avg_bal")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.to_date("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", scale=6).alias("totacctbal"),
+        )
+    )
+
+
+def q_events_window_funcs(spark, sf_dir):
+    """Ordered analytics over the event stream (lag delta, 3-row moving
+    average, running total) — per-user windows ordered by event_id
+    (pure int64 ordering: engine-portable, unlike the nanos timestamp
+    DuckDB reads at µs precision). All sums are exact decimal; the
+    moving average divides the decimal frame-sum (as double) by the
+    frame count, the same expression tree as the oracle."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 53 == 7)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    frame3 = w.rowsBetween(-2, Window.currentRow)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = F.col("value").cast("decimal(38,6)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        pround(
+            F.sum(dec).over(frame3).cast("double") / F.count("*").over(frame3), 6
+        ).alias("move_avg3"),
+        F.sum(dec).over(run).cast("double").alias("running_sum"),
+    )
+
+
 def q_tpch_q17(spark, sf_dir):
     """TPC-H Q17-style small-quantity revenue: lineitems below 20% of
     their part's average quantity — the correlated scalar subquery
@@ -886,6 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q14": q_tpch_q14,
         "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q22": q_tpch_q22,
         "tpch_q7": q_tpch_q7,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
@@ -895,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
+        "events_window_funcs": q_events_window_funcs,
         "events_quantiles": q_events_quantiles,
         "events_distinct_users": q_events_distinct_users,
         "events_json": q_events_json,
@@ -1243,6 +1349,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, "
             "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))"
+        ),
+        "tpch_q10": (
+            "SELECT c_custkey, c_name, c_acctbal, n_name, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' "
+            "AND CAST(o_orderdate AS DATE) < DATE '1996-04-01' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+        ),
+        "tpch_q18": (
+            "SELECT c_name, c_custkey, o_orderkey, "
+            "CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty "
+            "FROM orders "
+            "JOIN (SELECT l_orderkey, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 200) big "
+            "ON o_orderkey = big.l_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+        ),
+        "tpch_q22": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, "
+            "count(*) AS numcust, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal "
+            "FROM customer "
+            "WHERE c_acctbal > ("
+            "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(*) "
+            "FROM customer WHERE c_acctbal > 0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01') "
+            "GROUP BY CAST(c_nationkey AS BIGINT)"
+        ),
+        "events_window_funcs": (
+            "SELECT user_id, event_id, value, "
+            "value - lag(value) OVER w AS delta_prev, "
+            + _pr(
+                "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w3 AS DOUBLE)"
+                " / COUNT(*) OVER w3"
+            )
+            + " AS move_avg3, "
+            "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wrun AS DOUBLE) AS running_sum "
+            "FROM events WHERE user_id % 53 = 7 "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY event_id), "
+            "w3 AS (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), "
+            "wrun AS (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
         "events_cube": (
             "SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_shard, "

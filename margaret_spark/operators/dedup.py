@@ -81,6 +81,28 @@ def _shingle_index(
     return inv, sizes
 
 
+def _resolve_max_df(df: DataFrame, max_df: int | float | str | None) -> int | None:
+    """Normalize the document-frequency cap to an absolute count.
+
+    - int: absolute cap, as-is.
+    - float in (0, 1): fraction of the corpus — scale-free, the right
+      form for web-scale text where any fixed count is wrong at 1000×.
+    - ``"auto"``: ``max(100, 0.5·n_docs)`` — a shingle in over half
+      the corpus carries no near-dup signal but creates the largest
+      O(df²) posting buckets; the floor of 100 keeps small/clean
+      corpora (like the synthetic test tables) uncapped, where every
+      shingle is informative.
+    """
+    if max_df is None or isinstance(max_df, int):
+        return max_df
+    n_docs = df.count()
+    if max_df == "auto":
+        return max(100, n_docs // 2)
+    if isinstance(max_df, float) and 0.0 < max_df < 1.0:
+        return max(1, int(max_df * n_docs))
+    raise ValueError(f"max_df must be int, float in (0,1), 'auto', or None: {max_df!r}")
+
+
 def _stop_shingles(inv: DataFrame, max_df: int) -> DataFrame:
     """Shingles above the document-frequency cap. This is the side to
     BROADCAST: the stop list is small by construction at any corpus
@@ -101,7 +123,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     mode: str = "word",
     n: int = 3,
-    max_df: int | None = None,
+    max_df: int | float | str | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (id_a < id_b,
@@ -115,12 +137,15 @@ def ngram_jaccard_pairs(
     Per-shingle posting lists are held in memory during the combine,
     so on corpora where a shingle can be ubiquitous set ``max_df``
     (which also caps the quadratic pair blow-up; the filter is
-    deterministic, both sides of the dedup agree on the universe)."""
+    deterministic, both sides of the dedup agree on the universe).
+    ``max_df`` accepts an absolute count, a corpus fraction, or
+    ``"auto"`` — see :func:`_resolve_max_df`."""
     sh = (
         char_shingles(F.col(text_col), n=n)
         if mode == "char"
         else word_shingles(F.col(text_col), n=n)
     )
+    max_df = _resolve_max_df(df, max_df)
     d = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # one-step select+explode: keeps the shingle expression a single
     # Generate input (no intermediate array column for the optimizer to

@@ -62,6 +62,40 @@ def test_ngram_jaccard_pairs(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_jaccard_max_df_forms(spark):
+    from margaret_spark.operators.dedup import _resolve_max_df
+
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
+    # "auto" floor (100) keeps a small corpus uncapped: identical result
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.5).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.5, max_df="auto").collect()
+    }
+    assert auto == base and (0, 3) in auto
+    # fraction form resolves relative to corpus size
+    assert _resolve_max_df(df, 0.5) == 2
+    assert _resolve_max_df(df, "auto") == 100
+    assert _resolve_max_df(df, 3) == 3
+    assert _resolve_max_df(df, None) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _resolve_max_df(df, 1.5)
+    # a fraction cap that drops the ubiquitous shingles still finds the
+    # exact dup (its pair survives on the rarer shingles)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, "id", "text", threshold=0.9, max_df=0.6
+        ).collect()
+    }
+    assert (0, 3) in capped
+
+
 def test_minhash_agrees_with_exact(spark):
     df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
     exact = {
