@@ -885,6 +885,26 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
 
 
+def q_ann_ivf_indexed(spark, sf_dir):
+    """The persisted-IVF serving path: build once (corpus written
+    Hive-partitioned by cell, norms precomputed), then search — the
+    broadcast probe set triggers dynamic partition pruning, so the
+    scan reads only probed cells. Same centroids as ann_ivf, so the
+    same oracle checks bit-identical results."""
+    import tempfile
+
+    from margaret_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="margaret_ivf_idx_")
+    build_ivf_index(emb, path, nlist=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_index_search(spark, path, queries, k=5, nprobe=4)
+
+
 def q_text_topterms(spark, sf_dir):
     from margaret_spark.operators.text import top_terms
 
@@ -1015,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "text_stats": q_text_stats,
         "text_topterms": q_text_topterms,
         "text_quality": q_text_quality,
@@ -1096,6 +1117,14 @@ def _quality_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the persisted IVF index must return bit-identical results to the
+    # in-flight IVF plan over the same (lowest-id) centroids
+    d["ann_ivf_indexed"] = d["ann_ivf"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "log_scan": (
             "SELECT event_id AS seq, event_type, value FROM events"

@@ -14,6 +14,10 @@ from margaret_spark.operators.dedup import (
 )
 from margaret_spark.operators.similarity import (
     brute_force_topk,
+    build_ivf_index,
+    ivf_index_search,
+    ivf_topk,
+    kmeans_centroids,
     lsh_bucketed_topk,
 )
 from margaret_spark.operators.text import (
@@ -33,6 +37,10 @@ __all__ = [
     "simhash_dedup_pairs",
     "embedding_dedup_pairs",
     "brute_force_topk",
+    "build_ivf_index",
+    "ivf_index_search",
+    "ivf_topk",
+    "kmeans_centroids",
     "lsh_bucketed_topk",
     "token_stats",
     "lang_id",

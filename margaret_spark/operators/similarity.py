@@ -133,6 +133,39 @@ def kmeans_centroids(
     return cents
 
 
+def _nearest_cells(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    n: int,
+    round_digits: int,
+) -> DataFrame:
+    """Per row: the ``n`` nearest centroids by (rounded cosine desc,
+    centroid id asc). ``cents`` must carry ``cent_id, __cent, __centn``
+    and should be broadcast by the caller."""
+    scored = df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    ).crossJoin(cents).withColumn(
+        "__sim",
+        pround(
+            pair_dot(F.col("__v"), F.col("__cent"))
+            / (F.col("__n") * F.col("__centn")),
+            round_digits,
+        ),
+    )
+    w = Window.partitionBy(id_alias).orderBy(
+        F.col("__sim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("__cr", F.row_number().over(w))
+        .where(F.col("__cr") <= n)
+        .select(id_alias, "cent_id", "__v", "__n")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,33 +203,12 @@ def ivf_topk(
         )
     )
 
-    def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
-        scored = df.select(
-            F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"),
-            l2_norm(F.col(vec_col)).alias("__n"),
-        ).crossJoin(cents).withColumn(
-            "__sim",
-            pround(
-                pair_dot(F.col("__v"), F.col("__cent"))
-                / (F.col("__n") * F.col("__centn")),
-                round_digits,
-            ),
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.col("__sim").desc(), F.col("cent_id").asc()
-        )
-        return (
-            scored.withColumn("__cr", F.row_number().over(w))
-            .where(F.col("__cr") <= n)
-            .select(id_alias, "cent_id", "__v", "__n")
-        )
-
-    cells = nearest_cells(corpus, "neighbor_id", 1).withColumnRenamed(
-        "__v", "__cv"
-    ).withColumnRenamed("__n", "__cn")
-    probes = nearest_cells(queries, "query_id", nprobe).withColumnRenamed(
-        "__v", "__qv"
-    ).withColumnRenamed("__n", "__qn")
+    cells = _nearest_cells(
+        corpus, cents, id_col, vec_col, "neighbor_id", 1, round_digits
+    ).withColumnRenamed("__v", "__cv").withColumnRenamed("__n", "__cn")
+    probes = _nearest_cells(
+        queries, cents, id_col, vec_col, "query_id", nprobe, round_digits
+    ).withColumnRenamed("__v", "__qv").withColumnRenamed("__n", "__qn")
 
     cos = pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     scored = (
@@ -211,6 +223,110 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    kmeans_iters: int = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Persist an IVF index: the corpus written Hive-partitioned by
+    nearest-centroid cell, plus the centroid table — the serving path
+    for repeated ANN queries at scale. Build cost is one assignment
+    pass + one partitioned write; afterwards :func:`ivf_index_search`
+    reads only the probed cells (partition pruning), so each query
+    batch touches nprobe/nlist of the corpus bytes instead of
+    re-assigning cells per batch as :func:`ivf_topk` does.
+
+    Row norms are precomputed into the index so the search never
+    rescans vectors it doesn't score. Returns the centroid DataFrame
+    (also persisted under ``<path>/centroids``)."""
+    if centroids is None:
+        if kmeans_iters > 0:
+            centroids = kmeans_centroids(
+                corpus, k=nlist, iters=kmeans_iters,
+                id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+            )
+        else:
+            centroids = corpus.orderBy(F.col(id_col).asc()).limit(nlist).select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).cast("array<double>").alias("cent"),
+            )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    cents = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    assigned = _nearest_cells(
+        corpus, cents, id_col, vec_col, "id", 1, round_digits
+    ).select(
+        F.col("cent_id").alias("cell"),
+        "id",
+        F.col("__v").alias("v"),
+        F.col("__n").alias("nrm"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    return spark.read.parquet(f"{path}/centroids")
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k search against a persisted :func:`build_ivf_index`.
+
+    The probe set (query × nprobe nearest cells) is broadcast into the
+    join against the partitioned cell table, so dynamic partition
+    pruning drops every unprobed cell at the scan — the corpus read is
+    O(probed cells), verified by plan assertion in tests. Results are
+    identical to :func:`ivf_topk` with the same centroids."""
+    cents = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    probes = _nearest_cells(
+        queries, cents, id_col, vec_col, "query_id", nprobe, round_digits
+    ).select(
+        F.col("cent_id").alias("cell"),
+        "query_id",
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    cells = spark.read.parquet(f"{path}/cells")
+    cos = pair_dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("nrm"))
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("id"))
+        .withColumn("cosine", pround(cos, round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), "cosine", "rank"
+        )
     )
 
 

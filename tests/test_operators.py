@@ -391,3 +391,37 @@ def test_kmeans_refined_ivf(spark, emb):
     assert len(out) > 0
     for r in out:
         assert ex[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_ivf_index_matches_inflight(spark, emb, tmp_path):
+    from margaret_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_search,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from margaret_spark.plans.inspect import explain_str
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, nlist=8)
+    queries = emb.where(F.col("vec_id") < 3)
+    indexed = ivf_index_search(spark, path, queries, k=5, nprobe=3)
+    inflight = ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rows
+    )
+    assert key(indexed.collect()) == key(inflight.collect())
+
+    # the probe join must prune unprobed cells at the scan
+    assert "dynamicpruning" in explain_str(indexed).lower()
+
+    # kmeans-refined build: same results as in-flight with the same cells
+    path2 = str(tmp_path / "ivf_km")
+    cents = build_ivf_index(emb, path2, nlist=4, kmeans_iters=2)
+    indexed_km = ivf_index_search(spark, path2, queries, k=5, nprobe=2)
+    inflight_km = ivf_topk(
+        emb, queries, k=5, nlist=4, nprobe=2,
+        centroids=kmeans_centroids(emb, k=4, iters=2),
+    )
+    assert key(indexed_km.collect()) == key(inflight_km.collect())
+    assert cents.count() == 4
