@@ -3,7 +3,11 @@ from margaret_spark.streaming.live import (
     stream_changes,
     stream_build_index,
 )
-from margaret_spark.streaming.stateful import stream_dedup_exact, stream_latest_index
+from margaret_spark.streaming.stateful import (
+    stream_dedup_exact,
+    stream_dedup_minhash,
+    stream_latest_index,
+)
 from margaret_spark.streaming.windows import session_windows, windowed_agg
 
 __all__ = [
@@ -12,6 +16,7 @@ __all__ = [
     "stream_build_index",
     "stream_latest_index",
     "stream_dedup_exact",
+    "stream_dedup_minhash",
     "session_windows",
     "windowed_agg",
 ]

@@ -119,6 +119,112 @@ def _first_seen_func(
     yield pd.DataFrame({"content_hash": [key[0]], "keep_seq": [best_seq]})
 
 
+def _band_collision_func(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    keep = state.get[0] if state.exists else None
+    seqs: list[int] = []
+    for pdf in pdfs:
+        seqs.extend(int(s) for s in pdf["seq"])
+    if not seqs:
+        return
+    seqs.sort()
+    dups = []
+    for s in seqs:
+        if keep is None:
+            keep = s  # first arrival claims the bucket, emits nothing
+        elif s != keep:
+            dups.append(s)
+    state.update((keep,))
+    if dups:
+        yield pd.DataFrame(
+            {
+                "dup_seq": dups,
+                "band": [int(key[0])] * len(dups),
+                "keep_seq": [keep] * len(dups),
+            }
+        )
+
+
+def stream_dedup_minhash(
+    log: OffsetLog,
+    text_expr,
+    on_candidates: Callable[[pd.DataFrame], None],
+    checkpoint_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    mode: str = "word",
+    n: int = 3,
+    available_now: bool = True,
+):
+    """Streaming MinHash-LSH near-dup detection over a log's append
+    stream: each arriving document's band buckets are matched against
+    every bucket ever claimed (state store keyed by (band, bucket)); a
+    collision emits a candidate (dup_seq, band, keep_seq) pointing at
+    the earliest claimant. The streaming twin of
+    ``operators.dedup.minhash_dedup_pairs``'s candidate stage — the
+    same shingle → xxhash64 → per-permutation min → banded-bucket
+    pipeline, computed per-row (``array_min`` over the shingle hashes,
+    no aggregation), so stream and batch agree on buckets exactly.
+
+    Candidates are unverified (LSH false positives pass); verify
+    downstream against exact Jaccard as the batch operator does. A doc
+    colliding in several bands emits once per band — dedupe on
+    ``dup_seq`` if you only need the verdict. State is one long per
+    claimed (band, bucket): O(distinct buckets), partitioned across
+    executors, never the documents themselves."""
+    from margaret_spark.functions.shingling import char_shingles, word_shingles
+
+    rows_per_band = num_hashes // bands
+    sh = char_shingles(text_expr, n=n) if mode == "char" else word_shingles(
+        text_expr, n=n
+    )
+    src = log.stream_df().withColumn("__h", F.transform(sh, lambda s: F.xxhash64(s)))
+    src = src.where(F.size("__h") > 0)
+    sig = [
+        F.array_min(F.transform(F.col("__h"), lambda h: F.xxhash64(h, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    band_hashes = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[
+                    sig[i].cast("string")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = src.select(
+        F.col("seq"), F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    )
+    out = banded.groupBy("band", "bucket").applyInPandasWithState(
+        _band_collision_func,
+        outputStructType="dup_seq long, band int, keep_seq long",
+        stateStructType="keep_seq long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            on_candidates(pdf)
+
+    w = (
+        out.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()
+
+
 def stream_dedup_exact(
     log: OffsetLog,
     content_expr,

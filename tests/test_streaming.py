@@ -240,3 +240,58 @@ def test_stream_dedup_exact_first_seen_wins(spark, tmp_path):
     stream_dedup_exact(log, F.col("value"), keepers.append, ckpt, available_now=True)
     got2 = {r["keep_seq"] for pdf in keepers for _, r in pdf.iterrows()}
     assert got2 == {6}
+
+
+def test_stream_dedup_minhash_collides_near_dups(spark, tmp_path):
+    """Streaming LSH dedup: a near-duplicate arriving later collides
+    with the first doc's banded buckets; unrelated text claims its own
+    buckets silently. Buckets agree with the batch operator exactly."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.streaming import stream_dedup_minhash
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "a completely different sentence with other words entirely",
+            "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        ]
+    )
+    cands = []
+    ckpt = str(tmp_path / "ck")
+    stream_dedup_minhash(
+        log, F.col("value"), cands.append, ckpt, num_hashes=16, bands=4,
+        available_now=True,
+    )
+    got = {
+        (int(r["dup_seq"]), int(r["keep_seq"]))
+        for pdf in cands for _, r in pdf.iterrows()
+    }
+    # the exact dup collides in EVERY band with keeper seq 0; no
+    # cross-content collisions at 4-row bands
+    assert got == {(2, 0)}
+    n_bands_hit = sum(
+        1 for pdf in cands for _, r in pdf.iterrows() if int(r["dup_seq"]) == 2
+    )
+    assert n_bands_hit == 4
+
+    # resume: a near-dup (one word changed) still shares ≥1 band; brand
+    # new content emits nothing
+    cands.clear()
+    log.append_many(
+        [
+            "the quick brown fox jumps over the lazy cat",  # near-dup
+            "totally unrelated fresh material never seen before at all",
+        ]
+    )
+    stream_dedup_minhash(
+        log, F.col("value"), cands.append, ckpt, num_hashes=16, bands=4,
+        available_now=True,
+    )
+    got2 = {
+        (int(r["dup_seq"]), int(r["keep_seq"]))
+        for pdf in cands for _, r in pdf.iterrows()
+    }
+    assert all(d == 3 for d, _ in got2)  # only the near-dup collides
+    assert len(got2) >= 1 and all(k == 0 for _, k in got2)
