@@ -72,8 +72,13 @@ def _shingle_index(
     )
     # A document corpus often arrives as few large files; shingling is
     # CPU-heavy per row, so spread the docs across the full parallelism
-    # before exploding (round-robin, results unaffected).
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # before exploding. Partitioning by ID (unique → even) rather than
+    # round-robin lets every downstream per-id groupBy reuse this
+    # exchange (subset rule) — minhash's k-min aggregation then needs
+    # no shuffle at all.
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     inv = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
     if max_df is not None:
         inv = inv.join(F.broadcast(_stop_shingles(inv, max_df)), "shingle", "left_anti")
@@ -319,8 +324,15 @@ def simhash(
     hashes instead of every occurrence (identical result: Σ±1 per
     occurrence ≡ ±weight per distinct hash), which is a large win on
     natural-language corpora where tokens repeat heavily."""
+    # Repartition by ID, not round-robin: hash(id) spreads the CPU-heavy
+    # tokenize/explode just as evenly (ids are unique), and because
+    # HashPartitioning(id) satisfies the clustered distribution of BOTH
+    # downstream groupBys ((id, hash) and (id) — subset rule), the whole
+    # signature pipeline runs with this single exchange instead of three.
     toks = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
         .select(
             F.col(id_col).alias("id"),
             F.explode(words(F.col(text_col))).alias("tok"),
