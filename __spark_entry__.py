@@ -655,6 +655,285 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2-style minimum-cost supplier: for each EUROPE-shippable
+    part of one size/type, the supplier(s) with minimum account balance
+    among those that actually ship it. The synthetic schema has no
+    partsupp, so part↔supplier pairs derive from lineitem; the
+    correlated MIN subquery is decorrelated into a partition-window
+    minimum (one shuffle on p_partkey serves both the min and the
+    filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    # nation/region are fixed-size at any SF — broadcast; supplier
+    # scales, so its join strategy is left to stats
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        part.join(ps, part.p_partkey == ps.l_partkey)
+        .join(supp, ps.l_suppkey == supp.s_suppkey)
+        .withColumn("__min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("__min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-style national market share: of all PROMO-part revenue
+    sold to ASIA customers, the share supplied by NATION_2, by order
+    year. The nation dim joins twice under different roles (customer
+    region membership, supplier nation name)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_n = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            F.col("n_nationkey").alias("__cnk")
+        )
+    )
+    supp_n = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(cust_n, customer.c_nationkey == F.col("__cnk"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(supp_n, supplier.s_nationkey == F.col("__snk"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            pround(dsum(nat_rev, scale=6) / dsum(rev, scale=6), 6).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9-style product-type profit: per supplier nation and
+    order year, profit on 'gear' parts. Without ps_supplycost the cost
+    side is p_retailprice·quantity — the plan shape (fact chain joined
+    to part + supplier-nation, signed decimal aggregation) is Q9's."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("gear"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).alias("o_year"),
+        )
+        .agg(dsum(amount, scale=6).alias("sum_profit"))
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11-style important stock: parts whose shipped value from
+    NATION_3 suppliers exceeds a fraction of the national total — the
+    GROUP BY + HAVING-over-scalar-subquery shape. The one-row total is
+    broadcast; both sides aggregate through the same exact decimal
+    path, so the threshold compare is engine-portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    base = li.join(supp, li.l_suppkey == supp.s_suppkey)
+    grouped = base.groupBy("l_partkey").agg(dsum(val, scale=6).alias("value"))
+    total = base.agg((dsum(val, scale=6) * F.lit(0.001)).alias("__thresh"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("__thresh"))
+        .select("l_partkey", "value")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12-style shipping-priority check: 1996 lineitems by line
+    status (the synthetic schema's stand-in for ship mode), counting
+    critical- vs low-priority orders — join + conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13-style customer order-count distribution: LEFT OUTER
+    join so zero-order customers survive, then a histogram of
+    per-customer counts (two cascaded aggregations)."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-style top supplier: supplier(s) hitting the maximum
+    half-year revenue — the revenue view + scalar-max subquery, with
+    the one-row max broadcast back over the view."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-07-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = li.groupBy("l_suppkey").agg(dsum(rev, scale=6).alias("total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16-style parts/supplier relationship: distinct supplier
+    count per (brand, type, size) over shippable pairs, excluding one
+    brand, a size set, and low-balance suppliers (the complaints
+    anti-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 1000).select(
+        F.col("s_suppkey").alias("__bad")
+    )
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(bad_supp, ps.l_suppkey == F.col("__bad"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20-style part promotion: NATION_2 suppliers who shipped
+    more than 30% of some 'small' part's 1996 volume — nested aggregate
+    threshold + semi-join chain, decorrelated into two aggregations
+    sharing one shuffle key (l_partkey)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    li96 = li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+    per_ps = li96.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity").alias("qty")
+    )
+    per_part = li96.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (dsum("l_quantity") * F.lit(0.3)).alias("__thresh")
+    )
+    qualified = (
+        per_ps.join(per_part, per_ps.l_partkey == F.col("__pk"))
+        .where(F.col("qty") > F.col("__thresh"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualified, F.col("s_suppkey") == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-style suppliers who kept orders waiting: NATION_1
+    suppliers with a returned line in a finished multi-supplier order
+    where no OTHER supplier had a return — the EXISTS + NOT-EXISTS
+    pair as a semi-join then anti-join, both on (orderkey, suppkey≠)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    ).distinct()
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3"))
+        .distinct()
+    )
+    return (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("__ok2")) & (l1.l_suppkey != F.col("__sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("__ok3"))
+            & (F.col("l_suppkey") != F.col("__sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 def q_orders_topn_per_cust(spark, sf_dir):
     """Top-3 orders per customer by price (rank window, id tiebreak)
     for the first 50 customers — the grouped-top-k pattern."""
@@ -1014,6 +1293,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "customers_without_orders": q_customers_without_orders,
         "orders_topn_per_cust": q_orders_topn_per_cust,
         "events_daily": q_events_daily,
@@ -1336,6 +1625,138 @@ def _oracle_sql_base() -> dict[str, str]:
             "COUNT(*) AS n "
             "FROM lineitem JOIN avg_qty USING (l_partkey) "
             "WHERE l_quantity < thresh"
+        ),
+        "tpch_q2": (
+            "SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey FROM ("
+            "SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey, "
+            "min(s_acctbal) OVER (PARTITION BY p_partkey) AS mb "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps "
+            "JOIN part ON p_partkey = ps.l_partkey "
+            "JOIN supplier ON s_suppkey = ps.l_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'LARGE'"
+            ") WHERE s_acctbal = mb "
+            "ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100"
+        ),
+        "tpch_q8": (
+            "SELECT o_year, "
+            + _pr(
+                "CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' "
+                "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END "
+                "AS DECIMAL(38,6))) AS DOUBLE) / "
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+                "AS DECIMAL(38,6))) AS DOUBLE)"
+            )
+            + " AS mkt_share FROM ("
+            "SELECT year(CAST(o_orderdate AS DATE)) AS o_year, "
+            "l_extendedprice, l_discount, sn.n_name AS supp_nation "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "JOIN region ON cn.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE r_name = 'ASIA' AND p_type = 'PROMO'"
+            ") GROUP BY o_year"
+        ),
+        "tpch_q9": (
+            "SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "- p_retailprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%gear%' "
+            "GROUP BY n_name, year(CAST(o_orderdate AS DATE))"
+        ),
+        "tpch_q11": (
+            "WITH base AS (SELECT l_partkey, l_extendedprice * l_quantity AS val "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3') "
+            "SELECT l_partkey, "
+            "CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS value FROM base "
+            "GROUP BY l_partkey "
+            "HAVING CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) > "
+            "(SELECT CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) * 0.001 FROM base)"
+        ),
+        "tpch_q12": (
+            "SELECT l_linestatus, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' "
+            "AND CAST(l_shipdate AS DATE) < DATE '1997-01-01' "
+            "GROUP BY l_linestatus"
+        ),
+        "tpch_q13": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '4-NOT SPECIFIED' "
+            "GROUP BY c_custkey) GROUP BY c_count"
+        ),
+        "tpch_q15": (
+            "WITH revenue AS (SELECT l_suppkey, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) "
+            "AS total_revenue FROM lineitem "
+            "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' "
+            "AND CAST(l_shipdate AS DATE) < DATE '1996-07-01' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM revenue JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"
+        ),
+        "tpch_q16": (
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps "
+            "JOIN part ON p_partkey = ps.l_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25) "
+            "AND l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000) "
+            "GROUP BY p_brand, p_type, p_size"
+        ),
+        "tpch_q20": (
+            "WITH li96 AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem "
+            "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' "
+            "AND CAST(l_shipdate AS DATE) < DATE '1997-01-01' "
+            "AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')), "
+            "per_ps AS (SELECT l_partkey, l_suppkey, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty "
+            "FROM li96 GROUP BY l_partkey, l_suppkey), "
+            "per_part AS (SELECT l_partkey, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) * 0.3 AS thresh "
+            "FROM li96 GROUP BY l_partkey) "
+            "SELECT s_suppkey, s_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_2' AND s_suppkey IN ("
+            "SELECT DISTINCT per_ps.l_suppkey FROM per_ps "
+            "JOIN per_part ON per_ps.l_partkey = per_part.l_partkey "
+            "WHERE qty > thresh)"
+        ),
+        "tpch_q21": (
+            "SELECT s_name, count(*) AS numwait "
+            "FROM lineitem l1 "
+            "JOIN supplier ON l1.l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE l1.l_returnflag = 'R' AND n_name = 'NATION_1' "
+            "AND l1.l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
+            "AND EXISTS (SELECT 1 FROM lineitem l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+            "GROUP BY s_name "
+            "ORDER BY numwait DESC, s_name ASC LIMIT 100"
         ),
         "customers_without_orders": (
             "SELECT c_mktsegment, count(*) AS n_customers FROM customer c "
