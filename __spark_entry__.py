@@ -37,6 +37,7 @@ from margaret_spark.operators.dedup import (
     simhash_dedup_pairs,
 )
 from margaret_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from margaret_spark.operators.temporal import asof_join, range_join
 from margaret_spark.operators.text import (
     bpe_ish_token_count,
     doc_fingerprint,
@@ -1000,6 +1001,64 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (purchase → most recent at-or-before click per
+    user), aggregated per user. The union+window formulation shuffles
+    once on user_id with zero row explosion, and the per-user rollup
+    reuses that partitioning (operators/temporal.py; DuckDB oracle is
+    a native ASOF LEFT JOIN). Gap arithmetic is integer microseconds
+    on both engines (tie-proof: output uses only matched timestamps,
+    never matched payloads)."""
+    ev = _events(spark, sf_dir).withColumn("tsu", F.expr("ts div 1000"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "tsu", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "tsu")
+    joined = asof_join(
+        purchases, clicks, on="tsu", by="user_id", direction="backward"
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.count("tsu_matched").alias("n_matched"),
+        F.sum(F.col("tsu") - F.col("tsu_matched")).alias("sum_gap_us"),
+    )
+
+
+_RANGE_JOIN_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def q_events_range_join(spark, sf_dir):
+    """Bounded range join (clicks within 24 hours strictly after
+    each error, same user), aggregated per user. The interval
+    predicate becomes an equi-join on (user_id, time-bucket) with each
+    error row covering ≤ 2 buckets — bounded pair counts per task
+    regardless of key heat (operators/temporal.py)."""
+    ev = _events(spark, sf_dir).withColumn("tsu", F.expr("ts div 1000"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "tsu", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("tsu").alias("ctsu"),
+        F.col("value").alias("cvalue"),
+    )
+    pairs = range_join(
+        errors,
+        clicks,
+        on="tsu",
+        right_on="ctsu",
+        lower=0,
+        upper=_RANGE_JOIN_WINDOW_US,
+        by="user_id",
+        include_lower=False,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_errors"),
+        dsum("cvalue", scale=4).alias("click_value"),
+    )
+
+
 def q_events_cube(spark, sf_dir):
     """CUBE (event_type, user_id % 10): all four grouping-set levels
     in one pass."""
@@ -1307,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_topn_per_cust": q_orders_topn_per_cust,
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
         "events_window_funcs": q_events_window_funcs,
@@ -1794,6 +1855,32 @@ def _oracle_sql_base() -> dict[str, str]:
             "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts "
             "FROM events)"
             ") GROUP BY user_id, session_idx"
+        ),
+        "events_asof": (
+            # native ASOF LEFT JOIN: for each purchase, the most recent
+            # at-or-before click of the same user; gaps in integer µs
+            "WITH p AS (SELECT user_id, epoch_us(ts) AS tsu FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, epoch_us(ts) AS tsu FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT p.user_id AS user_id, count(*) AS n_purchases, "
+            "count(c.tsu) AS n_matched, "
+            "CAST(sum(p.tsu - c.tsu) AS BIGINT) AS sum_gap_us "
+            "FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.tsu >= c.tsu "
+            "GROUP BY p.user_id"
+        ),
+        "events_range_join": (
+            "SELECT e.user_id AS user_id, count(*) AS n_pairs, "
+            "count(DISTINCT e.event_id) AS n_errors, "
+            "CAST(SUM(CAST(c.value AS DECIMAL(38,4))) AS DOUBLE) AS click_value "
+            "FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu "
+            "FROM events WHERE event_type = 'error') e "
+            "JOIN (SELECT user_id, epoch_us(ts) AS tsu, value "
+            "FROM events WHERE event_type = 'click') c "
+            "ON e.user_id = c.user_id AND c.tsu > e.tsu "
+            "AND c.tsu <= e.tsu + 86400000000 "
+            "GROUP BY e.user_id"
         ),
         "events_rollup": (
             "SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, "

@@ -27,6 +27,8 @@ HEADLINE = [
     "tpch_q5",
     "events_daily",
     "events_sessions",
+    "events_asof",
+    "events_range_join",
     "events_rollup",
     "events_json",
     "dedup_exact",

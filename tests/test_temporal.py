@@ -1,0 +1,193 @@
+"""asof_join / range_join contract tests (operators/temporal.py).
+
+Hand-computed golden expectations on small frames, plus a
+pandas.merge_asof cross-check on a randomized input.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from margaret_spark.operators.temporal import asof_join, range_join
+
+
+def _trades(spark):
+    # (key, t, qty)
+    return spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", 35, 3), ("b", 5, 4), ("c", 7, 5)],
+        "key string, t long, qty long",
+    )
+
+
+def _quotes(spark):
+    # (key, t, px)
+    return spark.createDataFrame(
+        [("a", 8, 1.0), ("a", 20, 2.0), ("a", 30, 3.0), ("b", 6, 4.0)],
+        "key string, t long, px double",
+    )
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_asof_backward_inclusive(spark):
+    out = asof_join(_trades(spark), _quotes(spark), on="t", by="key")
+    assert _rows(out, "key", "t", "qty", "t_matched", "px") == [
+        ("a", 10, 1, 8, 1.0),
+        ("a", 20, 2, 20, 2.0),  # exact match included
+        ("a", 35, 3, 30, 3.0),
+        ("b", 5, 4, None, None),  # quote is later — unmatched survives
+        ("c", 7, 5, None, None),  # key with no quotes at all
+    ]
+
+
+def test_asof_backward_exclusive(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark), on="t", by="key", allow_exact_matches=False
+    )
+    assert _rows(out, "key", "t", "t_matched") == [
+        ("a", 10, 8),
+        ("a", 20, 8),  # the t=20 quote no longer qualifies
+        ("a", 35, 30),
+        ("b", 5, None),
+        ("c", 7, None),
+    ]
+
+
+def test_asof_forward_and_tolerance(spark):
+    fwd = asof_join(_trades(spark), _quotes(spark), on="t", by="key", direction="forward")
+    assert _rows(fwd, "key", "t", "t_matched") == [
+        ("a", 10, 20),
+        ("a", 20, 20),
+        ("a", 35, None),
+        ("b", 5, 6),
+        ("c", 7, None),
+    ]
+    tol = asof_join(
+        _trades(spark), _quotes(spark), on="t", by="key", tolerance=2
+    )
+    assert _rows(tol, "key", "t", "t_matched", "px") == [
+        ("a", 10, 8, 1.0),  # gap 2 == tolerance → kept
+        ("a", 20, 20, 2.0),
+        ("a", 35, None, None),  # gap 5 > tolerance → nulled out
+        ("b", 5, None, None),
+        ("c", 7, None, None),
+    ]
+
+
+def test_asof_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([("a", 10)], "key string, t long")
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 10, 9.0), ("a", 10, 4.0)],
+        "key string, t long, px double",
+    )
+    out = asof_join(left, right, on="t", by="key", tiebreak="px", value_cols=[])
+    assert _rows(out, "key", "t", "t_matched") == [("a", 10, 10)]
+    # the tiebreak column is itself carried: the winner's px comes back
+    out2 = asof_join(
+        right.select("key", "t").distinct(), right, on="t", by="key", tiebreak="px"
+    )
+    assert _rows(out2, "key", "t", "t_matched", "px") == [("a", 10, 10, 9.0)]
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    import random
+
+    rng = random.Random(7)
+    lrows = [("k%d" % rng.randint(0, 4), rng.randint(0, 1000)) for _ in range(200)]
+    rrows = [
+        ("k%d" % rng.randint(0, 4), rng.randint(0, 1000), float(i))
+        for i, _ in enumerate(range(300))
+    ]
+    # merge_asof demands unique right (key, t): dedup keeping max val,
+    # mirrored by tiebreak="val" on the Spark side
+    left = spark.createDataFrame(lrows, "key string, t long")
+    right = spark.createDataFrame(rrows, "key string, t long, val double")
+    out = (
+        asof_join(left.distinct(), right, on="t", by="key", tiebreak="val")
+        .toPandas()
+        .sort_values(["key", "t"])
+        .reset_index(drop=True)
+    )
+    lp = left.distinct().toPandas().sort_values("t")
+    rp = (
+        right.toPandas()
+        .sort_values(["key", "t", "val"])
+        .groupby(["key", "t"], as_index=False)
+        .last()
+        .sort_values("t")
+    )
+    exp = (
+        pd.merge_asof(lp, rp, on="t", by="key", direction="backward")
+        .rename(columns={"val": "val_exp"})
+        .sort_values(["key", "t"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    got_vals = [None if pd.isna(v) else v for v in out["val"]]
+    exp_vals = [None if pd.isna(v) else v for v in exp["val_exp"]]
+    assert got_vals == exp_vals
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame(
+        [("a", 100, 1), ("a", 500, 2), ("b", 100, 3)], "key string, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 10), ("a", 150, 11), ("a", 200, 12), ("a", 201, 13), ("b", 350, 14)],
+        "key string, rt long, rid long",
+    )
+    out = range_join(
+        left, right, on="t", right_on="rt", lower=0, upper=100, by="key"
+    )
+    assert _rows(out, "lid", "rid") == [(1, 10), (1, 11), (1, 12)]
+    strict = range_join(
+        left,
+        right,
+        on="t",
+        right_on="rt",
+        lower=0,
+        upper=100,
+        by="key",
+        include_lower=False,
+        include_upper=False,
+    )
+    assert _rows(strict, "lid", "rid") == [(1, 11)]
+
+
+def test_range_join_negative_window_and_width(spark):
+    left = spark.createDataFrame([("a", 1000, 1)], "key string, t long, lid long")
+    right = spark.createDataFrame(
+        [("a", 940, 20), ("a", 1000, 21), ("a", 1059, 22), ("a", 1061, 23)],
+        "key string, rt long, rid long",
+    )
+    # window [-60, +60] around each left row, finer buckets than span
+    out = range_join(
+        left, right, on="t", right_on="rt", lower=-60, upper=60, by="key",
+        bucket_width=25,
+    )
+    assert _rows(out, "lid", "rid") == [(1, 20), (1, 21), (1, 22)]
+
+
+def test_range_join_collision_raises(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "key string, t long, x long")
+    with pytest.raises(ValueError, match="collide"):
+        range_join(df, df, on="t", lower=0, upper=10, by="key")
+
+
+def test_range_join_matches_plain_join(spark):
+    import random
+
+    rng = random.Random(3)
+    lrows = [("k%d" % rng.randint(0, 3), rng.randint(0, 10_000), i) for i in range(150)]
+    rrows = [("k%d" % rng.randint(0, 3), rng.randint(0, 10_000), i) for i in range(150)]
+    left = spark.createDataFrame(lrows, "key string, t long, lid long")
+    right = spark.createDataFrame(rrows, "key string, rt long, rid long")
+    out = range_join(
+        left, right, on="t", right_on="rt", lower=-500, upper=1500, by="key"
+    )
+    naive = left.join(right, "key").where(
+        (F.col("rt") >= F.col("t") - 500) & (F.col("rt") <= F.col("t") + 1500)
+    )
+    assert _rows(out, "lid", "rid") == _rows(naive, "lid", "rid")
