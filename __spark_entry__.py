@@ -55,21 +55,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# events.ts is TIMESTAMP(NANOS) in the parquet, which Spark's reader
-# rejects; an explicit schema types it as the raw int64 nanos value
-# (engine-portable: day arithmetic below matches DuckDB's CAST AS DATE).
+# events.ts is TIMESTAMP(µs) in the parquet; the explicit schema is
+# kept because the streaming file source requires one. The session
+# timezone is UTC (session.py), so to_date/unix_micros below match
+# DuckDB's CAST(ts AS DATE)/epoch_us on the same naive timestamps.
 _EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
-
-_NANOS_PER_DAY = 86_400_000_000_000
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,12 +951,10 @@ def q_orders_topn_per_cust(spark, sf_dir):
 def q_events_daily(spark, sf_dir):
     """Tumbling daily window per event_type — the batch twin of the
     streaming windowed aggregation (SURVEY §2.2 op 15 / streaming).
-    Day is epoch-arithmetic over the raw nanos (timezone-free)."""
+    Session timezone is UTC, so to_date matches the oracle's
+    CAST(ts AS DATE) on the naive µs timestamps."""
     ev = _events(spark, sf_dir)
-    day = F.date_add(
-        F.lit("1970-01-01").cast("date"),
-        F.floor(F.col("ts") / F.lit(_NANOS_PER_DAY)).cast("int"),
-    )
+    day = F.to_date("ts")
     return (
         ev.groupBy(day.alias("day"), "event_type")
         .agg(
@@ -968,7 +965,7 @@ def q_events_daily(spark, sf_dir):
     )
 
 
-_SESSION_GAP_NANOS = 30 * 60 * 1_000_000_000
+_SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 def q_events_sessions(spark, sf_dir):
@@ -976,13 +973,13 @@ def q_events_sessions(spark, sf_dir):
     windows with event counts and value totals — the batch twin of a
     streaming session-window aggregation. One shuffle on user_id
     shared by both windows and the final grouping."""
-    # microsecond resolution on both engines: the raw nanos column is
-    # truncated with integer division, matching DuckDB's epoch_us()
-    ev = _events(spark, sf_dir).withColumn("tsu", F.expr("ts div 1000"))
+    # integer microseconds on both engines: unix_micros here,
+    # epoch_us() in the DuckDB oracle
+    ev = _events(spark, sf_dir).withColumn("tsu", F.unix_micros("ts"))
     w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     new_sess = F.when(
         F.lag("tsu").over(w).isNull()
-        | ((F.col("tsu") - F.lag("tsu").over(w)) > F.lit(_SESSION_GAP_NANOS // 1000)),
+        | ((F.col("tsu") - F.lag("tsu").over(w)) > F.lit(_SESSION_GAP_US)),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = Window.partitionBy("user_id").orderBy("tsu", "event_id").rowsBetween(
@@ -1009,7 +1006,7 @@ def q_events_asof(spark, sf_dir):
     a native ASOF LEFT JOIN). Gap arithmetic is integer microseconds
     on both engines (tie-proof: output uses only matched timestamps,
     never matched payloads)."""
-    ev = _events(spark, sf_dir).withColumn("tsu", F.expr("ts div 1000"))
+    ev = _events(spark, sf_dir).withColumn("tsu", F.unix_micros("ts"))
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "tsu", "event_id"
     )
@@ -1033,7 +1030,7 @@ def q_events_range_join(spark, sf_dir):
     predicate becomes an equi-join on (user_id, time-bucket) with each
     error row covering ≤ 2 buckets — bounded pair counts per task
     regardless of key heat (operators/temporal.py)."""
-    ev = _events(spark, sf_dir).withColumn("tsu", F.expr("ts div 1000"))
+    ev = _events(spark, sf_dir).withColumn("tsu", F.unix_micros("ts"))
     errors = ev.where(F.col("event_type") == "error").select(
         "user_id", "tsu", "event_id"
     )
@@ -1074,10 +1071,7 @@ def q_events_rollup(spark, sf_dir):
     """ROLLUP (event_type, day): grouping-set totals at three levels in
     one pass (partial aggregation handles all levels map-side)."""
     ev = _events(spark, sf_dir)
-    day = F.date_add(
-        F.lit("1970-01-01").cast("date"),
-        F.floor(F.col("ts") / F.lit(_NANOS_PER_DAY)).cast("int"),
-    )
+    day = F.to_date("ts")
     return (
         ev.withColumn("day", day)
         .rollup("event_type", "day")
@@ -1124,9 +1118,7 @@ def q_stream_events_daily(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = sdf.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ets"), "event_type"
-    )
+    ev = sdf.select(F.col("ts").alias("ets"), "event_type")
     agg = windowed_agg(ev, "ets", keys=["event_type"], window="1 day", watermark="0 seconds")
 
     acc: dict = {}
@@ -1306,6 +1298,42 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_sample_docs(spark, sf_dir):
+    """Deterministic hash sample (operators.sampling.hash_sample):
+    membership is a pure function of md5(doc_id), so the oracle
+    reproduces the exact row set. Narrow filter — no shuffle."""
+    from margaret_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_sample_split(spark, sf_dir):
+    """Three-way train/val/test split by hashed id ranges
+    (operators.sampling.hash_split) — aggregated per (source, split)
+    so the oracle checks every assignment without hauling text."""
+    from margaret_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-source quota (operators.sampling.stratified_sample): at
+    most 10 docs per source, ranked by (md5(doc_id), doc_id) — one
+    shuffle on the strata key."""
+    from margaret_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "doc_id", 10).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1393,6 +1421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_count": q_text_bpe_count,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "sample_docs": q_sample_docs,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1839,8 +1870,8 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM events GROUP BY CAST(ts AS DATE), event_type"
         ),
         "events_sessions": (
-            # DuckDB reads the nanos column at µs precision; both sides
-            # work on integer microseconds (Spark: ts div 1000)
+            # both sides work on integer microseconds (Spark:
+            # unix_micros, DuckDB: epoch_us)
             "SELECT user_id, session_idx, count(*) AS n_events, "
             "min(tsu) AS start_ts, max(tsu) AS end_ts, "
             "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value "
@@ -2087,5 +2118,27 @@ def _oracle_sql_base() -> dict[str, str]:
         "multimodal_meta": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "CAST(unicode(text[1:1]) AS BIGINT) AS first_cp FROM documents"
+        ),
+        # sampling: md5 is engine-identical; fixed-width lowercase-hex
+        # compares in numeric order, so the row sets match exactly.
+        # Thresholds are format(int(f * 16**8), '08x').
+        "sample_docs": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'"
+        ),
+        "sample_split": (
+            "SELECT source, CASE WHEN h < 'cccccccc' THEN 'train' "
+            "WHEN h < 'e6666666' THEN 'val' ELSE 'test' END AS split, "
+            "count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum "
+            "FROM (SELECT source, doc_id, "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents) "
+            "GROUP BY 1, 2"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, source, n_chars FROM ("
+            "SELECT doc_id, source, n_chars, row_number() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10"
         ),
     }

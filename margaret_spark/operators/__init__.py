@@ -27,6 +27,12 @@ from margaret_spark.operators.text import (
     bpe_ish_token_count,
     doc_fingerprint,
 )
+from margaret_spark.operators.sampling import (
+    hash_sample,
+    train_test_split,
+    hash_split,
+    stratified_sample,
+)
 
 __all__ = [
     "exact_dedup",
@@ -47,4 +53,8 @@ __all__ = [
     "quality_score",
     "bpe_ish_token_count",
     "doc_fingerprint",
+    "hash_sample",
+    "train_test_split",
+    "hash_split",
+    "stratified_sample",
 ]

@@ -1,0 +1,119 @@
+"""Deterministic sampling and dataset splitting — the selection
+operators a training-data pipeline runs before anything else touches
+the corpus (hold-out split, decontamination samples, per-source
+quotas).
+
+Everything here is *hash-deterministic*, never RNG-based: membership
+is a pure function of the row's id, so a sample is reproducible
+across runs, engines, and cluster sizes, and two tables sampled with
+the same key stay aligned (the property ``df.sample()`` cannot give,
+since its Bernoulli draw depends on partition layout and seed
+plumbing). The hash is the first 8 hex digits of md5(id) compared as
+a fixed-width lowercase-hex string — lexicographic order on that
+string IS numeric order, and md5 is identical in every engine, so
+the driver's DuckDB oracle reproduces each sample bit-for-bit.
+
+Scale notes:
+
+- ``hash_sample`` / ``train_test_split`` / ``hash_split`` are pure
+  narrow projections/filters — no shuffle at any scale; they pipeline
+  into whatever reads them.
+- ``stratified_sample`` shuffles once on the strata key (the window's
+  partition); per-group top-k is rank-based, so a hot stratum costs
+  one skewed window partition, not a cross join. For heavily skewed
+  strata, cap the input first with ``hash_sample``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 8
+_HEX_SPACE = 16**_HEX_WIDTH
+
+
+def _hash_hex(id_col: Column) -> Column:
+    """First 8 hex digits of md5(id) — a uniform draw from [0, 16^8)
+    whose fixed-width lowercase-hex encoding sorts numerically."""
+    return F.substring(F.md5(id_col.cast("string")), 1, _HEX_WIDTH)
+
+
+def hex_threshold(fraction: float) -> str:
+    """The hex-string cutoff such that P[hash_hex < cutoff] ≈ fraction.
+    'g' sorts above every hex string — the +inf sentinel for
+    fraction = 1.0."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    n = int(fraction * _HEX_SPACE)
+    return "g" if n >= _HEX_SPACE else format(n, f"0{_HEX_WIDTH}x")
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hashed id
+    falls below the threshold. Same id → same verdict, on any engine,
+    at any scale, under any partitioning. A narrow filter — no
+    shuffle; Catalyst pipelines it into the scan."""
+    return df.where(_hash_hex(F.col(id_col)) < hex_threshold(fraction))
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_fraction: float = 0.1
+) -> DataFrame:
+    """Add a ``split`` column ('train' | 'test') by hashed id. The
+    assignment is stable under corpus growth: a row keeps its split
+    when new rows arrive — the property that prevents test-set
+    leakage across dataset versions."""
+    return df.withColumn(
+        "split",
+        F.when(
+            _hash_hex(F.col(id_col)) < hex_threshold(test_fraction), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def hash_split(df: DataFrame, id_col: str, weights: dict[str, float]) -> DataFrame:
+    """Add a ``split`` column drawn from ``weights`` (name → fraction,
+    summing to 1), assigned by consecutive hash ranges — the n-way
+    generalization of :func:`train_test_split` (train/val/test/...).
+    Dict insertion order fixes the ranges, so the split is
+    reproducible."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1: {weights}")
+    h = _hash_hex(F.col(id_col))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        thr = hex_threshold(min(cum, 1.0))
+        clause = (
+            F.when(h < thr, F.lit(name))
+            if expr is None
+            else expr.when(h < thr, F.lit(name))
+        )
+        expr = clause
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, k: int
+) -> DataFrame:
+    """At most ``k`` rows per stratum, chosen deterministically: rank
+    rows inside each stratum by (md5(id), id) and keep the first k.
+    The per-source quota operator (balanced corpora, eval subsets) —
+    one shuffle on the strata key, rank-based so nothing quadratic
+    happens in a hot stratum."""
+    if k < 0:
+        raise ValueError(f"k must be non-negative: {k}")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -63,8 +63,8 @@ def test_lineitem_filter_pushdown(spark):
 
 
 def test_catalog(spark):
-    # events carries a TIMESTAMP(NANOS) column Spark can't infer —
-    # exactly what Catalog schema pinning is for
+    # schema pinning: the streaming file source (and any reader that
+    # must not re-infer) takes the same explicit events schema
     from __spark_entry__ import _EVENTS_SCHEMA
 
     cat = Catalog(spark, SF, schemas={"events": _EVENTS_SCHEMA})

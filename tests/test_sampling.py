@@ -1,0 +1,117 @@
+"""Deterministic sampling / splitting operators (operators.sampling).
+
+The contract: membership is a pure function of the id — stable across
+runs, partitionings, and corpus growth — and fractions land near
+their targets on uniform ids.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from margaret_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    hex_threshold,
+    stratified_sample,
+    train_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(2000).withColumn(
+        "grp", (F.col("id") % 7).cast("string")
+    )
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(1.0) == "g"
+    assert hex_threshold(0.2) == "33333333"
+    with pytest.raises(ValueError):
+        hex_threshold(1.5)
+
+
+def test_hash_sample_deterministic_and_near_fraction(ids):
+    a = sorted(r.id for r in hash_sample(ids, "id", 0.3).collect())
+    b = sorted(r.id for r in hash_sample(ids, "id", 0.3).collect())
+    assert a == b
+    # uniform md5 → binomial(2000, 0.3); ±5 sigma ≈ ±102
+    assert 498 <= len(a) <= 702
+
+
+def test_hash_sample_nested_fractions(ids):
+    # a smaller sample is a subset of a larger one (threshold ordering)
+    small = set(r.id for r in hash_sample(ids, "id", 0.1).collect())
+    big = set(r.id for r in hash_sample(ids, "id", 0.4).collect())
+    assert small <= big
+
+
+def test_hash_sample_stable_under_repartition(ids):
+    base = set(r.id for r in hash_sample(ids, "id", 0.25).collect())
+    rep = set(
+        r.id for r in hash_sample(ids.repartition(13), "id", 0.25).collect()
+    )
+    assert base == rep
+
+
+def test_train_test_split_partition_and_growth_stability(spark):
+    d1 = spark.range(1000)
+    d2 = spark.range(2000)
+    s1 = {r.id: r.split for r in train_test_split(d1, "id", 0.2).collect()}
+    s2 = {r.id: r.split for r in train_test_split(d2, "id", 0.2).collect()}
+    # every row of the smaller corpus keeps its assignment in the larger
+    assert all(s2[i] == s1[i] for i in s1)
+    frac = sum(1 for v in s1.values() if v == "test") / len(s1)
+    assert 0.13 <= frac <= 0.27
+
+
+def test_hash_split_three_way(ids):
+    rows = hash_split(
+        ids, "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    counts = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 2000
+    with pytest.raises(ValueError):
+        hash_split(ids, "id", {"a": 0.5, "b": 0.3})
+
+
+def test_split_consistent_with_sample(ids):
+    # the test split IS the 0.1 hash sample — tables sampled with the
+    # same key stay aligned
+    test_ids = set(
+        r.id
+        for r in train_test_split(ids, "id", 0.1).where(
+            F.col("split") == "test"
+        ).collect()
+    )
+    sampled = set(r.id for r in hash_sample(ids, "id", 0.1).collect())
+    assert test_ids == sampled
+
+
+def test_stratified_sample_quota_and_determinism(ids):
+    out = stratified_sample(ids, "grp", "id", 5)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per[r.grp] = per.get(r.grp, 0) + 1
+    assert all(v == 5 for v in per.values())  # every stratum has ≥5 rows here
+    again = sorted((r.grp, r.id) for r in out.collect())
+    assert again == sorted((r.grp, r.id) for r in rows)
+
+
+def test_stratified_sample_small_stratum_kept_whole(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, grp string"
+    )
+    rows = stratified_sample(df, "grp", "id", 10).collect()
+    assert len(rows) == 3
+
+
+def test_hash_sample_no_shuffle(ids):
+    plan = hash_sample(ids, "id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
