@@ -1101,6 +1101,32 @@ def q_events_distinct_users(spark, sf_dir):
     return salted_distinct_count(ev, ["event_type"], "user_id", salt=16)
 
 
+def q_events_approx_distinct(spark, sf_dir):
+    """HLL++ approximate COUNT(DISTINCT user) per event_type — the
+    sketch path for cardinality at 100 TB: fixed-size mergeable state
+    per group (vs. the exact salted plan's full key set), partial
+    aggregation map-side, one narrow shuffle of sketches. No SQL
+    oracle (HLL layouts are engine-specific); tests bound the relative
+    error against the exact twin (q_events_distinct_users)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+def q_events_approx_quantiles(spark, sf_dir):
+    """Approximate p50/p95/p99 of value per event_type
+    (Greenwald-Khanna sketch): bounded-memory mergeable summaries —
+    the quantile path that scales where exact interpolation
+    (q_events_quantiles) needs a per-group sort. No SQL oracle
+    (sketch semantics are engine-specific); tests bound the rank
+    error against the exact twin."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    )
+
+
 def q_stream_events_daily(spark, sf_dir):
     """events consumed as a STREAM: file-source + watermarked 1-day
     tumbling window, drained with availableNow and materialized — the
@@ -1401,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_funcs": q_events_window_funcs,
         "events_quantiles": q_events_quantiles,
         "events_distinct_users": q_events_distinct_users,
+        "events_approx_distinct": q_events_approx_distinct,
+        "events_approx_quantiles": q_events_approx_quantiles,
         "events_json": q_events_json,
         "stream_events_daily": q_stream_events_daily,
         "dedup_exact": q_dedup_exact,
