@@ -1324,6 +1324,59 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_stream_events_sessions(spark, sf_dir):
+    """Gap-based session windows computed BY THE STREAMING ENGINE
+    (F.session_window, 30-min gap) and drained with availableNow —
+    the streaming twin of q_events_sessions, oracle-checked: session
+    bounds and counts must equal the batch gap-sessionization exactly
+    (Spark merges an event into a session iff it lands strictly
+    before last_event + gap, so the oracle breaks sessions on
+    gap >= 30 min). Complete output mode: the final micro-batch holds
+    every closed-and-merged session regardless of how the file source
+    batched the input."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.streaming import session_windows
+
+    sdf = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = sdf.select(F.col("ts").alias("ets"), "user_id")
+    sess = session_windows(ev, "ets", keys=["user_id"], gap="30 minutes")
+
+    final: list = []
+
+    def on_batch(bdf, bid):
+        rows = bdf.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            "n_events",
+        ).collect()
+        final.clear()
+        final.extend(rows)
+
+    ckpt = tempfile.mkdtemp(prefix="stream_sessions_")
+    try:
+        q = (
+            sess.writeStream.foreachBatch(on_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [(r.user_id, r.start_us, r.end_us, int(r.n_events)) for r in final]
+    return spark.createDataFrame(
+        rows, "user_id long, start_us long, end_us long, n_events long"
+    )
+
+
 def q_sample_docs(spark, sf_dir):
     """Deterministic hash sample (operators.sampling.hash_sample):
     membership is a pure function of md5(doc_id), so the oracle
@@ -1431,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_json": q_events_json,
         "stream_events_daily": q_stream_events_daily,
+        "stream_events_sessions": q_stream_events_sessions,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -2016,6 +2070,22 @@ def _oracle_sql_base() -> dict[str, str]:
         "stream_events_daily": (
             "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n "
             "FROM events GROUP BY CAST(ts AS DATE), event_type"
+        ),
+        "stream_events_sessions": (
+            # gap-based sessionization; >= breaks a session, matching
+            # session_window's strict before-last+gap containment;
+            # session_end = last event + gap
+            "SELECT user_id, min(tsu) AS start_us, "
+            "max(tsu) + 1800000000 AS end_us, count(*) AS n_events "
+            "FROM ("
+            "SELECT user_id, tsu, "
+            "SUM(CASE WHEN prev IS NULL OR tsu - prev >= 1800000000 "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu, "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id) AS prev FROM events)"
+            ") GROUP BY user_id, sid"
         ),
         "events_json": (
             "SELECT event_type, "

@@ -217,6 +217,21 @@ def test_session_windows_batch(spark):
     assert got[(2, base)] == (1, 8.0)
 
 
+def test_stream_sessions_equals_batch_sessionization(spark):
+    """The streaming session_window twin must reproduce the batch
+    gap-sessionization exactly (same session count and per-session
+    event totals) at sf0.001."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = entry.q_stream_events_sessions(spark, sf).collect()
+    batch = entry.q_events_sessions(spark, sf).collect()
+    assert len(stream_rows) == len(batch)
+    assert sorted((r.user_id, r.start_us, r.n_events) for r in stream_rows) == sorted(
+        (r.user_id, r.start_ts, r.n_events) for r in batch
+    )
+
+
 def test_stream_dedup_exact_first_seen_wins(spark, tmp_path):
     """Stateful streaming dedup: first arrival of each content keeps;
     re-arrivals (same or later batches, even after resume) emit
