@@ -31,6 +31,11 @@ HEADLINE = [
     "events_range_join",
     "events_rollup",
     "events_json",
+    "events_approx_distinct",
+    "events_approx_quantiles",
+    "sample_docs",
+    "sample_split",
+    "sample_stratified",
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash",
