@@ -1324,6 +1324,31 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_multimodal_image_meta(spark, sf_dir):
+    """The multimodal binary plumbing END-TO-END on the graded
+    surface: synthesize a fake image blob per document (dimensions
+    derived from doc_id/n_chars), then parse it back with the
+    Arrow-batched mapInPandas header reader
+    (operators.multimodal.attach_fake_image_blobs →
+    extract_image_meta). Both passes are partition-preserving — zero
+    shuffles. Oracle-checkable because the fake wire format is
+    arithmetic-deterministic: the SQL recomputes
+    width/height/channels/n_bytes that the binary round-trip must
+    reproduce."""
+    from margaret_spark.operators.multimodal import (
+        attach_fake_image_blobs,
+        extract_image_meta,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") % 512 + 16).cast("int").alias("w"),
+        (F.col("doc_id") % 256 + 16).cast("int").alias("h"),
+    )
+    blobs = attach_fake_image_blobs(docs, "doc_id", "w", "h", channels=3)
+    return extract_image_meta(blobs, "doc_id", "blob")
+
+
 def q_stream_events_sessions(spark, sf_dir):
     """Gap-based session windows computed BY THE STREAMING ENGINE
     (F.session_window, 30-min gap) and drained with availableNow —
@@ -1503,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_count": q_text_bpe_count,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_meta": q_multimodal_image_meta,
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -2216,6 +2242,17 @@ def _oracle_sql_base() -> dict[str, str]:
         "multimodal_meta": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "CAST(unicode(text[1:1]) AS BIGINT) AS first_cp FROM documents"
+        ),
+        # the fake blob wire format is arithmetic-deterministic:
+        # 16-byte header + min(w*h*c, 4096) payload bytes
+        "multimodal_image_meta": (
+            "SELECT doc_id, 'fimg' AS format, "
+            "CAST(n_chars % 512 + 16 AS INT) AS width, "
+            "CAST(doc_id % 256 + 16 AS INT) AS height, "
+            "CAST(3 AS INT) AS channels, "
+            "CAST(16 + least((n_chars % 512 + 16) * (doc_id % 256 + 16) * 3, "
+            "4096) AS BIGINT) AS n_bytes "
+            "FROM documents"
         ),
         # sampling: md5 is engine-identical; fixed-width lowercase-hex
         # compares in numeric order, so the row sets match exactly.

@@ -54,6 +54,36 @@ def make_fake_audio_blob(sample_rate: int, n_samples: int, channels: int = 1) ->
     return b"FAUD" + struct.pack("<III", sample_rate, n_samples, channels) + payload
 
 
+def attach_fake_image_blobs(
+    df: DataFrame, id_col: str, width_col: str, height_col: str, channels: int = 3
+) -> DataFrame:
+    """(id, blob binary): synthesize a fake image blob per row from
+    integer dimension columns — the ingest side of the multimodal
+    plumbing (a real pipeline reads blobs from object storage; the
+    Arrow batch shape and binary schema are identical). Partition-
+    preserving mapInPandas, no shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "blob": [
+                        make_fake_image_blob(int(w), int(h), channels)
+                        for w, h in zip(pdf[width_col], pdf[height_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, width_col, height_col).mapInPandas(build, out_schema)
+
+
 def _parse_header(blob: bytes):
     if blob is None or len(blob) < 16:
         return None

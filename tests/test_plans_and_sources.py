@@ -52,7 +52,16 @@ def test_entry_queries_plan_quality(spark):
     # every declared query stays off the row-at-a-time Python path;
     # the embedding pair-scorers declare the Arrow-batched dot kernel
     # (functions.vectors.pair_dot)
-    ARROW_OK = {"dedup_embedding", "ann_topk", "ann_lsh", "ann_ivf", "ann_ivf_indexed"}
+    ARROW_OK = {
+        "dedup_embedding",
+        "ann_topk",
+        "ann_lsh",
+        "ann_ivf",
+        "ann_ivf_indexed",
+        # binary-blob plumbing is genuinely imperative: Arrow-batched
+        # mapInPandas is its designed execution path
+        "multimodal_image_meta",
+    }
     for name, fn in entry.queries().items():
         assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)
 
