@@ -1324,6 +1324,20 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Quality-weighted deterministic downsampling
+    (operators.sampling.weighted_sample): each document survives with
+    probability equal to its pround'ed quality score, decided by
+    md5(doc_id) — the curation-grade sampler (high-quality docs kept
+    more often) that still reproduces bit-for-bit on any engine."""
+    from margaret_spark.operators.sampling import weighted_sample
+    from margaret_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs, "doc_id", "text")
+    return weighted_sample(scored, "doc_id", "quality")
+
+
 def q_multimodal_image_meta(spark, sf_dir):
     """The multimodal binary plumbing END-TO-END on the graded
     surface: synthesize a fake image blob per document (dimensions
@@ -1532,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
+        "sample_weighted": q_sample_weighted,
     }
 
 
@@ -2275,5 +2290,14 @@ def _oracle_sql_base() -> dict[str, str]:
             "PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 10"
+        ),
+        # per-row Bernoulli keyed by the pround'ed quality score:
+        # threshold = floor(quality * 16^8) as fixed-width hex
+        "sample_weighted": (
+            "SELECT doc_id, quality FROM (" + _quality_sql() + ") "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+            "CASE WHEN quality >= 1 THEN 'g' ELSE "
+            "lower(lpad(to_hex(CAST(floor(quality * 4294967296) AS BIGINT)), 8, '0')) "
+            "END"
         ),
     }

@@ -32,6 +32,7 @@ from margaret_spark.operators.sampling import (
     train_test_split,
     hash_split,
     stratified_sample,
+    weighted_sample,
 )
 
 __all__ = [
@@ -57,4 +58,5 @@ __all__ = [
     "train_test_split",
     "hash_split",
     "stratified_sample",
+    "weighted_sample",
 ]

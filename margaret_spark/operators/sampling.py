@@ -99,6 +99,21 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float]) -> DataFra
     return df.withColumn("split", expr)
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
+    """Keep each row with probability = clamp(weight, 0, 1), decided
+    deterministically by the hashed id — per-row Bernoulli keyed by
+    content (quality-weighted downsampling: high-quality documents
+    survive more often), reproducible like every operator here. The
+    weight must itself be engine-deterministic (e.g. a pround'ed
+    score) for the oracle to reproduce the draw. Narrow filter — no
+    shuffle."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.when(w >= 1.0, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(F.floor(w * F.lit(float(_HEX_SPACE))).cast("bigint")), _HEX_WIDTH, "0"))
+    )
+    return df.where(_hash_hex(F.col(id_col)) < thr)
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, id_col: str, k: int
 ) -> DataFrame:

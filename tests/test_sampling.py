@@ -14,6 +14,7 @@ from margaret_spark.operators.sampling import (
     hex_threshold,
     stratified_sample,
     train_test_split,
+    weighted_sample,
 )
 
 
@@ -110,6 +111,31 @@ def test_stratified_sample_small_stratum_kept_whole(spark):
     )
     rows = stratified_sample(df, "grp", "id", 10).collect()
     assert len(rows) == 3
+
+
+def test_weighted_sample_extremes_and_rate(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 200, F.lit(0.0))
+        .when(F.col("id") < 400, F.lit(1.0))
+        .otherwise(F.lit(0.5))
+        .alias("w"),
+    )
+    kept = [r.id for r in weighted_sample(df, "id", "w").collect()]
+    assert not any(i < 200 for i in kept)  # weight 0 → never kept
+    assert sum(1 for i in kept if 200 <= i < 400) == 200  # weight 1 → always
+    mid = sum(1 for i in kept if i >= 400)
+    # binomial(600, 0.5) ± 5 sigma
+    assert 239 <= mid <= 361
+    # deterministic across runs
+    assert kept == [r.id for r in weighted_sample(df, "id", "w").collect()]
+
+
+def test_weighted_sample_equals_hash_sample_on_constant_weight(spark):
+    df = spark.range(500).withColumn("w", F.lit(0.3))
+    a = {r.id for r in weighted_sample(df, "id", "w").collect()}
+    b = {r.id for r in hash_sample(df, "id", 0.3).collect()}
+    assert a == b
 
 
 def test_hash_sample_no_shuffle(ids):
