@@ -1324,6 +1324,45 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_stream_dedup_exact(spark, sf_dir):
+    """The stateful streaming ingest-dedup path END-TO-END on the
+    graded surface: documents are appended to a real OffsetLog (one
+    batched file write, dense seqs in doc_id order), then the
+    streaming exact dedup (streaming/stateful.py,
+    applyInPandasWithState keyed by sha2-256 content hash) drains the
+    log's append stream and emits first-seen keepers. Oracle-checked:
+    keepers must be exactly min(seq) per distinct content, and the
+    state key (sha2 hex) is engine-identical to DuckDB's sha256."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import stream_dedup_exact
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").select("text")
+    texts = [r.text for r in docs.collect()]
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    keepers: list = []
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_many(texts)
+        stream_dedup_exact(
+            log,
+            F.col("value"),
+            keepers.append,
+            os.path.join(base, "ckpt"),
+            available_now=True,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        (str(r["content_hash"]), int(r["keep_seq"]))
+        for pdf in keepers
+        for _, r in pdf.iterrows()
+    ]
+    return spark.createDataFrame(rows, "content_hash string, keep_seq long")
+
+
 def q_sample_weighted(spark, sf_dir):
     """Quality-weighted deterministic downsampling
     (operators.sampling.weighted_sample): each document survives with
@@ -1524,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "stream_events_daily": q_stream_events_daily,
         "stream_events_sessions": q_stream_events_sessions,
+        "stream_dedup_exact": q_stream_dedup_exact,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -2293,6 +2333,13 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         # per-row Bernoulli keyed by the pround'ed quality score:
         # threshold = floor(quality * 16^8) as fixed-width hex
+        # seq == doc_id (dense ids appended in order); the state key
+        # sha2-256 is engine-identical to DuckDB's sha256
+        "stream_dedup_exact": (
+            "SELECT sha256(text) AS content_hash, "
+            "CAST(min(doc_id) AS BIGINT) AS keep_seq "
+            "FROM documents GROUP BY text"
+        ),
         "sample_weighted": (
             "SELECT doc_id, quality FROM (" + _quality_sql() + ") "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "

@@ -19,6 +19,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Python workers are separate processes that do NOT inherit the
+    # driver's sys.path mutations: any pickled function referencing
+    # this package (stateful streaming, pandas UDFs) would fail to
+    # unpickle when the session is launched from another cwd. Export
+    # the repo root on PYTHONPATH before the JVM spawns workers.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         try:
