@@ -53,6 +53,35 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*merge_aggs)
 
 
+def salted_join(
+    big: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has hot keys and ``other`` is too large
+    to broadcast (AQE's skew-join split handles most cases at runtime;
+    this is the explicit form for when it can't — e.g. a skewed key
+    feeding a downstream stateful op, or an engine without AQE).
+
+    ``other`` is replicated ``salt``× (one copy per salt value) and
+    each ``big`` row is scattered to one salt bucket by a hash of its
+    whole row — a hot key's rows then spread across ``salt`` reducers
+    instead of funnelling through one. Result is row-identical to the
+    plain join; cost is ``salt``× shuffle volume on the replicated
+    side, so pick the smaller input as ``other``."""
+    keys = [on] if isinstance(on, str) else list(on)
+    rep = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    scattered = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
+    )
+    return scattered.join(rep, keys + ["__salt"], how).drop("__salt")
+
+
 def salted_distinct_count(
     df: DataFrame, keys: Sequence[str], value_col: str, salt: int = 16
 ) -> DataFrame:

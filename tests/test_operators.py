@@ -364,6 +364,67 @@ def test_salted_agg_matches_plain(spark):
     assert salted_dc == plain_dc
 
 
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+    from margaret_spark.functions.skew import salted_join
+
+    # left side: one hot key dominates; right side: several rows per key
+    big_rows = [("hot" if i % 5 else f"k{i}", i) for i in range(1000)]
+    other_rows = [(k, j, k + str(j)) for k in ["hot", "k5", "k10"] for j in range(3)]
+    big = spark.createDataFrame(big_rows, "k string, v long")
+    other = spark.createDataFrame(other_rows, "k string, j long, tag string")
+
+    plain = sorted(
+        tuple(r) for r in big.join(other, "k").select("k", "v", "j", "tag").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(big, other, "k", salt=8)
+        .select("k", "v", "j", "tag")
+        .collect()
+    )
+    assert salted == plain
+    # the join key space actually includes the salt column
+    plan = (
+        salted_join(big, other, "k", salt=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Equal-bucketed tables co-locate join keys: the join's executed
+    plan must contain NO Exchange (the 100 TB co-located-join path)."""
+    from margaret_spark.sources.writers import write_bucketed
+
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("x")
+    )
+    b = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("y")
+    )
+    write_bucketed(a, "t_bkt_a", ["k"], num_buckets=8, sort_cols=["k"])
+    write_bucketed(b, "t_bkt_b", ["k"], num_buckets=8, sort_cols=["k"])
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path these tiny fixtures would
+        # otherwise take: at scale both sides are too big to broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta = spark.table("t_bkt_a")
+        tb = spark.table("t_bkt_b")
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
 def test_kmeans_refined_ivf(spark, emb):
     from margaret_spark.operators.similarity import (
         brute_force_topk,
