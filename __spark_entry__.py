@@ -1324,6 +1324,22 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for a pretraining loader
+    (operators.packing.pack_sequences): documents in doc_id order are
+    laid out as one contiguous token stream and cut into 2048-token
+    packs; each doc gets (pack_first, offset_in_first, pack_last).
+    The prefix sum is the two-pass partition-offset technique — no
+    global window, no single hot partition. Token counts are the
+    engine-portable whitespace tokenization (text_stats)."""
+    from margaret_spark.operators.packing import pack_sequences
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    return pack_sequences(toks, "doc_id", "n_tokens", seq_len=2048)
+
+
 def q_stream_dedup_exact(spark, sf_dir):
     """The stateful streaming ingest-dedup path END-TO-END on the
     graded surface: documents are appended to a real OffsetLog (one
@@ -1587,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2330,6 +2347,19 @@ def _oracle_sql_base() -> dict[str, str]:
             "PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 10"
+        ),
+        # contiguous token-stream packing: inclusive cumsum in doc_id
+        # order, integer div/mod into 2048-token packs
+        "pack_sequences": (
+            "SELECT doc_id, n_tokens, "
+            "(cum - n_tokens) // 2048 AS pack_first, "
+            "(cum - 1) // 2048 AS pack_last, "
+            "(cum - n_tokens) % 2048 AS offset_in_first "
+            "FROM (SELECT doc_id, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            f"FROM (SELECT doc_id, len({_WORDS}) AS n_tokens FROM documents) "
+            "WHERE n_tokens > 0)"
         ),
         # per-row Bernoulli keyed by the pround'ed quality score:
         # threshold = floor(quality * 16^8) as fixed-width hex

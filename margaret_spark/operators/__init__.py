@@ -27,6 +27,10 @@ from margaret_spark.operators.text import (
     bpe_ish_token_count,
     doc_fingerprint,
 )
+from margaret_spark.operators.packing import (
+    pack_sequences,
+    running_total,
+)
 from margaret_spark.operators.sampling import (
     hash_sample,
     train_test_split,
@@ -59,4 +63,6 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "weighted_sample",
+    "pack_sequences",
+    "running_total",
 ]

@@ -1,0 +1,92 @@
+"""Sequence packing: assign documents to fixed-length token sequences
+— the data-prep step between a curated corpus and a pretraining run
+(every doc lands at a deterministic (pack, offset); docs spanning a
+boundary are split across consecutive packs, the standard contiguous
+packing).
+
+The core is a DISTRIBUTED PREFIX SUM. A naive
+``sum() OVER (ORDER BY ...)`` window collapses the whole corpus onto
+one partition — a non-starter at 100 TB. ``running_total`` uses the
+two-pass partition-offset technique instead (the same shape as
+``functions.seqassign``):
+
+1. range-partition by the order column (so partition-major order IS
+   global order), per-partition cumulative sum — narrow window, no
+   single hot partition;
+2. collect only the tiny per-partition TOTALS to the driver;
+3. add each partition's cumulative offset back via a broadcast map.
+
+Cost: one range shuffle + one count-sized job; the payload never
+funnels through a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_total(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Add the inclusive prefix sum of ``value_col`` in ``order_col``
+    order (ties broken arbitrarily — use a unique order column for a
+    deterministic result)."""
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    staged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = staged.withColumn("__local", F.sum(value_col).over(w))
+    totals = staged.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__t"] or 0
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return (
+        staged.withColumn(
+            out_col, (mapping[F.col("__pid")] + F.col("__local")).cast("long")
+        )
+        .drop("__pid", "__local")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """(id, n_tokens, pack_first, pack_last, offset_in_first): the
+    contiguous token-stream packing of the corpus in ``order_col``
+    order into sequences of ``seq_len`` tokens. A document starts in
+    ``pack_first`` at ``offset_in_first`` and (if it crosses
+    boundaries) spills through ``pack_last`` — exactly the layout a
+    pretraining loader consumes. Zero-token rows are dropped (they
+    occupy no stream position)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    order_col = order_col or id_col
+    c = running_total(
+        df.where(F.col(tokens_col) > 0), tokens_col, order_col, "__cum"
+    )
+    start = F.col("__cum") - F.col(tokens_col)
+    return c.select(
+        F.col(id_col),
+        F.col(tokens_col).alias("n_tokens"),
+        F.expr(f"(__cum - {tokens_col}) div {seq_len}").alias("pack_first"),
+        F.expr(f"(__cum - 1) div {seq_len}").alias("pack_last"),
+        (start % F.lit(seq_len)).cast("long").alias("offset_in_first"),
+    )

@@ -1,0 +1,70 @@
+"""Sequence packing (operators.packing): distributed prefix sum and
+pack assignment must match the sequential layout exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from margaret_spark.operators.packing import pack_sequences, running_total
+
+
+def test_running_total_matches_sequential(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.running_total
+        for r in running_total(df, "v", "id").collect()
+    }
+    acc = 0
+    for i, v in rows:
+        acc += v
+        assert got[i] == acc
+
+
+def test_running_total_stable_under_input_partitioning(spark):
+    rows = [(i, i % 5 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    a = {r.id: r.running_total for r in running_total(df, "v", "id").collect()}
+    b = {
+        r.id: r.running_total
+        for r in running_total(df.repartition(7), "v", "id").collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_layout(spark):
+    # token counts chosen to cross boundaries: 60+60 fills pack 0
+    # (len 100) into pack 1, etc.
+    rows = [(0, 60), (1, 60), (2, 100), (3, 30), (4, 1)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    got = {
+        r.id: (r.pack_first, r.pack_last, r.offset_in_first)
+        for r in pack_sequences(df, "id", "n", seq_len=100).collect()
+    }
+    # stream positions: doc0 [0,60) doc1 [60,120) doc2 [120,220)
+    # doc3 [220,250) doc4 [250,251)
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (0, 1, 60)   # spans packs 0-1
+    assert got[2] == (1, 2, 20)   # spans packs 1-2
+    assert got[3] == (2, 2, 20)
+    assert got[4] == (2, 2, 50)
+
+
+def test_pack_sequences_drops_empty_and_validates(spark):
+    df = spark.createDataFrame([(0, 5), (1, 0), (2, 3)], "id long, n long")
+    rows = pack_sequences(df, "id", "n", seq_len=4).collect()
+    assert sorted(r.id for r in rows) == [0, 2]
+    with pytest.raises(ValueError):
+        pack_sequences(df, "id", "n", seq_len=0)
+
+
+def test_running_total_no_global_window(spark):
+    """The plan must not contain a single-partition global window —
+    the whole point of the two-pass prefix sum."""
+    df = spark.range(1000).withColumn("v", F.lit(2))
+    plan = (
+        running_total(df, "v", "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
