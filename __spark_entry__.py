@@ -1324,6 +1324,32 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Duplicate-trigram fraction per doc (operators.text
+    .repetition_score) — the boilerplate/repetition quality rule."""
+    from margaret_spark.operators.text import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (operators.dedup.ngram_contamination):
+    the eval set is the deterministic 5% hash sample of the corpus;
+    every remaining document is scored by how many of its distinct
+    trigrams appear anywhere in the eval set (broadcast containment
+    join — the corpus never shuffles on shingles)."""
+    from margaret_spark.operators.dedup import ngram_contamination
+    from margaret_spark.operators.sampling import hash_sample, hex_threshold
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", 0.05)
+    thr = hex_threshold(0.05)
+    rest = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) >= thr
+    )
+    return ngram_contamination(rest, eval_df, "doc_id", "text", mode="word", n=3)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for a pretraining loader
     (operators.packing.pack_sequences): documents in doc_id order are
@@ -1604,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "pack_sequences": q_pack_sequences,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2347,6 +2375,45 @@ def _oracle_sql_base() -> dict[str, str]:
             "PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 10"
+        ),
+        "text_repetition": (
+            "SELECT doc_id, "
+            + _pr(
+                "CASE WHEN len(toks) >= 3 THEN "
+                "CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) "
+                "ELSE 0.0 END",
+                4,
+            )
+            + " AS repetition FROM ("
+            "SELECT doc_id, toks, "
+            "list_transform(range(1, greatest(len(toks) - 1, 1)), "
+            "i -> array_to_string(toks[i:i+2], ' ')) AS sh "
+            f"FROM (SELECT doc_id, {_WORDS} AS toks FROM documents))"
+        ),
+        # eval set = deterministic 5% hash sample (md5 < 0ccccccc);
+        # contamination = matched distinct trigrams / doc trigrams
+        "decontaminate": (
+            "WITH t AS (SELECT doc_id, "
+            f"{_WORDS} AS toks FROM documents), "
+            "s AS (SELECT doc_id, list_distinct("
+            "list_transform(range(1, greatest(len(toks) - 1, 1)), "
+            "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM t), "
+            "e AS (SELECT DISTINCT unnest(shs) AS shingle FROM s "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '0ccccccc'), "
+            "c AS (SELECT doc_id, shs FROM s "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '0ccccccc'), "
+            "f AS (SELECT doc_id, unnest(shs) AS shingle FROM c), "
+            "m AS (SELECT f.doc_id, count(*) AS n_matched FROM f "
+            "JOIN e USING (shingle) GROUP BY f.doc_id) "
+            "SELECT c.doc_id, CAST(len(c.shs) AS INT) AS n_shingles, "
+            "CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched, "
+            + _pr(
+                "CASE WHEN len(c.shs) > 0 THEN "
+                "CAST(coalesce(m.n_matched, 0) AS DOUBLE) / len(c.shs) "
+                "ELSE 0.0 END",
+                6,
+            )
+            + " AS contamination FROM c LEFT JOIN m USING (doc_id)"
         ),
         # contiguous token-stream packing: inclusive cumsum in doc_id
         # order, integer div/mod into 2048-token packs

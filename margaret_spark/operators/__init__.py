@@ -5,6 +5,7 @@ JVM-side DataFrame expressions; Python appears only in Arrow-batched
 
 from margaret_spark.operators.dedup import (
     exact_dedup,
+    ngram_contamination,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_dedup_pairs,
@@ -24,6 +25,7 @@ from margaret_spark.operators.text import (
     token_stats,
     lang_id,
     quality_score,
+    repetition_score,
     bpe_ish_token_count,
     doc_fingerprint,
 )
@@ -41,6 +43,7 @@ from margaret_spark.operators.sampling import (
 
 __all__ = [
     "exact_dedup",
+    "ngram_contamination",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_dedup_pairs",
@@ -56,6 +59,7 @@ __all__ = [
     "token_stats",
     "lang_id",
     "quality_score",
+    "repetition_score",
     "bpe_ish_token_count",
     "doc_fingerprint",
     "hash_sample",

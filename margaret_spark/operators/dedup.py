@@ -422,6 +422,64 @@ def simhash_dedup_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mode: str = "word",
+    n: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Eval-set decontamination: for every corpus document, how many
+    of its distinct n-grams appear anywhere in ``eval_df`` — the check
+    a training pipeline runs against its benchmarks before training
+    (drop or flag docs whose ``contamination`` exceeds a bar).
+
+    Scale shape: the eval side is benchmarks — small by nature — so
+    its distinct-shingle universe is BROADCAST; the corpus side
+    explodes its shingles once and the match count is a broadcast-hash
+    semi-count, never a shuffle of the corpus. Output:
+    (id, n_shingles, n_matched, contamination)."""
+    sh = (
+        char_shingles(F.col(text_col), n=n)
+        if mode == "char"
+        else word_shingles(F.col(text_col), n=n)
+    )
+    eval_sh = eval_df.select(F.explode(sh).alias("shingle")).distinct()
+    d = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    # one pass: shingles computed once, exploded with the doc's size
+    # carried along (explode_outer keeps shingle-less docs), matched
+    # against the broadcast eval universe, then a single per-id
+    # aggregation that the id-repartition already satisfies
+    inv = d.select(F.col(id_col).alias("id"), sh.alias("__sh")).select(
+        "id", F.size("__sh").alias("n_shingles"), F.explode_outer("__sh").alias("shingle")
+    )
+    hit = F.broadcast(eval_sh.withColumn("__hit", F.lit(1)))
+    agg = (
+        inv.join(hit, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count("__hit").alias("n_matched"),
+        )
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_matched",
+        pround(
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_matched").cast("double") / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)),
+            round_digits,
+        ).alias("contamination"),
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,

@@ -60,6 +60,26 @@ def token_stats(df: DataFrame, id_col: str, text_col: str, round_digits: int = 4
     )
 
 
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, round_digits: int = 4
+) -> DataFrame:
+    """Duplicate word-n-gram fraction per document in [0, 1] — the
+    boilerplate/repetition quality signal (templated or looping text
+    scores high, natural prose near 0). Pure array expressions inside
+    codegen; documents shorter than n tokens score 0."""
+    t = F.col(text_col)
+    ws = words(t)
+    cnt = F.size(ws)
+    idx = F.sequence(F.lit(1), cnt - F.lit(n - 1))
+    raw = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    total = F.size(raw)
+    uniq = F.size(F.array_distinct(raw))
+    score = F.when(
+        cnt >= n, (total - uniq).cast("double") / total
+    ).otherwise(F.lit(0.0))
+    return df.select(F.col(id_col), pround(score, round_digits).alias("repetition"))
+
+
 def quality_score(
     df: DataFrame, id_col: str, text_col: str, round_digits: int = 4
 ) -> DataFrame:

@@ -170,6 +170,48 @@ def test_token_stats_and_quality(docs):
     assert bad == 0
 
 
+def test_repetition_score(spark):
+    from margaret_spark.operators.text import repetition_score
+
+    fixtures = [
+        (0, "a b c a b c a b c"),      # "a b c" trigram repeats heavily
+        (1, "one two three four five"),  # all trigrams distinct
+        (2, "x y"),                     # too short: score 0
+        (3, ""),
+    ]
+    df = spark.createDataFrame(fixtures, "doc_id long, text string")
+    got = {r.doc_id: r.repetition for r in repetition_score(df, "doc_id", "text").collect()}
+    # doc0: 7 trigrams, 3 distinct -> 4/7
+    assert got[0] == round(4 / 7, 4)
+    assert got[1] == 0.0
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_ngram_contamination(spark):
+    from margaret_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),       # shares "alpha beta gamma" etc.
+            (1, "one two three four"),            # no overlap
+            (2, "alpha beta gamma epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta extra")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_matched, r.contamination)
+        for r in ngram_contamination(corpus, eval_df, "doc_id", "text").collect()
+    }
+    # doc0 trigrams: {a b g, b g d} both in eval -> 2/2
+    assert got[0] == (2, 2, 1.0)
+    assert got[1][1] == 0 and got[1][2] == 0.0
+    # doc2 trigrams: {a b g, b g e, g e z}; only "alpha beta gamma" matches
+    assert got[2] == (3, 1, round(1 / 3, 6))
+
+
 def test_lang_id_heuristic(spark, docs):
     # NOTE: the driver's synthetic corpus assigns `lang` labels at
     # random over identical word-soup text, so agreement with the label
