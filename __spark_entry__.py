@@ -1324,6 +1324,27 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_training_data(spark, sf_dir):
+    """The FULL corpus→training-data composition
+    (operators.pipeline.training_pipeline): quality bar + canonical
+    dedup keep, deterministic train/test split, and 512-token
+    sequence packing of the train split — every stage
+    hash-deterministic, the whole pipeline oracle-checked as one
+    query."""
+    from margaret_spark.operators.pipeline import training_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return training_pipeline(
+        docs,
+        "doc_id",
+        "text",
+        min_quality=0.5,
+        jaccard_threshold=0.2,
+        test_fraction=0.1,
+        seq_len=512,
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Duplicate-trigram fraction per doc (operators.text
     .repetition_score) — the boilerplate/repetition quality rule."""
@@ -1632,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
+        "training_data": q_training_data,
     }
 
 
@@ -2375,6 +2397,34 @@ def _oracle_sql_base() -> dict[str, str]:
             "PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 10"
+        ),
+        # curation keep-set -> md5 train/test split -> 512-token
+        # packing of the train stream in doc_id order
+        "training_data": (
+            "WITH RECURSIVE " + _CLUSTER_CTES + ", "
+            "clusters AS (SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY node), "
+            "quality AS (" + _quality_sql() + "), "
+            "kept AS (SELECT q.doc_id FROM quality q JOIN clusters c "
+            "ON q.doc_id = c.doc_id "
+            "WHERE q.quality >= 0.5 AND q.doc_id = c.cluster_id), "
+            "toks AS (SELECT d.doc_id, "
+            f"CAST(len({_WORDS}) AS INT) AS n_tokens "
+            "FROM documents d JOIN kept k ON d.doc_id = k.doc_id), "
+            "base AS (SELECT t.doc_id, CASE WHEN "
+            "substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) < '19999999' "
+            "THEN 'test' ELSE 'train' END AS split, t.n_tokens FROM toks t), "
+            "packed AS (SELECT doc_id, "
+            "(cum - n_tokens) // 512 AS pack_first, "
+            "(cum - 1) // 512 AS pack_last, "
+            "(cum - n_tokens) % 512 AS offset_in_first "
+            "FROM (SELECT doc_id, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            "FROM base WHERE split = 'train' AND n_tokens > 0)) "
+            "SELECT b.doc_id, b.split, b.n_tokens, "
+            "p.pack_first, p.pack_last, p.offset_in_first "
+            "FROM base b LEFT JOIN packed p ON b.doc_id = p.doc_id"
         ),
         "text_repetition": (
             "SELECT doc_id, "

@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from margaret_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
-from margaret_spark.operators.text import quality_score
+from margaret_spark.operators.packing import pack_sequences
+from margaret_spark.operators.sampling import train_test_split
+from margaret_spark.operators.text import quality_score, token_stats
 
 
 def curate_corpus(
@@ -47,4 +49,44 @@ def curate_corpus(
                 & (F.col(id_col) == F.col("cluster_id"))
             ).alias("keep"),
         )
+    )
+
+
+def training_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.2,
+    test_fraction: float = 0.1,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Corpus → training data, end-to-end: curate (quality bar +
+    canonical dedup representative), hash-split into train/test, and
+    pack the train split into fixed-length token sequences.
+
+    Returns one row per KEPT document:
+    (id, split, n_tokens, pack_first, pack_last, offset_in_first) —
+    test documents carry NULL pack columns (they never enter the
+    token stream). Every stage is deterministic (md5 split, prefix-sum
+    packing), so the whole pipeline reproduces bit-for-bit.
+
+    Scale shape: curation is the §curate_corpus plan; the split is a
+    narrow projection; packing range-partitions only the train
+    keepers (a fraction of the corpus) for the two-pass prefix sum."""
+    curated = curate_corpus(
+        df, id_col, text_col, min_quality, jaccard_threshold
+    ).where(F.col("keep"))
+    kept = df.join(curated.select(id_col), id_col).select(id_col, text_col)
+    toks = token_stats(kept, id_col, text_col).select(id_col, "n_tokens")
+    split = train_test_split(kept.select(id_col), id_col, test_fraction)
+    base = split.join(toks, id_col)
+    train = base.where(F.col("split") == "train")
+    packs = pack_sequences(train, id_col, "n_tokens", seq_len)
+    return base.join(
+        packs.select(id_col, "pack_first", "pack_last", "offset_in_first"),
+        id_col,
+        "left",
+    ).select(
+        id_col, "split", "n_tokens", "pack_first", "pack_last", "offset_in_first"
     )

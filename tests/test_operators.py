@@ -373,6 +373,50 @@ def test_curate_corpus(spark):
     assert rows[3]["keep"]
 
 
+def test_training_pipeline_end_to_end(spark):
+    from margaret_spark.operators.pipeline import training_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "!!!! ???? 1234 5678"),  # low quality -> dropped
+            (3, "completely unrelated text about spark engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in training_pipeline(
+            docs,
+            "doc_id",
+            "text",
+            min_quality=0.5,
+            jaccard_threshold=0.3,
+            test_fraction=0.5,
+            seq_len=8,
+        ).collect()
+    }
+    # only canonical + quality docs survive
+    assert set(rows) == {0, 3}
+    for r in rows.values():
+        assert r.split in ("train", "test")
+        if r.split == "train":
+            # packed: contiguous stream positions in doc_id order
+            assert r.pack_first is not None and r.pack_first >= 0
+            assert r.pack_last >= r.pack_first
+            assert 0 <= r.offset_in_first < 8
+        else:
+            assert r.pack_first is None
+    # the token stream is contiguous: total tokens of train docs equals
+    # last doc's end position
+    train = [rows[i] for i in sorted(rows) if rows[i].split == "train"]
+    if train:
+        total = sum(r.n_tokens for r in train)
+        last = train[-1]
+        assert last.pack_last * 8 + (total - 1) % 8 >= last.pack_first * 8
+
+
 def test_salted_agg_matches_plain(spark):
     from pyspark.sql import functions as F
     from margaret_spark.functions.skew import salted_agg, salted_distinct_count
