@@ -43,9 +43,13 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_clusters",
     "corpus_curation",
+    "decontaminate",
+    "pack_sequences",
+    "training_data",
     "ann_topk",
     "ann_ivf",
     "text_stats",
+    "text_repetition",
     "text_langid",
     "text_topterms",
     "text_fingerprint",

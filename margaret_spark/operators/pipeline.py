@@ -74,13 +74,21 @@ def training_pipeline(
     Scale shape: curation is the §curate_corpus plan; the split is a
     narrow projection; packing range-partitions only the train
     keepers (a fraction of the corpus) for the two-pass prefix sum."""
-    curated = curate_corpus(
-        df, id_col, text_col, min_quality, jaccard_threshold
-    ).where(F.col("keep"))
-    kept = df.join(curated.select(id_col), id_col).select(id_col, text_col)
+    # materialize the keep-set once: it is reused by the token pass,
+    # the split, and (through the prefix sum's driver-side totals
+    # collection) the packing — without the checkpoint the whole
+    # curation pipeline would re-run for each consumer
+    curated_ids = (
+        curate_corpus(df, id_col, text_col, min_quality, jaccard_threshold)
+        .where(F.col("keep"))
+        .select(id_col)
+        .localCheckpoint(eager=False)
+    )
+    kept = df.join(curated_ids, id_col).select(id_col, text_col)
     toks = token_stats(kept, id_col, text_col).select(id_col, "n_tokens")
     split = train_test_split(kept.select(id_col), id_col, test_fraction)
-    base = split.join(toks, id_col)
+    # small (id, split, n_tokens) relation reused by packing + output
+    base = split.join(toks, id_col).localCheckpoint(eager=False)
     train = base.where(F.col("split") == "train")
     packs = pack_sequences(train, id_col, "n_tokens", seq_len)
     return base.join(

@@ -66,7 +66,14 @@ def repetition_score(
     """Duplicate word-n-gram fraction per document in [0, 1] — the
     boilerplate/repetition quality signal (templated or looping text
     scores high, natural prose near 0). Pure array expressions inside
-    codegen; documents shorter than n tokens score 0."""
+    codegen; documents shorter than n tokens score 0.
+
+    The n-gram build is CPU-heavy per row, so the corpus is spread
+    across the full parallelism first (a corpus often arrives as few
+    large files whose scan parallelism would otherwise bound this)."""
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     t = F.col(text_col)
     ws = words(t)
     cnt = F.size(ws)
