@@ -505,11 +505,17 @@ def dedup_clusters(
     )
     # iterate ONLY over nodes that have an edge — the duplicate graph
     # is a tiny fraction of the corpus; every other document is its
-    # own singleton cluster and is unioned back in at the end
+    # own singleton cluster and is unioned back in at the end.
+    # Initialization already performs round 1: with every label equal
+    # to its node id, the neighbor-min join degenerates to a groupBy
+    # over the edge list — one aggregation instead of a join round.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("cluster_id", F.col("node").cast("long"))
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("__nmin"))
+        .select(
+            F.col("dst").alias("node"),
+            F.least(F.col("dst"), F.col("__nmin")).cast("long").alias("cluster_id"),
+        )
         .localCheckpoint(eager=False)
     )
     singletons = (
