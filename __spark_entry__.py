@@ -1426,6 +1426,49 @@ def q_stream_dedup_exact(spark, sf_dir):
     return spark.createDataFrame(rows, "content_hash string, keep_seq long")
 
 
+def q_stream_dedup_minhash(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup detection on the graded surface
+    (streaming/stateful.py): documents stream out of a real log; each
+    row's band buckets are matched against every bucket ever claimed
+    (state keyed by (band, bucket), one long each); collisions emit
+    (dup_seq → earliest keep_seq). Rows-only check (banding is not
+    SQL-expressible — same status as the batch dedup_minhash, whose
+    buckets this pipeline reproduces exactly; see
+    tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import stream_dedup_minhash
+
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").select("text")
+    texts = [r.text for r in docs.collect()]
+    base = tempfile.mkdtemp(prefix="stream_mh_")
+    cands: list = []
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_many(texts)
+        stream_dedup_minhash(
+            log,
+            F.col("value"),
+            cands.append,
+            os.path.join(base, "ckpt"),
+            num_hashes=32,
+            bands=8,
+            available_now=True,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    best: dict[int, int] = {}
+    for pdf in cands:
+        for _, r in pdf.iterrows():
+            d, k = int(r["dup_seq"]), int(r["keep_seq"])
+            if d not in best or k < best[d]:
+                best[d] = k
+    rows = sorted(best.items())
+    return spark.createDataFrame(rows, "dup_seq long, keep_seq long")
+
+
 def q_sample_weighted(spark, sf_dir):
     """Quality-weighted deterministic downsampling
     (operators.sampling.weighted_sample): each document survives with
@@ -1627,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_daily": q_stream_events_daily,
         "stream_events_sessions": q_stream_events_sessions,
         "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_dedup_minhash": q_stream_dedup_minhash,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,

@@ -53,6 +53,10 @@ def running_total(
     for row in sorted(totals, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = acc
         acc += row["__t"] or 0
+    if not offsets:  # empty input: keep the plan typed
+        return staged.withColumn(out_col, F.lit(None).cast("long")).drop(
+            "__pid", "__local"
+        )
     mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     return (
         staged.withColumn(

@@ -57,6 +57,37 @@ def test_pack_sequences_drops_empty_and_validates(spark):
         pack_sequences(df, "id", "n", seq_len=0)
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    seq_len=st.integers(1, 64),
+)
+def test_pack_sequences_matches_sequential_model(spark, counts, seq_len):
+    """Property: the distributed packing equals the sequential
+    single-pass layout for any token counts and pack length."""
+    df = spark.createDataFrame(list(enumerate(counts)), "id long, n long")
+    got = {
+        r.id: (r.pack_first, r.pack_last, r.offset_in_first)
+        for r in pack_sequences(df, "id", "n", seq_len=seq_len).collect()
+    }
+    pos = 0
+    expect = {}
+    for i, n in enumerate(counts):
+        if n <= 0:
+            continue
+        expect[i] = (pos // seq_len, (pos + n - 1) // seq_len, pos % seq_len)
+        pos += n
+    assert got == expect
+
+
 def test_running_total_no_global_window(spark):
     """The plan must not contain a single-partition global window —
     the whole point of the two-pass prefix sum."""
