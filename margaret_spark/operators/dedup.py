@@ -232,9 +232,35 @@ def minhash_dedup_pairs(
     path for near-dup: candidate generation never leaves its LSH
     bucket. Output schema matches :func:`ngram_jaccard_pairs`."""
     rows_per_band = num_hashes // bands
-    # materialized once — see simhash_dedup_pairs
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, mode, n).localCheckpoint(
-        eager=False
+    # ONE shingle pass feeds both stages: the per-doc arrays are
+    # checkpointed (repartitioned by id so every downstream per-id
+    # groupBy/join reuses the exchange), signatures derive from their
+    # explode, and the same arrays verify the candidates at the end.
+    sh = (
+        char_shingles(F.col(text_col), n=n)
+        if mode == "char"
+        else word_shingles(F.col(text_col), n=n)
+    )
+    arrays = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("id"), sh.alias("__sh"))
+        .localCheckpoint(eager=False)
+    )
+    hashed = arrays.select(
+        "id", F.explode("__sh").alias("shingle")
+    ).select("id", F.xxhash64("shingle").alias("__h"))
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+        .localCheckpoint(eager=False)
     )
     banded = sigs.select(
         "id",
@@ -270,20 +296,10 @@ def minhash_dedup_pairs(
         .distinct()
     )
     # verify candidates with exact jaccard (false positives die here).
-    # Two id-equi-joins against the per-doc shingle arrays plus an
-    # array_intersect beat re-exploding the inverted index: the shuffle
-    # carries |candidates| + |docs| rows, never |candidates|·|shingles|.
-    sh = (
-        char_shingles(F.col(text_col), n=n)
-        if mode == "char"
-        else word_shingles(F.col(text_col), n=n)
-    )
-    # materialized once — joined against both pair sides below
-    arrays = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("id"), sh.alias("__sh"))
-        .localCheckpoint(eager=False)
-    )
+    # Two id-equi-joins against the checkpointed per-doc shingle
+    # arrays plus an array_intersect beat re-exploding the inverted
+    # index: the shuffle carries |candidates| + |docs| rows, never
+    # |candidates|·|shingles|.
     return (
         cand.join(
             arrays.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sha")),
