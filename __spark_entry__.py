@@ -1561,6 +1561,28 @@ def q_stream_events_sessions(spark, sf_dir):
     )
 
 
+def q_embedding_label_stats(spark, sf_dir):
+    """Per-class embedding QA (degenerate-class detection): count and
+    norm statistics per label. Per-row norms are the same sequential
+    fold as the oracle's list_reduce (order-deterministic), rounded,
+    then aggregated with exact decimal sums — so even the mean is
+    bit-reproducible. One narrow shuffle on label."""
+    from margaret_spark.functions.vectors import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nr = pround(l2_norm(F.col("embedding")), 6)
+    return (
+        emb.select("label", nr.alias("nr"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("nr").alias("min_norm"),
+            F.max("nr").alias("max_norm"),
+            pround(dsum("nr", scale=6) / F.count("*"), 6).alias("avg_norm"),
+        )
+    )
+
+
 def q_sample_docs(spark, sf_dir):
     """Deterministic hash sample (operators.sampling.hash_sample):
     membership is a pure function of md5(doc_id), so the oracle
@@ -1698,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "decontaminate": q_decontaminate,
         "training_data": q_training_data,
+        "embedding_label_stats": q_embedding_label_stats,
     }
 
 
@@ -2508,6 +2531,16 @@ def _oracle_sql_base() -> dict[str, str]:
                 6,
             )
             + " AS contamination FROM c LEFT JOIN m USING (doc_id)"
+        ),
+        # per-row norm = the same sequential fold as Spark's aggregate
+        # HOF; rounded per row, then exact decimal aggregation
+        "embedding_label_stats": (
+            "SELECT label, count(*) AS n, "
+            "min(nr) AS min_norm, max(nr) AS max_norm, "
+            + _pr("CAST(SUM(CAST(nr AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 6)
+            + " AS avg_norm FROM (SELECT label, "
+            + _pr("sqrt(" + _DOT.format(a="embedding", b="embedding") + ")", 6)
+            + " AS nr FROM embeddings) GROUP BY label"
         ),
         # contiguous token-stream packing: inclusive cumsum in doc_id
         # order, integer div/mod into 2048-token packs
