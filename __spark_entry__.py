@@ -20,6 +20,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1561,6 +1563,32 @@ def q_stream_events_sessions(spark, sf_dir):
     )
 
 
+def q_codec_roundtrip(spark, sf_dir):
+    """The msgpack + CBOR codecs (SURVEY §2.5 ops 38/39) exercised
+    DISTRIBUTED: each document's (id, text) payload is marshalled and
+    unmarshalled by both codecs inside an Arrow-batched pandas UDF;
+    ``ok`` is the per-row equality verdict. The oracle expects every
+    row TRUE — any canonicalization or framing bug hash-mismatches."""
+    from pyspark.sql.functions import pandas_udf
+
+    from margaret_spark.codec import CborCodec, MsgpackCodec
+
+    mp, cb = MsgpackCodec(), CborCodec()
+
+    @pandas_udf("boolean")
+    def rt(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            v = {"id": int(i), "text": t}
+            out.append(
+                mp.unmarshal(mp.marshal(v)) == v and cb.unmarshal(cb.marshal(v)) == v
+            )
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rt(F.col("doc_id"), F.col("text")).alias("ok"))
+
+
 def q_embedding_label_stats(spark, sf_dir):
     """Per-class embedding QA (degenerate-class detection): count and
     norm statistics per label. Per-row norms are the same sequential
@@ -1721,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "training_data": q_training_data,
         "embedding_label_stats": q_embedding_label_stats,
+        "codec_roundtrip": q_codec_roundtrip,
     }
 
 
@@ -2532,6 +2561,9 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             + " AS contamination FROM c LEFT JOIN m USING (doc_id)"
         ),
+        # the Spark side round-trips every payload through msgpack AND
+        # cbor; a corrupt round-trip yields ok=false and a hash mismatch
+        "codec_roundtrip": "SELECT doc_id, TRUE AS ok FROM documents",
         # per-row norm = the same sequential fold as Spark's aggregate
         # HOF; rounded per row, then exact decimal aggregation
         "embedding_label_stats": (

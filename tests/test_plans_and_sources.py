@@ -61,6 +61,9 @@ def test_entry_queries_plan_quality(spark):
         # binary-blob plumbing is genuinely imperative: Arrow-batched
         # mapInPandas is its designed execution path
         "multimodal_image_meta",
+        # codec round-trip is BY DESIGN a Python codec exercised
+        # through an Arrow-batched pandas UDF
+        "codec_roundtrip",
     }
     for name, fn in entry.queries().items():
         assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)
