@@ -1103,6 +1103,20 @@ def q_events_distinct_users(spark, sf_dir):
     return salted_distinct_count(ev, ["event_type"], "user_id", salt=16)
 
 
+def q_events_funnel(spark, sf_dir):
+    """view→click→purchase funnel per user
+    (operators.temporal.funnel): deepest ordered stage reached, with
+    each stage's binding (earliest qualifying) event time. One
+    shuffle on user_id; stages are stacked unbounded-min windows, not
+    self-joins."""
+    from margaret_spark.operators.temporal import funnel
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_type"
+    )
+    return funnel(ev, "user_id", "tsu", "event_type", ["view", "click", "purchase"])
+
+
 def q_events_approx_distinct(spark, sf_dir):
     """HLL++ approximate COUNT(DISTINCT user) per event_type — the
     sketch path for cardinality at 100 TB: fixed-size mergeable state
@@ -1714,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_funcs": q_events_window_funcs,
         "events_quantiles": q_events_quantiles,
         "events_distinct_users": q_events_distinct_users,
+        "events_funnel": q_events_funnel,
         "events_approx_distinct": q_events_approx_distinct,
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_json": q_events_json,
@@ -2314,6 +2329,23 @@ def _oracle_sql_base() -> dict[str, str]:
         "stream_events_daily": (
             "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n "
             "FROM events GROUP BY CAST(ts AS DATE), event_type"
+        ),
+        # stacked per-user window minima: stage k binds to the
+        # earliest qualifying event strictly after stage k-1's
+        "events_funnel": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type "
+            "FROM events), "
+            "a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tsu END) "
+            "OVER (PARTITION BY user_id) AS t0 FROM e), "
+            "b AS (SELECT *, min(CASE WHEN event_type = 'click' AND tsu > t0 "
+            "THEN tsu END) OVER (PARTITION BY user_id) AS t1 FROM a), "
+            "c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tsu > t1 "
+            "THEN tsu END) OVER (PARTITION BY user_id) AS t2 FROM b) "
+            "SELECT user_id, CAST(CASE WHEN min(t2) IS NOT NULL THEN 3 "
+            "WHEN min(t1) IS NOT NULL THEN 2 "
+            "WHEN min(t0) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage, "
+            "min(t0) AS view_ts, min(t1) AS click_ts, min(t2) AS purchase_ts "
+            "FROM c GROUP BY user_id"
         ),
         "stream_events_sessions": (
             # gap-based sessionization; >= breaks a session, matching

@@ -33,7 +33,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "funnel", "range_join"]
 
 
 def _as_list(v: str | Sequence[str] | None) -> list[str]:
@@ -210,4 +210,55 @@ def range_join(
         lhs.join(rhs, on=[*keys, "__bkt"])
         .where(lo_cmp & hi_cmp)
         .drop("__bkt")
+    )
+
+
+def funnel(
+    df: DataFrame,
+    by: str,
+    on: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel progression per entity: stage k is reached when
+    a ``stages[k]`` event exists STRICTLY AFTER the event that reached
+    stage k-1 (earliest-completion semantics: each stage binds to the
+    earliest qualifying event, which maximizes the reachable depth).
+
+    Returns (by, stage, <name>_ts...) for every entity — ``stage`` is
+    the deepest stage index reached (0 = none), and each ``<name>_ts``
+    is that stage's binding event time (NULL once the funnel broke).
+
+    Scale shape: one shuffle on ``by``; each stage is an unbounded
+    ``min`` window over the same partitioning (no sort, no join, no
+    row explosion), so k funnel stages cost k window passes over one
+    exchange — not k self-joins."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    w = Window.partitionBy(by)
+    cur = df.select(by, on, type_col)
+    prev_ts = None
+    for idx, ev in enumerate(stages):
+        cond = F.col(type_col) == ev
+        if prev_ts is not None:
+            cond = cond & (F.col(on) > F.col(prev_ts))
+        name = f"__t{idx}"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col(on))).over(w))
+        prev_ts = name
+    agg = cur.groupBy(by).agg(
+        *[F.min(f"__t{i}").alias(f"__t{i}") for i in range(len(stages))]
+    )
+    # deepest reached stage: build the CASE ascending so the last
+    # (deepest) WHEN is outermost — t_k non-null implies t_{k-1}
+    # non-null, so the first matching branch is the deepest stage
+    expr = F.lit(0)
+    for idx in range(len(stages)):
+        expr = F.when(F.col(f"__t{idx}").isNotNull(), F.lit(idx + 1)).otherwise(expr)
+    return agg.select(
+        by,
+        expr.cast("int").alias("stage"),
+        *[
+            F.col(f"__t{i}").cast("long").alias(f"{stages[i]}_ts")
+            for i in range(len(stages))
+        ],
     )

@@ -191,3 +191,49 @@ def test_range_join_matches_plain_join(spark):
         (F.col("rt") >= F.col("t") - 500) & (F.col("rt") <= F.col("t") + 1500)
     )
     assert _rows(out, "lid", "rid") == _rows(naive, "lid", "rid")
+
+
+def test_funnel_stages(spark):
+    from margaret_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: purchase BEFORE click -> stage stops at click
+        (2, 10, "view"), (2, 30, "click"), (2, 20, "purchase"),
+        # user 3: click before any view -> only stage 1 (later view,
+        # no click after it)
+        (3, 20, "view"), (3, 10, "click"),
+        # user 4: no view at all -> stage 0
+        (4, 10, "click"), (4, 20, "purchase"),
+        # user 5: stage binds to the EARLIEST qualifying event
+        (5, 10, "view"), (5, 15, "click"), (5, 25, "click"), (5, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tsu long, event_type string")
+    got = {
+        r.user_id: (r.stage, r.view_ts, r.click_ts, r.purchase_ts)
+        for r in funnel(
+            df, "user_id", "tsu", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got[1] == (3, 10, 20, 30)
+    assert got[2] == (2, 10, 30, None)
+    assert got[3] == (1, 20, None, None)
+    assert got[4] == (0, None, None, None)
+    # user 5: click binds at 15, purchase at 20 follows it
+    assert got[5] == (3, 10, 15, 20)
+
+
+def test_funnel_single_shuffle(spark):
+    from margaret_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "view")], "user_id long, tsu long, event_type string"
+    )
+    plan = (
+        funnel(df, "user_id", "tsu", "event_type", ["view", "click"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan
