@@ -31,6 +31,7 @@ HEADLINE = [
     "events_range_join",
     "events_rollup",
     "events_json",
+    "events_funnel",
     "events_approx_distinct",
     "events_approx_quantiles",
     "sample_docs",
