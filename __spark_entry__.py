@@ -1298,6 +1298,18 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5)
 
 
+def q_ann_range(spark, sf_dir):
+    """Radius search (operators.similarity.range_search): every
+    neighbor with cosine ≥ 0.25 for each of 5 query vectors. Queries
+    broadcast; the corpus streams through the scoring filter once —
+    no ranking window, zero shuffles."""
+    from margaret_spark.operators.similarity import range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return range_search(emb, queries, radius=0.25)
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (no SQL oracle: seeded-hyperplane buckets;
     exactness of returned cosines is covered by tests against the
@@ -1744,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
+        "ann_range": q_ann_range,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -2412,6 +2425,13 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM (SELECT * FROM embeddings WHERE vec_id < 5) q "
             "JOIN embeddings c ON q.vec_id <> c.vec_id"
             ") WHERE rank <= 5"
+        ),
+        "ann_range": (
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            + _pr(_cosine_sql("q.embedding", "c.embedding")) + " AS cosine "
+            "FROM (SELECT * FROM embeddings WHERE vec_id < 5) q "
+            "JOIN embeddings c ON q.vec_id <> c.vec_id "
+            "WHERE " + _pr(_cosine_sql("q.embedding", "c.embedding")) + " >= 0.25"
         ),
         "ann_ivf": (
             "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent "

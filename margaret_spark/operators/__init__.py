@@ -20,6 +20,7 @@ from margaret_spark.operators.similarity import (
     ivf_topk,
     kmeans_centroids,
     lsh_bucketed_topk,
+    range_search,
 )
 from margaret_spark.operators.text import (
     token_stats,
@@ -56,6 +57,7 @@ __all__ = [
     "ivf_topk",
     "kmeans_centroids",
     "lsh_bucketed_topk",
+    "range_search",
     "token_stats",
     "lang_id",
     "quality_score",

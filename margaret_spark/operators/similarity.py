@@ -398,3 +398,42 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All corpus neighbors with rounded cosine ≥ ``radius`` per query
+    (self-matches excluded) — the fixed-threshold companion of
+    :func:`brute_force_topk` (retrieval wants top-k; dedup sweeps and
+    recall audits want every match above a bar).
+
+    Same scale shape as the top-k path: queries broadcast, the corpus
+    streams through the scoring filter once — and unlike top-k there
+    is NO ranking window, so zero shuffles: the threshold prunes
+    inside the scan's stage."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    cos = pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    return (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", pround(cos, round_digits))
+        .where(F.col("cosine") >= radius)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -160,6 +160,24 @@ def test_lsh_topk_on_real_embeddings(emb):
     assert approx.groupBy("query_id").count().collect()  # non-degenerate
 
 
+def test_range_search_consistent_with_topk(spark, emb):
+    from margaret_spark.operators.similarity import brute_force_topk, range_search
+
+    queries = emb.where(F.col("vec_id") < 3)
+    topk = brute_force_topk(emb, queries, k=5).collect()
+    radius = 0.1
+    rng = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in range_search(emb, queries, radius=radius).collect()
+    }
+    # every top-k hit above the radius must appear with the same cosine
+    for r in topk:
+        if r.cosine >= radius:
+            assert rng[(r.query_id, r.neighbor_id)] == r.cosine
+    # and nothing below the radius leaks in
+    assert all(c >= radius for c in rng.values())
+
+
 def test_token_stats_and_quality(docs):
     st = token_stats(docs, "doc_id", "text")
     row = st.where(F.col("doc_id") == 0).collect()[0]

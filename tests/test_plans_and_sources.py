@@ -55,6 +55,7 @@ def test_entry_queries_plan_quality(spark):
     ARROW_OK = {
         "dedup_embedding",
         "ann_topk",
+        "ann_range",
         "ann_lsh",
         "ann_ivf",
         "ann_ivf_indexed",
