@@ -1373,6 +1373,22 @@ def q_training_data(spark, sf_dir):
     )
 
 
+def q_docs_length_histogram(spark, sf_dir):
+    """Corpus EDA: document-length histogram per language (fixed
+    100-char buckets). Map-side partial aggregation; shuffle bytes =
+    |languages × buckets|, independent of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(100)).cast("long")
+    return (
+        docs.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Duplicate-trigram fraction per doc (operators.text
     .repetition_score) — the boilerplate/repetition quality rule."""
@@ -1774,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "pack_sequences": q_pack_sequences,
         "text_repetition": q_text_repetition,
+        "docs_length_histogram": q_docs_length_histogram,
         "decontaminate": q_decontaminate,
         "training_data": q_training_data,
         "embedding_label_stats": q_embedding_label_stats,
@@ -2573,6 +2590,11 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT b.doc_id, b.split, b.n_tokens, "
             "p.pack_first, p.pack_last, p.offset_in_first "
             "FROM base b LEFT JOIN packed p ON b.doc_id = p.doc_id"
+        ),
+        "docs_length_histogram": (
+            "SELECT lang, n_chars // 100 AS bucket, count(*) AS n, "
+            "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "FROM documents GROUP BY lang, n_chars // 100"
         ),
         "text_repetition": (
             "SELECT doc_id, "
