@@ -1373,6 +1373,30 @@ def q_training_data(spark, sf_dir):
     )
 
 
+def q_source_quality_report(spark, sf_dir):
+    """The curation dashboard: per source, doc counts, exact-decimal
+    average quality and repetition, and how many docs fall below the
+    quality bar. Two narrow scoring passes joined on doc_id, one
+    shuffle on source; averages go through exact decimal sums of the
+    per-row rounded scores, so the report reproduces bit-for-bit."""
+    from margaret_spark.operators.text import quality_score, repetition_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text")
+    r = repetition_score(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "source").join(q, "doc_id").join(r, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        pround(dsum("quality", scale=6) / F.count("*"), 6).alias("avg_quality"),
+        pround(dsum("repetition", scale=6) / F.count("*"), 6).alias(
+            "avg_repetition"
+        ),
+        F.sum(F.when(F.col("quality") < 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_bar"),
+    )
+
+
 def q_docs_length_histogram(spark, sf_dir):
     """Corpus EDA: document-length histogram per language (fixed
     100-char buckets). Map-side partial aggregation; shuffle bytes =
@@ -1791,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "text_repetition": q_text_repetition,
         "docs_length_histogram": q_docs_length_histogram,
+        "source_quality_report": q_source_quality_report,
         "decontaminate": q_decontaminate,
         "training_data": q_training_data,
         "embedding_label_stats": q_embedding_label_stats,
@@ -1848,6 +1873,23 @@ _CLUSTER_CTES = (
     "UNION "
     "SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)"
 )
+
+def _repetition_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        + _pr(
+            "CASE WHEN len(toks) >= 3 THEN "
+            "CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) "
+            "ELSE 0.0 END",
+            4,
+        )
+        + " AS repetition FROM ("
+        "SELECT doc_id, toks, "
+        "list_transform(range(1, greatest(len(toks) - 1, 1)), "
+        "i -> array_to_string(toks[i:i+2], ' ')) AS sh "
+        f"FROM (SELECT doc_id, {_WORDS} AS toks FROM documents))"
+    )
+
 
 def _quality_sql() -> str:
     pr = _pr(
@@ -2591,25 +2633,28 @@ def _oracle_sql_base() -> dict[str, str]:
             "p.pack_first, p.pack_last, p.offset_in_first "
             "FROM base b LEFT JOIN packed p ON b.doc_id = p.doc_id"
         ),
+        "source_quality_report": (
+            "WITH q AS (" + _quality_sql() + "), "
+            "r AS (" + _repetition_sql() + ") "
+            "SELECT d.source, count(*) AS n_docs, "
+            + _pr("CAST(SUM(CAST(q.quality AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 6)
+            + " AS avg_quality, "
+            + _pr(
+                "CAST(SUM(CAST(r.repetition AS DECIMAL(38,6))) AS DOUBLE) / count(*)",
+                6,
+            )
+            + " AS avg_repetition, "
+            "CAST(SUM(CASE WHEN q.quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_below_bar "
+            "FROM documents d JOIN q ON d.doc_id = q.doc_id "
+            "JOIN r ON d.doc_id = r.doc_id GROUP BY d.source"
+        ),
         "docs_length_histogram": (
             "SELECT lang, n_chars // 100 AS bucket, count(*) AS n, "
             "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
             "FROM documents GROUP BY lang, n_chars // 100"
         ),
-        "text_repetition": (
-            "SELECT doc_id, "
-            + _pr(
-                "CASE WHEN len(toks) >= 3 THEN "
-                "CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) "
-                "ELSE 0.0 END",
-                4,
-            )
-            + " AS repetition FROM ("
-            "SELECT doc_id, toks, "
-            "list_transform(range(1, greatest(len(toks) - 1, 1)), "
-            "i -> array_to_string(toks[i:i+2], ' ')) AS sh "
-            f"FROM (SELECT doc_id, {_WORDS} AS toks FROM documents))"
-        ),
+        "text_repetition": _repetition_sql(),
         # eval set = deterministic 5% hash sample (md5 < 0ccccccc);
         # contamination = matched distinct trigrams / doc trigrams
         "decontaminate": (
