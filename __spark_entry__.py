@@ -1210,8 +1210,17 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs with the deterministic df-cap
+    (max_df='auto' = max(100, n_docs/2)): shingles in over half the
+    corpus are dropped by a broadcast stop-list anti-join BEFORE the
+    posting lists form, so no O(df²) in-array pair blow-up survives at
+    any corpus size. The oracle mirrors the cap with the same
+    HAVING-count stop CTE, so results stay hash-exact on the capped
+    universe."""
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2, mode="word", n=3)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, mode="word", n=3, max_df="auto"
+    )
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -1243,7 +1252,9 @@ def q_dedup_clusters(spark, sf_dir):
     from margaret_spark.operators.dedup import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2, mode="word", n=3)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, mode="word", n=3, max_df="auto"
+    )
     return dedup_clusters(docs, pairs, "doc_id")
 
 
@@ -1470,13 +1481,15 @@ def q_stream_dedup_exact(spark, sf_dir):
     from margaret_spark.log import OffsetLog
     from margaret_spark.streaming import stream_dedup_exact
 
-    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").select("text")
-    texts = [r.text for r in docs.collect()]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="stream_dedup_")
     keepers: list = []
     try:
         log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
-        log.append_many(texts)
+        # distributed ingest: the corpus never transits the driver —
+        # append_df range-partitions on doc_id so seqs follow doc_id
+        # order exactly (the oracle's seq == doc_id assumption)
+        log.append_df(docs, value_col="text", order_by="doc_id")
         stream_dedup_exact(
             log,
             F.col("value"),
@@ -1509,13 +1522,13 @@ def q_stream_dedup_minhash(spark, sf_dir):
     from margaret_spark.log import OffsetLog
     from margaret_spark.streaming import stream_dedup_minhash
 
-    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").select("text")
-    texts = [r.text for r in docs.collect()]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="stream_mh_")
     cands: list = []
     try:
         log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
-        log.append_many(texts)
+        # distributed ingest (append_df): no driver-side materialization
+        log.append_df(docs, value_col="text", order_by="doc_id")
         stream_dedup_minhash(
             log,
             F.col("value"),
@@ -1839,6 +1852,20 @@ _DOT = (
     "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
 )
 
+# max_df="auto" mirror: cap = max(100, n_docs // 2); shingles whose
+# document frequency exceeds the cap are dropped from the universe
+# BEFORE posting lists / set sizes form — the same deterministic
+# stop-shingle filter the Spark side applies as a broadcast anti-join
+# (margaret_spark/operators/dedup.py: _resolve_max_df/_stop_shingles).
+_CAPPED_SHINGLE_CTES = (
+    f"s0 AS ({_SHINGLES}), "
+    "cap AS (SELECT greatest(100, count(*) // 2) AS v FROM documents), "
+    "stop AS (SELECT sh FROM s0 GROUP BY sh "
+    "HAVING count(*) > (SELECT v FROM cap)), "
+    "s AS (SELECT doc_id, sh FROM s0 "
+    "WHERE sh NOT IN (SELECT sh FROM stop))"
+)
+
 
 def _cosine_sql(a: str, b: str) -> str:
     dot = _DOT.format(a=a, b=b)
@@ -1855,10 +1882,10 @@ def _pr(expr: str, digits: int = 6) -> str:
 
 
 # clusters-over-jaccard-pairs CTE chain (shared by dedup_clusters and
-# corpus_curation): pairs at threshold 0.2, undirected edges, min
-# reachable id per node via recursive closure
+# corpus_curation): capped shingle universe, pairs at threshold 0.2,
+# undirected edges, min reachable id per node via recursive closure
 _CLUSTER_CTES = (
-    f"s AS ({_SHINGLES}), "
+    f"{_CAPPED_SHINGLE_CTES}, "
     "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
     "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
     "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id "
@@ -2446,7 +2473,7 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "dedup_jaccard": (
-            f"WITH s AS ({_SHINGLES}), "
+            f"WITH {_CAPPED_SHINGLE_CTES}, "
             "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
             "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id "

@@ -38,8 +38,16 @@ def with_dense_seq(
     pid = F.spark_partition_id()
     tie = order_within if order_within is not None else F.monotonically_increasing_id()
     w = Window.partitionBy(pid).orderBy(tie)
-    staged = df.withColumn("__pid", pid).withColumn(
-        "__rank", F.row_number().over(w) - F.lit(1)
+    # Materialize before the counts collect: the counts job and the
+    # final assignment must observe the SAME partition layout; without
+    # the checkpoint a nondeterministic upstream (any shuffle re-order,
+    # repartitionByRange boundary resampling) could move rows between
+    # partitions across the two jobs and silently corrupt the seqs —
+    # and the upstream would be computed twice besides.
+    staged = (
+        df.withColumn("__pid", pid)
+        .withColumn("__rank", F.row_number().over(w) - F.lit(1))
+        .localCheckpoint(eager=False)
     )
     counts = staged.groupBy("__pid").count().collect()
     offsets = {}

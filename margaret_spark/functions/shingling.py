@@ -16,19 +16,32 @@ def words(col: Column, lower: bool = True) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
 
 
+def gram_indices(count: Column) -> Column:
+    """[1..count], or EMPTY when count ≤ 0. Spark's ``sequence(1, 0)``
+    is DESCENDING [1, 0] (not empty), and the 0 index would make a
+    downstream ``slice``/1-based access throw — so build an ascending
+    sequence of at least one element and trim it to ``count`` with
+    ``slice(_, 1, count)``, which IS empty for count ≤ 0. All codegen."""
+    m = F.greatest(count, F.lit(0))
+    return F.slice(F.sequence(F.lit(1), F.greatest(m, F.lit(1))), 1, m)
+
+
 def char_shingles(col: Column, n: int = 5, lower: bool = True) -> Column:
     """All distinct character n-grams of the (optionally lowercased)
-    string, 1-based substring semantics."""
+    string, 1-based substring semantics. Strings shorter than ``n``
+    have no n-gram — empty array (not a truncated partial gram)."""
     c = F.lower(col) if lower else col
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0)))
+    idx = gram_indices(F.length(c) - F.lit(n - 1))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
 
 
 def word_shingles(col: Column, n: int = 3, lower: bool = True) -> Column:
-    """All distinct word n-grams, joined with a single space."""
+    """All distinct word n-grams, joined with a single space.
+    Documents with fewer than ``n`` tokens have no n-gram — empty
+    array (the naive ``sequence(1, cnt-n+1)`` index build crashes on
+    them: see :func:`gram_indices`)."""
     ws = words(col, lower=lower)
-    cnt = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(0)))
+    idx = gram_indices(F.size(ws) - F.lit(n - 1))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
     )

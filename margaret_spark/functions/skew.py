@@ -70,7 +70,19 @@ def salted_join(
     whole row — a hot key's rows then spread across ``salt`` reducers
     instead of funnelling through one. Result is row-identical to the
     plain join; cost is ``salt``× shuffle volume on the replicated
-    side, so pick the smaller input as ``other``."""
+    side, so pick the smaller input as ``other``.
+
+    Only ``big``-preserving join types are allowed: with a right or
+    full join every unmatched ``other`` row would surface once per
+    salt replica (salt× duplicated null-padded rows)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join replicates `other` {salt}x, so only big-side-"
+            f"preserving join types are row-identical to the plain join; "
+            f"got how={how!r} (allowed: inner/left/semi/anti)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     rep = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

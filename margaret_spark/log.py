@@ -422,13 +422,28 @@ class OffsetLog(Log):
         self._changes.set(s)
         return s
 
-    def append_df(self, df: DataFrame, value_col: str = "value") -> int:
+    def append_df(
+        self, df: DataFrame, value_col: str = "value", order_by: str | None = None
+    ) -> int:
         """Bulk ingestion: assign dense seqs distributively and write
-        Parquet through Spark. The scalable path for large loads."""
+        Parquet through Spark. The scalable path for large loads — the
+        corpus never transits the driver.
+
+        Default seq order is partition-major arrival order (a log's
+        semantic). Pass ``order_by`` to ingest in a deterministic
+        GLOBAL order instead: rows are range-partitioned and sorted on
+        that column, so seqs follow it exactly (partition-major order
+        of a range partitioning IS global order) — still one range
+        shuffle, no single-partition funnel."""
         from margaret_spark.functions.seqassign import with_dense_seq
 
         with self._lock:
             first = self._seq + 1
+            if order_by is not None:
+                n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+                df = df.repartitionByRange(n, F.col(order_by)).sortWithinPartitions(
+                    order_by
+                )
             staged = with_dense_seq(
                 df.select(F.col(value_col).alias("value")), start=first
             ).select("seq", "value")
@@ -505,8 +520,13 @@ class OffsetLog(Log):
         streaming index builds. Patches are NOT overlaid (the live
         path replays appended frames, as in the reference).
         ``max_files_per_trigger`` bounds catch-up batch size."""
-        reader = self.spark.readStream.schema(self._base_df().schema).option(
-            "pathGlobFilter", "*.parquet"
+        # recursiveFileLookup: append_df publishes a DIRECTORY of part
+        # files per bulk load (distributed write); the stream must
+        # discover those leaves like the batch reader does.
+        reader = (
+            self.spark.readStream.schema(self._base_df().schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
         )
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -108,6 +108,27 @@ def _resolve_max_df(df: DataFrame, max_df: int | float | str | None) -> int | No
     raise ValueError(f"max_df must be int, float in (0,1), 'auto', or None: {max_df!r}")
 
 
+def _cap_df(arrays: DataFrame, max_df: int | float | str) -> DataFrame:
+    """The document-frequency cap as a broadcastable 1-ROW DataFrame
+    (column ``__cap``), resolved inside the plan — the relative modes
+    ("auto", corpus fraction) need the corpus size, and computing it as
+    a plan-side aggregate over the (checkpointed) per-doc arrays keeps
+    the whole capped pipeline a single action: no driver count job.
+    See :func:`_resolve_max_df` for the mode semantics."""
+    n = F.count(F.lit(1))
+    if isinstance(max_df, bool) or max_df is None:
+        raise ValueError(f"max_df must be int, float in (0,1), or 'auto': {max_df!r}")
+    if isinstance(max_df, int):
+        expr = F.lit(max_df).cast("long")
+    elif max_df == "auto":
+        expr = F.greatest(F.lit(100), F.floor(n / 2)).cast("long")
+    elif isinstance(max_df, float) and 0.0 < max_df < 1.0:
+        expr = F.greatest(F.lit(1), F.floor(n * max_df)).cast("long")
+    else:
+        raise ValueError(f"max_df must be int, float in (0,1), or 'auto': {max_df!r}")
+    return arrays.agg(expr.alias("__cap"))
+
+
 def _stop_shingles(inv: DataFrame, max_df: int) -> DataFrame:
     """Shingles above the document-frequency cap. This is the side to
     BROADCAST: the stop list is small by construction at any corpus
@@ -150,17 +171,43 @@ def ngram_jaccard_pairs(
         if mode == "char"
         else word_shingles(F.col(text_col), n=n)
     )
-    max_df = _resolve_max_df(df, max_df)
-    d = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    # one-step select+explode: keeps the shingle expression a single
-    # Generate input (no intermediate array column for the optimizer to
-    # split a duplicate filter out of)
-    inv = d.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-    if max_df is not None:
-        inv = inv.join(F.broadcast(_stop_shingles(inv, max_df)), "shingle", "left_anti")
-        sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
-    else:
+    if max_df is None:
+        # one-step select+explode: keeps the shingle expression a single
+        # Generate input (no intermediate array column for the optimizer
+        # to split a duplicate filter out of)
+        d = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        inv = d.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         sizes = d.select(F.col(id_col).alias("id"), F.size(sh).alias("set_size"))
+    else:
+        # Capped path: shingle ONCE into checkpointed per-doc arrays —
+        # the stop-list count, the filtered index, and the set sizes
+        # all derive from cheap re-explodes of the materialized arrays
+        # instead of re-running the shingling (which would otherwise be
+        # evaluated three times). The relative caps ("auto" / corpus
+        # fraction) are resolved INSIDE the plan as a broadcast 1-row
+        # aggregate — no driver-side count job, no extra action.
+        arrays = (
+            df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+            )
+            .select(F.col(id_col).alias("id"), sh.alias("__sh"))
+            .localCheckpoint(eager=False)
+        )
+        inv = arrays.select("id", F.explode("__sh").alias("shingle"))
+        # the stop list is found by COUNT (map-side combinable): a hot
+        # shingle never materializes its posting list anywhere — rows
+        # are dropped by the broadcast anti-join BEFORE collect_list
+        counts = inv.groupBy("shingle").agg(F.count("*").alias("__df"))
+        if isinstance(max_df, int) and not isinstance(max_df, bool):
+            stop = counts.where(F.col("__df") > max_df).select("shingle")
+        else:
+            stop = (
+                counts.join(F.broadcast(_cap_df(arrays, max_df)),
+                            F.col("__df") > F.col("__cap"))
+                .select("shingle")
+            )
+        inv = inv.join(F.broadcast(stop), "shingle", "left_anti")
+        sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
     groups = inv.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("__ids"))
     pairs = groups.select(
         F.explode(
@@ -506,12 +553,16 @@ def dedup_clusters(
     pair graph (singletons map to themselves). The canonical "keep one
     per duplicate group" step downstream of any pair generator.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds — near-dup clusters are shallow, so
-    a handful. Each round is one shuffle join + one aggregation;
-    ``localCheckpoint`` truncates the lineage so plans don't grow
-    exponentially across iterations (a real failure mode at scale).
+    Min-label propagation WITH pointer jumping: each round every node
+    takes (a) the min of its own and its neighbors' labels, then (b)
+    its label's label (path compression — the classic doubling step).
+    The jump halves the remaining distance to the component minimum,
+    so convergence is O(log diameter) rounds instead of O(diameter);
+    each round is still ONE job (the convergence probe materializes
+    the lazily-checkpointed round plan, and the pointer-jump self-join
+    reuses that same checkpointed RDD for both sides).
+    ``localCheckpoint`` also truncates lineage so plans don't grow
+    across iterations (a real failure mode at scale).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -545,16 +596,32 @@ def dedup_clusters(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("cluster_id").alias("__nmin"))
         )
-        updated = (
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("cluster_id").alias("__old"),
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("__nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.coalesce(F.col("__nmin"), F.col("cluster_id")) < F.col("cluster_id")).alias(
-                    "__chg"
-                ),
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("__nmin"), F.col("cluster_id")),
+                ).alias("__mid"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # pointer jump: label := label(label). A label is always the id
+        # of a reachable edge-node, so it has a row in `stepped`; the
+        # self-join reads the SAME checkpointed RDD for both sides —
+        # computed once per round, not twice.
+        parent = stepped.select(
+            F.col("node").alias("__pn"), F.col("__mid").alias("__pl")
+        )
+        jumped = F.least(F.col("__mid"), F.coalesce(F.col("__pl"), F.col("__mid")))
+        updated = (
+            stepped.join(parent, F.col("__mid") == F.col("__pn"), "left")
+            .select(
+                "node",
+                jumped.alias("cluster_id"),
+                (jumped < F.col("__old")).alias("__chg"),
             )
             .localCheckpoint(eager=False)
         )

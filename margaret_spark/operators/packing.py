@@ -46,7 +46,16 @@ def running_total(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    staged = staged.withColumn("__local", F.sum(value_col).over(w))
+    # Materialize before the totals collect: the totals job and the
+    # returned plan must see the SAME partition assignment.
+    # repartitionByRange samples its boundaries, so re-executing the
+    # upstream for each consumer could bucket rows differently between
+    # the two jobs and silently mis-shift the prefix sums — the
+    # checkpoint makes job 2 reuse job 1's partitioning (and stops the
+    # upstream from being computed twice).
+    staged = staged.withColumn(
+        "__local", F.sum(value_col).over(w)
+    ).localCheckpoint(eager=False)
     totals = staged.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect()
     offsets: dict[int, int] = {}
     acc = 0
@@ -87,10 +96,15 @@ def pack_sequences(
         df.where(F.col(tokens_col) > 0), tokens_col, order_col, "__cum"
     )
     start = F.col("__cum") - F.col(tokens_col)
+    # Column arithmetic (not interpolated F.expr): token column names
+    # that aren't bare identifiers must still resolve. floor-div on
+    # non-negative operands ≡ SQL `div`.
     return c.select(
         F.col(id_col),
         F.col(tokens_col).alias("n_tokens"),
-        F.expr(f"(__cum - {tokens_col}) div {seq_len}").alias("pack_first"),
-        F.expr(f"(__cum - 1) div {seq_len}").alias("pack_last"),
+        F.floor(start / F.lit(seq_len)).cast("long").alias("pack_first"),
+        F.floor((F.col("__cum") - F.lit(1)) / F.lit(seq_len))
+        .cast("long")
+        .alias("pack_last"),
         (start % F.lit(seq_len)).cast("long").alias("offset_in_first"),
     )

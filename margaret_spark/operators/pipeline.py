@@ -28,13 +28,21 @@ def curate_corpus(
     jaccard_threshold: float = 0.2,
     mode: str = "word",
     n: int = 3,
+    max_df: int | float | str | None = "auto",
 ) -> DataFrame:
     """(id, quality, cluster_id, keep): keep a document iff it meets
     the quality bar AND it is its duplicate-cluster's canonical
     representative (the smallest id in the component — singletons
-    represent themselves)."""
+    represent themselves).
+
+    ``max_df`` defaults to ``"auto"`` (see dedup._resolve_max_df): a
+    shingle in over half the corpus carries no near-dup signal but
+    creates the largest O(df²) posting buckets — an uncapped pipeline
+    is a scale-killer on web corpora, so the opinionated composition
+    caps by default. Pass ``None`` to disable."""
     pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, threshold=jaccard_threshold, mode=mode, n=n
+        df, id_col, text_col, threshold=jaccard_threshold, mode=mode, n=n,
+        max_df=max_df,
     )
     clusters = dedup_clusters(df, pairs, id_col)
     quality = quality_score(df, id_col, text_col)
@@ -60,6 +68,7 @@ def training_pipeline(
     jaccard_threshold: float = 0.2,
     test_fraction: float = 0.1,
     seq_len: int = 2048,
+    max_df: int | float | str | None = "auto",
 ) -> DataFrame:
     """Corpus → training data, end-to-end: curate (quality bar +
     canonical dedup representative), hash-split into train/test, and
@@ -79,7 +88,9 @@ def training_pipeline(
     # collection) the packing — without the checkpoint the whole
     # curation pipeline would re-run for each consumer
     curated_ids = (
-        curate_corpus(df, id_col, text_col, min_quality, jaccard_threshold)
+        curate_corpus(
+            df, id_col, text_col, min_quality, jaccard_threshold, max_df=max_df
+        )
         .where(F.col("keep"))
         .select(id_col)
         .localCheckpoint(eager=False)

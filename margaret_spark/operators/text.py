@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from margaret_spark.functions.shingling import words
+from margaret_spark.functions.shingling import gram_indices, words
 from margaret_spark.functions.numeric import pround
 
 # Tiny per-language stopword lists for the heuristic language ID.
@@ -77,7 +77,12 @@ def repetition_score(
     t = F.col(text_col)
     ws = words(t)
     cnt = F.size(ws)
-    idx = F.sequence(F.lit(1), cnt - F.lit(n - 1))
+    # gram_indices is empty for docs shorter than n tokens: the naive
+    # sequence(1, cnt-n+1) is DESCENDING [1, 0, ...] there and its 0
+    # index makes slice() throw when evaluated — previously only the
+    # outer CaseWhen's laziness prevented it (fragile across codegen
+    # and subexpression-elimination changes).
+    idx = gram_indices(cnt - F.lit(n - 1))
     raw = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
     total = F.size(raw)
     uniq = F.size(F.array_distinct(raw))
