@@ -1240,8 +1240,20 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
+    """Candidate-based embedding near-dup (the 100 TB path): vectors
+    are assigned to their nearest IVF cell (same deterministic seeded
+    centroids as ann_ivf) and pairs are cosine-verified WITHIN a cell
+    only — an equi-join keyed on cell id, O(N²/nlist) cosines, never
+    the all-pairs O(N²) stage. The oracle mirrors the cell CTE, so the
+    candidates+verify result is hash-exact. The exact all-pairs mode
+    remains available as ``embedding_dedup_pairs`` (blocked-matrix
+    scoring) for corpora small enough to afford it."""
+    from margaret_spark.operators.dedup import embedding_dedup_pairs_ivf
+
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return embedding_dedup_pairs_ivf(
+        emb, "vec_id", "embedding", threshold=0.45, nlist=16
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1340,6 +1352,18 @@ def q_text_quality(spark, sf_dir):
 
 def q_text_langid(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_langid_eval(spark, sf_dir):
+    """Per-true-language accuracy of the widened (10 stopword
+    languages + 9 script ranges) heuristic against the labeled `lang`
+    column — the precision check that keeps the table honest as it
+    grows. Oracle is generated from the SAME language tables."""
+    from margaret_spark.operators.text import lang_id_eval
+
+    return lang_id_eval(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
 
 
 def q_text_bpe_count(spark, sf_dir):
@@ -1715,13 +1739,17 @@ def q_sample_split(spark, sf_dir):
 
 
 def q_sample_stratified(spark, sf_dir):
-    """Per-source quota (operators.sampling.stratified_sample): at
-    most 10 docs per source, ranked by (md5(doc_id), doc_id) — one
-    shuffle on the strata key."""
+    """Per-source quota (operators.sampling.stratified_sample), run in
+    the salted two-phase mode: phase 1 keeps each (source, salt)
+    subgroup's top 10 by (md5(doc_id), doc_id) — a hot source spreads
+    across 8 reducers and leaks at most 8·10 candidates — phase 2
+    ranks the candidates. Salt-stable: the rank key is a total order,
+    so results are identical to the unsalted window (the oracle IS the
+    unsalted form)."""
     from margaret_spark.operators.sampling import stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
-    return stratified_sample(docs, "source", "doc_id", 10).select(
+    return stratified_sample(docs, "source", "doc_id", 10, salt=8).select(
         "doc_id", "source", "n_chars"
     )
 
@@ -1817,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topterms": q_text_topterms,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_langid_eval": q_text_langid_eval,
         "text_bpe_count": q_text_bpe_count,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
@@ -1934,6 +1963,36 @@ def _quality_sql() -> str:
         "length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct, "
         "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits "
         "FROM documents)"
+    )
+
+
+def _langid_sql() -> str:
+    """The lang_id oracle, GENERATED from the same SCRIPTS/STOPWORDS
+    tables the Spark operator reads — widening the language table is a
+    one-place change that keeps both engines in lockstep."""
+    from margaret_spark.operators.text import SCRIPTS, STOPWORDS
+
+    langs = list(STOPWORDS)
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = ["CASE"]
+    for lang, pat in SCRIPTS.items():
+        case.append(
+            f"WHEN length(text) - length(regexp_replace(text, '{pat}', '', 'g')) > 0 "
+            f"THEN '{lang}'"
+        )
+    case.append(f"WHEN {g} <= 0 THEN 'und'")
+    for lang in langs[:-1]:
+        case.append(f"WHEN s_{lang} = {g} THEN '{lang}'")
+    case.append(f"ELSE '{langs[-1]}' END")
+    scores = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in sw)
+        + f"], t))) AS s_{lang}"
+        for lang, sw in STOPWORDS.items()
+    )
+    return (
+        "SELECT doc_id, " + " ".join(case) + " AS pred_lang FROM ("
+        f"SELECT doc_id, text, {_WORDS} AS toks, {scores} FROM documents)"
     )
 
 
@@ -2497,10 +2556,22 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM quality q JOIN clusters c ON q.doc_id = c.doc_id"
         ),
         "dedup_embedding": (
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            + _pr(_cosine_sql("a.embedding", "b.embedding")) + " AS cosine "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE " + _pr(_cosine_sql("a.embedding", "b.embedding")) + " >= 0.45"
+            # mirrors embedding_dedup_pairs_ivf: nearest-cell assignment
+            # (seeded centroids = 16 lowest-id vectors, rounded-cosine
+            # rank with cent_id tiebreak — the same CTE as ann_ivf),
+            # then within-cell pairs only
+            "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent "
+            "FROM embeddings ORDER BY vec_id LIMIT 16), "
+            "cell AS (SELECT id, cent_id, v FROM ("
+            "SELECT e.vec_id AS id, c.cent_id, e.embedding AS v, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            + _pr(_cosine_sql("e.embedding", "c.cent"))
+            + " DESC, c.cent_id ASC) AS cr "
+            "FROM embeddings e CROSS JOIN cents c) WHERE cr = 1) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            + _pr(_cosine_sql("a.v", "b.v")) + " AS cosine "
+            "FROM cell a JOIN cell b ON a.cent_id = b.cent_id AND a.id < b.id "
+            "WHERE " + _pr(_cosine_sql("a.v", "b.v")) + " >= 0.45"
         ),
         "ann_topk": (
             "SELECT query_id, neighbor_id, cosine, rank FROM ("
@@ -2568,20 +2639,18 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM documents"
         ),
         "text_quality": _quality_sql(),
-        "text_langid": (
-            "SELECT doc_id, CASE "
-            "WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) > 0 THEN 'zh' "
-            "WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und' "
-            "WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en' "
-            "WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de' "
-            "WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es' "
-            "ELSE 'fr' END AS pred_lang FROM ("
-            f"SELECT doc_id, text, {_WORDS} AS toks, "
-            "len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS s_en, "
-            "len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein'], t))) AS s_de, "
-            "len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','es','los','por'], t))) AS s_es, "
-            "len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des','un','une','est','dans'], t))) AS s_fr "
-            "FROM documents)"
+        "text_langid": _langid_sql(),
+        "text_langid_eval": (
+            "WITH pred AS (" + _langid_sql() + ") "
+            "SELECT d.lang, count(*) AS n, "
+            "CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, "
+            + _pr(
+                "CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / count(*)",
+                4,
+            )
+            + " AS accuracy "
+            "FROM documents d JOIN pred p ON d.doc_id = p.doc_id GROUP BY d.lang"
         ),
         "text_bpe_count": (
             "SELECT doc_id, len(regexp_extract_all(text, "

@@ -683,6 +683,80 @@ def embedding_dedup_pairs(
     )
 
 
+def embedding_dedup_pairs_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    round_digits: int = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate-based embedding near-dup — the 100 TB path: every
+    vector is assigned to its nearest IVF cell (default centroids =
+    the ``nlist`` lowest-id vectors, identical seeding to
+    :func:`margaret_spark.operators.similarity.ivf_topk`, so the cell
+    assignment is deterministic and oracle-expressible), then pairs
+    are generated and cosine-verified WITHIN a cell only.
+
+    Scale shape: centroids broadcast, one narrow assignment pass, the
+    pair join is an equi-join keyed on cell id — O(Σ cell²) cosines
+    instead of O(N²), and with k-means-sized cells (N/nlist) that is
+    O(N²/nlist), tunable to the cluster. Near-dup recall < 1 by design
+    (a pair split across two cells is missed — the candidates+verify
+    trade, same as MinHash banding); use
+    :func:`embedding_dedup_pairs` for the exact all-pairs mode.
+
+    Pass ``centroids=kmeans_centroids(df, k=nlist)`` for refined
+    cells with better recall; the query shape is unchanged."""
+    from margaret_spark.functions.vectors import l2_norm, pair_dot
+    from margaret_spark.operators.similarity import _nearest_cells
+
+    if centroids is None:
+        centroids = df.orderBy(F.col(id_col).asc()).limit(nlist).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent")
+        )
+    cents = F.broadcast(
+        centroids.select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    # materialize the assignment once: the self-join would otherwise
+    # run the centroid-scoring window twice (exchange reuse across
+    # join aliases is not guaranteed)
+    cells = _nearest_cells(
+        df, cents, id_col, vec_col, "id", 1, round_digits
+    ).localCheckpoint(eager=False)
+    a = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("cent_id").alias("__blk"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("cent_id").alias("__blk"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    # merge-hint: both sides are the same checkpointed RDD; a
+    # sort-merge join shuffles each side once on the cell id (bounded
+    # bucket size), never a broadcast of the whole corpus
+    joined = (
+        a.hint("merge")
+        .join(b.hint("merge"), ["__blk"])
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    cos = pair_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        joined.withColumn("cosine", pround(cos, round_digits))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _blocked_allpairs_cosine(
     df: DataFrame,
     id_col: str,

@@ -115,18 +115,41 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
 
 
 def stratified_sample(
-    df: DataFrame, strata_col: str, id_col: str, k: int
+    df: DataFrame, strata_col: str, id_col: str, k: int, salt: int | None = None
 ) -> DataFrame:
     """At most ``k`` rows per stratum, chosen deterministically: rank
     rows inside each stratum by (md5(id), id) and keep the first k.
-    The per-source quota operator (balanced corpora, eval subsets) —
-    one shuffle on the strata key, rank-based so nothing quadratic
-    happens in a hot stratum."""
+    The per-source quota operator (balanced corpora, eval subsets).
+
+    With ``salt=None``: one shuffle on the strata key, rank-based —
+    fine when no stratum dominates, but a single hot stratum is one
+    skewed window partition holding its whole population.
+
+    With ``salt=s`` (the skewed-source mode): the classic salted
+    two-phase top-k. Phase 1 ranks within (stratum, salt-of-id) and
+    keeps each salted subgroup's top ``k`` — the hot stratum's rows
+    spread across ``s`` reducers and at most ``s·k`` candidate rows
+    per stratum survive. Phase 2 ranks the candidates within the
+    stratum — a window over ≤ ``s·k`` rows, never the population.
+    Results are IDENTICAL to the unsalted mode: (md5(id), id) is a
+    total order and every true top-k row is in its salt bucket's
+    top-k, so the candidate union always contains the answer."""
     if k < 0:
         raise ValueError(f"k must be non-negative: {k}")
-    w = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    if salt is not None:
+        if salt < 1:
+            raise ValueError(f"salt must be >= 1: {salt}")
+        pre = Window.partitionBy(
+            F.col(strata_col),
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt)),
+        ).orderBy(*order)
+        df = (
+            df.withColumn("__prn", F.row_number().over(pre))
+            .where(F.col("__prn") <= k)
+            .drop("__prn")
+        )
+    w = Window.partitionBy(strata_col).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)

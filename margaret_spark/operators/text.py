@@ -16,20 +16,48 @@ from pyspark.sql import functions as F
 from margaret_spark.functions.shingling import gram_indices, words
 from margaret_spark.functions.numeric import pround
 
-# Tiny per-language stopword lists for the heuristic language ID.
-# Order matters for deterministic tie-breaking (first wins ties).
+# Per-language stopword lists for the heuristic language ID (Latin-
+# script languages — non-Latin scripts are detected by character range
+# in SCRIPTS below, which is both cheaper and more reliable than
+# stopwords there). Order matters for deterministic tie-breaking
+# (first wins ties). Table-driven: lang_id and the SQL oracle
+# generator in __spark_entry__ both derive their predicates from this
+# dict, so widening the table is a one-place change.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
     "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "non", "sono", "con"],
+    "pt": ["o", "de", "que", "e", "do", "da", "em", "um", "para", "com"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op", "niet"],
+    "sv": ["och", "att", "det", "som", "en", "av", "är", "för", "med", "på"],
+    "pl": ["i", "w", "nie", "na", "to", "że", "z", "do", "się", "jest"],
+    "tr": ["bir", "ve", "bu", "da", "için", "ne", "ile", "gibi", "ama", "çok"],
+}
+
+# Script-range detection for non-Latin languages: first pattern with
+# any match wins, in declaration order. ja precedes zh deliberately —
+# kana implies Japanese even though Japanese text also contains kanji
+# from the CJK-unified range. Ranges are literal code-point spans so
+# the identical character class runs under both Java regex (Spark) and
+# RE2 (DuckDB oracle).
+SCRIPTS = {
+    "ja": r"[぀-ヿ]",   # hiragana U+3040-309F + katakana U+30A0-30FF
+    "ko": r"[가-힣]",   # hangul syllables U+AC00-D7A3
+    "zh": r"[一-鿿]",   # CJK unified U+4E00-9FFF
+    "ru": r"[Ѐ-ӿ]",    # cyrillic U+0400-04FF
+    "el": r"[Ͱ-Ͽ]",    # greek U+0370-03FF
+    "he": r"[֐-׿]",    # hebrew U+0590-05FF
+    "ar": r"[؀-ۿ]",    # arabic U+0600-06FF
+    "hi": r"[ऀ-ॿ]",    # devanagari U+0900-097F
+    "th": r"[฀-๿]",    # thai U+0E00-0E7F
 }
 
 _PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
 _DIGIT_RE = r"[0-9]"
 # BPE-ish pre-tokenization: letter runs, digit runs, single other glyphs
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-_CJK_RE = r"[一-鿿]"
 
 
 def _count_re(col: Column, pattern: str) -> Column:
@@ -124,9 +152,14 @@ def quality_score(
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic language ID: CJK characters ⇒ zh; otherwise the
-    language whose stopword list matches the most tokens (ties break
-    in fixed declaration order; no match at all ⇒ 'und')."""
+    """Heuristic language ID, fully table-driven from SCRIPTS and
+    STOPWORDS: a non-Latin script character range match wins first (in
+    SCRIPTS order — ja before zh, see the table comment); otherwise
+    the language whose stopword list matches the most tokens (ties
+    break in STOPWORDS declaration order; no match at all ⇒ 'und').
+    All predicates are regex/array codegen expressions — one narrow
+    scan at any corpus size; the oracle SQL is generated from the SAME
+    tables, so both engines always agree on the decision procedure."""
     t = F.col(text_col)
     toks = words(t)
     scores = {
@@ -134,16 +167,41 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for lang, sw in STOPWORDS.items()
     }
     best = F.greatest(*scores.values())
-    pred = F.when(_count_re(t, _CJK_RE) > 0, F.lit("zh")).otherwise(
-        F.when(best <= 0, F.lit("und")).otherwise(
-            # first language achieving the max wins (deterministic)
-            F.when(scores["en"] == best, F.lit("en"))
-            .when(scores["de"] == best, F.lit("de"))
-            .when(scores["es"] == best, F.lit("es"))
-            .otherwise(F.lit("fr"))
-        )
-    )
+    langs = list(STOPWORDS)
+    # first language achieving the max wins (deterministic)
+    sw_pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs[:-1]:
+        sw_pred = sw_pred.when(scores[lang] == best, F.lit(lang))
+    pred = sw_pred.otherwise(F.lit(langs[-1]))
+    for lang, pat in reversed(list(SCRIPTS.items())):
+        pred = F.when(_count_re(t, pat) > 0, F.lit(lang)).otherwise(pred)
     return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def lang_id_eval(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str, round_digits: int = 4
+) -> DataFrame:
+    """Per-true-language accuracy of :func:`lang_id` against a labeled
+    column: (lang, n, n_correct, accuracy). The QA loop for the
+    heuristic — one narrow scoring scan plus one small shuffle on the
+    language key."""
+    preds = lang_id(df, id_col, text_col)
+    joined = df.select(F.col(id_col), F.col(lang_col).alias("lang")).join(
+        preds, id_col
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+        pround(
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            round_digits,
+        ).alias("accuracy"),
+    )
 
 
 def bpe_ish_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

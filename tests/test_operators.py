@@ -144,6 +144,51 @@ def test_embedding_dedup_and_topk(spark):
     assert got == [(1, 1), (2, 2)]
 
 
+def test_embedding_dedup_ivf_candidates(emb):
+    """The IVF-cell candidate mode: every pair it emits must appear in
+    the exact all-pairs result with the same cosine (candidates are a
+    subset — a pair split across cells is a designed miss), and
+    same-cell pairs must ALL be found (within-cell exactness)."""
+    from margaret_spark.operators.dedup import embedding_dedup_pairs_ivf
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dedup_pairs_ivf(
+            emb, "vec_id", "embedding", threshold=0.4, nlist=8
+        ).collect()
+    }
+    assert ivf  # non-degenerate at this threshold
+    for pair, cos in ivf.items():
+        assert exact[pair] == cos
+    # within-cell exactness: recompute the cell of each id and check
+    # every exact pair that landed in one cell was emitted
+    from margaret_spark.operators.similarity import _nearest_cells
+    from margaret_spark.functions.vectors import l2_norm
+
+    cents = F.broadcast(
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("__cent"),
+            l2_norm(F.col("embedding")).alias("__centn"),
+        )
+    )
+    cell = {
+        r["id"]: r["cent_id"]
+        for r in _nearest_cells(emb, cents, "vec_id", "embedding", "id", 1, 6).collect()
+    }
+    for (a, b), _ in exact.items():
+        if cell[a] == cell[b]:
+            assert (a, b) in ivf
+
+
 def test_lsh_topk_on_real_embeddings(emb):
     queries = emb.where(F.col("vec_id") < 3)
     exact = brute_force_topk(emb, queries, k=5)
@@ -242,6 +287,22 @@ def test_lang_id_heuristic(spark, docs):
         (3, "le chien et la maison est dans les champs", "fr"),
         (4, "这是 一个 中文 文档 测试", "zh"),
         (5, "xyzzy plugh qwerty", "und"),
+        # widened table: more Latin stopword languages…
+        (6, "il cane non sono con la casa per un giorno", "it"),
+        (7, "o cachorro e um gato para a casa com ele", "pt"),
+        (8, "de hond en het huis is een dier dat niet", "nl"),
+        (9, "hunden och huset är det som en plats för dem", "sv"),
+        (10, "pies i dom to nie jest na co się do niego", "pl"),
+        (11, "bir köpek ve bu ev için ne kadar çok ama", "tr"),
+        # …and script-range detection (ja outranks zh despite kanji)
+        (12, "日本語のテキストです、漢字もある", "ja"),
+        (13, "한국어 텍스트 입니다", "ko"),
+        (14, "это русский текст для теста", "ru"),
+        (15, "αυτό είναι ελληνικό κείμενο", "el"),
+        (16, "זהו טקסט בעברית", "he"),
+        (17, "هذا نص باللغة العربية", "ar"),
+        (18, "यह हिन्दी में पाठ है", "hi"),
+        (19, "นี่คือข้อความภาษาไทย", "th"),
     ]
     df = spark.createDataFrame([(i, t) for i, t, _ in fixtures], "doc_id long, text string")
     got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df, "doc_id", "text").collect()}

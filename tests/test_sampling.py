@@ -105,6 +105,20 @@ def test_stratified_sample_quota_and_determinism(ids):
     assert again == sorted((r.grp, r.id) for r in rows)
 
 
+def test_stratified_sample_salted_identical(ids):
+    # the salted two-phase mode is a pure execution-shape change:
+    # (md5(id), id) is a total order, so every true top-k row wins its
+    # salt bucket and the phase-2 window returns exactly the unsalted
+    # answer — for any salt
+    plain = sorted((r.grp, r.id) for r in stratified_sample(ids, "grp", "id", 5).collect())
+    for s in (1, 3, 16):
+        salted = sorted(
+            (r.grp, r.id)
+            for r in stratified_sample(ids, "grp", "id", 5, salt=s).collect()
+        )
+        assert salted == plain
+
+
 def test_stratified_sample_small_stratum_kept_whole(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, "a"), (3, "b")], "id long, grp string"
