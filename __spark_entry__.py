@@ -1613,6 +1613,85 @@ def q_multimodal_image_meta(spark, sf_dir):
     return extract_image_meta(blobs, "doc_id", "blob")
 
 
+def q_multimodal_decode_png(spark, sf_dir):
+    """REAL image decode on the graded surface: each document gets an
+    actual 8-bit greyscale PNG (stdlib zlib/struct encoder) whose
+    pixel stream is the closed form (doc_id*31 + i) mod 256; the real
+    PNG decoder (operators.media_codecs.decode_png — chunk walk,
+    inflate, scanline unfilter) then recovers the pixels and the
+    statistics are aggregated JVM-side from the decoded array. The
+    oracle recomputes every statistic arithmetically from the closed
+    form — any bug in either codec direction (CRC, filtering, stride,
+    zlib framing) hash-mismatches. Both mapInPandas passes are
+    partition-preserving; the aggregation is per-row array math in
+    codegen — zero shuffles."""
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_png_blobs,
+        decode_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") % 24 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 16 + 4).cast("int").alias("h"),
+    )
+    blobs = attach_synthetic_png_blobs(docs, "doc_id", "w", "h")
+    decoded = decode_image(blobs, "doc_id", "blob")
+    px = F.col("pixels")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.size(px).cast("long").alias("n_pixels"),
+        F.aggregate(
+            px, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("px_sum"),
+        # position-weighted checksum: catches right-values-wrong-order
+        F.aggregate(
+            F.zip_with(
+                px,
+                F.sequence(F.lit(1), F.size(px)),
+                lambda x, i: x.cast("long") * i.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("px_checksum"),
+    )
+
+
+def q_multimodal_decode_wav(spark, sf_dir):
+    """REAL audio decode on the graded surface: a PCM16 WAV per
+    document (stdlib RIFF encoder), samples s[i] = ((doc_id*7 +
+    i*13) mod 4096) - 2048, decoded by the real RIFF/PCM parser and
+    aggregated JVM-side. Oracle recomputes the closed form. Zero
+    shuffles."""
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_wav_blobs,
+        decode_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("int").alias("rate"),
+        (F.col("n_chars") % 128 + 16).cast("int").alias("n"),
+    )
+    blobs = attach_synthetic_wav_blobs(docs, "doc_id", "rate", "n")
+    decoded = decode_audio(blobs, "doc_id", "blob")
+    s = F.col("samples")
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        F.size(s).cast("long").alias("n_samples"),
+        F.aggregate(
+            s, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("sample_sum"),
+        F.aggregate(
+            s, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x.cast("long"))
+        ).alias("sample_abs_sum"),
+    )
+
+
 def q_stream_events_sessions(spark, sf_dir):
     """Gap-based session windows computed BY THE STREAMING ENGINE
     (F.session_window, 30-min gap) and drained with availableNow —
@@ -1850,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_decode_wav": q_multimodal_decode_wav,
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -1976,10 +2057,7 @@ def _langid_sql() -> str:
     g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     case = ["CASE"]
     for lang, pat in SCRIPTS.items():
-        case.append(
-            f"WHEN length(text) - length(regexp_replace(text, '{pat}', '', 'g')) > 0 "
-            f"THEN '{lang}'"
-        )
+        case.append(f"WHEN regexp_matches(text, '{pat}') THEN '{lang}'")
     case.append(f"WHEN {g} <= 0 THEN 'und'")
     for lang in langs[:-1]:
         case.append(f"WHEN s_{lang} = {g} THEN '{lang}'")
@@ -2678,6 +2756,31 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(16 + least((n_chars % 512 + 16) * (doc_id % 256 + 16) * 3, "
             "4096) AS BIGINT) AS n_bytes "
             "FROM documents"
+        ),
+        # REAL codec round-trips: the blob content is the closed form
+        # pixel[i] = (doc_id*31+i) mod 256 / s[i] = ((doc_id*7+i*13)
+        # mod 4096) - 2048, so the oracle recomputes the decoded
+        # statistics arithmetically — Spark must encode AND decode the
+        # real PNG/WAV bytes correctly to match.
+        "multimodal_decode_png": (
+            "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "CAST(w * h AS BIGINT) AS n_pixels, "
+            "CAST(list_sum(list_transform(range(0, w * h), "
+            "i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS px_sum, "
+            "CAST(list_sum(list_transform(range(0, w * h), "
+            "i -> ((doc_id * 31 + i) % 256) * (i + 1))) AS BIGINT) AS px_checksum "
+            "FROM (SELECT doc_id, n_chars % 24 + 4 AS w, doc_id % 16 + 4 AS h "
+            "FROM documents)"
+        ),
+        "multimodal_decode_wav": (
+            "SELECT doc_id, CAST(rate AS INT) AS sample_rate, "
+            "CAST(1 AS INT) AS channels, CAST(n AS BIGINT) AS n_samples, "
+            "CAST(list_sum(list_transform(range(0, n), "
+            "i -> ((doc_id * 7 + i * 13) % 4096) - 2048)) AS BIGINT) AS sample_sum, "
+            "CAST(list_sum(list_transform(range(0, n), "
+            "i -> abs(((doc_id * 7 + i * 13) % 4096) - 2048))) AS BIGINT) AS sample_abs_sum "
+            "FROM (SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS rate, "
+            "n_chars % 128 + 16 AS n FROM documents)"
         ),
         # sampling: md5 is engine-identical; fixed-width lowercase-hex
         # compares in numeric order, so the row sets match exactly.

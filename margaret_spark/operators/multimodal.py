@@ -2,14 +2,17 @@
 columns with typed metadata, processed by Arrow-batched Pandas
 functions over ``mapInPandas``.
 
-The Spark-side architecture here is the real thing — schemas,
-partition-preserving mapInPandas, batch shapes — while the actual
-media codecs are STUBBED: this container ships no image/audio
-libraries, so ``decode_*`` raises NotImplementedError unless
-``fake=True``, which decodes this module's deterministic fake blob
-format instead (magic header + dimensions + seeded payload). Swapping
-in Pillow/torchaudio later changes only the body of the per-batch
-function, not the plan.
+The Spark-side architecture — schemas, partition-preserving
+mapInPandas, batch shapes — is the real thing, and so are the PNG and
+WAV codecs (stdlib zlib/struct implementations in
+``operators.media_codecs``): ``extract_*_meta``, ``decode_image``,
+``resize_image`` and ``audio_features`` handle real PNG files and
+real PCM16 WAV files end-to-end. Formats that genuinely need native
+libraries absent from this container (JPEG, video codecs) raise
+NotImplementedError unless ``fake=True``, which decodes this module's
+deterministic fake blob format instead (magic header + dimensions +
+seeded payload). Swapping in Pillow/torchaudio later changes only the
+body of the per-batch function, not the plan.
 
 Fake blob wire format (little-endian):
     bytes 0-3   magic  b"FIMG" / b"FAUD"
@@ -84,8 +87,82 @@ def attach_fake_image_blobs(
     return df.select(id_col, width_col, height_col).mapInPandas(build, out_schema)
 
 
+def attach_synthetic_png_blobs(
+    df: DataFrame, id_col: str, width_col: str, height_col: str
+) -> DataFrame:
+    """(id, blob): a REAL 8-bit greyscale PNG per row, encoded by the
+    stdlib codec, whose pixel stream is the closed form
+    ``pixel[i] = (id*31 + i) mod 256``. The ingest fixture for
+    exercising the real decode path end-to-end: an oracle can
+    recompute any statistic of the decoded pixels arithmetically,
+    so encode→decode must round-trip bit-exactly to match.
+    Partition-preserving mapInPandas, no shuffle."""
+    from margaret_spark.operators.media_codecs import encode_png
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i, w, h in zip(pdf[id_col], pdf[width_col], pdf[height_col]):
+                i, w, h = int(i), int(w), int(h)
+                px = bytes((i * 31 + j) % 256 for j in range(w * h))
+                blobs.append(encode_png(w, h, px, color_type=0))
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
+
+    return df.select(id_col, width_col, height_col).mapInPandas(build, out_schema)
+
+
+def attach_synthetic_wav_blobs(
+    df: DataFrame, id_col: str, rate_col: str, n_col: str
+) -> DataFrame:
+    """(id, blob): a REAL PCM16 WAV per row (stdlib encoder), samples
+    ``s[i] = ((id*7 + i*13) mod 4096) - 2048`` — closed-form for the
+    oracle, real RIFF bytes for the decoder. Partition-preserving
+    mapInPandas, no shuffle."""
+    from margaret_spark.operators.media_codecs import encode_wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i, r, n in zip(pdf[id_col], pdf[rate_col], pdf[n_col]):
+                i, r, n = int(i), int(r), int(n)
+                samples = [((i * 7 + j * 13) % 4096) - 2048 for j in range(n)]
+                blobs.append(encode_wav(r, samples, channels=1))
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
+
+    return df.select(id_col, rate_col, n_col).mapInPandas(build, out_schema)
+
+
 def _parse_header(blob: bytes):
-    if blob is None or len(blob) < 16:
+    """Dispatch on magic: real PNG / WAV first, then the fake formats.
+    Returns (format, a, b, channels) where (a, b) is (width, height)
+    for images and (sample_rate, n_samples) for audio."""
+    if blob is None:
+        return None
+    from margaret_spark.operators.media_codecs import png_meta, wav_meta
+
+    pm = png_meta(bytes(blob))
+    if pm is not None:
+        w, h, _depth, _ctype, ch = pm
+        return "png", w, h, (ch if ch is not None else 0)
+    wm = wav_meta(bytes(blob))
+    if wm is not None:
+        rate, n_frames, ch = wm
+        return "wav", rate, n_frames, ch
+    if len(blob) < 16:
         return None
     magic = bytes(blob[:4])
     w, h, c = struct.unpack("<III", bytes(blob[4:16]))
@@ -97,8 +174,9 @@ def extract_image_meta(
     df: DataFrame, id_col: str, blob_col: str
 ) -> DataFrame:
     """(id, format, width, height, channels, n_bytes): header parse as
-    a mapInPandas pass. Partition-preserving — no shuffle; each Arrow
-    batch is parsed in one vectorized sweep."""
+    a mapInPandas pass — real for PNG (IHDR), fake-format for FIMG.
+    Partition-preserving — no shuffle; each Arrow batch is parsed in
+    one vectorized sweep."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType())] + list(IMAGE_META_SCHEMA.fields)
     )
@@ -125,10 +203,12 @@ def decode_image(
 ) -> DataFrame:
     """(id, pixels array<int>, width, height): the decode stage.
 
-    STUB: real image decoding needs Pillow/libvips, absent here —
-    ``fake=False`` raises NotImplementedError from each batch.
-    ``fake=True`` decodes the deterministic fake format (payload bytes
-    as pixel values), keeping the Spark plumbing fully testable."""
+    REAL for PNG: the stdlib zlib/struct decoder in
+    ``operators.media_codecs`` (8-bit grey/RGB/RGBA, all five scanline
+    filters) runs regardless of ``fake``. The fake blob format decodes
+    when ``fake=True`` (payload bytes as pixel values). Anything else
+    (JPEG, …) raises NotImplementedError — those genuinely need
+    native codecs absent from this container."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -139,23 +219,37 @@ def decode_image(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from margaret_spark.operators.media_codecs import decode_png, png_meta
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires an image library not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "test decoder"
-                )
             ids, pixels, ws, hs = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[blob_col]):
-                hdr = _parse_header(b)
-                if hdr is None:
+                if b is None:
                     continue
-                _, w, h, c = hdr
-                ids.append(i)
-                pixels.append([int(x) for x in bytes(b[16:])])
-                ws.append(w)
-                hs.append(h)
+                if png_meta(bytes(b)) is not None:
+                    w, h, _ch, samples = decode_png(bytes(b))
+                    ids.append(i)
+                    pixels.append([int(x) for x in samples])
+                    ws.append(w)
+                    hs.append(h)
+                    continue
+                hdr = _parse_header(b)
+                if hdr is not None and hdr[0] == "fimg":
+                    if not fake:
+                        raise NotImplementedError(
+                            "fake-format blob: pass fake=True for the "
+                            "deterministic test decoder"
+                        )
+                    _, w, h, c = hdr
+                    ids.append(i)
+                    pixels.append([int(x) for x in bytes(b[16:])])
+                    ws.append(w)
+                    hs.append(h)
+                    continue
+                raise NotImplementedError(
+                    "only PNG (real stdlib decoder) and the fake test format "
+                    "are decodable without native image libraries"
+                )
             yield pd.DataFrame(
                 {id_col: ids, "pixels": pixels, "width": ws, "height": hs}
             )
@@ -167,9 +261,11 @@ def resize_image(
     df: DataFrame, id_col: str, blob_col: str, target_w: int, target_h: int,
     fake: bool = False,
 ) -> DataFrame:
-    """Resize stage (STUB decode; real resize = swap the batch body).
-    With ``fake=True`` it rewrites the fake header to the target
-    dimensions and truncates/pads the payload deterministically."""
+    """Resize stage. REAL for PNG: decode → nearest-neighbor sample →
+    re-encode, all stdlib (deterministic: source index =
+    ``i*src/dst`` floor-div per axis). With ``fake=True`` the fake
+    format rewrites its header to the target dimensions. Other formats
+    raise NotImplementedError."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -178,21 +274,46 @@ def resize_image(
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from margaret_spark.operators.media_codecs import (
+            decode_png,
+            encode_png,
+            png_meta,
+        )
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires an image library not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "test path"
-                )
             out = []
             for b in pdf[blob_col]:
-                hdr = _parse_header(b)
-                if hdr is None:
+                if b is None:
                     out.append(None)
                     continue
-                _, _, _, c = hdr
-                out.append(make_fake_image_blob(target_w, target_h, c))
+                if png_meta(bytes(b)) is not None:
+                    w, h, ch, samples = decode_png(bytes(b))
+                    ctype = {1: 0, 3: 2, 4: 6, 2: 4}[ch]
+                    dst = bytearray(target_w * target_h * ch)
+                    for y in range(target_h):
+                        sy = y * h // target_h
+                        for x in range(target_w):
+                            sx = x * w // target_w
+                            src_off = (sy * w + sx) * ch
+                            dst_off = (y * target_w + x) * ch
+                            dst[dst_off : dst_off + ch] = samples[
+                                src_off : src_off + ch
+                            ]
+                    out.append(encode_png(target_w, target_h, bytes(dst), ctype))
+                    continue
+                hdr = _parse_header(b)
+                if hdr is not None and hdr[0] == "fimg":
+                    if not fake:
+                        raise NotImplementedError(
+                            "fake-format blob: pass fake=True for the "
+                            "deterministic test path"
+                        )
+                    out.append(make_fake_image_blob(target_w, target_h, hdr[3]))
+                    continue
+                raise NotImplementedError(
+                    "only PNG (real stdlib resize) and the fake test format "
+                    "are resizable without native image libraries"
+                )
             yield pd.DataFrame({id_col: pdf[id_col], "blob": out})
 
     return df.select(id_col, blob_col).mapInPandas(resize, out_schema)
@@ -274,13 +395,74 @@ def extract_audio_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     return df.select(id_col, blob_col).mapInPandas(parse, out_schema)
 
 
+def decode_audio(
+    df: DataFrame, id_col: str, blob_col: str, fake: bool = False
+) -> DataFrame:
+    """(id, sample_rate, channels, samples array<int>): the audio
+    decode stage — REAL for PCM16 WAV (stdlib RIFF walk + struct
+    unpack); the fake format decodes when ``fake=True`` (payload bytes
+    centered at 128); other formats raise NotImplementedError."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("samples", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from margaret_spark.operators.media_codecs import decode_wav, wav_meta
+
+        for pdf in batches:
+            ids, rates, chans, out = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                if wav_meta(bytes(b)) is not None:
+                    rate, ch, samples = decode_wav(bytes(b))
+                    ids.append(i)
+                    rates.append(rate)
+                    chans.append(ch)
+                    out.append([int(s) for s in samples])
+                    continue
+                hdr = _parse_header(b)
+                if hdr is not None and hdr[0] == "faud":
+                    if not fake:
+                        raise NotImplementedError(
+                            "fake-format blob: pass fake=True for the "
+                            "deterministic test decoder"
+                        )
+                    _, rate, _n, ch = hdr
+                    ids.append(i)
+                    rates.append(rate)
+                    chans.append(ch)
+                    out.append([int(x) - 128 for x in bytes(b[16:])])
+                    continue
+                raise NotImplementedError(
+                    "only PCM16 WAV (real stdlib decoder) and the fake test "
+                    "format are decodable without native audio libraries"
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "sample_rate": rates,
+                    "channels": chans,
+                    "samples": out,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(decode, out_schema)
+
+
 def audio_features(
     df: DataFrame, id_col: str, blob_col: str, fake: bool = False
 ) -> DataFrame:
     """Feature-extraction stage: (id, rms double, zero_crossings int).
-    STUB decode (a real torchaudio/librosa body drops in unchanged);
-    ``fake=True`` computes the features over the fake payload bytes
-    centered at 128, so the numbers are real and deterministic."""
+    REAL for PCM16 WAV (stdlib decode, numpy features over the int16
+    samples). ``fake=True`` computes the same features over the fake
+    payload bytes centered at 128. Other formats raise
+    NotImplementedError."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -292,22 +474,43 @@ def audio_features(
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from margaret_spark.operators.media_codecs import decode_wav, wav_meta
+
+        def emit(ids, rms, zc, i, x):
+            ids.append(i)
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            zc.append(
+                int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if len(x) > 1
+                else 0
+            )
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode requires an audio library not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "test path"
-                )
             ids, rms, zc = [], [], []
             for i, b in zip(pdf[id_col], pdf[blob_col]):
-                hdr = _parse_header(b)
-                if hdr is None or hdr[0] != "faud":
+                if b is None:
                     continue
-                x = np.frombuffer(bytes(b[16:]), dtype=np.uint8).astype(np.float64) - 128.0
-                ids.append(i)
-                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
-                zc.append(int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0)
+                if wav_meta(bytes(b)) is not None:
+                    _rate, _ch, samples = decode_wav(bytes(b))
+                    emit(ids, rms, zc, i, np.asarray(samples, dtype=np.float64))
+                    continue
+                hdr = _parse_header(b)
+                if hdr is not None and hdr[0] == "faud":
+                    if not fake:
+                        raise NotImplementedError(
+                            "fake-format blob: pass fake=True for the "
+                            "deterministic test path"
+                        )
+                    x = (
+                        np.frombuffer(bytes(b[16:]), dtype=np.uint8).astype(np.float64)
+                        - 128.0
+                    )
+                    emit(ids, rms, zc, i, x)
+                    continue
+                raise NotImplementedError(
+                    "only PCM16 WAV (real stdlib decoder) and the fake test "
+                    "format are decodable without native audio libraries"
+                )
             yield pd.DataFrame({id_col: ids, "rms": rms, "zero_crossings": zc})
 
     return df.select(id_col, blob_col).mapInPandas(feats, out_schema)

@@ -173,8 +173,10 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang in langs[:-1]:
         sw_pred = sw_pred.when(scores[lang] == best, F.lit(lang))
     pred = sw_pred.otherwise(F.lit(langs[-1]))
+    # presence test via rlike, not a count: one short-circuiting regex
+    # scan per script instead of a full regexp_replace string rebuild
     for lang, pat in reversed(list(SCRIPTS.items())):
-        pred = F.when(_count_re(t, pat) > 0, F.lit(lang)).otherwise(pred)
+        pred = F.when(t.rlike(pat), F.lit(lang)).otherwise(pred)
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 

@@ -1,0 +1,185 @@
+"""Pure-python tests for the stdlib PNG/WAV codecs, plus the Spark
+real-decode paths in operators.multimodal."""
+
+import struct
+import zlib
+
+import pytest
+
+from margaret_spark.operators.media_codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    png_meta,
+    wav_meta,
+    _chunk,
+    _paeth,
+    _PNG_SIG,
+)
+
+
+def _pixels(w, h, ch, seed=7):
+    return bytes((seed * 31 + i) % 256 for i in range(w * h * ch))
+
+
+@pytest.mark.parametrize("ctype,ch", [(0, 1), (2, 3), (6, 4)])
+def test_png_roundtrip(ctype, ch):
+    w, h = 13, 9
+    px = _pixels(w, h, ch)
+    blob = encode_png(w, h, px, color_type=ctype)
+    assert png_meta(blob) == (w, h, 8, ctype, ch)
+    gw, gh, gch, out = decode_png(blob)
+    assert (gw, gh, gch) == (w, h, ch)
+    assert out == px
+
+
+def _png_with_filter(w, h, ch, ctype, px, ftype):
+    """Hand-build a PNG whose scanlines use filter ``ftype`` — the
+    encoder only emits filter 0, so the decoder's unfilter paths need
+    adversarial input built here (apply the RFC 2083 filter forward;
+    decode must invert it)."""
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y * stride : (y + 1) * stride]
+        filt = bytearray(line)
+        if ftype == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                filt[i] = (filt[i] - line[i - ch]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                filt[i] = (filt[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                filt[i] = (filt[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                filt[i] = (filt[i] - _paeth(a, prev[i], c)) & 0xFF
+        raw.append(ftype)
+        raw += filt
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_unfilter_all_types(ftype):
+    w, h, ch, ctype = 11, 6, 3, 2
+    px = _pixels(w, h, ch, seed=ftype + 3)
+    blob = _png_with_filter(w, h, ch, ctype, px, ftype)
+    gw, gh, gch, out = decode_png(blob)
+    assert (gw, gh, gch) == (w, h, ch)
+    assert out == px
+
+
+def test_png_multiple_idat_chunks():
+    w, h = 5, 4
+    px = _pixels(w, h, 1)
+    blob = encode_png(w, h, px, color_type=0)
+    # split the single IDAT into two chunks: decoders must concatenate
+    pos = 8
+    parts = {}
+    order = []
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        parts[tag] = blob[pos + 8 : pos + 8 + ln]
+        order.append(tag)
+        pos += 12 + ln
+    idat = parts[b"IDAT"]
+    rebuilt = (
+        _PNG_SIG
+        + _chunk(b"IHDR", parts[b"IHDR"])
+        + _chunk(b"IDAT", idat[: len(idat) // 2])
+        + _chunk(b"IDAT", idat[len(idat) // 2 :])
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(rebuilt)[3] == px
+
+
+def test_png_rejects_garbage():
+    assert png_meta(b"not a png") is None
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_wav_roundtrip():
+    samples = [((i * 13) % 4096) - 2048 for i in range(300)]
+    blob = encode_wav(16000, samples, channels=1)
+    assert wav_meta(blob) == (16000, 300, 1)
+    rate, ch, out = decode_wav(blob)
+    assert (rate, ch) == (16000, 1)
+    assert out == samples
+
+
+def test_wav_stereo_and_alignment():
+    # odd-length data chunk exercises RIFF word alignment
+    samples = [1, -1, 32767, -32768, 0, 5]
+    blob = encode_wav(8000, samples, channels=2)
+    assert wav_meta(blob) == (8000, 3, 2)
+    assert decode_wav(blob)[2] == samples
+    assert wav_meta(b"RIFFxxxxJUNK") is None
+
+
+def test_spark_decode_image_real_png(spark):
+    from pyspark.sql import functions as F
+
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_png_blobs,
+        decode_image,
+        extract_image_meta,
+        resize_image,
+    )
+
+    df = spark.createDataFrame([(1, 8, 5), (2, 6, 7)], "id long, w int, h int")
+    blobs = attach_synthetic_png_blobs(df, "id", "w", "h")
+    meta = {r["id"]: r for r in extract_image_meta(blobs, "id", "blob").collect()}
+    assert meta[1]["format"] == "png" and meta[1]["width"] == 8 and meta[1]["height"] == 5
+    got = {r["id"]: r for r in decode_image(blobs, "id", "blob").collect()}
+    for i, w, h in [(1, 8, 5), (2, 6, 7)]:
+        expect = [(i * 31 + j) % 256 for j in range(w * h)]
+        assert got[i]["pixels"] == expect
+        assert (got[i]["width"], got[i]["height"]) == (w, h)
+    # real resize: nearest-neighbor downsample of id=1 to 4x5
+    resized = resize_image(blobs.where(F.col("id") == 1), "id", "blob", 4, 5)
+    r = decode_image(resized, "id", "blob").collect()[0]
+    assert (r["width"], r["height"]) == (4, 5)
+    src = [(1 * 31 + j) % 256 for j in range(8 * 5)]
+    expect = [src[y * 5 // 5 * 8 + x * 8 // 4] for y in range(5) for x in range(4)]
+    assert r["pixels"] == expect
+
+
+def test_spark_decode_audio_real_wav(spark):
+    import numpy as np
+
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_wav_blobs,
+        audio_features,
+        decode_audio,
+        extract_audio_meta,
+    )
+
+    df = spark.createDataFrame([(1, 8000, 40), (2, 16000, 25)], "id long, r int, n int")
+    blobs = attach_synthetic_wav_blobs(df, "id", "r", "n")
+    meta = {r["id"]: r for r in extract_audio_meta(blobs, "id", "blob").collect()}
+    assert meta[1]["format"] == "wav"
+    assert meta[1]["sample_rate"] == 8000 and meta[1]["n_samples"] == 40
+    assert meta[2]["duration_s"] == 25 / 16000
+    got = {r["id"]: r for r in decode_audio(blobs, "id", "blob").collect()}
+    for i, rate, n in [(1, 8000, 40), (2, 16000, 25)]:
+        expect = [((i * 7 + j * 13) % 4096) - 2048 for j in range(n)]
+        assert got[i]["samples"] == expect
+        assert got[i]["sample_rate"] == rate
+    feats = {r["id"]: r for r in audio_features(blobs, "id", "blob").collect()}
+    x = np.array([((1 * 7 + j * 13) % 4096) - 2048 for j in range(40)], dtype=np.float64)
+    assert feats[1]["rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))))
