@@ -1747,24 +1747,65 @@ def q_stream_events_sessions(spark, sf_dir):
 
 def q_codec_roundtrip(spark, sf_dir):
     """The msgpack + CBOR codecs (SURVEY §2.5 ops 38/39) exercised
-    DISTRIBUTED: each document's (id, text) payload is marshalled and
-    unmarshalled by both codecs inside an Arrow-batched pandas UDF;
-    ``ok`` is the per-row equality verdict. The oracle expects every
-    row TRUE — any canonicalization or framing bug hash-mismatches."""
+    DISTRIBUTED, in both the schemaless AND the typed (schema-bound)
+    modes: each document's payload is marshalled and unmarshalled by
+    all four codecs inside an Arrow-batched pandas UDF — the typed
+    mode binds a StructType (the reference's "tipe" binding,
+    codec.go:12-31) with nested struct/array fields, CBOR in
+    struct-to-array layout. ``ok`` is the per-row equality verdict;
+    the oracle expects every row TRUE — any canonicalization, framing,
+    field-order, or coercion bug hash-mismatches."""
+    from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    from margaret_spark.codec import CborCodec, MsgpackCodec
+    from margaret_spark.codec import (
+        CborCodec,
+        MsgpackCodec,
+        TypedCborCodec,
+        TypedMsgpackCodec,
+    )
 
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("score", T.DoubleType()),
+                        T.StructField("ok", T.BooleanType()),
+                    ]
+                ),
+            ),
+        ]
+    )
     mp, cb = MsgpackCodec(), CborCodec()
+    tmp, tcb = TypedMsgpackCodec(schema), TypedCborCodec(schema)
 
     @pandas_udf("boolean")
     def rt(ids: pd.Series, texts: pd.Series) -> pd.Series:
         out = []
         for i, t in zip(ids, texts):
             v = {"id": int(i), "text": t}
-            out.append(
-                mp.unmarshal(mp.marshal(v)) == v and cb.unmarshal(cb.marshal(v)) == v
+            tv = {
+                "id": int(i),
+                "text": t,
+                "tags": [t[:3], str(int(i) % 7)],
+                "meta": {"n": len(t), "score": float(int(i)) / 8.0, "ok": int(i) % 2 == 0},
+            }
+            ok = (
+                mp.unmarshal(mp.marshal(v)) == v
+                and cb.unmarshal(cb.marshal(v)) == v
+                and tmp.unmarshal(tmp.marshal(tv)) == tv
+                and tcb.unmarshal(tcb.marshal(tv)) == tv
+                # struct-to-array really is positional: the CBOR wire
+                # value must be a 4-element array, not a map
+                and isinstance(cb.unmarshal(tcb.marshal(tv)), list)
             )
+            out.append(ok)
         return pd.Series(out)
 
     docs = _t(spark, sf_dir, "documents")

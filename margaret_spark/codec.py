@@ -26,6 +26,7 @@ import struct
 from abc import ABC, abstractmethod
 from typing import Any
 
+from pyspark.sql import types as T_mod
 from pyspark.sql.types import BinaryType, DataType, StringType
 
 
@@ -352,3 +353,167 @@ class CborCodec(Codec):
         if pos != len(stored):
             raise ValueError("cbor: trailing bytes")
         return v
+
+
+# ---------------------------------------------------------------------------
+# Typed (schema-bound) mode — the reference's "tipe" binding
+# ---------------------------------------------------------------------------
+#
+# Reference: ``codec.go:12-31`` binds each codec instance to a Go type
+# and unmarshals into typed values; the CBOR implementation encodes
+# structs in struct-to-array mode (``codec/cbor/cbor.go:19-76``), the
+# msgpack/JSON ones as maps. Here the "tipe" is a Spark ``StructType``:
+# marshal validates+projects a dict (or Row) against the schema and
+# emits the canonical wire value; unmarshal decodes and coerces each
+# field back to the schema's Python value shape, so round-trips are
+# typed both directions instead of whatever-the-wire-held.
+
+
+def _check_field(name: str, dt: T_mod.DataType, v: Any, array_mode: bool = False) -> Any:
+    """Validate/coerce a Python value against a Spark type on the way
+    IN (marshal): wrong shapes raise TypeError with the field path."""
+    if v is None:
+        return None
+    t = T_mod
+    if isinstance(dt, (t.LongType, t.IntegerType, t.ShortType, t.ByteType)):
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise TypeError(f"{name}: want int, got {type(v).__name__}")
+        return int(v)
+    if isinstance(dt, (t.DoubleType, t.FloatType)):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise TypeError(f"{name}: want float, got {type(v).__name__}")
+        return float(v)
+    if isinstance(dt, t.BooleanType):
+        if not isinstance(v, bool):
+            raise TypeError(f"{name}: want bool, got {type(v).__name__}")
+        return v
+    if isinstance(dt, t.StringType):
+        if not isinstance(v, str):
+            raise TypeError(f"{name}: want str, got {type(v).__name__}")
+        return v
+    if isinstance(dt, t.BinaryType):
+        if not isinstance(v, (bytes, bytearray)):
+            raise TypeError(f"{name}: want bytes, got {type(v).__name__}")
+        return bytes(v)
+    if isinstance(dt, t.ArrayType):
+        if not isinstance(v, (list, tuple)):
+            raise TypeError(f"{name}: want list, got {type(v).__name__}")
+        return [
+            _check_field(f"{name}[{i}]", dt.elementType, x, array_mode)
+            for i, x in enumerate(v)
+        ]
+    if isinstance(dt, t.MapType):
+        if not isinstance(v, dict):
+            raise TypeError(f"{name}: want dict, got {type(v).__name__}")
+        return {
+            _check_field(f"{name}.key", dt.keyType, k, array_mode): _check_field(
+                f"{name}[{k!r}]", dt.valueType, x, array_mode
+            )
+            for k, x in v.items()
+        }
+    if isinstance(dt, t.StructType):
+        # nested structs inherit the codec's layout (struct-to-array
+        # is recursive in the reference)
+        return _struct_to_wire(v, dt, array_mode=array_mode, path=name)
+    raise TypeError(f"{name}: unsupported Spark type {dt.simpleString()}")
+
+
+def _coerce_field(dt: T_mod.DataType, v: Any) -> Any:
+    """Coerce a decoded wire value back to the schema's Python shape
+    on the way OUT (unmarshal) — e.g. an int wire value in a double
+    field becomes float, CBOR's bytes-vs-str split is normalized."""
+    if v is None:
+        return None
+    t = T_mod
+    if isinstance(dt, (t.LongType, t.IntegerType, t.ShortType, t.ByteType)):
+        return int(v)
+    if isinstance(dt, (t.DoubleType, t.FloatType)):
+        return float(v)
+    if isinstance(dt, t.StringType):
+        return v if isinstance(v, str) else bytes(v).decode("utf-8")
+    if isinstance(dt, t.BinaryType):
+        return bytes(v) if not isinstance(v, str) else v.encode("utf-8")
+    if isinstance(dt, t.ArrayType):
+        return [_coerce_field(dt.elementType, x) for x in v]
+    if isinstance(dt, t.MapType):
+        return {
+            _coerce_field(dt.keyType, k): _coerce_field(dt.valueType, x)
+            for k, x in v.items()
+        }
+    if isinstance(dt, t.StructType):
+        return _wire_to_struct(v, dt, array_mode=isinstance(v, (list, tuple)))
+    return v
+
+
+def _struct_to_wire(
+    value: Any, schema: "T_mod.StructType", array_mode: bool, path: str = ""
+):
+    if hasattr(value, "asDict"):  # pyspark Row
+        value = value.asDict(recursive=False)
+    if not isinstance(value, dict):
+        raise TypeError(f"{path or 'value'}: want dict/Row, got {type(value).__name__}")
+    extra = set(value) - {f.name for f in schema.fields}
+    if extra:
+        raise TypeError(f"{path or 'value'}: fields not in schema: {sorted(extra)}")
+    checked = {
+        f.name: _check_field(f"{path}.{f.name}" if path else f.name, f.dataType,
+                             value.get(f.name), array_mode)
+        for f in schema.fields
+    }
+    if array_mode:  # struct-to-array: schema field order IS the layout
+        return [checked[f.name] for f in schema.fields]
+    return checked
+
+
+def _wire_to_struct(wire: Any, schema: "T_mod.StructType", array_mode: bool):
+    if array_mode:
+        if not isinstance(wire, (list, tuple)) or len(wire) != len(schema.fields):
+            raise ValueError(
+                f"typed decode: want {len(schema.fields)}-element array, got {wire!r}"
+            )
+        return {
+            f.name: _coerce_field(f.dataType, v)
+            for f, v in zip(schema.fields, wire)
+        }
+    if not isinstance(wire, dict):
+        raise ValueError(f"typed decode: want map, got {type(wire).__name__}")
+    return {f.name: _coerce_field(f.dataType, wire.get(f.name)) for f in schema.fields}
+
+
+class TypedMsgpackCodec(Codec):
+    """Schema-bound canonical msgpack: structs as sorted-key maps,
+    every field validated against the bound ``StructType`` on marshal
+    and coerced back to it on unmarshal (the reference's typed-codec
+    binding, ``codec.go:12-31`` + ``codec/msgpack/msgpack.go:20-76``)."""
+
+    storage_type = BinaryType()
+
+    def __init__(self, schema: "T_mod.StructType"):
+        self.schema = schema
+        self._inner = MsgpackCodec()
+
+    def marshal(self, value: Any) -> bytes:
+        return self._inner.marshal(_struct_to_wire(value, self.schema, array_mode=False))
+
+    def unmarshal(self, stored) -> Any:
+        return _wire_to_struct(self._inner.unmarshal(stored), self.schema, array_mode=False)
+
+
+class TypedCborCodec(Codec):
+    """Schema-bound CBOR in struct-to-array mode: the top-level (and
+    any nested) struct is encoded as a CBOR array in schema field
+    order — the reference's space-saving layout
+    (``codec/cbor/cbor.go:19-76``) — and decoded back into a typed
+    dict by position."""
+
+    storage_type = BinaryType()
+
+    def __init__(self, schema: "T_mod.StructType"):
+        self.schema = schema
+        self._inner = CborCodec()
+
+    def marshal(self, value: Any) -> bytes:
+        return self._inner.marshal(_struct_to_wire(value, self.schema, array_mode=True))
+
+    def unmarshal(self, stored) -> Any:
+        return _wire_to_struct(self._inner.unmarshal(stored), self.schema, array_mode=True)

@@ -66,6 +66,77 @@ def test_nan_roundtrip():
         assert math.isnan(c.unmarshal(c.marshal(float("nan"))))
 
 
+def _typed_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("raw", T.BinaryType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField(
+                "inner",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("ok", T.BooleanType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+_TYPED_VALUE = {
+    "id": 7,
+    "name": "héllo",
+    "score": 2.5,
+    "raw": b"\x00\xff",
+    "tags": ["a", "b"],
+    "inner": {"n": 3, "ok": True},
+}
+
+
+def test_typed_codecs_roundtrip():
+    from margaret_spark.codec import TypedCborCodec, TypedMsgpackCodec
+
+    schema = _typed_schema()
+    for cls in (TypedMsgpackCodec, TypedCborCodec):
+        c = cls(schema)
+        assert c.unmarshal(c.marshal(_TYPED_VALUE)) == _TYPED_VALUE
+        # missing fields decode as None, int widens to float per schema
+        partial = {"id": 1, "score": 3}  # int into a double field
+        got = c.unmarshal(c.marshal(partial))
+        assert got["score"] == 3.0 and isinstance(got["score"], float)
+        assert got["name"] is None and got["inner"] is None
+
+
+def test_typed_cbor_is_struct_to_array():
+    # reference codec/cbor/cbor.go:19-76: structs encode positionally
+    from margaret_spark.codec import CborCodec, TypedCborCodec
+
+    schema = _typed_schema()
+    wire = CborCodec().unmarshal(TypedCborCodec(schema).marshal(_TYPED_VALUE))
+    assert isinstance(wire, list) and len(wire) == 6
+    assert wire[0] == 7 and wire[5] == [3, True]  # nested struct also array
+
+
+def test_typed_codec_rejects_wrong_shapes():
+    from margaret_spark.codec import TypedMsgpackCodec
+
+    c = TypedMsgpackCodec(_typed_schema())
+    with pytest.raises(TypeError):
+        c.marshal({"id": "not an int"})
+    with pytest.raises(TypeError):
+        c.marshal({"unknown_field": 1})
+    with pytest.raises(TypeError):
+        c.marshal({"tags": "not a list"})
+    with pytest.raises(TypeError):
+        c.marshal({"id": True})  # bool is not an int here
+
+
 @pytest.mark.parametrize("codec", ["json", "msgpack", "cbor"])
 def test_codec_log_end_to_end(spark, tmp_path, codec):
     # offset2/test/test.go:21-25: one registered log flavor per codec.
