@@ -97,7 +97,14 @@ def _resolve_max_df(df: DataFrame, max_df: int | float | str | None) -> int | No
       O(df²) posting buckets; the floor of 100 keeps small/clean
       corpora (like the synthetic test tables) uncapped, where every
       shingle is informative.
-    """
+
+    The relative modes run one ``df.count()`` — a metadata-only job on
+    a Parquet-backed corpus (footer row counts, no data read), and far
+    cheaper than resolving the cap inside the plan: the plan-side
+    broadcast-aggregate alternative serializes an extra AQE stage onto
+    the critical path (measured ~1 s at sf0.1; the count is ~50 ms).
+    Callers with an expensive derived input should pass an absolute
+    int."""
     if max_df is None or isinstance(max_df, int):
         return max_df
     n_docs = df.count()
@@ -106,27 +113,6 @@ def _resolve_max_df(df: DataFrame, max_df: int | float | str | None) -> int | No
     if isinstance(max_df, float) and 0.0 < max_df < 1.0:
         return max(1, int(max_df * n_docs))
     raise ValueError(f"max_df must be int, float in (0,1), 'auto', or None: {max_df!r}")
-
-
-def _cap_df(arrays: DataFrame, max_df: int | float | str) -> DataFrame:
-    """The document-frequency cap as a broadcastable 1-ROW DataFrame
-    (column ``__cap``), resolved inside the plan — the relative modes
-    ("auto", corpus fraction) need the corpus size, and computing it as
-    a plan-side aggregate over the (checkpointed) per-doc arrays keeps
-    the whole capped pipeline a single action: no driver count job.
-    See :func:`_resolve_max_df` for the mode semantics."""
-    n = F.count(F.lit(1))
-    if isinstance(max_df, bool) or max_df is None:
-        raise ValueError(f"max_df must be int, float in (0,1), or 'auto': {max_df!r}")
-    if isinstance(max_df, int):
-        expr = F.lit(max_df).cast("long")
-    elif max_df == "auto":
-        expr = F.greatest(F.lit(100), F.floor(n / 2)).cast("long")
-    elif isinstance(max_df, float) and 0.0 < max_df < 1.0:
-        expr = F.greatest(F.lit(1), F.floor(n * max_df)).cast("long")
-    else:
-        raise ValueError(f"max_df must be int, float in (0,1), or 'auto': {max_df!r}")
-    return arrays.agg(expr.alias("__cap"))
 
 
 def _stop_shingles(inv: DataFrame, max_df: int) -> DataFrame:
@@ -171,6 +157,7 @@ def ngram_jaccard_pairs(
         if mode == "char"
         else word_shingles(F.col(text_col), n=n)
     )
+    max_df = _resolve_max_df(df, max_df)
     if max_df is None:
         # one-step select+explode: keeps the shingle expression a single
         # Generate input (no intermediate array column for the optimizer
@@ -183,9 +170,7 @@ def ngram_jaccard_pairs(
         # the stop-list count, the filtered index, and the set sizes
         # all derive from cheap re-explodes of the materialized arrays
         # instead of re-running the shingling (which would otherwise be
-        # evaluated three times). The relative caps ("auto" / corpus
-        # fraction) are resolved INSIDE the plan as a broadcast 1-row
-        # aggregate — no driver-side count job, no extra action.
+        # evaluated three times).
         arrays = (
             df.repartition(
                 df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
@@ -198,14 +183,7 @@ def ngram_jaccard_pairs(
         # shingle never materializes its posting list anywhere — rows
         # are dropped by the broadcast anti-join BEFORE collect_list
         counts = inv.groupBy("shingle").agg(F.count("*").alias("__df"))
-        if isinstance(max_df, int) and not isinstance(max_df, bool):
-            stop = counts.where(F.col("__df") > max_df).select("shingle")
-        else:
-            stop = (
-                counts.join(F.broadcast(_cap_df(arrays, max_df)),
-                            F.col("__df") > F.col("__cap"))
-                .select("shingle")
-            )
+        stop = counts.where(F.col("__df") > max_df).select("shingle")
         inv = inv.join(F.broadcast(stop), "shingle", "left_anti")
         sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
     groups = inv.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("__ids"))
@@ -554,15 +532,21 @@ def dedup_clusters(
     per duplicate group" step downstream of any pair generator.
 
     Min-label propagation WITH pointer jumping: each round every node
-    takes (a) the min of its own and its neighbors' labels, then (b)
-    its label's label (path compression — the classic doubling step).
-    The jump halves the remaining distance to the component minimum,
-    so convergence is O(log diameter) rounds instead of O(diameter);
-    each round is still ONE job (the convergence probe materializes
-    the lazily-checkpointed round plan, and the pointer-jump self-join
-    reuses that same checkpointed RDD for both sides).
-    ``localCheckpoint`` also truncates lineage so plans don't grow
-    across iterations (a real failure mode at scale).
+    takes (a) the min of its own and its neighbors' labels; if any
+    label changed, (b) its label's label (path compression — the
+    classic doubling step) before the next round. The jump halves the
+    remaining distance to the component minimum, so convergence is
+    O(log diameter) rounds instead of O(diameter).
+
+    The convergence probe runs BETWEEN (a) and (b): near-dup graphs
+    (cliques/stars) converge at initialization, so the common final
+    round is just the neighbor-min aggregation — the jump self-join is
+    only paid in rounds that actually made progress. Correctness of
+    the early exit: edges carry both orientations, so "no label
+    decreased in a neighbor-min round" means label(u) == label(v) on
+    every edge — labels are component-constant, i.e. the fixpoint.
+    ``localCheckpoint`` truncates lineage so plans don't grow across
+    iterations (a real failure mode at scale).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -608,6 +592,15 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=False)
         )
+        changed = (
+            stepped.where(F.col("__mid") < F.col("__old")).limit(1).count()
+        )
+        if changed == 0:
+            return (
+                stepped.select("node", F.col("__mid").alias("cluster_id"))
+                .unionByName(singletons)
+                .select(F.col("node").alias(id_col), "cluster_id")
+            )
         # pointer jump: label := label(label). A label is always the id
         # of a reachable edge-node, so it has a row in `stepped`; the
         # self-join reads the SAME checkpointed RDD for both sides —
@@ -616,21 +609,11 @@ def dedup_clusters(
             F.col("node").alias("__pn"), F.col("__mid").alias("__pl")
         )
         jumped = F.least(F.col("__mid"), F.coalesce(F.col("__pl"), F.col("__mid")))
-        updated = (
+        labels = (
             stepped.join(parent, F.col("__mid") == F.col("__pn"), "left")
-            .select(
-                "node",
-                jumped.alias("cluster_id"),
-                (jumped < F.col("__old")).alias("__chg"),
-            )
+            .select("node", jumped.alias("cluster_id"))
             .localCheckpoint(eager=False)
         )
-        changed = updated.where(F.col("__chg")).limit(1).count()
-        labels = updated.drop("__chg")
-        if changed == 0:
-            return labels.unionByName(singletons).select(
-                F.col("node").alias(id_col), "cluster_id"
-            )
 
 
 def embedding_dedup_pairs(
