@@ -1306,6 +1306,31 @@ def q_text_topterms(spark, sf_dir):
     return top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=50)
 
 
+def q_search_bm25(spark, sf_dir):
+    """Inverted-index BM25 keyword retrieval (operators.search): one
+    tokenize pass, tf and doc-length on the same id-keyed exchange,
+    broadcast per-term idf weights, TakeOrdered top-k (no corpus-wide
+    window). Rational idf mode — every score is integer-derived
+    rational arithmetic with DECIMAL-summed terms, so the oracle
+    reproduces scores bit-for-bit (the classic ln idf is in the
+    library; cross-engine ln differs in the last ulp so it is not on
+    the hash-exact surface)."""
+    from margaret_spark.operators.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, "doc_id", "text", "spark table hash scan", k=10)
+
+
+def q_search_tfidf(spark, sf_dir):
+    """Sparse TF-IDF vectors over the corpus top-50 vocabulary
+    (operators.search.tf_idf_vectors): (doc_id, token, weight) with
+    ln-free idf — oracle-exact."""
+    from margaret_spark.operators.search import tf_idf_vectors
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_vectors(docs, "doc_id", "text", vocab_size=50)
+
+
 def q_corpus_curation(spark, sf_dir):
     """The end-to-end curation pipeline: quality bar + canonical
     near-dup representative per cluster (operators.pipeline)."""
@@ -1963,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "text_stats": q_text_stats,
         "text_topterms": q_text_topterms,
+        "search_bm25": q_search_bm25,
+        "search_tfidf": q_search_tfidf,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_langid_eval": q_text_langid_eval,
@@ -2085,6 +2112,58 @@ def _quality_sql() -> str:
         "length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS n_punct, "
         "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits "
         "FROM documents)"
+    )
+
+
+def _bm25_sql(
+    query: str = "spark table hash scan",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """BM25 oracle mirroring operators.search.bm25_search in rational
+    idf mode — the identical expression tree (same literal constants
+    via repr round-trip, same DECIMAL term summation, same tie order),
+    with corpus stats computed in-SQL exactly as the Spark side's
+    driver collect (CAST(sum AS DOUBLE)/count is the same IEEE
+    division as Python float(total)/float(n))."""
+    terms = ",".join(f"'{t}'" for t in sorted(set(query.lower().split())))
+    k1p1, omb = repr(k1 + 1.0), repr(1.0 - b)
+    ts = _pr(
+        f"((CAST(s.n AS DOUBLE) + 1.0) / (w.df + 0.5)) * "
+        f"((m.tf * {k1p1}) / (m.tf + {k1!r} * ({omb} + {b!r} * (dl.dl / s.avgdl))))"
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents), "
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token), "
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), "
+        "s AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
+        f"m AS (SELECT * FROM tf WHERE token IN ({terms})), "
+        "w AS (SELECT token, count(*) AS df FROM m GROUP BY token), "
+        f"scored AS (SELECT m.doc_id, {ts} AS ts "
+        "FROM m JOIN w ON m.token = w.token JOIN dl ON m.doc_id = dl.doc_id CROSS JOIN s), "
+        "agg AS (SELECT doc_id, CAST(SUM(CAST(ts AS DECIMAL(38,6))) AS DOUBLE) AS score, "
+        "count(*) AS n_terms FROM scored GROUP BY doc_id) "
+        "SELECT doc_id, score, n_terms, rank FROM ("
+        "SELECT doc_id, score, n_terms, CAST(row_number() OVER "
+        "(ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM agg) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def _tfidf_sql(vocab_size: int = 50) -> str:
+    w = _pr(
+        "(tf.tf / dl.dl) * ((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0)"
+        " / (v.df + 0.5))"
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents), "
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token), "
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), "
+        "v AS (SELECT token, df FROM (SELECT token, count(*) AS df FROM tf "
+        f"GROUP BY token ORDER BY df DESC, token ASC LIMIT {vocab_size})) "
+        f"SELECT tf.doc_id, tf.token, {w} AS weight "
+        "FROM tf JOIN v ON tf.token = v.token JOIN dl ON tf.doc_id = dl.doc_id"
     )
 
 
@@ -2744,6 +2823,8 @@ def _oracle_sql_base() -> dict[str, str]:
             "GROUP BY doc_id, tok"
             ") GROUP BY token) ORDER BY doc_freq DESC, token ASC LIMIT 50"
         ),
+        "search_bm25": _bm25_sql(),
+        "search_tfidf": _tfidf_sql(),
         "text_stats": (
             f"SELECT doc_id, length(text) AS n_chars, len({_WORDS}) AS n_tokens, "
             + _pr(

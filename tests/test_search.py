@@ -1,0 +1,106 @@
+"""BM25 / TF-IDF retrieval: scored against a pure-python reference
+model on a small fixture, plus shape/determinism checks on the real
+corpus."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from margaret_spark.operators.search import bm25_search, tf_idf_vectors
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+DOCS = [
+    (0, "spark shuffles data between stages"),
+    (1, "spark spark spark tuning guide"),
+    (2, "a totally unrelated cooking recipe"),
+    (3, "data pipelines move data between systems and stages"),
+    (4, "tiny doc"),
+]
+
+
+def _ref_bm25(query, k1=1.2, b=0.75, idf_mode="ln"):
+    toks = {i: t.lower().split() for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = float(sum(len(v) for v in toks.values())) / float(n)
+    qterms = sorted(set(query.lower().split()))
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v)
+        for t in qterms
+        if any(t in v for v in toks.values())
+    }
+    scores = {}
+    for i, v in toks.items():
+        s = 0.0
+        nt = 0
+        for t in qterms:
+            tf = v.count(t)
+            if tf == 0 or t not in dfreq:
+                continue
+            df = dfreq[t]
+            if idf_mode == "ln":
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            else:
+                idf = (n + 1.0) / (df + 0.5)
+            raw = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (len(v) / avgdl)))
+            s += math.floor(raw * 1e6 + 0.5) / 1e6
+            nt += 1
+        if nt:
+            scores[i] = (round(s, 6), nt)
+    return scores
+
+
+@pytest.mark.parametrize("idf_mode", ["ln", "rational"])
+def test_bm25_matches_reference(spark, idf_mode):
+    df = spark.createDataFrame(DOCS, "id long, text string")
+    got = {
+        r["id"]: (round(r["score"], 6), r["n_terms"])
+        for r in bm25_search(
+            df, "id", "text", "spark data stages", k=10, idf=idf_mode
+        ).collect()
+    }
+    ref = _ref_bm25("spark data stages", idf_mode=idf_mode)
+    assert set(got) == set(ref)
+    for i in got:
+        assert got[i][1] == ref[i][1]
+        assert got[i][0] == pytest.approx(ref[i][0], abs=2e-6)
+
+
+def test_bm25_ranking_properties(spark):
+    df = spark.createDataFrame(DOCS, "id long, text string")
+    rows = bm25_search(df, "id", "text", "spark", k=3).collect()
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks) and ranks[0] == 1
+    # doc 1 repeats "spark" 3x and is short — it must outrank doc 0
+    by_rank = [r["id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert by_rank[0] == 1
+    with pytest.raises(ValueError):
+        bm25_search(df, "id", "text", "   ")
+    with pytest.raises(ValueError):
+        bm25_search(df, "id", "text", "spark", idf="bogus")
+
+
+def test_bm25_topk_limit(docs):
+    out = bm25_search(docs, "doc_id", "text", "table hash", k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+def test_tfidf_vectors(spark):
+    df = spark.createDataFrame(DOCS, "id long, text string")
+    rows = tf_idf_vectors(df, "id", "text", vocab_size=3).collect()
+    vocab = {r["token"] for r in rows}
+    assert len(vocab) <= 3
+    # "spark" (df=2) and "data" (df=2) are top tokens with ties on name
+    assert "data" in vocab and "spark" in vocab
+    # weight for doc 1's "spark": tf=3, dl=5, df=2, n=5
+    w = {(r["id"], r["token"]): r["weight"] for r in rows}
+    expect = (3 / 5) * ((5 + 1.0) / (2 + 0.5))
+    assert w[(1, "spark")] == pytest.approx(math.floor(expect * 1e6 + 0.5) / 1e6)
