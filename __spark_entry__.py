@@ -1306,6 +1306,34 @@ def q_text_topterms(spark, sf_dir):
     return top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=50)
 
 
+def q_sample_token_budget(spark, sf_dir):
+    """Corpus mixing by token budget (operators.sampling.
+    token_budget_sample): within each source, the deterministic
+    (md5-ordered) prefix of documents whose cumulative token count
+    stays inside a 1500-token budget. Exact integer window arithmetic
+    — the oracle reproduces the kept rows and the running totals
+    bit-for-bit. One shuffle on the source key."""
+    from margaret_spark.operators.sampling import token_budget_sample
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    base = docs.select("doc_id", "source").join(toks, "doc_id")
+    return token_budget_sample(base, "source", "doc_id", "n_tokens", budget=1500)
+
+
+def q_fuzzy_part_names(spark, sf_dir):
+    """Blocked edit-distance record linkage (operators.dedup.
+    fuzzy_pairs) over part names: candidates share (first char,
+    length//4), verified with levenshtein ≤ 2 inside the join
+    condition. The oracle mirrors the blocking exactly (the
+    candidates+verify contract, like MinHash banding)."""
+    from margaret_spark.operators.dedup import fuzzy_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_pairs(part, "p_partkey", "p_name", max_dist=2, len_bucket=4)
+
+
 def q_search_bm25(spark, sf_dir):
     """Inverted-index BM25 keyword retrieval (operators.search): one
     tokenize pass, tf and doc-length on the same id-keyed exchange,
@@ -1990,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topterms": q_text_topterms,
         "search_bm25": q_search_bm25,
         "search_tfidf": q_search_tfidf,
+        "sample_token_budget": q_sample_token_budget,
+        "fuzzy_part_names": q_fuzzy_part_names,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_langid_eval": q_text_langid_eval,
@@ -2825,6 +2855,26 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "search_bm25": _bm25_sql(),
         "search_tfidf": _tfidf_sql(),
+        "sample_token_budget": (
+            f"WITH toks AS (SELECT doc_id, source, len({_WORDS}) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM toks) "
+            "SELECT doc_id, source, n_tokens, cum_tokens FROM c "
+            "WHERE cum_tokens - n_tokens < 1500"
+        ),
+        "fuzzy_part_names": (
+            "WITH p AS (SELECT p_partkey, p_name, "
+            "lower(substr(p_name, 1, 1)) AS c, "
+            "CAST(length(p_name) // 4 AS BIGINT) AS b FROM part) "
+            "SELECT a.p_partkey AS id_a, x.p_partkey AS id_b, "
+            "CAST(levenshtein(a.p_name, x.p_name) AS INT) AS dist "
+            "FROM p a JOIN p x ON a.c = x.c AND a.b = x.b "
+            "AND a.p_partkey < x.p_partkey "
+            "AND levenshtein(a.p_name, x.p_name) <= 2"
+        ),
         "text_stats": (
             f"SELECT doc_id, length(text) AS n_chars, len({_WORDS}) AS n_tokens, "
             + _pr(

@@ -666,6 +666,65 @@ def embedding_dedup_pairs(
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    len_bucket: int = 4,
+) -> DataFrame:
+    """Blocked edit-distance pairs (record linkage): (id_a < id_b,
+    dist) with ``levenshtein ≤ max_dist`` among candidates sharing a
+    block key of (lowercased first character, length // len_bucket).
+
+    This is the candidates+verify pattern (same contract as MinHash
+    banding or IVF-cell embedding dedup): blocking bounds the
+    candidate set — the join is an equi-join on the block key, never a
+    cross join — at the cost of missing pairs whose first character or
+    length bucket differ. The verification (the levenshtein in the
+    join condition, evaluated inside the join operator) is exact, so
+    no false positives survive. A lossless blocking for edit distance
+    (PassJoin-style segment signatures) would slot into the same
+    shape; first-char+length is the cheap default that matches how
+    dirty-data linkage is usually blocked (on a stable leading field).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be non-negative: {max_dist}")
+    blocked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.struct(
+            F.lower(F.substring(F.col(text_col), 1, 1)).alias("c"),
+            F.floor(F.length(F.col(text_col)) / F.lit(len_bucket)).alias("b"),
+        ).alias("__blk"),
+    ).localCheckpoint(eager=False)
+    a = blocked.select(
+        F.col("id").alias("id_a"), F.col("t").alias("__ta"), F.col("__blk").alias("__blka")
+    )
+    b = blocked.select(
+        F.col("id").alias("id_b"), F.col("t").alias("__tb"), F.col("__blk").alias("__blkb")
+    )
+    # the distance check lives INSIDE the join condition: candidates
+    # are enumerated and discarded in the join operator, so only true
+    # matches ever reach downstream. (Distinct alias names per side —
+    # same-name columns of a self-join can silently resolve to one
+    # side, turning the block equality trivially true.)
+    return (
+        a.hint("merge")
+        .join(
+            b.hint("merge"),
+            (F.col("__blka") == F.col("__blkb"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.levenshtein(F.col("__ta"), F.col("__tb")) <= max_dist),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__ta"), F.col("__tb")).cast("int").alias("dist"),
+        )
+    )
+
+
 def embedding_dedup_pairs_ivf(
     df: DataFrame,
     id_col: str,

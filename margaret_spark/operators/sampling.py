@@ -114,6 +114,53 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
     return df.where(_hash_hex(F.col(id_col)) < thr)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Corpus mixing by token budget: within each stratum (source),
+    documents are ordered deterministically by (md5(id), id) and the
+    prefix whose cumulative token count stays inside ``budget`` is
+    kept — a document survives iff the tokens before it total under
+    the budget (so the budget may be exceeded by at most one
+    document, never undershot while docs remain). This is the "mix
+    sources to a target token distribution" step of training-data
+    assembly: callers pass per-source budgets by filtering or by
+    scaling ``budget`` per stratum upstream.
+
+    Output: (id, stratum, tokens, cum_tokens) for kept rows. Exact
+    integer arithmetic end-to-end — the oracle reproduces the row set
+    and the cumulative sums bit-for-bit.
+
+    Scale shape: ONE shuffle on the stratum key; the cumulative sum is
+    a within-stratum window, so a hot stratum is one skewed window
+    partition (a prefix sum needs its stratum's total order — it
+    cannot be salted like a top-k quota). For heavily skewed strata,
+    pre-cap with :func:`hash_sample` (deterministic, so the budget
+    scan's universe stays reproducible)."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative: {budget}")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w).cast("long")
+    return (
+        df.withColumn("__cum", cum)
+        .where(F.col("__cum") - F.col(tokens_col) < budget)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.col(tokens_col),
+            F.col("__cum").alias("cum_tokens"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, id_col: str, k: int, salt: int | None = None
 ) -> DataFrame:

@@ -358,6 +358,26 @@ def test_multimodal_plumbing(spark):
     assert len(frames) == 3 + 1  # channels double as frame count in the fake
 
 
+def test_fuzzy_pairs(spark):
+    from margaret_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (0, "red widget"),
+        (1, "red widgets"),   # dist 1, same block (r, 10//4==11//4? 2 vs 2) ✓
+        (2, "red wadget"),    # dist 1 to 0
+        (3, "blue widget"),   # different first char: never a candidate
+        (4, "red bolt"),      # same first char, len 8 -> bucket 2: candidate, dist > 2
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           fuzzy_pairs(df, "id", "name", max_dist=2).collect()}
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 2}
+    # verification is exact: no candidate with dist > max_dist survives
+    loose = fuzzy_pairs(df, "id", "name", max_dist=9).collect()
+    assert all(r["dist"] <= 9 for r in loose)
+    assert (0, 4) in {(r["id_a"], r["id_b"]) for r in loose}  # same block, caught at 9
+
+
 def test_dedup_clusters(spark):
     from margaret_spark.operators.dedup import dedup_clusters
 

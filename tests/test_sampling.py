@@ -127,6 +127,34 @@ def test_stratified_sample_small_stratum_kept_whole(spark):
     assert len(rows) == 3
 
 
+def test_token_budget_sample(spark):
+    from margaret_spark.operators.sampling import token_budget_sample
+    import hashlib
+
+    rows = [(i, "a" if i < 20 else "b", 10 + i % 5) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, src string, toks long")
+    out = token_budget_sample(df, "src", "id", "toks", budget=50).collect()
+    # python reference: same md5 order, same keep rule
+    by_src = {}
+    for i, s, t in rows:
+        by_src.setdefault(s, []).append((hashlib.md5(str(i).encode()).hexdigest(), i, t))
+    expect = {}
+    for s, lst in by_src.items():
+        cum = 0
+        for _h, i, t in sorted(lst):
+            if cum < 50:
+                expect[(i, s)] = (t, cum + t)
+            cum += t
+    got = {(r["id"], r["src"]): (r["toks"], r["cum_tokens"]) for r in out}
+    assert got == expect
+    # budget exceeded by at most one doc per stratum
+    for s in ("a", "b"):
+        tot = sum(t for (i, x), (t, _c) in got.items() if x == s)
+        assert tot < 50 + 15  # 50 + max doc size
+    with pytest.raises(ValueError):
+        token_budget_sample(df, "src", "id", "toks", budget=-1)
+
+
 def test_weighted_sample_extremes_and_rate(spark):
     df = spark.range(1000).select(
         F.col("id"),
