@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from margaret_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
 from margaret_spark.operators.packing import pack_sequences
 from margaret_spark.operators.sampling import train_test_split
-from margaret_spark.operators.text import quality_score, token_stats
+from margaret_spark.operators.text import quality_score
 
 
 def curate_corpus(
@@ -29,35 +29,42 @@ def curate_corpus(
     mode: str = "word",
     n: int = 3,
     max_df: int | float | str | None = "auto",
+    include_tokens: bool = False,
 ) -> DataFrame:
-    """(id, quality, cluster_id, keep): keep a document iff it meets
-    the quality bar AND it is its duplicate-cluster's canonical
-    representative (the smallest id in the component — singletons
-    represent themselves).
+    """(id, quality, cluster_id, keep[, n_tokens]): keep a document
+    iff it meets the quality bar AND it is its duplicate-cluster's
+    canonical representative (the smallest id in the component —
+    singletons represent themselves).
 
     ``max_df`` defaults to ``"auto"`` (see dedup._resolve_max_df): a
     shingle in over half the corpus carries no near-dup signal but
     creates the largest O(df²) posting buckets — an uncapped pipeline
     is a scale-killer on web corpora, so the opinionated composition
-    caps by default. Pass ``None`` to disable."""
+    caps by default. Pass ``None`` to disable.
+
+    ``include_tokens=True`` adds ``n_tokens`` from the SAME tokenize
+    pass that scores quality — downstream consumers (packing) then
+    skip a second full tokenize over the corpus."""
     pairs = ngram_jaccard_pairs(
         df, id_col, text_col, threshold=jaccard_threshold, mode=mode, n=n,
         max_df=max_df,
     )
     clusters = dedup_clusters(df, pairs, id_col)
-    quality = quality_score(df, id_col, text_col)
-    return (
-        quality.join(clusters, id_col)
-        .select(
-            id_col,
-            "quality",
-            "cluster_id",
-            (
-                (F.col("quality") >= min_quality)
-                & (F.col(id_col) == F.col("cluster_id"))
-            ).alias("keep"),
-        )
-    )
+    # include_tokens rides the quality projection (one tokenize pass
+    # serves both the score and the downstream packing)
+    quality = quality_score(df, id_col, text_col, include_tokens=include_tokens)
+    cols = [
+        F.col(id_col),
+        F.col("quality"),
+        F.col("cluster_id"),
+        (
+            (F.col("quality") >= min_quality)
+            & (F.col(id_col) == F.col("cluster_id"))
+        ).alias("keep"),
+    ]
+    if include_tokens:
+        cols.append(F.col("n_tokens"))
+    return quality.join(clusters, id_col).select(*cols)
 
 
 def training_pipeline(
@@ -83,23 +90,24 @@ def training_pipeline(
     Scale shape: curation is the §curate_corpus plan; the split is a
     narrow projection; packing range-partitions only the train
     keepers (a fraction of the corpus) for the two-pass prefix sum."""
-    # materialize the keep-set once: it is reused by the token pass,
-    # the split, and (through the prefix sum's driver-side totals
-    # collection) the packing — without the checkpoint the whole
-    # curation pipeline would re-run for each consumer
-    curated_ids = (
+    # materialize the keep-set once (WITH its token counts — computed
+    # in the same projection as the quality score, so the corpus is
+    # tokenized once, not once for curation and again for packing): it
+    # is reused by the split and, through the prefix sum's driver-side
+    # totals collection, the packing — without the checkpoint the
+    # whole curation pipeline would re-run for each consumer
+    curated = (
         curate_corpus(
-            df, id_col, text_col, min_quality, jaccard_threshold, max_df=max_df
+            df, id_col, text_col, min_quality, jaccard_threshold,
+            max_df=max_df, include_tokens=True,
         )
         .where(F.col("keep"))
-        .select(id_col)
+        .select(id_col, "n_tokens")
         .localCheckpoint(eager=False)
     )
-    kept = df.join(curated_ids, id_col).select(id_col, text_col)
-    toks = token_stats(kept, id_col, text_col).select(id_col, "n_tokens")
-    split = train_test_split(kept.select(id_col), id_col, test_fraction)
+    split = train_test_split(curated.select(id_col), id_col, test_fraction)
     # small (id, split, n_tokens) relation reused by packing + output
-    base = split.join(toks, id_col).localCheckpoint(eager=False)
+    base = split.join(curated, id_col).localCheckpoint(eager=False)
     train = base.where(F.col("split") == "train")
     packs = pack_sequences(train, id_col, "n_tokens", seq_len)
     return base.join(

@@ -121,11 +121,18 @@ def repetition_score(
 
 
 def quality_score(
-    df: DataFrame, id_col: str, text_col: str, round_digits: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 4,
+    include_tokens: bool = False,
 ) -> DataFrame:
     """Heuristic quality score in [0,1]: rewards reasonable length and
     lexical diversity, penalizes punctuation/digit soup. Deterministic
-    rational arithmetic only."""
+    rational arithmetic only. ``include_tokens=True`` adds
+    ``n_tokens`` to the output — it reuses the tokenize subexpression
+    the score already evaluates (one projection, one pass), so
+    composed pipelines don't tokenize the corpus twice."""
     t = F.col(text_col)
     toks = words(t)
     n_tokens = F.size(toks)
@@ -145,10 +152,10 @@ def quality_score(
         + F.lit(0.4) * diversity
         + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio + digit_ratio, F.lit(1.0)))
     )
-    return df.select(
-        F.col(id_col),
-        pround(score, round_digits).alias("quality"),
-    )
+    cols = [F.col(id_col), pround(score, round_digits).alias("quality")]
+    if include_tokens:
+        cols.append(n_tokens.cast("long").alias("n_tokens"))
+    return df.select(*cols)
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
