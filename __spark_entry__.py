@@ -1306,6 +1306,27 @@ def q_text_topterms(spark, sf_dir):
     return top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=50)
 
 
+def q_text_quality_rules(spark, sf_dir):
+    """Gopher/C4-style rule battery (operators.text.quality_rule_flags):
+    per-rule booleans + the conjunction, all pround'ed rational
+    arithmetic in one narrow codegen projection — the standard
+    web-corpus filter set, oracle-exact per rule."""
+    from margaret_spark.operators.text import quality_rule_flags
+
+    return quality_rule_flags(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_events_cohorts(spark, sf_dir):
+    """Weekly cohort retention triangle (operators.temporal.
+    cohort_retention): cohort = ISO week of first activity; cells
+    count active users per (cohort, week offset). Distinct + min ride
+    one user-keyed exchange; nothing is keyed on time alone."""
+    from margaret_spark.operators.temporal import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev, "user_id", "ts")
+
+
 def q_sample_token_budget(spark, sf_dir):
     """Corpus mixing by token budget (operators.sampling.
     token_budget_sample): within each source, the deterministic
@@ -2020,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tfidf": q_search_tfidf,
         "sample_token_budget": q_sample_token_budget,
         "fuzzy_part_names": q_fuzzy_part_names,
+        "text_quality_rules": q_text_quality_rules,
+        "events_cohorts": q_events_cohorts,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_langid_eval": q_text_langid_eval,
@@ -2194,6 +2217,54 @@ def _tfidf_sql(vocab_size: int = 50) -> str:
         f"GROUP BY token ORDER BY df DESC, token ASC LIMIT {vocab_size})) "
         f"SELECT tf.doc_id, tf.token, {w} AS weight "
         "FROM tf JOIN v ON tf.token = v.token JOIN dl ON tf.doc_id = dl.doc_id"
+    )
+
+
+def _quality_rules_sql() -> str:
+    """Mirror of operators.text.quality_rule_flags at its default
+    thresholds — same pround'ed ratios, stopword union generated from
+    the same STOPWORDS table."""
+    from margaret_spark.operators.text import STOPWORDS
+
+    all_stop = ",".join(
+        f"'{w}'" for w in sorted({w for sw in STOPWORDS.values() for w in sw})
+    )
+    mean_tl = _pr(
+        "CASE WHEN len(toks) > 0 THEN "
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(toks) "
+        "ELSE 0.0 END",
+        4,
+    )
+    sym = _pr(
+        "CASE WHEN length(text) > 0 THEN CAST("
+        "(length(text) - length(regexp_replace(text, '[.,;:!?''\"()\\[\\]{}-]', '', 'g'))) + "
+        "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+        " AS DOUBLE) / length(text) ELSE 0.0 END",
+        4,
+    )
+    dr = _pr(
+        "CASE WHEN len(toks) > 0 THEN "
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END",
+        4,
+    )
+    return (
+        "SELECT doc_id, n_tokens, mean_token_len, symbol_ratio, distinct_ratio, "
+        "stopword_hits, ok_length, ok_token_len, ok_symbols, ok_diversity, "
+        "ok_stopwords, (ok_length AND ok_token_len AND ok_symbols AND "
+        "ok_diversity AND ok_stopwords) AS keep FROM ("
+        "SELECT doc_id, n_tokens, mean_token_len, symbol_ratio, distinct_ratio, "
+        "stopword_hits, "
+        "(n_tokens >= 8 AND n_tokens <= 100000) AS ok_length, "
+        "(mean_token_len >= 2.0 AND mean_token_len <= 12.0) AS ok_token_len, "
+        "(symbol_ratio <= 0.3) AS ok_symbols, "
+        "(distinct_ratio >= 0.2) AS ok_diversity, "
+        "(stopword_hits >= 1) AS ok_stopwords FROM ("
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        f"{mean_tl} AS mean_token_len, {sym} AS symbol_ratio, "
+        f"{dr} AS distinct_ratio, "
+        f"CAST(len(list_filter(toks, t -> list_contains([{all_stop}], t))) AS BIGINT) "
+        "AS stopword_hits "
+        f"FROM (SELECT doc_id, text, {_WORDS} AS toks FROM documents)))"
     )
 
 
@@ -2855,6 +2926,16 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "search_bm25": _bm25_sql(),
         "search_tfidf": _tfidf_sql(),
+        "text_quality_rules": _quality_rules_sql(),
+        "events_cohorts": (
+            "WITH weekly AS (SELECT DISTINCT user_id AS u, "
+            "CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), "
+            "first AS (SELECT u, MIN(wk) AS cohort_week FROM weekly GROUP BY u) "
+            "SELECT w.cohort_week, CAST((x.wk - w.cohort_week) / 7 AS INT) "
+            "AS week_offset, count(*) AS n_users "
+            "FROM weekly x JOIN first w ON x.u = w.u "
+            "GROUP BY w.cohort_week, CAST((x.wk - w.cohort_week) / 7 AS INT)"
+        ),
         "sample_token_budget": (
             f"WITH toks AS (SELECT doc_id, source, len({_WORDS}) AS n_tokens "
             "FROM documents), "

@@ -262,3 +262,35 @@ def funnel(
             for i in range(len(stages))
         ],
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the ISO
+    week of their first activity; each (cohort, week-offset) cell
+    counts the cohort's users active that week — the standard
+    retention triangle.
+
+    Output: (cohort_week date, week_offset int, n_users long).
+
+    Scale shape: one distinct over (user, week) — shuffle keyed on the
+    user — then a per-user min (same exchange, subset rule), a
+    broadcast-sized join back, and a final small aggregation on
+    (cohort, offset). No window over the event stream; nothing keyed
+    on time alone (which would put a whole week in one task)."""
+    wk = F.to_date(F.date_trunc("week", F.col(ts_col))).alias("wk")
+    weekly = df.select(F.col(user_col).alias("u"), wk).distinct()
+    first = weekly.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    joined = weekly.join(first, "u")
+    return (
+        joined.groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -158,6 +158,90 @@ def quality_score(
     return df.select(*cols)
 
 
+def quality_rule_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    max_symbol_ratio: float = 0.3,
+    min_distinct_ratio: float = 0.2,
+    min_stopword_hits: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Gopher/C4-style rule-based quality gates, one boolean per rule
+    plus the conjunction — the standard web-corpus filter battery
+    (length bounds, mean token length, symbol soup, lexical
+    diversity, stopword presence as an any-language signal). All
+    thresholds use the SAME rational arithmetic as :func:`quality_score`
+    (pround'ed ratios), so every flag is engine-reproducible.
+
+    Output: (id, n_tokens, mean_token_len, symbol_ratio,
+    distinct_ratio, stopword_hits, ok_length, ok_token_len,
+    ok_symbols, ok_diversity, ok_stopwords, keep). One narrow
+    codegen projection — no shuffle at any scale."""
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    t = F.col(text_col)
+    toks = words(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    # mean token length over the non-whitespace mass (same expression
+    # family as token_stats.avg_token_len)
+    mean_tl = pround(
+        F.when(
+            n_tokens > 0,
+            F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_tokens,
+        ).otherwise(F.lit(0.0)),
+        round_digits,
+    )
+    sym = pround(
+        F.when(
+            n_chars > 0,
+            (
+                _count_re(t, _PUNCT_RE) + _count_re(t, _DIGIT_RE)
+            ).cast("double")
+            / n_chars,
+        ).otherwise(F.lit(0.0)),
+        round_digits,
+    )
+    distinct_ratio = pround(
+        F.when(
+            n_tokens > 0,
+            F.size(F.array_distinct(toks)).cast("double") / n_tokens,
+        ).otherwise(F.lit(0.0)),
+        round_digits,
+    )
+    all_stop = sorted({w for sw in STOPWORDS.values() for w in sw})
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*all_stop)))
+    ok_length = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    ok_token_len = (mean_tl >= min_mean_token_len) & (
+        mean_tl <= max_mean_token_len
+    )
+    ok_symbols = sym <= max_symbol_ratio
+    ok_diversity = distinct_ratio >= min_distinct_ratio
+    ok_stopwords = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tl.alias("mean_token_len"),
+        sym.alias("symbol_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        ok_length.alias("ok_length"),
+        ok_token_len.alias("ok_token_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_diversity.alias("ok_diversity"),
+        ok_stopwords.alias("ok_stopwords"),
+        (
+            ok_length & ok_token_len & ok_symbols & ok_diversity & ok_stopwords
+        ).alias("keep"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic language ID, fully table-driven from SCRIPTS and
     STOPWORDS: a non-Latin script character range match wins first (in

@@ -313,6 +313,51 @@ def test_lang_id_heuristic(spark, docs):
     assert a == b
 
 
+def test_quality_rule_flags(spark):
+    from margaret_spark.operators.text import quality_rule_flags
+
+    fixtures = [
+        (0, "the quick brown fox jumps over the lazy dog again today", True),
+        (1, "too short", False),                       # < 8 tokens
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12", False),      # symbol soup + short tokens
+        (3, "a a a a a a a a a a a a", False),          # no diversity
+        (4, "zrqx wvut plmk nhgt bfdc xswz qazx edcv rfvb tgbn", False),  # no stopwords
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in fixtures], "id long, text string")
+    got = {r["id"]: r for r in quality_rule_flags(df, "id", "text").collect()}
+    for i, _t, keep in fixtures:
+        assert got[i]["keep"] == keep, (i, dict(got[i].asDict()))
+    assert not got[1]["ok_length"]
+    assert not got[3]["ok_diversity"]
+    assert not got[4]["ok_stopwords"]
+    assert got[0]["stopword_hits"] >= 2
+
+
+def test_cohort_retention(spark):
+    import datetime
+
+    from margaret_spark.operators.temporal import cohort_retention
+
+    # two users: u1 first active week 0, returns week 2; u2 week 1 only
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(days=1)),   # same week, dedup'd
+        (1, base + datetime.timedelta(days=14)),  # offset 2
+        (2, base + datetime.timedelta(days=7)),   # own cohort, offset 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
 def test_bpe_token_count_and_fingerprint(spark):
     df = spark.createDataFrame([(0, "Hello, world 42!"), (1, "")], "id long, text string")
     counts = {r["id"]: r["n_bpe_tokens"] for r in bpe_ish_token_count(df, "id", "text").collect()}
