@@ -1733,6 +1733,36 @@ def q_multimodal_decode_png(spark, sf_dir):
     )
 
 
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode on the graded surface: a from-scratch
+    stdlib+numpy JPEG codec (operators.jpeg — marker walk, canonical
+    Huffman from DHT, dequantize, IDCT) round-trips a deterministic
+    gradient per document. JPEG is lossy so decoded pixels are not
+    closed-form; the oracle checks the structural surface (dims,
+    decoded pixel count) while pixel fidelity is pinned in pytest
+    (PSNR floor + bit-exact recovery of the encoder's quantized
+    coefficient blocks — the lossless entropy layer). Zero shuffles."""
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_jpeg_blobs,
+        decode_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("n_chars") % 24 + 8).cast("int").alias("w"),
+        (F.col("doc_id") % 16 + 8).cast("int").alias("h"),
+    )
+    blobs = attach_synthetic_jpeg_blobs(base, "doc_id", "w", "h")
+    decoded = decode_image(blobs, "doc_id", "blob")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.size(F.col("pixels")).cast("long").alias("n_pixels"),
+    )
+
+
 def q_multimodal_decode_wav(spark, sf_dir):
     """REAL audio decode on the graded surface: a PCM16 WAV per
     document (stdlib RIFF encoder), samples s[i] = ((doc_id*7 +
@@ -2051,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "multimodal_decode_wav": q_multimodal_decode_wav,
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
@@ -3024,6 +3055,12 @@ def _oracle_sql_base() -> dict[str, str]:
             "i -> ((doc_id * 31 + i) % 256) * (i + 1))) AS BIGINT) AS px_checksum "
             "FROM (SELECT doc_id, n_chars % 24 + 4 AS w, doc_id % 16 + 4 AS h "
             "FROM documents)"
+        ),
+        "multimodal_decode_jpeg": (
+            "SELECT doc_id, CAST(n_chars % 24 + 8 AS INT) AS width, "
+            "CAST(doc_id % 16 + 8 AS INT) AS height, "
+            "CAST((n_chars % 24 + 8) * (doc_id % 16 + 8) AS BIGINT) AS n_pixels "
+            "FROM documents"
         ),
         "multimodal_decode_wav": (
             "SELECT doc_id, CAST(rate AS INT) AS sample_rate, "

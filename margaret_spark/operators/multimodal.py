@@ -118,6 +118,40 @@ def attach_synthetic_png_blobs(
     return df.select(id_col, width_col, height_col).mapInPandas(build, out_schema)
 
 
+def attach_synthetic_jpeg_blobs(
+    df: DataFrame, id_col: str, width_col: str, height_col: str, quality: int = 90
+) -> DataFrame:
+    """(id, blob): a REAL baseline JPEG per row (stdlib+numpy encoder,
+    operators.jpeg) of a deterministic greyscale gradient
+    ``pixel(y, x) = (id·7 + y·3 + x) mod 256``. JPEG is lossy, so
+    decoded pixels are NOT closed-form — the graded query checks the
+    structural surface (dims, pixel count) against the oracle while
+    pixel fidelity (PSNR floor + bit-exact quantized coefficients) is
+    pinned in pytest. Partition-preserving mapInPandas."""
+    from margaret_spark.operators.jpeg import encode_jpeg
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for i, w, h in zip(pdf[id_col], pdf[width_col], pdf[height_col]):
+                i, w, h = int(i), int(w), int(h)
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((i * 7 + yy * 3 + xx) % 256).astype(np.uint8)
+                blobs.append(encode_jpeg(img, quality=quality))
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
+
+    return df.select(id_col, width_col, height_col).mapInPandas(build, out_schema)
+
+
 def attach_synthetic_wav_blobs(
     df: DataFrame, id_col: str, rate_col: str, n_col: str
 ) -> DataFrame:
@@ -152,12 +186,17 @@ def _parse_header(blob: bytes):
     for images and (sample_rate, n_samples) for audio."""
     if blob is None:
         return None
+    from margaret_spark.operators.jpeg import jpeg_meta
     from margaret_spark.operators.media_codecs import png_meta, wav_meta
 
     pm = png_meta(bytes(blob))
     if pm is not None:
         w, h, _depth, _ctype, ch = pm
         return "png", w, h, (ch if ch is not None else 0)
+    jm = jpeg_meta(bytes(blob))
+    if jm is not None:
+        w, h, nc = jm
+        return "jpeg", w, h, nc
     wm = wav_meta(bytes(blob))
     if wm is not None:
         rate, n_frames, ch = wm
@@ -219,6 +258,7 @@ def decode_image(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from margaret_spark.operators.jpeg import decode_jpeg, jpeg_meta
         from margaret_spark.operators.media_codecs import decode_png, png_meta
 
         for pdf in batches:
@@ -228,6 +268,13 @@ def decode_image(
                     continue
                 if png_meta(bytes(b)) is not None:
                     w, h, _ch, samples = decode_png(bytes(b))
+                    ids.append(i)
+                    pixels.append([int(x) for x in samples])
+                    ws.append(w)
+                    hs.append(h)
+                    continue
+                if jpeg_meta(bytes(b)) is not None:
+                    w, h, _ch, samples = decode_jpeg(bytes(b))
                     ids.append(i)
                     pixels.append([int(x) for x in samples])
                     ws.append(w)
@@ -247,8 +294,9 @@ def decode_image(
                     hs.append(h)
                     continue
                 raise NotImplementedError(
-                    "only PNG (real stdlib decoder) and the fake test format "
-                    "are decodable without native image libraries"
+                    "only PNG and baseline JPEG (real stdlib decoders) and "
+                    "the fake test format are decodable without native image "
+                    "libraries"
                 )
             yield pd.DataFrame(
                 {id_col: ids, "pixels": pixels, "width": ws, "height": hs}
@@ -301,6 +349,23 @@ def resize_image(
                             ]
                     out.append(encode_png(target_w, target_h, bytes(dst), ctype))
                     continue
+                from margaret_spark.operators.jpeg import (
+                    decode_jpeg,
+                    encode_jpeg,
+                    jpeg_meta,
+                )
+
+                if jpeg_meta(bytes(b)) is not None:
+                    import numpy as np
+
+                    w, h, ch, samples = decode_jpeg(bytes(b))
+                    arr = np.frombuffer(samples, dtype=np.uint8)
+                    arr = arr.reshape((h, w) if ch == 1 else (h, w, ch))
+                    ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                    xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                    resized = arr[ys][:, xs]
+                    out.append(encode_jpeg(resized, quality=90))
+                    continue
                 hdr = _parse_header(b)
                 if hdr is not None and hdr[0] == "fimg":
                     if not fake:
@@ -311,8 +376,9 @@ def resize_image(
                     out.append(make_fake_image_blob(target_w, target_h, hdr[3]))
                     continue
                 raise NotImplementedError(
-                    "only PNG (real stdlib resize) and the fake test format "
-                    "are resizable without native image libraries"
+                    "only PNG and baseline JPEG (real stdlib resize) and the "
+                    "fake test format are resizable without native image "
+                    "libraries"
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "blob": out})
 

@@ -1,0 +1,138 @@
+"""Baseline JPEG codec tests: DCT inversion, lossless entropy layer
+(bit-exact quantized coefficients), PSNR floors per content class,
+marker robustness, and the Spark decode path."""
+
+import numpy as np
+import pytest
+
+from margaret_spark.operators.jpeg import (
+    QT_LUMA,
+    ZIGZAG,
+    _block_encode,
+    _scaled_qt,
+    decode_jpeg,
+    decode_jpeg_coefficients,
+    encode_jpeg,
+    fdct2,
+    idct2,
+    jpeg_meta,
+)
+
+
+def _psnr(a, b):
+    err = a.astype(np.float64) - b.astype(np.float64)
+    return 10 * np.log10(255.0**2 / np.mean(err**2))
+
+
+def test_zigzag_is_permutation():
+    assert len(set(ZIGZAG)) == 64
+    assert ZIGZAG[0] == (0, 0) and ZIGZAG[1] == (0, 1) and ZIGZAG[2] == (1, 0)
+    assert ZIGZAG[-1] == (7, 7)
+
+
+def test_dct_inversion_and_orthonormality():
+    rng = np.random.default_rng(3)
+    blk = rng.uniform(-128, 127, (8, 8))
+    assert np.abs(idct2(fdct2(blk)) - blk).max() < 1e-10
+    # Parseval: the transform preserves energy (orthonormal basis)
+    assert np.sum(fdct2(blk) ** 2) == pytest.approx(np.sum(blk**2))
+
+
+def test_quality_scaling():
+    assert (_scaled_qt(QT_LUMA, 100) == 1).all()
+    assert (_scaled_qt(QT_LUMA, 50) == QT_LUMA).all()
+    assert (_scaled_qt(QT_LUMA, 10) >= QT_LUMA).all()
+
+
+@pytest.mark.parametrize("shape", [(41, 53), (8, 8), (17, 9)])
+def test_gray_roundtrip_and_exact_coefficients(shape):
+    rng = np.random.default_rng(shape[0])
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    blob = encode_jpeg(img, quality=95)
+    assert jpeg_meta(blob) == (shape[1], shape[0], 1)
+    w, h, ch, out = decode_jpeg(blob)
+    assert (w, h, ch) == (shape[1], shape[0], 1)
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(h, w)
+    assert _psnr(dec, img) > 38  # noise at q95
+    # the entropy layer is lossless: decoded quantized blocks must be
+    # bit-identical to what the encoder quantized
+    expect, _bh, _bw = _block_encode(img.astype(np.float64), _scaled_qt(QT_LUMA, 95))
+    got = decode_jpeg_coefficients(blob)
+    assert len(got) == len(expect)
+    assert all((a == b).all() for a, b in zip(got, expect))
+
+
+def test_rgb_roundtrip_smooth():
+    yy, xx = np.mgrid[0:48, 0:37]
+    img = np.stack(
+        [(yy * 3 + xx) % 256, (yy + xx * 2) % 256, (yy * 2 + xx * 2) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    blob = encode_jpeg(img, quality=92)
+    w, h, ch, out = decode_jpeg(blob)
+    assert (w, h, ch) == (37, 48, 3)
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3)
+    assert _psnr(dec, img) > 45  # smooth gradients survive almost exactly
+
+
+def test_rgb_roundtrip_noise():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 45, 3)).astype(np.uint8)
+    blob = encode_jpeg(img, quality=95)
+    _w, _h, _ch, out = decode_jpeg(blob)
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(32, 45, 3)
+    assert _psnr(dec, img) > 30
+
+
+def test_quality_monotone():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    psnrs = []
+    for q in (50, 75, 95):
+        _w, _h, _ch, out = decode_jpeg(encode_jpeg(img, quality=q))
+        psnrs.append(_psnr(np.frombuffer(out, dtype=np.uint8).reshape(24, 24), img))
+    assert psnrs == sorted(psnrs)
+
+
+def test_rejects_non_jpeg_and_progressive():
+    assert jpeg_meta(b"not a jpeg") is None
+    assert jpeg_meta(b"\xff\xd8\xff") is None
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # fake a progressive SOF2 stream: SOI + SOF2 marker
+    import struct
+
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(sof2)
+
+
+def test_spark_decode_image_real_jpeg(spark):
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_jpeg_blobs,
+        decode_image,
+        extract_image_meta,
+        resize_image,
+    )
+
+    df = spark.createDataFrame([(1, 16, 12), (2, 9, 21)], "id long, w int, h int")
+    blobs = attach_synthetic_jpeg_blobs(df, "id", "w", "h")
+    meta = {r["id"]: r for r in extract_image_meta(blobs, "id", "blob").collect()}
+    assert meta[1]["format"] == "jpeg"
+    assert (meta[1]["width"], meta[1]["height"]) == (16, 12)
+    got = {r["id"]: r for r in decode_image(blobs, "id", "blob").collect()}
+    for i, w, h in [(1, 16, 12), (2, 9, 21)]:
+        assert (got[i]["width"], got[i]["height"]) == (w, h)
+        yy, xx = np.mgrid[0:h, 0:w]
+        expect = ((i * 7 + yy * 3 + xx) % 256).astype(np.uint8)
+        dec = np.array(got[i]["pixels"], dtype=np.uint8).reshape(h, w)
+        assert _psnr(dec, expect) > 35  # gradient, q90
+    # real JPEG resize: decode → nearest → re-encode
+    resized = resize_image(blobs.where(F.col("id") == 1), "id", "blob", 8, 6)
+    r = decode_image(resized, "id", "blob").collect()[0]
+    assert (r["width"], r["height"]) == (8, 6)
+
+
+from pyspark.sql import functions as F  # noqa: E402  (used in the Spark test)
