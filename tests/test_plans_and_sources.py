@@ -70,6 +70,38 @@ def test_entry_queries_plan_quality(spark):
         assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)
 
 
+def test_round2_query_plan_shapes(spark):
+    """Pin the scale-relevant plan shapes of the round-2 surface:
+    BM25's per-term weights broadcast (never a corpus shuffle on the
+    query side), fuzzy linkage and IVF embedding dedup run sort-merge
+    block joins (one exchange per side, no broadcast of the corpus),
+    and the retrieval scorers stay off the Python path entirely."""
+    import __spark_entry__ as entry
+    from margaret_spark.plans import plan_summary
+
+    bm25 = entry.q_search_bm25(spark, SF)
+    assert_broadcast_join(bm25, at_least=1)
+    assert_no_python_udf(bm25)
+
+    fuzzy = entry.q_fuzzy_part_names(spark, SF)
+    s = plan_summary(fuzzy)
+    assert s["sortmerge_joins"] >= 1 and s["broadcast_joins"] == 0
+    assert_no_python_udf(fuzzy)
+
+    emb = entry.q_dedup_embedding(spark, SF)
+    s = plan_summary(emb)
+    assert s["sortmerge_joins"] >= 1  # cell-keyed merge join, not a cross join
+
+    cohorts = entry.q_events_cohorts(spark, SF)
+    assert_no_python_udf(cohorts)
+    # distinct + per-user min + final agg: at most 3 exchanges, and no
+    # exchange keyed on the time column alone
+    assert plan_summary(cohorts)["shuffles"] <= 3
+
+    rules = entry.q_text_quality_rules(spark, SF)
+    assert_no_python_udf(rules)
+
+
 def test_lineitem_filter_pushdown(spark):
     li = read_table(spark, f"{SF}/lineitem.parquet").where(F.col("l_orderkey") == 42)
     assert_pushed_filters(li, "EqualTo(l_orderkey,42)")
