@@ -196,6 +196,78 @@ def test_windowed_agg_batch_stream_parity(spark, tmp_path):
     assert got == expect and len(expect) > 0
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics pinned deterministically: three
+    micro-batches (one file each, arrival order forced via mtimes +
+    maxFilesPerTrigger=1). The watermark a batch uses derives from
+    data up to the PREVIOUS batch (one-batch propagation lag), so the
+    late event arrives two batches after the data that outran it —
+    append mode must have finalized its window and drop it, while a
+    generous watermark (update mode) still counts it."""
+    import datetime as dt
+    import os
+    import time
+
+    from margaret_spark.streaming import windowed_agg
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, event_type string"
+
+    def run(watermark, mode):
+        tag = f"{watermark.replace(' ', '_')}_{mode}"
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(0, base, "a"), (1, base + dt.timedelta(hours=10), "a")], schema
+        ).coalesce(1).write.parquet(src + "/f1")
+        spark.createDataFrame(
+            [(2, base + dt.timedelta(hours=11), "a")], schema
+        ).coalesce(1).write.parquet(src + "/f2")
+        # LATE event back at 00:30, plus an on-time one at 20h
+        spark.createDataFrame(
+            [(3, base + dt.timedelta(minutes=30), "a"),
+             (4, base + dt.timedelta(hours=20), "a")], schema
+        ).coalesce(1).write.parquet(src + "/f3")
+        now = time.time()
+        for sub, when in (("f1", now - 120), ("f2", now - 60), ("f3", now)):
+            d = os.path.join(src, sub)
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (when, when))
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = windowed_agg(sdf, "ts", keys=["event_type"], window="1 hour",
+                           watermark=watermark)
+        acc = {}
+
+        def on_batch(bdf, bid):
+            for r in bdf.collect():
+                acc[r["window_start"]] = r["n"]
+
+        q = (
+            agg.writeStream.foreachBatch(on_batch)
+            .outputMode(mode)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return acc
+
+    tight = run("1 hour", "append")
+    # hour-0 window finalized with ONLY event 0 — the late event 3 was
+    # dropped (window end 01:00 <= the 10h-derived watermark when it
+    # arrived); hour-20's window is still open, so append never emits it
+    assert tight[base] == 1
+    assert base + dt.timedelta(hours=20) not in tight
+    # generous watermark + update mode: the late event still counts
+    loose = run("24 hours", "update")
+    assert loose[base] == 2
+
+
 def test_session_windows_batch(spark):
     import datetime as dt
     from margaret_spark.streaming import session_windows
