@@ -1306,6 +1306,45 @@ def q_text_topterms(spark, sf_dir):
     return top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text", k=50)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup (operators.dedup.incremental_exact_dedup):
+    even doc_ids play the existing corpus, odd ones the incoming
+    batch; each new doc is labeled dup_of_existing / dup_in_batch /
+    new. The only shuffled payload is a 32-byte content hash; corpus
+    membership is a hash semi-join. Oracle mirrors the semantics over
+    text equality directly."""
+    from margaret_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return incremental_exact_dedup(new, existing, "doc_id", "text")
+
+
+def q_orders_diff(spark, sf_dir):
+    """Keyed table diff (functions.diff.table_diff): a synthetic new
+    version of orders (every 97th key dropped, every 89th surviving
+    key repriced, every 101st key re-added under a fresh key) diffed
+    against the original — added/removed/changed, nothing wider than
+    (key, 32-byte row hash) crossing the shuffle, unchanged mass
+    filtered before materialization."""
+    from margaret_spark.functions.diff import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 97 != 0)
+    changed = base.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.where(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    new = changed.unionByName(added)
+    return table_diff(orders, new, "o_orderkey")
+
+
 def q_text_quality_rules(spark, sf_dir):
     """Gopher/C4-style rule battery (operators.text.quality_rule_flags):
     per-rule booleans + the conjunction, all pround'ed rational
@@ -2073,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_names": q_fuzzy_part_names,
         "text_quality_rules": q_text_quality_rules,
         "events_cohorts": q_events_cohorts,
+        "dedup_incremental": q_dedup_incremental,
+        "orders_diff": q_orders_diff,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_langid_eval": q_text_langid_eval,
@@ -2957,6 +2998,27 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "search_bm25": _bm25_sql(),
         "search_tfidf": _tfidf_sql(),
+        "dedup_incremental": (
+            "WITH newd AS (SELECT doc_id AS id, text FROM documents "
+            "WHERE doc_id % 2 = 1), "
+            "ex AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0), "
+            "first AS (SELECT text, MIN(id) AS first_id FROM newd GROUP BY text) "
+            "SELECT n.id AS doc_id, "
+            "CASE WHEN n.text IN (SELECT text FROM ex) THEN 'dup_of_existing' "
+            "WHEN n.id <> f.first_id THEN 'dup_in_batch' "
+            "ELSE 'new' END AS status "
+            "FROM newd n JOIN first f ON n.text = f.text"
+        ),
+        "orders_diff": (
+            "SELECT o_orderkey, 'removed' AS status FROM orders "
+            "WHERE o_orderkey % 97 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, 'changed' AS status FROM orders "
+            "WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey + 10000000 AS o_orderkey, 'added' AS status "
+            "FROM orders WHERE o_orderkey % 101 = 0"
+        ),
         "text_quality_rules": _quality_rules_sql(),
         "events_cohorts": (
             "WITH weekly AS (SELECT DISTINCT user_id AS u, "

@@ -666,6 +666,49 @@ def embedding_dedup_pairs(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental ingest dedup: for a NEW batch of documents against
+    an EXISTING corpus, label every new document as
+    ``'dup_of_existing'`` (its content hash already exists in the
+    corpus), ``'dup_in_batch'`` (first occurrence is inside the new
+    batch but an earlier (smaller-id) new doc has the same content),
+    or ``'new'``. The daily-ingest companion to :func:`exact_dedup` —
+    a training pipeline runs this on every incoming dump, not a full
+    recluster.
+
+    Scale shape: content hashes (32 B/row) are the only join/group
+    payload; existing-corpus membership is a semi-join on the hash
+    (the corpus side would be a pre-computed hash table in production
+    — pass that directly as ``existing`` with ``text_col`` already
+    hashed upstream if you have it); within-batch firsts are a
+    min-per-hash on the same hash-keyed exchange."""
+    nh = new_docs.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("__h")
+    )
+    eh = existing.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct()
+    seen = nh.join(eh, "__h", "left_semi").select("id").withColumn(
+        "__in_existing", F.lit(True)
+    )
+    first = nh.groupBy("__h").agg(F.min("id").alias("__first"))
+    labeled = (
+        nh.join(first, "__h")
+        .join(seen, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("__in_existing"), F.lit("dup_of_existing"))
+            .when(F.col("id") != F.col("__first"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+    return labeled
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,

@@ -403,6 +403,50 @@ def test_multimodal_plumbing(spark):
     assert len(frames) == 3 + 1  # channels double as frame count in the fake
 
 
+def test_incremental_exact_dedup(spark):
+    from margaret_spark.operators.dedup import incremental_exact_dedup
+
+    existing = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in incremental_exact_dedup(new, existing, "id", "text").collect()
+    }
+    assert got == {
+        10: "dup_of_existing",
+        11: "new",
+        12: "dup_in_batch",
+        13: "new",
+    }
+
+
+def test_table_diff(spark):
+    from margaret_spark.functions.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 21.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["status"] for r in table_diff(old, new, "k").collect()}
+    # 3 is unchanged (incl. the NULL column) and must not appear
+    assert got == {1: "removed", 2: "changed", 4: "added"}
+    # NULL vs the string 'null' must not collide (length-prefixed hash)
+    a = spark.createDataFrame([(1, None)], "k long, s string")
+    b = spark.createDataFrame([(1, "\x00")], "k long, s string")
+    assert {r["k"]: r["status"] for r in table_diff(a, b, "k").collect()} == {
+        1: "changed"
+    }
+
+
 def test_fuzzy_pairs(spark):
     from margaret_spark.operators.dedup import fuzzy_pairs
 
