@@ -1394,6 +1394,20 @@ def q_fuzzy_part_names(spark, sf_dir):
     return fuzzy_pairs(part, "p_partkey", "p_name", max_dist=2, len_bucket=4)
 
 
+def q_edit_pairs_part_names(spark, sf_dir):
+    """LOSSLESS edit-distance self-join (operators.dedup.
+    edit_distance_pairs, PassJoin-style segment pigeonhole): every
+    pair of part names within levenshtein 1, found via the
+    (segment, index, length) equi-join — no cross join — and REQUIRED
+    to equal the naive quadratic truth: the oracle IS the brute-force
+    all-pairs filter, so a single false negative from the blocking
+    hash-mismatches."""
+    from margaret_spark.operators.dedup import edit_distance_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_partkey", "p_name", max_dist=1)
+
+
 def q_search_bm25(spark, sf_dir):
     """Inverted-index BM25 keyword retrieval (operators.search): one
     tokenize pass, tf and doc-length on the same id-keyed exchange,
@@ -2114,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohorts": q_events_cohorts,
         "dedup_incremental": q_dedup_incremental,
         "orders_diff": q_orders_diff,
+        "edit_pairs_part_names": q_edit_pairs_part_names,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_langid_eval": q_text_langid_eval,
@@ -3038,6 +3053,15 @@ def _oracle_sql_base() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM toks) "
             "SELECT doc_id, source, n_tokens, cum_tokens FROM c "
             "WHERE cum_tokens - n_tokens < 1500"
+        ),
+        # the lossless join's oracle is the NAIVE QUADRATIC TRUTH —
+        # any blocking false negative hash-mismatches
+        "edit_pairs_part_names": (
+            "SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, "
+            "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist "
+            "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
+            "AND abs(length(a.p_name) - length(b.p_name)) <= 1 "
+            "AND levenshtein(a.p_name, b.p_name) <= 1"
         ),
         "fuzzy_part_names": (
             "WITH p AS (SELECT p_partkey, p_name, "

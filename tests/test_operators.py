@@ -403,6 +403,46 @@ def test_multimodal_plumbing(spark):
     assert len(frames) == 3 + 1  # channels double as frame count in the fake
 
 
+def _py_lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_lossless(spark):
+    """The PassJoin blocking must EQUAL brute force — including empty
+    strings, strings shorter than tau+1 (the unsegmentable residual),
+    and repeated content."""
+    import random
+
+    from margaret_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(7)
+    for tau, maxlen in [(1, 10), (2, 6)]:
+        strs = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(0, maxlen)))
+            for _ in range(50)
+        ]
+        df = spark.createDataFrame(list(enumerate(strs)), "id long, t string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_pairs(df, "id", "t", max_dist=tau).collect()
+        }
+        expect = {
+            (i, j): _py_lev(strs[i], strs[j])
+            for i in range(len(strs))
+            for j in range(i + 1, len(strs))
+            if _py_lev(strs[i], strs[j]) <= tau
+        }
+        assert got == expect, (tau, set(expect) - set(got), set(got) - set(expect))
+
+
 def test_incremental_exact_dedup(spark):
     from margaret_spark.operators.dedup import incremental_exact_dedup
 
