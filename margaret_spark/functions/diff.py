@@ -45,12 +45,28 @@ def table_diff(
     even when the inputs are not, and nothing wider than
     (key, hash) crosses the shuffle."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    o = old.select(*keys, row_hash(old, exclude=keys).alias("__ho"))
-    n = new.select(*keys, row_hash(new, exclude=keys).alias("__hn"))
-    joined = o.join(n, keys, "full_outer")
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        row_hash(old, exclude=keys).alias("__ho"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        row_hash(new, exclude=keys).alias("__hn"),
+    )
+    # null-SAFE key equality: a NULL-keyed row present in both
+    # versions must match itself, not surface as a phantom
+    # added+removed pair (plain equi-join drops NULL key matches)
+    cond = None
+    for k in keys:
+        c = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
     return (
         joined.select(
-            *keys,
+            *[
+                F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k)
+                for k in keys
+            ],
             F.when(F.col("__ho").isNull(), F.lit("added"))
             .when(F.col("__hn").isNull(), F.lit("removed"))
             .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))

@@ -687,10 +687,21 @@ def incremental_exact_dedup(
     — pass that directly as ``existing`` with ``text_col`` already
     hashed upstream if you have it); within-batch firsts are a
     min-per-hash on the same hash-keyed exchange."""
-    nh = new_docs.select(
-        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("__h")
-    )
-    eh = existing.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct()
+    # NULL-safe content key: sha2(NULL) is NULL and NULL join keys
+    # never match, which would silently drop NULL-text documents from
+    # the output — length-prefix real text so the NULL sentinel can't
+    # collide with any content
+    def _key(c):
+        s = F.col(c)
+        return F.sha2(
+            F.when(s.isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            ),
+            256,
+        )
+
+    nh = new_docs.select(F.col(id_col).alias("id"), _key(text_col).alias("__h"))
+    eh = existing.select(_key(text_col).alias("__h")).distinct()
     seen = nh.join(eh, "__h", "left_semi").select("id").withColumn(
         "__in_existing", F.lit(True)
     )
@@ -803,7 +814,6 @@ def edit_distance_pairs(
     if tau < 0:
         raise ValueError(f"max_dist must be non-negative: {tau}")
     if tau == 0:
-        ex = exact_dedup(df, id_col, text_col)
         # distance-0 pairs: same content
         d2 = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         return (

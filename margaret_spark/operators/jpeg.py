@@ -239,6 +239,10 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop the drained bits: an unbounded accumulator turns every
+        # later shift into a bignum op and the encoder quadratic in
+        # image size (measured 4× pixels → 12.5× time before this)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -426,6 +430,8 @@ def jpeg_meta(blob: bytes):
             return None
         (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         if marker in (0xC0, 0xC1):
+            if pos + 10 > n:  # truncated SOF: not a parseable JPEG
+                return None
             _prec, hh, ww, nc = struct.unpack(">BHHB", b[pos + 4 : pos + 10])
             return ww, hh, nc
         if marker == 0xD9:
@@ -434,20 +440,22 @@ def jpeg_meta(blob: bytes):
     return None
 
 
-def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
-    """(width, height, channels, samples): full baseline decode.
-    Grayscale stays 1-channel; 3-component YCbCr converts to
-    interleaved RGB. Raises ValueError on non-baseline streams."""
-    b = bytes(blob)
+def _parse_stream(b: bytes) -> dict:
+    """Shared marker walk up to (and including) SOS: quant tables,
+    Huffman tables, frame/components, restart interval, scan mapping,
+    and the entropy-data offset. Both the pixel decoder and the
+    coefficient extractor consume this — ONE parser, no drift."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("jpeg: no SOI")
     pos = 2
-    qts: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, _HuffDecoder] = {}
-    huff_ac: dict[int, _HuffDecoder] = {}
-    comps = None
-    size = None
-    restart_interval = 0
+    st: dict = {
+        "qts": {},
+        "huff_dc": {},
+        "huff_ac": {},
+        "comps": None,
+        "size": None,
+        "restart_interval": 0,
+    }
     n = len(b)
     while pos + 4 <= n:
         if b[pos] != 0xFF:
@@ -471,7 +479,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                     p += 128
                 qt = np.zeros((8, 8), dtype=np.int32)
                 qt[ZROWS, ZCOLS] = vals
-                qts[tid] = qt
+                st["qts"][tid] = qt
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(seg):
@@ -483,7 +491,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p : p + cnt])
                 p += cnt
                 table = _HuffDecoder(bits, vals)
-                (huff_dc if cls == 0 else huff_ac)[tid] = table
+                (st["huff_dc"] if cls == 0 else st["huff_ac"])[tid] = table
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
             prec, hh, ww, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -495,39 +503,40 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError("jpeg: sampling factors beyond 2 unsupported")
                 comps.append({"id": cid, "h": hs, "v": vs, "qt": qtid})
-            size = (ww, hh)
+            st["comps"] = comps
+            st["size"] = (ww, hh)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only baseline (SOF0/SOF1) supported")
         elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", seg[:2])
+            (st["restart_interval"],) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan = {}
             for si in range(ns):
                 cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan[cid] = (tabs >> 4, tabs & 0x0F)
-            return _decode_scan(
-                b, pos + ln, comps, size, qts, huff_dc, huff_ac, scan,
-                restart_interval,
-            )
+            st["scan"] = scan
+            st["entropy_pos"] = pos + ln
+            return st
         elif marker == 0xD9:
             break
         pos += ln
     raise ValueError("jpeg: no scan data")
 
 
-def _decode_scan(b, pos, comps, size, qts, huff_dc, huff_ac, scan, restart_interval):
-    ww, hh = size
+def _walk_mcus(b: bytes, st: dict, on_block) -> None:
+    """Shared entropy walk: Huffman-decode every block in MCU order
+    (restart-interval aware) and hand (component index, zigzag int32
+    coefficient vector) to ``on_block``."""
+    comps = st["comps"]
+    ww, hh = st["size"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (ww + 8 * hmax - 1) // (8 * hmax)
     mcuy = (hh + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
-    br = _BitReader(b, pos)
+    br = _BitReader(b, st["entropy_pos"])
     preds = [0] * len(comps)
+    restart_interval = st["restart_interval"]
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -537,15 +546,13 @@ def _decode_scan(b, pos, comps, size, qts, huff_dc, huff_ac, scan, restart_inter
                     raise ValueError("jpeg: expected RST marker")
                 preds = [0] * len(comps)
             for ci, c in enumerate(comps):
-                dct, act = scan[c["id"]]
-                hd, ha = huff_dc[dct], huff_ac[act]
-                qt = qts[c["qt"]]
+                dct, act = st["scan"][c["id"]]
+                hd, ha = st["huff_dc"][dct], st["huff_ac"][act]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int32)
                         t = hd.decode(br)
-                        diff = _extend(br.read_bits(t), t)
-                        preds[ci] += diff
+                        preds[ci] += _extend(br.read_bits(t), t)
                         zz[0] = preds[ci]
                         k = 1
                         while k < 64:
@@ -561,13 +568,37 @@ def _decode_scan(b, pos, comps, size, qts, huff_dc, huff_ac, scan, restart_inter
                                 raise ValueError("jpeg: AC index overflow")
                             zz[k] = _extend(br.read_bits(s), s)
                             k += 1
-                        coef = np.zeros((8, 8), dtype=np.float64)
-                        coef[ZROWS, ZCOLS] = zz * qt[ZROWS, ZCOLS]
-                        blk = idct2(coef) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                        on_block(ci, c, my, mx, by, bx, zz)
             mcu_count += 1
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, samples): full baseline decode.
+    Grayscale stays 1-channel; 3-component YCbCr converts to
+    interleaved RGB. Raises ValueError on non-baseline streams."""
+    b = bytes(blob)
+    st = _parse_stream(b)
+    comps = st["comps"]
+    ww, hh = st["size"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (ww + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (hh + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
+
+    def on_block(ci, c, my, mx, by, bx, zz):
+        qt = st["qts"][c["qt"]]
+        coef = np.zeros((8, 8), dtype=np.float64)
+        coef[ZROWS, ZCOLS] = zz * qt[ZROWS, ZCOLS]
+        blk = idct2(coef) + 128.0
+        y0 = (my * c["v"] + by) * 8
+        x0 = (mx * c["h"] + bx) * 8
+        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+
+    _walk_mcus(b, st, on_block)
     # upsample to full resolution (nearest) and crop
     full = []
     for c, p in zip(comps, planes):
@@ -582,94 +613,21 @@ def _decode_scan(b, pos, comps, size, qts, huff_dc, huff_ac, scan, restart_inter
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return ww, hh, 3, out.tobytes()
 
-
 def decode_jpeg_coefficients(blob: bytes) -> list[np.ndarray]:
     """The quantized coefficient blocks of the FIRST component, in
-    block-row-major order — the lossless layer's output, used by tests
-    to pin the entropy coder bit-exactly against the encoder."""
+    MCU/block order — the lossless layer's output, used by tests to
+    pin the entropy coder bit-exactly against the encoder. Shares the
+    marker and entropy walks with :func:`decode_jpeg` (one parser, no
+    drift)."""
     b = bytes(blob)
+    st = _parse_stream(b)
     blocks: list[np.ndarray] = []
-    pos = 2
-    qts: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, _HuffDecoder] = {}
-    huff_ac: dict[int, _HuffDecoder] = {}
-    comps = size = None
-    restart_interval = 0
-    n = len(b)
-    while pos + 4 <= n:
-        marker = b[pos + 1]
-        pos += 2
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            continue
-        (ln,) = struct.unpack(">H", b[pos : pos + 2])
-        seg = b[pos + 2 : pos + ln]
-        if marker == 0xDB:
-            p = 0
-            while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
-                p += 64
-                qt = np.zeros((8, 8), dtype=np.int32)
-                qt[ZROWS, ZCOLS] = vals
-                qts[tid] = qt
-        elif marker == 0xC4:
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                bits = list(seg[p : p + 16])
-                p += 16
-                cnt = sum(bits)
-                vals = list(seg[p : p + cnt])
-                p += cnt
-                (huff_dc if cls == 0 else huff_ac)[tid] = _HuffDecoder(bits, vals)
-        elif marker in (0xC0, 0xC1):
-            _prec, hh, ww, nc = struct.unpack(">BHHB", seg[:6])
-            comps = []
-            for ci in range(nc):
-                cid, samp, qtid = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "qt": qtid})
-            size = (ww, hh)
-        elif marker == 0xDA:
-            ns = seg[0]
-            scan = {}
-            for si in range(ns):
-                cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
-                scan[cid] = (tabs >> 4, tabs & 0x0F)
-            ww, hh = size
-            hmax = max(c["h"] for c in comps)
-            vmax = max(c["v"] for c in comps)
-            mcux = (ww + 8 * hmax - 1) // (8 * hmax)
-            mcuy = (hh + 8 * vmax - 1) // (8 * vmax)
-            br = _BitReader(b, pos + ln)
-            preds = [0] * len(comps)
-            for _my in range(mcuy):
-                for _mx in range(mcux):
-                    for ci, c in enumerate(comps):
-                        dct, act = scan[c["id"]]
-                        hd, ha = huff_dc[dct], huff_ac[act]
-                        for _ in range(c["v"] * c["h"]):
-                            zz = np.zeros(64, dtype=np.int32)
-                            t = hd.decode(br)
-                            preds[ci] += _extend(br.read_bits(t), t)
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = ha.decode(br)
-                                r, s = rs >> 4, rs & 0x0F
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break
-                                k += r
-                                zz[k] = _extend(br.read_bits(s), s)
-                                k += 1
-                            if ci == 0:
-                                q = np.zeros((8, 8), dtype=np.int32)
-                                q[ZROWS, ZCOLS] = zz
-                                blocks.append(q)
-            return blocks
-        pos += ln
-    raise ValueError("jpeg: no scan data")
+
+    def on_block(ci, c, my, mx, by, bx, zz):
+        if ci == 0:
+            q = np.zeros((8, 8), dtype=np.int32)
+            q[ZROWS, ZCOLS] = zz
+            blocks.append(q)
+
+    _walk_mcus(b, st, on_block)
+    return blocks

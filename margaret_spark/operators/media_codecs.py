@@ -142,10 +142,13 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
 def encode_wav(sample_rate: int, samples, channels: int = 1) -> bytes:
     """PCM 16-bit little-endian WAV. ``samples`` is a flat iterable of
     int16 values, channel-interleaved; its length must be a multiple
-    of ``channels``."""
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    of ``channels`` (generators are materialized)."""
+    samples = list(samples)
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1: {channels}")
     if len(samples) % channels:
         raise ValueError("sample count not a multiple of channels")
+    data = struct.pack(f"<{len(samples)}h", *samples)
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -167,6 +170,8 @@ def wav_meta(blob: bytes):
         tag = bytes(blob[pos : pos + 4])
         (ln,) = struct.unpack("<I", bytes(blob[pos + 4 : pos + 8]))
         if tag == b"fmt ":
+            if pos + 16 > n:  # truncated fmt chunk: not a parseable WAV
+                return None
             fmt_code, channels, rate = struct.unpack(
                 "<HHI", bytes(blob[pos + 8 : pos + 16])
             )

@@ -76,9 +76,17 @@ def bm25_search(
     ).collect()[0]
     n_docs, total = int(row["n"] or 0), int(row["total"] or 0)
     if n_docs == 0:
-        return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, score double, n_terms long, rank int"
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(id_col, df.schema[id_col].dataType),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("n_terms", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
         )
+        return df.sparkSession.createDataFrame([], schema)
     # IEEE double division of exact integers — the oracle computes the
     # same CAST(sum AS DOUBLE)/count, so the literal matches bit-wise
     avgdl = float(total) / float(n_docs)

@@ -94,6 +94,34 @@ def test_quality_monotone():
     assert psnrs == sorted(psnrs)
 
 
+def test_truncated_headers_return_none_not_crash():
+    # truncated SOF: meta must classify as not-a-JPEG, not raise
+    import struct
+
+    trunc = b"\xff\xd8\xff\xc0\x00\x11\x08"
+    assert jpeg_meta(trunc) is None
+    # a full image truncated mid-stream still parses its meta
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = encode_jpeg(img)
+    assert jpeg_meta(blob[: len(blob) // 2]) in (None, (8, 8, 1))
+
+
+def test_encoder_linear_not_quadratic():
+    # the bit accumulator must not grow with output size: doubling the
+    # image area must not blow up more than ~6x in time (quadratic
+    # growth was 12.5x per 4x pixels before the accumulator mask)
+    import time
+
+    rng = np.random.default_rng(1)
+    t = {}
+    for n in (64, 128):
+        img = rng.integers(0, 256, (n, n)).astype(np.uint8)
+        t0 = time.time()
+        encode_jpeg(img, quality=90)
+        t[n] = time.time() - t0
+    assert t[128] < max(t[64], 0.005) * 10
+
+
 def test_rejects_non_jpeg_and_progressive():
     assert jpeg_meta(b"not a jpeg") is None
     assert jpeg_meta(b"\xff\xd8\xff") is None

@@ -122,6 +122,25 @@ def test_wav_roundtrip():
     assert out == samples
 
 
+def test_wav_truncated_fmt_returns_none():
+    # RIFF-prefixed garbage with a truncated fmt chunk: classify as
+    # not-a-WAV, never raise (format dispatch runs on every blob)
+    import struct
+
+    blob = b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"
+    assert wav_meta(blob) is None
+
+
+def test_wav_encoder_validates_before_packing():
+    with pytest.raises(ValueError):
+        encode_wav(8000, [1, 2, 3], channels=2)
+    with pytest.raises(ValueError):
+        encode_wav(8000, [1, 2], channels=0)
+    # generators are accepted (materialized)
+    blob = encode_wav(8000, (s for s in [1, -2, 3, -4]), channels=2)
+    assert wav_meta(blob) == (8000, 2, 2)
+
+
 def test_wav_stereo_and_alignment():
     # odd-length data chunk exercises RIFF word alignment
     samples = [1, -1, 32767, -32768, 0, 5]

@@ -463,6 +463,15 @@ def test_incremental_exact_dedup(spark):
         12: "dup_in_batch",
         13: "new",
     }
+    # NULL text must not vanish: it forms its own content class
+    new_with_null = spark.createDataFrame(
+        [(20, None), (21, None), (22, "alpha")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in incremental_exact_dedup(new_with_null, existing, "id", "text").collect()
+    }
+    assert got == {20: "new", 21: "dup_in_batch", 22: "dup_of_existing"}
 
 
 def test_table_diff(spark):
@@ -484,6 +493,13 @@ def test_table_diff(spark):
     b = spark.createDataFrame([(1, "\x00")], "k long, s string")
     assert {r["k"]: r["status"] for r in table_diff(a, b, "k").collect()} == {
         1: "changed"
+    }
+    # NULL keys join null-safely: the same NULL-keyed row in both
+    # versions is unchanged, not a phantom added+removed pair
+    c = spark.createDataFrame([(None, "x"), (5, "y")], "k long, s string")
+    d = spark.createDataFrame([(None, "x"), (5, "z")], "k long, s string")
+    assert {r["k"]: r["status"] for r in table_diff(c, d, "k").collect()} == {
+        5: "changed"
     }
 
 
