@@ -290,10 +290,13 @@ def encode_jpeg(
     height: int | None = None,
     channels: int | None = None,
     quality: int = 90,
+    subsample: bool = False,
 ) -> bytes:
     """Baseline JPEG bytes for an 8-bit image. ``pixels`` is an
     (H, W) grayscale or (H, W, 3) RGB uint8 array (or the equivalent
-    flat bytes with dims given). 4:4:4 — no subsampling."""
+    flat bytes with dims given). ``subsample=True`` emits 4:2:0
+    (chroma averaged 2×2, Y sampling factor 2×2 — the layout real
+    photo JPEGs use); default is 4:4:4."""
     if isinstance(pixels, (bytes, bytearray)):
         if None in (width, height, channels):
             raise ValueError("flat pixel bytes need width/height/channels")
@@ -306,34 +309,72 @@ def encode_jpeg(
     qt_l = _scaled_qt(QT_LUMA, quality)
     qt_c = _scaled_qt(QT_CHROMA, quality)
 
+    # components: (plane, qt, qt_id, h_samp, v_samp)
     if gray:
-        planes = [arr.astype(np.float64)]
-        qts = [qt_l]
-        qt_ids = [0]
+        comps_spec = [(arr.astype(np.float64), qt_l, 0, 1, 1)]
     else:
         ycc = _rgb_to_ycbcr(arr.astype(np.float64))
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-        qts = [qt_l, qt_c, qt_c]
-        qt_ids = [0, 1, 1]
+        if subsample:
+            # 4:2:0 — chroma is the 2×2 mean of the (edge-padded-to-
+            # even) full-res plane; Y carries sampling factor 2×2
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cb = np.pad(ycc[..., 1], ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(ycc[..., 2], ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            comps_spec = [
+                (ycc[..., 0], qt_l, 0, 2, 2),
+                (cb, qt_c, 1, 1, 1),
+                (cr, qt_c, 1, 1, 1),
+            ]
+        else:
+            comps_spec = [
+                (ycc[..., 0], qt_l, 0, 1, 1),
+                (ycc[..., 1], qt_c, 1, 1, 1),
+                (ycc[..., 2], qt_c, 1, 1, 1),
+            ]
+    hmax = max(c[3] for c in comps_spec)
+    vmax = max(c[4] for c in comps_spec)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    comp_blocks = []
-    for p, qt in zip(planes, qts):
-        blocks, _bh, _bw = _block_encode(p, qt)
-        comp_blocks.append(blocks)
+    # pad every plane to its full MCU-grid extent and pre-quantize all
+    # blocks in raster order per component
+    comp_blocks: list[dict] = []
+    for plane, qt, qt_id, hs, vs in comps_spec:
+        gh, gw = mcuy * 8 * vs, mcux * 8 * hs
+        padded = np.pad(
+            plane,
+            ((0, gh - plane.shape[0]), (0, gw - plane.shape[1])),
+            mode="edge",
+        )
+        grid = {}
+        for by in range(gh // 8):
+            for bx in range(gw // 8):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                grid[(by, bx)] = np.round(fdct2(blk) / qt).astype(np.int32)
+        comp_blocks.append(
+            {"grid": grid, "qt_id": qt_id, "h": hs, "v": vs}
+        )
 
-    # A single interleaved scan encodes blocks in MCU order: for 1×1
-    # sampling that is (Y, Cb, Cr) at each block position — NOT all of
-    # one component then the next (a planar layout silently shifts
-    # every later component's blocks and wrecks chroma).
-    n_blocks = len(comp_blocks[0])
+    # A single interleaved scan encodes blocks in MCU order: at each
+    # MCU position, each component contributes its h×v raster of
+    # blocks — NOT all of one component then the next (a planar layout
+    # silently shifts every later component's blocks and wrecks
+    # chroma).
     order = [
-        (ci, bi) for bi in range(n_blocks) for ci in range(len(comp_blocks))
+        (ci, (my * c["v"] + by, mx * c["h"] + bx))
+        for my in range(mcuy)
+        for mx in range(mcux)
+        for ci, c in enumerate(comp_blocks)
+        for by in range(c["v"])
+        for bx in range(c["h"])
     ]
 
     def _walk(emit_dc, emit_ac, emit_bits):
         preds = [0] * len(comp_blocks)
-        for ci, bi in order:
-            q = comp_blocks[ci][bi]
+        for ci, key in order:
+            q = comp_blocks[ci]["grid"][key]
             zz = q[ZROWS, ZCOLS]
             diff = int(zz[0]) - preds[ci]
             preds[ci] = int(zz[0])
@@ -386,10 +427,10 @@ def encode_jpeg(
     if not gray:
         out += dqt(1, qt_c)
 
-    ncomp = 1 if gray else 3
+    ncomp = len(comp_blocks)
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qt_ids[ci]])  # 1×1 sampling
+    for ci, c in enumerate(comp_blocks):
+        sof += bytes([ci + 1, (c["h"] << 4) | c["v"], c["qt_id"]])
     out += b"\xff\xc0" + sof
 
     def dht(cls, tid, bits, vals):

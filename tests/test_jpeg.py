@@ -75,6 +75,30 @@ def test_rgb_roundtrip_smooth():
     assert _psnr(dec, img) > 45  # smooth gradients survive almost exactly
 
 
+def test_rgb_420_subsampled_roundtrip():
+    """The 4:2:0 encoder exercises the decoder's 2×2 sampling + chroma
+    upsampling path with a real (not synthetic-marker) stream."""
+    from margaret_spark.operators.jpeg import _parse_stream
+
+    yy, xx = np.mgrid[0:45, 0:38]
+    img = np.stack(
+        [(yy * 3 + xx) % 256, (yy + xx * 2) % 256, (yy * 2 + xx * 2) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    full = encode_jpeg(img, quality=90, subsample=False)
+    sub = encode_jpeg(img, quality=90, subsample=True)
+    st = _parse_stream(sub)
+    assert [(c["h"], c["v"]) for c in st["comps"]] == [(2, 2), (1, 1), (1, 1)]
+    assert len(sub) < len(full)  # chroma carries 1/4 the blocks
+    w, h, ch, out = decode_jpeg(sub)
+    assert (w, h, ch) == (38, 45, 3)
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3)
+    assert _psnr(dec, img) > 40  # smooth content survives subsampling
+    # odd dimensions: padding + crop round-trips exactly in shape
+    odd = encode_jpeg(img[:17, :23], quality=90, subsample=True)
+    assert decode_jpeg(odd)[:3] == (23, 17, 3)
+
+
 def test_rgb_roundtrip_noise():
     rng = np.random.default_rng(11)
     img = rng.integers(0, 256, (32, 45, 3)).astype(np.uint8)
