@@ -1185,6 +1185,117 @@ def q_stream_events_daily(spark, sf_dir):
     return spark.createDataFrame(rows, "day date, event_type string, n long")
 
 
+def q_events_pivot(spark, sf_dir):
+    """Pivoted daily event matrix: one row per day, one column per
+    event type (explicit category list — an open-ended pivot would
+    need a driver-side distinct pass; pinning the vocabulary keeps it
+    a single groupBy). Map-side partial agg, one shuffle on day."""
+    ev = _events(spark, sf_dir)
+    cats = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", cats)
+        .count()
+    )
+    # pivot leaves NULL for absent (day, type) cells; the count is 0
+    return out.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cats]
+    )
+
+
+def q_stream_events_enriched(spark, sf_dir):
+    """STREAM-STATIC join on the graded surface: events consumed as a
+    stream (availableNow) joined per micro-batch against the static
+    customer dimension (broadcast — the stream side never shuffles),
+    aggregated to per-nation event counts. The oracle is the plain
+    batch join, so the streaming join path itself is oracle-checked."""
+    import shutil
+    import tempfile
+
+    sdf = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    joined = sdf.join(cust, sdf.user_id == cust.c_custkey)
+    acc: dict = {}
+
+    def on_batch(bdf, bid):
+        for r in bdf.groupBy("c_nationkey").agg(F.count("*").alias("n")).collect():
+            acc[r["c_nationkey"]] = acc.get(r["c_nationkey"], 0) + int(r["n"])
+
+    ckpt = tempfile.mkdtemp(prefix="stream_enrich_")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [(int(k), int(v)) for k, v in acc.items()]
+    return spark.createDataFrame(rows, "c_nationkey long, n_events long")
+
+
+def q_stream_events_asof(spark, sf_dir):
+    """The AS-OF join AS A STATEFUL STREAMING OPERATOR
+    (streaming/stateful.stream_asof_join, applyInPandasWithState):
+    purchases and clicks tagged into one keyed stream, the state
+    store holding each user's click-timestamp history, one match row
+    per purchase — semantics Spark's built-in stream-stream joins
+    cannot express. Aggregated identically to the batch events_asof,
+    and checked against the SAME DuckDB native ASOF JOIN oracle: the
+    custom streaming operator itself is on the hash-exact surface."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.streaming.stateful import stream_asof_join
+
+    sdf = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    tagged = sdf.where(F.col("event_type").isin("purchase", "click")).select(
+        F.col("user_id").alias("k"),
+        F.when(F.col("event_type") == "purchase", F.lit("L"))
+        .otherwise(F.lit("R"))
+        .alias("side"),
+        F.unix_micros("ts").alias("tsu"),
+    )
+    rows: list = []
+
+    def on_rows(pdf):
+        for r in pdf.itertuples(index=False):
+            rows.append(
+                (
+                    int(r.k),
+                    int(r.tsu),
+                    None if pd.isna(r.tsu_matched) else int(r.tsu_matched),
+                )
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="stream_asof_")
+    try:
+        stream_asof_join(tagged, ckpt, on_rows)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    matched = spark.createDataFrame(
+        rows, "user_id long, tsu long, tsu_matched long"
+    )
+    return matched.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.count("tsu_matched").alias("n_matched"),
+        F.sum(F.col("tsu") - F.col("tsu_matched")).alias("sum_gap_us"),
+    )
+
+
 def q_events_json(spark, sf_dir):
     """JSON codec surface (§2.5 op 37): extract props.k, aggregate."""
     ev = _events(spark, sf_dir)
@@ -2102,7 +2213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_distinct": q_events_approx_distinct,
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_json": q_events_json,
+        "events_pivot": q_events_pivot,
         "stream_events_daily": q_stream_events_daily,
+        "stream_events_enriched": q_stream_events_enriched,
+        "stream_events_asof": q_stream_events_asof,
         "stream_events_sessions": q_stream_events_sessions,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_dedup_minhash": q_stream_dedup_minhash,
@@ -2387,6 +2501,9 @@ def oracle_sql() -> dict[str, str]:
     # the persisted IVF index must return bit-identical results to the
     # in-flight IVF plan over the same (lowest-id) centroids
     d["ann_ivf_indexed"] = d["ann_ivf"]
+    # the stateful-streaming as-of operator must reproduce the batch
+    # as-of join exactly — same DuckDB native ASOF JOIN oracle
+    d["stream_events_asof"] = d["events_asof"]
     return d
 
 
@@ -2906,6 +3023,21 @@ def _oracle_sql_base() -> dict[str, str]:
             "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
             "ORDER BY epoch_us(ts), event_id) AS prev FROM events)"
             ") GROUP BY user_id, sid"
+        ),
+        "events_pivot": (
+            "SELECT CAST(ts AS DATE) AS day, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS {c}"
+                for c in ["click", "error", "purchase", "signup", "view"]
+            )
+            + " FROM events GROUP BY CAST(ts AS DATE)"
+        ),
+        "stream_events_enriched": (
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey, "
+            "count(*) AS n_events FROM events e "
+            "JOIN customer c ON e.user_id = c.c_custkey "
+            "GROUP BY c.c_nationkey"
         ),
         "events_json": (
             "SELECT event_type, "

@@ -273,3 +273,82 @@ def stream_dedup_exact(
         q.awaitTermination()
         return None
     return w.trigger(processingTime="500 milliseconds").start()
+
+
+def _asof_func(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import bisect
+
+    rights = list(state.get[0]) if state.exists else []
+    lefts: list[int] = []
+    new_rights: list[int] = []
+    for pdf in pdfs:
+        for ts, side in zip(pdf["tsu"], pdf["side"]):
+            (lefts if side == "L" else new_rights).append(int(ts))
+    all_rights = sorted(rights + new_rights)
+    state.update((all_rights,))
+    if not lefts:
+        return
+    matched = []
+    for t in lefts:
+        i = bisect.bisect_right(all_rights, t)
+        matched.append(all_rights[i - 1] if i else None)
+    yield pd.DataFrame(
+        {
+            "k": pd.Series([key[0]] * len(lefts), dtype="Int64"),
+            "tsu": pd.Series(lefts, dtype="Int64"),
+            "tsu_matched": pd.Series(matched, dtype="Int64"),
+        }
+    )
+
+
+def stream_asof_join(
+    tagged: DataFrame,
+    checkpoint_dir: str,
+    on_rows: Callable[[pd.DataFrame], None],
+    available_now: bool = True,
+):
+    """Streaming AS-OF join as a custom stateful operator
+    (``applyInPandasWithState``) — the semantics Spark's built-in
+    stream-stream joins can't express (they need equality or interval
+    conditions; as-of wants "most recent at-or-before").
+
+    ``tagged`` is a streaming DataFrame with columns
+    ``k long, side string, tsu long``: the union of the left stream
+    (side 'L' — rows to enrich) and the right stream (side 'R' — the
+    reference timeline). Per key, the state store holds the right
+    side's sorted timestamp history; each micro-batch emits one row
+    per left event: (k, tsu, tsu_matched) where ``tsu_matched`` is
+    the greatest right tsu ≤ tsu, or NULL.
+
+    Scale shape: ONE state-store shuffle per micro-batch on the key;
+    state is the per-key right-side history (production would prune it
+    below a watermark — with availableNow catch-up the history is
+    exact and bounded by the log). Cross-batch caveat: a left row in
+    an EARLIER micro-batch than its matching right row matches only
+    what has arrived — the same arrival-order contract as any
+    stream-stream join without a lateness allowance."""
+    out = tagged.groupBy("k").applyInPandasWithState(
+        _asof_func,
+        outputStructType="k long, tsu long, tsu_matched long",
+        stateStructType="rights array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            on_rows(pdf)
+
+    w = (
+        out.writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()

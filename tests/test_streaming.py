@@ -382,3 +382,53 @@ def test_stream_dedup_minhash_collides_near_dups(spark, tmp_path):
     }
     assert all(d == 3 for d, _ in got2)  # only the near-dup collides
     assert len(got2) >= 1 and all(k == 0 for _, k in got2)
+
+
+def test_stream_asof_join_state_across_batches(spark, tmp_path):
+    """The stateful as-of operator's right-side history must persist
+    in the state store across micro-batches: a left row in batch 2
+    matches a right row that arrived in batch 1."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from margaret_spark.streaming.stateful import stream_asof_join
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "k long, side string, tsu long"
+    # batch 1: rights at 10 and 20 for key 1; a left at 15 (matches 10)
+    spark.createDataFrame(
+        [(1, "R", 10), (1, "R", 20), (1, "L", 15)], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    # batch 2: lefts at 25 (matches 20, from batch-1 state) and 5 (no match)
+    spark.createDataFrame(
+        [(1, "L", 25), (1, "L", 5), (2, "L", 99)], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+    now = time.time()
+    for sub, when in (("f1", now - 60), ("f2", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (when, when))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = {}
+
+    def on_rows(pdf):
+        for r in pdf.itertuples(index=False):
+            got[(int(r.k), int(r.tsu))] = (
+                None if pd.isna(r.tsu_matched) else int(r.tsu_matched)
+            )
+
+    stream_asof_join(sdf, str(tmp_path / "ck"), on_rows)
+    assert got == {
+        (1, 15): 10,
+        (1, 25): 20,   # right arrived a batch earlier — via state
+        (1, 5): None,
+        (2, 99): None,  # key with no right history at all
+    }
