@@ -577,6 +577,89 @@ def q_events_window_funcs(spark, sf_dir):
     )
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Trailing-window anomaly detection: per (event_type, day) count
+    vs the mean/σ of the 7 PRECEDING days (a rows-frame that excludes
+    the current row — the standard leak-free baseline), flagging days
+    above 2σ. Exact integer sums; σ via sqrt (IEEE-correctly-rounded,
+    so cross-engine bit-exact, unlike ln); variance as E[x²]−E[x]²
+    with the identical expression tree in the oracle. One shuffle on
+    (event_type), windows per type ordered by day."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    cnt = F.count("*").over(w)
+    mean = F.sum("n").over(w).cast("double") / cnt
+    var = (
+        F.sum(F.col("n") * F.col("n")).over(w).cast("double") / cnt
+        - mean * mean
+    )
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            F.when(cnt >= 3, pround(mean, 6)).alias("trail_mean"),
+            F.when(cnt >= 3, pround(sigma, 6)).alias("trail_sigma"),
+            (
+                F.when(
+                    cnt >= 3, F.col("n").cast("double") > mean + 2.0 * sigma
+                ).otherwise(F.lit(False))
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def q_customers_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary) per customer
+    from orders: days since last order relative to the corpus max
+    date, order count, exact-decimal total spend, and a fixed-
+    threshold segment label. The max date is a broadcast 1-row
+    aggregate (tiny dim — the cost is one extra stage, acceptable for
+    a once-per-run scalar); everything else is one shuffle on the
+    customer key."""
+    orders = _t(spark, sf_dir, "orders")
+    maxd = F.broadcast(
+        orders.agg(F.to_date(F.max("o_orderdate")).alias("__maxd"))
+    )
+    per_cust = (
+        orders.crossJoin(maxd)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("__maxd"), F.to_date("o_orderdate")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    seg = (
+        F.when(
+            (F.col("recency_days") <= 30) & (F.col("frequency") >= 10),
+            F.lit("champion"),
+        )
+        .when(F.col("recency_days") <= 30, F.lit("recent"))
+        .when(F.col("frequency") >= 10, F.lit("loyal"))
+        .otherwise(F.lit("at_risk"))
+    )
+    return per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        seg.alias("segment"),
+    )
+
+
 def q_tpch_q17(spark, sf_dir):
     """TPC-H Q17-style small-quantity revenue: lineitems below 20% of
     their part's average quantity — the correlated scalar subquery
@@ -2214,6 +2297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_json": q_events_json,
         "events_pivot": q_events_pivot,
+        "events_anomaly": q_events_anomaly,
+        "customers_rfm": q_customers_rfm,
         "stream_events_daily": q_stream_events_daily,
         "stream_events_enriched": q_stream_events_enriched,
         "stream_events_asof": q_stream_events_asof,
@@ -3023,6 +3108,37 @@ def _oracle_sql_base() -> dict[str, str]:
             "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
             "ORDER BY epoch_us(ts), event_id) AS prev FROM events)"
             ") GROUP BY user_id, sid"
+        ),
+        "events_anomaly": (
+            "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "count(*) AS n FROM events GROUP BY event_type, CAST(ts AS DATE)), "
+            "t AS (SELECT event_type, day, n, "
+            "count(*) OVER w AS c, "
+            "CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w AS m, "
+            "CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w AS m2 "
+            "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_type, day, n, "
+            "CASE WHEN c >= 3 THEN " + _pr("m") + " END AS trail_mean, "
+            "CASE WHEN c >= 3 THEN "
+            + _pr("sqrt(greatest(m2 - m * m, 0.0))")
+            + " END AS trail_sigma, "
+            "COALESCE(CASE WHEN c >= 3 THEN "
+            "CAST(n AS DOUBLE) > m + 2.0 * sqrt(greatest(m2 - m * m, 0.0)) "
+            "END, FALSE) AS is_anomaly FROM t"
+        ),
+        "customers_rfm": (
+            "WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders), "
+            "pc AS (SELECT o_custkey, "
+            "CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), maxd)) AS BIGINT) AS recency_days, "
+            "count(*) AS frequency, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS monetary "
+            "FROM orders CROSS JOIN mx GROUP BY o_custkey) "
+            "SELECT o_custkey AS custkey, recency_days, frequency, monetary, "
+            "CASE WHEN recency_days <= 30 AND frequency >= 10 THEN 'champion' "
+            "WHEN recency_days <= 30 THEN 'recent' "
+            "WHEN frequency >= 10 THEN 'loyal' "
+            "ELSE 'at_risk' END AS segment FROM pc"
         ),
         "events_pivot": (
             "SELECT CAST(ts AS DATE) AS day, "
