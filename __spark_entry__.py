@@ -1560,6 +1560,23 @@ def q_events_cohorts(spark, sf_dir):
     return cohort_retention(ev, "user_id", "ts")
 
 
+def q_pack_sequences_grouped(spark, sf_dir):
+    """Per-source sequence packing (operators.packing.
+    pack_sequences_grouped): every source gets its own token stream —
+    the domain-separated pretraining layout. Window cumsum per source,
+    identical pack arithmetic to the global packing; oracle mirrors
+    the partitioned cumsum."""
+    from margaret_spark.operators.packing import pack_sequences_grouped
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    base = docs.select("doc_id", "source").join(toks, "doc_id")
+    return pack_sequences_grouped(
+        base, "source", "doc_id", "n_tokens", seq_len=256
+    )
+
+
 def q_sample_token_budget(spark, sf_dir):
     """Corpus mixing by token budget (operators.sampling.
     token_budget_sample): within each source, the deterministic
@@ -2322,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": q_search_bm25,
         "search_tfidf": q_search_tfidf,
         "sample_token_budget": q_sample_token_budget,
+        "pack_sequences_grouped": q_pack_sequences_grouped,
         "fuzzy_part_names": q_fuzzy_part_names,
         "text_quality_rules": q_text_quality_rules,
         "events_cohorts": q_events_cohorts,
@@ -3291,6 +3309,18 @@ def _oracle_sql_base() -> dict[str, str]:
             "AS week_offset, count(*) AS n_users "
             "FROM weekly x JOIN first w ON x.u = w.u "
             "GROUP BY w.cohort_week, CAST((x.wk - w.cohort_week) / 7 AS INT)"
+        ),
+        "pack_sequences_grouped": (
+            f"WITH toks AS (SELECT doc_id, source, len({_WORDS}) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            "FROM toks WHERE n_tokens > 0) "
+            "SELECT source, doc_id, n_tokens, "
+            "(cum - n_tokens) // 256 AS pack_first, "
+            "(cum - 1) // 256 AS pack_last, "
+            "(cum - n_tokens) % 256 AS offset_in_first FROM c"
         ),
         "sample_token_budget": (
             f"WITH toks AS (SELECT doc_id, source, len({_WORDS}) AS n_tokens "

@@ -95,11 +95,18 @@ def pack_sequences(
     c = running_total(
         df.where(F.col(tokens_col) > 0), tokens_col, order_col, "__cum"
     )
+    return _pack_from_cum(c, id_col, tokens_col, seq_len)
+
+
+def _pack_from_cum(
+    c: DataFrame, id_col: str, tokens_col: str, seq_len: int, extra: list | None = None
+) -> DataFrame:
     start = F.col("__cum") - F.col(tokens_col)
     # Column arithmetic (not interpolated F.expr): token column names
     # that aren't bare identifiers must still resolve. floor-div on
     # non-negative operands ≡ SQL `div`.
     return c.select(
+        *(extra or []),
         F.col(id_col),
         F.col(tokens_col).alias("n_tokens"),
         F.floor(start / F.lit(seq_len)).cast("long").alias("pack_first"),
@@ -108,3 +115,37 @@ def pack_sequences(
         .alias("pack_last"),
         (start % F.lit(seq_len)).cast("long").alias("offset_in_first"),
     )
+
+
+def pack_sequences_grouped(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-group contiguous packing: each group (training domain /
+    source) gets its OWN token stream starting at pack 0 — the layout
+    for domain-separated or curriculum training where sequences must
+    not mix sources. Output adds ``group_col`` to the
+    :func:`pack_sequences` schema.
+
+    Scale shape: the prefix sum is a per-group window cumsum (one
+    shuffle on the group key). Unlike the global packing, no range
+    repartition is needed — the group key IS the partition — but a
+    single huge group degenerates to one window partition; for that
+    shape use the global :func:`pack_sequences` per group subset
+    instead."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    order_col = order_col or id_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = df.where(F.col(tokens_col) > 0).withColumn(
+        "__cum", F.sum(tokens_col).over(w).cast("long")
+    )
+    return _pack_from_cum(c, id_col, tokens_col, seq_len, extra=[F.col(group_col)])

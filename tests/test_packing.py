@@ -99,3 +99,21 @@ def test_running_total_no_global_window(spark):
         .toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_pack_sequences_grouped_independent_streams(spark):
+    from margaret_spark.operators.packing import pack_sequences_grouped
+
+    rows = [(1, "a", 100), (2, "a", 200), (3, "b", 300), (4, "b", 10), (5, "b", 0)]
+    df = spark.createDataFrame(rows, "id long, src string, toks long")
+    got = {
+        (r["src"], r["id"]): (r["pack_first"], r["pack_last"], r["offset_in_first"])
+        for r in pack_sequences_grouped(df, "src", "id", "toks", seq_len=128).collect()
+    }
+    # each source starts its own stream at pack 0; zero-token rows drop
+    assert got == {
+        ("a", 1): (0, 0, 0),        # tokens 0..99
+        ("a", 2): (0, 2, 100),      # tokens 100..299 spills packs 0-2
+        ("b", 3): (0, 2, 0),        # b restarts at 0: tokens 0..299
+        ("b", 4): (2, 2, 300 % 128),
+    }
