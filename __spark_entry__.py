@@ -583,8 +583,9 @@ def q_events_anomaly(spark, sf_dir):
     the current row — the standard leak-free baseline), flagging days
     above 2σ. Exact integer sums; σ via sqrt (IEEE-correctly-rounded,
     so cross-engine bit-exact, unlike ln); variance as E[x²]−E[x]²
-    with the identical expression tree in the oracle. One shuffle on
-    (event_type), windows per type ordered by day."""
+    with the identical expression tree in the oracle. Two exchanges:
+    the daily count aggregates on (event_type, day), then the trailing
+    window repartitions on event_type alone."""
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         F.col("event_type"), F.to_date("ts").alias("day")
@@ -1271,8 +1272,10 @@ def q_stream_events_daily(spark, sf_dir):
 def q_events_pivot(spark, sf_dir):
     """Pivoted daily event matrix: one row per day, one column per
     event type (explicit category list — an open-ended pivot would
-    need a driver-side distinct pass; pinning the vocabulary keeps it
-    a single groupBy). Map-side partial agg, one shuffle on day."""
+    need a driver-side distinct pass before planning). Spark compiles
+    pivot-with-count to TWO aggregates: a count keyed on (day,
+    event_type), then the pivotfirst aggregate keyed on day — two
+    exchanges, both map-side combined."""
     ev = _events(spark, sf_dir)
     cats = ["click", "error", "purchase", "signup", "view"]
     out = (
@@ -1332,7 +1335,10 @@ def q_stream_events_asof(spark, sf_dir):
     purchases and clicks tagged into one keyed stream, the state
     store holding each user's click-timestamp history, one match row
     per purchase — semantics Spark's built-in stream-stream joins
-    cannot express. Aggregated identically to the batch events_asof,
+    cannot express. Per-user partial aggregates (not match rows) are
+    merged additively across micro-batches on the driver — the same
+    accumulate-partials pattern as the other stream harnesses — then
+    aggregated identically to the batch events_asof,
     and checked against the SAME DuckDB native ASOF JOIN oracle: the
     custom streaming operator itself is on the hash-exact surface."""
     import shutil
@@ -1352,30 +1358,30 @@ def q_stream_events_asof(spark, sf_dir):
         .alias("side"),
         F.unix_micros("ts").alias("tsu"),
     )
-    rows: list = []
+    # only per-user PARTIALS cross the driver (count / matched-count /
+    # gap-sum merge additively across micro-batches) — never the
+    # per-event match rows
+    acc: dict = {}
 
     def on_rows(pdf):
         for r in pdf.itertuples(index=False):
-            rows.append(
-                (
-                    int(r.k),
-                    int(r.tsu),
-                    None if pd.isna(r.tsu_matched) else int(r.tsu_matched),
-                )
-            )
+            k = int(r.k)
+            n, m, g = acc.get(k, (0, 0, 0))
+            if pd.isna(r.tsu_matched):
+                acc[k] = (n + 1, m, g)
+            else:
+                acc[k] = (n + 1, m + 1, g + int(r.tsu) - int(r.tsu_matched))
 
     ckpt = tempfile.mkdtemp(prefix="stream_asof_")
     try:
         stream_asof_join(tagged, ckpt, on_rows)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    matched = spark.createDataFrame(
-        rows, "user_id long, tsu long, tsu_matched long"
-    )
-    return matched.groupBy("user_id").agg(
-        F.count("*").alias("n_purchases"),
-        F.count("tsu_matched").alias("n_matched"),
-        F.sum(F.col("tsu") - F.col("tsu_matched")).alias("sum_gap_us"),
+    rows = [
+        (k, n, m, g if m else None) for k, (n, m, g) in acc.items()
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, n_purchases long, n_matched long, sum_gap_us long"
     )
 
 

@@ -7,8 +7,9 @@ upsampling for sampling factors in {1, 2}, YCbCr→RGB. Progressive
 (SOF2), arithmetic coding, and 12-bit precision are rejected with a
 clear error.
 
-Encoder: baseline, 4:4:4 (no subsampling) or single-component
-grayscale, quality-scaled Annex-K quantization tables, and
+Encoder: baseline — single-component grayscale, 4:4:4, or 4:2:0
+(``subsample=True``: chroma 2×2-averaged, Y sampling factor 2×2) —
+quality-scaled Annex-K quantization tables, and
 *self-describing* canonical Huffman tables: instead of transcribing
 the long Annex-K code tables, the encoder builds fixed-length
 canonical tables over the symbols it can emit and writes them to DHT

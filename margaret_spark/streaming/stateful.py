@@ -286,8 +286,16 @@ def _asof_func(
     for pdf in pdfs:
         for ts, side in zip(pdf["tsu"], pdf["side"]):
             (lefts if side == "L" else new_rights).append(int(ts))
-    all_rights = sorted(rights + new_rights)
-    state.update((all_rights,))
+    if new_rights:
+        # state is stored sorted: insort the (typically few) arrivals
+        # instead of re-sorting the whole history, and only rewrite
+        # the state store when the history actually changed
+        all_rights = rights
+        for t in sorted(new_rights):
+            bisect.insort(all_rights, t)
+        state.update((all_rights,))
+    else:
+        all_rights = rights
     if not lefts:
         return
     matched = []
