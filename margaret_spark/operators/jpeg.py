@@ -617,8 +617,17 @@ def _walk_mcus(b: bytes, st: dict, on_block) -> None:
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, samples): full baseline decode.
     Grayscale stays 1-channel; 3-component YCbCr converts to
-    interleaved RGB. Raises ValueError on non-baseline streams."""
+    interleaved RGB. Raises ValueError on non-baseline, truncated, or
+    corrupt streams (never struct.error/IndexError — a dirty corpus
+    must fail classification, not crash the task)."""
     b = bytes(blob)
+    try:
+        return _decode_jpeg_inner(b)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"jpeg: truncated or corrupt stream: {e!r}") from e
+
+
+def _decode_jpeg_inner(b: bytes) -> tuple[int, int, int, bytes]:
     st = _parse_stream(b)
     comps = st["comps"]
     ww, hh = st["size"]
@@ -662,7 +671,10 @@ def decode_jpeg_coefficients(blob: bytes) -> list[np.ndarray]:
     marker and entropy walks with :func:`decode_jpeg` (one parser, no
     drift)."""
     b = bytes(blob)
-    st = _parse_stream(b)
+    try:
+        st = _parse_stream(b)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"jpeg: truncated or corrupt stream: {e!r}") from e
     blocks: list[np.ndarray] = []
 
     def on_block(ci, c, my, mx, by, bx, zz):

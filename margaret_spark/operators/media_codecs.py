@@ -1,9 +1,9 @@
 """Real media codecs, stdlib-only: PNG (zlib + struct) and WAV
 (RIFF/PCM via struct). These make the multimodal decode path REAL for
 the formats a pure-Python environment can handle — no Pillow, no
-libsndfile — while formats that genuinely need native codecs (JPEG,
-video) remain explicit ``NotImplementedError`` stubs in
-``operators.multimodal``.
+libsndfile. Baseline JPEG lives in ``operators.jpeg`` (stdlib+numpy);
+only video formats — which genuinely need native codecs — remain
+explicit ``NotImplementedError`` stubs in ``operators.multimodal``.
 
 Everything here is deterministic byte-level encode/decode, usable
 inside Arrow-batched pandas kernels. The encoders exist so tests and
@@ -90,6 +90,13 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     meta = png_meta(blob)
     if meta is None:
         raise ValueError("not a PNG")
+    try:
+        return _decode_png_inner(blob, meta)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"png: truncated or corrupt stream: {e!r}") from e
+
+
+def _decode_png_inner(blob: bytes, meta) -> tuple[int, int, int, bytes]:
     w, h, depth, ctype, ch = meta
     if depth != 8 or ch is None:
         raise ValueError(f"unsupported PNG: depth={depth} color_type={ctype}")
@@ -198,6 +205,8 @@ def decode_wav(blob: bytes) -> tuple[int, int, list[int]]:
         tag = bytes(blob[pos : pos + 4])
         (ln,) = struct.unpack("<I", bytes(blob[pos + 4 : pos + 8]))
         if tag == b"data":
+            if pos + 8 + ln > n:  # header claims more than is present
+                raise ValueError("wav: truncated data chunk")
             samples.extend(
                 struct.unpack(f"<{ln // 2}h", bytes(blob[pos + 8 : pos + 8 + ln]))
             )

@@ -202,3 +202,49 @@ def test_spark_decode_audio_real_wav(spark):
     feats = {r["id"]: r for r in audio_features(blobs, "id", "blob").collect()}
     x = np.array([((1 * 7 + j * 13) % 4096) - 2048 for j in range(40)], dtype=np.float64)
     assert feats[1]["rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))))
+
+
+def test_decoders_never_crash_on_garbage():
+    """Dirty-corpus contract: random bytes and truncations of valid
+    files must classify as unknown (meta -> None) or raise ValueError
+    — never escape with IndexError/struct.error/zlib.error from any
+    decode entry point."""
+    import random
+    import zlib
+
+    from margaret_spark.operators.jpeg import decode_jpeg, jpeg_meta
+    from margaret_spark.operators.media_codecs import (
+        decode_png as dpng,
+        decode_wav as dwav,
+        encode_wav as ewav,
+    )
+    from margaret_spark.operators.jpeg import encode_jpeg
+    import numpy as np
+
+    rng = random.Random(99)
+    valid = [
+        encode_png(6, 5, _pixels(6, 5, 1), color_type=0),
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8)),
+        ewav(8000, [0, 1, -1, 2], channels=1),
+    ]
+    blobs = []
+    for _ in range(60):
+        blobs.append(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 80))))
+    for v in valid:
+        for cut in (1, 4, 9, len(v) // 2, len(v) - 1):
+            blobs.append(v[:cut])
+        # corrupt a middle byte
+        b = bytearray(v)
+        b[len(b) // 2] ^= 0xFF
+        blobs.append(bytes(b))
+    # magic-prefixed garbage exercises the deep parsers
+    blobs += [b"\x89PNG\r\n\x1a\n" + b"\x00" * 10, b"\xff\xd8\xff\xe0junk",
+              b"RIFF\xff\xff\xff\xffWAVEdata"]
+    for blob in blobs:
+        for meta in (png_meta, jpeg_meta, wav_meta):
+            meta(blob)  # must never raise
+        for dec in (dpng, decode_jpeg, dwav):
+            try:
+                dec(blob)
+            except (ValueError, zlib.error):
+                pass  # expected classification failures
