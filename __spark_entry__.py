@@ -618,6 +618,29 @@ def q_events_anomaly(spark, sf_dir):
     )
 
 
+def q_orders_constraints(spark, sf_dir):
+    """Declarative data-quality report (operators.constraints): every
+    row-local rule + uniqueness compile into ONE aggregation over one
+    scan (map-side-combinable conditional sums); the referential-
+    integrity rule adds one broadcast anti-join against the customer
+    keys. Output is a handful of rows regardless of input size —
+    the Deequ-style gate a pipeline runs before trusting a table."""
+    from margaret_spark.operators import constraints as C
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return C.constraint_report(
+        orders,
+        [
+            C.not_null("o_custkey"),
+            C.unique("o_orderkey"),
+            C.in_range("o_totalprice", 0.0, 1e9),
+            C.in_set("o_orderstatus", ["O", "F", "P"]),
+            C.foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
 def q_customers_rfm(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary) per customer
     from orders: days since last order relative to the corpus max
@@ -2322,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "events_anomaly": q_events_anomaly,
         "customers_rfm": q_customers_rfm,
+        "orders_constraints": q_orders_constraints,
         "stream_events_daily": q_stream_events_daily,
         "stream_events_enriched": q_stream_events_enriched,
         "stream_events_asof": q_stream_events_asof,
@@ -3150,6 +3174,28 @@ def _oracle_sql_base() -> dict[str, str]:
             "COALESCE(CASE WHEN c >= 3 THEN "
             "CAST(n AS DOUBLE) > m + 2.0 * sqrt(greatest(m2 - m * m, 0.0)) "
             "END, FALSE) AS is_anomaly FROM t"
+        ),
+        "orders_constraints": (
+            "WITH t AS (SELECT count(*) AS total FROM orders) "
+            "SELECT rule, col AS \"column\", violations, total, "
+            "violations = 0 AS ok FROM ("
+            "SELECT 'not_null' AS rule, 'o_custkey' AS col, "
+            "CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) "
+            "AS violations, total FROM t "
+            "UNION ALL SELECT 'unique', 'o_orderkey', "
+            "CAST((SELECT count(o_orderkey) - count(DISTINCT o_orderkey) + "
+            "greatest(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) - 1, 0) "
+            "FROM orders) AS BIGINT), total FROM t "
+            "UNION ALL SELECT 'in_range', 'o_totalprice', "
+            "CAST((SELECT count(*) FROM orders WHERE o_totalprice < 0.0 "
+            "OR o_totalprice > 1000000000.0) AS BIGINT), total FROM t "
+            "UNION ALL SELECT 'in_set', 'o_orderstatus', "
+            "CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL "
+            "AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT), total FROM t "
+            "UNION ALL SELECT 'foreign_key', 'o_custkey', "
+            "CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL "
+            "AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT), "
+            "total FROM t)"
         ),
         "customers_rfm": (
             "WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders), "

@@ -816,3 +816,47 @@ def test_ivf_index_matches_inflight(spark, emb, tmp_path):
     )
     assert key(indexed_km.collect()) == key(inflight_km.collect())
     assert cents.count() == 4
+
+
+def test_constraint_report(spark):
+    from margaret_spark.operators import constraints as C
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (1, "b", -1.0),          # dup id, out-of-range v
+            (None, "c", 2.0),        # null id
+            (3, None, 3.0),          # null s (matches/in_set skip NULLs)
+            (4, "zz", 1e12),         # bad pattern, out-of-range
+        ],
+        "id long, s string, v double",
+    )
+    ref = spark.createDataFrame([(1,), (3,)], "k long")
+    rows = {
+        (r["rule"], r["column"]): (r["violations"], r["total"], r["ok"])
+        for r in C.constraint_report(
+            df,
+            [
+                C.not_null("id"),
+                C.unique("id"),
+                C.in_range("v", 0.0, 100.0),
+                C.matches("s", "^[a-c]$"),
+                C.in_set("s", ["a", "b", "c"]),
+                C.foreign_key("id", ref, "k"),
+            ],
+        ).collect()
+    }
+    assert rows[("not_null", "id")] == (1, 5, False)
+    assert rows[("unique", "id")] == (1, 5, False)       # two 1s -> 1 extra
+    assert rows[("in_range", "v")] == (2, 5, False)      # -1 and 1e12
+    assert rows[("matches", "s")] == (1, 5, False)       # only 'zz'; NULL skipped
+    assert rows[("in_set", "s")] == (1, 5, False)
+    assert rows[("foreign_key", "id")] == (1, 5, False)  # id=4 orphaned
+    # all-clean table
+    clean = C.constraint_report(
+        spark.createDataFrame([(1, "a", 1.0)], "id long, s string, v double"),
+        [C.not_null("id"), C.unique("id"), C.in_range("v", 0.0, 2.0)],
+    ).collect()
+    assert all(r["ok"] for r in clean)
+    with pytest.raises(ValueError):
+        C.constraint_report(df, [("bogus", "id")])
