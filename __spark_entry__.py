@@ -173,6 +173,35 @@ def q_log_replace_overlay(spark, sf_dir):
     )
 
 
+def q_log_snapshot_read(spark, sf_dir):
+    """TIME TRAVEL on the graded surface (sources/snapshot.py): build
+    a real OffsetLog from the first 500 events, pin a snapshot, then
+    append 100 more AND null seq 3 — the as-of read must show the
+    pinned state exactly: later appends invisible, the post-snapshot
+    null invisible (seq 3 still carries its value). A manifest is
+    O(#logs) metadata; the as-of bound is a pushed ``seq <=`` filter,
+    so Parquet row-group pruning keeps snapshot reads as cheap as
+    head reads."""
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.sources.snapshot import SnapshotCatalog
+
+    ev = _events(spark, sf_dir).orderBy("event_id").limit(600).collect()
+    d = tempfile.mkdtemp(prefix="snap_log_")
+    log = OffsetLog(
+        spark, d, value_type=T.StructType([T.StructField("v", T.DoubleType())])
+    )
+    log.append_many([{"v": float(r["value"])} for r in ev[:500]])
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="snap_cat_"))
+    sid = cat.snapshot({"events": log})
+    # post-snapshot mutations that the as-of read must NOT see
+    log.append_many([{"v": float(r["value"])} for r in ev[500:]])
+    log.null(3)
+    asof = cat.read(sid, "events", log)
+    return asof.select("seq", F.col("value.v").alias("v"), "nulled")
+
+
 def q_log_check_consistency(spark, sf_dir):
     """fsck invariants as one aggregation row (op 8)."""
     return _events_log(spark, sf_dir).agg(
@@ -2293,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_nulled_overlay": q_log_nulled_overlay,
         "log_replace_overlay": q_log_replace_overlay,
         "log_check_consistency": q_log_check_consistency,
+        "log_snapshot_read": q_log_snapshot_read,
         "mlog_list": q_mlog_list,
         "mlog_ranks": q_mlog_ranks,
         "mlog_sublog_get": q_mlog_sublog_get,
@@ -2682,6 +2712,12 @@ def _oracle_sql_base() -> dict[str, str]:
             "(SELECT event_id, value * 2 AS pv FROM events "
             "WHERE event_type = 'purchase') p "
             "ON e.event_id = p.event_id"
+        ),
+        # the as-of view pins the pre-mutation state: first 500 events,
+        # nothing nulled (the null landed after the snapshot)
+        "log_snapshot_read": (
+            "SELECT event_id AS seq, value AS v, FALSE AS nulled "
+            "FROM events WHERE event_id < 500"
         ),
         "log_check_consistency": (
             "SELECT count(*) AS n, count(DISTINCT event_id) AS n_distinct, "
