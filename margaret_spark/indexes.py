@@ -9,10 +9,11 @@ sink that routes log entries into sublogs).
 Spark translation: an index is an upsert table reduced by
 latest-wins (``max_by(value, upd_id)``); the build cursor is a
 checkpoint. The pull-mode ``pump`` here mirrors ``luigi.Pump``; the
-scalable path is the batch builders (:func:`build_index`,
-:func:`build_multilog`) which drive the same user functions over
-DataFrames — in Structured Streaming they become ``foreachBatch``
-bodies (see ``margaret_spark.streaming``).
+scalable paths are :func:`build_index` (batch KV builds) and
+:func:`fanout` + ``OffsetMultiLog.append_df`` (bulk multilog routing)
+which drive the same user functions over DataFrames — in Structured
+Streaming they become ``foreachBatch`` bodies (see
+``margaret_spark.streaming``).
 """
 
 from __future__ import annotations
@@ -204,17 +205,21 @@ class OffsetSetterIndex(SeqSetterIndex):
 
     def set(self, addr: str, value: Any) -> None:
         self._write_upsert(addr, value, False)
+        # CREATE the cell if missing (like the mem backend): a get()
+        # racing this set would otherwise install a cell from its
+        # pre-set snapshot and never learn the new value — with
+        # create-or-update here, either order converges (get's
+        # setdefault returns this fresher cell, or this set updates
+        # get's cell)
         with self._lock:
-            cell = self._cells.get(addr)
-        if cell is not None:
-            cell.set(value)
+            cell = self._cells.setdefault(addr, Observable())
+        cell.set(value)
 
     def delete(self, addr: str) -> None:
         self._write_upsert(addr, None, True)
         with self._lock:
-            cell = self._cells.get(addr)
-        if cell is not None:
-            cell.set(UNSET)
+            cell = self._cells.setdefault(addr, Observable())
+        cell.set(UNSET)
 
     def set_seq(self, seq: int) -> None:
         tmp = self._cursor_path + ".tmp"

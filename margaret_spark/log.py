@@ -434,9 +434,18 @@ class OffsetLog(Log):
         GLOBAL order instead: rows are range-partitioned and sorted on
         that column, so seqs follow it exactly (partition-major order
         of a range partitioning IS global order) — still one range
-        shuffle, no single-partition funnel."""
+        shuffle, no single-partition funnel.
+
+        Requires a typed (codec-less) log: the distributed write
+        stores the column as-is; a codec log's entries must be
+        marshaled per value on the driver paths (``append_many``)."""
         from margaret_spark.functions.seqassign import with_dense_seq
 
+        if self.codec is not None:
+            raise ValueError(
+                "append_df writes the value column raw; this log has a "
+                "codec — marshal per value via append/append_many instead"
+            )
         with self._lock:
             first = self._seq + 1
             if order_by is not None:
@@ -445,14 +454,21 @@ class OffsetLog(Log):
                     order_by
                 )
             staged = with_dense_seq(
-                df.select(F.col(value_col).alias("value")), start=first
+                df.select(F.col(value_col).cast(self.value_type).alias("value")),
+                start=first,
             ).select("seq", "value")
             n = staged.count()
             if n == 0:
                 return self._seq
             last = first + n - 1
-            out_dir = os.path.join(self._data_dir, f"part-{first:020d}-{last:020d}.parquet")
-            staged.write.mode("overwrite").parquet(out_dir)
+            name = f"part-{first:020d}-{last:020d}.parquet"
+            # stage + rename: the seq-range-named directory must appear
+            # atomically (readers and crash recovery trust the name —
+            # a half-committed Spark write would otherwise advance
+            # _recover_seq past a hole)
+            staging = os.path.join(self.path, "_staging", name)
+            staged.write.mode("overwrite").parquet(staging)
+            os.rename(staging, os.path.join(self._data_dir, name))
             self._seq = last
         self._changes.set(self._seq)
         return self._seq
@@ -492,6 +508,10 @@ class OffsetLog(Log):
             self._write_patch(seq, "null", None)
 
     def replace(self, seq: int, value: Any) -> None:
+        if value is None:
+            # a null 'replace' patch would later hit codec.unmarshal(None)
+            # on the read path; redaction has its own operation
+            raise ValueError("replace value must not be None — use null(seq)")
         with self._lock:
             self._write_patch(seq, "replace", value)
 
@@ -507,9 +527,15 @@ class OffsetLog(Log):
                 T.StructField("value", self.value_type, True),
             ]
         )
+        # recursiveFileLookup: append_df publishes a DIRECTORY of part
+        # files per bulk load; without it, mixing single appends
+        # (depth-1 files) with bulk loads (depth-2 leaves) makes
+        # Spark's partition discovery reject the whole log
+        # ("conflicting directory structures")
         return (
             self.spark.read.schema(schema)
             .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
             .parquet(self._data_dir)
         )
 

@@ -44,9 +44,15 @@ from margaret_spark.qry import QueryPlan, QuerySpec, apply_plan_rows, build_plan
 
 def _norm_addr(addr) -> str:
     """Addresses are byte-strings in the reference (``indexes/index.go:17-23``);
-    we accept str/bytes/int and normalize to str for storage."""
+    we accept str/bytes/int and normalize to str for storage. Bytes
+    that aren't valid UTF-8 are stored as a NUL-prefixed hex encoding —
+    surrogateescape strings would crash every pyarrow/Spark
+    serialization of the addr column."""
     if isinstance(addr, bytes):
-        return addr.decode("utf-8", errors="surrogateescape")
+        try:
+            return addr.decode("utf-8")
+        except UnicodeDecodeError:
+            return "\x00hex:" + addr.hex()
     return str(addr)
 
 
@@ -62,7 +68,6 @@ class SubLog:
     def __init__(self, mlog: "MultiLog", addr: str):
         self._mlog = mlog
         self.addr = addr
-        self._changes = Observable()
         # Handles are poisoned per-instance: delete bumps the addr's
         # generation; a handle opened before the delete is dead, a fresh
         # Get() starts clean (reference deletes the sublog object,
@@ -95,12 +100,19 @@ class SubLog:
         self._check()
         if main_seq < 0:
             raise ValueError("sublog values are main-log seqs (non-negative)")
-        n = self._mlog._insert(self.addr, int(main_seq))
-        self._changes.set(n - 1)
+        n, grew = self._mlog._insert(self.addr, int(main_seq))
+        if grew:
+            # fire ONLY on cardinality growth (set semantics: a
+            # duplicate append changes nothing observable)
+            self._mlog._changes_for(self.addr).set(n - 1)
         return n - 1
 
     def changes(self) -> Observable:
-        return self._changes
+        # the observable is shared per (multilog, addr): appends through
+        # ANY handle to the same sublog notify every subscriber — a
+        # per-handle cell would miss writes from other components
+        # (reference shares one observable per sublog)
+        return self._mlog._changes_for(self.addr)
 
     def query(self, *specs: QuerySpec) -> Iterator[Any]:
         """The §2.2 algebra over the *rank* domain
@@ -119,25 +131,44 @@ class SubLog:
     def _live_iter(self, plan: QueryPlan) -> Iterator[Any]:
         import time
 
-        cursor = (plan.gt if plan.gt is not None else
-                  (plan.gte - 1 if plan.gte is not None else -1))
+        start_rank = (plan.gt + 1 if plan.gt is not None else
+                      (plan.gte if plan.gte is not None else 0))
         remaining = plan.limit
+        # The live cursor is a MAIN-SEQ watermark, not a rank: an
+        # out-of-order insert below an already-emitted member shifts
+        # every later rank, so a rank cursor would re-emit one value
+        # and skip another. The initial rank bound converts to a
+        # watermark on the first snapshot that reaches it; members
+        # arriving below the watermark afterwards are late data and
+        # are skipped (ranks reported with each value are
+        # emission-time ranks).
+        last_mseq = None
         while True:
             if remaining is not None and remaining <= 0:
                 return
             self._check()
             members = self._members()
+            if last_mseq is None:
+                if start_rank == 0:
+                    last_mseq = -1
+                elif len(members) >= start_rank:
+                    last_mseq = members[start_rank - 1]
+                else:
+                    time.sleep(0.02)
+                    continue
             progressed = False
-            for rank in range(cursor + 1, len(members)):
+            for rank, mseq in enumerate(members):
+                if mseq <= last_mseq:
+                    continue
                 if plan.lt is not None and rank >= plan.lt:
                     return
                 if plan.lte is not None and rank > plan.lte:
                     return
-                cursor = rank
+                last_mseq = mseq
                 progressed = True
                 if remaining is not None:
                     remaining -= 1
-                yield (rank, members[rank]) if plan.seqwrap else members[rank]
+                yield (rank, mseq) if plan.seqwrap else mseq
                 if remaining is not None and remaining <= 0:
                     return
             if not progressed:
@@ -159,6 +190,12 @@ class MultiLog(ABC):
     def get(self, addr) -> SubLog:
         """Sublog for key, created lazily (``roaring/multilog.go:98-140``)."""
         return SubLog(self, _norm_addr(addr))
+
+    def _changes_for(self, addr: str) -> Observable:
+        """One shared Observable per addr (all handles see all
+        appends). Plain dict setdefault — atomic under the GIL."""
+        reg = self.__dict__.setdefault("_addr_changes", {})
+        return reg.setdefault(addr, Observable())
 
     def list(self) -> list[str]:
         """All keys with a non-empty sublog (``roaring/multilog.go:181-216``)."""
@@ -194,8 +231,8 @@ class MultiLog(ABC):
         ...
 
     @abstractmethod
-    def _insert(self, addr: str, main_seq: int) -> int:
-        """Insert; returns new cardinality."""
+    def _insert(self, addr: str, main_seq: int) -> tuple[int, bool]:
+        """Insert; returns (new cardinality, whether it grew)."""
 
     @abstractmethod
     def _live_addrs(self) -> list[str]:
@@ -221,15 +258,16 @@ class MemMultiLog(MultiLog):
         with self._lock:
             return list(self._data.get(addr, []))
 
-    def _insert(self, addr: str, main_seq: int) -> int:
+    def _insert(self, addr: str, main_seq: int) -> tuple[int, bool]:
         import bisect
 
         with self._lock:
             m = self._data.setdefault(addr, [])
             i = bisect.bisect_left(m, main_seq)
-            if i == len(m) or m[i] != main_seq:
+            grew = i == len(m) or m[i] != main_seq
+            if grew:
                 m.insert(i, main_seq)
-            return len(m)
+            return len(m), grew
 
     def _live_addrs(self) -> list[str]:
         with self._lock:
@@ -280,6 +318,10 @@ class OffsetMultiLog(MultiLog):
         os.makedirs(self._entries_dir, exist_ok=True)
         os.makedirs(self._tomb_dir, exist_ok=True)
         self._lock = threading.Lock()
+        # per-addr member sets, filled lazily (one scan per addr) and
+        # maintained incrementally by _insert; invalidated by delete
+        # and by bulk append_df (which writes arbitrary addrs)
+        self._member_cache: dict[str, set[int]] = {}
         self._entry_id = self._max_id(self._entries_dir, "entry-") + 1
         self._tomb_id = self._max_id(self._tomb_dir, "tomb-") + 1
         # generation = number of tombstones for the addr (persisted);
@@ -339,7 +381,7 @@ class OffsetMultiLog(MultiLog):
             agg.setdefault(r["addr"], set()).add(r["main_seq"])
         return {a: sorted(m) for a, m in agg.items()}
 
-    def _members(self, addr: str) -> list[int]:
+    def _members_scan(self, addr: str) -> list[int]:
         import pyarrow.dataset as ds
 
         if self._max_id(self._entries_dir, "entry-") < 0:
@@ -351,10 +393,34 @@ class OffsetMultiLog(MultiLog):
         ).to_pylist()
         return sorted({r["main_seq"] for r in tbl})
 
-    def _insert(self, addr: str, main_seq: int) -> int:
+    def _members(self, addr: str) -> list[int]:
+        with self._lock:
+            cached = self._member_cache.get(addr)
+            if cached is not None:
+                return sorted(cached)
+        members = self._members_scan(addr)
+        with self._lock:
+            # single-writer design (like the log): the scan result is
+            # authoritative unless an insert raced it, in which case
+            # the cache already holds the superset
+            self._member_cache.setdefault(addr, set(members))
+            return sorted(self._member_cache[addr])
+
+    def _insert(self, addr: str, main_seq: int) -> tuple[int, bool]:
         import pyarrow as pa
 
         with self._lock:
+            cached = self._member_cache.get(addr)
+        if cached is None:
+            # one disk scan per addr per process lifetime; afterwards
+            # cardinality tracking is incremental (a per-insert rescan
+            # made index builds O(N²))
+            scanned = set(self._members_scan(addr))
+            with self._lock:
+                cached = self._member_cache.setdefault(addr, scanned)
+        with self._lock:
+            if main_seq in cached:
+                return len(cached), False  # set semantics: no-op append
             eid = self._entry_id
             self._entry_id += 1
             table = pa.table(
@@ -365,7 +431,8 @@ class OffsetMultiLog(MultiLog):
                 }
             )
             self._write(self._entries_dir, f"entry-{eid:020d}.parquet", table)
-        return len(self._members(addr))
+            cached.add(main_seq)
+            return len(cached), True
 
     def append_df(self, df: DataFrame) -> None:
         """Bulk index build: append an (addr, main_seq) DataFrame
@@ -391,6 +458,7 @@ class OffsetMultiLog(MultiLog):
                     os.path.join(self._entries_dir, f"entry-{eid:020d}.{k:05d}.parquet"),
                 )
             shutil.rmtree(staging, ignore_errors=True)
+            self._member_cache.clear()  # bulk write touches arbitrary addrs
 
     def _live_addrs(self) -> list[str]:
         return [a for a, m in self._read_all().items() if m]
@@ -413,6 +481,7 @@ class OffsetMultiLog(MultiLog):
             )
             self._write(self._tomb_dir, f"tomb-{tid:020d}.parquet", table)
             self._gens[a] = self._gens.get(a, 0) + 1
+            self._member_cache[a] = set()  # everything below the horizon
 
     def df(self) -> DataFrame:
         schema = T.StructType(

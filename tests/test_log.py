@@ -115,3 +115,45 @@ def test_query_df_algebra(log):
     df = log.query_df(Gt(0), Lte(3))
     rows = sorted((r["seq"], r["value"]) for r in df.collect())
     assert rows == [(1, 2), (2, 3), (3, 4)]
+
+
+def test_mixed_append_and_append_df_reads(spark, tmp_path):
+    """Single appends write depth-1 files; append_df publishes a
+    depth-2 directory — the batch reader must discover both (this
+    broke partition discovery before recursiveFileLookup)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    log = OffsetLog(
+        spark, str(tmp_path / "log"),
+        value_type=T.StructType([T.StructField("v", T.LongType())]),
+    )
+    log.append({"v": 1})
+    df2 = spark.createDataFrame([(2,), (3,)], "v long").select(
+        F.struct(F.col("v")).alias("value")
+    )
+    log.append_df(df2)
+    log.append({"v": 4})
+    rows = sorted((r["seq"], r["value"]["v"]) for r in log.df().collect())
+    assert rows == [(0, 1), (1, 2), (2, 3), (3, 4)]
+    assert log.get(2) == {"v": 3}
+    log.check_consistency()
+    # the bulk directory was published atomically via staging+rename
+    import os
+
+    assert not os.path.exists(os.path.join(str(tmp_path / "log"), "_staging")) or \
+        not os.listdir(os.path.join(str(tmp_path / "log"), "_staging"))
+
+
+def test_append_df_rejects_codec_logs(spark, tmp_path):
+    log = OffsetLog(spark, str(tmp_path / "log"), codec="json")
+    df = spark.createDataFrame([("x",)], "value string")
+    with pytest.raises(ValueError, match="codec"):
+        log.append_df(df)
+
+
+def test_replace_none_rejected(spark, tmp_path):
+    log = OffsetLog(spark, str(tmp_path / "log"), codec="json")
+    log.append({"a": 1})
+    with pytest.raises(ValueError, match="null"):
+        log.replace(0, None)

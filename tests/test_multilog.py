@@ -175,3 +175,76 @@ def test_prime_factor_fanout_dataframe(spark, tmp_path):
             for r in mlog.df().where(F.col("addr") == addr).orderBy("main_seq").collect()
         ]
         assert got == expect, addr
+
+
+def test_norm_addr_non_utf8_bytes(spark, tmp_path):
+    # non-UTF-8 byte addrs must store (hex-prefixed), not crash pyarrow
+    ml = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    sub = ml.get(b"\xff\xfe")
+    assert sub.append(3) == 0
+    assert sub.get(0) == 3
+    assert any(a.startswith("\x00hex:") for a in ml.list())
+    # utf-8 byte addrs keep their decoded form
+    assert ml.get(b"plain").addr == "plain"
+
+
+def test_sublog_changes_shared_across_handles(spark):
+    ml = MemMultiLog(spark)
+    got = []
+    ml.get("a").changes().subscribe(got.append)
+    # append through a DIFFERENT handle must notify the subscriber
+    ml.get("a").append(7)
+    assert got and got[-1] == 0
+    # duplicate append (set semantics) must NOT fire again
+    n = len(got)
+    ml.get("a").append(7)
+    assert len(got) == n
+
+
+def test_sublog_live_iter_out_of_order_insert(spark):
+    import threading
+    import time
+
+    ml = MemMultiLog(spark)
+    sub = ml.get("k")
+    sub.append(10)
+    sub.append(20)
+    got = []
+
+    def consume():
+        from margaret_spark.qry import Limit, Live, SeqWrap
+
+        for item in ml.get("k").query(Live(True), SeqWrap(True), Limit(4)):
+            got.append(item)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    deadline = time.time() + 30
+    while len(got) < 2 and time.time() < deadline:
+        time.sleep(0.02)
+    # out-of-order insert BELOW the watermark: late data, must neither
+    # re-emit 10/20 nor wedge the cursor
+    sub.append(5)
+    sub.append(30)
+    sub.append(40)
+    t.join(timeout=30)
+    values = [v for _r, v in got]
+    assert values == [10, 20, 30, 40]  # 5 skipped as late; no duplicates
+
+
+def test_offset_insert_is_incremental_and_set_semantic(spark, tmp_path):
+    ml = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    sub = ml.get("x")
+    assert sub.append(4) == 0
+    assert sub.append(9) == 1
+    assert sub.append(4) == 1   # duplicate: cardinality unchanged
+    # a duplicate append writes no new entry file
+    import os
+
+    n_files = len([f for f in os.listdir(str(tmp_path / "ml" / "entries"))])
+    assert sub.append(9) == 1
+    assert len(os.listdir(str(tmp_path / "ml" / "entries"))) == n_files
+    # reopen: cache rebuilds from disk
+    ml2 = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    assert ml2.get("x").seq() == 1
+    assert ml2.get("x").get(1) == 9
