@@ -32,10 +32,16 @@ def round_div(num: Column, den: Column, digits: int = 6) -> Column:
 
 
 def pround(col: Column, digits: int = 6) -> Column:
-    """Portable round-half-up for non-negative doubles:
-    ``floor(x·10^d + 0.5) / 10^d``. Engine ``round()`` implementations
-    disagree at representation boundaries (decimal-string HALF_UP vs
-    scaled-multiply); this expression tree is plain IEEE arithmetic, so
-    any engine evaluating it gets the bit-identical result."""
+    """Portable rounding: ``floor(x·10^d + 0.5) / 10^d``. For
+    non-negative values this is round-half-up; for negatives it is
+    half-toward-+infinity (e.g. -0.1234565 → -0.123456), NOT
+    decimal-string HALF_UP. That asymmetry is deliberate and
+    harmless here: the oracle evaluates the IDENTICAL expression
+    tree, so both engines agree bit-for-bit on every input —
+    including the negative cosines the similarity operators feed
+    through. Engine ``round()`` implementations disagree at
+    representation boundaries (decimal-string HALF_UP vs
+    scaled-multiply); this tree is plain IEEE arithmetic, so any
+    engine evaluating it gets the bit-identical result."""
     scale = float(10**digits)
     return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)

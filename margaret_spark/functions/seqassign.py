@@ -7,8 +7,15 @@ The reference gets gap-free seqs for free from its single-writer mutex
 non-starter at 100 TB. We use the standard two-pass partition-offset
 technique instead:
 
-1. rank rows *within* each partition (narrow, no shuffle),
-2. collect the tiny per-partition counts to the driver,
+1. derive (partition id, in-partition position) from
+   ``monotonically_increasing_id``'s bit layout — NARROW: no window,
+   no exchange (a ``row_number() OVER (PARTITION BY
+   spark_partition_id())`` window would hash-shuffle the whole
+   payload, since Spark has no partitioning guarantee matching that
+   expression);
+2. collect the tiny per-partition counts to the driver (the only
+   shuffle is the map-side-combined count aggregation — counts, not
+   payload);
 3. add the cumulative offset per partition (broadcast map join).
 
 Cost: one extra count-per-partition job over the data; no shuffle of
@@ -17,8 +24,13 @@ the payload at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# monotonically_increasing_id layout: partition id in the upper 31
+# bits, consecutive-from-0 record number in the lower 33
+_MID_RECORD_BITS = 33
+_MID_RECORD_MASK = (1 << _MID_RECORD_BITS) - 1
 
 
 def with_dense_seq(
@@ -31,13 +43,14 @@ def with_dense_seq(
 
     Ordering is partition-major (partition 0's rows first, then
     partition 1's, ...); within a partition rows keep their physical
-    order unless ``order_within`` is given. This matches a log's
-    arrival-order semantics: the assignment is deterministic for a
-    deterministic input plan.
+    order unless ``order_within`` is given (applied as a NARROW
+    ``sortWithinPartitions`` — still no exchange). This matches a
+    log's arrival-order semantics: the assignment is deterministic for
+    a deterministic input plan.
     """
-    pid = F.spark_partition_id()
-    tie = order_within if order_within is not None else F.monotonically_increasing_id()
-    w = Window.partitionBy(pid).orderBy(tie)
+    if order_within is not None:
+        df = df.sortWithinPartitions(order_within)
+    mid = F.monotonically_increasing_id()
     # Materialize before the counts collect: the counts job and the
     # final assignment must observe the SAME partition layout; without
     # the checkpoint a nondeterministic upstream (any shuffle re-order,
@@ -45,8 +58,14 @@ def with_dense_seq(
     # partitions across the two jobs and silently corrupt the seqs —
     # and the upstream would be computed twice besides.
     staged = (
-        df.withColumn("__pid", pid)
-        .withColumn("__rank", F.row_number().over(w) - F.lit(1))
+        df.withColumn("__mid", mid)
+        .withColumn(
+            "__pid", F.shiftrightunsigned(F.col("__mid"), _MID_RECORD_BITS)
+        )
+        .withColumn(
+            "__rank", F.col("__mid").bitwiseAND(F.lit(_MID_RECORD_MASK))
+        )
+        .drop("__mid")
         .localCheckpoint(eager=False)
     )
     counts = staged.groupBy("__pid").count().collect()
@@ -55,8 +74,10 @@ def with_dense_seq(
     for row in sorted(counts, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = acc
         acc += row["count"]
+    if not offsets:
+        return df.withColumn(seq_col, F.lit(None).cast("long"))
     mapping = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+        *[F.lit(int(x)) for kv in offsets.items() for x in kv]
     )
     return (
         staged.withColumn(seq_col, (mapping[F.col("__pid")] + F.col("__rank")).cast("long"))

@@ -349,6 +349,7 @@ class OffsetLog(Log):
                     {"value_type": self.value_type.json(), "codec": codec_name}, f
                 )
         self._arrow_schema = None
+        self._cleanup_superseded()
         self._seq = self._recover_seq()
         self._patch_id = self._recover_patch_id()
 
@@ -363,7 +364,42 @@ class OffsetLog(Log):
             parts = stem.split("-")
             out.append((int(parts[1]), int(parts[2]), os.path.join(self._data_dir, name)))
         out.sort()
+        # supersede rule: a file whose seq range is strictly contained
+        # in a LARGER file's range is a compaction input whose merged
+        # replacement has been published — ignore it. This is what
+        # makes compaction crash-safe: the merged file is renamed into
+        # place FIRST and the inputs deleted after; a crash in between
+        # leaves dead inputs that readers (and _recover_seq) skip, and
+        # the janitor removes on the next open.
+        if len(out) > 1:
+            kept = []
+            for lo, hi, p in out:
+                covered = any(
+                    Lo <= lo and hi <= Hi and (Hi - Lo) > (hi - lo)
+                    for Lo, Hi, _ in out
+                )
+                if not covered:
+                    kept.append((lo, hi, p))
+            out = kept
         return out
+
+    def _cleanup_superseded(self) -> None:
+        """Remove compaction inputs left behind by a crash between the
+        merged file's publish and the input deletion (see the
+        supersede rule in :meth:`_data_files`)."""
+        import shutil
+
+        live = {p for _lo, _hi, p in self._data_files()}
+        for name in os.listdir(self._data_dir):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(self._data_dir, name)
+            if p in live:
+                continue
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.remove(p)
 
     def _recover_seq(self) -> int:
         files = self._data_files()
@@ -527,16 +563,21 @@ class OffsetLog(Log):
                 T.StructField("value", self.value_type, True),
             ]
         )
-        # recursiveFileLookup: append_df publishes a DIRECTORY of part
-        # files per bulk load; without it, mixing single appends
-        # (depth-1 files) with bulk loads (depth-2 leaves) makes
-        # Spark's partition discovery reject the whole log
-        # ("conflicting directory structures")
+        # Read the EXPLICIT live file list (the supersede rule filters
+        # dead compaction inputs a crash may have left), not the whole
+        # directory. recursiveFileLookup: append_df publishes a
+        # DIRECTORY of part files per bulk load; without it, mixing
+        # single appends (depth-1 files) with bulk loads (depth-2
+        # leaves) makes Spark's partition discovery reject the log
+        # ("conflicting directory structures").
+        files = [p for _lo, _hi, p in self._data_files()]
+        if not files:
+            return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.schema(schema)
             .option("pathGlobFilter", "*.parquet")
             .option("recursiveFileLookup", "true")
-            .parquet(self._data_dir)
+            .parquet(*files)
         )
 
     def stream_df(self, max_files_per_trigger: int | None = None) -> DataFrame:

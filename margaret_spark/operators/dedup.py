@@ -256,6 +256,13 @@ def minhash_dedup_pairs(
     """MinHash-LSH candidates, verified with exact Jaccard — the scale
     path for near-dup: candidate generation never leaves its LSH
     bucket. Output schema matches :func:`ngram_jaccard_pairs`."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band slice EMPTY (all
+        # docs collide in every band); non-divisible values silently
+        # drop trailing hashes
+        raise ValueError(
+            f"bands must divide num_hashes: bands={bands}, num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     # ONE shingle pass feeds both stages: the per-doc arrays are
     # checkpointed (repartitioned by id so every downstream per-id

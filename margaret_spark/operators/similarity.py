@@ -92,6 +92,10 @@ def kmeans_centroids(
     assignment pass, one posexplode + two-level aggregation for the
     means (shuffle keyed on (cell, dim) then cell — never on the
     vectors themselves). Lineage is checkpoint-truncated per round."""
+    # hint AFTER the checkpoint: localCheckpoint materializes a new
+    # LogicalRDD plan that drops a pre-existing broadcast hint (and its
+    # default stats block auto-broadcast), so the crossJoin would plan
+    # as a cartesian product
     cents = F.broadcast(
         corpus.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -99,7 +103,8 @@ def kmeans_centroids(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).cast("array<double>").alias("cent"),
         )
-    ).localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)
+    )
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     for _ in range(iters):
         scored = v.crossJoin(cents).withColumn(
@@ -129,7 +134,16 @@ def kmeans_centroids(
                 F.transform(F.col("__pm"), lambda s: s["m"]).alias("cent"),
             )
         )
-        cents = F.broadcast(means).localCheckpoint(eager=False)
+        # a cell that attracted no rows this round KEEPS its previous
+        # centroid (a plain groupBy would silently drop it, shrinking
+        # k — e.g. duplicate init vectors tie every row to the lower
+        # cent_id and empty the other cell permanently)
+        means = (
+            cents.select("cent_id", F.col("cent").alias("__prev"))
+            .join(means, "cent_id", "left")
+            .select("cent_id", F.coalesce(F.col("cent"), F.col("__prev")).alias("cent"))
+        )
+        cents = F.broadcast(means.localCheckpoint(eager=False))
     return cents
 
 
@@ -369,6 +383,10 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates share the query's LSH bucket."""
     spark = corpus.sparkSession
     dim = infer_dim(corpus, vec_col)
+    if dim is None:  # empty corpus: same schema as brute_force_topk
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     planes = _hyperplanes_df(spark, dim, nbits, seed)
 
     c = corpus.select(

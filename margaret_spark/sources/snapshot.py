@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -30,6 +31,7 @@ class SnapshotCatalog:
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
+        self._sid_lock = threading.Lock()
 
     def _manifest_path(self, sid: int) -> str:
         return os.path.join(self.path, f"manifest-{sid:020d}.json")
@@ -61,12 +63,17 @@ class SnapshotCatalog:
         finally:
             for log in reversed(taken):
                 log._lock.release()
-        sid = (self.ids()[-1] + 1) if self.ids() else 0
-        doc = {"id": sid, "note": note, "logs": pinned}
-        tmp = self._manifest_path(sid) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        os.rename(tmp, self._manifest_path(sid))
+        # sid allocation + publish under the catalog lock: two
+        # concurrent snapshots must never share an id (the second
+        # rename would silently clobber the first manifest, losing a
+        # consistent cut). Single-process writer, like the log.
+        with self._sid_lock:
+            sid = (self.ids()[-1] + 1) if self.ids() else 0
+            doc = {"id": sid, "note": note, "logs": pinned}
+            tmp = self._manifest_path(sid) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+            os.rename(tmp, self._manifest_path(sid))
         return sid
 
     def manifest(self, sid: int) -> dict:

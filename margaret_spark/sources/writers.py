@@ -103,12 +103,19 @@ def compact_small_files(
             final = os.path.join(log._data_dir, f"part-{lo:020d}-{hi:020d}.parquet")
             tmp = os.path.join(log._data_dir, f".part-{lo:020d}-{hi:020d}.parquet.tmp")
             pq.write_table(table, tmp)
+            # PUBLISH FIRST, delete after: once the merged file is
+            # renamed into place, the supersede rule in _data_files
+            # makes the inputs invisible — a crash anywhere in the
+            # deletion loop loses nothing (the janitor sweeps the dead
+            # inputs on the next open). The old order (delete inputs,
+            # then rename) had a window where the run's rows existed
+            # only in a dot-tmp file no reader would see.
+            os.rename(tmp, final)
             for _l, _h, p in run:
                 if os.path.isdir(p):
                     shutil.rmtree(p)
                 else:
                     os.remove(p)
-            os.rename(tmp, final)
         log._seq = log._recover_seq()
         return len(runs)
 
@@ -183,16 +190,10 @@ def compact_log(log, target_files: int = 1) -> int:
             seqs = pq.read_table(p, columns=["seq"])["seq"].to_pylist()
             if seqs:
                 ranges.append((p, min(seqs), max(seqs)))
-        for old in glob.glob(os.path.join(log._data_dir, "*.parquet")):
-            os.remove(old)
-        for old in glob.glob(os.path.join(log._patch_dir, "*.parquet")):
-            os.remove(old)
-        for p, lo, hi in ranges:
-            os.rename(
-                p, os.path.join(log._data_dir, f"part-{lo:020d}-{hi:020d}.parquet")
-            )
-        shutil.rmtree(staging, ignore_errors=True)
-        log._patch_id = 0
+        # Crash-safe ordering:
+        # 1. squash the null markers under FRESH patch ids (latest-wins
+        #    overlay: correct both before and after the old patches go);
+        squash_base = log._patch_id
         if nulled_seqs:
             arrow_value = log._arrow().field("value").type
             schema = pa.schema(
@@ -205,17 +206,41 @@ def compact_log(log, target_files: int = 1) -> int:
             )
             table = pa.Table.from_pydict(
                 {
-                    "patch_id": list(range(len(nulled_seqs))),
+                    "patch_id": [squash_base + i for i in range(len(nulled_seqs))],
                     "seq": sorted(nulled_seqs),
                     "op": ["null"] * len(nulled_seqs),
                     "value": [None] * len(nulled_seqs),
                 },
                 schema=schema,
             )
-            final = os.path.join(log._patch_dir, f"patch-{0:020d}.parquet")
-            tmp = os.path.join(log._patch_dir, f".patch-{0:020d}.parquet.tmp")
+            final = os.path.join(log._patch_dir, f"patch-{squash_base:020d}.parquet")
+            tmp = os.path.join(log._patch_dir, f".patch-{squash_base:020d}.parquet.tmp")
             pq.write_table(table, tmp)
             os.rename(tmp, final)
-            log._patch_id = 1
+        # 2. publish the rewritten data files (renames; the supersede
+        #    rule makes the old files invisible — re-applying the
+        #    not-yet-deleted replace patches over already-folded data
+        #    is idempotent);
+        new_names = set()
+        for p, lo, hi in ranges:
+            name = f"part-{lo:020d}-{hi:020d}.parquet"
+            new_names.add(name)
+            os.rename(p, os.path.join(log._data_dir, name))
+        shutil.rmtree(staging, ignore_errors=True)
+        # 3. delete the superseded data files (directory-aware:
+        #    append_df publishes directories) and the pre-squash
+        #    patches.
+        for old in glob.glob(os.path.join(log._data_dir, "*.parquet")):
+            if os.path.basename(old) in new_names:
+                continue
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            else:
+                os.remove(old)
+        for old in glob.glob(os.path.join(log._patch_dir, "*.parquet")):
+            pid = int(os.path.basename(old)[len("patch-"):-len(".parquet")])
+            if pid < squash_base:
+                os.remove(old)
+        log._patch_id = squash_base + len(nulled_seqs) if nulled_seqs else 0
         log._seq = log._recover_seq()
     return len(ranges)

@@ -24,6 +24,8 @@ Three layers:
 from __future__ import annotations
 
 import queue
+import shutil
+import uuid
 import threading
 from typing import Any, Callable, Iterator, Optional
 
@@ -73,9 +75,14 @@ class LiveTail:
             for r in rows:
                 out_q.put((r["seq"], r["value"]))
 
+        # checkpoint under a UUID, never id(self): a reused memory
+        # address would resume a dead tail's committed offsets and
+        # silently skip the whole catch-up phase. The dir is removed
+        # on close() — a tail's cursor is its queue, not the disk.
+        self._ckpt_dir = f"{log.path}/_live_ckpt_{uuid.uuid4().hex}"
         self._query = (
             src.writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", f"{log.path}/_live_ckpt_{id(self)}")
+            .option("checkpointLocation", self._ckpt_dir)
             .trigger(processingTime="200 milliseconds")
             .start()
         )
@@ -107,6 +114,7 @@ class LiveTail:
                     self._query.stop()
                 finally:
                     self._query = None
+                    shutil.rmtree(self._ckpt_dir, ignore_errors=True)
 
     def __enter__(self) -> "LiveTail":
         return self

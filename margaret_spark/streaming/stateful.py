@@ -173,6 +173,10 @@ def stream_dedup_minhash(
     ``dup_seq`` if you only need the verdict. State is one long per
     claimed (band, bucket): O(distinct buckets), partitioned across
     executors, never the documents themselves."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes: bands={bands}, num_hashes={num_hashes}"
+        )
     from margaret_spark.functions.shingling import char_shingles, word_shingles
 
     rows_per_band = num_hashes // bands

@@ -860,3 +860,34 @@ def test_constraint_report(spark):
     assert all(r["ok"] for r in clean)
     with pytest.raises(ValueError):
         C.constraint_report(df, [("bogus", "id")])
+
+
+def test_minhash_bands_validation(spark):
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_dedup_pairs(df, "id", "text", num_hashes=32, bands=64).collect()
+    with pytest.raises(ValueError, match="bands"):
+        minhash_dedup_pairs(df, "id", "text", num_hashes=32, bands=5).collect()
+
+
+def test_lsh_empty_corpus_returns_empty(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = lsh_bucketed_topk(empty, empty, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ]
+
+
+def test_kmeans_keeps_empty_cells(spark):
+    from margaret_spark.operators.similarity import kmeans_centroids
+
+    # two identical init vectors: every row ties to the lower cent_id,
+    # which used to empty (and silently drop) the other cell
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]), (3, [0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, k=2, iters=2)
+    assert cents.count() == 2  # the starved cell keeps its previous centroid
