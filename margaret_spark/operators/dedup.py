@@ -182,9 +182,9 @@ def ngram_jaccard_pairs(
         # the stop list is found by COUNT (map-side combinable): a hot
         # shingle never materializes its posting list anywhere — rows
         # are dropped by the broadcast anti-join BEFORE collect_list
-        counts = inv.groupBy("shingle").agg(F.count("*").alias("__df"))
-        stop = counts.where(F.col("__df") > max_df).select("shingle")
-        inv = inv.join(F.broadcast(stop), "shingle", "left_anti")
+        inv = inv.join(
+            F.broadcast(_stop_shingles(inv, max_df)), "shingle", "left_anti"
+        )
         sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
     groups = inv.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("__ids"))
     pairs = groups.select(
@@ -372,6 +372,10 @@ def simhash(
     hashes instead of every occurrence (identical result: Σ±1 per
     occurrence ≡ ±weight per distinct hash), which is a large win on
     natural-language corpora where tokens repeat heavily."""
+    if not 1 <= bits <= 64:
+        # a long holds 64 bits; JVM shift counts wrap mod 64, so
+        # bits > 64 would silently alias bit i with bit i−64
+        raise ValueError(f"bits must be in 1..64: {bits}")
     # Repartition by ID, not round-robin: hash(id) spreads the CPU-heavy
     # tokenize/explode just as evenly (ids are unique), and because
     # HashPartitioning(id) satisfies the clustered distribution of BOTH
@@ -418,8 +422,17 @@ def simhash_dedup_pairs(
     block join: split signatures into max_hamming+1 blocks; any pair
     within distance k agrees exactly on ≥1 block, so candidates come
     from equality joins on block values — never a cross join."""
+    if max_hamming < 0 or max_hamming + 1 > bits:
+        # width-0 blocks mask everything to 0: all docs collide in all
+        # blocks and the bucket join degenerates to a cross product
+        raise ValueError(
+            f"max_hamming must be in 0..bits-1: {max_hamming} (bits={bits})"
+        )
     nblocks = max_hamming + 1
     width = bits // nblocks
+    # all-ones mask for width 64: (1<<64)-1 overflows a long literal;
+    # two's-complement -1 IS the 64-bit all-ones pattern
+    mask = -1 if width == 64 else (1 << width) - 1
     # materialize signatures once: the self-join would otherwise run
     # the whole tokenize→aggregate pipeline for each side (plan-level
     # exchange reuse is not guaranteed across the join's aliases)
@@ -431,7 +444,7 @@ def simhash_dedup_pairs(
             F.array(
                 *[
                     F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
+                        F.lit(mask)
                     )
                     for b in range(nblocks)
                 ]
@@ -567,19 +580,23 @@ def dedup_clusters(
     # Initialization already performs round 1: with every label equal
     # to its node id, the neighbor-min join degenerates to a groupBy
     # over the edge list — one aggregation instead of a join round.
+    id_type = df.schema[id_col].dataType
     labels = (
         edges.groupBy("dst")
         .agg(F.min("src").alias("__nmin"))
         .select(
             F.col("dst").alias("node"),
-            F.least(F.col("dst"), F.col("__nmin")).cast("long").alias("cluster_id"),
+            # cluster ids keep the ID COLUMN's type: a hardcoded long
+            # cast crashed (ANSI) or nulled (non-ANSI) string-keyed
+            # corpora, which every pair generator here accepts
+            F.least(F.col("dst"), F.col("__nmin")).cast(id_type).alias("cluster_id"),
         )
         .localCheckpoint(eager=False)
     )
     singletons = (
         df.select(F.col(id_col).alias("node"))
         .join(edges.select(F.col("src").alias("node")).distinct(), "node", "left_anti")
-        .select("node", F.col("node").cast("long").alias("cluster_id"))
+        .select("node", F.col("node").cast(id_type).alias("cluster_id"))
     )
     while True:
         neighbor_min = (

@@ -242,7 +242,9 @@ def decode_image(
 ) -> DataFrame:
     """(id, pixels array<int>, width, height): the decode stage.
 
-    REAL for PNG: the stdlib zlib/struct decoder in
+    Rows with NULL blobs are DROPPED (the metadata extractors keep
+    them — join back by id to see which inputs were skipped). REAL
+    for PNG: the stdlib zlib/struct decoder in
     ``operators.media_codecs`` (8-bit grey/RGB/RGBA, all five scanline
     filters) runs regardless of ``fake``. The fake blob format decodes
     when ``fake=True`` (payload bytes as pixel values). Anything else
@@ -411,6 +413,16 @@ def sample_video_frames(
                 hdr = _parse_header(b)
                 if hdr is None:
                     continue
+                if hdr[0] != "fimg":
+                    # a garbage 16+-byte blob parsed as a fake video
+                    # header can claim BILLIONS of frames (confirmed:
+                    # it hung an executor materializing them) — only
+                    # the fake format is a decodable "video" here
+                    raise NotImplementedError(
+                        "video decode requires a media library not present "
+                        "in this environment; only the fake test format is "
+                        "supported"
+                    )
                 _, w, h, c = hdr
                 n_frames = max(1, c)  # fake: channels double as frame count
                 for f in range(0, n_frames, every_n):
@@ -465,7 +477,9 @@ def decode_audio(
     df: DataFrame, id_col: str, blob_col: str, fake: bool = False
 ) -> DataFrame:
     """(id, sample_rate, channels, samples array<int>): the audio
-    decode stage — REAL for PCM16 WAV (stdlib RIFF walk + struct
+    decode stage. Rows with NULL blobs are DROPPED (the metadata
+    extractors keep them — join back by id to see skipped inputs).
+    REAL for PCM16 WAV (stdlib RIFF walk + struct
     unpack); the fake format decodes when ``fake=True`` (payload bytes
     centered at 128); other formats raise NotImplementedError."""
     out_schema = T.StructType(

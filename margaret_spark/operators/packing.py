@@ -62,14 +62,23 @@ def running_total(
     for row in sorted(totals, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = acc
         acc += row["__t"] or 0
+    from pyspark.sql import types as T
+
+    integral = isinstance(
+        df.schema[value_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    )
+    out_type = "long" if integral else "double"
     if not offsets:  # empty input: keep the plan typed
-        return staged.withColumn(out_col, F.lit(None).cast("long")).drop(
+        return staged.withColumn(out_col, F.lit(None).cast(out_type)).drop(
             "__pid", "__local"
         )
     mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # cast to long ONLY for integral inputs: an unconditional long cast
+    # silently truncated fractional prefix sums
     return (
         staged.withColumn(
-            out_col, (mapping[F.col("__pid")] + F.col("__local")).cast("long")
+            out_col, (mapping[F.col("__pid")] + F.col("__local")).cast(out_type)
         )
         .drop("__pid", "__local")
     )
@@ -101,19 +110,22 @@ def pack_sequences(
 def _pack_from_cum(
     c: DataFrame, id_col: str, tokens_col: str, seq_len: int, extra: list | None = None
 ) -> DataFrame:
-    start = F.col("__cum") - F.col(tokens_col)
-    # Column arithmetic (not interpolated F.expr): token column names
-    # that aren't bare identifiers must still resolve. floor-div on
-    # non-negative operands ≡ SQL `div`.
-    return c.select(
+    # INTEGER division via SQL `div` over internally-aliased columns
+    # (no caller column names interpolated): floor(x / w) promotes to
+    # double and loses exactness past 2^53 cumulative tokens — real
+    # territory for a 100 TB token stream.
+    staged = c.select(
+        "*",
+        (F.col("__cum") - F.col(tokens_col)).alias("__start"),
+        (F.col("__cum") - F.lit(1)).alias("__cum1"),
+    )
+    return staged.select(
         *(extra or []),
         F.col(id_col),
         F.col(tokens_col).alias("n_tokens"),
-        F.floor(start / F.lit(seq_len)).cast("long").alias("pack_first"),
-        F.floor((F.col("__cum") - F.lit(1)) / F.lit(seq_len))
-        .cast("long")
-        .alias("pack_last"),
-        (start % F.lit(seq_len)).cast("long").alias("offset_in_first"),
+        F.expr(f"__start div {int(seq_len)}").cast("long").alias("pack_first"),
+        F.expr(f"__cum1 div {int(seq_len)}").cast("long").alias("pack_last"),
+        (F.col("__start") % F.lit(seq_len)).cast("long").alias("offset_in_first"),
     )
 
 

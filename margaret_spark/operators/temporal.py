@@ -178,7 +178,19 @@ def range_join(
     if width <= 0:
         raise ValueError("bucket_width must be positive")
     keys = _as_list(by)
-    r_on = right_on or on
+    if right_on is None:
+        # the naive fallback r_on = on could never work: right then
+        # necessarily carries a column named `on`, which always tripped
+        # the collision check below — rename it apart internally (the
+        # output carries the suffixed name)
+        if on not in right.columns:
+            raise ValueError(
+                f"right has no column {on!r}; pass right_on explicitly"
+            )
+        r_on = f"{on}__right"
+        right = right.withColumnRenamed(on, r_on)
+    else:
+        r_on = right_on
     collisions = {
         c for c in right.columns if c in left.columns and c not in keys
     }

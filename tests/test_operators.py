@@ -891,3 +891,46 @@ def test_kmeans_keeps_empty_cells(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = kmeans_centroids(df, k=2, iters=2)
     assert cents.count() == 2  # the starved cell keeps its previous centroid
+
+
+def test_simhash_validations_and_exact_match_mode(spark):
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
+    # max_hamming=0 = exact-signature match (the 64-bit mask used to
+    # overflow a long literal); the exact dup pair must surface
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_dedup_pairs(df, "id", "text", max_hamming=0).collect()}
+    assert (0, 3) in pairs
+    with pytest.raises(ValueError, match="bits"):
+        simhash(df, "id", "text", bits=128)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_dedup_pairs(df, "id", "text", max_hamming=64)
+
+
+def test_dedup_clusters_string_ids(spark):
+    from margaret_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "id string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs, "id").collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_running_total_preserves_double(spark):
+    from margaret_spark.operators.packing import running_total
+
+    df = spark.createDataFrame([(1, 0.5), (2, 0.75), (3, 1.25)], "id long, w double")
+    got = {r["id"]: r["running_total"] for r in
+           running_total(df, "w", "id").collect()}
+    assert got == {1: 0.5, 2: 1.25, 3: 2.5}
+
+
+def test_sample_video_frames_rejects_non_fake_blobs(spark):
+    from margaret_spark.operators.multimodal import sample_video_frames
+
+    df = spark.createDataFrame([(1, b"X" * 20)], "id long, blob binary")
+    with pytest.raises(Exception):  # NotImplementedError inside the task
+        sample_video_frames(df, "id", "blob", fake=True).collect()

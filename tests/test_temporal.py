@@ -237,3 +237,14 @@ def test_funnel_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_range_join_default_right_on(spark):
+    """right_on=None renames right's ordering column apart internally
+    (the old fallback always tripped the collision check)."""
+    from margaret_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame([(1, 105), (1, 200)], "k long, ts long")
+    rows = range_join(left, right, on="ts", lower=0, upper=10, by="k").collect()
+    assert len(rows) == 1 and rows[0]["ts__right"] == 105
