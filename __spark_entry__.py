@@ -3368,15 +3368,19 @@ def _oracle_sql_base() -> dict[str, str]:
         "search_bm25": _bm25_sql(),
         "search_tfidf": _tfidf_sql(),
         "dedup_incremental": (
+            # NULL-safe joins (IS NOT DISTINCT FROM) mirror
+            # incremental_exact_dedup's sentinel hash: a NULL-text doc
+            # must still classify, not drop out of the equi-join.
             "WITH newd AS (SELECT doc_id AS id, text FROM documents "
             "WHERE doc_id % 2 = 1), "
             "ex AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0), "
             "first AS (SELECT text, MIN(id) AS first_id FROM newd GROUP BY text) "
             "SELECT n.id AS doc_id, "
-            "CASE WHEN n.text IN (SELECT text FROM ex) THEN 'dup_of_existing' "
+            "CASE WHEN EXISTS (SELECT 1 FROM ex "
+            "WHERE ex.text IS NOT DISTINCT FROM n.text) THEN 'dup_of_existing' "
             "WHEN n.id <> f.first_id THEN 'dup_in_batch' "
             "ELSE 'new' END AS status "
-            "FROM newd n JOIN first f ON n.text = f.text"
+            "FROM newd n JOIN first f ON n.text IS NOT DISTINCT FROM f.text"
         ),
         "orders_diff": (
             "SELECT o_orderkey, 'removed' AS status FROM orders "

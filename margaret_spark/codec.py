@@ -430,7 +430,15 @@ def _coerce_field(dt: T_mod.DataType, v: Any) -> Any:
     if isinstance(dt, (t.DoubleType, t.FloatType)):
         return float(v)
     if isinstance(dt, t.StringType):
-        return v if isinstance(v, str) else bytes(v).decode("utf-8")
+        if isinstance(v, str):
+            return v
+        # Only byte-like wire values may coerce to string — bytes(int)
+        # would silently yield a NUL-padded string for a corrupt value.
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).decode("utf-8")
+        raise ValueError(
+            f"cannot coerce wire value of type {type(v).__name__} to string"
+        )
     if isinstance(dt, t.BinaryType):
         return bytes(v) if not isinstance(v, str) else v.encode("utf-8")
     if isinstance(dt, t.ArrayType):

@@ -459,6 +459,27 @@ class OffsetMultiLog(MultiLog):
                 )
             shutil.rmtree(staging, ignore_errors=True)
             self._member_cache.clear()  # bulk write touches arbitrary addrs
+            watched = {
+                a
+                for a, obs in self.__dict__.get("_addr_changes", {}).items()
+                if obs.has_subscribers()
+            }
+        # changes()-based subscribers (e.g. pump) must be woken by bulk
+        # appends too, not only by single-row append. Only addrs with a
+        # live subscriber pay the cardinality read; notification runs
+        # outside the lock like the single-append path's callbacks.
+        if watched:
+            touched = {
+                r["addr"]
+                for r in df.select(
+                    F.col("addr").cast("string").alias("addr")
+                ).distinct().collect()
+                if r["addr"] in watched
+            }
+            for a in sorted(touched):
+                members = self._members(a)
+                if members:
+                    self._changes_for(a).set(len(members) - 1)
 
     def _live_addrs(self) -> list[str]:
         return [a for a, m in self._read_all().items() if m]

@@ -44,14 +44,26 @@ def foreign_key(col: str, ref: DataFrame, ref_col: str) -> tuple:
     return ("foreign_key", col, ref, ref_col)
 
 
-def constraint_report(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
+def constraint_report(
+    df: DataFrame,
+    rules: Sequence[tuple],
+    fk_broadcast_rows: int | None = 1_000_000,
+) -> DataFrame:
     """One row per rule: (rule, column, violations, total, ok).
 
     NULL semantics follow SQL checks: range/regex/set rules count only
     non-NULL violating values (pair them with ``not_null`` to also
     forbid NULLs); uniqueness counts every row beyond the first per
     duplicated value (NULLs compare equal to each other here — two
-    NULLs are duplicates); foreign keys ignore NULL children."""
+    NULLs are duplicates); foreign keys ignore NULL children.
+
+    ``fk_broadcast_rows`` size-gates the broadcast hint on each
+    foreign-key reference side: the hint is applied only when the
+    reference has at most that many rows (probed with a
+    short-circuiting ``limit(n+1).count()``, so a huge reference costs
+    one truncated scan, not a full count). Pass ``None`` to never hint
+    and let the optimizer (AQE) choose — a fact-to-fact FK check then
+    plans a shuffle anti-join instead of OOMing the driver."""
     aggs = []
     labels: list[tuple[str, str]] = []
     fks: list[tuple[str, DataFrame, str]] = []
@@ -143,11 +155,14 @@ def constraint_report(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
         )
     for col, ref, ref_col in fks:
         child = df.where(F.col(col).isNotNull()).select(F.col(col).alias("__k"))
-        orphans = child.join(
-            F.broadcast(ref.select(F.col(ref_col).alias("__k")).distinct()),
-            "__k",
-            "left_anti",
-        )
+        keys = ref.select(F.col(ref_col).alias("__k")).distinct()
+        if fk_broadcast_rows is not None:
+            # Short-circuiting probe: stops scanning once the cap is
+            # exceeded, so a fact-sized reference costs ~one partition.
+            small = ref.limit(fk_broadcast_rows + 1).count() <= fk_broadcast_rows
+            if small:
+                keys = F.broadcast(keys)
+        orphans = child.join(keys, "__k", "left_anti")
         parts.append(
             orphans.agg(F.count(F.lit(1)).cast("long").alias("violations"))
             .crossJoin(

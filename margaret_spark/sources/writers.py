@@ -141,6 +141,55 @@ def maybe_compact(
     return compact_small_files(log, small_file_bytes, target_file_bytes)
 
 
+def _aligned_groups(
+    files: list[tuple[int, int, str]], target_files: int
+) -> list[list[tuple[int, int, str]]]:
+    """Split the (sorted, contiguous) old file list into at most
+    ``target_files`` contiguous groups balanced by bytes. Output file
+    ranges coincide with unions of WHOLE old files, so after a crash
+    between publish and delete every old file is either strictly
+    contained in one published file (supersede rule hides it) or was
+    atomically rename-replaced — no straddling input can stay live and
+    duplicate seqs, which ``repartitionByRange``'s arbitrary boundaries
+    could not guarantee for ``target_files > 1``."""
+    n = max(1, min(target_files, len(files)))
+    sizes = [_file_bytes(p) for _lo, _hi, p in files]
+    total = sum(sizes)
+    groups: list[list[tuple[int, int, str]]] = []
+    cur: list[tuple[int, int, str]] = []
+    cur_b = 0
+    budget = total / n
+    for i, (f, b) in enumerate(zip(files, sizes)):
+        cur.append(f)
+        cur_b += b
+        remaining_files = len(files) - i - 1
+        remaining_groups = n - len(groups) - 1
+        if (
+            remaining_groups > 0
+            and cur_b >= budget
+            and remaining_files >= remaining_groups
+        ):
+            groups.append(cur)
+            cur, cur_b = [], 0
+    if cur:
+        groups.append(cur)
+    # a single-file group whose input is a DIRECTORY (append_df bulk
+    # part) cannot be atomically rename-replaced by a same-name plain
+    # file — merge it into a neighbor so its new range strictly grows
+    i = 0
+    while i < len(groups):
+        g = groups[i]
+        if len(g) == 1 and os.path.isdir(g[0][2]) and len(groups) > 1:
+            if i + 1 < len(groups):
+                groups[i + 1] = g + groups[i + 1]
+            else:
+                groups[i - 1] = groups[i - 1] + g
+            groups.pop(i)
+        else:
+            i += 1
+    return groups
+
+
 def compact_log(log, target_files: int = 1) -> int:
     """Compact an OffsetLog's data directory into ``target_files``
     large seq-sorted files — the answer to small-append amplification
@@ -151,6 +200,16 @@ def compact_log(log, target_files: int = 1) -> int:
     Keeps every invariant: dense seq, range-encoded file names,
     readers before/after see identical contents. Returns the new data
     file count.
+
+    Crash safety for any ``target_files``: output ranges align to old
+    file boundaries (:func:`_aligned_groups`), each output is published
+    with one atomic rename, and inputs are deleted only afterwards —
+    at every instant each seq is covered by exactly one live file
+    (strict-containment supersede rule, or same-name atomic replace
+    for a single-file group). Sole documented exception: a log whose
+    entire data is ONE bulk directory swaps via two renames (a plain
+    file cannot atomically replace a directory on POSIX); the window
+    is two syscalls and the janitor completes it on next open.
 
     Folding patches renumbers ``patch_id``, so earlier
     ``SnapshotCatalog`` manifests over this log stop being readable
@@ -177,6 +236,8 @@ def compact_log(log, target_files: int = 1) -> int:
             data = view.select("seq", "value")
         else:
             data = log._base_df().select("seq", "value")
+        old_files = log._data_files()
+        groups = _aligned_groups(old_files, target_files)
         staging = os.path.join(log.path, "_compact_staging")
         (
             data.repartitionByRange(max(target_files, 1), F.col("seq"))
@@ -184,12 +245,6 @@ def compact_log(log, target_files: int = 1) -> int:
             .write.mode("overwrite")
             .parquet(staging)
         )
-        parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
-        ranges = []
-        for p in parts:
-            seqs = pq.read_table(p, columns=["seq"])["seq"].to_pylist()
-            if seqs:
-                ranges.append((p, min(seqs), max(seqs)))
         # Crash-safe ordering:
         # 1. squash the null markers under FRESH patch ids (latest-wins
         #    overlay: correct both before and after the old patches go);
@@ -217,15 +272,36 @@ def compact_log(log, target_files: int = 1) -> int:
             tmp = os.path.join(log._patch_dir, f".patch-{squash_base:020d}.parquet.tmp")
             pq.write_table(table, tmp)
             os.rename(tmp, final)
-        # 2. publish the rewritten data files (renames; the supersede
-        #    rule makes the old files invisible — re-applying the
+        # 2. publish the rewritten data files, one atomic rename per
+        #    group, ranges aligned to old file boundaries (see
+        #    _aligned_groups) — the supersede rule hides every input
+        #    the moment its group's output lands; re-applying the
         #    not-yet-deleted replace patches over already-folded data
-        #    is idempotent);
+        #    is idempotent;
+        import pyarrow.dataset as pads
+
+        sds = pads.dataset(staging, format="parquet")
         new_names = set()
-        for p, lo, hi in ranges:
-            name = f"part-{lo:020d}-{hi:020d}.parquet"
+        for grp in groups:
+            glo, ghi = grp[0][0], grp[-1][1]
+            table = sds.to_table(
+                filter=(pads.field("seq") >= glo) & (pads.field("seq") <= ghi)
+            ).sort_by("seq")
+            name = f"part-{glo:020d}-{ghi:020d}.parquet"
             new_names.add(name)
-            os.rename(p, os.path.join(log._data_dir, name))
+            dst = os.path.join(log._data_dir, name)
+            tmp = os.path.join(log._data_dir, f".{name}.tmp")
+            pq.write_table(table, tmp)
+            if os.path.isdir(dst):
+                # whole-log-is-one-bulk-directory edge: POSIX cannot
+                # rename a file over a directory; two-step swap (the
+                # only non-single-rename window, documented above)
+                dead = os.path.join(log._data_dir, f".{name}.dead")
+                os.rename(dst, dead)
+                os.rename(tmp, dst)
+                shutil.rmtree(dead, ignore_errors=True)
+            else:
+                os.rename(tmp, dst)
         shutil.rmtree(staging, ignore_errors=True)
         # 3. delete the superseded data files (directory-aware:
         #    append_df publishes directories) and the pre-squash
@@ -243,4 +319,4 @@ def compact_log(log, target_files: int = 1) -> int:
                 os.remove(old)
         log._patch_id = squash_base + len(nulled_seqs) if nulled_seqs else 0
         log._seq = log._recover_seq()
-    return len(ranges)
+    return len(groups)

@@ -137,6 +137,20 @@ def test_typed_codec_rejects_wrong_shapes():
         c.marshal({"id": True})  # bool is not an int here
 
 
+def test_coerce_rejects_int_wire_value_for_string_field():
+    # a corrupt/foreign wire int in a string field must FAIL loudly —
+    # bytes(int) would silently decode to a NUL-padded string
+    from pyspark.sql import types as T
+
+    from margaret_spark.codec import _coerce_field
+
+    with pytest.raises(ValueError, match="coerce"):
+        _coerce_field(T.StringType(), 7)
+    assert _coerce_field(T.StringType(), b"ok") == "ok"
+    assert _coerce_field(T.StringType(), bytearray(b"ok")) == "ok"
+    assert _coerce_field(T.StringType(), "ok") == "ok"
+
+
 @pytest.mark.parametrize("codec", ["json", "msgpack", "cbor"])
 def test_codec_log_end_to_end(spark, tmp_path, codec):
     # offset2/test/test.go:21-25: one registered log flavor per codec.

@@ -177,6 +177,28 @@ def test_prime_factor_fanout_dataframe(spark, tmp_path):
         assert got == expect, addr
 
 
+def test_append_df_fires_change_observables(spark, tmp_path):
+    """Bulk appends must wake changes()-based subscribers (pump) just
+    like single-row append does — only watched addrs pay the
+    cardinality read, unwatched ones stay lazy."""
+    ml = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    ml.get("a").append(0)  # pre-existing member
+    seen: list = []
+    cancel = ml.get("a").changes().subscribe(seen.append)
+    try:
+        ml.append_df(
+            spark.createDataFrame(
+                [("a", 5), ("a", 9), ("b", 1)], "addr string, main_seq long"
+            )
+        )
+    finally:
+        cancel()
+    # cardinality grew 1 -> 3; observable carries latest rank (n-1)
+    assert seen == [2]
+    # unwatched addr untouched but readable
+    assert list(ml.get("b").query()) == [1]
+
+
 def test_norm_addr_non_utf8_bytes(spark, tmp_path):
     # non-UTF-8 byte addrs must store (hex-prefixed), not crash pyarrow
     ml = OffsetMultiLog(spark, str(tmp_path / "ml"))

@@ -862,6 +862,44 @@ def test_constraint_report(spark):
         C.constraint_report(df, [("bogus", "id")])
 
 
+def test_constraint_fk_broadcast_size_gate(spark):
+    """A reference side above the gate must NOT be force-broadcast —
+    the anti-join plans as a shuffle join, never a driver-materialized
+    broadcast of a fact-sized table. (Auto-broadcast is disabled so
+    the assertion sees only the effect of the explicit hint; the
+    report's 1-row total crossJoin is excluded by matching
+    BroadcastHashJoin, not the nested-loop join.)"""
+    from margaret_spark.operators import constraints as C
+    from margaret_spark.plans.inspect import explain_str
+
+    child = spark.range(100).selectExpr("id as fk")
+    big_ref = spark.range(10_000).selectExpr("id as k")
+    small_ref = spark.range(10).selectExpr("id as k")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = C.constraint_report(
+            child, [C.foreign_key("fk", big_ref, "k")], fk_broadcast_rows=1_000
+        )
+        row = gated.collect()[0]
+        assert (row["violations"], row["ok"]) == (0, True)
+        assert "broadcasthashjoin" not in explain_str(gated).lower()
+
+        # small reference still gets the hint
+        hinted = C.constraint_report(
+            child, [C.foreign_key("fk", small_ref, "k")], fk_broadcast_rows=1_000
+        )
+        assert "broadcasthashjoin" in explain_str(hinted).lower()
+
+        # fk_broadcast_rows=None: no probe job, optimizer decides
+        free = C.constraint_report(
+            child, [C.foreign_key("fk", big_ref, "k")], fk_broadcast_rows=None
+        )
+        assert free.collect()[0]["ok"] is True
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_minhash_bands_validation(spark):
     df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
     with pytest.raises(ValueError, match="bands"):

@@ -171,6 +171,94 @@ def test_compact_log_preserves_semantics(spark, tmp_path):
     assert log.get(20) == 999
 
 
+def test_compact_log_multifile_crash_safe(spark, tmp_path, monkeypatch):
+    """Crash between publish (step 2) and input deletion (step 3) with
+    target_files > 1: output ranges align to old file boundaries, so
+    NO old file straddles two new files — every input is superseded
+    the moment its group's output lands, and readers never see
+    duplicate seqs (the r2 rule only handled target_files == 1)."""
+    import os as _os
+
+    from margaret_spark.sources import writers as W
+
+    log = OffsetLog(spark, str(tmp_path / "log"))
+    # misaligned old files: 0-9, 10-24, 25-29, 30-44 — repartitionByRange
+    # with 2 output files would split mid-file without alignment
+    log.append_many(list(range(10)))
+    log.append_many(list(range(10, 25)))
+    log.append_many(list(range(25, 30)))
+    log.append_many(list(range(30, 45)))
+    log.replace(7, 777)
+    before = list(log.query())
+    old_paths = {p for _l, _h, p in log._data_files()}
+
+    # crash simulation: publishing succeeds, every deletion of an old
+    # input "crashes" (raises are swallowed per-file would change flow;
+    # instead make remove/rmtree no-ops for the old inputs)
+    real_remove, real_rmtree = _os.remove, W.shutil.rmtree
+
+    def fake_remove(p):
+        if p in old_paths:
+            return  # crash before this delete happened
+        real_remove(p)
+
+    def fake_rmtree(p, **kw):
+        if p in old_paths:
+            return
+        real_rmtree(p, **kw)
+
+    monkeypatch.setattr(W.os, "remove", fake_remove)
+    monkeypatch.setattr(W.shutil, "rmtree", fake_rmtree)
+    n = W.compact_log(log, target_files=2)
+    monkeypatch.undo()
+    assert 1 <= n <= 2
+
+    # old inputs still on disk (the "crash"), but none is live
+    leftovers = [p for p in old_paths if _os.path.exists(p)]
+    assert leftovers, "crash simulation did not keep any old inputs"
+    live = log._data_files()
+    assert not (set(p for _l, _h, p in live) & set(leftovers))
+    # no duplicate / missing seqs for any reader
+    assert list(log.query()) == before
+    log.check_consistency()
+
+    # reopen: janitor sweeps the dead inputs
+    log2 = OffsetLog(spark, str(tmp_path / "log"))
+    assert not [p for p in leftovers if _os.path.exists(p)]
+    assert list(log2.query()) == before
+    log2.check_consistency()
+
+
+def test_compact_log_aligned_groups_unit(tmp_path):
+    """Group boundaries always coincide with old file boundaries and
+    partition the input; single-directory groups merge away."""
+    from margaret_spark.sources.writers import _aligned_groups
+
+    bounds = [(0, 9), (10, 24), (25, 29), (30, 44)]
+    files = []
+    for i, (lo, hi) in enumerate(bounds):
+        p = tmp_path / f"f{i}.parquet"
+        p.write_bytes(b"x" * (hi - lo + 1) * 100)
+        files.append((lo, hi, str(p)))
+    for tf in (1, 2, 3, 4, 7):
+        groups = _aligned_groups(files, tf)
+        flat = [f for g in groups for f in g]
+        assert flat == files  # contiguous partition, order kept
+        assert len(groups) <= max(1, tf)
+
+    # a lone bulk DIRECTORY group merges with a neighbor (cannot be
+    # atomically rename-replaced by a same-range plain file)
+    d = tmp_path / "bulk.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"y" * 100_000)
+    files_with_dir = files[:2] + [(45, 60, str(d))]
+    groups = _aligned_groups(files_with_dir, 3)
+    assert all(len(g) > 1 or not os.path.isdir(g[0][2]) for g in groups)
+    assert [f for g in groups for f in g] == files_with_dir
+
+    assert _aligned_groups([], 3) == []
+
+
 def test_compact_log_no_patches(spark, tmp_path):
     log = OffsetLog(spark, str(tmp_path / "log"))
     log.append_many(list(range(10)))
