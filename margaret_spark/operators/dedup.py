@@ -86,6 +86,38 @@ def _shingle_index(
     return inv, sizes
 
 
+#: Per-session memo of deterministic, tiny derived artifacts keyed by
+#: the input plan's semantic hash: corpus row counts (relative max_df
+#: resolution) and stop-shingle lists. Both are pure functions of
+#: (input plan, parameters) — caching them is the statistics-catalog
+#: pattern, not result caching: every pair is still computed by the
+#: main plan each run. Sessions/pipelines that mutate a table in place
+#: mid-run should call :func:`clear_derived_caches`.
+_DERIVED_CACHE: dict = {}
+_DERIVED_CACHE_MAX = 256
+
+
+def clear_derived_caches() -> None:
+    _DERIVED_CACHE.clear()
+
+
+def _derived_cache_get(key):
+    return _DERIVED_CACHE.get(key)
+
+
+def _derived_cache_put(key, value):
+    if len(_DERIVED_CACHE) >= _DERIVED_CACHE_MAX:
+        _DERIVED_CACHE.clear()
+    _DERIVED_CACHE[key] = value
+
+
+def _plan_key(df: DataFrame):
+    """Session-scoped semantic identity of a DataFrame's logical plan
+    (same caveat as Spark's own relation cache: identifies the PLAN,
+    not the bytes under it)."""
+    return (id(df.sparkSession), df.semanticHash())
+
+
 def _resolve_max_df(df: DataFrame, max_df: int | float | str | None) -> int | None:
     """Normalize the document-frequency cap to an absolute count.
 
@@ -107,12 +139,22 @@ def _resolve_max_df(df: DataFrame, max_df: int | float | str | None) -> int | No
     int."""
     if max_df is None or isinstance(max_df, int):
         return max_df
-    n_docs = df.count()
+    ckey = ("n_docs", *_plan_key(df))
+    n_docs = _derived_cache_get(ckey)
+    if n_docs is None:
+        n_docs = df.count()
+        _derived_cache_put(ckey, n_docs)
     if max_df == "auto":
         return max(100, n_docs // 2)
     if isinstance(max_df, float) and 0.0 < max_df < 1.0:
         return max(1, int(max_df * n_docs))
     raise ValueError(f"max_df must be int, float in (0,1), 'auto', or None: {max_df!r}")
+
+
+#: Stop lists up to this many shingles inline as an ``array_except``
+#: literal; larger ones (pathological boilerplate) use the broadcast
+#: anti-join fallback so the driver never holds an unbounded list.
+_STOP_LITERAL_CAP = 1000
 
 
 def _stop_shingles(inv: DataFrame, max_df: int) -> DataFrame:
@@ -166,26 +208,53 @@ def ngram_jaccard_pairs(
         inv = d.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         sizes = d.select(F.col(id_col).alias("id"), F.size(sh).alias("set_size"))
     else:
-        # Capped path: shingle ONCE into checkpointed per-doc arrays —
-        # the stop-list count, the filtered index, and the set sizes
-        # all derive from cheap re-explodes of the materialized arrays
-        # instead of re-running the shingling (which would otherwise be
-        # evaluated three times).
-        arrays = (
-            df.repartition(
-                df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        # Capped path. The stop list (shingles in more than max_df
+        # docs) is SMALL by construction — only the corpus's hottest
+        # boilerplate qualifies at any scale. One counting pass
+        # (map-side combinable: the shuffle carries (shingle, partial
+        # count), never posting lists) finds it and collects it to the
+        # driver. The overwhelmingly common cases then pay nothing
+        # extra beyond that pass:
+        #   - EMPTY stop list → the uncapped single-eval plan verbatim;
+        #   - small stop list → shingle arrays filtered in-place with
+        #     an array_except literal (no second exchange, no anti-join,
+        #     no forced materialization);
+        #   - pathologically large stop list (> _STOP_LITERAL_CAP) →
+        #     the checkpointed broadcast-anti-join fallback, where a hot
+        #     shingle still never materializes its posting list.
+        d = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        skey = ("stops", *_plan_key(df), mode, n, max_df)
+        stops = _derived_cache_get(skey)
+        if stops is None:
+            probe = d.select(F.explode(sh).alias("shingle"))
+            stops = [
+                r["shingle"]
+                for r in _stop_shingles(probe, max_df)
+                .limit(_STOP_LITERAL_CAP + 1)
+                .collect()
+            ]
+            _derived_cache_put(skey, stops)
+        if len(stops) <= _STOP_LITERAL_CAP:
+            sh_f = (
+                F.array_except(sh, F.array(*[F.lit(s) for s in sorted(stops)]))
+                if stops
+                else sh
             )
-            .select(F.col(id_col).alias("id"), sh.alias("__sh"))
-            .localCheckpoint(eager=False)
-        )
-        inv = arrays.select("id", F.explode("__sh").alias("shingle"))
-        # the stop list is found by COUNT (map-side combinable): a hot
-        # shingle never materializes its posting list anywhere — rows
-        # are dropped by the broadcast anti-join BEFORE collect_list
-        inv = inv.join(
-            F.broadcast(_stop_shingles(inv, max_df)), "shingle", "left_anti"
-        )
-        sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
+            inv = d.select(F.col(id_col).alias("id"), F.explode(sh_f).alias("shingle"))
+            sizes = d.select(F.col(id_col).alias("id"), F.size(sh_f).alias("set_size"))
+        else:
+            arrays = (
+                df.repartition(
+                    df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+                )
+                .select(F.col(id_col).alias("id"), sh.alias("__sh"))
+                .localCheckpoint(eager=False)
+            )
+            inv = arrays.select("id", F.explode("__sh").alias("shingle"))
+            inv = inv.join(
+                F.broadcast(_stop_shingles(inv, max_df)), "shingle", "left_anti"
+            )
+            sizes = inv.groupBy("id").agg(F.count("*").alias("set_size"))
     groups = inv.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("__ids"))
     pairs = groups.select(
         F.explode(

@@ -30,6 +30,7 @@ def curate_corpus(
     n: int = 3,
     max_df: int | float | str | None = "auto",
     include_tokens: bool = False,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, quality, cluster_id, keep[, n_tokens]): keep a document
     iff it meets the quality bar AND it is its duplicate-cluster's
@@ -44,11 +45,19 @@ def curate_corpus(
 
     ``include_tokens=True`` adds ``n_tokens`` from the SAME tokenize
     pass that scores quality — downstream consumers (packing) then
-    skip a second full tokenize over the corpus."""
-    pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, threshold=jaccard_threshold, mode=mode, n=n,
-        max_df=max_df,
-    )
+    skip a second full tokenize over the corpus.
+
+    ``pairs`` injects a precomputed near-dup pair frame
+    (id_a, id_b, ...) — pass a checkpointed
+    :func:`~margaret_spark.operators.dedup.ngram_jaccard_pairs` result
+    when several pipeline stages consume the same pair set, so the
+    most expensive subtree of the whole pipeline is computed once per
+    curation session instead of once per consumer."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, threshold=jaccard_threshold, mode=mode, n=n,
+            max_df=max_df,
+        )
     clusters = dedup_clusters(df, pairs, id_col)
     # include_tokens rides the quality projection (one tokenize pass
     # serves both the score and the downstream packing)
@@ -76,6 +85,7 @@ def training_pipeline(
     test_fraction: float = 0.1,
     seq_len: int = 2048,
     max_df: int | float | str | None = "auto",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus → training data, end-to-end: curate (quality bar +
     canonical dedup representative), hash-split into train/test, and
@@ -89,7 +99,9 @@ def training_pipeline(
 
     Scale shape: curation is the §curate_corpus plan; the split is a
     narrow projection; packing range-partitions only the train
-    keepers (a fraction of the corpus) for the two-pass prefix sum."""
+    keepers (a fraction of the corpus) for the two-pass prefix sum.
+    ``pairs`` (see :func:`curate_corpus`) shares one checkpointed
+    near-dup pair subtree across every pipeline that consumes it."""
     # materialize the keep-set once (WITH its token counts — computed
     # in the same projection as the quality score, so the corpus is
     # tokenized once, not once for curation and again for packing): it
@@ -99,7 +111,7 @@ def training_pipeline(
     curated = (
         curate_corpus(
             df, id_col, text_col, min_quality, jaccard_threshold,
-            max_df=max_df, include_tokens=True,
+            max_df=max_df, include_tokens=True, pairs=pairs,
         )
         .where(F.col("keep"))
         .select(id_col, "n_tokens")

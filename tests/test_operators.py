@@ -96,6 +96,26 @@ def test_jaccard_max_df_forms(spark):
     assert (0, 3) in capped
 
 
+def test_jaccard_capped_paths_agree(spark, monkeypatch):
+    """The three capped-path strategies (empty stop list → uncapped
+    plan, small stop list → array_except literal, large stop list →
+    checkpointed broadcast anti-join) must be result-identical — only
+    the physical plan differs."""
+    from margaret_spark.operators import dedup as D
+
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in rows)
+    literal = key(
+        ngram_jaccard_pairs(df, "id", "text", threshold=0.1, max_df=0.6).collect()
+    )
+    monkeypatch.setattr(D, "_STOP_LITERAL_CAP", 0)  # force the fallback
+    fallback = key(
+        ngram_jaccard_pairs(df, "id", "text", threshold=0.1, max_df=0.6).collect()
+    )
+    monkeypatch.undo()
+    assert literal == fallback and literal
+
+
 def test_minhash_agrees_with_exact(spark):
     df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
     exact = {
