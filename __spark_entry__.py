@@ -1437,6 +1437,62 @@ def q_stream_events_asof(spark, sf_dir):
     )
 
 
+def q_stream_topk(spark, sf_dir):
+    """Streaming per-key top-k retrieval
+    (streaming/stateful.stream_topk, applyInPandasWithState): per
+    event_type, the 5 highest-value events, maintained as a BOUNDED
+    per-key heap in the state store (O(keys·k) state forever) and
+    re-emitted on change. Micro-batch outputs are sunk to parquet
+    with their batch id — no driver collect — and the latest emission
+    per key is read back for grading. Hash-exact against the batch
+    window row_number() OVER (PARTITION BY event_type ORDER BY value
+    DESC, event_id): incremental top-k merge under a total order is
+    exact regardless of micro-batching. NULL scores are excluded on
+    both sides (no rank under a total order)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from margaret_spark.streaming.stateful import stream_topk
+
+    sdf = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    tagged = sdf.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("k"),
+        F.col("event_id").alias("item"),
+        F.col("value").alias("score"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_topk_")
+    out = os.path.join(base, "out")
+
+    def on_batch(bdf, bid):
+        bdf.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(out)
+
+    try:
+        stream_topk(tagged, 5, os.path.join(base, "ckpt"), on_batch)
+        res = spark.read.parquet(out)
+        final = (
+            res.withColumn(
+                "__mx", F.max("__bid").over(Window.partitionBy("k"))
+            )
+            .where(F.col("__bid") == F.col("__mx"))
+            .select(
+                F.col("k").alias("event_type"),
+                F.col("item").alias("event_id"),
+                "score",
+                "rank",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
 def q_events_json(spark, sf_dir):
     """JSON codec surface (§2.5 op 37): extract props.k, aggregate."""
     ev = _events(spark, sf_dir)
@@ -2147,6 +2203,31 @@ def q_multimodal_decode_wav(spark, sf_dir):
     )
 
 
+def q_multimodal_video_meta(spark, sf_dir):
+    """REAL video CONTAINER parsing on the graded surface
+    (operators.video_containers): each document gets a deterministic
+    MP4 (ISO BMFF box walk: mvhd timescale/duration, tkhd 16.16
+    dimensions, hdlr track types), AVI (RIFF hdrl/avih MainAVIHeader),
+    or garbage blob; extract_video_meta parses them back with the
+    stdlib-only, fuzz-hardened parsers. The oracle recomputes every
+    field arithmetically from the id closed form — duration division
+    is IEEE-exact both engines, so the surface is hash-exact. Frame
+    DECODE stays a documented stub (needs native codecs); container
+    metadata covers the curation-filtering need. mapInPandas both
+    directions, zero shuffles."""
+    from margaret_spark.operators.video_containers import (
+        attach_synthetic_video_blobs,
+        extract_video_meta,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = attach_synthetic_video_blobs(docs, "doc_id")
+    meta = extract_video_meta(blobs, "doc_id", "blob")
+    return meta.select(
+        "doc_id", "container", "duration_s", "n_tracks", "width", "height"
+    )
+
+
 def q_stream_events_sessions(spark, sf_dir):
     """Gap-based session windows computed BY THE STREAMING ENGINE
     (F.session_window, 30-min gap) and drained with availableNow —
@@ -2408,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_daily": q_stream_events_daily,
         "stream_events_enriched": q_stream_events_enriched,
         "stream_events_asof": q_stream_events_asof,
+        "stream_topk": q_stream_topk,
         "stream_events_sessions": q_stream_events_sessions,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_dedup_minhash": q_stream_dedup_minhash,
@@ -2445,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "multimodal_decode_wav": q_multimodal_decode_wav,
+        "multimodal_video_meta": q_multimodal_video_meta,
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -2696,6 +2779,15 @@ def oracle_sql() -> dict[str, str]:
     # the stateful-streaming as-of operator must reproduce the batch
     # as-of join exactly — same DuckDB native ASOF JOIN oracle
     d["stream_events_asof"] = d["events_asof"]
+    # the stateful streaming top-k must reproduce the batch ranking
+    # window exactly (incremental bounded-heap merge is exact)
+    d["stream_topk"] = (
+        "SELECT event_type, event_id, score, rank FROM ("
+        "SELECT event_type, event_id, value AS score, "
+        "CAST(row_number() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) AS INT) AS rank "
+        "FROM events WHERE value IS NOT NULL) WHERE rank <= 5"
+    )
     return d
 
 
@@ -3556,6 +3648,29 @@ def _oracle_sql_base() -> dict[str, str]:
             "i -> abs(((doc_id * 7 + i * 13) % 4096) - 2048))) AS BIGINT) AS sample_abs_sum "
             "FROM (SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS rate, "
             "n_chars % 128 + 16 AS n FROM documents)"
+        ),
+        # the MP4/AVI container encode→parse round trip recomputed
+        # arithmetically from the id closed form (see
+        # video_containers.attach_synthetic_video_blobs); division by
+        # the timescale / 1e6 is IEEE-exact in both engines
+        "multimodal_video_meta": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'mp4' "
+            "WHEN doc_id % 3 = 1 THEN 'avi' END AS container, "
+            "CASE WHEN doc_id % 3 = 0 THEN (doc_id % 9000 + 500) / 1000.0 "
+            "WHEN doc_id % 3 = 1 THEN "
+            "((doc_id % 1000 + 25) * 40000) / 1000000.0 END AS duration_s, "
+            "CASE WHEN doc_id % 3 = 0 THEN "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) "
+            "WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INT) "
+            "END AS n_tracks, "
+            "CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 80) * 8 + 128 AS INT) "
+            "WHEN doc_id % 3 = 1 THEN CAST((doc_id % 96) * 4 + 160 AS INT) "
+            "END AS width, "
+            "CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id % 45) * 8 + 96 AS INT) "
+            "WHEN doc_id % 3 = 1 THEN CAST((doc_id % 54) * 4 + 120 AS INT) "
+            "END AS height "
+            "FROM documents"
         ),
         # sampling: md5 is engine-identical; fixed-width lowercase-hex
         # compares in numeric order, so the row sets match exactly.

@@ -391,7 +391,10 @@ def sample_video_frames(
     df: DataFrame, id_col: str, blob_col: str, every_n: int = 10, fake: bool = False
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame index.
-    STUB decode; the fan-out shape (row → frames) is the real part."""
+    STUB decode; the fan-out shape (row → frames) is the real part.
+    Container METADATA (duration/resolution/tracks for MP4/AVI) is
+    real — see ``operators.video_containers.extract_video_meta`` —
+    only frame decode needs the absent native codecs."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

@@ -4,9 +4,11 @@ from margaret_spark.streaming.live import (
     stream_build_index,
 )
 from margaret_spark.streaming.stateful import (
+    stream_asof_join,
     stream_dedup_exact,
     stream_dedup_minhash,
     stream_latest_index,
+    stream_topk,
 )
 from margaret_spark.streaming.windows import session_windows, windowed_agg
 
@@ -15,8 +17,10 @@ __all__ = [
     "stream_changes",
     "stream_build_index",
     "stream_latest_index",
+    "stream_asof_join",
     "stream_dedup_exact",
     "stream_dedup_minhash",
+    "stream_topk",
     "session_windows",
     "windowed_agg",
 ]

@@ -364,3 +364,90 @@ def stream_asof_join(
         q.awaitTermination()
         return None
     return w.trigger(processingTime="500 milliseconds").start()
+
+
+def _topk_func_factory(k: int):
+    """Per-key bounded top-k merge. State = the current top-k as two
+    parallel arrays (scores, items) sorted by (score desc, item asc);
+    each batch merges its arrivals with ``heapq.nsmallest`` (O(batch ·
+    log k), never materializing more than batch+k tuples) and emits
+    the key's FULL refreshed top-k only when it changed. Incremental
+    top-k under a total order is exact: merging per-batch maxima is
+    associative, so the final state equals the batch operator's answer
+    regardless of how the stream was micro-batched."""
+
+    def _topk_func(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import heapq
+        import math
+
+        cur = (
+            list(zip(state.get[0], state.get[1])) if state.exists else []
+        )  # [(score, item)] already sorted by (-score, item)
+        merged = list(cur)
+        for pdf in pdfs:
+            for s, i in zip(pdf["score"], pdf["item"]):
+                s = float(s)
+                if not math.isnan(s):  # NaN has no rank under a total order
+                    merged.append((s, int(i)))
+        top = heapq.nsmallest(k, merged, key=lambda t: (-t[0], t[1]))
+        if top != cur:
+            state.update(([s for s, _ in top], [i for _, i in top]))
+            yield pd.DataFrame(
+                {
+                    "k": pd.Series([key[0]] * len(top), dtype="object"),
+                    "item": pd.Series([i for _, i in top], dtype="Int64"),
+                    "score": pd.Series([s for s, _ in top], dtype="float64"),
+                    "rank": pd.Series(range(1, len(top) + 1), dtype="Int32"),
+                }
+            )
+
+    return _topk_func
+
+
+def stream_topk(
+    stream: DataFrame,
+    k: int,
+    checkpoint_dir: str,
+    on_batch_df: Callable[[DataFrame, int], None],
+    available_now: bool = True,
+):
+    """Streaming per-key top-k as a custom stateful operator — the
+    windowed-retrieval primitive (leaderboards, per-partition hot-item
+    tracking) that built-in streaming aggregations can't express
+    (arbitrary-k ranked state with replace-on-update emission).
+
+    ``stream``: streaming DataFrame with columns ``k string, item
+    long, score double``. Per key the state store holds a BOUNDED
+    heap — exactly k (score, item) entries, so state size is
+    O(keys · k) forever, independent of stream length. Each
+    micro-batch emits the refreshed full top-k for keys that changed
+    (update semantics); a consumer keeps the latest emission per key.
+    Ties break on the smaller item id, giving a total order whose
+    result is hash-identical to the batch window
+    ``row_number() OVER (PARTITION BY k ORDER BY score DESC, item)``.
+
+    ``on_batch_df`` receives each micro-batch OUTPUT as a DataFrame
+    (executor-side rows; sink it distributed — e.g. append to parquet
+    with the batch id — rather than collecting).
+
+    Scale shape: one state-store shuffle per micro-batch on the key;
+    no driver state; emission is at most keys·k rows per batch."""
+    out = stream.groupBy("k").applyInPandasWithState(
+        _topk_func_factory(k),
+        outputStructType="k string, item long, score double, rank int",
+        stateStructType="scores array<double>, items array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    w = (
+        out.writeStream.foreachBatch(on_batch_df)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()

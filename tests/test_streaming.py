@@ -432,3 +432,65 @@ def test_stream_asof_join_state_across_batches(spark, tmp_path):
         (1, 5): None,
         (2, 99): None,  # key with no right history at all
     }
+
+
+def test_stream_topk_state_across_batches(spark, tmp_path):
+    """The bounded per-key top-k heap must persist across
+    micro-batches: batch-2 arrivals merge against batch-1 state, an
+    unchanged key emits nothing new, and the final per-key emission
+    equals the batch window ranking over ALL rows."""
+    import os
+    import time
+
+    from margaret_spark.streaming.stateful import stream_topk
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "k string, item long, score double"
+    # batch 1: key a gets 3 items; key b gets 2
+    spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 9.0), ("a", 3, 7.0), ("b", 10, 1.0), ("b", 11, 2.0)],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f1")
+    # batch 2: key a gets a new #1 and a non-qualifier; b unchanged
+    # (nothing beats its state), ties on score break by smaller item
+    spark.createDataFrame(
+        [("a", 4, 11.0), ("a", 5, 0.5), ("a", 6, 7.0), ("b", 12, 0.1)],
+        schema,
+    ).coalesce(1).write.parquet(src + "/f2")
+    now = time.time()
+    for sub, when in (("f1", now - 60), ("f2", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (when, when))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    emissions: list = []  # (batch_id, rows)
+
+    def on_batch(bdf, bid):
+        rows = [
+            (r["k"], int(r["item"]), float(r["score"]), int(r["rank"]))
+            for r in bdf.collect()
+        ]
+        if rows:
+            emissions.append((bid, sorted(rows)))
+
+    stream_topk(sdf, 2, str(tmp_path / "ck"), on_batch)
+    per_key_final: dict = {}
+    for _bid, rows in emissions:
+        for k in {r[0] for r in rows}:
+            per_key_final[k] = [r for r in rows if r[0] == k]
+    assert per_key_final["a"] == [
+        ("a", 2, 9.0, 2),
+        ("a", 4, 11.0, 1),
+    ]
+    assert per_key_final["b"] == [("b", 10, 1.0, 2), ("b", 11, 2.0, 1)]
+    # key b must NOT have re-emitted in batch 2: item 12 (0.1) does
+    # not displace its state [(2.0, 11), (1.0, 10)], so only batch 1
+    # carries a b emission
+    b_batches = [bid for bid, rows in emissions if any(r[0] == "b" for r in rows)]
+    assert len(b_batches) == 1
