@@ -100,6 +100,20 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+                # methodology self-description: each query gets one
+                # unmeasured warm-up execution (JIT/codegen tiering),
+                # then the BEST of 3 measured noop-sink executions —
+                # this box shows ±0.5-1 s run-to-run noise on the
+                # multi-stage pipelines, so best-of-N is the
+                # steady-state estimator
+                "methodology": {
+                    "warmup_runs": 1,
+                    "measured_runs": 3,
+                    "aggregation": "best",
+                    "sink": "noop",
+                    "noise_note": "±0.5-1s run-to-run on this box; "
+                    "measure uncontended",
+                },
             }
         )
     )
