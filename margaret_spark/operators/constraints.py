@@ -64,6 +64,8 @@ def constraint_report(
     one truncated scan, not a full count). Pass ``None`` to never hint
     and let the optimizer (AQE) choose — a fact-to-fact FK check then
     plans a shuffle anti-join instead of OOMing the driver."""
+    if not rules:
+        raise ValueError("constraint_report needs at least one rule")
     aggs = []
     labels: list[tuple[str, str]] = []
     fks: list[tuple[str, DataFrame, str]] = []

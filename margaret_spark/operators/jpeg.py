@@ -465,13 +465,20 @@ def jpeg_meta(blob: bytes):
         if b[pos] != 0xFF:
             return None
         marker = b[pos + 1]
+        if marker == 0xFF:  # T.81 allows 0xFF fill bytes before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if pos + 4 > n:
             return None
         (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
-        if marker in (0xC0, 0xC1):
+        # dimensions parse identically from EVERY SOFn frame header —
+        # including progressive/lossless frames the DECODER rejects:
+        # metadata extraction over a dirty corpus should still
+        # classify them (SOF0-15 except DHT C4 / JPG C8 / DAC CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             if pos + 10 > n:  # truncated SOF: not a parseable JPEG
                 return None
             _prec, hh, ww, nc = struct.unpack(">BHHB", b[pos + 4 : pos + 10])
@@ -503,6 +510,9 @@ def _parse_stream(b: bytes) -> dict:
         if b[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at {pos}")
         marker = b[pos + 1]
+        if marker == 0xFF:  # 0xFF fill bytes before a marker (T.81)
+            pos += 1
+            continue
         pos += 2
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
@@ -552,6 +562,10 @@ def _parse_stream(b: bytes) -> dict:
         elif marker == 0xDD:  # DRI
             (st["restart_interval"],) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if st["comps"] is None:
+                # SOS before SOF must fail as a ValueError, not escape
+                # as a TypeError from the MCU walk's None deref
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             scan = {}
             for si in range(ns):

@@ -188,3 +188,44 @@ def test_spark_decode_image_real_jpeg(spark):
 
 
 from pyspark.sql import functions as F  # noqa: E402  (used in the Spark test)
+
+
+def test_meta_reads_progressive_and_fill_bytes():
+    import struct
+
+    # dimensions come from EVERY SOFn header, including progressive
+    # SOF2 the decoder rejects — metadata over a dirty corpus still
+    # classifies the file
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 24, 16, 3)
+        + bytes([1, 0x11, 0])
+    )
+    assert jpeg_meta(sof2) == (16, 24, 3)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(sof2)
+
+    # T.81 fill bytes (repeated 0xFF) before a marker are legal padding
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = encode_jpeg(img)
+    padded = blob[:2] + b"\xff\xff\xff" + blob[2:]
+    assert jpeg_meta(padded) == (8, 8, 1)
+    w, h, ch, samples = decode_jpeg(padded)
+    assert (w, h, ch) == (8, 8, 1) and list(samples) == list(decode_jpeg(blob)[3])
+
+
+def test_sos_before_sof_raises_valueerror():
+    import struct
+
+    # a scan header with no prior frame header must fail as ValueError
+    # (it used to escape as TypeError from the MCU walk's None deref)
+    sos = (
+        b"\xff\xd8"
+        + b"\xff\xda"
+        + struct.pack(">H", 8)
+        + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(sos + b"\x00\x00\xff\xd9")
