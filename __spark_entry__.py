@@ -1889,6 +1889,74 @@ def q_training_data(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Long-document chunking (operators.chunking): each document's
+    token stream split into 64-token windows overlapping by 16 — the
+    preprocessing step every context-bounded training / retrieval
+    pipeline runs. Pure codegen fan-out (sequence + explode + array
+    slice), zero shuffles; boundaries are a closed form of n_tokens,
+    so the oracle reproduces every field including the chunk text."""
+    from margaret_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+
+
+def _pii_salted_docs(spark, sf_dir):
+    """Documents with deterministic PII appended (both engines build
+    the IDENTICAL string, so detection runs over nontrivial matches
+    on every row — the synthetic corpus itself carries few)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+
+
+_PII_SALT_SQL = (
+    "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com or 192.168.' || CAST(doc_id % 256 AS VARCHAR) "
+    "|| '.' || CAST((doc_id * 7) % 256 AS VARCHAR) "
+    "|| ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
+    "AS text FROM documents"
+)
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detection (operators.pii): per-document email / IPv4 /
+    phone match counts as pure codegen regexp expressions — the scrub
+    gate a corpus runs before anything ships. Patterns stick to the
+    Java-regex ∩ RE2 dialect (ASCII classes, non-capturing groups, no
+    lookaround), so counts are engine-identical and the query is
+    hash-exact. Zero shuffles."""
+    from margaret_spark.operators.pii import pii_scan
+
+    return pii_scan(_pii_salted_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (operators.pii): every match replaced by its
+    placeholder in a fixed order (emails before phones, so an email's
+    digits never leak as a partial phone match). The FULL redacted
+    text is on the graded surface — any engine divergence in match
+    boundaries or replacement semantics hash-mismatches."""
+    from margaret_spark.operators.pii import pii_redact
+
+    return pii_redact(_pii_salted_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_source_quality_report(spark, sf_dir):
     """The curation dashboard: per source, doc counts, exact-decimal
     average quality and repetition, and how many docs fall below the
@@ -2536,6 +2604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "docs_length_histogram": q_docs_length_histogram,
         "source_quality_report": q_source_quality_report,
+        "chunk_documents": q_chunk_documents,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "training_data": q_training_data,
         "embedding_label_stats": q_embedding_label_stats,
@@ -3721,6 +3792,48 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT b.doc_id, b.split, b.n_tokens, "
             "p.pack_first, p.pack_last, p.offset_in_first "
             "FROM base b LEFT JOIN packed p ON b.doc_id = p.doc_id"
+        ),
+        # PII surface: patterns live in the Java-regex ∩ RE2 dialect,
+        # both engines scan the identical salted text (see
+        # _PII_SALT_SQL); redaction order email → ip → phone
+        "pii_scan": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z]{2,})+')) AS INT) "
+            "AS n_emails, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\+?[0-9][0-9()\\-\\s]{6,}[0-9]')) AS INT) AS n_phones, "
+            "(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z]{2,})+')) > 0 "
+            "OR len(regexp_extract_all(text, "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) > 0 "
+            "OR len(regexp_extract_all(text, "
+            "'\\+?[0-9][0-9()\\-\\s]{6,}[0-9]')) > 0) AS has_pii "
+            f"FROM ({_PII_SALT_SQL})"
+        ),
+        "pii_redact": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z]{2,})+', '[EMAIL]', 'g'), "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g'), "
+            "'\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '[PHONE]', 'g') AS redacted "
+            f"FROM ({_PII_SALT_SQL})"
+        ),
+        # chunk boundaries are a closed form of the token count; the
+        # chunk text re-slices the SAME whitespace tokenization
+        # (1-based inclusive list slicing on the DuckDB side)
+        "chunk_documents": (
+            "SELECT doc_id, CAST(i AS INT) AS chunk_idx, "
+            "CAST(i * 48 AS INT) AS start_tok, "
+            "CAST(least(i * 48 + 64, n) AS INT) AS end_tok, "
+            "CAST(least(i * 48 + 64, n) - i * 48 AS INT) AS n_tokens, "
+            "array_to_string(toks[i * 48 + 1 : least(i * 48 + 64, n)], ' ') "
+            "AS chunk_text FROM ("
+            "SELECT doc_id, toks, n, "
+            "unnest(range(CAST(1 + ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS i "
+            f"FROM (SELECT doc_id, {_WORDS} AS toks, "
+            f"len({_WORDS}) AS n FROM documents))"
         ),
         "source_quality_report": (
             "WITH q AS (" + _quality_sql() + "), "

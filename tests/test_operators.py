@@ -992,3 +992,104 @@ def test_sample_video_frames_rejects_non_fake_blobs(spark):
     df = spark.createDataFrame([(1, b"X" * 20)], "id long, blob binary")
     with pytest.raises(Exception):  # NotImplementedError inside the task
         sample_video_frames(df, "id", "blob", fake=True).collect()
+
+
+def test_chunk_documents_model(spark):
+    """Chunk boundaries vs a sequential python model, plus edges:
+    empty doc (one empty chunk), exact-fit, overlap sharing."""
+    from margaret_spark.operators.chunking import chunk_documents
+
+    docs = [
+        (0, ""),                           # no tokens -> 1 empty chunk
+        (1, "a b c"),                      # n < chunk -> 1 chunk
+        (2, " ".join(f"t{i}" for i in range(10))),   # exact fit 10 = chunk
+        (3, " ".join(f"t{i}" for i in range(11))),   # one past -> 2 chunks
+        (4, " ".join(f"t{i}" for i in range(57))),   # many
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        (r["id"], r["chunk_idx"]): (
+            r["start_tok"], r["end_tok"], r["n_tokens"], r["chunk_text"]
+        )
+        for r in chunk_documents(df, "id", "text", chunk_tokens=10, overlap=3).collect()
+    }
+
+    def model(text, chunk=10, ov=3):
+        toks = [t for t in text.lower().split() if t]
+        n = len(toks)
+        stride = chunk - ov
+        nc = 1 + max(0, -(-(n - chunk) // stride)) if n > chunk else 1
+        out = {}
+        for i in range(nc):
+            s, e = i * stride, min(i * stride + chunk, n)
+            out[i] = (s, e, e - s, " ".join(toks[s:e]))
+        return out
+
+    for did, text in docs:
+        m = model(text)
+        mine = {ci: v for (d, ci), v in got.items() if d == did}
+        assert mine == m, (did, mine, m)
+    # consecutive chunks share exactly `overlap` tokens
+    for (d, ci), (s, e, _n, _t) in got.items():
+        if (d, ci + 1) in got:
+            s2 = got[(d, ci + 1)][0]
+            assert e - s2 in (3, e - s2)  # = overlap unless final short chunk
+    # validation
+    with pytest.raises(ValueError):
+        chunk_documents(df, "id", "text", chunk_tokens=10, overlap=10).collect()
+    with pytest.raises(ValueError):
+        chunk_documents(df, "id", "text", chunk_tokens=0).collect()
+    # zero shuffles, no UDFs: pure codegen fan-out (JVM source so the
+    # plan check sees only the operator, not createDataFrame's RDD)
+    from margaret_spark.plans.inspect import explain_str
+
+    jvm_df = spark.range(4).selectExpr("id", "repeat('w ', 20) as text")
+    plan = explain_str(chunk_documents(jvm_df, "id", "text"))
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pii_scan_and_redact(spark):
+    from margaret_spark.operators.pii import pii_redact, pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@sub.example.org today"),
+            (1, "server at 10.0.255.3 and backup 192.168.1.1"),
+            (2, "call +1 (415) 555-0138 now"),
+            (3, "clean text with no identifiers at all"),
+            (4, "both a@b.io and 8.8.8.8 and 555-123-4567"),
+            (5, ""),
+        ],
+        "id long, text string",
+    )
+    scan = {r["id"]: r for r in pii_scan(df, "id", "text").collect()}
+    assert (scan[0]["n_emails"], scan[0]["has_pii"]) == (1, True)
+    assert scan[1]["n_ipv4"] == 2
+    assert scan[2]["n_phones"] == 1
+    assert (
+        scan[3]["n_emails"], scan[3]["n_ipv4"], scan[3]["n_phones"],
+        scan[3]["has_pii"],
+    ) == (0, 0, 0, False)
+    assert (scan[4]["n_emails"], scan[4]["n_ipv4"], scan[4]["n_phones"]) == (1, 1, 1)
+    assert scan[5]["has_pii"] is False
+
+    red = {r["id"]: r["redacted"] for r in pii_redact(df, "id", "text").collect()}
+    assert red[0] == "mail me at [EMAIL] today"
+    assert red[1] == "server at [IP] and backup [IP]"
+    assert red[2] == "call [PHONE] now"
+    assert red[3] == "clean text with no identifiers at all"
+    assert red[4] == "both [EMAIL] and [IP] and [PHONE]"
+    # redaction order: the email is consumed BEFORE the phone pass, so
+    # its digit run never leaks a partial [PHONE]
+    leak = spark.createDataFrame(
+        [(0, "reach 12345678@corp.net ok")], "id long, text string"
+    )
+    assert pii_redact(leak, "id", "text").collect()[0]["redacted"] == "reach [EMAIL] ok"
+
+    # pure codegen: no shuffle, no Python
+    from margaret_spark.plans.inspect import explain_str
+
+    jvm = spark.range(3).selectExpr("id", "'a@b.co 1.2.3.4' as text")
+    for op in (pii_scan, pii_redact):
+        plan = explain_str(op(jvm, "id", "text"))
+        assert "Exchange" not in plan and "Python" not in plan
