@@ -2,6 +2,7 @@ from margaret_spark.sources.catalog import Catalog, read_table
 from margaret_spark.sources.snapshot import SnapshotCatalog
 from margaret_spark.sources.writers import (
     compact_log,
+    compact_multilog,
     compact_small_files,
     maybe_compact,
     write_bucketed,
@@ -13,6 +14,7 @@ __all__ = [
     "SnapshotCatalog",
     "read_table",
     "compact_log",
+    "compact_multilog",
     "compact_small_files",
     "maybe_compact",
     "write_bucketed",

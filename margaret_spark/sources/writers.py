@@ -320,3 +320,66 @@ def compact_log(log, target_files: int = 1) -> int:
         log._patch_id = squash_base + len(nulled_seqs) if nulled_seqs else 0
         log._seq = log._recover_seq()
     return len(groups)
+
+
+def compact_multilog(mlog) -> int:
+    """Merge an OffsetMultiLog's per-insert entry files into one
+    parquet file, dropping tombstone-dead rows — the multilog's answer
+    to single-insert small-file amplification (bulk ``append_df``
+    loads produce few files; interactive ``sublog.append`` produces
+    one per insert).
+
+    Crash-safe by the same publish-first argument as the log: the
+    merged file (named to preserve the max entry id, which the
+    open-time ``_entry_id`` recovery parses) is renamed into place
+    BEFORE the inputs are deleted; during the window readers see
+    duplicate rows, which every read path tolerates by construction
+    (the pull paths build member SETS, ``df()`` ends in
+    ``distinct()``). An empty merged file is still written so entry-id
+    continuity survives compacting a fully-tombstoned multilog — new
+    entry ids must stay above old tombstone horizons.
+
+    Returns the number of input files merged (0 = nothing to do)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    with mlog._lock:
+        names = sorted(
+            n
+            for n in os.listdir(mlog._entries_dir)
+            if n.startswith("entry-") and n.endswith(".parquet")
+        )
+        if len(names) <= 1:
+            return 0
+        max_eid = mlog._entry_id - 1
+        horizons = mlog._tombstoned()
+        tbl = (
+            pads.dataset(mlog._entries_dir, format="parquet")
+            .to_table()
+            .sort_by(
+                [
+                    ("entry_id", "ascending"),
+                    ("addr", "ascending"),
+                    ("main_seq", "ascending"),
+                ]
+            )
+        )
+        if horizons and len(tbl):
+            pdf = tbl.to_pandas()
+            dead = pdf["addr"].map(horizons).fillna(-1) >= pdf["entry_id"]
+            import pyarrow as pa
+
+            tbl = pa.Table.from_pandas(
+                pdf[~dead.to_numpy()], schema=tbl.schema, preserve_index=False
+            )
+        # 'm' marks a merged file; _max_id's "split('.')[0]" parse
+        # recovers max_eid from it, keeping entry-id allocation monotone
+        name = f"entry-{max_eid:020d}.m.parquet"
+        tmp = os.path.join(mlog._entries_dir, "." + name + ".tmp")
+        final = os.path.join(mlog._entries_dir, name)
+        pq.write_table(tbl, tmp)
+        os.rename(tmp, final)
+        for n in names:
+            if n != name:
+                os.remove(os.path.join(mlog._entries_dir, n))
+        return len(names)

@@ -270,3 +270,50 @@ def test_offset_insert_is_incremental_and_set_semantic(spark, tmp_path):
     ml2 = OffsetMultiLog(spark, str(tmp_path / "ml"))
     assert ml2.get("x").seq() == 1
     assert ml2.get("x").get(1) == 9
+
+
+def test_compact_multilog(spark, tmp_path):
+    """Per-insert entry files merge into one; membership, ranks,
+    tombstone horizons, and entry-id continuity all survive — and a
+    crash between publish and delete only leaves harmless duplicates."""
+    import os
+
+    from margaret_spark.sources import compact_multilog
+
+    ml = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    for a, seqs in (("x", [3, 1, 7]), ("y", [2, 5]), ("gone", [4, 9])):
+        for s in seqs:
+            ml.get(a).append(s)
+    ml.delete("gone")
+    # a FRESH handle restarts the sublog above the tombstone horizon:
+    # 4 and 9 are dead, 11 is live — compaction must keep it that way
+    ml.get("gone").append(11)
+    before_x = list(ml.get("x").query())
+    before_gone = list(ml.get("gone").query())
+    n_files_before = len(
+        [n for n in os.listdir(ml._entries_dir) if n.endswith(".parquet")]
+    )
+    assert n_files_before >= 7
+
+    merged = compact_multilog(ml)
+    assert merged == n_files_before
+    live = [n for n in os.listdir(ml._entries_dir) if n.endswith(".parquet")]
+    assert len(live) == 1
+
+    assert list(ml.get("x").query()) == before_x == [1, 3, 7]
+    assert list(ml.get("y").query()) == [2, 5]
+    assert list(ml.get("gone").query()) == before_gone  # horizon preserved
+    rows = {
+        (r["addr"], r["main_seq"])
+        for r in ml.df().collect()
+    }
+    assert ("x", 7) in rows and ("gone", 4) not in rows
+
+    # reopen: entry-id allocation stays monotone (merged name parses)
+    ml2 = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    ml2.get("x").append(100)
+    assert 100 in list(ml2.get("x").query())
+    assert list(ml2.get("gone").query()) == before_gone
+
+    # idempotent / no-op on a single file
+    assert compact_multilog(ml2) >= 0
