@@ -145,10 +145,15 @@ def Lte(s: int) -> QuerySpec:
 
 
 def Limit(n: int) -> QuerySpec:
-    """At most n results, in iteration order (reference ``qry.go:86-91``)."""
+    """At most n results, in iteration order (reference ``qry.go:86-91``).
+
+    A negative n means UNLIMITED, mirroring the reference's cursor:
+    ``offset2/qry.go:105-108`` only stops at exactly ``limit == 0``,
+    so a negative counter decrements forever. (Spark's ``df.limit``
+    would instead throw on a negative argument.)"""
 
     def fn(plan: QueryPlan) -> None:
-        plan.limit = int(n)
+        plan.limit = int(n) if int(n) >= 0 else None
 
     return QuerySpec(fn, f"Limit({n})")
 

@@ -48,6 +48,11 @@ GOLDEN = [
     ("lt2", [1, 2, 3], [Lt(2)], [1, 2]),
     ("lte1", [1, 2, 3], [Lte(1)], [1, 2]),
     ("limit2", [1, 2, 3], [Limit(2)], [1, 2]),
+    # negative limit = UNLIMITED: the reference cursor only EOS's at
+    # exactly limit == 0 (offset2/qry.go:105-108), so a negative
+    # counter decrements forever; limit 0 is immediately empty
+    ("limit-neg", [1, 2, 3], [Limit(-1)], [1, 2, 3]),
+    ("limit0", [1, 2, 3], [Limit(0)], []),
     ("reverse-limit2", [1, 2, 3, 4, 5], [Reverse(True), Limit(2)], [5, 4]),
     ("seqwrap", [1, 2, 3], [SeqWrap(True)], [(0, 1), (1, 2), (2, 3)]),
     ("gt-lte", [1, 2, 3, 4, 5], [Gt(0), Lte(3)], [2, 3, 4]),
