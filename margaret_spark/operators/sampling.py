@@ -78,6 +78,10 @@ def hash_split(df: DataFrame, id_col: str, weights: dict[str, float]) -> DataFra
     generalization of :func:`train_test_split` (train/val/test/...).
     Dict insertion order fixes the ranges, so the split is
     reproducible."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(v < 0 for v in weights.values()):
+        raise ValueError(f"weights must be non-negative: {weights}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1: {weights}")
