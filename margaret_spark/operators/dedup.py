@@ -637,10 +637,14 @@ def dedup_clusters(
     ``localCheckpoint`` truncates lineage so plans don't grow across
     iterations (a real failure mode at scale).
     """
+    # No distinct() on the edge list: duplicate edges are harmless to
+    # every consumer (min-label aggregation, neighbor-min join, the
+    # singleton anti-join — min and semi-join are idempotent), and the
+    # usual pair generators emit unique (id_a, id_b) anyway — the
+    # dedup was a pure extra shuffle of the whole edge list.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
         .localCheckpoint(eager=False)
     )
     # iterate ONLY over nodes that have an edge — the duplicate graph
