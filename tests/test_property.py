@@ -82,3 +82,57 @@ def test_query_algebra_matches_model(logs, case):
     for log in logs:
         got = list(log.query(*specs_of(case)))
         assert got == expect, f"{type(log).__name__} {case}: {got} != {expect}"
+
+
+# --- chunking: generative twin of the sequential model --------------------
+
+chunk_case = st.fixed_dictionaries(
+    {
+        "texts": st.lists(
+            st.text(
+                alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=60
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        "chunk": st.integers(1, 12),
+        "overlap": st.integers(0, 11),
+    }
+)
+
+
+def _chunk_model(text, chunk, ov):
+    toks = [t for t in text.lower().split() if t]
+    n = len(toks)
+    stride = chunk - ov
+    nc = 1 + max(0, -(-(n - chunk) // stride)) if n > chunk else 1
+    out = []
+    for i in range(nc):
+        s, e = i * stride, min(i * stride + chunk, n)
+        out.append((i, s, e, e - s, " ".join(toks[s:e])))
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=chunk_case)
+def test_chunk_documents_matches_model(spark, case):
+    from margaret_spark.operators.chunking import chunk_documents
+
+    chunk, ov = case["chunk"], min(case["overlap"], case["chunk"] - 1)
+    df = spark.createDataFrame(
+        list(enumerate(case["texts"])), "id long, text string"
+    )
+    got = {}
+    rows = chunk_documents(
+        df, "id", "text", chunk_tokens=chunk, overlap=ov
+    ).collect()
+    for r in rows:
+        got.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["start_tok"], r["end_tok"], r["n_tokens"], r["chunk_text"])
+        )
+    for i, text in enumerate(case["texts"]):
+        assert sorted(got[i]) == _chunk_model(text, chunk, ov), (i, text)
