@@ -1437,6 +1437,60 @@ def q_stream_events_asof(spark, sf_dir):
     )
 
 
+def q_stream_topk_windowed(spark, sf_dir):
+    """WINDOWED streaming top-k: the same stateful bounded-heap
+    operator, keyed on a (day-bucket | event_type) composite — the
+    per-time-window leaderboard (top 3 events per type per day). The
+    state key IS the window, so closed windows cost exactly k entries
+    forever and no window ever rescans history; the composite-string
+    key shows the operator composes to any keying without code
+    changes. Hash-exact against the batch ranking window partitioned
+    by (day, type)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from margaret_spark.streaming.stateful import stream_topk
+
+    sdf = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    tagged = sdf.where(F.col("value").isNotNull()).select(
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd"), F.lit("|"), F.col("event_type")
+        ).alias("k"),
+        F.col("event_id").alias("item"),
+        F.col("value").alias("score"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_topk_w_")
+    out = os.path.join(base, "out")
+
+    def on_batch(bdf, bid):
+        bdf.withColumn("__bid", F.lit(bid)).write.mode("append").parquet(out)
+
+    try:
+        stream_topk(tagged, 3, os.path.join(base, "ckpt"), on_batch)
+        res = spark.read.parquet(out)
+        final = (
+            res.withColumn("__mx", F.max("__bid").over(Window.partitionBy("k")))
+            .where(F.col("__bid") == F.col("__mx"))
+            .select(
+                F.split_part(F.col("k"), F.lit("|"), F.lit(1)).alias("day"),
+                F.split_part(F.col("k"), F.lit("|"), F.lit(2)).alias("event_type"),
+                F.col("item").alias("event_id"),
+                "score",
+                "rank",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
 def q_stream_topk(spark, sf_dir):
     """Streaming per-key top-k retrieval
     (streaming/stateful.stream_topk, applyInPandasWithState): per
@@ -2558,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_enriched": q_stream_events_enriched,
         "stream_events_asof": q_stream_events_asof,
         "stream_topk": q_stream_topk,
+        "stream_topk_windowed": q_stream_topk_windowed,
         "stream_events_sessions": q_stream_events_sessions,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_dedup_minhash": q_stream_dedup_minhash,
@@ -2858,6 +2913,16 @@ def oracle_sql() -> dict[str, str]:
         "CAST(row_number() OVER (PARTITION BY event_type "
         "ORDER BY value DESC, event_id) AS INT) AS rank "
         "FROM events WHERE value IS NOT NULL) WHERE rank <= 5"
+    )
+    # windowed variant: the state key is (day, type) — batch twin is
+    # the ranking window partitioned the same way
+    d["stream_topk_windowed"] = (
+        "SELECT day, event_type, event_id, score, rank FROM ("
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, event_id, "
+        "value AS score, "
+        "CAST(row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), "
+        "event_type ORDER BY value DESC, event_id) AS INT) AS rank "
+        "FROM events WHERE value IS NOT NULL) WHERE rank <= 3"
     )
     return d
 
