@@ -1632,6 +1632,23 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs, "doc_id")
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF index against brute force
+    (operators.similarity.ann_recall_at_k) — the eval that justifies
+    the nlist/nprobe settings of every other ANN query here. Both
+    arms are the library operators at the SAME parameterization as
+    ann_topk / ann_ivf; the oracle composes those two queries' SQL as
+    CTEs and counts the per-query neighbor-id overlap, so the metric
+    (exact integer counts + one IEEE division) is hash-exact."""
+    from margaret_spark.operators.similarity import ann_recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ann_recall_at_k(
+        emb, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-cell ANN: seeded centroids, corpus bucketed by nearest cell,
     queries probe their 4 nearest cells only."""
@@ -2628,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_recall": q_ann_recall,
         "text_stats": q_text_stats,
         "text_topterms": q_text_topterms,
         "search_bm25": q_search_bm25,
@@ -2905,6 +2923,22 @@ def oracle_sql() -> dict[str, str]:
     # the stateful-streaming as-of operator must reproduce the batch
     # as-of join exactly — same DuckDB native ASOF JOIN oracle
     d["stream_events_asof"] = d["events_asof"]
+    # recall@5: compose the brute-force and IVF oracles as CTEs and
+    # count the per-query neighbor overlap — same parameterization,
+    # so the metric is exact-integer + one IEEE division
+    d["ann_recall"] = (
+        f"WITH bf AS ({d['ann_topk']}), ivf AS ({d['ann_ivf']}), "
+        "ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact "
+        "FROM bf GROUP BY query_id), "
+        "hits AS (SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM ivf i JOIN bf b ON i.query_id = b.query_id "
+        "AND i.neighbor_id = b.neighbor_id GROUP BY i.query_id) "
+        "SELECT ex.query_id, ex.n_exact, "
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "floor((COALESCE(h.n_hits, 0) / ex.n_exact) * 1000000 + 0.5) "
+        "/ 1000000 AS recall "
+        "FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id"
+    )
     # the stateful streaming top-k must reproduce the batch ranking
     # window exactly (incremental bounded-heap merge is exact)
     d["stream_topk"] = (

@@ -455,3 +455,57 @@ def range_search(
         .where(F.col("cosine") >= radius)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def ann_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, n_exact, n_hits, recall): per-query recall@k of the
+    IVF index against brute force — the eval every ANN deployment runs
+    before trusting ``nlist``/``nprobe`` settings (recall is the knob
+    those parameters trade against probe cost).
+
+    ``n_exact`` is the true top-k size (< k on tiny corpora), the
+    denominator; ``n_hits`` counts IVF results that appear in the true
+    top-k (matched by neighbor id via a semi-join — rank order is not
+    penalized, matching the standard recall@k definition).
+
+    Scale shape: both arms are the library operators (brute force =
+    broadcast queries × one corpus stream; IVF = probed-cell join);
+    the comparison itself touches only 2·|queries|·k rows. Exact
+    integer counts + one IEEE division, so the metric is
+    oracle-reproducible bit-for-bit."""
+    exact = brute_force_topk(corpus, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        corpus, queries, k=k, nlist=nlist, nprobe=nprobe, centroids=centroids
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    n_hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        n_exact.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            pround(F.col("n_hits") / F.col("n_exact"), round_digits),
+        )
+    )

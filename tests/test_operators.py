@@ -1093,3 +1093,22 @@ def test_pii_scan_and_redact(spark):
     for op in (pii_scan, pii_redact):
         plan = explain_str(op(jvm, "id", "text"))
         assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_ann_recall_at_k(emb):
+    from margaret_spark.operators.similarity import ann_recall_at_k
+
+    queries = emb.where(F.col("vec_id") < 4)
+    # probing every cell makes the IVF exhaustive: recall exactly 1
+    full = ann_recall_at_k(
+        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=8
+    ).collect()
+    assert len(full) == 4
+    assert all(r["recall"] == 1.0 and r["n_hits"] == r["n_exact"] for r in full)
+    # recall is bounded and counts are consistent with a narrow probe
+    narrow = ann_recall_at_k(
+        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=1
+    ).collect()
+    for r in narrow:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert 0 <= r["n_hits"] <= r["n_exact"] <= 5
