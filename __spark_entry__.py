@@ -2028,6 +2028,21 @@ def q_pii_redact(spark, sf_dir):
     return pii_redact(_pii_salted_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_quality_pctile(spark, sf_dir):
+    """Per-source quality calibration (operators.text.
+    quality_percentile): each document's quality score re-expressed as
+    its percent rank WITHIN its source — the normalization that makes
+    one quality bar meaningful across sources with different score
+    distributions. percent_rank is SQL-standard (ties share a rank,
+    (rank-1)/(n-1)), so the surface is hash-exact; the quality score
+    itself is the same pround'ed rational arithmetic both engines
+    already agree on."""
+    from margaret_spark.operators.text import quality_percentile
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_percentile(docs, "doc_id", "text", "source")
+
+
 def q_source_quality_report(spark, sf_dir):
     """The curation dashboard: per source, doc counts, exact-decimal
     average quality and repetition, and how many docs fall below the
@@ -2659,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_diff": q_orders_diff,
         "edit_pairs_part_names": q_edit_pairs_part_names,
         "text_quality": q_text_quality,
+        "quality_pctile": q_quality_pctile,
         "text_langid": q_text_langid,
         "text_langid_eval": q_text_langid_eval,
         "text_bpe_count": q_text_bpe_count,
@@ -3748,6 +3764,15 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM documents"
         ),
         "text_quality": _quality_sql(),
+        # percent_rank is SQL-standard in both engines (ties share a
+        # rank); the quality input is the shared _quality_sql CTE
+        "quality_pctile": (
+            "WITH q AS (" + _quality_sql() + ") "
+            "SELECT q.doc_id, d.source, q.quality, "
+            "floor(percent_rank() OVER (PARTITION BY d.source "
+            "ORDER BY q.quality) * 1000000 + 0.5) / 1000000 AS pctile "
+            "FROM q JOIN documents d ON q.doc_id = d.doc_id"
+        ),
         "text_langid": _langid_sql(),
         "text_langid_eval": (
             "WITH pred AS (" + _langid_sql() + ") "

@@ -363,3 +363,37 @@ def top_terms(
         F.sum("__n").cast("long").alias("total_count"),
     )
     return stats.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(k)
+
+
+def quality_percentile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, group, quality, pctile): the quality score calibrated
+    WITHIN its group as a percent rank — the cross-source
+    normalization step a mixed corpus needs before one global quality
+    bar makes sense (a verbose source's 0.8 and a terse source's 0.5
+    can sit at the same percentile of their distributions; filtering
+    on ``pctile`` keeps the same fraction of every source).
+
+    ``percent_rank`` = (rank − 1)/(n − 1), ties share a rank
+    (SQL-standard, so the value is deterministic under any shuffle
+    order), single-row groups score 0. One shuffle on the group key;
+    the quality projection fuses into the same pass. At extreme
+    per-group cardinality swap in an approximate-histogram rank —
+    the exact window needs its group's total order."""
+    from pyspark.sql import Window
+
+    q = quality_score(df, id_col, text_col).join(
+        df.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("quality"))
+    return q.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("quality"),
+        pround(F.percent_rank().over(w), round_digits).alias("pctile"),
+    )

@@ -1112,3 +1112,23 @@ def test_ann_recall_at_k(emb):
     for r in narrow:
         assert 0.0 <= r["recall"] <= 1.0
         assert 0 <= r["n_hits"] <= r["n_exact"] <= 5
+
+
+def test_quality_percentile(spark):
+    from margaret_spark.operators.text import quality_percentile
+
+    df = spark.createDataFrame(
+        [
+            (0, "a short one", "s1"),
+            (1, "a much longer document with several distinct words here", "s1"),
+            (2, "middling text of some words", "s1"),
+            (3, "lone document in its source", "s2"),
+        ],
+        "id long, text string, src string",
+    )
+    rows = {r["id"]: r for r in quality_percentile(df, "id", "text", "src").collect()}
+    s1 = sorted((rows[i]["quality"], rows[i]["pctile"]) for i in (0, 1, 2))
+    # percent rank spans 0..1 in quality order within the group
+    assert [p for _q, p in s1] == [0.0, 0.5, 1.0]
+    # single-row group scores 0 (SQL percent_rank definition)
+    assert rows[3]["pctile"] == 0.0
