@@ -1547,6 +1547,23 @@ def q_stream_topk(spark, sf_dir):
     return final
 
 
+def q_events_resample(spark, sf_dir):
+    """Time-series resampling with gap filling
+    (operators.timeseries.resample): the high-value event stream
+    bucketed onto a dense 6-hour grid per event_type — empty buckets
+    MATERIALIZED (n=0, NULL sum) and forward-filled (last_value
+    IGNORE NULLS), the step between raw events and anything assuming
+    a dense time axis. The value filter keeps the stream sparse so
+    gaps actually occur. All epoch-µs integer arithmetic + exact
+    DECIMAL sums — hash-exact."""
+    from margaret_spark.operators.timeseries import resample
+
+    ev = _events(spark, sf_dir).where(F.col("value") >= 150.0)
+    return resample(
+        ev, "event_type", "ts", "value", interval_s=21_600
+    )
+
+
 def q_events_json(spark, sf_dir):
     """JSON codec surface (§2.5 op 37): extract props.k, aggregate."""
     ev = _events(spark, sf_dir)
@@ -2636,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_distinct": q_events_approx_distinct,
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_json": q_events_json,
+        "events_resample": q_events_resample,
         "events_pivot": q_events_pivot,
         "events_anomaly": q_events_anomaly,
         "customers_rfm": q_customers_rfm,
@@ -3567,6 +3585,27 @@ def _oracle_sql_base() -> dict[str, str]:
             "count(*) AS n_events FROM events e "
             "JOIN customer c ON e.user_id = c.c_custkey "
             "GROUP BY c.c_nationkey"
+        ),
+        # dense-grid resample: integer µs bucket arithmetic, per-key
+        # spine via range(), exact DECIMAL sums, SQL-standard
+        # last_value IGNORE NULLS forward fill
+        "events_resample": (
+            "WITH ev AS (SELECT event_type AS key, epoch_us(ts) AS us, value "
+            "FROM events WHERE value >= 150.0), "
+            "agg AS (SELECT key, "
+            "CAST(floor(us / 21600000000) * 21600000000 AS BIGINT) AS b, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value "
+            "FROM ev GROUP BY 1, 2), "
+            "spine AS (SELECT key, unnest(range(lo, hi + 1, 21600000000)) AS b "
+            "FROM (SELECT key, min(b) AS lo, max(b) AS hi FROM agg GROUP BY key)), "
+            "dense AS (SELECT s.key, s.b, COALESCE(a.n_events, 0) AS n_events, "
+            "a.sum_value FROM spine s LEFT JOIN agg a ON s.key = a.key AND s.b = a.b) "
+            "SELECT key AS event_type, make_timestamp(b) AS bucket_start, "
+            "n_events, sum_value, "
+            "last_value(sum_value IGNORE NULLS) OVER (PARTITION BY key "
+            "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS sum_value_ffill FROM dense"
         ),
         "events_json": (
             "SELECT event_type, "

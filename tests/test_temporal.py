@@ -248,3 +248,33 @@ def test_range_join_default_right_on(spark):
     right = spark.createDataFrame([(1, 105), (1, 200)], "k long, ts long")
     rows = range_join(left, right, on="ts", lower=0, upper=10, by="k").collect()
     assert len(rows) == 1 and rows[0]["ts__right"] == 105
+
+
+def test_resample_gap_filling(spark):
+    """Empty buckets materialize with n=0 / NULL sum; the forward fill
+    carries the last occupied bucket's sum across the gap."""
+    from margaret_spark.operators.timeseries import resample
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.5),
+        ("a", "2024-01-01 00:20:00", 2.0),   # same bucket as above
+        ("a", "2024-01-01 03:05:00", 7.25),  # buckets 1-2 empty
+        ("b", "2024-01-01 05:00:00", 4.0),   # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r["k"], r["bucket_start"].hour): (
+            r["n_events"], r["sum_value"], r["sum_value_ffill"]
+        )
+        for r in resample(df, "k", "ts", "v", interval_s=3600).collect()
+    }
+    assert out[("a", 0)] == (2, 3.5, 3.5)
+    assert out[("a", 1)] == (0, None, 3.5)   # gap: materialized + ffilled
+    assert out[("a", 2)] == (0, None, 3.5)
+    assert out[("a", 3)] == (1, 7.25, 7.25)
+    assert out[("b", 5)] == (1, 4.0, 4.0)
+    assert len(out) == 5  # b's spine is exactly its own span
+    with pytest.raises(ValueError):
+        resample(df, "k", "ts", "v", interval_s=0)
