@@ -162,3 +162,41 @@ def test_codec_log_end_to_end(spark, tmp_path, codec):
     # reopen recovers codec from meta
     log2 = OffsetLog(spark, str(tmp_path / codec))
     assert log2.get(1) == vals[1]
+
+
+def test_codec_fuzz_roundtrip():
+    """Generative round-trip over arbitrary JSON-shaped values: every
+    codec must unmarshal(marshal(v)) == v for ints, finite floats,
+    unicode strings, None, bools, and nested lists/str-keyed dicts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from margaret_spark.codec import CborCodec, JsonCodec, MsgpackCodec
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=40),
+    )
+    values = st.recursive(
+        scalars,
+        lambda children: st.one_of(
+            st.lists(children, max_size=5),
+            st.dictionaries(st.text(max_size=10), children, max_size=5),
+        ),
+        max_leaves=12,
+    )
+
+    codecs = [JsonCodec(), MsgpackCodec(), CborCodec()]
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(v=values)
+    def run(v):
+        for c in codecs:
+            got = c.unmarshal(c.marshal(v))
+            assert got == v, (type(c).__name__, v, got)
+
+    run()
