@@ -59,6 +59,8 @@ def test_entry_queries_plan_quality(spark):
         "ann_lsh",
         "ann_ivf",
         "ann_ivf_indexed",
+        # both recall arms score pairs through the same Arrow kernel
+        "ann_recall",
         # binary-blob plumbing is genuinely imperative: Arrow-batched
         # mapInPandas is its designed execution path
         "multimodal_image_meta",
