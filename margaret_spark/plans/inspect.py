@@ -37,7 +37,12 @@ def plan_summary(df: DataFrame) -> dict:
         "shuffles": count("Exchange"),
         "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", s))),
         "python_evals": count("BatchEvalPython"),
-        "arrow_evals": count("ArrowEvalPython") + count("FlatMapGroupsInPandas"),
+        # every Arrow-batched Python surface: pandas UDFs, grouped-map,
+        # and mapInPandas kernels (the multimodal decode path) — all
+        # must be DECLARED by their operator, none slips through
+        "arrow_evals": count("ArrowEvalPython")
+        + count("FlatMapGroupsInPandas")
+        + count("MapInPandas"),
         "scans": count("Scan parquet"),
     }
 

@@ -62,8 +62,14 @@ def test_entry_queries_plan_quality(spark):
         # both recall arms score pairs through the same Arrow kernel
         "ann_recall",
         # binary-blob plumbing is genuinely imperative: Arrow-batched
-        # mapInPandas is its designed execution path
+        # mapInPandas is its designed execution path (plan_summary now
+        # counts MapInPandas nodes too, so the whole decode family
+        # must declare itself here)
         "multimodal_image_meta",
+        "multimodal_decode_png",
+        "multimodal_decode_jpeg",
+        "multimodal_decode_wav",
+        "multimodal_video_meta",
         # codec round-trip is BY DESIGN a Python codec exercised
         # through an Arrow-batched pandas UDF
         "codec_roundtrip",
