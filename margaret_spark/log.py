@@ -386,20 +386,49 @@ class OffsetLog(Log):
     def _cleanup_superseded(self) -> None:
         """Remove compaction inputs left behind by a crash between the
         merged file's publish and the input deletion (see the
-        supersede rule in :meth:`_data_files`)."""
+        supersede rule in :meth:`_data_files`), plus stale staging
+        areas and dot-tmp files a crashed bulk append / compaction
+        left behind — none of them are visible to readers, but they
+        accumulate disk forever otherwise."""
         import shutil
 
         live = {p for _lo, _hi, p in self._data_files()}
         for name in os.listdir(self._data_dir):
-            if not name.endswith(".parquet"):
-                continue
             p = os.path.join(self._data_dir, name)
+            if not name.endswith(".parquet"):
+                if name.startswith("."):  # orphaned .tmp/.dead artifacts
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        os.remove(p)
+                continue
             if p in live:
                 continue
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
             else:
                 os.remove(p)
+        # staging areas: only sweep entries old enough that no live
+        # writer can still be filling them (another handle may be
+        # mid-append_df when this one opens — single-writer is the
+        # CONTRACT, but a reader open must never sabotage a writer)
+        import time
+
+        horizon = time.time() - 3600
+        for stale in ("_staging", "_compact_staging"):
+            root = os.path.join(self.path, stale)
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                p = os.path.join(root, name)
+                try:
+                    if os.path.getmtime(p) < horizon:
+                        if os.path.isdir(p):
+                            shutil.rmtree(p, ignore_errors=True)
+                        else:
+                            os.remove(p)
+                except OSError:
+                    pass
 
     def _recover_seq(self) -> int:
         files = self._data_files()

@@ -37,3 +37,34 @@ def test_consistency_detects_gap(spark, tmp_path):
     log2 = OffsetLog(spark, path)
     with pytest.raises(AssertionError):
         log2.check_consistency()
+
+
+def test_open_sweeps_stale_staging_and_tmp(spark, tmp_path):
+    """Crash leftovers (dot-tmp files in data/, old staging areas)
+    are swept at open; FRESH staging (a possibly-live writer) is
+    kept."""
+    import os
+    import time
+
+    from margaret_spark.log import OffsetLog
+
+    path = str(tmp_path / "log")
+    log = OffsetLog(spark, path)
+    log.append_many([1, 2, 3])
+
+    # plant crash artifacts
+    tmp_file = os.path.join(log._data_dir, ".part-x.parquet.tmp")
+    open(tmp_file, "w").write("junk")
+    stale_dir = os.path.join(path, "_staging", "old-load")
+    os.makedirs(stale_dir)
+    open(os.path.join(stale_dir, "part-0.parquet"), "w").write("junk")
+    old = time.time() - 7200
+    os.utime(stale_dir, (old, old))
+    fresh_dir = os.path.join(path, "_staging", "inflight-load")
+    os.makedirs(fresh_dir)
+
+    log2 = OffsetLog(spark, path)
+    assert list(log2.query()) == [1, 2, 3]
+    assert not os.path.exists(tmp_file)
+    assert not os.path.exists(stale_dir)      # old staging swept
+    assert os.path.exists(fresh_dir)          # live writer untouched
