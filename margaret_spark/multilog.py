@@ -324,6 +324,7 @@ class OffsetMultiLog(MultiLog):
         self._member_cache: dict[str, set[int]] = {}
         self._entry_id = self._max_id(self._entries_dir, "entry-") + 1
         self._tomb_id = self._max_id(self._tomb_dir, "tomb-") + 1
+        self._sweep_crash_leftovers()
         # generation = number of tombstones for the addr (persisted);
         # handles capture it at open and die when it moves.
         self._gens: dict[str, int] = {}
@@ -380,6 +381,38 @@ class OffsetMultiLog(MultiLog):
                 continue
             agg.setdefault(r["addr"], set()).add(r["main_seq"])
         return {a: sorted(m) for a, m in agg.items()}
+
+    def _sweep_crash_leftovers(self) -> None:
+        """Remove crash artifacts at open: orphaned dot-tmp files in
+        the entries/tombstone dirs and stale ``_staging`` areas from a
+        crashed ``append_df`` (age-gated 1 h, so a reader open never
+        deletes a concurrent writer's in-flight staging — same policy
+        as the log's janitor). All are invisible to readers but
+        accumulate disk forever otherwise."""
+        import shutil
+        import time
+
+        for d in (self._entries_dir, self._tomb_dir):
+            for name in os.listdir(d):
+                if name.startswith("."):
+                    p = os.path.join(d, name)
+                    try:
+                        if os.path.isdir(p):
+                            shutil.rmtree(p, ignore_errors=True)
+                        else:
+                            os.remove(p)
+                    except OSError:
+                        pass
+        root = os.path.join(self.path, "_staging")
+        if os.path.isdir(root):
+            horizon = time.time() - 3600
+            for name in os.listdir(root):
+                p = os.path.join(root, name)
+                try:
+                    if os.path.getmtime(p) < horizon:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
 
     def _members_scan(self, addr: str) -> list[int]:
         import pyarrow.dataset as ds

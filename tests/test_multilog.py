@@ -317,3 +317,27 @@ def test_compact_multilog(spark, tmp_path):
 
     # idempotent / no-op on a single file
     assert compact_multilog(ml2) >= 0
+
+
+def test_multilog_open_sweeps_crash_leftovers(spark, tmp_path):
+    import os
+    import time
+
+    path = str(tmp_path / "ml")
+    ml = OffsetMultiLog(spark, path)
+    ml.get("a").append(1)
+    # plant crash artifacts
+    tmpf = os.path.join(ml._entries_dir, ".entry-x.parquet.tmp")
+    open(tmpf, "w").write("junk")
+    stale = os.path.join(path, "_staging", "7")
+    os.makedirs(stale)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = os.path.join(path, "_staging", "8")
+    os.makedirs(fresh)
+
+    ml2 = OffsetMultiLog(spark, path)
+    assert list(ml2.get("a").query()) == [1]
+    assert not os.path.exists(tmpf)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # possibly-live writer untouched
