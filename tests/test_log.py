@@ -162,3 +162,34 @@ def test_replace_none_rejected(spark, tmp_path):
     log.append({"a": 1})
     with pytest.raises(ValueError, match="null"):
         log.replace(0, None)
+
+
+def test_concurrent_appends_dense_unique_seqs(spark, tmp_path):
+    """Many threads appending to one log (the reference serializes
+    appends under a mutex, offset2/log.go:431): every append gets a
+    UNIQUE seq, the final log is dense, and every value survives."""
+    import threading
+
+    from margaret_spark.log import OffsetLog
+
+    log = OffsetLog(spark, str(tmp_path / "clog"))
+    seqs: list[int] = []
+    lock = threading.Lock()
+
+    def worker(base):
+        got = []
+        for i in range(10):
+            got.append(log.append(base * 100 + i))
+        with lock:
+            seqs.extend(got)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(seqs) == list(range(40))      # dense, no duplicates
+    assert log.seq() == 39
+    log.check_consistency()
+    vals = sorted(list(log.query()))
+    assert len(vals) == 40 and len(set(vals)) == 40
