@@ -509,3 +509,43 @@ def ann_recall_at_k(
             pround(F.col("n_hits") / F.col("n_exact"), round_digits),
         )
     )
+
+
+def ivf_index_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Incremental maintenance of a persisted :func:`build_ivf_index`:
+    assign NEW vectors to their cells under the index's SAVED
+    centroids and append them into the partitioned layout — no
+    rebuild, no rewrite of existing cells. At 100 TB this is the only
+    viable ingest path: a rebuild re-shuffles the whole corpus, an
+    append touches exactly the new rows.
+
+    Appended rows are indistinguishable from build-time rows
+    (:func:`ivf_index_search` needs no changes), and because the
+    centroids are FROZEN the search result equals an in-flight
+    :func:`ivf_topk` over (old ∪ new) with those centroids — pinned in
+    tests. Centroid drift under sustained ingest is the documented
+    trade: re-run :func:`build_ivf_index` when recall (measure with
+    :func:`ann_recall_at_k`) decays."""
+    cents = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    assigned = _nearest_cells(
+        new_vectors, cents, id_col, vec_col, "id", 1, round_digits
+    ).select(
+        F.col("cent_id").alias("cell"),
+        "id",
+        F.col("__v").alias("v"),
+        F.col("__n").alias("nrm"),
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")

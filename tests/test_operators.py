@@ -1132,3 +1132,37 @@ def test_quality_percentile(spark):
     assert [p for _q, p in s1] == [0.0, 0.5, 1.0]
     # single-row group scores 0 (SQL percent_rank definition)
     assert rows[3]["pctile"] == 0.0
+
+
+def test_ivf_index_append_matches_full_rebuild(spark, emb, tmp_path):
+    """Appending new vectors to a persisted IVF index (frozen
+    centroids) must search identically to an in-flight IVF over the
+    UNION with the same centroids — and identically to an index built
+    from the union with those centroids."""
+    from margaret_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_search,
+        ivf_topk,
+    )
+
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(old, path, nlist=8)
+    ivf_index_append(spark, path, new)
+
+    queries = emb.where(F.col("vec_id") < 4)
+    via_index = ivf_index_search(spark, path, queries, k=5, nprobe=3)
+    via_flight = ivf_topk(
+        emb, queries, k=5, nlist=8, nprobe=3,
+        centroids=cents.select("cent_id", "cent"),
+    )
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rows
+    )
+    assert key(via_index.collect()) == key(via_flight.collect())
+    # appended rows landed inside the partitioned layout (no rewrite)
+    import os
+
+    assert any(d.startswith("cell=") for d in os.listdir(path + "/cells"))
