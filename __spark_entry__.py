@@ -1635,6 +1635,29 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_dedup_cross_corpus(spark, sf_dir):
+    """Cross-corpus near-dup JOIN (dedup.ngram_jaccard_join): the
+    even-id half of the corpus (existing) against the odd-id half
+    (new crawl) at exact n-gram Jaccard ≥ 0.2 — the near-dup version
+    of dedup_incremental, completing the ingest-dedup matrix (exact /
+    containment / near-dup). Same group-then-combine shape and
+    max_df='auto' cap (resolved over the COMBINED corpora) as the
+    self-join; the oracle mirrors both."""
+    from margaret_spark.operators.dedup import ngram_jaccard_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_join(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        threshold=0.2,
+        mode="word",
+        n=3,
+        max_df="auto",
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the jaccard near-dup pairs: every doc
     labeled with the min doc_id of its duplicate component (iterative
@@ -2672,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_cross_corpus": q_dedup_cross_corpus,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_range": q_ann_range,
@@ -3625,6 +3649,22 @@ def _oracle_sql_base() -> dict[str, str]:
             "GROUP BY a.doc_id, b.doc_id) "
             "SELECT id_a, id_b, " + _pr("c / (x.n + y.n - c)") + " AS jaccard "
             "FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+            "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2"
+        ),
+        # cross-corpus near-dup join: SAME capped shingle universe
+        # (the cap resolves over the combined corpora = documents),
+        # split into the even/odd halves after the stop filter
+        "dedup_cross_corpus": (
+            f"WITH {_CAPPED_SHINGLE_CTES}, "
+            "l AS (SELECT * FROM s WHERE doc_id % 2 = 0), "
+            "r AS (SELECT * FROM s WHERE doc_id % 2 = 1), "
+            "szl AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id), "
+            "szr AS (SELECT doc_id, count(*) AS n FROM r GROUP BY doc_id), "
+            "inter AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, "
+            "count(*) AS c FROM l JOIN r ON l.sh = r.sh GROUP BY 1, 2) "
+            "SELECT left_id, right_id, " + _pr("c / (x.n + y.n - c)")
+            + " AS jaccard FROM inter "
+            "JOIN szl x ON x.doc_id = left_id JOIN szr y ON y.doc_id = right_id "
             "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2"
         ),
         "dedup_clusters": (

@@ -1197,3 +1197,135 @@ def _blocked_allpairs_cosine(
     return both.groupBy("bp").applyInPandas(
         score, "id_a long, id_b long, cosine double"
     )
+
+
+def ngram_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    mode: str = "word",
+    n: int = 3,
+    max_df: int | float | str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-corpus exact n-gram-Jaccard pairs (left_id, right_id,
+    jaccard ≥ threshold) — "dedup the new crawl against last month's
+    corpus" at NEAR-dup level (``incremental_exact_dedup`` is the
+    exact-content version; ``ngram_contamination`` the containment
+    version; this completes the matrix).
+
+    Same group-then-combine shape as the self-join operator: one
+    shuffle groups both sides' inverted indexes per shingle
+    (side-split ``collect_list``), cross pairs are emitted in-array,
+    and a second shuffle counts them — pairs never leave their
+    shingle group. ``max_df`` caps the per-shingle posting lists over
+    the COMBINED corpora (relative forms resolve against the summed
+    row counts; the stop list inlines as an ``array_except`` literal
+    when small, else the checkpointed broadcast anti-join)."""
+    sh = (
+        char_shingles(F.col(text_col), n=n)
+        if mode == "char"
+        else word_shingles(F.col(text_col), n=n)
+    )
+    if max_df is not None and not isinstance(max_df, int):
+        ckey = ("n_docs2", *_plan_key(left), right.semanticHash())
+        total = _derived_cache_get(ckey)
+        if total is None:
+            total = left.count() + right.count()
+            _derived_cache_put(ckey, total)
+        if max_df == "auto":
+            max_df = max(100, total // 2)
+        elif isinstance(max_df, float) and 0.0 < max_df < 1.0:
+            max_df = max(1, int(max_df * total))
+        else:
+            raise ValueError(
+                f"max_df must be int, float in (0,1), 'auto', or None: {max_df!r}"
+            )
+    par = left.sparkSession.sparkContext.defaultParallelism
+    l = left.repartition(par).select(
+        F.col(id_col).alias("id"), sh.alias("__sh"), F.lit("L").alias("__side")
+    )
+    r = right.repartition(par).select(
+        F.col(id_col).alias("id"), sh.alias("__sh"), F.lit("R").alias("__side")
+    )
+    both = l.unionByName(r)
+    if max_df is not None:
+        skey = ("stops2", *_plan_key(left), right.semanticHash(), mode, n, max_df)
+        stops = _derived_cache_get(skey)
+        if stops is None:
+            probe = both.select(F.explode("__sh").alias("shingle"))
+            stops = [
+                s["shingle"]
+                for s in _stop_shingles(probe, max_df)
+                .limit(_STOP_LITERAL_CAP + 1)
+                .collect()
+            ]
+            _derived_cache_put(skey, stops)
+        if len(stops) <= _STOP_LITERAL_CAP:
+            if stops:
+                both = both.withColumn(
+                    "__sh",
+                    F.array_except(
+                        F.col("__sh"), F.array(*[F.lit(s) for s in sorted(stops)])
+                    ),
+                )
+            inv = both.select("id", "__side", F.explode("__sh").alias("shingle"))
+            sizes = both.select("id", "__side", F.size("__sh").alias("set_size"))
+        else:
+            arrays = both.localCheckpoint(eager=False)
+            inv = arrays.select("id", "__side", F.explode("__sh").alias("shingle"))
+            inv = inv.join(
+                F.broadcast(_stop_shingles(inv, max_df)), "shingle", "left_anti"
+            )
+            sizes = inv.groupBy("id", "__side").agg(F.count("*").alias("set_size"))
+    else:
+        inv = both.select("id", "__side", F.explode("__sh").alias("shingle"))
+        sizes = both.select("id", "__side", F.size("__sh").alias("set_size"))
+    groups = inv.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("__side") == "L", F.col("id")))
+        ).alias("__lids"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__side") == "R", F.col("id")))
+        ).alias("__rids"),
+    )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__lids"),
+                    lambda x: F.transform(
+                        F.col("__rids"),
+                        lambda y: F.struct(
+                            x.alias("left_id"), y.alias("right_id")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy("p.left_id", "p.right_id").agg(
+        F.count("*").alias("__inter")
+    )
+    sl = sizes.where(F.col("__side") == "L").select(
+        F.col("id").alias("left_id"), F.col("set_size").alias("__sl")
+    )
+    sr = sizes.where(F.col("__side") == "R").select(
+        F.col("id").alias("right_id"), F.col("set_size").alias("__sr")
+    )
+    return (
+        inter.join(sl, "left_id")
+        .join(sr, "right_id")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("__inter")
+                / (F.col("__sl") + F.col("__sr") - F.col("__inter")),
+                round_digits,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )

@@ -1166,3 +1166,47 @@ def test_ivf_index_append_matches_full_rebuild(spark, emb, tmp_path):
     import os
 
     assert any(d.startswith("cell=") for d in os.listdir(path + "/cells"))
+
+
+def test_ngram_jaccard_join_cross_corpus(spark, monkeypatch):
+    """The cross-corpus join must equal the self-join's pairs
+    restricted to cross-side combinations, under every capped-path
+    strategy (empty / literal / anti-join fallback)."""
+    from margaret_spark.operators import dedup as D
+    from margaret_spark.operators.dedup import ngram_jaccard_join
+
+    df = spark.createDataFrame(NEAR_DUP_DOCS, "id long, text string")
+    left = df.where(F.col("id") % 2 == 0)   # ids 0, 2
+    right = df.where(F.col("id") % 2 == 1)  # ids 1, 3
+    expect = {
+        (a, b): j
+        for (a, b), j in (
+            ((r["id_a"], r["id_b"]), r["jaccard"])
+            for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.1).collect()
+        )
+        if (a % 2 == 0) != (b % 2 == 0)
+    }
+    # self-join emits id_a < id_b; the cross join emits (left, right) —
+    # normalize to sorted tuples for comparison
+    norm = lambda rows: {
+        tuple(sorted((r["left_id"], r["right_id"]))): r["jaccard"] for r in rows
+    }
+    got = norm(
+        ngram_jaccard_join(left, right, "id", "text", threshold=0.1).collect()
+    )
+    assert got == {tuple(sorted(k)): v for k, v in expect.items()} and got
+
+    # capped literal path and forced fallback agree
+    lit = norm(
+        ngram_jaccard_join(
+            left, right, "id", "text", threshold=0.1, max_df=0.6
+        ).collect()
+    )
+    monkeypatch.setattr(D, "_STOP_LITERAL_CAP", 0)
+    fb = norm(
+        ngram_jaccard_join(
+            left, right, "id", "text", threshold=0.1, max_df=0.6
+        ).collect()
+    )
+    monkeypatch.undo()
+    assert lit == fb
