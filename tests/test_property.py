@@ -136,3 +136,53 @@ def test_chunk_documents_matches_model(spark, case):
         )
     for i, text in enumerate(case["texts"]):
         assert sorted(got[i]) == _chunk_model(text, chunk, ov), (i, text)
+
+
+# --- sublog rank algebra: generative twin over the RANK domain ------------
+
+
+@pytest.fixture(scope="module")
+def sub_mlogs(spark, tmp_path_factory):
+    from margaret_spark.multilog import MemMultiLog, OffsetMultiLog
+
+    members = [3, 7, 12, 20, 41]  # arbitrary non-dense main seqs
+    mem = MemMultiLog(spark)
+    off = OffsetMultiLog(
+        spark, str(tmp_path_factory.mktemp("subprop") / "ml")
+    )
+    subs = []
+    for ml in (mem, off):
+        s = ml.get("k")
+        for v in members:
+            s.append(v)
+        subs.append(s)
+    return members, subs
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=spec_strategy)
+def test_sublog_rank_algebra_matches_model(sub_mlogs, case):
+    """The §2.2 algebra over the rank domain (sublog.Query,
+    roaring/qry.go:86-147): bounds/limit/reverse/wrap apply to RANKS,
+    values are the rank-ordered member seqs."""
+    members, subs = sub_mlogs
+    entries = list(enumerate(members))  # (rank, main_seq)
+    c = dict(case)
+    if c["lo"] is not None:
+        kind, s = c["lo"]
+        entries = [e for e in entries if (e[0] > s if kind == "gt" else e[0] >= s)]
+    if c["hi"] is not None:
+        kind, s = c["hi"]
+        entries = [e for e in entries if (e[0] < s if kind == "lt" else e[0] <= s)]
+    if c["reverse"]:
+        entries = entries[::-1]
+    if c["limit"] is not None:
+        entries = entries[: c["limit"]]
+    expect = entries if c["seqwrap"] else [v for _, v in entries]
+    for sub in subs:
+        got = list(sub.query(*specs_of(case)))
+        assert got == expect, f"{type(sub._mlog).__name__} {case}"
