@@ -49,7 +49,14 @@ def chunk_documents(
             f"overlap must be in 0..chunk_tokens-1: {overlap} (chunk_tokens={chunk_tokens})"
         )
     stride = chunk_tokens - overlap
-    toks: Column = words(F.col(text_col))
+    # NULL text must behave like empty text (one empty chunk). Without
+    # the coalesce, words(NULL)=NULL makes size() NULL, and least/
+    # greatest SKIP nulls — so `end = least(start+chunk_tokens, NULL)`
+    # would resolve to chunk_tokens and a NULL-text document would
+    # claim a phantom full-size chunk.
+    toks: Column = F.coalesce(
+        words(F.col(text_col)), F.array().cast("array<string>")
+    )
     n = F.size(toks)
     n_chunks = (
         F.lit(1)

@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 
 from margaret_spark.functions.numeric import dsum
 
+#: Max buckets per generated spine array (see the two-level explode in
+#: :func:`resample`) — 64k longs ≈ 0.5 MB per intermediate row.
+_SPINE_CHUNK = 65_536
+
 
 def resample(
     df: DataFrame,
@@ -61,13 +65,31 @@ def resample(
             dsum("__v", scale=scale).alias("sum_value"),
         )
     )
+    # Two-level spine: chunk starts first, then buckets within each
+    # chunk. A single-level sequence(lo, hi, step) materializes a key's
+    # WHOLE span as one array — a long-lived key on a fine grid makes
+    # that a multi-million-element row (and sequence() hard-errors past
+    # ~2^31 elements). Chunking caps every generated array at
+    # _SPINE_CHUNK buckets with the identical bucket set.
+    coarse = step * _SPINE_CHUNK
     spine = (
         agg.groupBy("key")
         .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
         .select(
             "key",
+            F.col("__hi"),
             F.explode(
-                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(coarse))
+            ).alias("__c"),
+        )
+        .select(
+            "key",
+            F.explode(
+                F.sequence(
+                    F.col("__c"),
+                    F.least(F.col("__c") + F.lit(coarse - step), F.col("__hi")),
+                    F.lit(step),
+                )
             ).alias("__b"),
         )
     )

@@ -1001,6 +1001,7 @@ def test_chunk_documents_model(spark):
 
     docs = [
         (0, ""),                           # no tokens -> 1 empty chunk
+        (5, None),                         # NULL text == empty text
         (1, "a b c"),                      # n < chunk -> 1 chunk
         (2, " ".join(f"t{i}" for i in range(10))),   # exact fit 10 = chunk
         (3, " ".join(f"t{i}" for i in range(11))),   # one past -> 2 chunks
@@ -1026,7 +1027,7 @@ def test_chunk_documents_model(spark):
         return out
 
     for did, text in docs:
-        m = model(text)
+        m = model(text or "")
         mine = {ci: v for (d, ci), v in got.items() if d == did}
         assert mine == m, (did, mine, m)
     # consecutive chunks share exactly `overlap` tokens

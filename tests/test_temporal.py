@@ -278,3 +278,28 @@ def test_resample_gap_filling(spark):
     assert len(out) == 5  # b's spine is exactly its own span
     with pytest.raises(ValueError):
         resample(df, "k", "ts", "v", interval_s=0)
+
+
+def test_resample_chunked_spine_identical(spark, monkeypatch):
+    """The two-level (memory-bounded) spine explode yields the exact
+    bucket set of a single-level sequence — checked by shrinking the
+    chunk below the span so every chunk path (full chunks, the short
+    final chunk, chunk == 1 bucket) is exercised."""
+    from margaret_spark.operators import timeseries
+
+    rows = [("a", 0.0, 1.0), ("a", 25.9 * 3600, 2.0), ("b", 7200.0, 3.0)]
+    df = spark.createDataFrame(rows, "k string, sec double, v double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+
+    def run():
+        return sorted(
+            (r["k"], r["bucket_start"], r["n_events"], r["sum_value_ffill"])
+            for r in timeseries.resample(df, "k", "ts", "v", interval_s=3600).collect()
+        )
+
+    base = run()
+    assert len(base) == 27  # a: hours 0..25 dense, b: 1 bucket
+    for chunk in (1, 4, 7):
+        monkeypatch.setattr(timeseries, "_SPINE_CHUNK", chunk)
+        assert run() == base, f"chunk={chunk} diverged"
