@@ -2044,6 +2044,16 @@ _PII_SALT_SQL = (
     "AS text FROM documents"
 )
 
+# one redaction oracle, two graded surfaces (batch pii_redact and the
+# streaming at-ingest scrub — same expression chain by construction)
+_PII_REDACT_SQL = (
+    "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z]{2,})+', '[EMAIL]', 'g'), "
+    "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g'), "
+    "'\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '[PHONE]', 'g') AS redacted "
+    f"FROM ({_PII_SALT_SQL})"
+)
+
 
 def q_pii_scan(spark, sf_dir):
     """PII detection (operators.pii): per-document email / IPv4 /
@@ -2247,6 +2257,44 @@ def q_stream_dedup_minhash(spark, sf_dir):
                 best[d] = k
     rows = sorted(best.items())
     return spark.createDataFrame(rows, "dup_seq long, keep_seq long")
+
+
+def q_stream_pii_redact(spark, sf_dir):
+    """Streaming at-ingest PII scrub (streaming/scrub.py): the salted
+    documents are appended to a real OffsetLog (distributed append_df,
+    seq == doc_id), the scrub drains the log's append stream and
+    writes (seq, redacted) to an append-mode parquet sink — scrubbed
+    executor-side, no driver materialization, exactly-once via the
+    checkpoint. The graded result is the SINK read back; the oracle
+    is the batch redaction SQL, so ingest-time and batch scrubbing
+    are pinned byte-identical."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import stream_scrub_pii
+
+    docs = _pii_salted_docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_pii_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_scrub_pii(
+            log,
+            F.col("value"),
+            sink,
+            os.path.join(base, "ckpt"),
+            available_now=True,
+        )
+        out = spark.read.parquet(sink).select(
+            F.col("seq").alias("doc_id"), "redacted"
+        )
+        # the sink dir is deleted on return: materialize rows first
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_sample_weighted(spark, sf_dir):
@@ -2689,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_sessions": q_stream_events_sessions,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_dedup_minhash": q_stream_dedup_minhash,
+        "stream_pii_redact": q_stream_pii_redact,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -4016,13 +4065,12 @@ def _oracle_sql_base() -> dict[str, str]:
             "'\\+?[0-9][0-9()\\-\\s]{6,}[0-9]')) > 0) AS has_pii "
             f"FROM ({_PII_SALT_SQL})"
         ),
-        "pii_redact": (
-            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z]{2,})+', '[EMAIL]', 'g'), "
-            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g'), "
-            "'\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '[PHONE]', 'g') AS redacted "
-            f"FROM ({_PII_SALT_SQL})"
-        ),
+        "pii_redact": _PII_REDACT_SQL,
+        # the streaming at-ingest scrub shares the batch redaction
+        # chain (operators/pii.redact_expr), so its sink contents must
+        # match the batch oracle exactly; seq == doc_id (dense ids
+        # appended in doc_id order)
+        "stream_pii_redact": _PII_REDACT_SQL,
         # chunk boundaries are a closed form of the token count; the
         # chunk text re-slices the SAME whitespace tokenization
         # (1-based inclusive list slicing on the DuckDB side)

@@ -55,12 +55,19 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, redacted): the text with every match replaced by its
-    placeholder, applied in :data:`REDACTIONS` order (emails before
-    phones, so an email's digits never leak as a partial phone
-    match)."""
-    c: Column = F.col(text_col)
+def redact_expr(text: Column) -> Column:
+    """The redaction chain as a Column expression, applied in
+    :data:`REDACTIONS` order (emails before phones, so an email's
+    digits never leak as a partial phone match). Shared by the batch
+    operator below and the streaming at-ingest scrub
+    (``streaming/scrub.py``), so the two paths cannot drift."""
+    c = text
     for _name, pattern, placeholder in REDACTIONS:
         c = F.regexp_replace(c, pattern, placeholder.replace("$", "\\$"))
-    return df.select(F.col(id_col), c.alias("redacted"))
+    return c
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, redacted): the text with every match replaced by its
+    placeholder (see :func:`redact_expr`)."""
+    return df.select(F.col(id_col), redact_expr(F.col(text_col)).alias("redacted"))

@@ -10,6 +10,7 @@ from margaret_spark.streaming.stateful import (
     stream_latest_index,
     stream_topk,
 )
+from margaret_spark.streaming.scrub import scrub_expr, stream_scrub_pii
 from margaret_spark.streaming.windows import session_windows, windowed_agg
 
 __all__ = [
@@ -21,6 +22,8 @@ __all__ = [
     "stream_dedup_exact",
     "stream_dedup_minhash",
     "stream_topk",
+    "stream_scrub_pii",
+    "scrub_expr",
     "session_windows",
     "windowed_agg",
 ]

@@ -329,6 +329,52 @@ def test_stream_dedup_exact_first_seen_wins(spark, tmp_path):
     assert got2 == {6}
 
 
+def test_stream_scrub_pii_matches_batch(spark, tmp_path):
+    """The at-ingest scrub's parquet sink is byte-identical to the
+    batch pii_redact over the same rows, and resume scrubs only the
+    NEW appends (append-mode sink, exactly-once)."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.pii import pii_redact
+    from margaret_spark.streaming import stream_scrub_pii
+
+    texts = [
+        "mail jane.doe+x@sub.example.org now",
+        "server at 10.0.254.3 port 80",
+        "call +1 (555) 123-4567 today",
+        "clean text with no pii at all",
+    ]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(texts)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    stream_scrub_pii(log, F.col("value"), sink, ckpt, available_now=True)
+    got = {
+        r["seq"]: r["redacted"] for r in spark.read.parquet(sink).collect()
+    }
+    batch_df = spark.createDataFrame(
+        list(enumerate(texts)), "seq long, text string"
+    )
+    want = {
+        r["seq"]: r["redacted"]
+        for r in pii_redact(batch_df, "seq", "text").collect()
+    }
+    assert got == want
+    assert "[EMAIL]" in got[0] and "jane" not in got[0]
+    assert "[IP]" in got[1] and "[PHONE]" in got[2]
+    assert got[3] == texts[3]
+
+    # resume: only the new append lands in the sink (no reprocessing)
+    log.append("second email bob@example.com")
+    stream_scrub_pii(log, F.col("value"), sink, ckpt, available_now=True)
+    after = {
+        r["seq"]: r["redacted"] for r in spark.read.parquet(sink).collect()
+    }
+    assert len(after) == 5
+    assert after[4] == "second email [EMAIL]"
+    assert {k: v for k, v in after.items() if k < 4} == want
+
+
 def test_stream_dedup_minhash_collides_near_dups(spark, tmp_path):
     """Streaming LSH dedup: a near-duplicate arriving later collides
     with the first doc's banded buckets; unrelated text claims its own
