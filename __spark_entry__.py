@@ -1564,6 +1564,19 @@ def q_events_resample(spark, sf_dir):
     )
 
 
+def q_events_skew_report(spark, sf_dir):
+    """Key-distribution diagnostic (functions.skew.key_skew_report):
+    the top-20 heaviest user_ids with their share of the event table —
+    the pre-flight a 100 TB pipeline runs before choosing a join/agg
+    strategy (a key above ~1/salt of the table wants the salted
+    two-phase operators this module provides). Map-side-combined
+    count per key, TakeOrdered top-k, window over the 20 survivors;
+    shares are IEEE double of exact integers — hash-exact."""
+    from margaret_spark.functions.skew import key_skew_report
+
+    return key_skew_report(_events(spark, sf_dir), "user_id", k=20)
+
+
 def q_events_json(spark, sf_dir):
     """JSON codec surface (§2.5 op 37): extract props.k, aggregate."""
     ev = _events(spark, sf_dir)
@@ -2725,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_quantiles": q_events_approx_quantiles,
         "events_json": q_events_json,
         "events_resample": q_events_resample,
+        "events_skew_report": q_events_skew_report,
         "events_pivot": q_events_pivot,
         "events_anomaly": q_events_anomaly,
         "customers_rfm": q_customers_rfm,
@@ -3679,6 +3693,17 @@ def _oracle_sql_base() -> dict[str, str]:
             "last_value(sum_value IGNORE NULLS) OVER (PARTITION BY key "
             "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
             "AS sum_value_ffill FROM dense"
+        ),
+        # heavy-hitter diagnostic: counts are exact integers, shares
+        # are double(n)/double(total) — identical IEEE trees both
+        # engines; ties rank by key so top-20 is deterministic
+        "events_skew_report": (
+            "SELECT user_id, n, "
+            + _pr("CAST(n AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM events)")
+            + " AS share, rank FROM ("
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS INT) "
+            "AS rank FROM events GROUP BY user_id) WHERE rank <= 20"
         ),
         "events_json": (
             "SELECT event_type, "

@@ -94,6 +94,38 @@ def salted_join(
     return scattered.join(rep, keys + ["__salt"], how).drop("__salt")
 
 
+def key_skew_report(
+    df: DataFrame, key_col: str, k: int = 20, round_digits: int = 6
+) -> DataFrame:
+    """(key, n, share, rank): the top-``k`` heaviest keys by row count
+    with their share of the table — the pre-flight diagnostic that
+    picks the mitigation above (a key holding >1/salt of the table
+    needs :func:`salted_agg`/:func:`salted_join`; one holding ~1/N
+    doesn't). Ties rank by key, so the report is deterministic.
+
+    Shape at scale: one map-side-combined count per key, TakeOrdered
+    top-k (no full sort), then a window over the ≤ k survivors. The
+    table total is ONE driver-side scalar count — metadata-only on a
+    Parquet source. All arithmetic is IEEE double of exact integers,
+    so an oracle reproduces every share bit-for-bit."""
+    from margaret_spark.functions.numeric import pround
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    total = df.count()
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    return top.select(
+        F.col(key_col),
+        F.col("n"),
+        pround(F.col("n") / F.lit(float(total)), round_digits).alias("share"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 def salted_distinct_count(
     df: DataFrame, keys: Sequence[str], value_col: str, salt: int = 16
 ) -> DataFrame:

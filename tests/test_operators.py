@@ -744,6 +744,38 @@ def test_salted_join_matches_plain(spark):
     assert "__salt" in plan
 
 
+def test_key_skew_report(spark):
+    """Top-k heavy hitters with deterministic tie ranking; shares sum
+    to 1 when k covers every key; k validation."""
+    import pytest as _pytest
+    from margaret_spark.functions.skew import key_skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",)] * 2 + [("b",)] * 2 + [("cold",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = [
+        (r["k"], r["n"], r["share"], r["rank"])
+        for r in key_skew_report(df, "k", k=3).orderBy("rank").collect()
+    ]
+    import math
+
+    def pr(x):  # the operator prounds shares to 6 digits
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    # a/b tie on n=2 -> key order breaks the tie
+    assert got == [
+        ("hot", 6, pr(6 / 14), 1),
+        ("warm", 3, pr(3 / 14), 2),
+        ("a", 2, pr(2 / 14), 3),
+    ]
+    full = key_skew_report(df, "k", k=100).collect()
+    assert len(full) == 5
+    assert abs(sum(r["share"] for r in full) - 1.0) < 1e-5
+    with _pytest.raises(ValueError):
+        key_skew_report(df, "k", k=0)
+    # empty input: no rows, no division-by-zero
+    assert key_skew_report(df.where(F.lit(False)), "k").collect() == []
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Equal-bucketed tables co-locate join keys: the join's executed
     plan must contain NO Exchange (the 100 TB co-located-join path)."""
