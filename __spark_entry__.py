@@ -2272,6 +2272,49 @@ def q_stream_dedup_minhash(spark, sf_dir):
     return spark.createDataFrame(rows, "dup_seq long, keep_seq long")
 
 
+def q_stream_dedup_window(spark, sf_dir):
+    """Bounded-horizon streaming dedup (streaming/stateful.py,
+    stream_dedup_window): a re-arrival is suppressed only while the
+    same content was last seen within the trailing 40 log entries —
+    the BOUNDED-STATE variant of stream_dedup_exact (one long per
+    content, horizon rule instead of remember-forever). Content is a
+    synthetic quadratic-residue stream ((doc_id² ) % 53 — irregular
+    per-content gaps, 140 keepers / 360 suppressions at sf0.01), so
+    both branches of the rule are exercised; the oracle states the
+    same rule as ONE lag window. Hash-exact."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import stream_dedup_window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * F.col("doc_id")) % 53).cast("string").alias("content"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_win_")
+    keepers: list = []
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="content", order_by="doc_id")
+        stream_dedup_window(
+            log,
+            F.col("value"),
+            keepers.append,
+            os.path.join(base, "ckpt"),
+            ttl_seqs=40,
+            available_now=True,
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        (str(r["content_hash"]), int(r["keep_seq"]))
+        for pdf in keepers
+        for _, r in pdf.iterrows()
+    ]
+    return spark.createDataFrame(rows, "content_hash string, keep_seq long")
+
+
 def q_stream_pii_redact(spark, sf_dir):
     """Streaming at-ingest PII scrub (streaming/scrub.py): the salted
     documents are appended to a real OffsetLog (distributed append_df,
@@ -2751,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_sessions": q_stream_events_sessions,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_dedup_minhash": q_stream_dedup_minhash,
+        "stream_dedup_window": q_stream_dedup_window,
         "stream_pii_redact": q_stream_pii_redact,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -4192,6 +4236,17 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT sha256(text) AS content_hash, "
             "CAST(min(doc_id) AS BIGINT) AS keep_seq "
             "FROM documents GROUP BY text"
+        ),
+        # the bounded-horizon rule as one lag window: keep iff no
+        # prior occurrence of the content within the trailing 40 seqs
+        "stream_dedup_window": (
+            "SELECT sha256(content) AS content_hash, "
+            "CAST(doc_id AS BIGINT) AS keep_seq FROM ("
+            "SELECT doc_id, content, "
+            "lag(doc_id) OVER (PARTITION BY content ORDER BY doc_id) AS prev "
+            "FROM (SELECT doc_id, CAST((doc_id * doc_id) % 53 AS VARCHAR) "
+            "AS content FROM documents)) "
+            "WHERE prev IS NULL OR doc_id - prev > 40"
         ),
         "sample_weighted": (
             "SELECT doc_id, quality FROM (" + _quality_sql() + ") "

@@ -7,6 +7,7 @@ from margaret_spark.streaming.stateful import (
     stream_asof_join,
     stream_dedup_exact,
     stream_dedup_minhash,
+    stream_dedup_window,
     stream_latest_index,
     stream_topk,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "stream_asof_join",
     "stream_dedup_exact",
     "stream_dedup_minhash",
+    "stream_dedup_window",
     "stream_topk",
     "stream_scrub_pii",
     "scrub_expr",

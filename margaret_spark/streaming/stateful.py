@@ -119,6 +119,127 @@ def _first_seen_func(
     yield pd.DataFrame({"content_hash": [key[0]], "keep_seq": [best_seq]})
 
 
+def _window_dedup_func_factory(ttl_seqs: int):
+    def _window_dedup_func(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past the physical TTL: evict — the key re-admits on
+            # its next arrival, exactly what the logical horizon rule
+            # would decide anyway (see stream_dedup_window's contract)
+            state.remove()
+            return
+        seqs = sorted(int(s) for pdf in pdfs for s in pdf["seq"])
+        if not seqs:
+            return
+        last = state.get[0] if state.exists else None
+        keeps = []
+        for s in seqs:
+            if last is None or s - last > ttl_seqs:
+                keeps.append(s)
+            last = s
+        state.update((last,))
+        if keeps:
+            yield pd.DataFrame(
+                {"content_hash": [key[0]] * len(keeps), "keep_seq": keeps}
+            )
+
+    return _window_dedup_func
+
+
+def stream_dedup_window(
+    log: OffsetLog,
+    content_expr,
+    on_keepers: Callable[[pd.DataFrame], None],
+    checkpoint_dir: str,
+    ttl_seqs: int = 10_000,
+    state_ttl: str | int | None = None,
+    available_now: bool = True,
+):
+    """Bounded-horizon streaming dedup: a re-arrival is suppressed only
+    while the SAME content was last seen within the trailing
+    ``ttl_seqs`` log entries; content idle longer than the horizon is
+    re-admitted as a fresh keeper. The bounded-state variant of
+    :func:`stream_dedup_exact` — per-key state is ONE long (the last
+    seen seq) regardless of history length, and the decision rule is a
+    pure function of per-content seq gaps:
+
+        keep(s)  ⇔  no prior occurrence s' of the content with
+                    s − s' ≤ ttl_seqs
+
+    which a SQL oracle states as one ``lag`` window (``prev IS NULL OR
+    seq − prev > ttl_seqs``) — so unlike time-based TTLs the semantics
+    are engine-reproducible and hash-exact.
+
+    ``state_ttl`` (e.g. ``"1 hour"``) additionally arms a
+    processing-time timeout that physically EVICTS idle keys from the
+    state store, bounding total state by the number of distinct
+    contents seen within the window rather than ever. Eviction is
+    semantically safe whenever the timeout is long enough that
+    ``ttl_seqs`` newer entries have passed before it fires: a
+    timed-out key behaves as never-seen, which is exactly what the
+    seq-horizon rule concludes for content that old.
+
+    Entries are processed in seq order within each micro-batch; across
+    batches the file source delivers appends in publication order
+    (append order == seq order), the same ordering contract the other
+    log-draining streams rely on.
+
+    ``state_ttl`` requires the CONTINUOUS trigger (``available_now=
+    False``): under ``availableNow`` Spark keeps scheduling batches
+    while armed processing-time timeouts exist, so the drain never
+    terminates (measured, not just theoretical) — the combination is
+    rejected up front."""
+    if ttl_seqs < 1:
+        raise ValueError(f"ttl_seqs must be >= 1: {ttl_seqs}")
+    if state_ttl is not None and available_now:
+        raise ValueError(
+            "state_ttl needs a continuous trigger: pass available_now=False "
+            "(an availableNow drain never terminates while timeouts are armed)"
+        )
+    src = log.stream_df()
+    keyed = src.select(
+        F.sha2(content_expr.cast("string"), 256).alias("content_hash"), F.col("seq")
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    fn = _window_dedup_func_factory(ttl_seqs)
+    if state_ttl is not None:
+        inner = fn
+
+        def fn(key, pdfs, state):  # arm/refresh the eviction clock
+            yield from inner(key, pdfs, state)
+            if not state.hasTimedOut and state.exists:
+                state.setTimeoutDuration(state_ttl)
+
+    out = keyed.groupBy("content_hash").applyInPandasWithState(
+        fn,
+        outputStructType="content_hash string, keep_seq long",
+        stateStructType="last_seq long",
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            on_keepers(pdf)
+
+    w = (
+        out.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()
+
+
 def _band_collision_func(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:

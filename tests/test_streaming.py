@@ -329,6 +329,86 @@ def test_stream_dedup_exact_first_seen_wins(spark, tmp_path):
     assert got2 == {6}
 
 
+def test_stream_dedup_window_horizon_and_eviction(spark, tmp_path):
+    """Bounded-horizon dedup: the SLIDING rule (suppressed re-arrivals
+    still advance the horizon), resume across runs, and physical
+    state eviction via the processing-time TTL."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.streaming import stream_dedup_window
+
+    def drain(log, ckpt, **kw):
+        got = []
+        stream_dedup_window(
+            log, F.col("value"), got.append, ckpt, available_now=True, **kw
+        )
+        return {int(r["keep_seq"]) for pdf in got for _, r in pdf.iterrows()}
+
+    # gaps: a at 0,2 (gap 2) -> kept at ttl 1, suppressed at ttl 2
+    log = OffsetLog(spark, str(tmp_path / "l1"), value_type=T.StringType())
+    log.append_many(["a", "b", "a", "c"])
+    assert drain(log, str(tmp_path / "c1"), ttl_seqs=1) == {0, 1, 2, 3}
+    log2 = OffsetLog(spark, str(tmp_path / "l2"), value_type=T.StringType())
+    log2.append_many(["a", "b", "a", "c"])
+    ck2 = str(tmp_path / "c2")
+    assert drain(log2, ck2, ttl_seqs=2) == {0, 1, 3}
+
+    # resume: a re-arrives at seq 4; horizon slid to the SUPPRESSED
+    # occurrence (seq 2), so 4-2=2 <= ttl -> still suppressed; then
+    # seq 7 with 7-4=3 > ttl -> re-admitted
+    log2.append_many(["a", "d"])  # seqs 4, 5
+    assert drain(log2, ck2, ttl_seqs=2) == {5}
+    log2.append_many(["e", "a"])  # seqs 6, 7
+    assert drain(log2, ck2, ttl_seqs=2) == {6, 7}
+
+    with pytest.raises(ValueError):
+        stream_dedup_window(
+            log2, F.col("value"), lambda p: None, str(tmp_path / "cx"), ttl_seqs=0
+        )
+
+    # state_ttl + availableNow is rejected (the drain never terminates
+    # while timeouts are armed — measured)
+    with pytest.raises(ValueError):
+        stream_dedup_window(
+            log2, F.col("value"), lambda p: None, str(tmp_path / "cy"),
+            ttl_seqs=10, state_ttl=1000,
+        )
+
+    # physical eviction (continuous trigger): ttl_seqs large (would
+    # suppress forever), but a 1s processing-time TTL evicts the idle
+    # key — the re-arrival is then re-admitted (state forgotten)
+    import time
+
+    log3 = OffsetLog(spark, str(tmp_path / "l3"), value_type=T.StringType())
+    log3.append("x")
+    got: list = []
+    q = stream_dedup_window(
+        log3, F.col("value"), got.append, str(tmp_path / "c3"),
+        ttl_seqs=1000, state_ttl=1000, available_now=False,
+    )
+
+    def keeps():
+        return {int(r["keep_seq"]) for pdf in got for _, r in pdf.iterrows()}
+
+    try:
+        deadline = time.time() + 30
+        while keeps() != {0} and time.time() < deadline:
+            time.sleep(0.3)
+        assert keeps() == {0}
+        time.sleep(2.5)  # > state_ttl: x's state is expiry-eligible
+        log3.append("y")  # the batch carrying y also fires x's timeout
+        while keeps() != {0, 1} and time.time() < deadline:
+            time.sleep(0.3)
+        assert keeps() == {0, 1}
+        time.sleep(1.0)  # let the eviction batch complete
+        log3.append("x")  # within ttl_seqs of seq 0 — but state is gone
+        while keeps() != {0, 1, 2} and time.time() < deadline:
+            time.sleep(0.3)
+        assert keeps() == {0, 1, 2}, "evicted key was not re-admitted"
+    finally:
+        q.stop()
+
+
 def test_stream_scrub_pii_matches_batch(spark, tmp_path):
     """The at-ingest scrub's parquet sink is byte-identical to the
     batch pii_redact over the same rows, and resume scrubs only the
