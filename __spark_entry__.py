@@ -2708,6 +2708,22 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_sample_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (operators.sampling.
+    deterministic_shuffle): every document's position in the seed-7
+    pseudo-random permutation — reproducible training order on any
+    engine or cluster size. The position is assigned WITHOUT a
+    single-partition window: range-partition on the shuffle key,
+    narrow in-partition sort, then the partition-offset prefix sum
+    (counts to the driver, never rows). The oracle is the naive
+    global row_number, so the distributed assignment must reproduce
+    it exactly."""
+    from margaret_spark.operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed=7)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2838,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
+        "sample_shuffle": q_sample_shuffle,
         "pack_sequences": q_pack_sequences,
         "text_repetition": q_text_repetition,
         "docs_length_histogram": q_docs_length_histogram,
@@ -4085,6 +4102,13 @@ def _oracle_sql_base() -> dict[str, str]:
             "PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 10"
+        ),
+        # the epoch shuffle's distributed position assignment must
+        # reproduce the naive global row_number over (md5(id#seed), id)
+        "sample_shuffle": (
+            "SELECT doc_id, CAST(row_number() OVER ("
+            "ORDER BY md5(CAST(doc_id AS VARCHAR) || '#7'), doc_id) - 1 "
+            "AS BIGINT) AS shuffle_pos FROM documents"
         ),
         # curation keep-set -> md5 train/test split -> 512-token
         # packing of the train stream in doc_id order

@@ -165,6 +165,41 @@ def token_budget_sample(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int = 0, pos_col: str = "shuffle_pos"
+) -> DataFrame:
+    """Add a ``pos_col`` giving each row's position in a deterministic
+    pseudo-random permutation of the table — the epoch-shuffle a
+    training pipeline runs to fix example order reproducibly (same
+    seed → same order on any engine, cluster size, or partitioning;
+    different seeds → independent permutations).
+
+    The order is ``(md5(id ∥ '#seed'), id)`` — a total order, so the
+    permutation is well-defined even with hash collisions. The naive
+    ``row_number() OVER (ORDER BY …)`` collapses onto ONE partition at
+    scale; instead the rows are range-partitioned on the shuffle key
+    (global order across partitions), sorted within each partition
+    (narrow), and positions are assigned with the same two-pass
+    partition-offset prefix sum the log's bulk ingest uses
+    (``functions/seqassign.py``) — per-partition counts to the driver,
+    never the data. One range exchange total.
+
+    Range boundaries come from sampling and may land differently run
+    to run — positions don't care: the global order across range
+    partitions is boundary-independent, and the prefix-sum stage
+    checkpoints the layout it counts."""
+    from margaret_spark.functions.seqassign import with_dense_seq
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{int(seed)}")))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    staged = (
+        df.withColumn("__shufkey", key)
+        .repartitionByRange(n, F.col("__shufkey"), F.col(id_col))
+        .sortWithinPartitions("__shufkey", id_col)
+    )
+    return with_dense_seq(staged, seq_col=pos_col).drop("__shufkey")
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, id_col: str, k: int, salt: int | None = None
 ) -> DataFrame:

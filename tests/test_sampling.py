@@ -94,6 +94,38 @@ def test_split_consistent_with_sample(ids):
     assert test_ids == sampled
 
 
+def test_deterministic_shuffle(spark):
+    """The epoch shuffle is a bijection onto 0..n-1, reproduces the
+    naive global row_number, is seed-sensitive, and is invariant to
+    the input's physical partitioning."""
+    import hashlib
+
+    from margaret_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(df, "doc_id", seed=3).collect()
+    }
+    assert sorted(got.values()) == list(range(200))
+    order = sorted(
+        range(200), key=lambda i: (hashlib.md5(f"{i}#3".encode()).hexdigest(), i)
+    )
+    assert got == {doc: pos for pos, doc in enumerate(order)}
+    # different seed -> different permutation; same seed + different
+    # physical layout -> identical positions
+    other = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(df, "doc_id", seed=4).collect()
+    }
+    assert other != got
+    relaid = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(df.repartition(7), "doc_id", seed=3).collect()
+    }
+    assert relaid == got
+
+
 def test_stratified_sample_quota_and_determinism(ids):
     out = stratified_sample(ids, "grp", "id", 5)
     rows = out.collect()
