@@ -2708,6 +2708,62 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_stream_decontaminate(spark, sf_dir):
+    """Streaming at-ingest decontamination (streaming/contamination.py):
+    the 95% corpus remainder streams out of a real log and is scored
+    against the 5% hash-sample eval set's trigram universe as it
+    arrives — same split, same shingling expressions, and the same
+    pround arithmetic as the batch `decontaminate` query, so the
+    append-mode parquet sink is hash-exact against the SAME SQL
+    oracle. The eval universe rides a broadcast variable; the
+    per-row scoring is an Arrow-batched set intersection (stateless —
+    no state store, no watermark)."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.operators.sampling import hash_sample, hex_threshold
+    from margaret_spark.streaming import stream_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", 0.05)
+    thr = hex_threshold(0.05)
+    rest = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) >= thr
+    ).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_decon_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        # seq != doc_id here (the 5% sample is removed), so the true
+        # id is recovered by rank: seqs follow doc_id order densely
+        log.append_df(rest, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_decontaminate(
+            log,
+            F.col("value"),
+            eval_df,
+            "text",
+            sink,
+            os.path.join(base, "ckpt"),
+            mode="word",
+            n=3,
+            available_now=True,
+        )
+        ids = rest.select(
+            F.col("doc_id"),
+            (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("seq"),
+        )
+        out = (
+            spark.read.parquet(sink)
+            .join(ids, "seq")
+            .select("doc_id", "n_shingles", "n_matched", "contamination")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_sample_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle (operators.sampling.
     deterministic_shuffle): every document's position in the seed-7
@@ -2812,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
         "stream_pii_redact": q_stream_pii_redact,
+        "stream_decontaminate": q_stream_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -3105,6 +3162,9 @@ def oracle_sql() -> dict[str, str]:
     # the stateful-streaming as-of operator must reproduce the batch
     # as-of join exactly — same DuckDB native ASOF JOIN oracle
     d["stream_events_asof"] = d["events_asof"]
+    # the at-ingest decontamination scorer must reproduce the batch
+    # containment scoring exactly (same split, shingles, arithmetic)
+    d["stream_decontaminate"] = d["decontaminate"]
     # recall@5: compose the brute-force and IVF oracles as CTEs and
     # count the per-query neighbor overlap — same parameterization,
     # so the metric is exact-integer + one IEEE division

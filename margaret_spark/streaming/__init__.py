@@ -11,6 +11,7 @@ from margaret_spark.streaming.stateful import (
     stream_latest_index,
     stream_topk,
 )
+from margaret_spark.streaming.contamination import stream_decontaminate
 from margaret_spark.streaming.scrub import scrub_expr, stream_scrub_pii
 from margaret_spark.streaming.windows import session_windows, windowed_agg
 
@@ -25,6 +26,7 @@ __all__ = [
     "stream_dedup_window",
     "stream_topk",
     "stream_scrub_pii",
+    "stream_decontaminate",
     "scrub_expr",
     "session_windows",
     "windowed_agg",

@@ -1,0 +1,116 @@
+"""Streaming at-ingest eval-set decontamination: every document is
+scored against the benchmark shingle universe AS IT ARRIVES — the
+third member of the ingest-hygiene trio (PII scrub, dedup, this), so
+contaminated documents are flagged before they ever land in a
+training corpus.
+
+Scale shape: the eval side is benchmarks — small by nature (the same
+premise as the batch ``operators.dedup.ngram_contamination``, which
+broadcasts it) — so its distinct-shingle universe is collected once
+and shipped to executors as a Spark broadcast variable; the stream
+side computes its shingle arrays JVM-side (``word_shingles`` /
+``char_shingles``, identical expressions to the batch operator — no
+Python-tokenization drift) and an Arrow-batched ``mapInPandas`` does
+only the per-row set intersection. Stateless — no state store, no
+watermark; append-mode sink, exactly-once via the checkpoint.
+
+Score arithmetic is the batch operator's: ``contamination =
+pround(n_matched / n_shingles, 6)`` evaluated with the same IEEE
+double operations (Python floats ARE IEEE doubles; floor/mult/divide
+match Spark and DuckDB bit-for-bit on these integer-derived values),
+so the streaming output is hash-exact against the batch SQL oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from margaret_spark.functions.shingling import char_shingles, word_shingles
+from margaret_spark.log import OffsetLog
+
+
+def stream_decontaminate(
+    log: OffsetLog,
+    text_expr: Column,
+    eval_df: DataFrame,
+    eval_text_col: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    mode: str = "word",
+    n: int = 3,
+    round_digits: int = 6,
+    available_now: bool = True,
+):
+    """Score a log's append stream against ``eval_df``'s n-gram
+    universe, writing ``(seq, n_shingles, n_matched, contamination)``
+    to an append-mode parquet sink.
+
+    The eval universe is materialized ONCE at call time (driver
+    collect of the distinct shingles — small by the benchmark
+    premise) and broadcast; a long-running continuous query therefore
+    scores against a FIXED eval set, which is the semantic a
+    decontamination gate wants (re-arm by restarting with the new
+    benchmarks)."""
+    sh_of = (
+        (lambda c: char_shingles(c, n=n))
+        if mode == "char"
+        else (lambda c: word_shingles(c, n=n))
+    )
+    eval_set = frozenset(
+        r["shingle"]
+        for r in eval_df.select(
+            F.explode(sh_of(F.col(eval_text_col))).alias("shingle")
+        )
+        .distinct()
+        .collect()
+    )
+    sc = log.spark.sparkContext
+    b_eval = sc.broadcast(eval_set)
+    scale = float(10**round_digits)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ev = b_eval.value
+        for pdf in batches:
+            ns, nm, cont = [], [], []
+            for shs in pdf["__sh"]:
+                shs = list(shs) if shs is not None else []
+                m = sum(1 for s in shs if s in ev)
+                ns.append(len(shs))
+                nm.append(m)
+                # the batch operator's pround tree in IEEE doubles
+                cont.append(
+                    math.floor((m / len(shs)) * scale + 0.5) / scale
+                    if shs
+                    else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "seq": pdf["seq"],
+                    "n_shingles": pd.Series(ns, dtype="int32"),
+                    "n_matched": pd.Series(nm, dtype="int64"),
+                    "contamination": pd.Series(cont, dtype="float64"),
+                }
+            )
+
+    src = log.stream_df().select(F.col("seq"), sh_of(text_expr).alias("__sh"))
+    out = src.mapInPandas(
+        score,
+        "seq long, n_shingles int, n_matched long, contamination double",
+    )
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()

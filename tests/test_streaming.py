@@ -329,6 +329,48 @@ def test_stream_dedup_exact_first_seen_wins(spark, tmp_path):
     assert got2 == {6}
 
 
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """The at-ingest scorer reproduces the batch ngram_contamination
+    exactly — counts AND the pround'ed ratio — including docs with no
+    shingles (fewer than n tokens) and zero-match docs."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.dedup import ngram_contamination
+    from margaret_spark.streaming import stream_decontaminate
+
+    eval_rows = [(100, "the quick brown fox jumps"), (101, "pack my box with jugs")]
+    corpus_rows = [
+        (0, "the quick brown fox leaps high today"),   # partial overlap
+        (1, "completely unrelated text about spark"),  # zero matches
+        (2, "too short"),                              # < 3 tokens: no shingles
+        (3, "pack my box with jugs and more jugs"),    # heavy overlap
+    ]
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    want = {
+        r["doc_id"]: (r["n_shingles"], r["n_matched"], r["contamination"])
+        for r in ngram_contamination(
+            corpus, eval_df, "doc_id", "text", mode="word", n=3
+        ).collect()
+    }
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    for _id, text in corpus_rows:  # seq == doc_id
+        log.append(text)
+    sink = str(tmp_path / "sink")
+    stream_decontaminate(
+        log, F.col("value"), eval_df, "text", sink, str(tmp_path / "ck"),
+        mode="word", n=3, available_now=True,
+    )
+    got = {
+        r["seq"]: (r["n_shingles"], r["n_matched"], r["contamination"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == want
+    assert got[2] == (0, 0, 0.0) and got[1][1] == 0 and got[3][1] > 0
+
+
 def test_stream_dedup_window_horizon_and_eviction(spark, tmp_path):
     """Bounded-horizon dedup: the SLIDING rule (suppressed re-arrivals
     still advance the horizon), resume across runs, and physical
