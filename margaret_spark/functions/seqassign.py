@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 _MID_RECORD_BITS = 33
 _MID_RECORD_MASK = (1 << _MID_RECORD_BITS) - 1
 
+#: Above this many partitions the offset map is broadcast-joined
+#: instead of inlined as a create_map literal (see with_dense_seq).
+_MAP_LITERAL_CAP = 4096
+
 
 def with_dense_seq(
     df: DataFrame,
@@ -76,10 +80,31 @@ def with_dense_seq(
         acc += row["count"]
     if not offsets:
         return df.withColumn(seq_col, F.lit(None).cast("long"))
-    mapping = F.create_map(
-        *[F.lit(int(x)) for kv in offsets.items() for x in kv]
+    if len(offsets) <= _MAP_LITERAL_CAP:
+        mapping = F.create_map(
+            *[F.lit(int(x)) for kv in offsets.items() for x in kv]
+        )
+        return (
+            staged.withColumn(
+                seq_col, (mapping[F.col("__pid")] + F.col("__rank")).cast("long")
+            )
+            .drop("__pid", "__rank")
+        )
+    # Past the cap a create_map literal is an expression-tree bomb
+    # (a 100 TB input at 128 MB splits is ~800k partitions — 1.6M
+    # literal nodes would choke analysis/codegen). Ship the offsets as
+    # a broadcast-joined table instead: same values, narrow plan, one
+    # tiny broadcast.
+    spark = df.sparkSession
+    odf = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid long, __off long",
+        )
     )
     return (
-        staged.withColumn(seq_col, (mapping[F.col("__pid")] + F.col("__rank")).cast("long"))
-        .drop("__pid", "__rank")
+        staged.withColumn("__pid", F.col("__pid").cast("long"))
+        .join(odf, "__pid")
+        .withColumn(seq_col, (F.col("__off") + F.col("__rank")).cast("long"))
+        .drop("__pid", "__rank", "__off")
     )

@@ -126,6 +126,35 @@ def test_deterministic_shuffle(spark):
     assert relaid == got
 
 
+def test_dense_seq_broadcast_offsets_identical(spark, monkeypatch):
+    """Past _MAP_LITERAL_CAP partitions the offset map ships as a
+    broadcast join instead of a create_map literal — same seqs."""
+    from margaret_spark.functions import seqassign
+
+    df = spark.range(500).repartition(13).select(F.col("id"))
+    lit_path = {
+        r["id"]: r["seq"] for r in seqassign.with_dense_seq(df).collect()
+    }
+    assert sorted(lit_path.values()) == list(range(500))
+    monkeypatch.setattr(seqassign, "_MAP_LITERAL_CAP", 1)
+    bc_path = {
+        r["id"]: r["seq"] for r in seqassign.with_dense_seq(df).collect()
+    }
+    assert sorted(bc_path.values()) == list(range(500))
+    # both paths assign partition-major positions over the same layout:
+    # per-partition contiguity is what the log's ingest relies on
+    monkeypatch.setattr(seqassign, "_MAP_LITERAL_CAP", 4096)
+    ordered = spark.range(300).select(F.col("id"))
+    a = {r["id"]: r["seq"] for r in seqassign.with_dense_seq(
+        ordered.repartitionByRange(7, "id").sortWithinPartitions("id")
+    ).collect()}
+    monkeypatch.setattr(seqassign, "_MAP_LITERAL_CAP", 1)
+    b = {r["id"]: r["seq"] for r in seqassign.with_dense_seq(
+        ordered.repartitionByRange(7, "id").sortWithinPartitions("id")
+    ).collect()}
+    assert a == b == {i: i for i in range(300)}
+
+
 def test_stratified_sample_quota_and_determinism(ids):
     out = stratified_sample(ids, "grp", "id", 5)
     rows = out.collect()
