@@ -186,3 +186,77 @@ def test_sublog_rank_algebra_matches_model(sub_mlogs, case):
     for sub in subs:
         got = list(sub.query(*specs_of(case)))
         assert got == expect, f"{type(sub._mlog).__name__} {case}"
+
+
+# ---------------------------------------------------------------------------
+# bounded-horizon dedup rule vs the sequential model (no Spark: the
+# applyInPandasWithState function is driven directly with a fake state)
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    """The GroupState surface _window_dedup_func uses."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        assert self._v is not None
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    contents=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=40),
+    ttl=st.integers(min_value=1, max_value=12),
+    cuts=st.sets(st.integers(min_value=1, max_value=39), max_size=6),
+)
+def test_window_dedup_rule_matches_model_any_batching(contents, ttl, cuts):
+    """For ANY content stream and ANY micro-batch split, the stateful
+    function emits exactly the rows the SQL rule keeps (prev IS NULL
+    OR seq - prev > ttl), and per-key state is always one long."""
+    import pandas as pd
+
+    from margaret_spark.streaming.stateful import _window_dedup_func_factory
+
+    # sequential model over the whole stream
+    last_seen: dict[int, int] = {}
+    expect = set()
+    for seq, c in enumerate(contents):
+        if c not in last_seen or seq - last_seen[c] > ttl:
+            expect.add(seq)
+        last_seen[c] = seq
+
+    # drive the per-key function over random batch boundaries
+    fn = _window_dedup_func_factory(ttl)
+    bounds = sorted(b for b in cuts if b < len(contents)) + [len(contents)]
+    states: dict[int, _FakeState] = {}
+    got = set()
+    start = 0
+    for end in bounds:
+        batch = list(enumerate(contents))[start:end]
+        per_key: dict[int, list[int]] = {}
+        for seq, c in batch:
+            per_key.setdefault(c, []).append(seq)
+        for c, seqs in per_key.items():
+            st_ = states.setdefault(c, _FakeState())
+            pdfs = iter([pd.DataFrame({"seq": seqs})])
+            for out in fn((str(c),), pdfs, st_):
+                got.update(int(s) for s in out["keep_seq"])
+        start = end
+    assert got == expect, (contents, ttl, bounds)
+    for c, st_ in states.items():
+        if st_.exists:
+            assert st_.get == (max(s for s, x in enumerate(contents) if x == c),)
