@@ -2091,6 +2091,19 @@ def q_pii_redact(spark, sf_dir):
     return pii_redact(_pii_salted_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_text_collocations(spark, sf_dir):
+    """Collocation mining (operators.text.collocations): the top-50
+    adjacent-token pairs by rational PMI (c_pair·T / (c_w1·c_w2), the
+    log-free association ratio — identical ranking, engine-exact
+    arithmetic) with a min-count noise floor — the phrase-mining pass
+    behind tokenizer vocab decisions. Map-side-combined bigram and
+    unigram counts, two token-keyed joins, TakeOrdered top-k."""
+    from margaret_spark.operators.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, "doc_id", "text", k=50, min_count=5)
+
+
 def q_quality_pctile(spark, sf_dir):
     """Per-source quality calibration (operators.text.
     quality_percentile): each document's quality score re-expressed as
@@ -2854,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_resample": q_events_resample,
         "events_skew_report": q_events_skew_report,
+        "text_collocations": q_text_collocations,
         "events_pivot": q_events_pivot,
         "events_anomaly": q_events_anomaly,
         "customers_rfm": q_customers_rfm,
@@ -4038,6 +4052,30 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM documents"
         ),
         "text_quality": _quality_sql(),
+        # rational PMI over adjacent-token bigrams: exact integer
+        # counts into one IEEE ratio — identical tree both engines
+        "text_collocations": (
+            "WITH t AS (SELECT doc_id, "
+            f"{_WORDS} AS toks FROM documents), "
+            "u AS (SELECT unnest(toks) AS w FROM t), "
+            "uc AS (SELECT w, count(*) AS c FROM u GROUP BY w), "
+            "tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM u), "
+            "b AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM t, "
+            "LATERAL (SELECT unnest(range(1, len(toks))) AS i)), "
+            "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair "
+            "FROM b GROUP BY w1, w2 HAVING count(*) >= 5), "
+            "sc AS (SELECT w1, w2, c_pair, "
+            + _pr(
+                "(CAST(c_pair AS DOUBLE) * (SELECT T FROM tot)) / "
+                "(CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))"
+            )
+            + " AS score FROM bc JOIN uc u1 ON bc.w1 = u1.w "
+            "JOIN uc u2 ON bc.w2 = u2.w) "
+            "SELECT w1, w2, c_pair, score, rank FROM ("
+            "SELECT *, CAST(row_number() OVER ("
+            "ORDER BY score DESC, w1 ASC, w2 ASC) AS INT) AS rank FROM sc) "
+            "WHERE rank <= 50"
+        ),
         # percent_rank is SQL-standard in both engines (ties share a
         # rank); the quality input is the shared _quality_sql CTE
         "quality_pctile": (

@@ -365,6 +365,88 @@ def top_terms(
     return stats.orderBy(F.col("doc_freq").desc(), F.col("token").asc()).limit(k)
 
 
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(w1, w2, c_pair, score, rank): the top-``k`` adjacent-token
+    collocations by a PMI-style association score — the "New York"
+    detector a corpus toolkit runs for phrase mining and tokenizer
+    vocabulary decisions.
+
+    score = (c_pair · T) / (c_w1 · c_w2) with T the total token count
+    — the PMI ratio WITHOUT the log (same ranking order; ln differs
+    cross-engine in the last ulp, the ratio is plain IEEE arithmetic
+    of exact integers, so the surface is hash-exact). Pairs below
+    ``min_count`` are noise-filtered; ties rank by (w1, w2).
+
+    Shape at scale: one tokenize pass; bigram and unigram counts are
+    map-side-combined groupBys on token keys; the two count joins
+    shuffle on those same keys (vocabulary-sized inputs, AQE decides
+    the strategy); top-k is TakeOrdered + a window over ≤ k rows. T
+    is one driver-side scalar aggregation."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    d = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = words(F.col(text_col))
+    base = d.select(toks.alias("__toks")).localCheckpoint(eager=False)
+    uni = base.select(F.explode("__toks").alias("w")).groupBy("w").agg(
+        F.count("*").alias("__c")
+    )
+    total_row = base.select(
+        F.sum(F.size("__toks")).cast("long").alias("t")
+    ).collect()[0]
+    total = float(total_row["t"] or 0)
+    idx = gram_indices(F.size(F.col("__toks")) - F.lit(1))
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("__toks"), i).alias("w1"),
+                    F.element_at(F.col("__toks"), i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_pair"))
+        .where(F.col("c_pair") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("__c").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("__c").alias("__c2"))
+    scored = (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c_pair").cast("long").alias("c_pair"),
+            pround(
+                (F.col("c_pair").cast("double") * F.lit(total))
+                / (F.col("__c1").cast("double") * F.col("__c2").cast("double")),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def quality_percentile(
     df: DataFrame,
     id_col: str,

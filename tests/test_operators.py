@@ -1081,6 +1081,44 @@ def test_chunk_documents_model(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_collocations_rational_pmi(spark):
+    """Collocation scores match the closed-form rational PMI; the
+    min-count floor filters noise; ranking is deterministic."""
+    import math
+
+    from margaret_spark.operators.text import collocations
+
+    # "new york" appears 4x; "of the" 3x; "a b" once (filtered at 2)
+    docs = [
+        (0, "new york is big new york is old"),
+        (1, "the best of the city of the north new york"),
+        (2, "a b new york of the"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["c_pair"], r["score"], r["rank"])
+        for r in collocations(df, "id", "text", k=10, min_count=2).collect()
+    }
+    assert ("a", "b") not in got  # below the floor
+    toks = [t for _, x in docs for t in x.lower().split()]
+    T = float(len(toks))
+
+    def pmi(w1, w2, c):
+        raw = (c * T) / (toks.count(w1) * toks.count(w2))
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    assert got[("new", "york")][0] == 4
+    assert got[("new", "york")][1] == pmi("new", "york", 4.0)
+    assert got[("of", "the")][0] == 3
+    assert got[("of", "the")][1] == pmi("of", "the", 3.0)
+    ranks = [v[2] for v in got.values()]
+    assert sorted(ranks) == list(range(1, len(got) + 1))
+    with pytest.raises(ValueError):
+        collocations(df, "id", "text", k=0)
+    with pytest.raises(ValueError):
+        collocations(df, "id", "text", min_count=0)
+
+
 def test_pii_scan_and_redact(spark):
     from margaret_spark.operators.pii import pii_redact, pii_scan
 
