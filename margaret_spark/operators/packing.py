@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from margaret_spark.functions.seqassign import _MAP_LITERAL_CAP
+
 
 def running_total(
     df: DataFrame,
@@ -73,14 +75,29 @@ def running_total(
         return staged.withColumn(out_col, F.lit(None).cast(out_type)).drop(
             "__pid", "__local"
         )
-    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     # cast to long ONLY for integral inputs: an unconditional long cast
     # silently truncated fractional prefix sums
-    return (
-        staged.withColumn(
-            out_col, (mapping[F.col("__pid")] + F.col("__local")).cast(out_type)
+    if len(offsets) <= _MAP_LITERAL_CAP:
+        mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        return (
+            staged.withColumn(
+                out_col, (mapping[F.col("__pid")] + F.col("__local")).cast(out_type)
+            )
+            .drop("__pid", "__local")
         )
-        .drop("__pid", "__local")
+    # same expression-bomb guard as functions.seqassign: past the cap
+    # the offsets ship as a broadcast-joined table, not a literal map
+    conv = int if integral else float
+    odf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), conv(o)) for p, o in offsets.items()],
+            f"__pid int, __off {out_type}",
+        )
+    )
+    return (
+        staged.join(odf, "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__local")).cast(out_type))
+        .drop("__pid", "__local", "__off")
     )
 
 

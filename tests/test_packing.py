@@ -20,6 +20,28 @@ def test_running_total_matches_sequential(spark):
         assert got[i] == acc
 
 
+def test_running_total_broadcast_offsets_identical(spark, monkeypatch):
+    """Past _MAP_LITERAL_CAP partitions the offsets broadcast-join
+    instead of inlining as a create_map literal — identical sums,
+    integral AND fractional."""
+    from margaret_spark.operators import packing
+
+    ints = spark.createDataFrame(
+        [(i, (i * 3) % 7 + 1) for i in range(400)], "id long, v long"
+    )
+    dbls = spark.createDataFrame(
+        [(i, ((i * 3) % 7 + 1) / 4.0) for i in range(400)], "id long, v double"
+    )
+    li = {r.id: r.running_total for r in packing.running_total(ints, "v", "id").collect()}
+    ld = {r.id: r.running_total for r in packing.running_total(dbls, "v", "id").collect()}
+    monkeypatch.setattr(packing, "_MAP_LITERAL_CAP", 1)
+    bi = {r.id: r.running_total for r in packing.running_total(ints, "v", "id").collect()}
+    bd = {r.id: r.running_total for r in packing.running_total(dbls, "v", "id").collect()}
+    assert bi == li
+    assert bd == ld
+    assert isinstance(next(iter(bd.values())), float)
+
+
 def test_running_total_stable_under_input_partitioning(spark):
     rows = [(i, i % 5 + 1) for i in range(300)]
     df = spark.createDataFrame(rows, "id long, v long")
