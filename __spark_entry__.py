@@ -2091,6 +2091,30 @@ def q_pii_redact(spark, sf_dir):
     return pii_redact(_pii_salted_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_docs_pagerank(spark, sf_dir):
+    """Link-graph importance (operators.graph.pagerank): 6 damped
+    power-iteration rounds over a deterministic synthetic citation
+    graph (each doc links to (id·7+1)%N, (id·13+3)%N, (id·31+5)%N —
+    parallel edges and self-loops included, no dangling nodes) — the
+    corpus-importance prior a web-scale pipeline computes over its
+    crawl's link graph. Per-edge contributions are pround'ed and
+    DECIMAL-summed (shuffle-order-independent), each rank pround'ed
+    again, so the fixed-K iteration is hash-exact against a generated
+    6-level CTE chain that evaluates the identical IEEE trees."""
+    from margaret_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    nn = docs.count()
+    d = F.col("doc_id")
+    edges = (
+        docs.select(d.alias("src"), ((d * 7 + 1) % nn).alias("dst"))
+        .unionByName(docs.select(d.alias("src"), ((d * 13 + 3) % nn).alias("dst")))
+        .unionByName(docs.select(d.alias("src"), ((d * 31 + 5) % nn).alias("dst")))
+    )
+    ranks = pagerank(edges, "src", "dst", iterations=6, damping=0.85)
+    return ranks.select(F.col("node").alias("doc_id"), "rank")
+
+
 def q_text_collocations(spark, sf_dir):
     """Collocation mining (operators.text.collocations): the top-50
     adjacent-token pairs by rational PMI (c_pair·T / (c_w1·c_w2), the
@@ -2868,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "events_skew_report": q_events_skew_report,
         "text_collocations": q_text_collocations,
+        "docs_pagerank": q_docs_pagerank,
         "events_pivot": q_events_pivot,
         "events_anomaly": q_events_anomaly,
         "customers_rfm": q_customers_rfm,
@@ -3090,6 +3115,44 @@ def _tfidf_sql(vocab_size: int = 50) -> str:
         f"GROUP BY token ORDER BY df DESC, token ASC LIMIT {vocab_size})) "
         f"SELECT tf.doc_id, tf.token, {w} AS weight "
         "FROM tf JOIN v ON tf.token = v.token JOIN dl ON tf.doc_id = dl.doc_id"
+    )
+
+
+def _pagerank_sql(iters: int = 6, d: float = 0.85, rd: int = 9, cd: int = 12) -> str:
+    """Generated fixed-iteration PageRank oracle: one CTE per round,
+    each evaluating the IDENTICAL pround/DECIMAL-sum trees as
+    operators.graph.pagerank (see its module doc). N comes from the
+    engine's own count, so no scale constant is baked in."""
+    ni = "(SELECT count(*) FROM documents)"
+    nd = f"CAST({ni} AS DOUBLE)"
+    ctes = [
+        (
+            f"e AS (SELECT doc_id AS src, (doc_id*7+1) % {ni} AS dst FROM documents "
+            f"UNION ALL SELECT doc_id, (doc_id*13+3) % {ni} FROM documents "
+            f"UNION ALL SELECT doc_id, (doc_id*31+5) % {ni} FROM documents)"
+        ),
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src))",
+        (
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"
+        ),
+        f"r0 AS (SELECT node, {_pr(f'1.0 / {nd}', rd)} AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        contrib = _pr("r.rank / CAST(ed.deg AS DOUBLE)", cd)
+        s = (
+            f"SELECT ed.dst AS node, "
+            f"CAST(sum(CAST({contrib} AS DECIMAL(38,{cd}))) AS DOUBLE) AS v "
+            f"FROM ed JOIN r{i - 1} r ON ed.src = r.node GROUP BY ed.dst"
+        )
+        newr = _pr(f"(1.0 - {d}) / {nd} + {d} * coalesce(s.v, 0.0)", rd)
+        ctes.append(
+            f"r{i} AS (SELECT n.node, {newr} AS rank "
+            f"FROM nodes n LEFT JOIN ({s}) s USING (node))"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT node AS doc_id, rank FROM r{iters}"
     )
 
 
@@ -4052,6 +4115,7 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM documents"
         ),
         "text_quality": _quality_sql(),
+        "docs_pagerank": _pagerank_sql(),
         # rational PMI over adjacent-token bigrams: exact integer
         # counts into one IEEE ratio — identical tree both engines
         "text_collocations": (

@@ -30,6 +30,7 @@ from margaret_spark.operators.text import (
     bpe_ish_token_count,
     doc_fingerprint,
 )
+from margaret_spark.operators.graph import pagerank
 from margaret_spark.operators.packing import (
     pack_sequences,
     running_total,
@@ -57,6 +58,7 @@ __all__ = [
     "ivf_topk",
     "kmeans_centroids",
     "lsh_bucketed_topk",
+    "pagerank",
     "range_search",
     "token_stats",
     "lang_id",

@@ -1081,6 +1081,37 @@ def test_chunk_documents_model(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_pagerank_fixed_points_and_conservation(spark):
+    """Closed-form checks: a 2-cycle is a fixed point at 1/2 each; a
+    symmetric 3-cycle at 1/3; total rank is conserved (≈1) on graphs
+    with no dangling nodes; parallel edges weight contributions."""
+    from margaret_spark.operators.graph import pagerank
+
+    def run(edges, **kw):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r["rank"] for r in pagerank(df, "src", "dst", **kw).collect()
+        }
+
+    cycle2 = run([(0, 1), (1, 0)], iterations=4)
+    assert cycle2 == {0: 0.5, 1: 0.5}
+    cycle3 = run([(0, 1), (1, 2), (2, 0)], iterations=5)
+    assert all(abs(v - 1 / 3) < 1e-6 for v in cycle3.values())
+    # star + return edges: hub outranks leaves; total conserved
+    star = run(
+        [(1, 0), (2, 0), (3, 0), (0, 1), (0, 2), (0, 3)], iterations=8
+    )
+    assert star[0] > star[1] == star[2] == star[3]
+    assert abs(sum(star.values()) - 1.0) < 1e-6
+    # parallel edges double a contribution: 0 sends 2/3 to 1, 1/3 to 2
+    par = run([(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)], iterations=20)
+    assert par[1] > par[2]
+    with pytest.raises(ValueError):
+        run([(0, 1)], iterations=0)
+    with pytest.raises(ValueError):
+        run([(0, 1)], damping=1.5)
+
+
 def test_collocations_rational_pmi(spark):
     """Collocation scores match the closed-form rational PMI; the
     min-count floor filters noise; ranking is deterministic."""
