@@ -2091,6 +2091,47 @@ def q_pii_redact(spark, sf_dir):
     return pii_redact(_pii_salted_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _pagerank_edges(docs, nn):
+    """The deterministic synthetic citation graph shared by
+    docs_pagerank and corpus_prior (one place, no drift)."""
+    d = F.col("doc_id")
+    return (
+        docs.select(d.alias("src"), ((d * 7 + 1) % nn).alias("dst"))
+        .unionByName(docs.select(d.alias("src"), ((d * 13 + 3) % nn).alias("dst")))
+        .unionByName(docs.select(d.alias("src"), ((d * 31 + 5) % nn).alias("dst")))
+    )
+
+
+def q_corpus_prior(spark, sf_dir):
+    """Curation prior composition: content quality × link importance —
+    the two signals a web-corpus selection policy actually combines
+    (C4-style content scores and a crawl-graph importance prior).
+    rank_norm = pround(rank·N) recenters PageRank at mean 1;
+    prior = pround((quality + rank_norm)/2). Every stage reuses the
+    already-graded subtrees (quality_score, pagerank), so the whole
+    composition stays hash-exact."""
+    from margaret_spark.operators.graph import pagerank
+    from margaret_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    nn = docs.count()
+    ranks = pagerank(
+        _pagerank_edges(docs.select("doc_id"), nn), "src", "dst",
+        iterations=6, damping=0.85,
+    ).select(F.col("node").alias("doc_id"), "rank")
+    q = quality_score(docs, "doc_id", "text")
+    rank_norm = pround(F.col("rank") * F.lit(float(nn)), 6)
+    return (
+        q.join(ranks, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            rank_norm.alias("rank_norm"),
+            pround((F.col("quality") + rank_norm) / F.lit(2.0), 6).alias("prior"),
+        )
+    )
+
+
 def q_docs_pagerank(spark, sf_dir):
     """Link-graph importance (operators.graph.pagerank): 6 damped
     power-iteration rounds over a deterministic synthetic citation
@@ -2105,13 +2146,9 @@ def q_docs_pagerank(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     nn = docs.count()
-    d = F.col("doc_id")
-    edges = (
-        docs.select(d.alias("src"), ((d * 7 + 1) % nn).alias("dst"))
-        .unionByName(docs.select(d.alias("src"), ((d * 13 + 3) % nn).alias("dst")))
-        .unionByName(docs.select(d.alias("src"), ((d * 31 + 5) % nn).alias("dst")))
+    ranks = pagerank(
+        _pagerank_edges(docs, nn), "src", "dst", iterations=6, damping=0.85
     )
-    ranks = pagerank(edges, "src", "dst", iterations=6, damping=0.85)
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
@@ -2893,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_report": q_events_skew_report,
         "text_collocations": q_text_collocations,
         "docs_pagerank": q_docs_pagerank,
+        "corpus_prior": q_corpus_prior,
         "events_pivot": q_events_pivot,
         "events_anomaly": q_events_anomaly,
         "customers_rfm": q_customers_rfm,
@@ -4116,6 +4154,21 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "text_quality": _quality_sql(),
         "docs_pagerank": _pagerank_sql(),
+        # the composition reuses the graded quality + pagerank CTEs;
+        # prior is computed from the ROUNDED rank_norm in both engines
+        "corpus_prior": (
+            "WITH q AS (" + _quality_sql() + "), "
+            "p AS (" + _pagerank_sql() + ") "
+            "SELECT q.doc_id, q.quality, "
+            + _pr("p.rank * CAST((SELECT count(*) FROM documents) AS DOUBLE)")
+            + " AS rank_norm, "
+            + _pr(
+                "(q.quality + "
+                + _pr("p.rank * CAST((SELECT count(*) FROM documents) AS DOUBLE)")
+                + ") / 2.0"
+            )
+            + " AS prior FROM q JOIN p ON q.doc_id = p.doc_id"
+        ),
         # rational PMI over adjacent-token bigrams: exact integer
         # counts into one IEEE ratio — identical tree both engines
         "text_collocations": (
