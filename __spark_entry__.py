@@ -2246,6 +2246,37 @@ def q_decontaminate(spark, sf_dir):
     return ngram_contamination(rest, eval_df, "doc_id", "text", mode="word", n=3)
 
 
+def q_docs_scd2(spark, sf_dir):
+    """SCD2 history merge (functions.diff.scd2_merge): a v2 crawl
+    batch applied to the v1 document table — every 13th key absent
+    from the batch (stays open untouched), every present 7th key
+    re-measured (old row closed at v2, new open row), every 11th key
+    re-added under a fresh id (inserted open). The oracle states the
+    expected history in closed form from the same arithmetic — the
+    merge's full-outer hash comparison must reproduce it exactly."""
+    from margaret_spark.functions.diff import scd2_merge
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    current = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    present = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.col("n_chars") + F.lit(1)
+        ).otherwise(F.col("n_chars")),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    changes = present.unionByName(added)
+    return scd2_merge(current, changes, "doc_id", version=2)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for a pretraining loader
     (operators.packing.pack_sequences): documents in doc_id order are
@@ -2971,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohorts": q_events_cohorts,
         "dedup_incremental": q_dedup_incremental,
         "orders_diff": q_orders_diff,
+        "docs_scd2": q_docs_scd2,
         "edit_pairs_part_names": q_edit_pairs_part_names,
         "text_quality": q_text_quality,
         "quality_pctile": q_quality_pctile,
@@ -4077,6 +4109,22 @@ def _oracle_sql_base() -> dict[str, str]:
             "WHEN n.id <> f.first_id THEN 'dup_in_batch' "
             "ELSE 'new' END AS status "
             "FROM newd n JOIN first f ON n.text IS NOT DISTINCT FROM f.text"
+        ),
+        # the SCD2 expected history in closed form: untouched-open /
+        # closed-at-v2 / re-opened / inserted, from the same arithmetic
+        "docs_scd2": (
+            "SELECT doc_id, source, n_chars, 1 AS valid_from, "
+            "CAST(NULL AS INTEGER) AS valid_to FROM documents "
+            "WHERE doc_id % 13 = 0 OR doc_id % 7 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id, source, n_chars, 1, 2 FROM documents "
+            "WHERE doc_id % 13 <> 0 AND doc_id % 7 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, source, n_chars + 1, 2, NULL FROM documents "
+            "WHERE doc_id % 13 <> 0 AND doc_id % 7 = 0 "
+            "UNION ALL "
+            "SELECT doc_id + 1000000, source, n_chars, 2, NULL "
+            "FROM documents WHERE doc_id % 11 = 0"
         ),
         "orders_diff": (
             "SELECT o_orderkey, 'removed' AS status FROM orders "

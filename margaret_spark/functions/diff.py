@@ -34,6 +34,111 @@ def row_hash(df: DataFrame, exclude: Sequence[str] = ()) -> Column:
     return F.sha2(F.concat_ws("|", *parts), 256)
 
 
+def scd2_merge(
+    current: DataFrame,
+    changes: DataFrame,
+    keys: str | Sequence[str],
+    version,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) merge: apply a change batch
+    to a history table, closing superseded rows instead of
+    overwriting them — the table-level versioning a corpus pipeline
+    uses to answer "what did this document say at crawl T" (the log's
+    snapshot layer gives whole-log time travel; this gives per-key
+    validity intervals on any relational table).
+
+    ``current`` is the history: (keys..., attrs..., valid_from,
+    valid_to) with ``valid_to`` NULL marking the open row per key.
+    ``changes`` carries (keys..., attrs...) — the new state of every
+    key present in the batch. Semantics per change row:
+
+    - key not in the open set  → INSERT (valid_from=version, open);
+    - open row with identical non-key content → no-op;
+    - open row with different content → CLOSE it (valid_to=version)
+      and INSERT the new open row.
+
+    Keys absent from the batch are untouched (a delete is expressed
+    as a change to a tombstone attribute, keeping the merge
+    append-only). Row equality is the same length-prefixed sha2
+    content hash as :func:`table_diff` — NULL-safe, engine-portable.
+
+    Scale shape: closed history is untouched (filter + union — never
+    shuffled); the open set and the batch reduce to (key, hash,
+    payload) and meet in ONE full-outer join on the key; each output
+    class is a projection of that join. At 100 TB the cost is the
+    open-set join, proportional to live keys, not to history depth."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    attrs = [
+        c
+        for c in current.columns
+        if c not in set(keys) | {valid_from_col, valid_to_col}
+    ]
+    if sorted(changes.columns) != sorted(keys + attrs):
+        raise ValueError(
+            f"changes must have exactly keys+attrs {sorted(keys + attrs)}; "
+            f"got {sorted(changes.columns)}"
+        )
+    vto_type = current.schema[valid_to_col].dataType
+    closed = current.where(F.col(valid_to_col).isNotNull())
+    open_ = current.where(F.col(valid_to_col).isNull())
+
+    o = open_.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in attrs], F.col(valid_from_col)).alias("__orow"),
+        row_hash(open_.select(*keys, *attrs), exclude=keys).alias("__ho"),
+    )
+    c = changes.select(
+        *[F.col(k).alias(f"__kc_{k}") for k in keys],
+        F.struct(*[F.col(a) for a in attrs]).alias("__crow"),
+        row_hash(changes, exclude=keys).alias("__hc"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kc_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(c, cond, "full_outer").localCheckpoint(eager=False)
+
+    key_out = [
+        F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kc_{k}")).alias(k) for k in keys
+    ]
+    changed = F.col("__ho").isNotNull() & F.col("__hc").isNotNull() & (
+        F.col("__ho") != F.col("__hc")
+    )
+    # open rows that survive as-is: no matching change, or identical
+    kept = j.where(
+        F.col("__ho").isNotNull()
+        & (F.col("__hc").isNull() | (F.col("__ho") == F.col("__hc")))
+    ).select(
+        *key_out,
+        *[F.col(f"__orow.{a}").alias(a) for a in attrs],
+        F.col(f"__orow.{valid_from_col}").alias(valid_from_col),
+        F.lit(None).cast(vto_type).alias(valid_to_col),
+    )
+    closed_now = j.where(changed).select(
+        *key_out,
+        *[F.col(f"__orow.{a}").alias(a) for a in attrs],
+        F.col(f"__orow.{valid_from_col}").alias(valid_from_col),
+        F.lit(version).cast(vto_type).alias(valid_to_col),
+    )
+    inserted = j.where(F.col("__ho").isNull() | changed).select(
+        *key_out,
+        *[F.col(f"__crow.{a}").alias(a) for a in attrs],
+        F.lit(version)
+        .cast(current.schema[valid_from_col].dataType)
+        .alias(valid_from_col),
+        F.lit(None).cast(vto_type).alias(valid_to_col),
+    )
+    out_cols = keys + attrs + [valid_from_col, valid_to_col]
+    return (
+        closed.select(*out_cols)
+        .unionByName(kept)
+        .unionByName(closed_now)
+        .unionByName(inserted)
+    )
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

@@ -744,6 +744,50 @@ def test_salted_join_matches_plain(spark):
     assert "__salt" in plan
 
 
+def test_scd2_merge_history(spark):
+    """Two sequential merges build the expected validity intervals;
+    an identical batch is a no-op; schema mismatch raises."""
+    from margaret_spark.functions.diff import scd2_merge
+
+    def rows(df):
+        return sorted(
+            (r["k"], r["v"], r["valid_from"], r["valid_to"]) for r in df.collect()
+        )
+
+    current = spark.createDataFrame(
+        [(1, "a", 1, None), (2, "b", 1, None), (3, "c", 1, None)],
+        "k long, v string, valid_from int, valid_to int",
+    )
+    # v2: k=1 changed, k=2 identical, k=3 absent, k=4 inserted
+    v2 = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (4, "d")], "k long, v string"
+    )
+    h2 = scd2_merge(current, v2, "k", version=2)
+    assert rows(h2) == [
+        (1, "a", 1, 2),
+        (1, "a2", 2, None),
+        (2, "b", 1, None),
+        (3, "c", 1, None),
+        (4, "d", 2, None),
+    ]
+    # v3: change k=1 again — closed history untouched, intervals chain
+    h3 = scd2_merge(h2, spark.createDataFrame([(1, "a3")], "k long, v string"),
+                    "k", version=3)
+    assert rows(h3) == [
+        (1, "a", 1, 2),
+        (1, "a2", 2, 3),
+        (1, "a3", 3, None),
+        (2, "b", 1, None),
+        (3, "c", 1, None),
+        (4, "d", 2, None),
+    ]
+    # identical batch -> no-op
+    same = spark.createDataFrame([(2, "b"), (3, "c")], "k long, v string")
+    assert rows(scd2_merge(h3, same, "k", version=4)) == rows(h3)
+    with pytest.raises(ValueError):
+        scd2_merge(h3, spark.createDataFrame([(9,)], "k long"), "k", version=5)
+
+
 def test_key_skew_report(spark):
     """Top-k heavy hitters with deterministic tie ranking; shares sum
     to 1 when k covers every key; k validation."""
