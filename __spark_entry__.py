@@ -2277,6 +2277,27 @@ def q_docs_scd2(spark, sf_dir):
     return scd2_merge(current, changes, "doc_id", version=2)
 
 
+def q_docs_scd2_lookup(spark, sf_dir):
+    """Point-in-time lookup against the SCD2 history
+    (functions.diff.scd2_lookup): every key probed at versions 1 AND 2
+    — v1 probes see pre-change attributes (and NULL for keys that
+    didn't exist yet), v2 probes see the post-merge state. Key-equi
+    join with the interval check as a residual predicate, so the plan
+    partitions on the key like any equi-join."""
+    from margaret_spark.functions.diff import scd2_lookup
+
+    history = q_docs_scd2(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id")
+    )
+    all_keys = docs.unionByName(added)
+    probes = all_keys.select("doc_id", F.lit(1).alias("probe_v")).unionByName(
+        all_keys.select("doc_id", F.lit(2).alias("probe_v"))
+    )
+    return scd2_lookup(probes, history, "doc_id", "probe_v")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for a pretraining loader
     (operators.packing.pack_sequences): documents in doc_id order are
@@ -3003,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "orders_diff": q_orders_diff,
         "docs_scd2": q_docs_scd2,
+        "docs_scd2_lookup": q_docs_scd2_lookup,
         "edit_pairs_part_names": q_edit_pairs_part_names,
         "text_quality": q_text_quality,
         "quality_pctile": q_quality_pctile,
@@ -3312,6 +3334,20 @@ def oracle_sql() -> dict[str, str]:
     # the at-ingest decontamination scorer must reproduce the batch
     # containment scoring exactly (same split, shingles, arithmetic)
     d["stream_decontaminate"] = d["decontaminate"]
+    # the point-in-time lookup composes the SCD2 expected history as a
+    # CTE and probes every key at both versions
+    d["docs_scd2_lookup"] = (
+        "WITH h AS (" + d["docs_scd2"] + "), "
+        "ks AS (SELECT doc_id FROM documents "
+        "UNION ALL SELECT doc_id + 1000000 FROM documents "
+        "WHERE doc_id % 11 = 0), "
+        "p AS (SELECT doc_id, 1 AS probe_v FROM ks "
+        "UNION ALL SELECT doc_id, 2 FROM ks) "
+        "SELECT p.doc_id, p.probe_v, h.source, h.n_chars "
+        "FROM p LEFT JOIN h ON p.doc_id = h.doc_id "
+        "AND p.probe_v >= h.valid_from "
+        "AND (h.valid_to IS NULL OR p.probe_v < h.valid_to)"
+    )
     # recall@5: compose the brute-force and IVF oracles as CTEs and
     # count the per-query neighbor overlap — same parameterization,
     # so the metric is exact-integer + one IEEE division

@@ -139,6 +139,50 @@ def scd2_merge(
     )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: str | Sequence[str],
+    at_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 history: each fact row
+    picks up the dimension attributes whose validity interval covers
+    ``at_col`` (``valid_from <= at < valid_to``, open rows unbounded) —
+    the "state of the dimension when the fact happened" join. Facts
+    whose key has no version valid at that time keep NULL attributes
+    (left join).
+
+    Scale shape: the join is key-EQUI with the interval check as a
+    residual predicate, so it hash-partitions on the key like any
+    equi-join — per key only that key's (few) versions are scanned;
+    nothing resembling an interval cross join exists at any history
+    depth."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    attrs = [
+        c
+        for c in history.columns
+        if c not in set(keys) | {valid_from_col, valid_to_col}
+    ]
+    h = history.select(
+        *[F.col(k).alias(f"__hk_{k}") for k in keys],
+        *[F.col(a) for a in attrs],
+        F.col(valid_from_col).alias("__vf"),
+        F.col(valid_to_col).alias("__vt"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(k) == F.col(f"__hk_{k}")
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (F.col(at_col) >= F.col("__vf"))
+        & (F.col("__vt").isNull() | (F.col(at_col) < F.col("__vt")))
+    )
+    return facts.join(h, cond, "left").select(*facts.columns, *attrs)
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

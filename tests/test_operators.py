@@ -787,6 +787,28 @@ def test_scd2_merge_history(spark):
     with pytest.raises(ValueError):
         scd2_merge(h3, spark.createDataFrame([(9,)], "k long"), "k", version=5)
 
+    # point-in-time lookup: k=1 resolves to the version valid at the
+    # probe; a pre-existence probe (k=4 at v1) yields NULL attributes
+    from margaret_spark.functions.diff import scd2_lookup
+
+    probes = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (1, 99), (4, 1), (4, 2), (5, 2)],
+        "k long, t int",
+    )
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in scd2_lookup(probes, h3, "k", "t").collect()
+    }
+    assert got == {
+        (1, 1): "a",
+        (1, 2): "a2",
+        (1, 3): "a3",
+        (1, 99): "a3",   # open row is unbounded
+        (4, 1): None,    # did not exist yet
+        (4, 2): "d",
+        (5, 2): None,    # unknown key
+    }
+
 
 def test_key_skew_report(spark):
     """Top-k heavy hitters with deterministic tie ranking; shares sum
