@@ -2298,6 +2298,65 @@ def q_docs_scd2_lookup(spark, sf_dir):
     return scd2_lookup(probes, history, "doc_id", "probe_v")
 
 
+def q_stream_docs_scd2(spark, sf_dir):
+    """Streaming SCD2 ingest (streaming/scd.py): the v2 change batch
+    arrives as JSON payloads on a real log; the stream merges it into
+    a crash-safe versioned history directory (publish-first manifest,
+    re-run-idempotent batches). Same change construction as the batch
+    docs_scd2, so the published history is graded against the SAME
+    closed-form oracle."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_history, stream_scd2
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    current = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    present = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.col("n_chars") + F.lit(1)
+        ).otherwise(F.col("n_chars")),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    changes = present.unionByName(added)
+    payload = changes.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "source", "n_chars")).alias("j"),
+    )
+    schema = "doc_id long, source string, n_chars int"
+    base = tempfile.mkdtemp(prefix="stream_scd2_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(payload, value_col="j", order_by="doc_id")
+        stream_scd2(
+            log,
+            lambda b: b.select(
+                F.from_json(F.col("value"), schema).alias("c"), "seq"
+            ).select("c.*", "seq"),
+            "doc_id",
+            current,
+            os.path.join(base, "hist"),
+            os.path.join(base, "ckpt"),
+            version_of=lambda _b: 2,
+            available_now=True,
+        )
+        out = read_history(spark, os.path.join(base, "hist"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for a pretraining loader
     (operators.packing.pack_sequences): documents in doc_id order are
@@ -3025,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_diff": q_orders_diff,
         "docs_scd2": q_docs_scd2,
         "docs_scd2_lookup": q_docs_scd2_lookup,
+        "stream_docs_scd2": q_stream_docs_scd2,
         "edit_pairs_part_names": q_edit_pairs_part_names,
         "text_quality": q_text_quality,
         "quality_pctile": q_quality_pctile,
@@ -3334,6 +3394,9 @@ def oracle_sql() -> dict[str, str]:
     # the at-ingest decontamination scorer must reproduce the batch
     # containment scoring exactly (same split, shingles, arithmetic)
     d["stream_decontaminate"] = d["decontaminate"]
+    # the streaming SCD2 ingest publishes the identical history the
+    # batch merge produces — same closed-form oracle
+    d["stream_docs_scd2"] = d["docs_scd2"]
     # the point-in-time lookup composes the SCD2 expected history as a
     # CTE and probes every key at both versions
     d["docs_scd2_lookup"] = (

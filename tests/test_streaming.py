@@ -329,6 +329,70 @@ def test_stream_dedup_exact_first_seen_wins(spark, tmp_path):
     assert got2 == {6}
 
 
+def test_stream_scd2_multi_batch_history(spark, tmp_path):
+    """Versioned streaming ingest: batches chain validity intervals
+    exactly like sequential batch merges; within a batch only each
+    key's LATEST change applies; the manifest always points at the
+    newest published version."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.functions.diff import scd2_merge
+    from margaret_spark.streaming import read_history, stream_scd2
+
+    schema = "k long, v string"
+    initial = spark.createDataFrame(
+        [(1, "a", 0, None)], "k long, v string, valid_from int, valid_to int"
+    )
+
+    def prepare(b):
+        return b.select(
+            F.from_json(F.col("value"), schema).alias("c"), "seq"
+        ).select("c.*", "seq")
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    hist, ck = str(tmp_path / "hist"), str(tmp_path / "ck")
+    # batch 1 (one file): k=1 changes twice in-batch (latest wins), k=2 new
+    log.append_many(
+        ['{"k":1,"v":"mid"}', '{"k":1,"v":"a2"}', '{"k":2,"v":"b"}']
+    )
+    stream_scd2(
+        log, prepare, "k", initial, hist, ck,
+        version_of=lambda b: b + 1, available_now=True,
+    )
+    h1 = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"])
+        for r in read_history(spark, hist).collect()
+    }
+    assert h1 == {
+        (1, "a"): (0, 1),
+        (1, "a2"): (1, None),   # latest-in-batch, not "mid"
+        (2, "b"): (1, None),
+    }
+    # batch 2 (resume): k=2 changes — intervals chain at version 2
+    log.append('{"k":2,"v":"b2"}')
+    stream_scd2(
+        log, prepare, "k", initial, hist, ck,
+        version_of=lambda b: b + 1, available_now=True,
+    )
+    h2 = read_history(spark, hist)
+    got = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"])
+        for r in h2.collect()
+    }
+    assert got[(2, "b")] == (1, 2) and got[(2, "b2")] == (2, None)
+    assert got[(1, "a2")] == (1, None)
+    # equals the sequential batch-merge construction
+    m1 = scd2_merge(
+        initial,
+        spark.createDataFrame([(1, "a2"), (2, "b")], schema), "k", 1,
+    )
+    m2 = scd2_merge(m1, spark.createDataFrame([(2, "b2")], schema), "k", 2)
+    want = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"]) for r in m2.collect()
+    }
+    assert got == want
+
+
 def test_stream_decontaminate_matches_batch(spark, tmp_path):
     """The at-ingest scorer reproduces the batch ngram_contamination
     exactly — counts AND the pround'ed ratio — including docs with no
