@@ -2934,9 +2934,17 @@ def q_stream_decontaminate(spark, sf_dir):
             n=3,
             available_now=True,
         )
-        ids = rest.select(
-            F.col("doc_id"),
-            (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("seq"),
+        # seq recovery via the SAME distributed prefix-sum append_df
+        # uses (range partition on doc_id + partition offsets) — no
+        # single-partition global window anywhere on this surface
+        from margaret_spark.functions.seqassign import with_dense_seq
+
+        n_par = spark.sparkContext.defaultParallelism
+        ids = with_dense_seq(
+            rest.select("doc_id")
+            .repartitionByRange(n_par, F.col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+            seq_col="seq",
         )
         out = (
             spark.read.parquet(sink)
