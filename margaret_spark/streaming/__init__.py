@@ -12,7 +12,7 @@ from margaret_spark.streaming.stateful import (
     stream_topk,
 )
 from margaret_spark.streaming.contamination import stream_decontaminate
-from margaret_spark.streaming.scd import read_history, stream_scd2
+from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
 from margaret_spark.streaming.scrub import scrub_expr, stream_scrub_pii
 from margaret_spark.streaming.windows import session_windows, windowed_agg
 
@@ -30,6 +30,7 @@ __all__ = [
     "stream_decontaminate",
     "stream_scd2",
     "read_history",
+    "prune_history",
     "scrub_expr",
     "session_windows",
     "windowed_agg",

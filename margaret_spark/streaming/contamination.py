@@ -112,5 +112,8 @@ def stream_decontaminate(
     if available_now:
         q = w.trigger(availableNow=True).start()
         q.awaitTermination()
+        # bounded drain: release the executor-side copies (a continuous
+        # query keeps its broadcast for its lifetime instead)
+        b_eval.unpersist()
         return None
     return w.trigger(processingTime="500 milliseconds").start()

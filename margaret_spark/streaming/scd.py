@@ -55,6 +55,30 @@ def _publish_manifest(history_dir: str, versions: dict[int, str]) -> None:
     os.rename(tmp, p)
 
 
+def prune_history(history_dir: str, keep_last: int = 2) -> int:
+    """Delete all but the newest ``keep_last`` published versions —
+    the janitor for a long-running ingest (every batch writes a full
+    history copy; without pruning disk grows linearly in batches).
+    Crash-safe order: the manifest is republished WITHOUT the pruned
+    entries first, then the directories are removed — a crash between
+    the two steps leaves unreferenced dirs that the next prune sweeps,
+    never a referenced-but-deleted version. Returns the number of
+    versions removed."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1: {keep_last}")
+    versions = _read_manifest(history_dir)
+    doomed = sorted(versions)[:-keep_last]
+    if not doomed:
+        return 0
+    kept = {b: v for b, v in versions.items() if b not in set(doomed)}
+    _publish_manifest(history_dir, kept)
+    for b in doomed:
+        shutil.rmtree(versions[b], ignore_errors=True)
+    return len(doomed)
+
+
 def read_history(spark, history_dir: str) -> DataFrame | None:
     """The latest published history, or None before the first batch."""
     versions = _read_manifest(history_dir)

@@ -392,6 +392,21 @@ def test_stream_scd2_multi_batch_history(spark, tmp_path):
     }
     assert got == want
 
+    # prune: only the newest version survives; history still readable
+    from margaret_spark.streaming import prune_history
+    import os
+
+    assert prune_history(hist, keep_last=1) == 1
+    assert len([d for d in os.listdir(hist) if d.startswith("v")]) == 1
+    still = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"])
+        for r in read_history(spark, hist).collect()
+    }
+    assert still == want
+    assert prune_history(hist, keep_last=1) == 0  # idempotent
+    with pytest.raises(ValueError):
+        prune_history(hist, keep_last=0)
+
 
 def test_stream_decontaminate_matches_batch(spark, tmp_path):
     """The at-ingest scorer reproduces the batch ngram_contamination
