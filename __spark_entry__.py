@@ -1671,6 +1671,31 @@ def q_dedup_cross_corpus(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Exact-substring duplicate SPANS (dedup.duplicate_spans): the
+    maximal cross-document repeated word-8-gram runs of every
+    document, as 1-based inclusive token intervals — span-level dedup
+    (Lee et al. 2022), the repeated-passage detector document-level
+    jaccard can't express. Min/max-only gram aggregation (no posting
+    lists, no O(df²)), equi-join back on the 32-byte gram hash,
+    gaps-and-islands merge per document."""
+    from margaret_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", n=8, scope="cross_doc")
+
+
+def q_dedup_span_stats(spark, sf_dir):
+    """Per-document duplicated-token mass (dedup.duplicate_span_stats):
+    the share of each document covered by cross-document duplicate
+    spans — the cut-threshold signal built on q_dedup_spans (spans are
+    maximal and disjoint, so their lengths sum exactly)."""
+    from margaret_spark.operators.dedup import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, "doc_id", "text", n=8, scope="cross_doc")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the jaccard near-dup pairs: every doc
     labeled with the min doc_id of its duplicate component (iterative
@@ -3072,6 +3097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "dedup_cross_corpus": q_dedup_cross_corpus,
+        "dedup_spans": q_dedup_spans,
+        "dedup_span_stats": q_dedup_span_stats,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_range": q_ann_range,
@@ -3128,6 +3155,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Shared SQL fragments for the oracles (kept identical to the Spark
 # expression trees so double results are bit-identical).
 _WORDS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+#: Shared CTE chain for the duplicate-span oracles (word 8-grams,
+#: cross-doc scope): positional grams → grams seen in ≥2 documents →
+#: duplicated positions → gaps-and-islands span ids. Groups on the
+#: gram TEXT where the Spark operator groups on its sha2 — equal iff
+#: the hashes are equal. Mirrors dedup.duplicate_spans(n=8).
+_DUP_SPAN_CTES = (
+    "WITH g AS ("
+    "SELECT doc_id, CAST(idx AS INT) AS pos, "
+    "array_to_string(toks[idx:idx+7], ' ') AS gr "
+    "FROM (SELECT doc_id, toks, "
+    "unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS idx "
+    f"FROM (SELECT doc_id, {_WORDS} AS toks FROM documents))), "
+    "d AS (SELECT gr FROM g GROUP BY gr HAVING min(doc_id) <> max(doc_id)), "
+    "h AS (SELECT doc_id, pos FROM g JOIN d USING (gr)), "
+    "flg AS (SELECT doc_id, pos, "
+    "CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL "
+    "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 "
+    "THEN 1 ELSE 0 END AS flag FROM h), "
+    "isl AS (SELECT doc_id, pos, SUM(flag) OVER ("
+    "PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS i FROM flg)"
+)
 _SHINGLES = f"""
 SELECT doc_id, sh FROM (
   SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i
@@ -4115,6 +4164,29 @@ def _oracle_sql_base() -> dict[str, str]:
             + " AS jaccard FROM inter "
             "JOIN szl x ON x.doc_id = left_id JOIN szr y ON y.doc_id = right_id "
             "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2"
+        ),
+        "dedup_spans": (_DUP_SPAN_CTES + " "
+            "SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start, "
+            "CAST(MAX(pos) + 7 AS INT) AS span_end, "
+            "CAST(MAX(pos) + 7 - MIN(pos) + 1 AS INT) AS n_tokens "
+            "FROM isl GROUP BY doc_id, i"
+        ),
+        "dedup_span_stats": (_DUP_SPAN_CTES + ", "
+            "spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e "
+            "FROM isl GROUP BY doc_id, i), "
+            "per_doc AS (SELECT doc_id, SUM(e - s + 1) AS dup_tokens "
+            "FROM spans GROUP BY doc_id), "
+            f"totals AS (SELECT doc_id, COALESCE(len({_WORDS}), 0) AS n_tokens "
+            "FROM documents) "
+            "SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens, "
+            + _pr(
+                "CASE WHEN t.n_tokens > 0 THEN "
+                "COALESCE(p.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE) "
+                "ELSE 0.0 END"
+            )
+            + " AS dup_fraction "
+            "FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id"
         ),
         "dedup_clusters": (
             "WITH RECURSIVE " + _CLUSTER_CTES + " "

@@ -1329,3 +1329,149 @@ def ngram_jaccard_join(
         .where(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """(id, span_start, span_end, n_tokens): the maximal duplicated
+    token spans of every document — exact-substring dedup at the SPAN
+    level (the "repeated passage" detector of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), the
+    member of the dedup family that document-level jaccard/minhash
+    can't express: two long documents sharing one boilerplate
+    paragraph are NOT near-dups, but the paragraph itself should be
+    found (and usually cut).
+
+    A token position is *duplicated* when the word ``n``-gram starting
+    there also occurs elsewhere: in another document
+    (``scope='cross_doc'``, the training-set leakage setting) or
+    anywhere including the same document (``scope='any'``, which also
+    catches internal boilerplate). Runs of duplicated positions merge
+    into maximal spans: positions p and q of the same document belong
+    to one span when their [p, p+n-1], [q, q+n-1] windows overlap or
+    touch. Spans are 1-based token indices, inclusive.
+
+    Scale shape (the reason this beats a suffix array at 100 TB): one
+    positional-shingle explode (~n_tokens rows per doc — positions are
+    NOT deduplicated, unlike the jaccard set index), one
+    map-side-combined groupBy on the gram hash whose state is two ids
+    (min/max) or one count — a hot boilerplate gram NEVER builds a
+    posting list, so there is no O(df²) anywhere; one equi-join back
+    on the gram hash (AQE handles skew); then a per-document window
+    over that document's duplicated positions only. Grams travel as
+    32-byte sha2 hashes, not text.
+
+    Determinism: everything is integer arithmetic on token positions;
+    the oracle reproduces spans exactly (it groups on the gram TEXT —
+    equal iff the sha2 keys are equal, short of a 2^-128 collision).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"scope must be 'cross_doc' or 'any': {scope!r}")
+    from margaret_spark.functions.shingling import gram_indices
+
+    d = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = words(F.col(text_col))
+    idx = gram_indices(F.size(toks) - F.lit(n - 1))
+    positional = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.sha2(F.concat_ws(" ", F.slice(toks, i, n)), 256).alias("g"),
+        ),
+    )
+    grams = d.select(
+        F.col(id_col).alias("__id"), F.explode(positional).alias("p")
+    ).select("__id", F.col("p.pos").alias("pos"), F.col("p.g").alias("g"))
+    grams = grams.localCheckpoint(eager=False)  # feeds both the dup set and the join
+    if scope == "cross_doc":
+        dup = (
+            grams.groupBy("g")
+            .agg(F.min("__id").alias("__a"), F.max("__id").alias("__b"))
+            .where(F.col("__a") != F.col("__b"))
+            .select("g")
+        )
+    else:
+        dup = (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("__c"))
+            .where(F.col("__c") >= 2)
+            .select("g")
+        )
+    hits = grams.join(dup, "g").select("__id", "pos")
+    w = Window.partitionBy("__id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    # new span iff the previous duplicated window [prev, prev+n-1]
+    # neither overlaps nor touches [pos, pos+n-1]
+    flag = F.when(prev.isNull() | (F.col("pos") > prev + F.lit(n)), 1).otherwise(0)
+    island = F.sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("__isl", island)
+        .groupBy("__id", "__isl")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("int").alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + F.lit(1))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    scope: str = "cross_doc",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, n_tokens, dup_tokens, dup_fraction): per-document share of
+    tokens covered by duplicated spans (:func:`duplicate_spans`) — the
+    filter signal (cut documents above a duplicated-mass threshold)
+    and the corpus-health metric (total duplicated mass). Documents
+    with no duplicated span report 0. Spans are maximal and disjoint
+    by construction, so their lengths sum without double counting;
+    the fraction is exact-integer division, pround'ed."""
+    spans = duplicate_spans(df, id_col, text_col, n=n, scope=scope)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("n_tokens").cast("long").alias("dup_tokens")
+    )
+    # NULL text counts as zero tokens (words(NULL) is NULL and
+    # size(NULL) would poison the fraction guard)
+    totals = df.select(
+        F.col(id_col),
+        F.size(
+            F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        pround(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            round_digits,
+        ).alias("dup_fraction"),
+    )

@@ -1378,3 +1378,99 @@ def test_ngram_jaccard_join_cross_corpus(spark, monkeypatch):
     )
     monkeypatch.undo()
     assert lit == fb
+
+
+def test_duplicate_spans_semantics(spark):
+    from margaret_spark.operators.dedup import duplicate_spans
+
+    # A and B share the 10-token run t1..t10 (tokens 3..12 of A,
+    # 1..10 of B); with n=4 every start in the run is duplicated and
+    # the positions merge into ONE maximal span per doc. C is noise.
+    shared = " ".join(f"t{i}" for i in range(1, 11))
+    rows = [
+        (1, "x1 x2 " + shared + " x3 x4"),
+        (2, shared),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in duplicate_spans(df, "doc_id", "text", n=4).collect()
+    }
+    assert spans == {(1, 3, 12, 10), (2, 1, 10, 10)}
+
+
+def test_duplicate_spans_gap_splits_islands(spark):
+    from margaret_spark.operators.dedup import duplicate_spans
+
+    # Two shared runs separated by >n unshared tokens in doc 1 must
+    # surface as TWO spans, not one.
+    a = "a1 a2 a3 a4"
+    b = "b1 b2 b3 b4"
+    rows = [
+        (1, a + " g1 g2 g3 g4 g5 " + b),
+        (2, a),
+        (3, b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, "doc_id", "text", n=4).collect()
+    )
+    assert got == [(1, 1, 4), (1, 10, 13), (2, 1, 4), (3, 1, 4)]
+
+
+def test_duplicate_spans_scope_any_vs_cross_doc(spark):
+    from margaret_spark.operators.dedup import duplicate_spans
+
+    # The repeated phrase lives only WITHIN doc 1: invisible to
+    # cross_doc, found twice by scope='any'.
+    phrase = "p1 p2 p3 p4"
+    df = spark.createDataFrame(
+        [(1, phrase + " mid1 mid2 mid3 mid4 mid5 " + phrase), (2, "z1 z2 z3 z4")],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(df, "doc_id", "text", n=4).count() == 0
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, "doc_id", "text", n=4, scope="any").collect()
+    )
+    assert got == [(1, 1, 4), (1, 10, 13)]
+
+
+def test_duplicate_span_stats_fractions(spark):
+    from margaret_spark.operators.dedup import duplicate_span_stats
+
+    shared = "s1 s2 s3 s4"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " only in one"),          # 4 of 7 tokens duplicated
+            (2, shared),                            # fully duplicated
+            (3, "n1 n2 n3 n4 n5"),                  # clean
+            (4, None),                              # NULL text -> 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_fraction)
+        for r in duplicate_span_stats(df, "doc_id", "text", n=4).collect()
+    }
+    assert got[1] == (7, 4, round(4 / 7, 6))
+    assert got[2] == (4, 4, 1.0)
+    assert got[3] == (5, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_duplicate_spans_short_docs_and_validation(spark):
+    import pytest as _pytest
+    from margaret_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    # identical docs, but both are shorter than n: no gram, no span
+    assert duplicate_spans(df, "doc_id", "text", n=4).count() == 0
+    with _pytest.raises(ValueError):
+        duplicate_spans(df, "doc_id", "text", n=0)
+    with _pytest.raises(ValueError):
+        duplicate_spans(df, "doc_id", "text", scope="bogus")
