@@ -1696,6 +1696,20 @@ def q_dedup_span_stats(spark, sf_dir):
     return duplicate_span_stats(docs, "doc_id", "text", n=8, scope="cross_doc")
 
 
+def q_dedup_span_cut(spark, sf_dir):
+    """Keep-first span removal (dedup.cut_duplicate_spans): every
+    cross-document duplicated word-8-gram passage is cut from all but
+    its first-occurrence (min doc_id) document and the surviving
+    tokens rejoined — the transformation half of span-level dedup
+    (q_dedup_spans reports, this rewrites). Same min-only gram
+    aggregation + islands merge, plus one codegen array filter to
+    rebuild the text."""
+    from margaret_spark.operators.dedup import cut_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return cut_duplicate_spans(docs, "doc_id", "text", n=8)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the jaccard near-dup pairs: every doc
     labeled with the min doc_id of its duplicate component (iterative
@@ -3099,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "dedup_spans": q_dedup_spans,
         "dedup_span_stats": q_dedup_span_stats,
+        "dedup_span_cut": q_dedup_span_cut,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_range": q_ann_range,
@@ -3176,6 +3191,35 @@ _DUP_SPAN_CTES = (
     "THEN 1 ELSE 0 END AS flag FROM h), "
     "isl AS (SELECT doc_id, pos, SUM(flag) OVER ("
     "PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS i FROM flg)"
+)
+
+#: CTE chain for the keep-first span CUT oracle: same positional-gram
+#: build, but a position is duplicated iff its gram's min owner doc_id
+#: is EARLIER than this document; islands merge as above, and
+#: surviving positions rebuild the text with an ordered string_agg.
+#: Mirrors dedup.cut_duplicate_spans(n=8).
+_CUT_SPAN_CTES = (
+    "WITH g AS ("
+    "SELECT doc_id, CAST(idx AS INT) AS pos, "
+    "array_to_string(toks[idx:idx+7], ' ') AS gr "
+    "FROM (SELECT doc_id, toks, "
+    "unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS idx "
+    f"FROM (SELECT doc_id, {_WORDS} AS toks FROM documents))), "
+    "own AS (SELECT gr, min(doc_id) AS o FROM g GROUP BY gr), "
+    "h AS (SELECT doc_id, pos FROM g JOIN own USING (gr) WHERE doc_id > o), "
+    "flg AS (SELECT doc_id, pos, "
+    "CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL "
+    "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 "
+    "THEN 1 ELSE 0 END AS flag FROM h), "
+    "isl AS (SELECT doc_id, pos, SUM(flag) OVER ("
+    "PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS i FROM flg), "
+    "spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e "
+    "FROM isl GROUP BY doc_id, i), "
+    f"tk AS (SELECT doc_id, COALESCE({_WORDS}, []) AS ws FROM documents), "
+    "pos_tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, ws FROM tk), "
+    "kept AS (SELECT t.doc_id, t.p, t.ws[t.p] AS tok FROM pos_tok t "
+    "WHERE NOT EXISTS (SELECT 1 FROM spans s "
+    "WHERE s.doc_id = t.doc_id AND t.p BETWEEN s.s AND s.e))"
 )
 _SHINGLES = f"""
 SELECT doc_id, sh FROM (
@@ -4187,6 +4231,15 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             + " AS dup_fraction "
             "FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id"
+        ),
+        "dedup_span_cut": (_CUT_SPAN_CTES + " "
+            "SELECT x.doc_id, COALESCE(k.clean_text, '') AS clean_text, "
+            "CAST(len(x.ws) AS BIGINT) AS n_tokens, "
+            "CAST(len(x.ws) - COALESCE(k.cnt, 0) AS BIGINT) AS removed_tokens "
+            "FROM tk x LEFT JOIN ("
+            "SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text, "
+            "count(*) AS cnt FROM kept GROUP BY doc_id) k "
+            "ON x.doc_id = k.doc_id"
         ),
         "dedup_clusters": (
             "WITH RECURSIVE " + _CLUSTER_CTES + " "

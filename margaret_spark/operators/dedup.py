@@ -1374,23 +1374,7 @@ def duplicate_spans(
         raise ValueError(f"n must be >= 1: {n}")
     if scope not in ("cross_doc", "any"):
         raise ValueError(f"scope must be 'cross_doc' or 'any': {scope!r}")
-    from margaret_spark.functions.shingling import gram_indices
-
-    d = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
-    toks = words(F.col(text_col))
-    idx = gram_indices(F.size(toks) - F.lit(n - 1))
-    positional = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.cast("int").alias("pos"),
-            F.sha2(F.concat_ws(" ", F.slice(toks, i, n)), 256).alias("g"),
-        ),
-    )
-    grams = d.select(
-        F.col(id_col).alias("__id"), F.explode(positional).alias("p")
-    ).select("__id", F.col("p.pos").alias("pos"), F.col("p.g").alias("g"))
+    grams = _positional_grams(df, id_col, text_col, n)
     grams = grams.localCheckpoint(eager=False)  # feeds both the dup set and the join
     if scope == "cross_doc":
         dup = (
@@ -1407,6 +1391,46 @@ def duplicate_spans(
             .select("g")
         )
     hits = grams.join(dup, "g").select("__id", "pos")
+    return _merge_islands(hits, n).select(
+        F.col("__id").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + F.lit(1))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(__id, pos, g): every 1-based token position with the sha2 of
+    the word n-gram starting there — positions NOT deduplicated
+    (unlike the jaccard set index). Shared by the span detectors."""
+    from margaret_spark.functions.shingling import gram_indices
+
+    d = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = words(F.col(text_col))
+    idx = gram_indices(F.size(toks) - F.lit(n - 1))
+    positional = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.sha2(F.concat_ws(" ", F.slice(toks, i, n)), 256).alias("g"),
+        ),
+    )
+    return d.select(
+        F.col(id_col).alias("__id"), F.explode(positional).alias("p")
+    ).select("__id", F.col("p.pos").alias("pos"), F.col("p.g").alias("g"))
+
+
+def _merge_islands(hits: DataFrame, n: int) -> DataFrame:
+    """Merge duplicated gram positions (__id, pos) into maximal spans
+    (__id, span_start, span_end): positions whose length-``n`` windows
+    overlap or touch belong to one span (gaps-and-islands over a
+    per-document window)."""
     w = Window.partitionBy("__id").orderBy("pos")
     prev = F.lag("pos").over(w)
     # new span iff the previous duplicated window [prev, prev+n-1]
@@ -1422,14 +1446,81 @@ def duplicate_spans(
             F.min("pos").cast("int").alias("span_start"),
             (F.max("pos") + F.lit(n - 1)).cast("int").alias("span_end"),
         )
-        .select(
-            F.col("__id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + F.lit(1))
-            .cast("int")
-            .alias("n_tokens"),
-        )
+    )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """(id, clean_text, n_tokens, removed_tokens): the corpus with
+    every cross-document duplicated passage CUT from all but its
+    first-occurrence document — the transformation half of span-level
+    dedup (Lee et al. 2022: detect repeated substrings, keep ONE
+    occurrence corpus-wide). :func:`duplicate_spans` reports; this
+    rewrites.
+
+    Keep-first rule: each word ``n``-gram has an *owner*, the minimum
+    document id containing it. A token position is cut when some gram
+    covering position start owned by an EARLIER document starts there
+    — i.e. position ``p`` of document ``d`` is cut iff the gram at
+    ``p`` also occurs in a document with id < ``d``. The owner keeps
+    its text untouched (including its own internal repeats), every
+    later document loses the shared run; cut positions merge into
+    maximal spans exactly like :func:`duplicate_spans` and the
+    surviving tokens rejoin with single spaces (the tokenizer's
+    whitespace normalization — the cut output is a TOKEN stream
+    rendering, not a byte-identical substring of the original).
+
+    Scale shape: identical to :func:`duplicate_spans` (min-only gram
+    aggregation, equi-join on the gram hash, per-document windows)
+    plus one collect_list of each document's OWN spans (bounded by
+    tokens/n per document) and a final array filter in codegen — no
+    additional shuffle family, no UDFs.
+
+    Determinism: integer positions and string joins only; the oracle
+    rebuilds clean_text with an ordered string_agg over surviving
+    positions, token-identical on any engine.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    grams = _positional_grams(df, id_col, text_col, n)
+    grams = grams.localCheckpoint(eager=False)
+    owners = grams.groupBy("g").agg(F.min("__id").alias("__own"))
+    hits = (
+        grams.join(owners, "g")
+        .where(F.col("__id") > F.col("__own"))
+        .select("__id", "pos")
+    )
+    spans = _merge_islands(hits, n)
+    span_arr = spans.groupBy("__id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+    toks = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks.alias("__toks")).join(
+        span_arr.withColumnRenamed("__id", id_col), id_col, "left"
+    )
+    spans_col = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+    )
+    # filter's index lambda is 0-based; spans are 1-based inclusive
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            spans_col,
+            lambda sp: (i + F.lit(1) >= sp["s"]) & (i + F.lit(1) <= sp["e"]),
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+        (F.size(F.col("__toks")) - F.size(kept)).cast("long").alias("removed_tokens"),
     )
 
 

@@ -1474,3 +1474,58 @@ def test_duplicate_spans_short_docs_and_validation(spark):
         duplicate_spans(df, "doc_id", "text", n=0)
     with _pytest.raises(ValueError):
         duplicate_spans(df, "doc_id", "text", scope="bogus")
+
+
+def test_cut_duplicate_spans_keep_first(spark):
+    from margaret_spark.operators.dedup import cut_duplicate_spans
+
+    shared = "s1 s2 s3 s4"
+    rows = [
+        (1, "a b " + shared + " c"),   # owner: keeps everything
+        (2, shared + " x y z"),        # later doc: loses the run
+        (3, "q r s t"),                # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.removed_tokens)
+           for r in cut_duplicate_spans(df, "doc_id", "text", n=4).collect()}
+    assert got[1] == ("a b s1 s2 s3 s4 c", 7, 0)
+    assert got[2] == ("x y z", 7, 4)
+    assert got[3] == ("q r s t", 4, 0)
+
+
+def test_cut_duplicate_spans_fully_duplicated_doc(spark):
+    from margaret_spark.operators.dedup import cut_duplicate_spans
+
+    t = "w1 w2 w3 w4 w5"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.clean_text, r.removed_tokens)
+           for r in cut_duplicate_spans(df, "doc_id", "text", n=4).collect()}
+    assert got[1] == (t, 0)       # owner untouched
+    assert got[2] == ("", 5)      # later copy fully cut
+    assert got[3] == ("", 0)      # NULL text -> empty, nothing removed
+
+
+def test_cut_matches_span_report(spark):
+    # every token the report marks duplicated in a non-owner doc must
+    # be gone from the cut output of that doc
+    from margaret_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    rows = [
+        (1, "h1 h2 h3 h4 mid m2 m3 m4 t1 t2 t3 t4"),
+        (2, "h1 h2 h3 h4 zz zz2 zz3 zz4 t1 t2 t3 t4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cut = {r.doc_id: r for r in cut_duplicate_spans(df, "doc_id", "text", n=4).collect()}
+    spans2 = [
+        (r.span_start, r.span_end)
+        for r in duplicate_spans(df, "doc_id", "text", n=4).collect()
+        if r.doc_id == 2
+    ]
+    removed = sum(e - s + 1 for s, e in spans2)
+    assert cut[2].removed_tokens == removed
+    assert cut[1].removed_tokens == 0
