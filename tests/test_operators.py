@@ -1529,3 +1529,91 @@ def test_cut_matches_span_report(spark):
     removed = sum(e - s + 1 for s, e in spans2)
     assert cut[2].removed_tokens == removed
     assert cut[1].removed_tokens == 0
+
+
+def test_triangle_stats_k4_and_path(spark):
+    from margaret_spark.operators.graph import triangle_stats
+
+    # K4 on 1..4 (some edges reversed/duplicated + a self-loop: the
+    # canonicalization must absorb all of it) plus a pendant path 5-6
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 4), (2, 4), (2, 4),
+        (5, 5), (5, 6),
+    ]
+    df = spark.createDataFrame(edges, "s long, d long")
+    got = {r.node: (r.degree, r.triangles, r.clustering_coeff)
+           for r in triangle_stats(df, "s", "d").collect()}
+    for v in (1, 2, 3, 4):
+        assert got[v] == (3, 3, 1.0), (v, got[v])
+    assert got[5] == (1, 0, 0.0)
+    assert got[6] == (1, 0, 0.0)
+
+
+def test_triangle_stats_open_triad(spark):
+    from margaret_spark.operators.graph import triangle_stats
+
+    # open triad 1-2-3 plus closing edge for 4-5-6: coefficient
+    # distinguishes the two shapes
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (4, 6)], "s long, d long"
+    )
+    got = {r.node: (r.degree, r.triangles, r.clustering_coeff)
+           for r in triangle_stats(df, "s", "d").collect()}
+    assert got[2] == (2, 0, 0.0)
+    assert got[5] == (2, 1, 1.0)
+    assert got[1] == (1, 0, 0.0)
+
+
+def test_kmeans_deterministic_separated_clusters(spark):
+    from margaret_spark.operators.similarity import kmeans_assign_deterministic
+
+    # two well-separated direction groups in 4-d: whatever the seeds,
+    # two refinements must put each group in one cell
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + i * 0.1, 1.0, 0.0, 0.0]))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 0.1, 9.0 + i * 0.1, 2.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign_deterministic(df, k=2, iters=2).collect()
+    cells = {}
+    for r in out:
+        cells.setdefault(r.cent_id, set()).add(r.vec_id)
+    assert len(out) == 12
+    groups = sorted(frozenset(v) for v in cells.values())
+    assert groups == sorted(
+        [frozenset(range(6)), frozenset(range(6, 12))]
+    )
+    # rerun is bit-identical (determinism, not just same partition)
+    again = kmeans_assign_deterministic(df, k=2, iters=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_kmeans_deterministic_k_never_shrinks(spark):
+    from margaret_spark.operators.similarity import kmeans_assign_deterministic
+
+    # duplicate seed vectors: the tie sends every row to the lower
+    # cent_id, but the empty cell must survive with its old centroid
+    # (k preserved, no crash) and every vector still gets assigned
+    rows = [(i, [1.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign_deterministic(df, k=2, iters=2).collect()
+    assert len(out) == 4
+    assert {r.cent_id for r in out} == {0}
+
+
+def test_kmeans_deterministic_iters_zero_is_seed_assignment(spark):
+    from margaret_spark.operators.similarity import (
+        kmeans_assign_deterministic,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cent_id
+           for r in kmeans_assign_deterministic(df, k=2, iters=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}

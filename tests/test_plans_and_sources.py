@@ -61,6 +61,8 @@ def test_entry_queries_plan_quality(spark):
         "ann_ivf_indexed",
         # both recall arms score pairs through the same Arrow kernel
         "ann_recall",
+        # Lloyd assignment scores |corpus|·k pairs through pair_dot
+        "embeddings_kmeans",
         # binary-blob plumbing is genuinely imperative: Arrow-batched
         # mapInPandas is its designed execution path (plan_summary now
         # counts MapInPandas nodes too, so the whole decode family
