@@ -2191,6 +2191,19 @@ def q_docs_pagerank(spark, sf_dir):
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
+def q_events_histogram(spark, sf_dir):
+    """Exact equi-width histogram (profiling.histogram): the value
+    distribution per event_type on one shared 20-bucket grid over the
+    column's exact [min, max] — the distribution fingerprint taken
+    before writing filters/clamps; unlike the approx_quantile
+    sketches this is integer-exact counting over IEEE bucket math,
+    so it grades hash-exact."""
+    from margaret_spark.operators.profiling import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", bins=20, group_col="event_type")
+
+
 def q_embeddings_kmeans(spark, sf_dir):
     """Deterministic embedding clustering
     (similarity.kmeans_assign_deterministic): 2 Lloyd refinements from
@@ -3123,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pagerank": q_docs_pagerank,
         "docs_triangles": q_docs_triangles,
         "embeddings_kmeans": q_embeddings_kmeans,
+        "events_histogram": q_events_histogram,
         "corpus_prior": q_corpus_prior,
         "events_pivot": q_events_pivot,
         "events_anomaly": q_events_anomaly,
@@ -4547,6 +4561,26 @@ def _oracle_sql_base() -> dict[str, str]:
         "text_quality": _quality_sql(),
         "docs_pagerank": _pagerank_sql(),
         "embeddings_kmeans": _kmeans_sql(),
+        # bounds/width recomputed in-engine: min/max of doubles are the
+        # exact same IEEE values Spark's driver aggregation found, and
+        # every downstream tree is single-op IEEE arithmetic
+        "events_histogram": (
+            "WITH b AS (SELECT min(CAST(value AS DOUBLE)) AS lo, "
+            "max(CAST(value AS DOUBLE)) AS hi, "
+            "(max(CAST(value AS DOUBLE)) - min(CAST(value AS DOUBLE))) "
+            "/ CAST(20 AS DOUBLE) AS w FROM events), "
+            "h AS (SELECT event_type, "
+            "CAST(CASE WHEN b.w = 0.0 THEN 0 ELSE "
+            "least(floor((CAST(value AS DOUBLE) - b.lo) / b.w), 19) END AS INT) "
+            "AS bucket, count(*) AS n "
+            "FROM events, b WHERE value IS NOT NULL "
+            "AND CAST(value AS DOUBLE) >= b.lo AND CAST(value AS DOUBLE) <= b.hi "
+            "GROUP BY event_type, bucket) "
+            "SELECT event_type, bucket, "
+            "b.lo + CAST(bucket AS DOUBLE) * b.w AS lo_edge, "
+            "b.lo + (CAST(bucket AS DOUBLE) + 1.0) * b.w AS hi_edge, "
+            "CAST(n AS BIGINT) AS n FROM h, b"
+        ),
         "docs_triangles": ("WITH " + _TRIANGLE_CTES + " "
             "SELECT n.node AS doc_id, CAST(d.degree AS BIGINT) AS degree, "
             "CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles, "

@@ -1617,3 +1617,45 @@ def test_kmeans_deterministic_iters_zero_is_seed_assignment(spark):
     got = {r.vec_id: r.cent_id
            for r in kmeans_assign_deterministic(df, k=2, iters=0).collect()}
     assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_histogram_exact_counts(spark):
+    from margaret_spark.operators.profiling import histogram
+
+    rows = [(i, float(i)) for i in range(10)]  # values 0..9
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r.bucket: (r.lo_edge, r.hi_edge, r.n)
+           for r in histogram(df, "v", bins=3).collect()}
+    # width = 3.0: [0,3) [3,6) [6,9], top edge closes the last bucket
+    assert got[0] == (0.0, 3.0, 3)
+    assert got[1] == (3.0, 6.0, 3)
+    assert got[2] == (6.0, 9.0, 4)
+    total = sum(v[2] for v in got.values())
+    assert total == 10
+
+
+def test_histogram_grouped_degenerate_and_bounds(spark):
+    from margaret_spark.operators.profiling import histogram
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", None)],
+        "g string, v double",
+    )
+    # degenerate column (hi == lo): single bucket, NULLs dropped
+    got = {(r.g, r.bucket): r.n
+           for r in histogram(df, "v", bins=4, group_col="g").collect()}
+    assert got == {("a", 0): 2, ("b", 0): 1}
+    # explicit bounds drop out-of-range rows instead of clamping
+    df2 = spark.createDataFrame(
+        [(0.5,), (1.5,), (99.0,)], "v double"
+    )
+    kept = histogram(df2, "v", bins=2, lo=0.0, hi=2.0).collect()
+    assert sum(r.n for r in kept) == 2
+    # all-NULL column yields an empty frame with the right schema
+    df3 = spark.createDataFrame([(None,), (None,)], "v double")
+    empty = histogram(df3, "v", bins=2)
+    assert empty.count() == 0
+    assert empty.columns == ["bucket", "lo_edge", "hi_edge", "n"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        histogram(df2, "v", bins=0)
