@@ -260,3 +260,71 @@ def test_window_dedup_rule_matches_model_any_batching(contents, ttl, cuts):
     for c, st_ in states.items():
         if st_.exists:
             assert st_.get == (max(s for s, x in enumerate(contents) if x == c),)
+
+
+# --- duplicate-span property: Spark result == sequential model -------------
+
+def _span_model(texts, n, scope):
+    """Reference implementation of duplicate_spans: positional grams,
+    duplicated-gram set, per-doc island merge."""
+    toks = {i: [w for w in (t or "").lower().split() if w] for i, t in texts}
+    grams = []  # (doc, pos1based, gram)
+    for i, ws in toks.items():
+        for p in range(len(ws) - n + 1):
+            grams.append((i, p + 1, tuple(ws[p : p + n])))
+    by_gram = {}
+    for i, p, g in grams:
+        by_gram.setdefault(g, []).append(i)
+    if scope == "cross_doc":
+        dup = {g for g, ids in by_gram.items() if min(ids) != max(ids)}
+    else:
+        dup = {g for g, ids in by_gram.items() if len(ids) >= 2}
+    out = set()
+    for i in sorted(toks):
+        hits = sorted(p for d, p, g in grams if d == i and g in dup)
+        start = prev = None
+        for p in hits:
+            if prev is None or p > prev + n:
+                if start is not None:
+                    out.add((i, start, prev + n - 1, prev + n - start))
+                start = p
+            prev = p
+        if start is not None:
+            out.add((i, start, prev + n - 1, prev + n - start))
+    return out
+
+
+span_case = st.fixed_dictionaries(
+    {
+        # tiny alphabet forces cross-doc and within-doc collisions
+        "texts": st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+            ).map(" ".join),
+            min_size=1,
+            max_size=5,
+        ),
+        "n": st.integers(min_value=1, max_value=4),
+        "scope": st.sampled_from(["cross_doc", "any"]),
+    }
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=span_case)
+def test_duplicate_spans_matches_model(spark, case):
+    from margaret_spark.operators.dedup import duplicate_spans
+
+    texts = list(enumerate(case["texts"]))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in duplicate_spans(
+            df, "doc_id", "text", n=case["n"], scope=case["scope"]
+        ).collect()
+    }
+    assert got == _span_model(texts, case["n"], case["scope"])
