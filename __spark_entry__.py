@@ -1710,6 +1710,21 @@ def q_dedup_span_cut(spark, sf_dir):
     return cut_duplicate_spans(docs, "doc_id", "text", n=8)
 
 
+def q_dedup_span_cut_all(spark, sf_dir):
+    """Strict keep-ONE-occurrence span removal
+    (dedup.cut_duplicate_spans(keep='first_occurrence')): exactly one
+    copy of every duplicated word-8-gram passage survives corpus-wide
+    — the first in (doc_id, position) order — so repeats WITHIN the
+    owner document are cut too (the strict Lee-et-al semantic;
+    q_dedup_span_cut is the cross-document-only variant)."""
+    from margaret_spark.operators.dedup import cut_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return cut_duplicate_spans(
+        docs, "doc_id", "text", n=8, keep="first_occurrence"
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the jaccard near-dup pairs: every doc
     labeled with the min doc_id of its duplicate component (iterative
@@ -3163,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_span_stats": q_dedup_span_stats,
         "dedup_span_cut": q_dedup_span_cut,
+        "dedup_span_cut_all": q_dedup_span_cut_all,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_range": q_ann_range,
@@ -3242,20 +3258,33 @@ _DUP_SPAN_CTES = (
     "PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS i FROM flg)"
 )
 
-#: CTE chain for the keep-first span CUT oracle: same positional-gram
-#: build, but a position is duplicated iff its gram's min owner doc_id
-#: is EARLIER than this document; islands merge as above, and
-#: surviving positions rebuild the text with an ordered string_agg.
-#: Mirrors dedup.cut_duplicate_spans(n=8).
-_CUT_SPAN_CTES = (
+#: CTE chains for the span CUT oracles: same positional-gram build,
+#: with the hit rule swapped per keep mode — 'first_doc' cuts
+#: positions whose gram has an earlier owner DOCUMENT;
+#: 'first_occurrence' cuts every occurrence after the global first in
+#: (doc_id, pos) order (also within the owner). Islands merge as in
+#: the span report; surviving positions rebuild the text with an
+#: ordered string_agg. Mirrors dedup.cut_duplicate_spans(n=8, keep=…).
+_CUT_HIT_FIRST_DOC = (
+    "own AS (SELECT gr, min(doc_id) AS o FROM g GROUP BY gr), "
+    "h AS (SELECT doc_id, pos FROM g JOIN own USING (gr) WHERE doc_id > o)"
+)
+_CUT_HIT_FIRST_OCCURRENCE = (
+    "h AS (SELECT doc_id, pos FROM ("
+    "SELECT doc_id, pos, row_number() OVER ("
+    "PARTITION BY gr ORDER BY doc_id, pos) AS rn FROM g) WHERE rn > 1)"
+)
+
+
+def _cut_span_ctes(hit: str) -> str:
+    return (
     "WITH g AS ("
     "SELECT doc_id, CAST(idx AS INT) AS pos, "
     "array_to_string(toks[idx:idx+7], ' ') AS gr "
     "FROM (SELECT doc_id, toks, "
     "unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS idx "
     f"FROM (SELECT doc_id, {_WORDS} AS toks FROM documents))), "
-    "own AS (SELECT gr, min(doc_id) AS o FROM g GROUP BY gr), "
-    "h AS (SELECT doc_id, pos FROM g JOIN own USING (gr) WHERE doc_id > o), "
+    + hit + ", "
     "flg AS (SELECT doc_id, pos, "
     "CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL "
     "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 "
@@ -3270,6 +3299,17 @@ _CUT_SPAN_CTES = (
     "WHERE NOT EXISTS (SELECT 1 FROM spans s "
     "WHERE s.doc_id = t.doc_id AND t.p BETWEEN s.s AND s.e))"
 )
+#: Final projection shared by both cut oracles.
+_CUT_SPAN_SELECT = (
+    "SELECT x.doc_id, COALESCE(k.clean_text, '') AS clean_text, "
+    "CAST(len(x.ws) AS BIGINT) AS n_tokens, "
+    "CAST(len(x.ws) - COALESCE(k.cnt, 0) AS BIGINT) AS removed_tokens "
+    "FROM tk x LEFT JOIN ("
+    "SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text, "
+    "count(*) AS cnt FROM kept GROUP BY doc_id) k "
+    "ON x.doc_id = k.doc_id"
+)
+
 _SHINGLES = f"""
 SELECT doc_id, sh FROM (
   SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i
@@ -4358,14 +4398,11 @@ def _oracle_sql_base() -> dict[str, str]:
             + " AS dup_fraction "
             "FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id"
         ),
-        "dedup_span_cut": (_CUT_SPAN_CTES + " "
-            "SELECT x.doc_id, COALESCE(k.clean_text, '') AS clean_text, "
-            "CAST(len(x.ws) AS BIGINT) AS n_tokens, "
-            "CAST(len(x.ws) - COALESCE(k.cnt, 0) AS BIGINT) AS removed_tokens "
-            "FROM tk x LEFT JOIN ("
-            "SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text, "
-            "count(*) AS cnt FROM kept GROUP BY doc_id) k "
-            "ON x.doc_id = k.doc_id"
+        "dedup_span_cut": (_cut_span_ctes(_CUT_HIT_FIRST_DOC) + " "
+            + _CUT_SPAN_SELECT
+        ),
+        "dedup_span_cut_all": (
+            _cut_span_ctes(_CUT_HIT_FIRST_OCCURRENCE) + " " + _CUT_SPAN_SELECT
         ),
         "dedup_clusters": (
             "WITH RECURSIVE " + _CLUSTER_CTES + " "

@@ -1454,6 +1454,7 @@ def cut_duplicate_spans(
     id_col: str,
     text_col: str,
     n: int = 8,
+    keep: str = "first_doc",
 ) -> DataFrame:
     """(id, clean_text, n_tokens, removed_tokens): the corpus with
     every cross-document duplicated passage CUT from all but its
@@ -1462,17 +1463,24 @@ def cut_duplicate_spans(
     occurrence corpus-wide). :func:`duplicate_spans` reports; this
     rewrites.
 
-    Keep-first rule: each word ``n``-gram has an *owner*, the minimum
-    document id containing it. A token position is cut when some gram
-    covering position start owned by an EARLIER document starts there
-    — i.e. position ``p`` of document ``d`` is cut iff the gram at
-    ``p`` also occurs in a document with id < ``d``. The owner keeps
-    its text untouched (including its own internal repeats), every
-    later document loses the shared run; cut positions merge into
-    maximal spans exactly like :func:`duplicate_spans` and the
-    surviving tokens rejoin with single spaces (the tokenizer's
-    whitespace normalization — the cut output is a TOKEN stream
-    rendering, not a byte-identical substring of the original).
+    Keep rules (both deterministic):
+
+    - ``keep='first_doc'``: each word ``n``-gram has an *owner*, the
+      minimum document id containing it. Position ``p`` of document
+      ``d`` is cut iff the gram at ``p`` also occurs in a document
+      with id < ``d``. The owner keeps its text untouched (including
+      its own internal repeats) — cross-document boilerplate removal.
+    - ``keep='first_occurrence'``: exactly ONE occurrence of each
+      duplicated gram survives corpus-wide — the first in
+      (document id, position) order. This also cuts repeats WITHIN
+      the owner document (the strict Lee-et-al "keep one copy"
+      semantic).
+
+    Cut positions merge into maximal spans exactly like
+    :func:`duplicate_spans` and the surviving tokens rejoin with
+    single spaces (the tokenizer's whitespace normalization — the cut
+    output is a TOKEN stream rendering, not a byte-identical substring
+    of the original).
 
     Scale shape: identical to :func:`duplicate_spans` (min-only gram
     aggregation, equi-join on the gram hash, per-document windows)
@@ -1486,14 +1494,30 @@ def cut_duplicate_spans(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
+    if keep not in ("first_doc", "first_occurrence"):
+        raise ValueError(
+            f"keep must be 'first_doc' or 'first_occurrence': {keep!r}"
+        )
     grams = _positional_grams(df, id_col, text_col, n)
     grams = grams.localCheckpoint(eager=False)
-    owners = grams.groupBy("g").agg(F.min("__id").alias("__own"))
-    hits = (
-        grams.join(owners, "g")
-        .where(F.col("__id") > F.col("__own"))
-        .select("__id", "pos")
-    )
+    if keep == "first_doc":
+        owners = grams.groupBy("g").agg(F.min("__id").alias("__own"))
+        hits = (
+            grams.join(owners, "g")
+            .where(F.col("__id") > F.col("__own"))
+            .select("__id", "pos")
+        )
+    else:
+        # global first occurrence in (id, pos) order; struct min gives
+        # the lexicographic minimum in one map-side-combined aggregate
+        owners = grams.groupBy("g").agg(
+            F.min(F.struct("__id", "pos")).alias("__first")
+        )
+        hits = (
+            grams.join(owners, "g")
+            .where(F.struct("__id", "pos") > F.col("__first"))
+            .select("__id", "pos")
+        )
     spans = _merge_islands(hits, n)
     span_arr = spans.groupBy("__id").agg(
         F.collect_list(

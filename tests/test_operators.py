@@ -1659,3 +1659,29 @@ def test_histogram_grouped_degenerate_and_bounds(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         histogram(df2, "v", bins=0)
+
+
+def test_cut_duplicate_spans_first_occurrence_mode(spark):
+    from margaret_spark.operators.dedup import cut_duplicate_spans
+
+    phrase = "p1 p2 p3 p4"
+    rows = [
+        # doc 1 repeats the phrase internally; doc 2 repeats it again
+        (1, phrase + " gap1 gap2 gap3 gap4 gap5 " + phrase),
+        (2, phrase),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # first_doc: doc 1 (owner) keeps BOTH internal copies, doc 2 loses its copy
+    fd = {r.doc_id: r.clean_text
+          for r in cut_duplicate_spans(df, "doc_id", "text", n=4).collect()}
+    assert fd[1] == rows[0][1]
+    assert fd[2] == ""
+    # first_occurrence: only the doc-1 leading copy survives anywhere
+    fo = {r.doc_id: (r.clean_text, r.removed_tokens)
+          for r in cut_duplicate_spans(
+              df, "doc_id", "text", n=4, keep="first_occurrence").collect()}
+    assert fo[1] == (phrase + " gap1 gap2 gap3 gap4 gap5", 4)
+    assert fo[2] == ("", 4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cut_duplicate_spans(df, "doc_id", "text", keep="bogus")
