@@ -2346,6 +2346,26 @@ def q_decontaminate(spark, sf_dir):
     return ngram_contamination(rest, eval_df, "doc_id", "text", mode="word", n=3)
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (dedup.cut_contaminated_spans): the
+    same 5% hash-sample eval split as q_decontaminate, but instead of
+    flagging documents by overlap fraction, every trigram run that
+    appears in the eval set is CUT from the remaining corpus — the
+    salvage path that keeps a mostly-clean document's clean mass. The
+    eval gram universe broadcasts; the corpus never shuffles on
+    grams."""
+    from margaret_spark.operators.dedup import cut_contaminated_spans
+    from margaret_spark.operators.sampling import hash_sample, hex_threshold
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", 0.05)
+    thr = hex_threshold(0.05)
+    rest = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) >= thr
+    )
+    return cut_contaminated_spans(rest, eval_df, "doc_id", "text", n=3)
+
+
 def q_docs_scd2(spark, sf_dir):
     """SCD2 history merge (functions.diff.scd2_merge): a v2 crawl
     batch applied to the v1 document table — every 13th key absent
@@ -3226,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
         "training_data": q_training_data,
         "embedding_label_stats": q_embedding_label_stats,
         "codec_roundtrip": q_codec_roundtrip,
@@ -4403,6 +4424,38 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "dedup_span_cut_all": (
             _cut_span_ctes(_CUT_HIT_FIRST_OCCURRENCE) + " " + _CUT_SPAN_SELECT
+        ),
+        # span decontamination: corpus = the >=5% hash-sample rest,
+        # hit rule = trigram occurs anywhere in the eval split
+        "decontaminate_spans": (
+            "WITH tk AS (SELECT doc_id, "
+            f"COALESCE({_WORDS}, []) AS ws FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '0ccccccc'), "
+            "ev AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS gr "
+            "FROM (SELECT toks, "
+            "unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i "
+            f"FROM (SELECT {_WORDS} AS toks FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '0ccccccc')))"
+            ", g AS (SELECT doc_id, CAST(i AS INT) AS pos, "
+            "array_to_string(ws[i:i+2], ' ') AS gr "
+            "FROM (SELECT doc_id, ws, "
+            "unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS i FROM tk)), "
+            "h AS (SELECT doc_id, pos FROM g JOIN ev USING (gr)), "
+            "flg AS (SELECT doc_id, pos, "
+            "CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL "
+            "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 3 "
+            "THEN 1 ELSE 0 END AS flag FROM h), "
+            "isl AS (SELECT doc_id, pos, SUM(flag) OVER ("
+            "PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS i "
+            "FROM flg), "
+            "spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 2 AS e "
+            "FROM isl GROUP BY doc_id, i), "
+            "pos_tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, ws "
+            "FROM tk), "
+            "kept AS (SELECT t.doc_id, t.p, t.ws[t.p] AS tok FROM pos_tok t "
+            "WHERE NOT EXISTS (SELECT 1 FROM spans s "
+            "WHERE s.doc_id = t.doc_id AND t.p BETWEEN s.s AND s.e)) "
+            + _CUT_SPAN_SELECT
         ),
         "dedup_clusters": (
             "WITH RECURSIVE " + _CLUSTER_CTES + " "

@@ -1519,6 +1519,16 @@ def cut_duplicate_spans(
             .select("__id", "pos")
         )
     spans = _merge_islands(hits, n)
+    return _cut_spans_from_text(df, id_col, text_col, spans)
+
+
+def _cut_spans_from_text(
+    df: DataFrame, id_col: str, text_col: str, spans: DataFrame
+) -> DataFrame:
+    """Rebuild every document's token stream minus its cut spans
+    ((__id, span_start, span_end), 1-based inclusive): collect each
+    document's OWN spans into an array (bounded by tokens/n entries)
+    and drop covered positions with one codegen array filter."""
     span_arr = spans.groupBy("__id").agg(
         F.collect_list(
             F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
@@ -1546,6 +1556,48 @@ def cut_duplicate_spans(
         F.size(F.col("__toks")).cast("long").alias("n_tokens"),
         (F.size(F.col("__toks")) - F.size(kept)).cast("long").alias("removed_tokens"),
     )
+
+
+def cut_contaminated_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """(id, clean_text, n_tokens, removed_tokens): the corpus with
+    every token run that appears in the EVAL set cut out — span-level
+    decontamination. :func:`ngram_contamination` flags whole documents
+    by overlap fraction; this SURGICALLY removes the overlapping
+    passages so a mostly-clean document keeps its clean mass instead
+    of being dropped (the salvage path for long documents that merely
+    quote a benchmark).
+
+    A corpus token position is contaminated when the word ``n``-gram
+    starting there occurs anywhere in ``eval_df``; contaminated
+    positions merge into maximal spans (windows that overlap or touch
+    — the same islands rule as :func:`duplicate_spans`) and surviving
+    tokens rejoin with single spaces.
+
+    Scale shape: the eval side is benchmarks — small by nature — so
+    its distinct gram-hash universe is BROADCAST; the corpus explodes
+    positional grams once (narrow after repartition) and the hit test
+    is a broadcast-hash join, so the corpus NEVER shuffles on grams —
+    only (id, pos) hit rows reach the per-document islands window.
+    Identical contract to :func:`ngram_contamination`'s."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    grams = _positional_grams(corpus, id_col, text_col, n)
+    ev = (
+        eval_df.select(
+            F.explode(word_shingles(F.col(text_col), n=n)).alias("__gr")
+        )
+        .select(F.sha2(F.col("__gr"), 256).alias("g"))
+        .distinct()
+    )
+    hits = grams.join(F.broadcast(ev), "g").select("__id", "pos")
+    spans = _merge_islands(hits, n)
+    return _cut_spans_from_text(corpus, id_col, text_col, spans)
 
 
 def duplicate_span_stats(

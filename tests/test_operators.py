@@ -1685,3 +1685,29 @@ def test_cut_duplicate_spans_first_occurrence_mode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cut_duplicate_spans(df, "doc_id", "text", keep="bogus")
+
+
+def test_cut_contaminated_spans(spark):
+    from margaret_spark.operators.dedup import cut_contaminated_spans
+
+    ev = spark.createDataFrame(
+        [(100, "secret bench question one"), (101, "another eval item here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes the benchmark mid-document -> only the quote goes
+            (1, "intro words secret bench question one outro words"),
+            (2, "totally clean document text"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.removed_tokens)
+           for r in cut_contaminated_spans(
+               corpus, ev, "doc_id", "text", n=3).collect()}
+    assert got[1] == ("intro words outro words", 8, 4)
+    assert got[2] == ("totally clean document text", 4, 0)
+    assert got[3] == ("", 0, 0)
+    # eval docs themselves are NOT in the output (caller passes the rest)
+    assert set(got) == {1, 2, 3}
