@@ -3077,6 +3077,63 @@ def q_stream_decontaminate(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_decontaminate_spans(spark, sf_dir):
+    """Streaming span-level decontamination
+    (streaming/contamination.stream_decontaminate_spans): the 95%
+    corpus remainder streams out of a real log and every eval-set
+    trigram run is CUT as it arrives — same split, same JVM-side
+    tokenization, same islands merge as the batch
+    `decontaminate_spans`, so the append-mode sink is hash-exact
+    against the SAME SQL oracle. Stateless: the eval gram universe
+    rides a broadcast; only position math runs per row."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.operators.sampling import hash_sample, hex_threshold
+    from margaret_spark.streaming import stream_decontaminate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", 0.05)
+    thr = hex_threshold(0.05)
+    rest = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) >= thr
+    ).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_decon_spans_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(rest, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_decontaminate_spans(
+            log,
+            F.col("value"),
+            eval_df,
+            "text",
+            sink,
+            os.path.join(base, "ckpt"),
+            n=3,
+            available_now=True,
+        )
+        from margaret_spark.functions.seqassign import with_dense_seq
+
+        n_par = spark.sparkContext.defaultParallelism
+        ids = with_dense_seq(
+            rest.select("doc_id")
+            .repartitionByRange(n_par, F.col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+            seq_col="seq",
+        )
+        out = (
+            spark.read.parquet(sink)
+            .join(ids, "seq")
+            .select("doc_id", "clean_text", "n_tokens", "removed_tokens")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_sample_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle (operators.sampling.
     deterministic_shuffle): every document's position in the seed-7
@@ -3247,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
+        "stream_decontaminate_spans": q_stream_decontaminate_spans,
         "training_data": q_training_data,
         "embedding_label_stats": q_embedding_label_stats,
         "codec_roundtrip": q_codec_roundtrip,
@@ -3682,6 +3740,7 @@ def oracle_sql() -> dict[str, str]:
     # the at-ingest decontamination scorer must reproduce the batch
     # containment scoring exactly (same split, shingles, arithmetic)
     d["stream_decontaminate"] = d["decontaminate"]
+    d["stream_decontaminate_spans"] = d["decontaminate_spans"]
     # the streaming SCD2 ingest publishes the identical history the
     # batch merge produces — same closed-form oracle
     d["stream_docs_scd2"] = d["docs_scd2"]

@@ -11,7 +11,10 @@ from margaret_spark.streaming.stateful import (
     stream_latest_index,
     stream_topk,
 )
-from margaret_spark.streaming.contamination import stream_decontaminate
+from margaret_spark.streaming.contamination import (
+    stream_decontaminate,
+    stream_decontaminate_spans,
+)
 from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
 from margaret_spark.streaming.scrub import scrub_expr, stream_scrub_pii
 from margaret_spark.streaming.windows import session_windows, windowed_agg
@@ -28,6 +31,7 @@ __all__ = [
     "stream_topk",
     "stream_scrub_pii",
     "stream_decontaminate",
+    "stream_decontaminate_spans",
     "stream_scd2",
     "read_history",
     "prune_history",

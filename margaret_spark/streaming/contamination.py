@@ -117,3 +117,98 @@ def stream_decontaminate(
         b_eval.unpersist()
         return None
     return w.trigger(processingTime="500 milliseconds").start()
+
+
+def stream_decontaminate_spans(
+    log: OffsetLog,
+    text_expr: Column,
+    eval_df: DataFrame,
+    eval_text_col: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    available_now: bool = True,
+):
+    """Span-level at-ingest decontamination: CUT every eval-set token
+    run from a log's append stream as it arrives, writing
+    ``(seq, clean_text, n_tokens, removed_tokens)`` to an append-mode
+    parquet sink — the streaming twin of
+    ``operators.dedup.cut_contaminated_spans`` (same hit rule, same
+    islands merge, same space-rejoined token rendering), so the sink
+    is hash-exact against the batch SQL oracle.
+
+    Mechanics mirror :func:`stream_decontaminate`: the eval gram
+    universe is collected once and broadcast; the stream side
+    TOKENIZES JVM-side (``words`` — the identical expression to every
+    batch operator, so no Python-tokenization drift on whitespace
+    classes) and the Arrow kernel does only integer position math and
+    set membership. Stateless — no state store, no watermark."""
+    from margaret_spark.functions.shingling import words
+
+    eval_set = frozenset(
+        r["shingle"]
+        for r in eval_df.select(
+            F.explode(word_shingles(F.col(eval_text_col), n=n)).alias("shingle")
+        )
+        .distinct()
+        .collect()
+    )
+    sc = log.spark.sparkContext
+    b_eval = sc.broadcast(eval_set)
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ev = b_eval.value
+        for pdf in batches:
+            clean, ntok, rem = [], [], []
+            for toks in pdf["__toks"]:
+                toks = list(toks) if toks is not None else []
+                L = len(toks)
+                hits = [
+                    p
+                    for p in range(1, L - n + 2)
+                    if " ".join(toks[p - 1 : p - 1 + n]) in ev
+                ]
+                covered = bytearray(L + 1)
+                prev = None
+                s = None
+                spans = []
+                for p in hits:  # same islands rule as _merge_islands
+                    if prev is None or p > prev + n:
+                        if s is not None:
+                            spans.append((s, prev + n - 1))
+                        s = p
+                    prev = p
+                if s is not None:
+                    spans.append((s, prev + n - 1))
+                for a, b in spans:
+                    for i in range(a, b + 1):
+                        covered[i] = 1
+                kept = [t for i, t in enumerate(toks, 1) if not covered[i]]
+                clean.append(" ".join(kept))
+                ntok.append(L)
+                rem.append(L - len(kept))
+            yield pd.DataFrame(
+                {
+                    "seq": pdf["seq"],
+                    "clean_text": pd.Series(clean, dtype="object"),
+                    "n_tokens": pd.Series(ntok, dtype="int64"),
+                    "removed_tokens": pd.Series(rem, dtype="int64"),
+                }
+            )
+
+    src = log.stream_df().select(F.col("seq"), words(text_expr).alias("__toks"))
+    out = src.mapInPandas(
+        cut, "seq long, clean_text string, n_tokens long, removed_tokens long"
+    )
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        b_eval.unpersist()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()

@@ -741,3 +741,47 @@ def test_stream_topk_state_across_batches(spark, tmp_path):
     # carries a b emission
     b_batches = [bid for bid, rows in emissions if any(r[0] == "b" for r in rows)]
     assert len(b_batches) == 1
+
+
+def test_stream_decontaminate_spans_matches_batch(spark, tmp_path):
+    """The at-ingest span cutter reproduces the batch
+    cut_contaminated_spans exactly — clean text, token counts, NULL
+    text, and spanning-merge of adjacent hits."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.dedup import cut_contaminated_spans
+    from margaret_spark.streaming import stream_decontaminate_spans
+
+    eval_rows = [(100, "secret bench question one two")]
+    corpus_rows = [
+        (0, "intro secret bench question one two outro tail"),  # mid cut
+        (1, "clean text with no overlap at all"),
+        (2, None),                                              # NULL text
+        (3, "secret bench question one two"),                   # fully cut
+    ]
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["removed_tokens"])
+        for r in cut_contaminated_spans(
+            corpus, eval_df, "doc_id", "text", n=3
+        ).collect()
+    }
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    for _id, text in corpus_rows:  # seq == doc_id
+        log.append(text)
+    sink = str(tmp_path / "sink")
+    stream_decontaminate_spans(
+        log, F.col("value"), eval_df, "text", sink, str(tmp_path / "ck"),
+        n=3, available_now=True,
+    )
+    got = {
+        r["seq"]: (r["clean_text"], r["n_tokens"], r["removed_tokens"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == want
+    assert got[0] == ("intro outro tail", 8, 5)
+    assert got[2] == ("", 0, 0)
+    assert got[3] == ("", 5, 5)
