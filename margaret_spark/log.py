@@ -391,12 +391,25 @@ class OffsetLog(Log):
         left behind — none of them are visible to readers, but they
         accumulate disk forever otherwise."""
         import shutil
+        import time
 
+        self._complete_interrupted_swaps()
         live = {p for _lo, _hi, p in self._data_files()}
+        horizon = time.time() - 3600
         for name in os.listdir(self._data_dir):
             p = os.path.join(self._data_dir, name)
             if not name.endswith(".parquet"):
-                if name.startswith("."):  # orphaned .tmp/.dead artifacts
+                if name.startswith("."):
+                    # orphaned .tmp/.dead artifacts — age-gated like
+                    # the _staging sweep below: a fresh dot-tmp may be
+                    # another process's in-flight write (single-writer
+                    # is the CONTRACT, but a reader open must never
+                    # sabotage a live writer)
+                    try:
+                        if os.path.getmtime(p) >= horizon:
+                            continue
+                    except OSError:
+                        continue
                     if os.path.isdir(p):
                         shutil.rmtree(p, ignore_errors=True)
                     else:
@@ -429,6 +442,55 @@ class OffsetLog(Log):
                             os.remove(p)
                 except OSError:
                     pass
+
+    def _complete_interrupted_swaps(self) -> None:
+        """Finish a directory swap a crashed compaction started.
+
+        ``compact_log``'s whole-log-is-one-bulk-directory edge swaps
+        via two renames (``dst → .dst.dead`` then ``.dst.tmp → dst``;
+        POSIX cannot rename a file over a directory). A crash between
+        them leaves the log's ONLY contents in dot-named files that
+        the artifact sweep would otherwise destroy — the janitor must
+        COMPLETE the swap before sweeping, never the reverse. The
+        ``.dead`` backup is the proof the swap started (and hence that
+        the tmp was fully written before the first rename); a lone
+        dot-tmp without a backup is a torn in-flight write and stays
+        for the age-gated sweep."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        for name in sorted(os.listdir(self._data_dir)):
+            if not (name.startswith(".") and name.endswith(".dead")):
+                continue
+            base = name[1:-len(".dead")]
+            dst = os.path.join(self._data_dir, base)
+            tmp = os.path.join(self._data_dir, "." + base + ".tmp")
+            dead = os.path.join(self._data_dir, name)
+            if os.path.exists(dst):
+                # swap completed; only the backup's deletion was lost
+                if os.path.isdir(dead):
+                    shutil.rmtree(dead, ignore_errors=True)
+                else:
+                    os.remove(dead)
+                continue
+            promoted = False
+            if os.path.isfile(tmp):
+                try:
+                    pq.read_metadata(tmp)  # footer present = complete file
+                    os.rename(tmp, dst)
+                    promoted = True
+                except Exception:
+                    promoted = False
+            if promoted:
+                if os.path.isdir(dead):
+                    shutil.rmtree(dead, ignore_errors=True)
+                else:
+                    os.remove(dead)
+            else:
+                # no usable tmp: restore the backup — never delete the
+                # only copy of the data
+                os.rename(dead, dst)
 
     def _recover_seq(self) -> int:
         files = self._data_files()

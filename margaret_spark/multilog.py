@@ -501,13 +501,19 @@ class OffsetMultiLog(MultiLog):
         # appends too, not only by single-row append. Only addrs with a
         # live subscriber pay the cardinality read; notification runs
         # outside the lock like the single-append path's callbacks.
+        # The watched-set filter runs IN THE PLAN, below the collect:
+        # the collect is bounded by subscriber count, never by the
+        # batch's addr cardinality (a bulk load touching millions of
+        # addrs with one watcher must not materialize the addr set).
         if watched:
             touched = {
                 r["addr"]
                 for r in df.select(
                     F.col("addr").cast("string").alias("addr")
-                ).distinct().collect()
-                if r["addr"] in watched
+                )
+                .where(F.col("addr").isin(sorted(watched)))
+                .distinct()
+                .collect()
             }
             for a in sorted(touched):
                 members = self._members(a)

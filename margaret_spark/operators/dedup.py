@@ -113,9 +113,20 @@ def _derived_cache_put(key, value):
 
 def _plan_key(df: DataFrame):
     """Session-scoped semantic identity of a DataFrame's logical plan
-    (same caveat as Spark's own relation cache: identifies the PLAN,
-    not the bytes under it)."""
-    return (id(df.sparkSession), df.semanticHash())
+    PLUS a freshness token: the plan's resolved input-file listing.
+    The semanticHash alone identifies the PLAN, not the bytes under
+    it — re-reading the same path after the files change (log append,
+    compaction, overwrite) must MISS this cache, not silently resolve
+    ``max_df`` against a stale row count or filter with a stale stop
+    list. Every write path that matters renames the file set (appends
+    add range-named files, compaction replaces them, overwrite mode
+    writes fresh part-UUIDs), so the listing is a sound change token;
+    it costs one driver-side metadata walk, no job."""
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # non-file-backed or unresolvable plan: no token
+        files = ()
+    return (id(df.sparkSession), df.semanticHash(), files)
 
 
 def _resolve_max_df(df: DataFrame, max_df: int | float | str | None) -> int | None:

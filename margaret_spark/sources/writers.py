@@ -216,23 +216,18 @@ def compact_log(log, target_files: int = 1) -> int:
     (the vacuum-drops-time-travel trade; :func:`compact_small_files`
     has no such effect).
     """
-    import pyarrow as pa
     import pyarrow.parquet as pq
-
-    from pyspark.sql import Window
 
     with log._lock:
         # data with replace-overlay applied (null-overlay NOT applied:
         # the payload stays, the patch carries the redaction)
-        nulled_seqs: list[int] = []
+        nulled = None
         if log._has_patches():
             view = log.df()
-            nulled_seqs = [
-                r["seq"] for r in view.where(F.col("nulled")).select("seq").collect()
-            ]
             # replace folded in; nulled payloads zeroed (reference
             # zero-fills the frame, offset2/log.go:91-128) — the
-            # squashed patch file below preserves the ErrNulled marker
+            # squashed patch files below preserve the ErrNulled marker
+            nulled = view.where(F.col("nulled")).select("seq")
             data = view.select("seq", "value")
         else:
             data = log._base_df().select("seq", "value")
@@ -246,32 +241,44 @@ def compact_log(log, target_files: int = 1) -> int:
             .parquet(staging)
         )
         # Crash-safe ordering:
-        # 1. squash the null markers under FRESH patch ids (latest-wins
-        #    overlay: correct both before and after the old patches go);
+        # 1. squash the null markers under a FRESH shared patch id
+        #    (latest-wins overlay: correct both before and after the
+        #    old patches go). Written EXECUTOR-SIDE — a heavily
+        #    redacted log must not materialize its nulled-seq set on
+        #    the driver. All squashed rows share patch_id =
+        #    squash_base (one row per seq, so latest-wins needs no
+        #    intra-squash order), which also keeps the reopened
+        #    _recover_patch_id (max filename id + 1) ABOVE every
+        #    squashed row — the old per-row-id scheme handed out ids
+        #    after reopen that could lose to its own squash rows.
         squash_base = log._patch_id
-        if nulled_seqs:
-            arrow_value = log._arrow().field("value").type
-            schema = pa.schema(
-                [
-                    pa.field("patch_id", pa.int64(), False),
-                    pa.field("seq", pa.int64(), False),
-                    pa.field("op", pa.string(), False),
-                    pa.field("value", arrow_value, True),
-                ]
+        n_null_parts = 0
+        if nulled is not None:
+            squash_staging = os.path.join(log.path, "_compact_staging_patch")
+            (
+                nulled.select(
+                    F.lit(squash_base).cast("long").alias("patch_id"),
+                    F.col("seq").cast("long").alias("seq"),
+                    F.lit("null").alias("op"),
+                    F.lit(None).cast(log.value_type).alias("value"),
+                )
+                .write.mode("overwrite")
+                .parquet(squash_staging)
             )
-            table = pa.Table.from_pydict(
-                {
-                    "patch_id": [squash_base + i for i in range(len(nulled_seqs))],
-                    "seq": sorted(nulled_seqs),
-                    "op": ["null"] * len(nulled_seqs),
-                    "value": [None] * len(nulled_seqs),
-                },
-                schema=schema,
-            )
-            final = os.path.join(log._patch_dir, f"patch-{squash_base:020d}.parquet")
-            tmp = os.path.join(log._patch_dir, f".patch-{squash_base:020d}.parquet.tmp")
-            pq.write_table(table, tmp)
-            os.rename(tmp, final)
+            for part in sorted(
+                glob.glob(os.path.join(squash_staging, "part-*.parquet"))
+            ):
+                if pq.read_metadata(part).num_rows == 0:
+                    continue
+                os.rename(
+                    part,
+                    os.path.join(
+                        log._patch_dir,
+                        f"patch-{squash_base + n_null_parts:020d}.parquet",
+                    ),
+                )
+                n_null_parts += 1
+            shutil.rmtree(squash_staging, ignore_errors=True)
         # 2. publish the rewritten data files, one atomic rename per
         #    group, ranges aligned to old file boundaries (see
         #    _aligned_groups) — the supersede rule hides every input
@@ -317,7 +324,7 @@ def compact_log(log, target_files: int = 1) -> int:
             pid = int(os.path.basename(old)[len("patch-"):-len(".parquet")])
             if pid < squash_base:
                 os.remove(old)
-        log._patch_id = squash_base + len(nulled_seqs) if nulled_seqs else 0
+        log._patch_id = squash_base + n_null_parts if n_null_parts else 0
         log._seq = log._recover_seq()
     return len(groups)
 

@@ -63,11 +63,22 @@ def prune_history(history_dir: str, keep_last: int = 2) -> int:
     entries first, then the directories are removed — a crash between
     the two steps leaves unreferenced dirs that the next prune sweeps,
     never a referenced-but-deleted version. Returns the number of
-    versions removed."""
+    versions removed.
+
+    ``keep_last`` must be >= 2: :func:`stream_scd2`'s crash replay of
+    a micro-batch rebuilds from the newest version STRICTLY OLDER than
+    the replayed batch — if only the replayed batch's own version
+    survived pruning, that set is empty and the batch would silently
+    re-merge onto ``initial``, discarding all accumulated history.
+    Keeping the newest-but-one version closes that window for the
+    single-batch replay Structured Streaming can actually issue."""
     import shutil
 
-    if keep_last < 1:
-        raise ValueError(f"keep_last must be >= 1: {keep_last}")
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2 (crash replay needs the "
+            f"newest-but-one version): {keep_last}"
+        )
     versions = _read_manifest(history_dir)
     doomed = sorted(versions)[:-keep_last]
     if not doomed:

@@ -68,3 +68,78 @@ def test_open_sweeps_stale_staging_and_tmp(spark, tmp_path):
     assert not os.path.exists(tmp_file)
     assert not os.path.exists(stale_dir)      # old staging swept
     assert os.path.exists(fresh_dir)          # live writer untouched
+
+
+def test_janitor_completes_interrupted_dir_swap(spark, tmp_path, monkeypatch):
+    """Crash between compact_log's two renames in the
+    whole-log-is-one-bulk-directory edge: at that instant the log's
+    ONLY contents are dot-named files (.part-*.tmp + .part-*.dead);
+    the janitor must COMPLETE the swap at next open, not sweep them
+    (the sweep would silently empty the log)."""
+    from pyspark.sql import functions as F
+
+    from margaret_spark.sources import writers as W
+
+    path = str(tmp_path / "log")
+    log = OffsetLog(spark, path)
+    log.append_df(spark.range(20).select(F.col("id").alias("value")))
+    files = log._data_files()
+    assert len(files) == 1 and os.path.isdir(files[0][2])
+
+    real_rename = os.rename
+
+    def crash_rename(a, b):
+        real_rename(a, b)
+        if str(b).endswith(".dead"):
+            raise RuntimeError("simulated crash between the two renames")
+
+    monkeypatch.setattr(W.os, "rename", crash_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        W.compact_log(log, target_files=1)
+    monkeypatch.undo()
+
+    data_dir = os.path.join(path, "data")
+    names = os.listdir(data_dir)
+    assert names and all(n.startswith(".") for n in names), names
+
+    log2 = OffsetLog(spark, path)
+    assert log2.seq() == 19
+    assert list(log2.query()) == list(range(20))
+    log2.check_consistency()
+    # swap completed: exactly one live plain file, no dot leftovers
+    assert not [n for n in os.listdir(data_dir) if n.startswith(".")]
+
+
+def test_janitor_restores_backup_when_tmp_is_torn(spark, tmp_path, monkeypatch):
+    """Same mid-swap crash, but the tmp is torn (no parquet footer):
+    the janitor must fall back to restoring the .dead backup — it
+    never deletes the only copy of the data."""
+    from pyspark.sql import functions as F
+
+    from margaret_spark.sources import writers as W
+
+    path = str(tmp_path / "log")
+    log = OffsetLog(spark, path)
+    log.append_df(spark.range(7).select(F.col("id").alias("value")))
+    assert os.path.isdir(log._data_files()[0][2])
+
+    real_rename = os.rename
+
+    def crash_rename(a, b):
+        real_rename(a, b)
+        if str(b).endswith(".dead"):
+            raise RuntimeError("simulated crash between the two renames")
+
+    monkeypatch.setattr(W.os, "rename", crash_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        W.compact_log(log, target_files=1)
+    monkeypatch.undo()
+
+    data_dir = os.path.join(path, "data")
+    [tmp_name] = [n for n in os.listdir(data_dir) if n.endswith(".tmp")]
+    with open(os.path.join(data_dir, tmp_name), "wb") as f:
+        f.write(b"torn mid-write")  # no footer
+
+    log2 = OffsetLog(spark, path)
+    assert list(log2.query()) == list(range(7))
+    log2.check_consistency()
