@@ -428,7 +428,7 @@ class OffsetLog(Log):
         import time
 
         horizon = time.time() - 3600
-        for stale in ("_staging", "_compact_staging"):
+        for stale in ("_staging", "_compact_staging", "_compact_staging_patch"):
             root = os.path.join(self.path, stale)
             if not os.path.isdir(root):
                 continue
@@ -455,7 +455,22 @@ class OffsetLog(Log):
         ``.dead`` backup is the proof the swap started (and hence that
         the tmp was fully written before the first rename); a lone
         dot-tmp without a backup is a torn in-flight write and stays
-        for the age-gated sweep."""
+        for the age-gated sweep.
+
+        This intervention is deliberately NOT age-gated, unlike the
+        artifact sweeps: in the interrupted state the affected range's
+        ONLY copy lives in dot-named files invisible to
+        :meth:`_data_files`, so a reader that deferred completion
+        would see an empty/holed log — wrong answers, not just stale
+        disk. The cost is a two-syscall window during a LIVE
+        compaction's swap where a concurrent open could promote the
+        tmp first and make the writer's own ``rename(tmp, dst)`` raise
+        ``FileNotFoundError`` — data stays consistent, only the writer
+        process fails. That window is accepted under the single-writer
+        contract (opening a log while another handle is compacting it
+        is already outside the contract; read correctness for genuine
+        crash recovery wins over a contract-violating writer's
+        convenience)."""
         import shutil
 
         import pyarrow.parquet as pq

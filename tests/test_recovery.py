@@ -52,22 +52,34 @@ def test_open_sweeps_stale_staging_and_tmp(spark, tmp_path):
     log = OffsetLog(spark, path)
     log.append_many([1, 2, 3])
 
-    # plant crash artifacts
+    # plant crash artifacts — dot-tmps are age-gated exactly like the
+    # staging dirs (a FRESH tmp may be another process's in-flight
+    # write; a reader open must never sabotage a live writer)
+    old = time.time() - 7200
     tmp_file = os.path.join(log._data_dir, ".part-x.parquet.tmp")
     open(tmp_file, "w").write("junk")
+    os.utime(tmp_file, (old, old))
+    fresh_tmp = os.path.join(log._data_dir, ".part-y.parquet.tmp")
+    open(fresh_tmp, "w").write("junk")
     stale_dir = os.path.join(path, "_staging", "old-load")
     os.makedirs(stale_dir)
     open(os.path.join(stale_dir, "part-0.parquet"), "w").write("junk")
-    old = time.time() - 7200
     os.utime(stale_dir, (old, old))
     fresh_dir = os.path.join(path, "_staging", "inflight-load")
     os.makedirs(fresh_dir)
+    patch_staging = os.path.join(path, "_compact_staging_patch")
+    os.makedirs(patch_staging)
+    stale_patch = os.path.join(patch_staging, "part-0.parquet")
+    open(stale_patch, "w").write("junk")
+    os.utime(stale_patch, (old, old))
 
     log2 = OffsetLog(spark, path)
     assert list(log2.query()) == [1, 2, 3]
-    assert not os.path.exists(tmp_file)
+    assert not os.path.exists(tmp_file)       # old dot-tmp swept
+    assert os.path.exists(fresh_tmp)          # live writer untouched
     assert not os.path.exists(stale_dir)      # old staging swept
     assert os.path.exists(fresh_dir)          # live writer untouched
+    assert not os.path.exists(stale_patch)    # crashed squash swept
 
 
 def test_janitor_completes_interrupted_dir_swap(spark, tmp_path, monkeypatch):

@@ -392,20 +392,33 @@ def test_stream_scd2_multi_batch_history(spark, tmp_path):
     }
     assert got == want
 
-    # prune: only the newest version survives; history still readable
+    # batch 3: a third version so prune has something to remove under
+    # the keep_last >= 2 floor (crash replay needs newest-but-one)
+    log.append('{"k":1,"v":"a3"}')
+    stream_scd2(
+        log, prepare, "k", initial, hist, ck,
+        version_of=lambda b: b + 1, available_now=True,
+    )
+    m3 = scd2_merge(m2, spark.createDataFrame([(1, "a3")], schema), "k", 3)
+    want3 = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"]) for r in m3.collect()
+    }
+
+    # prune: the newest TWO versions survive; history still readable
     from margaret_spark.streaming import prune_history
     import os
 
-    assert prune_history(hist, keep_last=1) == 1
-    assert len([d for d in os.listdir(hist) if d.startswith("v")]) == 1
+    assert prune_history(hist, keep_last=2) == 1
+    assert len([d for d in os.listdir(hist) if d.startswith("v")]) == 2
     still = {
         (r["k"], r["v"]): (r["valid_from"], r["valid_to"])
         for r in read_history(spark, hist).collect()
     }
-    assert still == want
-    assert prune_history(hist, keep_last=1) == 0  # idempotent
-    with pytest.raises(ValueError):
-        prune_history(hist, keep_last=0)
+    assert still == want3
+    assert prune_history(hist, keep_last=2) == 0  # idempotent
+    for bad in (0, 1):
+        with pytest.raises(ValueError):
+            prune_history(hist, keep_last=bad)
 
 
 def test_stream_decontaminate_matches_batch(spark, tmp_path):
