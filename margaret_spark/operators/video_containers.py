@@ -223,6 +223,104 @@ def encode_avi_stub(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_avi_mjpeg(
+    usec_per_frame: int,
+    frames: list[bytes],
+    width: int,
+    height: int,
+) -> bytes:
+    """A REAL playable-layout MJPEG-in-AVI: RIFF('AVI ') with an hdrl
+    LIST (avih MainAVIHeader + one strl LIST holding an
+    AVISTREAMHEADER with fccType 'vids' / fccHandler 'MJPG' and a
+    BITMAPINFOHEADER strf with biCompression 'MJPG') and a movi LIST
+    carrying one ``00dc`` chunk per frame. Each ``frames`` entry must
+    be a complete baseline JPEG (``operators.jpeg.encode_jpeg``) —
+    MJPEG is, by definition, a sequence of independently-coded JPEG
+    frames, which is exactly why this container is frame-decodable
+    with the repo's from-scratch JPEG codec and no native libraries."""
+    avih = b"avih" + struct.pack(
+        "<I14I",
+        56,  # cb: struct size
+        usec_per_frame, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHHIIIIIIII4h",
+        56,  # cb
+        b"vids", b"MJPG",
+        0, 0, 0,  # flags, priority, language
+        0,  # initial frames
+        usec_per_frame, 1_000_000,  # scale, rate: fps = rate/scale
+        0, len(frames),  # start, length (in frames)
+        max((len(f) for f in frames), default=0),  # suggested buffer
+        0xFFFFFFFF, 0,  # quality (default), sample size (varying)
+        0, 0, width, height,  # rcFrame
+    )
+    strf = b"strf" + struct.pack(
+        "<I3I2H6I",
+        40,  # chunk size: BITMAPINFOHEADER is 40 bytes
+        40,  # biSize
+        width, height, 1, 24,  # planes, bit count
+        struct.unpack("<I", b"MJPG")[0],  # biCompression
+        width * height * 3, 0, 0, 0, 0,
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl_body = b"hdrl" + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    chunks = []
+    for f in frames:
+        chunks.append(b"00dc" + struct.pack("<I", len(f)) + f)
+        if len(f) & 1:
+            chunks.append(b"\x00")  # RIFF chunks pad to even
+    movi_body = b"movi" + b"".join(chunks)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_mjpeg_frames(blob: bytes):
+    """The ordered video-frame payloads of a RIFF-AVI's movi LIST
+    (``##dc``/``##db`` chunks, descending into ``rec `` groups), or
+    ``None`` if the blob is not an AVI or any chunk size is malformed
+    (classify-don't-crash, size-validated and iteration-capped like
+    :func:`avi_meta` — a corrupt movi must not yield a silently
+    truncated frame list). The payloads are the raw per-frame streams;
+    for MJPEG they are complete baseline JPEGs."""
+    if blob is None or len(blob) < 12:
+        return None
+    buf = bytes(blob)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        return None
+    riff_end = min(len(buf), 8 + struct.unpack_from("<I", buf, 4)[0])
+    frames: list[bytes] = []
+    # (pos, end, in_movi) scopes; movi itself plus nested 'rec ' groups
+    stack = [(12, riff_end, False)]
+    n = 0
+    while stack:
+        pos, end, in_movi = stack.pop()
+        while pos + 8 <= end:
+            if n >= _MAX_BOXES:
+                return None  # iteration bomb: refuse, don't truncate
+            n += 1
+            ckid = buf[pos : pos + 4]
+            cksz = struct.unpack_from("<I", buf, pos + 4)[0]
+            if pos + 8 + cksz > end:
+                return None  # malformed size: refuse the whole list
+            if ckid == b"LIST" and cksz >= 4:
+                ltype = buf[pos + 8 : pos + 12]
+                if ltype == b"movi" or (in_movi and ltype == b"rec "):
+                    # finish this scope later; walk the list first
+                    nxt = pos + 8 + cksz + (cksz & 1)
+                    if nxt < end:
+                        stack.append((nxt, end, in_movi))
+                    pos, end, in_movi = pos + 12, pos + 8 + cksz, True
+                    continue
+            elif in_movi and ckid[2:4] in (b"dc", b"db"):
+                frames.append(buf[pos + 8 : pos + 8 + cksz])
+            pos += 8 + cksz + (cksz & 1)
+    return frames
+
+
 def avi_meta(blob: bytes):
     """Parse a RIFF-AVI blob's MainAVIHeader.
 
