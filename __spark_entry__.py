@@ -2879,6 +2879,47 @@ def q_multimodal_decode_video(spark, sf_dir):
     )
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """REAL byte-level BPE tokenization on the graded surface
+    (operators.bpe): a GPT-2-style pre-tokenizer (Python∩Java∩RE2
+    dialect, no lookahead), byte-level base vocabulary (ids 0-255 =
+    UTF-8 bytes, merge r → 256+r), and the deterministic DEFAULT
+    merge table derived from the embedded seed corpus (a pytest
+    retrains it from the seed and asserts equality — the table is a
+    pure function of public algorithm + seed, not a magic constant).
+    The oracle re-runs the ENTIRE encoder independently in SQL: a
+    recursive CTE applies one (lowest-rank, leftmost) merge per step
+    over the distinct pre-token vocabulary — equivalent to the
+    sweep implementation because pairs created by a merge always
+    involve the new, strictly-later-ranked token. Hash-exact on
+    count, checksum, and the first 8 token ids per document.
+    Arrow-batched pandas UDF, map-only; the merge loop is memoized
+    per distinct pre-token."""
+    from margaret_spark.operators.bpe import bpe_tokenize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-file table → spread the CPU-heavy merge loop
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    t = bpe_tokenize(docs, "doc_id", "text")
+    a = F.col("token_ids")
+    return t.select(
+        "doc_id",
+        F.coalesce(F.size(a), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(
+                a, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("token_sum"),
+        *[
+            F.element_at(a, i).cast("int").alias(f"t{i}")
+            for i in range(1, 9)
+        ],
+    )
+
+
 def q_stream_events_sessions(spark, sf_dir):
     """Gap-based session windows computed BY THE STREAMING ENGINE
     (F.session_window, 30-min gap) and drained with availableNow —
@@ -3332,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_eval": q_text_langid_eval,
         "text_bpe_count": q_text_bpe_count,
         "text_fingerprint": q_text_fingerprint,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_decode_png": q_multimodal_decode_png,
@@ -3539,6 +3581,66 @@ def _repetition_sql() -> str:
         "list_transform(range(1, greatest(len(toks) - 1, 1)), "
         "i -> array_to_string(toks[i:i+2], ' ')) AS sh "
         f"FROM (SELECT doc_id, {_WORDS} AS toks FROM documents))"
+    )
+
+
+def _bpe_tokens_sql() -> str:
+    """The text_bpe_tokens oracle: an INDEPENDENT SQL re-derivation of
+    byte-level BPE. Token state is a list of ids; each recursion step
+    applies exactly one merge — the (lowest-rank, leftmost) candidate,
+    encoded as min(rank·4096 + pos) — to every still-reducible
+    distinct pre-token; a pre-token leaves the recursion when no
+    adjacent pair is in the merge table, and the terminal states join
+    back to the per-document pre-token sequence. Equivalent to the
+    Python sweep encoder because any pair a merge CREATES contains the
+    new token, whose own merges were learned later and rank strictly
+    higher (operators/bpe.py module docstring). ``ord()`` equals the
+    UTF-8 byte for the ASCII corpus the graded tables hold; multibyte
+    byte-level behavior is pinned in pytest instead. The merge-table
+    literal is generated from operators.bpe.DEFAULT_MERGES (itself
+    derived from the embedded seed corpus)."""
+    from margaret_spark.operators.bpe import DEFAULT_MERGES, PRETOKEN_RE
+
+    rows = ", ".join(
+        f"({r}, {a}, {b}, {256 + r})" for r, (a, b) in enumerate(DEFAULT_MERGES)
+    )
+    pat = PRETOKEN_RE.replace("'", "''")
+    return (
+        "WITH RECURSIVE "
+        f"merges(rnk, l, r, nid) AS (SELECT * FROM (VALUES {rows}) v), "
+        "pre AS (SELECT doc_id, unnest(toks) AS tok, "
+        "generate_subscripts(toks, 1) AS pno "
+        f"FROM (SELECT doc_id, regexp_extract_all(text, '{pat}') AS toks "
+        "FROM documents)), "
+        "vocab AS (SELECT DISTINCT tok FROM pre), "
+        "steps(tok, ids) AS ("
+        "SELECT tok, list_transform(range(1, length(tok) + 1), "
+        "i -> ord(tok[i])) FROM vocab "
+        "UNION ALL "
+        "SELECT t.tok, t.ids[1:t.pos - 1] || [t.nid] || "
+        "t.ids[t.pos + 2:len(t.ids)] "
+        "FROM (SELECT c.tok, c.ids, CAST(c.best % 4096 AS INT) AS pos, "
+        "mm.nid FROM ("
+        "SELECT s.tok, s.ids, min(m.rnk * 4096 + p.i) AS best "
+        "FROM steps s "
+        "CROSS JOIN LATERAL unnest(range(1, len(s.ids))) AS p(i) "
+        "JOIN merges m ON m.l = s.ids[p.i] AND m.r = s.ids[p.i + 1] "
+        "GROUP BY s.tok, s.ids) c "
+        "JOIN merges mm ON mm.rnk = c.best // 4096) t), "
+        "final AS (SELECT s.tok, s.ids FROM steps s "
+        "WHERE NOT EXISTS (SELECT 1 FROM merges m, "
+        "LATERAL unnest(range(1, len(s.ids))) AS p(i) "
+        "WHERE m.l = s.ids[p.i] AND m.r = s.ids[p.i + 1])), "
+        "doc_tokens AS (SELECT p.doc_id, "
+        "flatten(list(f.ids ORDER BY p.pno)) AS toks "
+        "FROM pre p JOIN final f ON f.tok = p.tok GROUP BY p.doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(len(dt.toks), 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(list_sum(dt.toks), 0) AS BIGINT) AS token_sum, "
+        + ", ".join(
+            f"CAST(dt.toks[{i}] AS INT) AS t{i}" for i in range(1, 9)
+        )
+        + " FROM documents d LEFT JOIN doc_tokens dt USING (doc_id)"
     )
 
 
@@ -5067,6 +5169,7 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM documents GROUP BY lang, n_chars // 100"
         ),
         "text_repetition": _repetition_sql(),
+        "text_bpe_tokens": _bpe_tokens_sql(),
         # eval set = deterministic 5% hash sample (md5 < 0ccccccc);
         # contamination = matched distinct trigrams / doc trigrams
         "decontaminate": (

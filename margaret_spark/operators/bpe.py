@@ -1,0 +1,281 @@
+"""Real byte-level BPE tokenization — the GPT-2-style algorithm
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units"; Radford et al. 2019 byte-level variant), implemented
+from scratch on public knowledge only.
+
+Pieces:
+
+- **Pre-tokenizer**: a GPT-2-style regex, deliberately restricted to
+  the Python-re ∩ Java-regex ∩ RE2 dialect (no lookahead — RE2, hence
+  the DuckDB oracle, has none): contraction suffixes, optionally
+  space-prefixed letter runs / digit runs / punctuation runs, and
+  whitespace runs. BPE merges never cross pre-token boundaries.
+- **Byte-level base vocabulary**: token ids 0–255 are the raw UTF-8
+  byte values; merge ``r`` creates id ``256 + r``. No unknown tokens,
+  any byte string tokenizes.
+- **Trainer** (:func:`train_bpe_from_word_counts`): the classic
+  word-frequency merge loop — count adjacent id pairs weighted by
+  word frequency, merge the most frequent pair, repeat. Fully
+  deterministic: ties break on the smallest ``(left, right)`` id
+  pair, so the merge table is a pure function of the counts.
+- **Distributed trainer** (:func:`train_bpe`): pre-token counting is
+  a JVM-side ``regexp_extract_all`` + explode + groupBy (the shape
+  that scales — one shuffle of (word, count) pairs); the merge loop
+  runs driver-side over the BOUNDED top-``max_words`` word-frequency
+  table (the standard practice: BPE training state is the word
+  vocabulary, not the corpus — 64k words × short byte seqs is driver
+  change, 100 TB of text never leaves the executors).
+- **Encoder** (:func:`bpe_encode` / :func:`bpe_tokenize`): lowest-
+  rank-first merge loop per pre-token, memoized per distinct
+  pre-token, applied corpus-wide as an Arrow-batched pandas UDF.
+
+The cross-engine contract: applying merge RULES one occurrence at a
+time, always the (lowest-rank, leftmost) candidate, yields the same
+final tokenization as the sweep implementation here — new pairs
+created by a merge always involve the new token, whose containing
+merges were learned later and therefore rank strictly higher. The
+DuckDB oracle in ``__spark_entry__`` exploits exactly that
+equivalence with a recursive one-merge-per-step CTE.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: GPT-2-style pre-tokenizer, restricted to the Python ∩ Java ∩ RE2
+#: dialect (ASCII classes, no lookahead). Alternation order matters
+#: and is identical (leftmost-first) in all three engines.
+PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+_PRETOKEN = re.compile(PRETOKEN_RE)
+
+#: Base vocabulary size: token ids 0-255 are raw byte values.
+N_BYTES = 256
+
+
+def pretokenize(text: str) -> list[str]:
+    """The pre-token pieces of ``text`` in order (concatenation
+    restores the text exactly — the regex alternatives cover every
+    character class)."""
+    return _PRETOKEN.findall(text)
+
+
+def train_bpe_from_word_counts(
+    counts: Iterable[tuple[str, int]], n_merges: int
+) -> list[tuple[int, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, frequency) table.
+
+    Returns the merge list in rank order; merge ``r`` fuses
+    ``(left_id, right_id) -> 256 + r``. Deterministic: the most
+    frequent pair wins, ties break on the smallest (left, right).
+    Stops early when no pair occurs twice (merging singletons would
+    memorize the sample)."""
+    words: list[tuple[list[int], int]] = [
+        (list(w.encode("utf-8")), int(c)) for w, c in counts if w and c > 0
+    ]
+    merges: list[tuple[int, int]] = []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple[int, int], int] = {}
+        for ids, c in words:
+            for a, b in zip(ids, ids[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        new_id = N_BYTES + rank
+        a, b = best
+        for ids, _c in words:
+            i = 0
+            while i < len(ids) - 1:
+                if ids[i] == a and ids[i + 1] == b:
+                    ids[i : i + 2] = [new_id]
+                else:
+                    i += 1
+    return merges
+
+
+#: Deterministic seed corpus for the default merge table: common
+#: English function words plus the analytics-domain vocabulary this
+#: engine's corpora use. The table is DERIVED (a test retrains it
+#: from this text and asserts equality), not a magic constant.
+SEED_TEXT = (
+    "the quick brown fox jumps over the lazy dog "
+    "a an and or not of to in is it for on as with by at from this that "
+    "query table scan join filter sort group order window merge batch "
+    "stream key value row column data part hash agg spark line customer "
+    "fast slow big small the end of the stream marks the start of the "
+    "next query and the table of values grows with the data in the "
+    "stream while the window over the rows orders the keys of the group"
+)
+
+#: Number of merges in the default table — small enough that every
+#: token id stays far below the oracle's (rank, pos) packing base.
+DEFAULT_N_MERGES = 240
+
+
+def _train_default() -> list[tuple[int, int]]:
+    counts: dict[str, int] = {}
+    for tok in pretokenize(SEED_TEXT):
+        counts[tok] = counts.get(tok, 0) + 1
+    return train_bpe_from_word_counts(sorted(counts.items()), DEFAULT_N_MERGES)
+
+
+DEFAULT_MERGES: list[tuple[int, int]] = _train_default()
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = DEFAULT_N_MERGES,
+    max_words: int = 65536,
+) -> list[tuple[int, int]]:
+    """Learn a merge table from a corpus.
+
+    Pre-token counting runs JVM-side (``regexp_extract_all`` +
+    explode + groupBy — one shuffle of small (word, count) rows with
+    map-side partial aggregation); the driver collects only the top
+    ``max_words`` distinct pre-tokens by (count desc, word asc) — the
+    bounded word-frequency table the merge loop needs — and trains
+    locally. Deterministic for a given corpus regardless of
+    partitioning."""
+    wc = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(max_words)
+    )
+    counts = [(r["w"], r["c"]) for r in wc.collect()]
+    return train_bpe_from_word_counts(counts, n_merges)
+
+
+def bpe_encode(
+    text: str,
+    merges: Sequence[tuple[int, int]] | None = None,
+    _cache: dict | None = None,
+) -> list[int]:
+    """Token ids of ``text`` under the merge table (byte-level, no
+    unknowns). ``_cache`` memoizes per distinct pre-token — corpus
+    encoding revisits the same words constantly."""
+    if merges is None:
+        merges = DEFAULT_MERGES
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    out: list[int] = []
+    cache: dict[str, list[int]] = _cache if _cache is not None else {}
+    for tok in pretokenize(text):
+        ids = cache.get(tok)
+        if ids is None:
+            ids = _merge_word(list(tok.encode("utf-8")), ranks)
+            cache[tok] = ids
+        out.extend(ids)
+    return out
+
+
+def _merge_word(ids: list[int], ranks: dict[tuple[int, int], int]) -> list[int]:
+    while len(ids) > 1:
+        best_rank, best_pair = None, None
+        for pair in zip(ids, ids[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        a, b = best_pair
+        new_id = N_BYTES + best_rank
+        i = 0
+        while i < len(ids) - 1:
+            if ids[i] == a and ids[i + 1] == b:
+                ids[i : i + 2] = [new_id]
+            else:
+                i += 1
+    return ids
+
+
+def bpe_decode(
+    ids: Sequence[int], merges: Sequence[tuple[int, int]] | None = None
+) -> bytes:
+    """The exact byte string a token sequence encodes (BPE is
+    lossless: decode(encode(t)) == t.encode('utf-8'))."""
+    if merges is None:
+        merges = DEFAULT_MERGES
+    out = bytearray()
+    stack: list[int] = []
+    for tid in ids:
+        stack.append(tid)
+        while stack:
+            t = stack.pop()
+            if t < N_BYTES:
+                out.append(t)
+            else:
+                a, b = merges[t - N_BYTES]
+                stack.append(b)
+                stack.append(a)
+    return bytes(out)
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: Sequence[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """(id, token_ids array<int>): corpus tokenization as ONE
+    Arrow-batched pandas UDF projection — map-only, zero shuffles,
+    partition-preserving; the merge table ships in the serialized
+    closure (a few KB) and the per-pretoken memo cache amortizes the
+    merge loop to ~one dict hit per word occurrence. NULL text
+    tokenizes to NULL (schema-honest: absent ≠ empty)."""
+    mg = list(merges) if merges is not None else list(DEFAULT_MERGES)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def tok(s):
+        import pandas as pd
+
+        ranks = {pair: r for r, pair in enumerate(mg)}
+        cache: dict[str, list[int]] = {}
+
+        def enc(t):
+            out: list[int] = []
+            for w in pretokenize(t):
+                ids = cache.get(w)
+                if ids is None:
+                    ids = _merge_word(list(w.encode("utf-8")), ranks)
+                    cache[w] = ids
+                out.extend(ids)
+            return out
+
+        return pd.Series([None if t is None else enc(t) for t in s])
+
+    return df.select(F.col(id_col), tok(F.col(text_col)).alias("token_ids"))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: Sequence[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """(id, n_tokens): the REAL token count per document — the
+    production replacement for the ``bpe_ish_token_count`` regex proxy
+    as the token source feeding ``token_budget_sample`` /
+    ``pack_sequences`` (both take a ``tokens_col``, so they compose
+    with either source unchanged). NULL text counts 0 tokens."""
+    t = bpe_tokenize(df, id_col, text_col, merges)
+    return t.select(
+        F.col(id_col),
+        F.coalesce(F.size("token_ids"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )

@@ -72,9 +72,13 @@ def test_entry_queries_plan_quality(spark):
         "multimodal_decode_jpeg",
         "multimodal_decode_wav",
         "multimodal_video_meta",
+        "multimodal_decode_video",
         # codec round-trip is BY DESIGN a Python codec exercised
         # through an Arrow-batched pandas UDF
         "codec_roundtrip",
+        # the BPE merge loop is genuinely imperative per pre-token;
+        # its designed execution path is one Arrow-batched projection
+        "text_bpe_tokens",
     }
     for name, fn in entry.queries().items():
         assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)
