@@ -56,6 +56,20 @@ HEADLINE = [
     "text_fingerprint",
 ]
 
+# Families added to the measured bench in round 5 (span-level dedup,
+# graph, SCD2 versioning, stateful streaming, video containers, real
+# BPE). Kept in a separate list so the r1-r4-comparable 37-query
+# subtotal can still be reported alongside the full total.
+HEADLINE_V2 = [
+    "dedup_span_cut",
+    "docs_pagerank",
+    "docs_scd2",
+    "stream_topk",
+    "multimodal_video_meta",
+    "multimodal_decode_video",
+    "text_bpe_tokens",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,7 +88,7 @@ def main() -> None:
 
     qs = entry.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_V2:
         fn = qs[name]
         # one warm-up run (JIT/codegen compilation), then the best of
         # three measured runs — steady-state timing, standard
@@ -91,12 +105,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    subtotal_v1 = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                # the original 37-query set benched since r1 — compare
+                # THIS number round-over-round; "value" additionally
+                # includes the HEADLINE_V2 families added in r5
+                "subtotal_37q_r1_comparable": subtotal_v1,
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": int(cpus) if str(cpus).isdigit() else cpus,
