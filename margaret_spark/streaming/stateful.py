@@ -155,6 +155,7 @@ def stream_dedup_window(
     ttl_seqs: int = 10_000,
     state_ttl: str | int | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Bounded-horizon streaming dedup: a re-arrival is suppressed only
     while the SAME content was last seen within the trailing
@@ -197,7 +198,9 @@ def stream_dedup_window(
             "state_ttl needs a continuous trigger: pass available_now=False "
             "(an availableNow drain never terminates while timeouts are armed)"
         )
-    src = log.stream_df()
+    # max_files_per_trigger bounds catch-up batch size (a restart over
+    # a long backlog should replay in bounded micro-batches, not one)
+    src = log.stream_df(max_files_per_trigger)
     keyed = src.select(
         F.sha2(content_expr.cast("string"), 256).alias("content_hash"), F.col("seq")
     )
