@@ -121,7 +121,17 @@ def _plan_key(df: DataFrame):
     list. Every write path that matters renames the file set (appends
     add range-named files, compaction replaces them, overwrite mode
     writes fresh part-UUIDs), so the listing is a sound change token;
-    it costs one driver-side metadata walk, no job."""
+    it costs one driver-side metadata walk, no job.
+
+    Non-file-backed plans get an EMPTY token, which is still sound
+    for every in-repo source: ``createDataFrame`` local relations
+    (MemLog's ``df()`` builds a fresh one per call) fold their DATA
+    into ``semanticHash``, so mutated contents change the key anyway
+    (pinned by ``test_mem_corpus_mutation_recounts``). The one
+    residual gap is an external scan that is neither file-listed nor
+    data-hashed (e.g. a JDBC table mutated between calls) — callers
+    over such sources should ``clear_derived_caches()`` between
+    mutations, as the cache-contract note above says."""
     try:
         files = tuple(sorted(df.inputFiles()))
     except Exception:  # non-file-backed or unresolvable plan: no token

@@ -62,6 +62,28 @@ def test_ngram_jaccard_pairs(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_mem_corpus_mutation_recounts(spark):
+    """The derived-stats cache must MISS when a mem-backed corpus
+    mutates between two relative max_df resolutions: MemLog builds a
+    fresh createDataFrame relation per call and local relations fold
+    their DATA into semanticHash, so no stale row count can be
+    served (the _plan_key freshness contract for non-file sources)."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.log import MemLog
+    from margaret_spark.operators.dedup import _resolve_max_df
+
+    log = MemLog(spark, value_type=T.StringType())
+    for i in range(4):
+        log.append(f"doc {i}")
+    assert _resolve_max_df(log.df(), 0.5) == 2
+    # cached: same contents resolve without a recount (and identically)
+    assert _resolve_max_df(log.df(), 0.5) == 2
+    for i in range(4):
+        log.append(f"doc {i + 4}")
+    assert _resolve_max_df(log.df(), 0.5) == 4  # recounted, not stale
+
+
 def test_jaccard_max_df_forms(spark):
     from margaret_spark.operators.dedup import _resolve_max_df
 
