@@ -64,6 +64,12 @@ def scd2_merge(
     append-only). Row equality is the same length-prefixed sha2
     content hash as :func:`table_diff` — NULL-safe, engine-portable.
 
+    CONTRACT: ``changes`` must be key-unique — one row per key, the
+    key's final state for this version (``stream_scd2`` enforces this
+    with a max-by-seq pre-aggregation). A batch carrying the same key
+    twice would fan the full-outer join out and close/insert that key
+    once per duplicate.
+
     Scale shape: closed history is untouched (filter + union — never
     shuffled); the open set and the batch reduce to (key, hash,
     payload) and meet in ONE full-outer join on the key; each output

@@ -22,12 +22,24 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, salt: int, col_name: str = "__salt") -> DataFrame:
-    """Deterministic pseudo-random salt in [0, salt) — spreads rows of
-    a hot key across reducers without changing results for algebraic
-    aggregates. Uses a hash of all columns rather than rand() so runs
-    are reproducible."""
+    """Salt in [0, salt) — spreads rows of a hot key across reducers
+    without changing results for algebraic aggregates. The salt mixes
+    a hash of the row's columns with the row's physical position
+    (``monotonically_increasing_id``): a pure content hash maps a hot
+    key made of IDENTICAL rows — the classic count(*)-per-key shape,
+    where the projection carries only the key — onto ONE bucket,
+    defeating the whole mitigation. Salt ASSIGNMENT therefore depends
+    on partition layout, which is invisible to any algebraic
+    aggregate (merge of partials == aggregate of the whole), so
+    RESULTS stay reproducible run to run."""
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+        col_name,
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in df.columns], F.monotonically_increasing_id()
+            ),
+            F.lit(salt),
+        ),
     )
 
 
@@ -87,9 +99,17 @@ def salted_join(
     rep = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
+    # same identical-rows consideration as with_salt: mix the physical
+    # position in so a hot key of duplicate rows still spreads (any
+    # bucket assignment joins correctly — rep covers every salt value)
     scattered = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in big.columns], F.monotonically_increasing_id()
+            ),
+            F.lit(salt),
+        ).cast("int"),
     )
     return scattered.join(rep, keys + ["__salt"], how).drop("__salt")
 

@@ -109,8 +109,9 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
     content (quality-weighted downsampling: high-quality documents
     survive more often), reproducible like every operator here. The
     weight must itself be engine-deterministic (e.g. a pround'ed
-    score) for the oracle to reproduce the draw. Narrow filter — no
-    shuffle."""
+    score) for the oracle to reproduce the draw. A NULL weight clamps
+    to 0 and the row is dropped (absent score ≠ free pass). Narrow
+    filter — no shuffle."""
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     thr = F.when(w >= 1.0, F.lit("g")).otherwise(
         F.lower(F.lpad(F.hex(F.floor(w * F.lit(float(_HEX_SPACE))).cast("bigint")), _HEX_WIDTH, "0"))

@@ -736,6 +736,30 @@ def test_salted_agg_matches_plain(spark):
     assert salted_dc == plain_dc
 
 
+def test_salt_spreads_identical_rows(spark):
+    """A hot key of IDENTICAL rows (the count(*)-per-key projection —
+    only the key column survives) must still spread across salt
+    buckets: a pure content hash would map every row to ONE bucket
+    and the mitigation would silently do nothing."""
+    from pyspark.sql import functions as F
+    from margaret_spark.functions.skew import salted_agg, with_salt
+
+    df = spark.range(0, 2000).select(F.lit("hot").alias("k")).repartition(8)
+    n_buckets = with_salt(df, 16).select("__salt").distinct().count()
+    assert n_buckets > 4  # spread, not funneled
+
+    got = {
+        (r["k"], r["n"])
+        for r in salted_agg(
+            df, ["k"],
+            partial_aggs=[F.count("*").alias("__n")],
+            merge_aggs=[F.sum("__n").cast("long").alias("n")],
+            salt=16,
+        ).collect()
+    }
+    assert got == {("hot", 2000)}
+
+
 def test_salted_join_matches_plain(spark):
     from pyspark.sql import functions as F
     from margaret_spark.functions.skew import salted_join

@@ -62,6 +62,19 @@ def _file_stream(spark, src, schema):
     )
 
 
+def _space_log_file_mtimes(log):
+    """The file source orders by modification time at MILLISECOND
+    granularity — back-to-back appends can tie and replay out of seq
+    order (a documented ordering contract of the log-draining
+    streams). Space the data files a minute apart in seq order so the
+    micro-batch order is deterministic under any box load."""
+    files = sorted(p for _lo, _hi, p in log._data_files())
+    now = time.time()
+    for n, p in enumerate(files):
+        when = now - 60 * (len(files) - n)
+        os.utime(p, (when, when))
+
+
 def _run_chaos_then_restart(run, ck):
     """First drain dies on the bomb; the second, with a benign sink,
     resumes from the checkpoint."""
@@ -161,6 +174,7 @@ def _dedup_harness(spark, tmp_path, tag):
     log.append_many(["x", "y"])  # seqs 0, 1
     log.append_many(["x", "z"])  # 2, 3: x suppressed (gap 2 <= ttl)
     log.append_many(["x", "y"])  # 4, 5: x suppressed (gap 2), y re-admitted
+    _space_log_file_mtimes(log)
 
     def make_run(store):
         def run(ck, fail_at):
@@ -197,6 +211,7 @@ def _scd2_harness(spark, tmp_path, tag):
     log.append_many(['{"k":1,"v":"a"}', '{"k":2,"v":"b"}'])
     log.append_many(['{"k":1,"v":"a2"}'])
     log.append_many(['{"k":2,"v":"b2"}', '{"k":3,"v":"c"}'])
+    _space_log_file_mtimes(log)
 
     def prepare(b):
         return b.select(
