@@ -2920,6 +2920,49 @@ def q_text_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_text_bpe_wordcounts(spark, sf_dir):
+    """The distributed half of BPE TRAINING, graded: the top-50
+    pre-token frequency table (count desc, token asc — the exact
+    bounded word-frequency input train_bpe's driver merge loop
+    consumes). JVM-side regexp_extract_all + explode + map-side-
+    combined groupBy; TakeOrdered top-k, no full sort. Hash-exact —
+    the oracle re-runs the same pre-tokenizer in RE2."""
+    from margaret_spark.operators.bpe import PRETOKEN_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_RE), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(50)
+    )
+    return wc
+
+
+def q_pack_sequences_bpe(spark, sf_dir):
+    """Sequence packing driven by REAL BPE token counts — the
+    production shape of the pretraining-loader layout query
+    (pack_sequences is tokens_col-agnostic; here the column comes
+    from operators.bpe rather than the regex proxy). The oracle
+    recomputes the ENTIRE pipeline in SQL: the recursive-CTE BPE
+    encoder supplies per-doc token counts, then the same integer
+    window cumsum / div arithmetic lays out the packs. Hash-exact."""
+    from margaret_spark.operators.bpe import bpe_token_count
+    from margaret_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    counted = bpe_token_count(docs, "doc_id", "text")
+    return pack_sequences(
+        counted, "doc_id", "n_tokens", seq_len=512, order_col="doc_id"
+    )
+
+
 def q_stream_events_sessions(spark, sf_dir):
     """Gap-based session windows computed BY THE STREAMING ENGINE
     (F.session_window, 30-min gap) and drained with availableNow —
@@ -3374,6 +3417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_count": q_text_bpe_count,
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_bpe_wordcounts": q_text_bpe_wordcounts,
+        "pack_sequences_bpe": q_pack_sequences_bpe,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_decode_png": q_multimodal_decode_png,
@@ -3599,6 +3644,22 @@ def _bpe_tokens_sql() -> str:
     byte-level behavior is pinned in pytest instead. The merge-table
     literal is generated from operators.bpe.DEFAULT_MERGES (itself
     derived from the embedded seed corpus)."""
+    return (
+        _bpe_doc_tokens_cte()
+        + " SELECT d.doc_id, "
+        "CAST(COALESCE(len(dt.toks), 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(list_sum(dt.toks), 0) AS BIGINT) AS token_sum, "
+        + ", ".join(
+            f"CAST(dt.toks[{i}] AS INT) AS t{i}" for i in range(1, 9)
+        )
+        + " FROM documents d LEFT JOIN doc_tokens dt USING (doc_id)"
+    )
+
+
+def _bpe_doc_tokens_cte() -> str:
+    """The shared WITH-RECURSIVE prefix ending in ``doc_tokens``
+    (doc_id, toks list<int>) — composed by the text_bpe_tokens and
+    pack_sequences_bpe oracles."""
     from margaret_spark.operators.bpe import DEFAULT_MERGES, PRETOKEN_RE
 
     rows = ", ".join(
@@ -3633,14 +3694,7 @@ def _bpe_tokens_sql() -> str:
         "WHERE m.l = s.ids[p.i] AND m.r = s.ids[p.i + 1])), "
         "doc_tokens AS (SELECT p.doc_id, "
         "flatten(list(f.ids ORDER BY p.pno)) AS toks "
-        "FROM pre p JOIN final f ON f.tok = p.tok GROUP BY p.doc_id) "
-        "SELECT d.doc_id, "
-        "CAST(COALESCE(len(dt.toks), 0) AS BIGINT) AS n_tokens, "
-        "CAST(COALESCE(list_sum(dt.toks), 0) AS BIGINT) AS token_sum, "
-        + ", ".join(
-            f"CAST(dt.toks[{i}] AS INT) AS t{i}" for i in range(1, 9)
-        )
-        + " FROM documents d LEFT JOIN doc_tokens dt USING (doc_id)"
+        "FROM pre p JOIN final f ON f.tok = p.tok GROUP BY p.doc_id)"
     )
 
 
@@ -3948,6 +4002,8 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_base() -> dict[str, str]:
+    from margaret_spark.operators.bpe import PRETOKEN_RE as _BPE_PAT
+
     return {
         "log_scan": (
             "SELECT event_id AS seq, event_type, value FROM events"
@@ -5170,6 +5226,32 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "text_repetition": _repetition_sql(),
         "text_bpe_tokens": _bpe_tokens_sql(),
+        # train_bpe's distributed word-count stage: the same
+        # pre-tokenizer regex in RE2, top-50 by (count desc, token asc)
+        "text_bpe_wordcounts": (
+            "SELECT w, CAST(count(*) AS BIGINT) AS c FROM ("
+            "SELECT unnest(regexp_extract_all(text, '"
+            + _BPE_PAT.replace("'", "''")
+            + "')) AS w FROM documents) GROUP BY w "
+            "ORDER BY c DESC, w LIMIT 50"
+        ),
+        # packing over REAL BPE counts: the recursive-CTE encoder
+        # supplies n_tokens, then the same integer cumsum/div layout
+        # arithmetic as the pack_sequences oracle (seq_len 512)
+        "pack_sequences_bpe": (
+            _bpe_doc_tokens_cte()
+            + ", counts AS (SELECT d.doc_id, "
+            "CAST(COALESCE(len(dt.toks), 0) AS BIGINT) AS n_tokens "
+            "FROM documents d LEFT JOIN doc_tokens dt USING (doc_id)) "
+            "SELECT doc_id, n_tokens, "
+            "CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_first, "
+            "CAST((cum - 1) // 512 AS BIGINT) AS pack_last, "
+            "CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_first "
+            "FROM (SELECT doc_id, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            "FROM counts WHERE n_tokens > 0)"
+        ),
         # eval set = deterministic 5% hash sample (md5 < 0ccccccc);
         # contamination = matched distinct trigrams / doc trigrams
         "decontaminate": (
