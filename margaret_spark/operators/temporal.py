@@ -121,32 +121,38 @@ def asof_join(
         .orderBy(on_order, side_rank.asc(), F.col(tb).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the matched reference row as ONE struct, not per-column
+    # lasts: a NULL inside a carried column must stay that ROW's NULL —
+    # independent per-column last(ignorenulls) would fill it from an
+    # OLDER reference row and emit a tuple no reference row ever held
+    # (pandas merge_asof matches the row, not each column). The struct
+    # is NULL on probe rows and non-null on every reference row, so
+    # one last(ignorenulls) pass finds the as-of row and its presence
+    # doubles as the matched? flag (matched_on is non-null by
+    # construction on reference rows). Bonus: one window pass instead
+    # of 1 + len(carried).
     carry = [matched_on] + [out_names[c] for c in carried]
+    ref_row = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in carry])
+    )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c + "__f")
-            for c in carry
-        ],
+        "*", F.last(ref_row, ignorenulls=True).over(w).alias("__m")
     ).where(F.col("__side") == 1)
 
     gap = (
-        F.col(on) - F.col(matched_on + "__f")
+        F.col(on) - F.col(f"__m.{matched_on}")
         if direction == "backward"
-        else F.col(matched_on + "__f") - F.col(on)
+        else F.col(f"__m.{matched_on}") - F.col(on)
     )
     in_tol = (
         F.lit(True) if tolerance is None else gap <= F.lit(tolerance)
     )
+    matched = F.col("__m").isNotNull() & in_tol
     return filled.select(
         *keys,
         F.col(on),
         *left_payload,
-        *[
-            F.when(F.col(matched_on + "__f").isNotNull() & in_tol, F.col(c + "__f"))
-            .alias(c)
-            for c in carry
-        ],
+        *[F.when(matched, F.col(f"__m.{c}")).alias(c) for c in carry],
     )
 
 
@@ -289,10 +295,11 @@ def cohort_retention(
     Output: (cohort_week date, week_offset int, n_users long).
 
     Scale shape: one distinct over (user, week) — shuffle keyed on the
-    user — then a per-user min (same exchange, subset rule), a
-    broadcast-sized join back, and a final small aggregation on
-    (cohort, offset). No window over the event stream; nothing keyed
-    on time alone (which would put a whole week in one task)."""
+    user — then a per-user min and a join back, both keyed on the same
+    user column so they reuse that exchange's partitioning, and a
+    final small aggregation on (cohort, offset). No window over the
+    event stream; nothing keyed on time alone (which would put a whole
+    week in one task)."""
     wk = F.to_date(F.date_trunc("week", F.col(ts_col))).alias("wk")
     weekly = df.select(F.col(user_col).alias("u"), wk).distinct()
     first = weekly.groupBy("u").agg(F.min("wk").alias("cohort_week"))

@@ -55,6 +55,25 @@ def test_asof_backward_exclusive(spark):
     ]
 
 
+def test_asof_carries_the_row_not_per_column_fills(spark):
+    """A NULL inside the matched reference row must stay NULL — the
+    match is row-atomic. Independent per-column last(ignorenulls)
+    carries would backfill r2's NULL `a` from the OLDER r1 and emit a
+    (a=1, b=2) tuple no reference row ever held."""
+    left = spark.createDataFrame([("k", 25)], "key string, t long")
+    right = spark.createDataFrame(
+        [("k", 10, 1, None), ("k", 20, None, 2)],
+        "key string, t long, a long, b long",
+    )
+    out = asof_join(left, right, on="t", by="key").collect()
+    assert [(r["t_matched"], r["a"], r["b"]) for r in out] == [(20, None, 2)]
+
+    # unmatched probe: every carried column NULL, not a partial fill
+    early = spark.createDataFrame([("k", 5)], "key string, t long")
+    out2 = asof_join(early, right, on="t", by="key").collect()
+    assert [(r["t_matched"], r["a"], r["b"]) for r in out2] == [(None, None, None)]
+
+
 def test_asof_forward_and_tolerance(spark):
     fwd = asof_join(_trades(spark), _quotes(spark), on="t", by="key", direction="forward")
     assert _rows(fwd, "key", "t", "t_matched") == [
