@@ -2000,6 +2000,48 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(emb, queries, k=5, nbits=4)
 
 
+def q_embeddings_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding corpus
+    (operators.quantize) — the 4× storage/bandwidth scale path for
+    similarity search. scale = max|x|/127, code = floor(x/scale+0.5):
+    every step (float32→double cast, max, abs, IEEE division, the
+    house half-up floor) is engine-portable, so the oracle reproduces
+    each vector's codes bit-for-bit; the graded surface summarizes
+    them as exact integer stats. Map-only codegen array expressions,
+    zero shuffles, no Python."""
+    from margaret_spark.operators.quantize import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(emb, "vec_id", "embedding")
+    c = F.col("codes")
+    int_sum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    return qz.select(
+        "vec_id",
+        pround(F.col("scale"), 9).alias("scale"),
+        int_sum(c).alias("code_sum"),
+        int_sum(F.transform(c, F.abs)).alias("code_abs_sum"),
+        F.array_min(c).cast("int").alias("code_min"),
+        F.array_max(c).cast("int").alias("code_max"),
+        F.size(c).cast("int").alias("n_codes"),
+    )
+
+
+def q_ann_topk_int8(spark, sf_dir):
+    """Exhaustive top-k over the int8-quantized corpus
+    (operators.quantize.int8_topk): the same broadcast-queries scan
+    shape as ann_topk, but each pair is an integer dot over codes and
+    the scales cancel out of the cosine — pure integer arithmetic
+    under one sqrt/division tree, hash-exact cross-engine (the float
+    path needs rounding; this one is exact by construction)."""
+    from margaret_spark.operators.quantize import int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return int8_topk(emb, queries, k=5)
+
+
 def q_text_stats(spark, sf_dir):
     return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -3390,6 +3432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_cut_all": q_dedup_span_cut_all,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
+        "ann_topk_int8": q_ann_topk_int8,
+        "embeddings_quantize_int8": q_embeddings_quantize_int8,
         "ann_range": q_ann_range,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -4764,6 +4808,59 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM (SELECT * FROM embeddings WHERE vec_id < 5) q "
             "JOIN embeddings c ON q.vec_id <> c.vec_id"
             ") WHERE rank <= 5"
+        ),
+        # int8 scalar quantization re-derived per vector: the same
+        # max|x|/127 scale and half-up-floor codes, summarized as
+        # exact integer stats (codes match bit-for-bit or every sum,
+        # min, max drifts)
+        "embeddings_quantize_int8": (
+            "SELECT vec_id, "
+            + _pr("ma / 127.0", 9)
+            + " AS scale, "
+            "CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS code_sum, "
+            "CAST(COALESCE(list_sum(list_transform(codes, x -> abs(x))), 0) "
+            "AS BIGINT) AS code_abs_sum, "
+            "CAST(list_min(codes) AS INT) AS code_min, "
+            "CAST(list_max(codes) AS INT) AS code_max, "
+            "CAST(len(codes) AS INT) AS n_codes FROM ("
+            "SELECT vec_id, ma, CASE WHEN ma > 0 THEN "
+            "list_transform(xd, x -> CAST(floor(x / (ma / 127.0) + 0.5) AS INT)) "
+            "ELSE list_transform(xd, x -> 0) END AS codes FROM ("
+            "SELECT vec_id, xd, "
+            "list_max(list_transform(xd, x -> abs(x))) AS ma FROM ("
+            "SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings)))"
+        ),
+        # quantized-cosine top-k: scales cancel, so the score is the
+        # integer code dot over the product of integer code norms —
+        # the one similarity surface that is exact by construction
+        "ann_topk_int8": (
+            "WITH qz AS (SELECT vec_id, codes, "
+            "sqrt(CAST(list_sum(list_transform(codes, x -> x * x)) AS DOUBLE)) "
+            "AS nrm FROM ("
+            "SELECT vec_id, CASE WHEN ma > 0 THEN "
+            "list_transform(xd, x -> CAST(floor(x / (ma / 127.0) + 0.5) AS INT)) "
+            "ELSE list_transform(xd, x -> 0) END AS codes FROM ("
+            "SELECT vec_id, xd, "
+            "list_max(list_transform(xd, x -> abs(x))) AS ma FROM ("
+            "SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings)))) "
+            "SELECT query_id, neighbor_id, qcosine, rank FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            + _pr(
+                "CAST(list_sum(list_transform(range(1, len(q.codes) + 1), "
+                "i -> q.codes[i] * c.codes[i])) AS DOUBLE) / (q.nrm * c.nrm)"
+            )
+            + " AS qcosine, "
+            "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            + _pr(
+                "CAST(list_sum(list_transform(range(1, len(q.codes) + 1), "
+                "i -> q.codes[i] * c.codes[i])) AS DOUBLE) / (q.nrm * c.nrm)"
+            )
+            + " DESC, c.vec_id ASC) AS INT) AS rank "
+            "FROM (SELECT * FROM qz WHERE vec_id < 5 AND nrm > 0) q "
+            "JOIN (SELECT * FROM qz WHERE nrm > 0) c "
+            "ON q.vec_id <> c.vec_id) WHERE rank <= 5"
         ),
         "ann_range": (
             "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "

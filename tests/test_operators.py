@@ -265,6 +265,73 @@ def test_range_search_consistent_with_topk(spark, emb):
     assert all(c >= radius for c in rng.values())
 
 
+def test_int8_quantization_model(spark, emb):
+    """Codes match the numpy model per vector (scale = max|x|/127,
+    half-up rounding), reconstruction error is bounded by scale/2,
+    and the zero vector quantizes to scale 0 / all-zero codes."""
+    import numpy as np
+
+    from margaret_spark.operators.quantize import quantize_embeddings
+
+    src = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.limit(50).collect()}
+    got = {
+        r["vec_id"]: (r["scale"], r["codes"])
+        for r in quantize_embeddings(emb.limit(50), "vec_id", "embedding").collect()
+    }
+    for vid, x in src.items():
+        scale, codes = got[vid]
+        ma = float(np.abs(x).max())
+        assert scale == ma / 127.0
+        if ma == 0:
+            assert all(c == 0 for c in codes)
+            continue
+        want = np.floor(x / scale + 0.5).astype(int)
+        assert list(want) == codes
+        assert max(abs(c) for c in codes) <= 127
+        recon = np.asarray(codes) * scale
+        assert float(np.abs(recon - x).max()) <= scale / 2 + 1e-12
+
+    z = spark.createDataFrame([(0, [0.0] * 4)], "vec_id long, embedding array<float>")
+    from margaret_spark.operators.quantize import quantize_embeddings as qe
+
+    r = qe(z, "vec_id", "embedding").collect()[0]
+    assert r["scale"] == 0.0 and r["codes"] == [0, 0, 0, 0]
+
+
+def test_int8_topk_close_to_exact(spark, emb):
+    """Quantized-cosine ranking must stay close to the float truth:
+    qcosine within 0.03 of the exact cosine for every returned pair,
+    recall@5 vs brute force >= 0.8 on the test corpus, zero-norm
+    vectors excluded rather than NaN-ranked."""
+    from margaret_spark.operators.quantize import int8_topk
+
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = int8_topk(emb, queries, k=5).collect()
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, queries, k=10**6).collect()
+    }
+    exact5 = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        exact5.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in approx:
+        assert abs(r["qcosine"] - exact_all[(r["query_id"], r["neighbor_id"])]) <= 0.03
+        total += 1
+        hits += r["neighbor_id"] in exact5[r["query_id"]]
+    assert total == 5 * 5
+    assert hits / total >= 0.8
+
+    z = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = int8_topk(z, z, k=5).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 1 not in ids  # the zero vector neither queries nor matches
+
+
 def test_token_stats_and_quality(docs):
     st = token_stats(docs, "doc_id", "text")
     row = st.where(F.col("doc_id") == 0).collect()[0]
