@@ -73,6 +73,17 @@ _EVENTS_SCHEMA = T.StructType(
 )
 
 
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(_EVENTS_SCHEMA).parquet(
         os.path.join(sf_dir, "events.parquet")
@@ -3005,6 +3016,49 @@ def q_pack_sequences_bpe(spark, sf_dir):
     )
 
 
+def q_stream_token_budget(spark, sf_dir):
+    """At-ingest token-budget gating BY THE STREAMING ENGINE
+    (streaming/stateful.stream_token_budget, applyInPandasWithState
+    keyed by source): documents stream in seq order and each source
+    admits documents until 500 cumulative tokens, then closes — per
+    source the state is ONE long forever. The oracle states the kept
+    set as a per-source window cumsum over doc_id order (keep iff
+    tokens-before-it < budget) — hash-exact including the cumulative
+    sums."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.functions.shingling import words
+    from margaret_spark.streaming import stream_token_budget
+
+    sdf = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tagged = sdf.select(
+        F.col("source").alias("stratum"),
+        F.col("doc_id").alias("seq"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_budget_")
+    kept: list = []
+    try:
+        stream_token_budget(
+            tagged, 500, os.path.join(base, "ckpt"), kept.append
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        (str(r["stratum"]), int(r["seq"]), int(r["n_tokens"]), int(r["cum_tokens"]))
+        for pdf in kept
+        for _, r in pdf.iterrows()
+    ]
+    return spark.createDataFrame(
+        rows, "stratum string, seq long, n_tokens long, cum_tokens long"
+    )
+
+
 def q_stream_events_sessions(spark, sf_dir):
     """Gap-based session windows computed BY THE STREAMING ENGINE
     (F.session_window, 30-min gap) and drained with availableNow —
@@ -3415,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk_windowed": q_stream_topk_windowed,
         "stream_events_sessions": q_stream_events_sessions,
         "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_token_budget": q_stream_token_budget,
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
         "stream_pii_redact": q_stream_pii_redact,
@@ -5408,6 +5463,18 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT sha256(text) AS content_hash, "
             "CAST(min(doc_id) AS BIGINT) AS keep_seq "
             "FROM documents GROUP BY text"
+        ),
+        # at-ingest budget gate: kept set = the maximal per-source
+        # prefix (doc_id order) whose tokens-before-it stay under 500
+        "stream_token_budget": (
+            "SELECT source AS stratum, doc_id AS seq, n_tokens, "
+            "cum AS cum_tokens FROM ("
+            "SELECT source, doc_id, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            f"FROM (SELECT source, doc_id, CAST(len({_WORDS}) AS BIGINT) "
+            "AS n_tokens FROM documents)) "
+            "WHERE cum - n_tokens < 500"
         ),
         # the bounded-horizon rule as one lag window: keep iff no
         # prior occurrence of the content within the trailing 40 seqs

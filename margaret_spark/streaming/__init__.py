@@ -9,6 +9,7 @@ from margaret_spark.streaming.stateful import (
     stream_dedup_minhash,
     stream_dedup_window,
     stream_latest_index,
+    stream_token_budget,
     stream_topk,
 )
 from margaret_spark.streaming.contamination import (
@@ -28,6 +29,7 @@ __all__ = [
     "stream_dedup_exact",
     "stream_dedup_minhash",
     "stream_dedup_window",
+    "stream_token_budget",
     "stream_topk",
     "stream_scrub_pii",
     "stream_decontaminate",

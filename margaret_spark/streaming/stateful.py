@@ -243,6 +243,94 @@ def stream_dedup_window(
     return w.trigger(processingTime="500 milliseconds").start()
 
 
+def _budget_func_factory(budget: int):
+    def _budget_func(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        used = int(state.get[0]) if state.exists else 0
+        rows = [
+            (int(s), int(t))
+            for pdf in pdfs
+            for s, t in zip(pdf["seq"], pdf["n_tokens"])
+        ]
+        if not rows:
+            return
+        rows.sort()
+        seqs, toks, cums = [], [], []
+        for s, t in rows:
+            if used < budget:
+                seqs.append(s)
+                toks.append(t)
+                cums.append(used + t)
+            used += t
+        state.update((used,))
+        if seqs:
+            yield pd.DataFrame(
+                {
+                    "stratum": [key[0]] * len(seqs),
+                    "seq": seqs,
+                    "n_tokens": toks,
+                    "cum_tokens": cums,
+                }
+            )
+
+    return _budget_func
+
+
+def stream_token_budget(
+    stream: DataFrame,
+    budget: int,
+    checkpoint_dir: str,
+    on_kept: Callable[[pd.DataFrame], None],
+    available_now: bool = True,
+):
+    """At-ingest token-budget gating: per stratum (source), admit
+    documents in arrival (seq) order until the stratum's cumulative
+    token count reaches ``budget``, then stop — the streaming twin of
+    ``sampling.token_budget_sample`` with the ordering a live ingest
+    actually has (seq order, where the batch operator's reproducible
+    order is (md5(id), id)). The kept set is the maximal prefix whose
+    tokens-before-it stay under budget: the budget may be exceeded by
+    at most one document per stratum, never undershot while documents
+    remain — a SQL oracle states the whole thing as one per-stratum
+    window cumsum.
+
+    ``stream``: streaming DataFrame with columns ``stratum string,
+    seq long, n_tokens long`` (compute counts upstream with a codegen
+    expression or ``operators.bpe.bpe_token_count``'s UDF). Per-key
+    state is ONE long (tokens used) forever — an exhausted stratum
+    costs 8 bytes and drops every later arrival without touching
+    state size. One state-store shuffle per micro-batch on the
+    stratum key."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative: {budget}")
+    out = stream.groupBy("stratum").applyInPandasWithState(
+        _budget_func_factory(int(budget)),
+        outputStructType=(
+            "stratum string, seq long, n_tokens long, cum_tokens long"
+        ),
+        stateStructType="used long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pdf = batch_df.toPandas()
+        if len(pdf):
+            on_kept(pdf)
+
+    w = (
+        out.writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()
+
+
 def _band_collision_func(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:

@@ -694,6 +694,57 @@ def test_stream_asof_join_state_across_batches(spark, tmp_path):
     }
 
 
+def test_stream_token_budget_state_across_batches(spark, tmp_path):
+    """The per-stratum used-token counter must persist across
+    micro-batches: a stratum exhausted in batch 1 admits nothing in
+    batch 2, a fresh stratum starts its own budget, and the admitted
+    prefix may overshoot by at most its last document."""
+    import os
+    import time
+
+    from margaret_spark.streaming import stream_token_budget
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "stratum string, seq long, n_tokens long"
+    spark.createDataFrame(
+        [("s", 0, 300), ("s", 1, 300)], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("s", 2, 10), ("t", 3, 450), ("t", 4, 100), ("t", 5, 1)], schema
+    ).coalesce(1).write.parquet(src + "/f2")
+    now = time.time()
+    for sub, when in (("f1", now - 60), ("f2", now)):
+        d = os.path.join(src, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (when, when))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    kept: list = []
+    stream_token_budget(sdf, 500, str(tmp_path / "ck"), kept.append)
+    got = {
+        (r.stratum, int(r.seq)): (int(r.n_tokens), int(r.cum_tokens))
+        for pdf in kept
+        for r in pdf.itertuples(index=False)
+    }
+    assert got == {
+        ("s", 0): (300, 300),
+        ("s", 1): (300, 600),   # overshoot by the last admitted doc
+        # ("s", 2) dropped: batch-1 state says the budget is spent
+        ("t", 3): (450, 450),
+        ("t", 4): (100, 550),   # 450 < 500 still admits; then closed
+        # ("t", 5) dropped
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_token_budget(sdf, -1, str(tmp_path / "ck2"), kept.append)
+
+
 def test_stream_topk_state_across_batches(spark, tmp_path):
     """The bounded per-key top-k heap must persist across
     micro-batches: batch-2 arrivals merge against batch-1 state, an

@@ -1,6 +1,6 @@
-"""Kill-mid-stream / restart-from-checkpoint chaos tests for the five
+"""Kill-mid-stream / restart-from-checkpoint chaos tests for the six
 custom stateful streaming operators (top-k, windowed top-k, as-of
-join, horizon dedup, SCD2 versioned ingest).
+join, horizon dedup, token-budget gate, SCD2 versioned ingest).
 
 Scheme, identical for every operator: the same 3-micro-batch source is
 drained twice — once cleanly (fresh checkpoint), and once with a bomb
@@ -199,6 +199,42 @@ def _dedup_harness(spark, tmp_path, tag):
     return make_run, final
 
 
+def _budget_harness(spark, tmp_path):
+    from margaret_spark.streaming import stream_token_budget
+
+    schema = "stratum string, seq long, n_tokens long"
+    batches = [
+        [("s", 0, 30), ("t", 1, 5)],
+        [("s", 2, 30), ("t", 3, 5)],
+        [("s", 4, 30), ("t", 5, 5)],
+    ]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, schema, batches)
+
+    def make_run(store):
+        def run(ck, fail_at):
+            counter = {"n": 0}
+
+            def sink(pdf):
+                store.append(pdf)
+
+            cb = sink if fail_at is None else _armed(sink, fail_at, counter)
+            stream_token_budget(
+                _file_stream(spark, src, schema), 50, ck, cb
+            )
+
+        return run
+
+    def final(store):
+        return {
+            (r.stratum, int(r.seq), int(r.cum_tokens))
+            for pdf in store
+            for r in pdf.itertuples(index=False)
+        }
+
+    return make_run, final
+
+
 def _scd2_harness(spark, tmp_path, tag):
     from margaret_spark.log import OffsetLog
     from margaret_spark.streaming import read_history, stream_scd2
@@ -250,7 +286,7 @@ def _scd2_harness(spark, tmp_path, tag):
     return make_run, final
 
 
-OPS = ["topk", "topk_windowed", "asof", "dedup_window", "scd2"]
+OPS = ["topk", "topk_windowed", "asof", "dedup_window", "token_budget", "scd2"]
 
 
 @pytest.mark.parametrize("op", OPS)
@@ -269,6 +305,9 @@ def test_kill_mid_stream_restart_matches_clean_run(spark, tmp_path, op):
         chaos_store, clean_store = [], []
     elif op == "dedup_window":
         make_run, final = _dedup_harness(spark, tmp_path, "chaos")
+        chaos_store, clean_store = [], []
+    elif op == "token_budget":
+        make_run, final = _budget_harness(spark, tmp_path)
         chaos_store, clean_store = [], []
     else:
         make_run, final = _scd2_harness(spark, tmp_path, "chaos")
