@@ -3378,6 +3378,104 @@ def q_sample_shuffle(spark, sf_dir):
     return deterministic_shuffle(docs, "doc_id", seed=7)
 
 
+# --- web curation (operators.web) ------------------------------------------
+# The documents table has no URL column, so each doc gets a synthetic
+# messy URL that is a closed-form function of (doc_id, source) — mixed
+# case, default and non-default ports, tracking params, fragments —
+# and the oracle re-derives both the raw URL and the whole RFC 3986
+# canonicalization + registered-domain pipeline in SQL, so every
+# string branch of the operator is hash-checked.
+
+_WEB_HOSTS = [
+    "Example.COM",
+    "news.example.com",
+    "Blog.example.co.uk",
+    "tracker.ads.net",
+    "WWW.Wiki.org",
+    "cdn.media.io",
+    "shop.example.com",
+    "docs.python.org",
+]
+
+_WEB_BLOCKLIST = ["ads.net", "media.io"]
+
+
+def _synth_url() -> "F.Column":
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+    host = F.element_at(F.array(*[F.lit(h) for h in _WEB_HOSTS]), (did % 8).cast("int") + 1)
+    port = (
+        F.when(did % 3 == 0, F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(did % 5 == 0, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/"), F.col("source"), F.lit("/item-"), did.cast("string"))
+    query = (
+        F.when(did % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), (did % 100).cast("string")))
+        .when(did % 4 == 1, F.lit("?b=2&a=1&utm_campaign=x"))
+        .when(did % 4 == 2, F.lit("?gclid=abc"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 2 == 1, F.lit("#section-2")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def q_web_canonical_urls(spark, sf_dir):
+    """URL canonicalization (operators.web.canonicalize_url +
+    registered_domain): per document, the raw synthetic URL and its
+    canonical form / host / registered domain. Pure codegen string
+    work — zero shuffles; the oracle recomputes every component."""
+    from margaret_spark.operators.web import with_url_columns
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url")
+    )
+    return with_url_columns(docs, "url").select(
+        "doc_id", "url", "url_canonical", "url_host_name", "url_domain"
+    )
+
+
+def q_web_domain_stats(spark, sf_dir):
+    """Per registered domain: docs, chars, distinct hosts, distinct
+    langs (operators.web.domain_stats) — the quota table of a
+    domain-level curation pass. One algebraic aggregation."""
+    from margaret_spark.operators.web import domain_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", _synth_url().alias("url")
+    )
+    return domain_stats(docs, "url", "n_chars", group_col="lang")
+
+
+def q_web_blocklist(spark, sf_dir):
+    """Blocklist filtering (operators.web.filter_blocked_domains):
+    drop documents whose registered domain is blocklisted, then
+    per-source survivor counts. The domain predicate is a scan-level
+    filter (broadcast literal isin)."""
+    from margaret_spark.operators.web import filter_blocked_domains
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", _synth_url().alias("url")
+    )
+    kept = filter_blocked_domains(docs, "url", _WEB_BLOCKLIST)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+def q_export_shards(spark, sf_dir):
+    """Deterministic hash-sharded export manifest
+    (operators.sharding.shard_manifest): md5-mod-64 shard per doc,
+    per-shard row and byte totals — the balance table of the final
+    training-data write. Assignment is a narrow projection; the
+    aggregation carries 64 rows."""
+    from margaret_spark.operators.sharding import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(docs, "doc_id", 64, size_col="n_chars")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3543,6 +3641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_data": q_training_data,
         "embedding_label_stats": q_embedding_label_stats,
         "codec_roundtrip": q_codec_roundtrip,
+        "web_canonical_urls": q_web_canonical_urls,
+        "web_domain_stats": q_web_domain_stats,
+        "web_blocklist": q_web_blocklist,
+        "export_shards": q_export_shards,
     }
 
 
@@ -4097,7 +4199,97 @@ def oracle_sql() -> dict[str, str]:
         "event_type ORDER BY value DESC, event_id) AS INT) AS rank "
         "FROM events WHERE value IS NOT NULL) WHERE rank <= 3"
     )
+    # web curation: the oracle re-derives the synthetic URL AND the
+    # full canonicalization (scheme/host lowering, default-port strip,
+    # tracking-param removal + sort, fragment drop) and the registered-
+    # domain heuristic — every string branch hash-checked
+    d["web_canonical_urls"] = (
+        "WITH " + _web_sql() + " "
+        "SELECT doc_id, url, canon AS url_canonical, host AS url_host_name, "
+        "dom AS url_domain FROM dws"
+    )
+    d["web_domain_stats"] = (
+        "WITH " + _web_sql() + " "
+        "SELECT dom AS domain, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_size, "
+        "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_lang "
+        "FROM dws GROUP BY dom"
+    )
+    d["web_blocklist"] = (
+        "WITH " + _web_sql() + " "
+        "SELECT source, CAST(count(*) AS BIGINT) AS kept_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS kept_chars FROM dws "
+        "WHERE dom NOT IN ("
+        + ",".join(f"'{b}'" for b in _WEB_BLOCKLIST)
+        + ") GROUP BY source"
+    )
+    # md5 shard draw: same first-8-hex-digits value, '0x'-cast in
+    # DuckDB vs conv(,16,10) in Spark — both exact 32-bit integers
+    d["export_shards"] = (
+        "SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        "AS BIGINT) % 64 AS BIGINT) AS shard, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_size "
+        "FROM documents GROUP BY 1"
+    )
     return d
+
+
+def _web_sql() -> str:
+    """The web-curation oracle pipeline as DuckDB CTEs ending in
+    ``dws(doc_id, source, n_chars, lang, url, scheme, host, port,
+    rawpath, cq, dom, canon)`` — an independent SQL restatement of
+    operators.web's canonicalization over the same synthetic URLs."""
+    hosts = ",".join(f"'{h}'" for h in _WEB_HOSTS)
+    trk = ",".join(
+        f"'{k}'" for k in ("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+    )
+    sld = ",".join(
+        f"'{l}'" for l in ("co", "com", "net", "org", "gov", "ac", "edu", "or", "ne")
+    )
+    return (
+        "u AS (SELECT doc_id, source, n_chars, lang, "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' || "
+        f"([{hosts}])[CAST(doc_id % 8 AS INT) + 1] || "
+        "(CASE WHEN doc_id % 3 = 0 THEN "
+        "(CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) "
+        "WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) || "
+        "'/' || source || '/item-' || doc_id || "
+        "(CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || (doc_id % 100) "
+        "WHEN doc_id % 4 = 1 THEN '?b=2&a=1&utm_campaign=x' "
+        "WHEN doc_id % 4 = 2 THEN '?gclid=abc' ELSE '' END) || "
+        "(CASE WHEN doc_id % 2 = 1 THEN '#section-2' ELSE '' END) AS url "
+        "FROM documents), "
+        "pw AS (SELECT *, "
+        "lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) AS scheme, "
+        "regexp_replace(regexp_extract(url, "
+        "'^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hp, "
+        "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) "
+        "AS rawpath, "
+        "regexp_extract(url, '\\?([^#]*)', 1) AS rawq FROM u), "
+        "hw AS (SELECT *, lower(string_split(hp, ':')[1]) AS host, "
+        "CASE WHEN len(string_split(hp, ':')) > 1 THEN string_split(hp, ':')[2] "
+        "ELSE '' END AS port FROM pw), "
+        "cw AS (SELECT *, array_to_string(list_sort(list_filter("
+        "string_split(rawq, '&'), "
+        "x -> x <> '' AND NOT (substr(string_split(x, '=')[1], 1, 4) = 'utm_' "
+        f"OR string_split(x, '=')[1] IN ({trk})))), '&') AS cq, "
+        "string_split(host, '.') AS labels FROM hw), "
+        "dws AS (SELECT *, "
+        f"CASE WHEN len(labels) >= 3 AND labels[len(labels)-1] IN ({sld}) "
+        "AND length(labels[len(labels)]) <= 3 "
+        "THEN labels[len(labels)-2] || '.' || labels[len(labels)-1] || '.' || "
+        "labels[len(labels)] "
+        "WHEN len(labels) >= 2 THEN labels[len(labels)-1] || '.' || "
+        "labels[len(labels)] "
+        "ELSE host END AS dom, "
+        "CASE WHEN scheme <> '' THEN scheme || '://' || host || "
+        "(CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443') "
+        "OR (scheme = 'http' AND port = '80')) THEN ':' || port ELSE '' END) || "
+        "(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) || "
+        "(CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) END AS canon FROM cw)"
+    )
 
 
 def _oracle_sql_base() -> dict[str, str]:

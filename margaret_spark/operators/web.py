@@ -1,0 +1,187 @@
+"""URL canonicalization and domain-level corpus curation — the first
+pass every web-scale training pipeline (CommonCrawl-style) runs:
+normalize each document's URL to a canonical form, roll corpora up to
+registered domains for per-domain quality/quota decisions, and drop
+documents from blocklisted domains.
+
+Beyond-reference operator family (the reference engine has no web
+layer); the algorithms are the standard public ones: RFC 3986-style
+syntactic normalization (lowercase scheme/host, default-port removal,
+empty-path → "/", fragment removal) plus the common crawl-pipeline
+extras (tracking-parameter removal, query-parameter sorting), and a
+public-suffix-style registered-domain heuristic.
+
+Scale shape: every function here is a pure per-row Column expression —
+``regexp_extract`` / ``split`` / array ``filter``/``array_sort`` — all
+whole-stage codegen, zero UDFs, zero shuffles. The only shuffle in the
+family is the per-domain aggregation in :func:`domain_stats`, which is
+algebraic (map-side partials; |domains| ≪ |docs| rows move).
+Blocklist filtering is a broadcast-literal ``isin`` — at 100 TB the
+filter is pushed into the scan and never shuffles.
+
+Determinism: all string/array ops are byte-exact across engines, so a
+SQL oracle reproduces every canonical URL and domain bit-for-bit
+(sorting restricted to ASCII parameter strings — both engines compare
+codepoint-wise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: scheme://authority prefix (RFC 3986 scheme chars); group 1 = scheme,
+#: group 2 = authority (host[:port], possibly with userinfo),
+#: group 3 = path (up to query/fragment)
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#]*)"
+
+#: second-level labels that commonly sit under a ccTLD
+#: ("example.co.uk" → registered domain is three labels, not two)
+SECOND_LEVEL_LABELS = ("co", "com", "net", "org", "gov", "ac", "edu", "or", "ne")
+
+#: query parameters that never affect content (analytics/click ids)
+TRACKING_KEYS = ("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+
+def url_scheme(url: Column) -> Column:
+    """Lowercased scheme, '' if not a parseable absolute URL."""
+    return F.lower(F.regexp_extract(url, _URL_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host: authority minus userinfo and port."""
+    hp = F.regexp_extract(url, _URL_RE, 2)
+    no_user = F.regexp_replace(hp, r"^[^@]*@", "")
+    return F.lower(F.split(no_user, r":").getItem(0))
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port string ('' when absent)."""
+    hp = F.regexp_extract(url, _URL_RE, 2)
+    no_user = F.regexp_replace(hp, r"^[^@]*@", "")
+    parts = F.split(no_user, r":")
+    return F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(F.lit(""))
+
+
+def url_path(url: Column) -> Column:
+    """Path component ('' when absent; canonicalization maps '' → '/')."""
+    return F.regexp_extract(url, _URL_RE, 3)
+
+
+def url_query(url: Column) -> Column:
+    """Raw query string after the first '?' (fragment excluded)."""
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+def _is_tracking_param(kv: Column) -> Column:
+    key = F.split(kv, r"=").getItem(0)
+    return (F.substring(key, 1, 4) == "utm_") | key.isin(*TRACKING_KEYS)
+
+
+def canonical_query(url: Column) -> Column:
+    """Query string with tracking parameters removed and the remaining
+    ``k=v`` pairs sorted — '' when nothing survives."""
+    pairs = F.split(url_query(url), r"&")
+    kept = F.filter(pairs, lambda x: (x != "") & ~_is_tracking_param(x))
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Syntactic canonical form: lowercase scheme and host, strip
+    userinfo handling aside, drop the default port (http:80 /
+    https:443 — explicit non-default ports survive), '' path → '/',
+    drop the fragment, remove tracking parameters and sort the rest.
+    Purely per-row codegen string work; NULL/unparseable URLs (no
+    scheme) canonicalize to NULL."""
+    scheme = url_scheme(url)
+    host = url_host(url)
+    port = url_port(url)
+    is_default = ((scheme == "https") & (port == "443")) | (
+        (scheme == "http") & (port == "80")
+    )
+    portpart = F.when(
+        (port != "") & ~is_default, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = url_path(url)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = canonical_query(url)
+    qpart = F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    return F.when(
+        scheme != "",
+        F.concat(scheme, F.lit("://"), host, portpart, path, qpart),
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Public-suffix-style registered domain: the last two host
+    labels, or the last three when the second-to-last label is a
+    common second-level label under a short (≤3 chars) TLD
+    ('blog.example.co.uk' → 'example.co.uk', 'docs.python.org' →
+    'python.org'). A single-label host is its own domain. Heuristic by
+    design — the full public-suffix list is data, not code; swap it in
+    via a broadcast join where exactness matters."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # 0-based F.get returns NULL out of range — safe under the when
+    last = F.get(labels, n - F.lit(1))
+    second = F.get(labels, n - F.lit(2))
+    third = F.get(labels, n - F.lit(3))
+    use_three = (
+        (n >= 3) & second.isin(*SECOND_LEVEL_LABELS) & (F.length(last) <= 3)
+    )
+    return (
+        F.when(use_three, F.concat_ws(".", third, second, last))
+        .when(n >= 2, F.concat_ws(".", second, last))
+        .otherwise(host)
+    )
+
+
+def with_url_columns(df: DataFrame, url_col: str) -> DataFrame:
+    """Add ``url_canonical``, ``url_host_name``, ``url_domain`` — the
+    narrow projection everything downstream (stats, blocklists,
+    URL-level dedup keys) consumes. No shuffle."""
+    u = F.col(url_col)
+    host = url_host(u)
+    return df.withColumns(
+        {
+            "url_canonical": canonicalize_url(u),
+            "url_host_name": host,
+            "url_domain": registered_domain(host),
+        }
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str, size_col: str, group_col: str | None = None
+) -> DataFrame:
+    """Per registered domain: document count, total ``size_col``,
+    distinct hosts, distinct ``group_col`` values (e.g. lang) — the
+    table a curation pass ranks to set per-domain quotas. One
+    algebraic aggregation; the shuffle carries |domains| rows."""
+    host = url_host(F.col(url_col))
+    staged = df.select(
+        registered_domain(host).alias("domain"),
+        host.alias("__host"),
+        F.col(size_col).cast("long").alias("__sz"),
+        *([F.col(group_col).alias("__g")] if group_col else []),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__sz").alias("total_size"),
+        F.countDistinct("__host").alias("n_hosts"),
+    ]
+    if group_col:
+        aggs.append(F.countDistinct("__g").alias(f"n_{group_col}"))
+    return staged.groupBy("domain").agg(*aggs)
+
+
+def filter_blocked_domains(
+    df: DataFrame, url_col: str, blocked: list[str]
+) -> DataFrame:
+    """Drop rows whose registered domain is blocklisted. The list
+    ships as a broadcast literal (`isin`), so the predicate is a
+    scan-level filter — for million-entry blocklists use a broadcast
+    anti-join on ``url_domain`` instead."""
+    if not blocked:
+        return df
+    return df.where(~registered_domain(url_host(F.col(url_col))).isin(*blocked))

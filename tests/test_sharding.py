@@ -1,0 +1,95 @@
+"""Deterministic hash-sharded export (operators.sharding)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from margaret_spark.operators.sharding import (
+    assign_shards,
+    list_shards,
+    read_shard,
+    shard_manifest,
+    write_shards,
+)
+
+
+def _expected_shard(i: int, n: int, salt: str = "") -> int:
+    return int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16) % n
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [(i, f"doc-{i}", (i * 7) % 100 + 1) for i in range(500)],
+        "doc_id long, text string, n_tokens long",
+    )
+
+
+def test_assignment_matches_reference_md5(spark, corpus):
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(corpus, "doc_id", 16).collect()
+    }
+    for i in range(500):
+        assert got[i] == _expected_shard(i, 16)
+
+
+def test_assignment_stable_under_growth(spark, corpus):
+    base = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(corpus.where("doc_id < 100"), "doc_id", 8).collect()
+    }
+    full = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(corpus, "doc_id", 8).collect()
+    }
+    assert all(full[i] == base[i] for i in base)
+
+
+def test_salt_changes_universe(spark, corpus):
+    a = {r["doc_id"]: r["shard"] for r in assign_shards(corpus, "doc_id", 16).collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(corpus, "doc_id", 16, salt="epoch1").collect()
+    }
+    assert any(a[i] != b[i] for i in a)
+    for i in b:
+        assert b[i] == _expected_shard(i, 16, salt="epoch1")
+
+
+def test_manifest_balance_and_totals(spark, corpus):
+    rows = shard_manifest(corpus, "doc_id", 8, size_col="n_tokens").collect()
+    assert sum(r["n_rows"] for r in rows) == 500
+    total = sum(r["total_size"] for r in rows)
+    assert total == sum((i * 7) % 100 + 1 for i in range(500))
+    # md5 uniformity: with 500 rows over 8 shards (mean 62.5) every
+    # shard lands well inside 3x of the mean
+    for r in rows:
+        assert 20 <= r["n_rows"] <= 120
+
+
+def test_write_read_roundtrip(spark, corpus, tmp_path):
+    path = str(tmp_path / "shards")
+    write_shards(corpus, path, "doc_id", 8)
+    assert list_shards(path) == list(range(8))
+    man = {
+        r["shard"]: r["n_rows"]
+        for r in shard_manifest(corpus, "doc_id", 8).collect()
+    }
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    counts = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == man
+    # per-shard read prunes to that partition and round-trips content
+    one = read_shard(spark, path, 3)
+    ids = sorted(r["doc_id"] for r in one.collect())
+    assert ids == sorted(i for i in range(500) if _expected_shard(i, 8) == 3)
+
+
+def test_bad_num_shards(spark, corpus):
+    with pytest.raises(ValueError):
+        assign_shards(corpus, "doc_id", 0)
