@@ -68,6 +68,15 @@ HEADLINE_V2 = [
     "multimodal_video_meta",
     "multimodal_decode_video",
     "text_bpe_tokens",
+    # denser streaming coverage (the NOTES r5 candidate): one
+    # stateful-dedup, one watermark-session, one budget-gate arm so a
+    # regression anywhere in the streaming engine moves the bench
+    "stream_dedup_exact",
+    "stream_events_sessions",
+    "stream_token_budget",
+    # web curation + sharded export (added with the r5 web family)
+    "web_canonical_urls",
+    "export_shards",
 ]
 
 
