@@ -3464,6 +3464,69 @@ def q_web_blocklist(spark, sf_dir):
     )
 
 
+def _synth_dup_url() -> "F.Column":
+    """Collision-prone variant: the path keys on doc_id % 50, so
+    distinct raw URLs (differing in case, default port, and a
+    per-doc tracking param) canonicalize onto shared targets —
+    the URL-dedup fixture."""
+    did = F.col("doc_id")
+    scheme = F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _WEB_HOSTS]), (did % 8).cast("int") + 1
+    )
+    port = F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port,
+        F.lit("/item-"),
+        (did % 50).cast("string"),
+        F.lit("?utm_ref="),
+        did.cast("string"),
+    )
+
+
+def q_web_url_dedup(spark, sf_dir):
+    """URL-level dedup keyed on the CANONICAL form
+    (operators.web.canonicalize_url): raw URLs differing only in
+    scheme/host case, the default :443 port, and tracking params
+    collapse to one target; keep the minimum doc_id per canonical
+    URL. The oracle states the canonical key as a CLOSED FORM of
+    doc_id (not a SQL re-derivation), so any canonicalization branch
+    that misfires splits or merges a group and hash-mismatches."""
+    from margaret_spark.operators.web import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_dup_url().alias("url")
+    )
+    return (
+        docs.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("url_canonical")
+        )
+        .groupBy("url_canonical")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Temperature-scaled corpus mixing weights
+    (operators.sampling.mixture_weights, T=2): per-source sampling
+    weight ∝ sqrt(total tokens) — the standard multi-source recipe
+    that up-samples small sources. sqrt and the pround/DECIMAL-sum
+    tree are IEEE-portable, so the whole table is hash-exact."""
+    from margaret_spark.operators.sampling import mixture_weights
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    base = docs.select("doc_id", "source").join(toks, "doc_id")
+    return mixture_weights(base, "source", "n_tokens", temperature=2.0)
+
+
 def q_export_shards(spark, sf_dir):
     """Deterministic hash-sharded export manifest
     (operators.sharding.shard_manifest): md5-mod-64 shard per doc,
@@ -3644,6 +3707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_canonical_urls": q_web_canonical_urls,
         "web_domain_stats": q_web_domain_stats,
         "web_blocklist": q_web_blocklist,
+        "web_url_dedup": q_web_url_dedup,
+        "corpus_mixture": q_corpus_mixture,
         "export_shards": q_export_shards,
     }
 
@@ -4223,6 +4288,32 @@ def oracle_sql() -> dict[str, str]:
         "WHERE dom NOT IN ("
         + ",".join(f"'{b}'" for b in _WEB_BLOCKLIST)
         + ") GROUP BY source"
+    )
+    # URL dedup: the oracle states the canonical key as a CLOSED FORM
+    # of doc_id (lowered host, no default port, tracking param gone) —
+    # an independent statement, not a SQL re-derivation
+    _hosts_sql = ",".join(f"'{h}'" for h in _WEB_HOSTS)
+    d["web_url_dedup"] = (
+        "SELECT 'https://' || lower(([" + _hosts_sql + "])"
+        "[CAST(doc_id % 8 AS INT) + 1]) || '/item-' || (doc_id % 50) "
+        "AS url_canonical, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_dups "
+        "FROM documents GROUP BY 1"
+    )
+    # mixing weights: sqrt + pround + DECIMAL window sum — the exact
+    # expression tree of operators.sampling.mixture_weights
+    d["corpus_mixture"] = (
+        "WITH per AS (SELECT doc_id, source, "
+        f"CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents), "
+        "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM per GROUP BY source), "
+        "s AS (SELECT *, " + _pr("sqrt(CAST(n_tokens AS DOUBLE))")
+        + " AS tokens_scaled FROM a), "
+        "t AS (SELECT *, CAST(SUM(CAST(tokens_scaled AS DECIMAL(38,6))) "
+        "OVER () AS DOUBLE) AS tot FROM s) "
+        "SELECT source, n_docs, n_tokens, tokens_scaled, "
+        + _pr("tokens_scaled / tot") + " AS weight FROM t"
     )
     # md5 shard draw: same first-8-hex-digits value, '0x'-cast in
     # DuckDB vs conv(,16,10) in Spark — both exact 32-bit integers

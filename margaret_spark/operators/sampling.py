@@ -242,3 +242,59 @@ def stratified_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    temperature: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing weights — the standard
+    multi-source sampling recipe (multilingual / multi-domain
+    pretraining): each group's sampling weight is proportional to
+    ``tokens^(1/T)``. ``T=1`` is proportional-to-size, ``T→∞`` is
+    uniform; intermediate T up-samples small sources without letting
+    them dominate.
+
+    Output: (group, n_docs, n_tokens, tokens_scaled, weight) with
+    weight = tokens_scaled / Σ tokens_scaled, both rounded to
+    ``round_digits``.
+
+    Scale shape: one algebraic aggregation (|groups| rows move), then
+    an unpartitioned window over the aggregated rows — ≤|groups| of
+    them, the same post-reduction shape as the top-k finishers. The
+    cross-group total is an exact DECIMAL sum of the pre-rounded
+    scaled values, so the result is order-independent.
+
+    Determinism: at the default ``temperature=2.0`` the scaling is
+    ``sqrt`` — IEEE-exact in every engine, so the whole table is
+    hash-reproducible cross-engine. Other temperatures go through
+    ``pow``, which can differ in the last ulp between engines; the
+    values are still deterministic within Spark.
+    """
+    from margaret_spark.functions.numeric import pround
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive: {temperature}")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    raw = (
+        F.sqrt(nt)
+        if temperature == 2.0
+        else F.pow(nt, F.lit(1.0 / temperature))
+    )
+    scaled = agg.withColumn("tokens_scaled", pround(raw, round_digits))
+    w = Window.partitionBy()
+    total = (
+        F.sum(F.col("tokens_scaled").cast(f"decimal(38,{int(round_digits)})"))
+        .over(w)
+        .cast("double")
+    )
+    return scaled.withColumn(
+        "weight", pround(F.col("tokens_scaled") / total, round_digits)
+    )

@@ -244,3 +244,57 @@ def test_weighted_sample_equals_hash_sample_on_constant_weight(spark):
 def test_hash_sample_no_shuffle(ids):
     plan = hash_sample(ids, "id", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- mixture_weights (temperature corpus mixing) ---------------------------
+
+
+def test_mixture_weights_sqrt_temperature(spark):
+    import math
+
+    from margaret_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 300), ("b", 3, 10000), ("c", 4, 0)],
+        "src string, id long, n_tokens long",
+    )
+    rows = {
+        r["src"]: r.asDict()
+        for r in mixture_weights(df, "src", "n_tokens").collect()
+    }
+    assert rows["a"]["n_docs"] == 2 and rows["a"]["n_tokens"] == 400
+    # scaled = pround(sqrt(tokens), 6)
+    for s, tok in (("a", 400), ("b", 10000), ("c", 0)):
+        exp = math.floor(math.sqrt(tok) * 1e6 + 0.5) / 1e6
+        assert rows[s]["tokens_scaled"] == exp
+    total = sum(rows[s]["tokens_scaled"] for s in rows)
+    for s in rows:
+        exp_w = math.floor(rows[s]["tokens_scaled"] / total * 1e6 + 0.5) / 1e6
+        assert rows[s]["weight"] == exp_w
+    # weights form a distribution (up to rounding)
+    assert abs(sum(r["weight"] for r in rows.values()) - 1.0) < 1e-5
+    # sqrt scaling up-samples the small source relative to its share
+    assert rows["a"]["weight"] > 400 / 10400
+
+
+def test_mixture_weights_temperature_one_is_proportional(spark):
+    from margaret_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("b", 2, 300)], "src string, id long, n_tokens long"
+    )
+    rows = {
+        r["src"]: r["weight"]
+        for r in mixture_weights(df, "src", "n_tokens", temperature=1.0).collect()
+    }
+    assert rows["a"] == 0.25 and rows["b"] == 0.75
+
+
+def test_mixture_weights_bad_temperature(spark):
+    import pytest as _pytest
+
+    from margaret_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame([("a", 1, 1)], "src string, id long, n_tokens long")
+    with _pytest.raises(ValueError):
+        mixture_weights(df, "src", "n_tokens", temperature=0)
