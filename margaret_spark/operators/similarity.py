@@ -381,6 +381,11 @@ def lsh_bucketed_topk(
     round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket."""
+    # the signature folds bit i as shiftleft(bit, plane_id) into one
+    # long: past 63 planes the shift wraps and distinct signatures
+    # silently alias to the same bucket — fail loudly instead
+    if not 1 <= nbits <= 63:
+        raise ValueError(f"nbits must be in 1..63: {nbits}")
     spark = corpus.sparkSession
     dim = infer_dim(corpus, vec_col)
     if dim is None:  # empty corpus: same schema as brute_force_topk

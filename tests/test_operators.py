@@ -1824,3 +1824,17 @@ def test_cut_contaminated_spans(spark):
     assert got[3] == ("", 0, 0)
     # eval docs themselves are NOT in the output (caller passes the rest)
     assert set(got) == {1, 2, 3}
+
+
+def test_lsh_nbits_bounds(spark):
+    import pytest as _pytest
+
+    from margaret_spark.operators.similarity import lsh_bucketed_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        lsh_bucketed_topk(df, df, nbits=64)
+    with _pytest.raises(ValueError):
+        lsh_bucketed_topk(df, df, nbits=0)
