@@ -1588,6 +1588,30 @@ def q_events_skew_report(spark, sf_dir):
     return key_skew_report(_events(spark, sf_dir), "user_id", k=20)
 
 
+def q_events_cms(spark, sf_dir):
+    """Count-Min sketch (functions.cms): depth-4 × width-64 frequency
+    sketch of user_id, probed back over the distinct users and joined
+    to the exact counts — est_n ≥ exact_n always (the CMS guarantee),
+    with visible overcounts at width 64. Unlike HLL/GK, the sketch is
+    deterministic given the md5 hash family, so sketch AND estimates
+    are hash-exact cross-engine. The sketch aggregation's shuffle is
+    bounded by depth·width rows regardless of input size."""
+    from margaret_spark.functions.cms import cms_estimate, cms_sketch
+
+    ev = _events(spark, sf_dir).select("user_id").where(
+        F.col("user_id").isNotNull()
+    )
+    sk = cms_sketch(ev, "user_id", depth=4, width=64)
+    est = cms_estimate(sk, ev.distinct(), "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        F.col("est").cast("long").alias("est_n"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        (F.col("est") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
 def q_events_json(spark, sf_dir):
     """JSON codec surface (§2.5 op 37): extract props.k, aggregate."""
     ev = _events(spark, sf_dir)
@@ -3613,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_resample": q_events_resample,
         "events_skew_report": q_events_skew_report,
+        "events_cms": q_events_cms,
         "text_collocations": q_text_collocations,
         "docs_pagerank": q_docs_pagerank,
         "docs_triangles": q_docs_triangles,
@@ -4288,6 +4313,31 @@ def oracle_sql() -> dict[str, str]:
         "WHERE dom NOT IN ("
         + ",".join(f"'{b}'" for b in _WEB_BLOCKLIST)
         + ") GROUP BY source"
+    )
+    # Count-Min sketch: deterministic md5 hash family, so the whole
+    # (sketch -> probe -> min) pipeline is restated exactly in SQL
+    d["events_cms"] = (
+        "WITH k AS (SELECT CAST(user_id AS VARCHAR) AS ks, user_id "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "b AS (SELECT r, CAST(CAST('0x' || substr(md5(r || '#' || ks), 1, 8) "
+        "AS BIGINT) % 64 AS BIGINT) AS bucket FROM k "
+        "CROSS JOIN (SELECT unnest(range(4)) AS r)), "
+        "s AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM b GROUP BY 1, 2), "
+        "p AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS ks "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "pb AS (SELECT user_id, r, "
+        "CAST(CAST('0x' || substr(md5(r || '#' || ks), 1, 8) AS BIGINT) % 64 "
+        "AS BIGINT) AS bucket FROM p "
+        "CROSS JOIN (SELECT unnest(range(4)) AS r)), "
+        "est AS (SELECT user_id, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) "
+        "AS est_n FROM pb LEFT JOIN s ON s.r = pb.r AND s.bucket = pb.bucket "
+        "GROUP BY user_id), "
+        "ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id) "
+        "SELECT est.user_id, est_n, exact_n, "
+        "CAST(est_n - exact_n AS BIGINT) AS overcount "
+        "FROM est JOIN ex USING (user_id)"
     )
     # URL dedup: the oracle states the canonical key as a CLOSED FORM
     # of doc_id (lowered host, no default port, tracking param gone) —

@@ -53,3 +53,73 @@ def test_sketch_plans_single_narrow_shuffle(spark):
     )
     # partial HLL map-side, one exchange on the group key
     assert plan.count("Exchange") == 1
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    from margaret_spark.functions.cms import cms_estimate, cms_sketch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(700)], "k string"
+    )
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    # narrow sketch: collisions likely -> only the >= bound holds
+    sk = cms_sketch(df, "k", depth=3, width=4)
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(sk, df.select("k").distinct(), "k", depth=3, width=4).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+    # wide sketch over 7 keys: w=512 makes any collision across all 3
+    # rows essentially impossible -> exact
+    skw = cms_sketch(df, "k", depth=3, width=512)
+    estw = {
+        r["k"]: r["est"]
+        for r in cms_estimate(skw, df.select("k").distinct(), "k", depth=3, width=512).collect()
+    }
+    assert estw == exact
+
+
+def test_cms_merge_equals_whole(spark):
+    from margaret_spark.functions.cms import cms_merge, cms_sketch
+
+    df = spark.createDataFrame([(f"k{i % 13}", i) for i in range(400)], "k string, i long")
+    a = cms_sketch(df.where("i < 200"), "k", depth=4, width=32)
+    b = cms_sketch(df.where("i >= 200"), "k", depth=4, width=32)
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(df, "k", depth=4, width=32).collect()
+    }
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"] for r in cms_merge(a, b).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_unseen_key_estimates_zero_and_nulls_skipped(spark):
+    from margaret_spark.functions.cms import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "k string")
+    sk = cms_sketch(df, "k", depth=4, width=128)
+    assert sum(r["cnt"] for r in sk.collect()) == 2 * 4  # NULLs skipped
+    probes = spark.createDataFrame([("a",), ("zz",)], "k string")
+    est = {r["k"]: r["est"] for r in cms_estimate(sk, probes, "k", depth=4, width=128).collect()}
+    assert est["a"] == 2
+    assert est["zz"] == 0
+
+
+def test_cms_bad_params(spark):
+    import pytest as _pytest
+
+    from margaret_spark.functions.cms import cms_merge, cms_sketch
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "k", depth=0)
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "k", width=0)
+    with _pytest.raises(ValueError):
+        cms_merge()
