@@ -3551,6 +3551,86 @@ def q_corpus_mixture(spark, sf_dir):
     return mixture_weights(base, "source", "n_tokens", temperature=2.0)
 
 
+def q_stream_web_filter(spark, sf_dir):
+    """Streaming at-ingest web curation (streaming/webfilter.py): the
+    synthetic messy URLs are appended to a real OffsetLog, the filter
+    drains the append stream, drops blocklisted registered domains and
+    writes (seq, url_canonical, url_domain) to an append-mode parquet
+    sink — the expressions are SHARED with operators.web, so ingest
+    and batch canonicalization cannot drift. Stateless map+filter:
+    no state store, no shuffle. The graded result is the sink read
+    back; the oracle is the batch canonicalization SQL."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import stream_web_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url")
+    )
+    base = tempfile.mkdtemp(prefix="stream_web_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="url", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_web_filter(
+            log,
+            F.col("value"),
+            _WEB_BLOCKLIST,
+            sink,
+            os.path.join(base, "ckpt"),
+            available_now=True,
+        )
+        out = spark.read.parquet(sink).select(
+            F.col("seq").alias("doc_id"), "url_canonical", "url_domain"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_stream_cms(spark, sf_dir):
+    """Streaming Count-Min sketch (streaming/cms.py): sketch the log's
+    append stream of document sources — each micro-batch writes its
+    own bounded partial sketch (overwrite per batch=<id> partition, so
+    a crash-replayed batch lands identically instead of double
+    counting), the global sketch is the re-sum. Counters are additive,
+    so the merged result equals the batch sketch of the whole corpus —
+    which is exactly what the oracle states."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_cms, stream_cms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="source", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_cms(
+            log,
+            F.col("value"),
+            sink,
+            os.path.join(base, "ckpt"),
+            depth=4,
+            width=16,
+            available_now=True,
+        )
+        out = read_cms(spark, sink).select(
+            F.col("row").cast("long").alias("row"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_export_shards(spark, sf_dir):
     """Deterministic hash-sharded export manifest
     (operators.sharding.shard_manifest): md5-mod-64 shard per doc,
@@ -3735,6 +3815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": q_web_url_dedup,
         "corpus_mixture": q_corpus_mixture,
         "export_shards": q_export_shards,
+        "stream_web_filter": q_stream_web_filter,
+        "stream_cms": q_stream_cms,
     }
 
 
@@ -4364,6 +4446,25 @@ def oracle_sql() -> dict[str, str]:
         "OVER () AS DOUBLE) AS tot FROM s) "
         "SELECT source, n_docs, n_tokens, tokens_scaled, "
         + _pr("tokens_scaled / tot") + " AS weight FROM t"
+    )
+    # streaming web filter: the batch canonicalization restated over
+    # the same synthetic URLs, minus the blocklisted domains
+    d["stream_web_filter"] = (
+        "WITH " + _web_sql() + " "
+        "SELECT doc_id, canon AS url_canonical, dom AS url_domain "
+        "FROM dws WHERE dom NOT IN ("
+        + ",".join(f"'{b}'" for b in _WEB_BLOCKLIST)
+        + ")"
+    )
+    # streaming CMS: additive counters make the micro-batch merge
+    # equal the batch sketch of the whole corpus
+    d["stream_cms"] = (
+        "WITH b AS (SELECT r, CAST(CAST('0x' || "
+        "substr(md5(r || '#' || source), 1, 8) AS BIGINT) % 16 AS BIGINT) "
+        "AS bucket FROM documents "
+        "CROSS JOIN (SELECT unnest(range(4)) AS r)) "
+        "SELECT CAST(r AS BIGINT) AS row, bucket, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2"
     )
     # md5 shard draw: same first-8-hex-digits value, '0x'-cast in
     # DuckDB vs conv(,16,10) in Spark — both exact 32-bit integers

@@ -16,8 +16,10 @@ from margaret_spark.streaming.contamination import (
     stream_decontaminate,
     stream_decontaminate_spans,
 )
+from margaret_spark.streaming.cms import read_cms, stream_cms
 from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
 from margaret_spark.streaming.scrub import scrub_expr, stream_scrub_pii
+from margaret_spark.streaming.webfilter import stream_web_filter
 from margaret_spark.streaming.windows import session_windows, windowed_agg
 
 __all__ = [
@@ -32,6 +34,9 @@ __all__ = [
     "stream_token_budget",
     "stream_topk",
     "stream_scrub_pii",
+    "stream_web_filter",
+    "stream_cms",
+    "read_cms",
     "stream_decontaminate",
     "stream_decontaminate_spans",
     "stream_scd2",

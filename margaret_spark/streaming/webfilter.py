@@ -1,0 +1,60 @@
+"""Streaming at-ingest web curation: URL canonicalization + domain
+blocklist applied to a log's append stream — documents from
+blocklisted domains never land in the sink, and every surviving row
+carries its canonical URL and registered domain, so downstream
+consumers join/dedup on the canonical key from the moment of ingest
+(the at-ingest variant of ``operators.web``).
+
+Stateless like the PII scrub: the whole pass is per-row codegen
+string expressions shared with the batch operator (no drift possible),
+so the streaming plan is a map+filter over each micro-batch — no
+state store, no watermark, no shuffle; exactly-once into an
+append-mode parquet sink via the checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from margaret_spark.log import OffsetLog
+from margaret_spark.operators.web import (
+    canonicalize_url,
+    registered_domain,
+    url_host,
+)
+
+
+def stream_web_filter(
+    log: OffsetLog,
+    url_expr: Column,
+    blocked: list[str],
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Filter + annotate a log's append stream by URL: drop rows whose
+    registered domain is in ``blocked``; write ``(seq, url_canonical,
+    url_domain)`` append-mode. With ``available_now`` drains the log
+    and returns; otherwise returns the running StreamingQuery."""
+    src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
+    host = url_host(url_expr)
+    out = src.select(
+        F.col("seq"),
+        canonicalize_url(url_expr).alias("url_canonical"),
+        registered_domain(host).alias("url_domain"),
+    )
+    if blocked:
+        out = out.where(~F.col("url_domain").isin(*blocked))
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()

@@ -849,3 +849,141 @@ def test_stream_decontaminate_spans_matches_batch(spark, tmp_path):
     assert got[0] == ("intro outro tail", 8, 5)
     assert got[2] == ("", 0, 0)
     assert got[3] == ("", 5, 5)
+
+
+def test_stream_web_filter_matches_batch_and_resumes(spark, tmp_path):
+    """The at-ingest web filter's sink equals the batch
+    canonicalize+blocklist over the same rows; resume processes only
+    new appends."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.web import (
+        canonicalize_url,
+        filter_blocked_domains,
+        registered_domain,
+        url_host,
+    )
+    from margaret_spark.streaming import stream_web_filter
+
+    urls = [
+        "HTTPS://Example.COM:443/a?utm_x=1&b=2",
+        "http://tracker.ads.net/b",
+        "https://news.example.com/c#frag",
+        "http://cdn.media.io:8080/d",
+    ]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(urls)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    blocked = ["ads.net"]
+
+    stream_web_filter(log, F.col("value"), blocked, sink, ckpt, available_now=True)
+    got = {
+        r["seq"]: (r["url_canonical"], r["url_domain"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = spark.createDataFrame(list(enumerate(urls)), "seq long, url string")
+    kept = filter_blocked_domains(batch, "url", blocked)
+    want = {
+        r["seq"]: (r["c"], r["d"])
+        for r in kept.select(
+            "seq",
+            canonicalize_url(F.col("url")).alias("c"),
+            registered_domain(url_host(F.col("url"))).alias("d"),
+        ).collect()
+    }
+    assert got == want
+    assert 1 not in got  # blocklisted domain never lands in the sink
+    assert got[0][0] == "https://example.com/a?b=2"
+
+    log.append("https://blog.example.co.uk/e")
+    stream_web_filter(log, F.col("value"), blocked, sink, ckpt, available_now=True)
+    after = {r["seq"] for r in spark.read.parquet(sink).collect()}
+    assert after == {0, 2, 3, 4}
+
+
+def test_stream_cms_merged_equals_batch_sketch(spark, tmp_path):
+    """Multi-batch streaming sketch (maxFilesPerTrigger=1 over spaced
+    appends) re-sums to exactly the batch sketch of the whole log."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.functions.cms import cms_sketch
+    from margaret_spark.streaming import read_cms, stream_cms
+    from tests.test_streaming_chaos import _space_log_file_mtimes
+
+    keys = ["a", "b", "a", "c", "a", "b"]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    for k in keys:
+        log.append(k)
+    _space_log_file_mtimes(log)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    stream_cms(
+        log, F.col("value"), sink, ckpt, depth=3, width=8,
+        available_now=True, max_files_per_trigger=2,
+    )
+    import os as _os
+
+    n_batches = len(
+        [d for d in _os.listdir(sink) if d.startswith("batch=")]
+    )
+    assert n_batches >= 2  # genuinely multi-batch
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"] for r in read_cms(spark, sink).collect()
+    }
+    batch_df = spark.createDataFrame([(k,) for k in keys], "k string")
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(batch_df, "k", depth=3, width=8).collect()
+    }
+    assert merged == want
+
+
+def test_stream_cms_kill_mid_batch_restart(spark, tmp_path, monkeypatch):
+    """Chaos: the sketch write bombs on the second micro-batch; the
+    restart replays it into the same batch=<id> partition (overwrite),
+    so the merged sketch still equals the clean batch sketch — no
+    double counting."""
+    from pyspark.sql import types as T
+
+    import margaret_spark.streaming.cms as cms_mod
+    from margaret_spark.functions.cms import cms_sketch
+    from margaret_spark.streaming import read_cms, stream_cms
+    from tests.test_streaming_chaos import _space_log_file_mtimes
+
+    keys = ["a", "b", "a", "c"]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    for k in keys:
+        log.append(k)
+    _space_log_file_mtimes(log)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    real = cms_mod.cms_sketch
+    counter = {"n": 0}
+
+    def bombed(df, key_col, depth, width):
+        counter["n"] += 1
+        if counter["n"] == 2:
+            raise RuntimeError("chaos kill mid-stream")
+        return real(df, key_col, depth, width)
+
+    monkeypatch.setattr(cms_mod, "cms_sketch", bombed)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="chaos kill"):
+        stream_cms(
+            log, F.col("value"), sink, ckpt, depth=3, width=8,
+            available_now=True, max_files_per_trigger=2,
+        )
+    monkeypatch.setattr(cms_mod, "cms_sketch", real)
+    stream_cms(
+        log, F.col("value"), sink, ckpt, depth=3, width=8,
+        available_now=True, max_files_per_trigger=2,
+    )
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"] for r in read_cms(spark, sink).collect()
+    }
+    batch_df = spark.createDataFrame([(k,) for k in keys], "k string")
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(batch_df, "k", depth=3, width=8).collect()
+    }
+    assert merged == want
