@@ -3090,9 +3090,13 @@ def q_stream_events_sessions(spark, sf_dir):
     bounds and counts must equal the batch gap-sessionization exactly
     (Spark merges an event into a session iff it lands strictly
     before last_event + gap, so the oracle breaks sessions on
-    gap >= 30 min). Complete output mode: the final micro-batch holds
-    every closed-and-merged session regardless of how the file source
-    batched the input."""
+    gap >= 30 min). Complete output mode is the DRAIN-GRADING HARNESS
+    only (the final micro-batch must hold every closed-and-merged
+    session regardless of how the file source batched the input so
+    the oracle can compare full snapshots); the library operator
+    (streaming/windows.py session_windows) is watermarked and
+    append-safe — production sinks should use append mode, not copy
+    this."""
     import shutil
     import tempfile
 
@@ -4006,7 +4010,7 @@ def _bpe_tokens_sql() -> str:
     """The text_bpe_tokens oracle: an INDEPENDENT SQL re-derivation of
     byte-level BPE. Token state is a list of ids; each recursion step
     applies exactly one merge — the (lowest-rank, leftmost) candidate,
-    encoded as min(rank·4096 + pos) — to every still-reducible
+    encoded as min(rank·2²⁰ + pos) — to every still-reducible
     distinct pre-token; a pre-token leaves the recursion when no
     adjacent pair is in the merge table, and the terminal states join
     back to the per-document pre-token sequence. Equivalent to the
@@ -4051,16 +4055,22 @@ def _bpe_doc_tokens_cte() -> str:
         "SELECT tok, list_transform(range(1, length(tok) + 1), "
         "i -> ord(tok[i])) FROM vocab "
         "UNION ALL "
+        # the (rank, pos) argmin packs as rank·2²⁰ + pos: BIGINT
+        # arithmetic with a base far above any real pre-token id
+        # count (the regex pre-tokenizer caps runs well below 2²⁰
+        # bytes; the old 4096 base could alias pos into rank on
+        # pathological whitespace/punct runs)
         "SELECT t.tok, t.ids[1:t.pos - 1] || [t.nid] || "
         "t.ids[t.pos + 2:len(t.ids)] "
-        "FROM (SELECT c.tok, c.ids, CAST(c.best % 4096 AS INT) AS pos, "
+        "FROM (SELECT c.tok, c.ids, CAST(c.best % 1048576 AS INT) AS pos, "
         "mm.nid FROM ("
-        "SELECT s.tok, s.ids, min(m.rnk * 4096 + p.i) AS best "
+        "SELECT s.tok, s.ids, "
+        "min(CAST(m.rnk AS BIGINT) * 1048576 + p.i) AS best "
         "FROM steps s "
         "CROSS JOIN LATERAL unnest(range(1, len(s.ids))) AS p(i) "
         "JOIN merges m ON m.l = s.ids[p.i] AND m.r = s.ids[p.i + 1] "
         "GROUP BY s.tok, s.ids) c "
-        "JOIN merges mm ON mm.rnk = c.best // 4096) t), "
+        "JOIN merges mm ON mm.rnk = c.best // 1048576) t), "
         "final AS (SELECT s.tok, s.ids FROM steps s "
         "WHERE NOT EXISTS (SELECT 1 FROM merges m, "
         "LATERAL unnest(range(1, len(s.ids))) AS p(i) "

@@ -31,7 +31,17 @@ def with_salt(df: DataFrame, salt: int, col_name: str = "__salt") -> DataFrame:
     defeating the whole mitigation. Salt ASSIGNMENT therefore depends
     on partition layout, which is invisible to any algebraic
     aggregate (merge of partials == aggregate of the whole), so
-    RESULTS stay reproducible run to run."""
+    RESULTS stay reproducible run to run.
+
+    Retry caveat (inherent to salting identical rows, exactly as with
+    ``rand()``-based salts): the salt is order-dependent, so the
+    shuffle map output is non-deterministic across task attempts — a
+    row's salt can differ if a partial stage retry (shuffle-fetch
+    failure) recomputes its map task. Spark handles this by rolling
+    back and re-running the WHOLE indeterminate stage (SPARK-23207's
+    ResultStage/ShuffleMapStage rollback), so algebraic aggregates
+    stay correct; do not feed the salted column into side effects
+    that assume per-row stability across attempts."""
     return df.withColumn(
         col_name,
         F.pmod(

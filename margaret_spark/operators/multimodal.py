@@ -244,12 +244,14 @@ def decode_image(
 
     Rows with NULL blobs are DROPPED (the metadata extractors keep
     them — join back by id to see which inputs were skipped). REAL
-    for PNG: the stdlib zlib/struct decoder in
-    ``operators.media_codecs`` (8-bit grey/RGB/RGBA, all five scanline
-    filters) runs regardless of ``fake``. The fake blob format decodes
-    when ``fake=True`` (payload bytes as pixel values). Anything else
-    (JPEG, …) raises NotImplementedError — those genuinely need
-    native codecs absent from this container."""
+    for PNG (the stdlib zlib/struct decoder in
+    ``operators.media_codecs``: 8-bit grey/RGB/RGBA, all five scanline
+    filters) AND for baseline JPEG (the repo's own T.81 decoder in
+    ``operators.jpeg``: Huffman + dequant + IDCT + YCbCr) — both run
+    regardless of ``fake``. The fake blob format decodes when
+    ``fake=True`` (payload bytes as pixel values). Anything else
+    (progressive JPEG, WebP, …) raises NotImplementedError — those
+    genuinely need native codecs absent from this container."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

@@ -48,19 +48,31 @@ def url_scheme(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _URL_RE, 1))
 
 
-def url_host(url: Column) -> Column:
-    """Lowercased host: authority minus userinfo and port."""
+def _authority(url: Column) -> Column:
+    """host[:port] — the authority minus userinfo."""
     hp = F.regexp_extract(url, _URL_RE, 2)
-    no_user = F.regexp_replace(hp, r"^[^@]*@", "")
-    return F.lower(F.split(no_user, r":").getItem(0))
+    return F.regexp_replace(hp, r"^[^@]*@", "")
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host: authority minus userinfo and port. Host
+    grammar is reg-name-only: a bracketed IPv6 literal
+    (``http://[::1]:8080/``) cannot be split on ':' and returns NULL
+    (→ NULL canonical form) rather than a mangled '[' host."""
+    no_user = _authority(url)
+    host = F.lower(F.split(no_user, r":").getItem(0))
+    return F.when(~no_user.contains("["), host)
 
 
 def url_port(url: Column) -> Column:
-    """Explicit port string ('' when absent)."""
-    hp = F.regexp_extract(url, _URL_RE, 2)
-    no_user = F.regexp_replace(hp, r"^[^@]*@", "")
+    """Explicit port string ('' when absent; NULL for bracketed IPv6
+    authorities — same reg-name-only grammar as :func:`url_host`)."""
+    no_user = _authority(url)
     parts = F.split(no_user, r":")
-    return F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(F.lit(""))
+    return F.when(
+        ~no_user.contains("["),
+        F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(F.lit("")),
+    )
 
 
 def url_path(url: Column) -> Column:
@@ -178,10 +190,15 @@ def domain_stats(
 def filter_blocked_domains(
     df: DataFrame, url_col: str, blocked: list[str]
 ) -> DataFrame:
-    """Drop rows whose registered domain is blocklisted. The list
-    ships as a broadcast literal (`isin`), so the predicate is a
-    scan-level filter — for million-entry blocklists use a broadcast
-    anti-join on ``url_domain`` instead."""
+    """Drop rows whose registered domain is blocklisted. Rows whose
+    URL yields a NULL domain (missing/unparseable URL) are KEPT — the
+    blocklist names domains to drop, and an unattributable row matches
+    none of them (a bare ``~isin`` would silently drop them through
+    three-valued NULL logic). The list ships as a broadcast literal
+    (`isin`), so the predicate is a scan-level filter — for
+    million-entry blocklists use a broadcast anti-join on
+    ``url_domain`` instead."""
     if not blocked:
         return df
-    return df.where(~registered_domain(url_host(F.col(url_col))).isin(*blocked))
+    dom = registered_domain(url_host(F.col(url_col)))
+    return df.where(dom.isNull() | ~dom.isin(*blocked))

@@ -70,9 +70,21 @@ def stream_cms(
 def read_cms(spark: SparkSession, sink_dir: str) -> DataFrame:
     """(row, bucket, cnt): the global sketch — re-sum of every batch
     partial (counters are additive; see ``functions.cms.cms_merge``).
+    A stream that produced zero batches (empty log / nothing drained
+    yet) is a valid empty sketch, not a schema-inference error.
     """
+    if not _has_batches(sink_dir):
+        return spark.createDataFrame([], "row int, bucket long, cnt long")
     return (
         spark.read.parquet(sink_dir)
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def _has_batches(sink_dir: str) -> bool:
+    """True iff ``sink_dir`` holds at least one ``batch=*`` partial."""
+    try:
+        return any(e.startswith("batch=") for e in os.listdir(sink_dir))
+    except FileNotFoundError:
+        return False

@@ -36,8 +36,11 @@ def stream_web_filter(
 ):
     """Filter + annotate a log's append stream by URL: drop rows whose
     registered domain is in ``blocked``; write ``(seq, url_canonical,
-    url_domain)`` append-mode. With ``available_now`` drains the log
-    and returns; otherwise returns the running StreamingQuery."""
+    url_domain)`` append-mode. Rows with a NULL domain (missing or
+    unparseable URL) are KEPT, matching the batch
+    ``filter_blocked_domains`` — an unattributable row matches no
+    blocklist entry. With ``available_now`` drains the log and
+    returns; otherwise returns the running StreamingQuery."""
     src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
     host = url_host(url_expr)
     out = src.select(
@@ -46,7 +49,8 @@ def stream_web_filter(
         registered_domain(host).alias("url_domain"),
     )
     if blocked:
-        out = out.where(~F.col("url_domain").isin(*blocked))
+        dom = F.col("url_domain")
+        out = out.where(dom.isNull() | ~dom.isin(*blocked))
     w = (
         out.writeStream.format("parquet")
         .option("path", sink_dir)

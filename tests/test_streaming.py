@@ -987,3 +987,18 @@ def test_stream_cms_kill_mid_batch_restart(spark, tmp_path, monkeypatch):
         for r in cms_sketch(batch_df, "k", depth=3, width=8).collect()
     }
     assert merged == want
+
+
+def test_read_cms_empty_sink_is_empty_sketch(spark, tmp_path):
+    """A stream that produced zero batches is a valid EMPTY sketch —
+    read_cms must not die on parquet schema inference (missing dir and
+    existing-but-batchless dir both count)."""
+    from margaret_spark.streaming import read_cms
+
+    missing = str(tmp_path / "never_written")
+    assert read_cms(spark, missing).count() == 0
+    empty = tmp_path / "sink_no_batches"
+    empty.mkdir()
+    df = read_cms(spark, str(empty))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["row", "bucket", "cnt"]

@@ -135,3 +135,30 @@ def test_tracking_filter_no_false_positives(spark):
         _one(spark, u, canonicalize_url)
         == "https://example.com/a?reference=x&utmost=1"
     )
+
+
+def test_ipv6_authority_is_rejected_as_null(spark):
+    # reg-name-only host grammar: a bracketed IPv6 literal cannot be
+    # split on ':' — host/port/canonical are NULL, never a mangled '['
+    u = "http://[::1]:8080/x"
+    assert _one(spark, u, url_host) is None
+    assert _one(spark, u, url_port) is None
+    assert _one(spark, u, canonicalize_url) is None
+    # ... and a normal URL is unaffected
+    assert _one(spark, "http://h.example.com:81/x", url_host) == "h.example.com"
+
+
+def test_blocklist_keeps_null_domain_rows(spark):
+    # a row with a NULL/unparseable URL matches no blocklist entry:
+    # it must be KEPT, not silently dropped by three-valued ~isin
+    df = spark.createDataFrame(
+        [
+            (1, "https://tracker.ads.net/a"),
+            (2, None),
+            (3, "not a url"),
+            (4, "https://ok.example.com/b"),
+        ],
+        "id long, url string",
+    )
+    kept = filter_blocked_domains(df, "url", ["ads.net"])
+    assert sorted(r["id"] for r in kept.collect()) == [2, 3, 4]
