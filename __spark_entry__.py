@@ -2576,39 +2576,44 @@ def q_stream_dedup_exact(spark, sf_dir):
     batched file write, dense seqs in doc_id order), then the
     streaming exact dedup (streaming/stateful.py,
     applyInPandasWithState keyed by sha2-256 content hash) drains the
-    log's append stream and emits first-seen keepers. Oracle-checked:
-    keepers must be exactly min(seq) per distinct content, and the
-    state key (sha2 hex) is engine-identical to DuckDB's sha256."""
+    log's append stream and emits first-seen keepers. Delivery is the
+    SCALE path: each micro-batch's keepers land executor-side as a
+    batch=<id> parquet partition (streaming/sinks.py — no driver
+    toPandas; the keeper stream is one row per unique document ever
+    ingested), and the graded result is the sink read back.
+    Oracle-checked: keepers must be exactly min(seq) per distinct
+    content, and the state key (sha2 hex) is engine-identical to
+    DuckDB's sha256."""
     import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
-    from margaret_spark.streaming import stream_dedup_exact
+    from margaret_spark.streaming import read_keeper_sink, stream_dedup_exact
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="stream_dedup_")
-    keepers: list = []
     try:
         log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
         # distributed ingest: the corpus never transits the driver —
         # append_df range-partitions on doc_id so seqs follow doc_id
         # order exactly (the oracle's seq == doc_id assumption)
         log.append_df(docs, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
         stream_dedup_exact(
             log,
             F.col("value"),
-            keepers.append,
-            os.path.join(base, "ckpt"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            sink_dir=sink,
             available_now=True,
         )
+        out = read_keeper_sink(
+            spark, sink, "content_hash string, keep_seq long"
+        )
+        # the sink dir is deleted on return: materialize rows first
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    rows = [
-        (str(r["content_hash"]), int(r["keep_seq"]))
-        for pdf in keepers
-        for _, r in pdf.iterrows()
-    ]
-    return spark.createDataFrame(rows, "content_hash string, keep_seq long")
 
 
 def q_stream_dedup_minhash(spark, sf_dir):
@@ -3045,15 +3050,17 @@ def q_stream_token_budget(spark, sf_dir):
     (streaming/stateful.stream_token_budget, applyInPandasWithState
     keyed by source): documents stream in seq order and each source
     admits documents until 500 cumulative tokens, then closes — per
-    source the state is ONE long forever. The oracle states the kept
-    set as a per-source window cumsum over doc_id order (keep iff
-    tokens-before-it < budget) — hash-exact including the cumulative
-    sums."""
+    source the state is ONE long forever. The admitted set (the whole
+    training corpus's key set at scale) is delivered executor-side
+    into a batch=<id> parquet sink and read back — no driver pandas
+    funnel. The oracle states the kept set as a per-source window
+    cumsum over doc_id order (keep iff tokens-before-it < budget) —
+    hash-exact including the cumulative sums."""
     import shutil
     import tempfile
 
     from margaret_spark.functions.shingling import words
-    from margaret_spark.streaming import stream_token_budget
+    from margaret_spark.streaming import read_keeper_sink, stream_token_budget
 
     sdf = (
         spark.readStream.schema(_DOCS_SCHEMA)
@@ -3066,21 +3073,20 @@ def q_stream_token_budget(spark, sf_dir):
         F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
     )
     base = tempfile.mkdtemp(prefix="stream_budget_")
-    kept: list = []
     try:
+        sink = os.path.join(base, "sink")
         stream_token_budget(
-            tagged, 500, os.path.join(base, "ckpt"), kept.append
+            tagged, 500, os.path.join(base, "ckpt"), sink_dir=sink
         )
+        out = read_keeper_sink(
+            spark,
+            sink,
+            "stratum string, seq long, n_tokens long, cum_tokens long",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    rows = [
-        (str(r["stratum"]), int(r["seq"]), int(r["n_tokens"]), int(r["cum_tokens"]))
-        for pdf in kept
-        for _, r in pdf.iterrows()
-    ]
-    return spark.createDataFrame(
-        rows, "stratum string, seq long, n_tokens long, cum_tokens long"
-    )
 
 
 def q_stream_events_sessions(spark, sf_dir):

@@ -4,6 +4,8 @@ from margaret_spark.streaming.live import (
     stream_build_index,
 )
 from margaret_spark.streaming.stateful import (
+    read_keeper_sink,
+    read_latest_index_sink,
     stream_asof_join,
     stream_dedup_exact,
     stream_dedup_minhash,
@@ -33,6 +35,8 @@ __all__ = [
     "stream_dedup_window",
     "stream_token_budget",
     "stream_topk",
+    "read_keeper_sink",
+    "read_latest_index_sink",
     "stream_scrub_pii",
     "stream_web_filter",
     "stream_cms",

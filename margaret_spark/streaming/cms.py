@@ -73,18 +73,12 @@ def read_cms(spark: SparkSession, sink_dir: str) -> DataFrame:
     A stream that produced zero batches (empty log / nothing drained
     yet) is a valid empty sketch, not a schema-inference error.
     """
-    if not _has_batches(sink_dir):
+    from margaret_spark.streaming.sinks import has_batches
+
+    if not has_batches(sink_dir):
         return spark.createDataFrame([], "row int, bucket long, cnt long")
     return (
         spark.read.parquet(sink_dir)
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-
-
-def _has_batches(sink_dir: str) -> bool:
-    """True iff ``sink_dir`` holds at least one ``batch=*`` partial."""
-    try:
-        return any(e.startswith("batch=") for e in os.listdir(sink_dir))
-    except FileNotFoundError:
-        return False

@@ -13,19 +13,31 @@ store shuffles once per micro-batch on the grouping key); no driver
 state, no growing lineage — this is the applyInPandasWithState path
 the engine reserves for semantics Spark's built-in aggregations can't
 express (emit-only-changes with arbitrary per-key payloads).
+
+Output delivery: every operator here takes BOTH an optional
+driver-side pandas callback (the small-result/test path) and an
+optional ``sink_dir`` (the scale path — each micro-batch's keeper
+rows land executor-side as a ``batch=<id>`` parquet partition,
+replay-idempotent; see ``streaming/sinks.py``). At 100 TB the keeper
+stream of e.g. :func:`stream_dedup_exact` is one row per unique
+document ever ingested — that volume must never funnel through a
+driver ``toPandas()``, so production wiring passes ``sink_dir`` and
+reads the keeper set back with :func:`read_keeper_sink` /
+:func:`read_latest_index_sink`.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterator, Tuple
+from typing import Any, Callable, Iterator, Optional, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from margaret_spark.log import OffsetLog
+from margaret_spark.streaming.sinks import delivery, read_batch_sink
 
 
 def _latest_func(
@@ -51,24 +63,29 @@ def _latest_func(
 def stream_latest_index(
     log: OffsetLog,
     key_expr,
-    on_updates: Callable[[pd.DataFrame], None],
-    checkpoint_dir: str,
+    on_updates: Optional[Callable[[pd.DataFrame], None]] = None,
+    checkpoint_dir: str = None,
     value_expr=None,
     available_now: bool = True,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Run the streaming SetterIndex over a log's append stream.
 
     ``key_expr`` / ``value_expr`` are Column expressions over the log
     schema producing the index addr (cast to string) and the stored
     value (cast to string; the reference stores codec-opaque blobs —
-    stringly state keeps the state schema fixed). ``on_updates``
-    receives one pandas DataFrame (addr, upd_seq, value) per
-    micro-batch holding only the keys that changed.
+    stringly state keeps the state schema fixed). Each micro-batch
+    emits (addr, upd_seq, value) rows for only the keys that changed,
+    delivered executor-side into ``sink_dir`` (scale path — UPDATE
+    semantics, so read back with :func:`read_latest_index_sink`)
+    and/or to the driver-side ``on_updates`` pandas callback.
 
     Returns None after catch-up when ``available_now``, else the
-    running StreamingQuery.
+    running StreamingQuery. ``max_files_per_trigger`` bounds catch-up
+    batch size.
     """
-    src = log.stream_df()
+    src = log.stream_df(max_files_per_trigger)
     if value_expr is None:
         value_expr = F.col("value")
     keyed = src.select(
@@ -83,14 +100,8 @@ def stream_latest_index(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
-        if len(pdf):
-            on_updates(pdf)
-
     w = (
-        out.writeStream.foreachBatch(on_batch)
+        out.writeStream.foreachBatch(delivery(sink_dir, on_updates))
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -99,6 +110,33 @@ def stream_latest_index(
         q.awaitTermination()
         return None
     return w.trigger(processingTime="500 milliseconds").start()
+
+
+def read_latest_index_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The CURRENT index from a :func:`stream_latest_index` sink:
+    batch partials carry update semantics (a key re-emits whenever its
+    value changes), so the reduction keeps the newest emission per
+    addr — ``upd_seq`` strictly increases across a key's emissions, so
+    max_by is exact. One keyed aggregation over keeper rows only."""
+    df = read_batch_sink(
+        spark, sink_dir, "addr string, upd_seq long, value string"
+    )
+    return df.groupBy("addr").agg(
+        F.max("upd_seq").alias("upd_seq"),
+        F.max_by("value", "upd_seq").alias("value"),
+    )
+
+
+def read_keeper_sink(
+    spark: SparkSession, sink_dir: str, schema: str
+) -> DataFrame:
+    """The keeper set of an append-semantics stateful sink (dedup
+    keepers, budget admissions, as-of matches, LSH candidates): plain
+    union of the batch partials — each logical row was emitted exactly
+    once, and crash-replayed batches overwrote their own partition.
+    ``schema`` supplies the typed empty result for a sink that never
+    produced a batch."""
+    return read_batch_sink(spark, sink_dir, schema)
 
 
 def _first_seen_func(
@@ -150,12 +188,13 @@ def _window_dedup_func_factory(ttl_seqs: int):
 def stream_dedup_window(
     log: OffsetLog,
     content_expr,
-    on_keepers: Callable[[pd.DataFrame], None],
-    checkpoint_dir: str,
+    on_keepers: Optional[Callable[[pd.DataFrame], None]] = None,
+    checkpoint_dir: str = None,
     ttl_seqs: int = 10_000,
     state_ttl: str | int | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    sink_dir: str | None = None,
 ):
     """Bounded-horizon streaming dedup: a re-arrival is suppressed only
     while the SAME content was last seen within the trailing
@@ -190,7 +229,11 @@ def stream_dedup_window(
     False``): under ``availableNow`` Spark keeps scheduling batches
     while armed processing-time timeouts exist, so the drain never
     terminates (measured, not just theoretical) — the combination is
-    rejected up front."""
+    rejected up front.
+
+    Keeper delivery: ``sink_dir`` (executor-side parquet, the scale
+    path — read back with :func:`read_keeper_sink`) and/or the
+    ``on_keepers`` pandas callback."""
     if ttl_seqs < 1:
         raise ValueError(f"ttl_seqs must be >= 1: {ttl_seqs}")
     if state_ttl is not None and available_now:
@@ -225,14 +268,8 @@ def stream_dedup_window(
         outputMode="update",
         timeoutConf=timeout,
     )
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
-        if len(pdf):
-            on_keepers(pdf)
-
     w = (
-        out.writeStream.foreachBatch(on_batch)
+        out.writeStream.foreachBatch(delivery(sink_dir, on_keepers))
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -281,8 +318,9 @@ def stream_token_budget(
     stream: DataFrame,
     budget: int,
     checkpoint_dir: str,
-    on_kept: Callable[[pd.DataFrame], None],
+    on_kept: Optional[Callable[[pd.DataFrame], None]] = None,
     available_now: bool = True,
+    sink_dir: str | None = None,
 ):
     """At-ingest token-budget gating: per stratum (source), admit
     documents in arrival (seq) order until the stratum's cumulative
@@ -301,7 +339,12 @@ def stream_token_budget(
     state is ONE long (tokens used) forever — an exhausted stratum
     costs 8 bytes and drops every later arrival without touching
     state size. One state-store shuffle per micro-batch on the
-    stratum key."""
+    stratum key.
+
+    The admitted set is the whole training corpus's key set — at
+    scale deliver it via ``sink_dir`` (executor-side parquet; read
+    back with :func:`read_keeper_sink`), keeping ``on_kept`` for
+    tests/small results."""
     if budget < 0:
         raise ValueError(f"budget must be non-negative: {budget}")
     out = stream.groupBy("stratum").applyInPandasWithState(
@@ -313,14 +356,8 @@ def stream_token_budget(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
-        if len(pdf):
-            on_kept(pdf)
-
     w = (
-        out.writeStream.foreachBatch(on_batch)
+        out.writeStream.foreachBatch(delivery(sink_dir, on_kept))
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -361,13 +398,14 @@ def _band_collision_func(
 def stream_dedup_minhash(
     log: OffsetLog,
     text_expr,
-    on_candidates: Callable[[pd.DataFrame], None],
-    checkpoint_dir: str,
+    on_candidates: Optional[Callable[[pd.DataFrame], None]] = None,
+    checkpoint_dir: str = None,
     num_hashes: int = 32,
     bands: int = 8,
     mode: str = "word",
     n: int = 3,
     available_now: bool = True,
+    sink_dir: str | None = None,
 ):
     """Streaming MinHash-LSH near-dup detection over a log's append
     stream: each arriving document's band buckets are matched against
@@ -384,7 +422,9 @@ def stream_dedup_minhash(
     colliding in several bands emits once per band — dedupe on
     ``dup_seq`` if you only need the verdict. State is one long per
     claimed (band, bucket): O(distinct buckets), partitioned across
-    executors, never the documents themselves."""
+    executors, never the documents themselves. Candidate delivery:
+    ``sink_dir`` (executor-side parquet — the scale path; read back
+    with :func:`read_keeper_sink`) and/or ``on_candidates``."""
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
             f"bands must divide num_hashes: bands={bands}, num_hashes={num_hashes}"
@@ -423,14 +463,8 @@ def stream_dedup_minhash(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
-        if len(pdf):
-            on_candidates(pdf)
-
     w = (
-        out.writeStream.foreachBatch(on_batch)
+        out.writeStream.foreachBatch(delivery(sink_dir, on_candidates))
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -444,9 +478,11 @@ def stream_dedup_minhash(
 def stream_dedup_exact(
     log: OffsetLog,
     content_expr,
-    on_keepers: Callable[[pd.DataFrame], None],
-    checkpoint_dir: str,
+    on_keepers: Optional[Callable[[pd.DataFrame], None]] = None,
+    checkpoint_dir: str = None,
     available_now: bool = True,
+    sink_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming exact deduplication over a log's append stream: the
     state store remembers every content hash ever seen; each
@@ -460,9 +496,15 @@ def stream_dedup_exact(
     ``content_expr`` is a Column over the log schema (e.g. the
     document text); it is hashed engine-side (sha2-256) so the state
     key and shuffle carry 64 hex chars, never the content.
-    ``on_keepers`` receives one pandas DataFrame
-    (content_hash, keep_seq) per micro-batch."""
-    src = log.stream_df()
+
+    The keeper stream is one row per UNIQUE document ever ingested —
+    billions at 100 TB — so the scale delivery is ``sink_dir``
+    (executor-side parquet partitions, read back with
+    :func:`read_keeper_sink`); the ``on_keepers`` pandas callback
+    (one DataFrame per micro-batch) stays as the small-result/test
+    path. ``max_files_per_trigger`` bounds catch-up batch size (a
+    restart over a long backlog replays in bounded micro-batches)."""
+    src = log.stream_df(max_files_per_trigger)
     keyed = src.select(
         F.sha2(content_expr.cast("string"), 256).alias("content_hash"), F.col("seq")
     )
@@ -473,14 +515,8 @@ def stream_dedup_exact(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
-        if len(pdf):
-            on_keepers(pdf)
-
     w = (
-        out.writeStream.foreachBatch(on_batch)
+        out.writeStream.foreachBatch(delivery(sink_dir, on_keepers))
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -530,8 +566,9 @@ def _asof_func(
 def stream_asof_join(
     tagged: DataFrame,
     checkpoint_dir: str,
-    on_rows: Callable[[pd.DataFrame], None],
+    on_rows: Optional[Callable[[pd.DataFrame], None]] = None,
     available_now: bool = True,
+    sink_dir: str | None = None,
 ):
     """Streaming AS-OF join as a custom stateful operator
     (``applyInPandasWithState``) — the semantics Spark's built-in
@@ -552,7 +589,12 @@ def stream_asof_join(
     exact and bounded by the log). Cross-batch caveat: a left row in
     an EARLIER micro-batch than its matching right row matches only
     what has arrived — the same arrival-order contract as any
-    stream-stream join without a lateness allowance."""
+    stream-stream join without a lateness allowance.
+
+    Output delivery: one row per LEFT event, so at scale pass
+    ``sink_dir`` (executor-side parquet; read back with
+    :func:`read_keeper_sink`) — ``on_rows`` remains the
+    small-result/test path."""
     out = tagged.groupBy("k").applyInPandasWithState(
         _asof_func,
         outputStructType="k long, tsu long, tsu_matched long",
@@ -560,14 +602,8 @@ def stream_asof_join(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
-    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        pdf = batch_df.toPandas()
-        if len(pdf):
-            on_rows(pdf)
-
     w = (
-        out.writeStream.foreachBatch(on_batch)
+        out.writeStream.foreachBatch(delivery(sink_dir, on_rows))
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
     )

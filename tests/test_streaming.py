@@ -1002,3 +1002,92 @@ def test_read_cms_empty_sink_is_empty_sketch(spark, tmp_path):
     df = read_cms(spark, str(empty))
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["row", "bucket", "cnt"]
+
+
+def test_keeper_sink_equals_callback_delivery(spark, tmp_path):
+    """The executor-side parquet sink and the driver callback are two
+    deliveries of the SAME keeper stream: run stream_dedup_exact with
+    both active and assert the read-back sink equals the callback
+    accumulation row for row."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.streaming import read_keeper_sink, stream_dedup_exact
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(["a", "b", "a", "c", "b", "a"])
+    got_cb = []
+    sink = str(tmp_path / "sink")
+    stream_dedup_exact(
+        log, F.col("value"), got_cb.append, str(tmp_path / "ck"),
+        sink_dir=sink,
+    )
+    from_cb = {
+        (r["content_hash"], r["keep_seq"])
+        for pdf in got_cb
+        for _, r in pdf.iterrows()
+    }
+    from_sink = {
+        (r["content_hash"], r["keep_seq"])
+        for r in read_keeper_sink(
+            spark, sink, "content_hash string, keep_seq long"
+        ).collect()
+    }
+    assert from_sink == from_cb
+    assert {s for _h, s in from_sink} == {0, 1, 3}
+
+
+def test_latest_index_sink_reduces_updates_to_current(spark, tmp_path):
+    """stream_latest_index's sink carries UPDATE semantics (a key
+    re-emits on change); read_latest_index_sink must reduce the batch
+    partials to the CURRENT index — newest emission per addr."""
+    from margaret_spark.streaming import (
+        read_latest_index_sink,
+        stream_latest_index,
+    )
+    from tests.test_streaming_chaos import _space_log_file_mtimes
+
+    log = OffsetLog(spark, str(tmp_path / "log"))
+    log.append_many([100, 201])  # key = value % 2
+    log.append_many([102, 203])  # both keys change
+    log.append_many([304])       # key 0 changes again
+    _space_log_file_mtimes(log)
+    sink = str(tmp_path / "sink")
+    stream_latest_index(
+        log, F.col("value") % 2, None, str(tmp_path / "ck"),
+        sink_dir=sink, available_now=True, max_files_per_trigger=1,
+    )
+    import os as _os
+
+    assert len([d for d in _os.listdir(sink) if d.startswith("batch=")]) >= 2
+    cur = {
+        r["addr"]: (r["upd_seq"], r["value"])
+        for r in read_latest_index_sink(spark, sink).collect()
+    }
+    assert cur == {"0": (4, "304"), "1": (3, "203")}
+
+
+def test_delivery_requires_a_path(spark, tmp_path):
+    """No sink_dir AND no callback is a wiring bug — rejected up
+    front, not a silently discarded output stream."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from margaret_spark.streaming import stream_dedup_exact
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append("x")
+    with _pytest.raises(ValueError, match="delivery"):
+        stream_dedup_exact(log, F.col("value"), None, str(tmp_path / "ck"))
+
+
+def test_keeper_sink_empty_stream_is_typed_empty(spark, tmp_path):
+    """A keeper sink that never produced a batch reads back as a
+    typed empty DataFrame, not a parquet schema-inference error."""
+    from margaret_spark.streaming import read_keeper_sink
+
+    df = read_keeper_sink(
+        spark, str(tmp_path / "nope"), "content_hash string, keep_seq long"
+    )
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["content_hash", "keep_seq"]

@@ -330,3 +330,54 @@ def test_kill_mid_stream_restart_matches_clean_run(spark, tmp_path, op):
 
         assert prune_history(chaos_store[0], keep_last=2) == 1
         assert final(chaos_store) == want
+
+
+def test_kill_mid_stream_restart_sink_partitions_idempotent(spark, tmp_path):
+    """Executor-side keeper sink under chaos: the bomb (an armed
+    driver callback, which delivery() runs AFTER the executor-side
+    parquet write) kills the query once batch 1's batch=1 partition
+    has already committed; the restart replays batch 1 against the
+    checkpointed batch-0 state and must OVERWRITE batch=1
+    byte-identically — the read-back keeper set equals a clean run's,
+    nothing lost, nothing duplicated."""
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_dedup_exact
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(["x", "y"])  # seqs 0, 1
+    log.append_many(["x", "z"])  # 2, 3 (x is a dup)
+    log.append_many(["w", "y"])  # 4, 5 (y is a dup)
+    _space_log_file_mtimes(log)
+    schema = "content_hash string, keep_seq long"
+
+    def run(ck, sink, fail_at):
+        counter = {"n": 0}
+        cb = None if fail_at is None else _armed(
+            lambda pdf: None, fail_at, counter
+        )
+        stream_dedup_exact(
+            log, F.col("value"), cb, ck, sink_dir=sink,
+            max_files_per_trigger=1,
+        )
+
+    chaos_sink = str(tmp_path / "sink_chaos")
+    with pytest.raises(Exception, match="chaos kill"):
+        run(str(tmp_path / "ck_chaos"), chaos_sink, fail_at=2)
+    # batch 1's partition committed before the kill: the failure mode
+    # this test pins is a replay DUPLICATING it
+    assert os.path.isdir(os.path.join(chaos_sink, "batch=1"))
+    run(str(tmp_path / "ck_chaos"), chaos_sink, fail_at=None)
+
+    clean_sink = str(tmp_path / "sink_clean")
+    run(str(tmp_path / "ck_clean"), clean_sink, fail_at=None)
+
+    got = {
+        (r["content_hash"], r["keep_seq"])
+        for r in read_keeper_sink(spark, chaos_sink, schema).collect()
+    }
+    want = {
+        (r["content_hash"], r["keep_seq"])
+        for r in read_keeper_sink(spark, clean_sink, schema).collect()
+    }
+    assert got == want
+    assert {s for _h, s in want} == {0, 1, 3, 4}
