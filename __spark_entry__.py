@@ -3433,6 +3433,33 @@ _WEB_HOSTS = [
 
 _WEB_BLOCKLIST = ["ads.net", "media.io"]
 
+#: embedded public-suffix fixture (a faithful subset of the
+#: publicsuffix.org format: plain rules, one wildcard, one exception)
+_PSL_FIXTURE = [
+    "com", "net", "org", "io", "uk", "co.uk", "org.uk", "ac.uk",
+    "jp", "co.jp", "br", "com.br", "nom.br", "us", "k12.ca.us",
+    "*.ck", "!www.ck", "blogspot.com",
+]
+
+#: hosts exercising every PSL branch: plain TLD, multi-label suffix,
+#: suffix-is-the-host (NULL), wildcard, wildcard-exception, private
+#: suffix (blogspot), unknown TLD (implicit '*'), single label
+_PSL_HOSTS = [
+    "example.com",
+    "www.example.com",
+    "blog.example.co.uk",
+    "example.co.uk",
+    "co.uk",
+    "foo.nom.br",
+    "a.b.k12.ca.us",
+    "www.town.ck",
+    "town.ck",
+    "www.ck",
+    "myblog.blogspot.com",
+    "internal",
+    "server.internal",
+]
+
 
 def _synth_url() -> "F.Column":
     did = F.col("doc_id")
@@ -3518,6 +3545,30 @@ def _synth_dup_url() -> "F.Column":
         (did % 50).cast("string"),
         F.lit("?utm_ref="),
         did.cast("string"),
+    )
+
+
+def q_web_domain_psl(spark, sf_dir):
+    """Registered domains resolved against a REAL public-suffix list
+    (operators.web.with_registered_domain_psl): the rule set collapses
+    to one row per match key, splits by key depth, and each depth is a
+    broadcast LEFT join on the host's last-d-labels string — zero
+    shuffles, no explode; exceptions beat wildcards beat plain rules
+    beat the implicit '*'. The oracle re-derives the per-depth joins
+    and the greatest/coalesce resolution in SQL over the same embedded
+    fixture — every branch (wildcard *.ck, exception !www.ck,
+    private-suffix blogspot.com, unknown TLD) is hash-checked."""
+    from margaret_spark.operators.web import with_registered_domain_psl
+
+    hosts = F.array(*[F.lit(h) for h in _PSL_HOSTS])
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            hosts, (F.col("doc_id") % len(_PSL_HOSTS)).cast("int") + 1
+        ).alias("host"),
+    )
+    return with_registered_domain_psl(
+        docs, "host", _PSL_FIXTURE, out_col="domain_psl", ps_len_col="psl_len"
     )
 
 
@@ -3823,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_stats": q_web_domain_stats,
         "web_blocklist": q_web_blocklist,
         "web_url_dedup": q_web_url_dedup,
+        "web_domain_psl": q_web_domain_psl,
         "corpus_mixture": q_corpus_mixture,
         "export_shards": q_export_shards,
         "stream_web_filter": q_stream_web_filter,
@@ -4441,6 +4493,7 @@ def oracle_sql() -> dict[str, str]:
     # of doc_id (lowered host, no default port, tracking param gone) —
     # an independent statement, not a SQL re-derivation
     _hosts_sql = ",".join(f"'{h}'" for h in _WEB_HOSTS)
+    d["web_domain_psl"] = _psl_sql()
     d["web_url_dedup"] = (
         "SELECT 'https://' || lower(([" + _hosts_sql + "])"
         "[CAST(doc_id % 8 AS INT) + 1]) || '/item-' || (doc_id % 50) "
@@ -4547,6 +4600,74 @@ def _web_sql() -> str:
         "OR (scheme = 'http' AND port = '80')) THEN ':' || port ELSE '' END) || "
         "(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) || "
         "(CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) END AS canon FROM cw)"
+    )
+
+
+def _psl_sql() -> str:
+    """The web_domain_psl oracle: an independent SQL re-derivation of
+    public-suffix resolution over the same embedded fixture — the rule
+    table is regenerated from parse_suffix_rules (shared driver-side
+    CONFIG, not shared computation), then per-depth LEFT joins on the
+    host's last-d-labels string and a greatest/coalesce resolution
+    (exception > longest plain/wildcard match > implicit '*'). DuckDB
+    list slicing is 1-based inclusive: last d labels = ls[n-d+1:n].
+    GREATEST NULL handling differs across engines, so matches are
+    folded through COALESCE(-1)/NULLIF — exact integer arithmetic
+    either way."""
+    from margaret_spark.operators.web import parse_suffix_rules
+
+    parsed = parse_suffix_rules(_PSL_FIXTURE)
+    depths = sorted({d for _k, d, _p, _w, _e in parsed})
+    hosts = ",".join(f"'{h}'" for h in _PSL_HOSTS)
+    ctes = [
+        "hosts AS (SELECT doc_id, "
+        f"([{hosts}])[CAST(doc_id % {len(_PSL_HOSTS)} AS INT) + 1] AS host "
+        "FROM documents)",
+        "hl AS (SELECT doc_id, host, string_split(host, '.') AS ls, "
+        "len(string_split(host, '.')) AS n FROM hosts)",
+    ]
+    joins, norm, exc = [], [], []
+    for d in depths:
+        rows = ", ".join(
+            "('{}', {}, {}, {})".format(
+                k,
+                "CAST(NULL AS INT)" if p is None else p,
+                "true" if w else "false",
+                "CAST(NULL AS INT)" if e is None else e,
+            )
+            for k, kd, p, w, e in parsed
+            if kd == d
+        )
+        ctes.append(
+            f"r{d}(key{d}, plain{d}, wild{d}, exc{d}) AS "
+            f"(SELECT * FROM (VALUES {rows}) v)"
+        )
+        joins.append(
+            f"LEFT JOIN r{d} ON hl.n >= {d} AND "
+            f"array_to_string(hl.ls[hl.n-{d}+1:hl.n], '.') = r{d}.key{d}"
+        )
+        norm.append(f"COALESCE(plain{d}, -1)")
+        norm.append(
+            f"CASE WHEN COALESCE(wild{d}, false) AND n >= {d + 1} "
+            f"THEN {d + 1} ELSE -1 END"
+        )
+        exc.append(f"COALESCE(exc{d}, -1)")
+    sel = ", ".join(
+        f"r{d}.plain{d}, r{d}.wild{d}, r{d}.exc{d}" for d in depths
+    )
+    ctes.append(
+        f"j AS (SELECT hl.*, {sel} FROM hl " + " ".join(joins) + ")"
+    )
+    ctes.append(
+        "p AS (SELECT *, COALESCE("
+        f"NULLIF(GREATEST({', '.join(exc)}), -1), "
+        f"NULLIF(GREATEST({', '.join(norm)}), -1), 1) AS ps FROM j)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT doc_id, host, "
+        "CASE WHEN n > ps THEN array_to_string(ls[n-ps:n], '.') END "
+        "AS domain_psl, CAST(ps AS INT) AS psl_len FROM p"
     )
 
 

@@ -130,8 +130,10 @@ def registered_domain(host: Column) -> Column:
     common second-level label under a short (≤3 chars) TLD
     ('blog.example.co.uk' → 'example.co.uk', 'docs.python.org' →
     'python.org'). A single-label host is its own domain. Heuristic by
-    design — the full public-suffix list is data, not code; swap it in
-    via a broadcast join where exactness matters."""
+    design — the full public-suffix list is data, not code: where
+    exactness matters use :func:`with_registered_domain_psl`, the
+    data-driven twin that resolves against a real PSL via per-depth
+    broadcast joins."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # 0-based F.get returns NULL out of range — safe under the when
@@ -146,6 +148,144 @@ def registered_domain(host: Column) -> Column:
         .when(n >= 2, F.concat_ws(".", second, last))
         .otherwise(host)
     )
+
+
+def parse_suffix_rules(
+    rules: list[str],
+) -> list[tuple[str, int, int | None, bool, int | None]]:
+    """Collapse a public-suffix-list rule set (publicsuffix.org
+    format: plain suffixes, ``*.`` wildcards, ``!`` exceptions;
+    comments/blank lines already stripped) into ONE row per match key:
+
+        (key, depth, ps_plain, has_wild, ps_exc)
+
+    where ``key`` is the exact label-suffix to equality-match,
+    ``depth`` its label count, ``ps_plain`` the public-suffix length a
+    plain rule implies (= depth), ``has_wild`` whether ``*.key`` makes
+    any (depth+1)-label suffix public, and ``ps_exc`` the
+    public-suffix length an exception rule implies (= depth − 1; the
+    exception's own labels form the registrable domain). One row per
+    key keeps the per-depth broadcast joins 1:1 — no row duplication.
+    """
+    by_key: dict[str, dict] = {}
+
+    def slot(key: str) -> dict:
+        return by_key.setdefault(
+            key, {"ps_plain": None, "wild": False, "ps_exc": None}
+        )
+
+    for rule in rules:
+        rule = rule.strip().lower()
+        if not rule:
+            continue
+        if rule.startswith("!"):
+            key = rule[1:]
+            s = slot(key)
+            d = key.count(".") + 1
+            s["ps_exc"] = max(s["ps_exc"] or 0, d - 1)
+        elif rule.startswith("*."):
+            slot(rule[2:])["wild"] = True
+        else:
+            s = slot(rule)
+            d = rule.count(".") + 1
+            s["ps_plain"] = max(s["ps_plain"] or 0, d)
+    return [
+        (k, k.count(".") + 1, v["ps_plain"], v["wild"], v["ps_exc"])
+        for k, v in sorted(by_key.items())
+    ]
+
+
+def with_registered_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    rules: list[str],
+    out_col: str = "domain_psl",
+    ps_len_col: str | None = None,
+) -> DataFrame:
+    """Registered domain resolved against a REAL public-suffix list —
+    the data-driven twin of the :func:`registered_domain` heuristic
+    (which stays the zero-data default). Standard PSL algorithm: among
+    matching rules an exception wins, else the longest match; no match
+    falls back to the implicit ``*`` rule (the TLD itself is the
+    public suffix); the registered domain is the public suffix plus
+    one label, NULL when the host IS a public suffix (or NULL/short).
+
+    Scale shape: the rule set collapses to one row per match key
+    (:func:`parse_suffix_rules`) and splits by key depth — real PSLs
+    hold ~10k keys at depths 1–5, so each depth is a BROADCAST left
+    join on an equality key (the host's last-``d``-labels string):
+    zero shuffles, zero explodes, no per-host row multiplication; the
+    resolution itself is codegen array/greatest arithmetic. All
+    string/integer ops are byte-exact cross-engine, so a SQL oracle
+    re-derives every domain bit-for-bit."""
+    parsed = parse_suffix_rules(rules)
+    if not parsed:
+        raise ValueError("empty suffix rule set")
+    spark = df.sparkSession
+    host = F.col(host_col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    df = df.withColumn("__psl_labels", labels).withColumn("__psl_n", n)
+    depths = sorted({d for _k, d, _p, _w, _e in parsed})
+    norm_cands: list[Column] = []
+    exc_cands: list[Column] = []
+    for d in depths:
+        rows = [
+            (k, p, w, e) for k, kd, p, w, e in parsed if kd == d
+        ]
+        rdf = spark.createDataFrame(
+            rows,
+            f"__psl_key_{d} string, __psl_plain_{d} int, "
+            f"__psl_wild_{d} boolean, __psl_exc_{d} int",
+        )
+        tail_d = F.when(
+            F.col("__psl_n") >= d,
+            F.array_join(F.slice("__psl_labels", -d, d), "."),
+        )
+        df = df.withColumn(f"__psl_tail_{d}", tail_d).join(
+            F.broadcast(rdf),
+            F.col(f"__psl_tail_{d}") == F.col(f"__psl_key_{d}"),
+            "left",
+        )
+        norm_cands.append(F.col(f"__psl_plain_{d}"))
+        norm_cands.append(
+            F.when(
+                F.col(f"__psl_wild_{d}") & (F.col("__psl_n") >= d + 1),
+                F.lit(d + 1),
+            )
+        )
+        exc_cands.append(F.col(f"__psl_exc_{d}"))
+
+    def _greatest(cands: list[Column]) -> Column:
+        return cands[0] if len(cands) == 1 else F.greatest(*cands)
+
+    # Spark's greatest skips NULLs: unmatched depths drop out
+    ps = F.coalesce(
+        _greatest(exc_cands), _greatest(norm_cands), F.lit(1)
+    )
+    nn = F.col("__psl_n")
+    dom = F.when(
+        host.isNotNull() & (host != "") & (nn > ps),
+        F.array_join(F.slice("__psl_labels", -(ps + 1), ps + 1), "."),
+    )
+    df = df.withColumn(out_col, dom)
+    if ps_len_col is not None:
+        df = df.withColumn(
+            ps_len_col,
+            F.when(host.isNotNull() & (host != ""), ps.cast("int")),
+        )
+    drop = ["__psl_labels", "__psl_n"] + [
+        c
+        for d in depths
+        for c in (
+            f"__psl_tail_{d}",
+            f"__psl_key_{d}",
+            f"__psl_plain_{d}",
+            f"__psl_wild_{d}",
+            f"__psl_exc_{d}",
+        )
+    ]
+    return df.drop(*drop)
 
 
 def with_url_columns(df: DataFrame, url_col: str) -> DataFrame:

@@ -162,3 +162,56 @@ def test_blocklist_keeps_null_domain_rows(spark):
     )
     kept = filter_blocked_domains(df, "url", ["ads.net"])
     assert sorted(r["id"] for r in kept.collect()) == [2, 3, 4]
+
+
+def test_registered_domain_psl(spark):
+    """Data-driven PSL resolution: longest match wins, '*.' wildcards
+    make one extra label public, '!' exceptions claw their own labels
+    back, unmatched hosts fall to the implicit '*' rule, and a host
+    that IS a public suffix has no registrable domain."""
+    from margaret_spark.operators.web import with_registered_domain_psl
+
+    rules = [
+        "com", "uk", "co.uk", "br", "nom.br", "us", "k12.ca.us",
+        "*.ck", "!www.ck", "blogspot.com",
+    ]
+    cases = {
+        "example.com": ("example.com", 1),
+        "www.example.com": ("example.com", 1),
+        "blog.example.co.uk": ("example.co.uk", 2),
+        "co.uk": (None, 2),              # is itself a public suffix
+        "foo.nom.br": ("foo.nom.br", 2),
+        "a.b.k12.ca.us": ("b.k12.ca.us", 3),
+        "www.town.ck": ("www.town.ck", 2),   # *.ck: town.ck is public
+        "town.ck": (None, 2),
+        "www.ck": ("www.ck", 1),             # !www.ck exception
+        "myblog.blogspot.com": ("myblog.blogspot.com", 2),
+        "internal": (None, 1),               # single label, default *
+        "server.internal": ("server.internal", 1),
+        "": (None, None),
+        None: (None, None),
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    out = with_registered_domain_psl(df, "host", rules, ps_len_col="ps")
+    got = {r["host"]: (r["domain_psl"], r["ps"]) for r in out.collect()}
+    assert got == cases
+
+
+def test_parse_suffix_rules_collapses_per_key(spark):
+    from margaret_spark.operators.web import parse_suffix_rules
+
+    rows = parse_suffix_rules(["ck", "*.ck", "!www.ck", "com"])
+    by_key = {k: (d, p, w, e) for k, d, p, w, e in rows}
+    # plain + wildcard on the same key collapse to ONE row (the
+    # per-depth broadcast joins must stay 1:1)
+    assert by_key["ck"] == (1, 1, True, None)
+    assert by_key["www.ck"] == (2, None, False, 1)
+    assert by_key["com"] == (1, 1, False, None)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="empty"):
+        from margaret_spark.operators.web import with_registered_domain_psl
+
+        with_registered_domain_psl(
+            spark.createDataFrame([("a",)], "host string"), "host", []
+        )
