@@ -3089,6 +3089,49 @@ def q_stream_token_budget(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_token_budget_bpe(spark, sf_dir):
+    """The token-budget gate fed by REAL byte-level BPE counts —
+    production token accounting end-to-end: the ingest projection tags
+    each arriving document with operators.bpe's Arrow-batched
+    tokenizer count (no whitespace proxy), the stateful gate admits
+    per-source prefixes until 800 cumulative tokens, and the admitted
+    set lands executor-side in a batch=<id> parquet sink. The oracle
+    re-derives n_tokens with the recursive-CTE SQL BPE encoder (one
+    lowest-rank-leftmost merge per step) and restates the gate as a
+    per-source window cumsum — hash-exact across tokenizer AND gate."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.operators.bpe import bpe_token_count_col
+    from margaret_spark.streaming import read_keeper_sink, stream_token_budget
+
+    sdf = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tagged = sdf.select(
+        F.col("source").alias("stratum"),
+        F.col("doc_id").alias("seq"),
+        bpe_token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_budget_bpe_")
+    try:
+        sink = os.path.join(base, "sink")
+        stream_token_budget(
+            tagged, 800, os.path.join(base, "ckpt"), sink_dir=sink
+        )
+        out = read_keeper_sink(
+            spark,
+            sink,
+            "stratum string, seq long, n_tokens long, cum_tokens long",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_events_sessions(spark, sf_dir):
     """Gap-based session windows computed BY THE STREAMING ENGINE
     (F.session_window, 30-min gap) and drained with availableNow —
@@ -3797,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_sessions": q_stream_events_sessions,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_token_budget": q_stream_token_budget,
+        "stream_token_budget_bpe": q_stream_token_budget_bpe,
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
         "stream_pii_redact": q_stream_pii_redact,
@@ -6046,6 +6090,20 @@ def _oracle_sql_base() -> dict[str, str]:
             f"FROM (SELECT source, doc_id, CAST(len({_WORDS}) AS BIGINT) "
             "AS n_tokens FROM documents)) "
             "WHERE cum - n_tokens < 500"
+        ),
+        # the BPE-fed gate: n_tokens re-derived by the recursive-CTE
+        # SQL BPE encoder, then the same per-source cumsum rule
+        "stream_token_budget_bpe": (
+            _bpe_doc_tokens_cte()
+            + ", nt AS (SELECT d.source, d.doc_id, "
+            "CAST(COALESCE(len(dt.toks), 0) AS BIGINT) AS n_tokens "
+            "FROM documents d LEFT JOIN doc_tokens dt USING (doc_id)) "
+            "SELECT source AS stratum, doc_id AS seq, n_tokens, "
+            "cum AS cum_tokens FROM ("
+            "SELECT source, doc_id, n_tokens, "
+            "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM nt) "
+            "WHERE cum - n_tokens < 800"
         ),
         # the bounded-horizon rule as one lag window: keep iff no
         # prior occurrence of the content within the trailing 40 seqs

@@ -237,6 +237,18 @@ def bpe_tokenize(
     closure (a few KB) and the per-pretoken memo cache amortizes the
     merge loop to ~one dict hit per word occurrence. NULL text
     tokenizes to NULL (schema-honest: absent ≠ empty)."""
+    tok = tokenize_udf(merges)
+    return df.select(F.col(id_col), tok(F.col(text_col)).alias("token_ids"))
+
+
+def tokenize_udf(merges: Sequence[tuple[int, int]] | None = None):
+    """The Arrow-batched tokenizer as a reusable column function —
+    composes into arbitrary projections (batch or STREAMING: a live
+    ingest tags arrivals with real token counts by projecting
+    ``F.size(tokenize_udf()(text))`` — pandas UDFs run unchanged in
+    micro-batch plans). The merge table ships in the serialized
+    closure (a few KB); the per-pretoken memo cache amortizes the
+    merge loop to ~one dict hit per word occurrence."""
     mg = list(merges) if merges is not None else list(DEFAULT_MERGES)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -258,7 +270,18 @@ def bpe_tokenize(
 
         return pd.Series([None if t is None else enc(t) for t in s])
 
-    return df.select(F.col(id_col), tok(F.col(text_col)).alias("token_ids"))
+    return tok
+
+
+def bpe_token_count_col(
+    text, merges: Sequence[tuple[int, int]] | None = None
+):
+    """REAL token count as a Column expression (NULL text → 0) — the
+    projection a streaming ingest uses to feed the token-budget gate
+    with production token accounting instead of a whitespace proxy."""
+    return F.coalesce(
+        F.size(tokenize_udf(merges)(text)), F.lit(0)
+    ).cast("long")
 
 
 def bpe_token_count(

@@ -148,3 +148,31 @@ def test_bpe_counts_feed_packing_and_budget(spark):
     assert {r["doc_id"] for r in kept.collect()} <= set(lens)
     with pytest.raises(ValueError):
         token_budget_sample(counted, "source", "doc_id", "n_tokens", -1)
+
+
+def test_bpe_token_count_col_matches_operator(spark):
+    """The composable count Column (the streaming-ingest projection)
+    equals the bpe_token_count operator row for row, NULL → 0."""
+    from pyspark.sql import functions as F
+
+    from margaret_spark.operators.bpe import (
+        bpe_token_count,
+        bpe_token_count_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "the the the"), (3, None), (4, "")],
+        "id long, text string",
+    )
+    via_op = {
+        r["id"]: r["n_tokens"]
+        for r in bpe_token_count(df, "id", "text").collect()
+    }
+    via_col = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", bpe_token_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert via_col == via_op
+    assert via_col[3] == 0 and via_col[4] == 0
