@@ -1821,6 +1821,30 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return ivf_index_search(spark, path, queries, k=5, nprobe=4)
 
 
+def q_ann_ivf_int8(spark, sf_dir):
+    """The int8-quantized persisted IVF index
+    (operators.quantize.build_ivf_index_int8 / ivf_index_search_int8):
+    cells store codes + scales + precomputed integer norms (the 4×
+    storage cut compounding with partition-pruned reads — the actual
+    100 TB ANN deployment shape). Cell assignment/probing use float
+    cosine against the same seeded centroids as ann_ivf; candidate
+    ranking is the quantized cosine (scales cancel — pure integer
+    dots under one sqrt/division tree), so the whole pipeline is
+    hash-exact like ann_topk_int8."""
+    import tempfile
+
+    from margaret_spark.operators.quantize import (
+        build_ivf_index_int8,
+        ivf_index_search_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="margaret_ivf_int8_")
+    build_ivf_index_int8(emb, path, nlist=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_index_search_int8(spark, path, queries, k=5, nprobe=4)
+
+
 def q_text_topterms(spark, sf_dir):
     from margaret_spark.operators.text import top_terms
 
@@ -3864,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivf_int8": q_ann_ivf_int8,
         "ann_recall": q_ann_recall,
         "text_stats": q_text_stats,
         "text_topterms": q_text_topterms,
@@ -4424,6 +4449,53 @@ def oracle_sql() -> dict[str, str]:
     # the persisted IVF index must return bit-identical results to the
     # in-flight IVF plan over the same (lowest-id) centroids
     d["ann_ivf_indexed"] = d["ann_ivf"]
+    # int8 IVF: the ann_ivf cell/probe CTEs (float cosine against the
+    # seeded centroids) feeding the ann_topk_int8 quantized-cosine
+    # scorer — assignment and arithmetic each re-derived independently
+    _qz_cte = (
+        "qz AS (SELECT vec_id, codes, "
+        "sqrt(CAST(list_sum(list_transform(codes, x -> x * x)) AS DOUBLE)) "
+        "AS nrm FROM ("
+        "SELECT vec_id, CASE WHEN ma > 0 THEN "
+        "list_transform(xd, x -> CAST(floor(x / (ma / 127.0) + 0.5) AS INT)) "
+        "ELSE list_transform(xd, x -> 0) END AS codes FROM ("
+        "SELECT vec_id, xd, "
+        "list_max(list_transform(xd, x -> abs(x))) AS ma FROM ("
+        "SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings))))"
+    )
+    _int8_qcos = (
+        "CAST(list_sum(list_transform(range(1, len(qq.codes) + 1), "
+        "i -> qq.codes[i] * cq.codes[i])) AS DOUBLE) / (qq.nrm * cq.nrm)"
+    )
+    d["ann_ivf_int8"] = (
+        "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent "
+        "FROM embeddings ORDER BY vec_id LIMIT 16), "
+        + _qz_cte + ", "
+        "cell AS (SELECT neighbor_id, cent_id FROM ("
+        "SELECT e.vec_id AS neighbor_id, c.cent_id, "
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        + _pr(_cosine_sql("e.embedding", "c.cent"))
+        + " DESC, c.cent_id ASC) AS cr "
+        "FROM embeddings e CROSS JOIN cents c) WHERE cr = 1), "
+        "probe AS (SELECT query_id, cent_id FROM ("
+        "SELECT q.vec_id AS query_id, c.cent_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        + _pr(_cosine_sql("q.embedding", "c.cent"))
+        + " DESC, c.cent_id ASC) AS cr "
+        "FROM (SELECT * FROM embeddings WHERE vec_id < 5) q "
+        "CROSS JOIN cents c) WHERE cr <= 4) "
+        "SELECT query_id, neighbor_id, qcosine, rank FROM ("
+        "SELECT p.query_id, l.neighbor_id, "
+        + _pr(_int8_qcos) + " AS qcosine, "
+        "CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY "
+        + _pr(_int8_qcos) + " DESC, l.neighbor_id ASC) AS INT) AS rank "
+        "FROM probe p JOIN cell l ON p.cent_id = l.cent_id "
+        "JOIN qz qq ON qq.vec_id = p.query_id "
+        "JOIN qz cq ON cq.vec_id = l.neighbor_id "
+        "WHERE p.query_id <> l.neighbor_id "
+        "AND qq.nrm > 0 AND cq.nrm > 0) WHERE rank <= 5"
+    )
     # the stateful-streaming as-of operator must reproduce the batch
     # as-of join exactly — same DuckDB native ASOF JOIN oracle
     d["stream_events_asof"] = d["events_asof"]

@@ -26,7 +26,7 @@ dot it approximates. That is why the graded surface ranks by qcos.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from margaret_spark.functions.numeric import pround
@@ -131,4 +131,121 @@ def int8_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qcosine", "rank")
+    )
+
+
+def build_ivf_index_int8(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Persist an IVF index whose cells store INT8 CODES — the actual
+    100 TB ANN deployment shape: partition pruning cuts the bytes
+    READ to nprobe/nlist of the corpus, and quantization cuts the
+    bytes STORED ~4× (codes + one scale + one precomputed integer
+    norm per vector; the float vectors never land in the index).
+
+    Cell assignment is identical to the float
+    ``similarity.build_ivf_index`` (rounded float cosine against the
+    FLOAT centroid table, which is small and stays exact), so the two
+    indexes partition the corpus the same way — only the stored
+    payload and the scoring arithmetic differ. Returns the centroid
+    DataFrame (persisted under ``<path>/centroids``)."""
+    from margaret_spark.operators.similarity import _nearest_cells, l2_norm
+
+    if centroids is None:
+        centroids = corpus.orderBy(F.col(id_col).asc()).limit(nlist).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("cent"),
+        )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    cents = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    assigned = _nearest_cells(
+        corpus, cents, id_col, vec_col, "id", 1, round_digits
+    )
+    scale, codes = quantize_cols(F.col("__v"))
+    quantized = assigned.select(
+        F.col("cent_id").alias("cell"),
+        "id",
+        scale.alias("scale"),
+        codes.alias("codes"),
+    ).withColumn(
+        "cnrm",
+        F.sqrt(_int_dot(F.col("codes"), F.col("codes")).cast("double")),
+    )
+    quantized.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+    return spark.read.parquet(f"{path}/centroids")
+
+
+def ivf_index_search_int8(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k against a :func:`build_ivf_index_int8` index: probe the
+    ``nprobe`` nearest cells by float cosine against the (broadcast)
+    centroid table, then rank the probed cells' members by QUANTIZED
+    cosine — integer code dots over precomputed integer norms, scales
+    cancelling, under one sqrt/division tree (hash-exact
+    cross-engine, like ``int8_topk``). Zero-norm codes (zero vectors)
+    have no direction and are excluded on both sides.
+
+    Scale shape: the broadcast probe set triggers dynamic partition
+    pruning on the Hive-partitioned cell table, so the scan reads
+    O(probed cells) of int8 codes — the memory-bandwidth win of
+    quantized scan compounding with the IVF read cut."""
+    from margaret_spark.operators.similarity import _nearest_cells, l2_norm
+
+    cents = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    probes = _nearest_cells(
+        queries, cents, id_col, vec_col, "query_id", nprobe, round_digits
+    )
+    _qs, qc = quantize_cols(F.col("__v"))
+    probes = probes.select(
+        F.col("cent_id").alias("cell"), "query_id", qc.alias("__qc")
+    ).withColumn(
+        "__qn", F.sqrt(_int_dot(F.col("__qc"), F.col("__qc")).cast("double"))
+    ).where(F.col("__qn") > 0.0)
+    cells = spark.read.parquet(f"{path}/cells")
+    qcos = _int_dot(F.col("__qc"), F.col("codes")).cast("double") / (
+        F.col("__qn") * F.col("cnrm")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .where((F.col("query_id") != F.col("id")) & (F.col("cnrm") > 0.0))
+        .withColumn("qcosine", pround(qcos, round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), "qcosine", "rank"
+        )
     )

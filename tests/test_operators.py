@@ -1838,3 +1838,48 @@ def test_lsh_nbits_bounds(spark):
         lsh_bucketed_topk(df, df, nbits=64)
     with _pytest.raises(ValueError):
         lsh_bucketed_topk(df, df, nbits=0)
+
+
+def test_ivf_int8_index_recall_vs_float_index(spark, emb, tmp_path):
+    """The int8 IVF index must (a) partition the corpus exactly like
+    the float index (same seeded centroids → same cells), (b) store
+    codes/scales/integer norms instead of float vectors, and (c) rank
+    within-cell candidates close enough to the float index that
+    recall@5 against it stays >= 0.8 (quantized cosine drifts at most
+    a few ranks on the test corpus)."""
+    from margaret_spark.operators.quantize import (
+        build_ivf_index_int8,
+        ivf_index_search_int8,
+    )
+    from margaret_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    fpath, qpath = str(tmp_path / "f"), str(tmp_path / "q")
+    build_ivf_index(emb, fpath, nlist=16)
+    build_ivf_index_int8(emb, qpath, nlist=16)
+
+    # same cell membership, ~4x smaller payload schema
+    fcells = {
+        (r["cell"], r["id"]) for r in spark.read.parquet(f"{fpath}/cells").select("cell", "id").collect()
+    }
+    qdf = spark.read.parquet(f"{qpath}/cells")
+    qcells = {(r["cell"], r["id"]) for r in qdf.select("cell", "id").collect()}
+    assert qcells == fcells
+    assert {f.name for f in qdf.schema.fields} == {
+        "cell", "id", "scale", "codes", "cnrm"
+    }
+
+    queries = emb.where(F.col("vec_id") < 5)
+    fl = {}
+    for r in ivf_index_search(spark, fpath, queries, k=5, nprobe=4).collect():
+        fl.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in ivf_index_search_int8(
+        spark, qpath, queries, k=5, nprobe=4
+    ).collect():
+        total += 1
+        hits += r["neighbor_id"] in fl[r["query_id"]]
+    assert total == 5 * 5
+    assert hits / total >= 0.8

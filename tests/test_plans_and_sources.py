@@ -59,6 +59,9 @@ def test_entry_queries_plan_quality(spark):
         "ann_lsh",
         "ann_ivf",
         "ann_ivf_indexed",
+        # probing scores query×centroid pairs through pair_dot; the
+        # candidate ranking itself is integer codegen
+        "ann_ivf_int8",
         # both recall arms score pairs through the same Arrow kernel
         "ann_recall",
         # Lloyd assignment scores |corpus|·k pairs through pair_dot
