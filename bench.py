@@ -77,6 +77,19 @@ HEADLINE_V2 = [
     # web curation + sharded export (added with the r5 web family)
     "web_canonical_urls",
     "export_shards",
+    # r6: the rest of the streaming family measured (a regression in
+    # the stateful horizon dedup, as-of join, SCD2 ingest, stateless
+    # scrub/web filters or the CMS was previously invisible to BENCH
+    # deltas), plus the round's new graded families
+    "stream_dedup_window",
+    "stream_events_asof",
+    "stream_docs_scd2",
+    "stream_pii_redact",
+    "stream_web_filter",
+    "stream_cms",
+    "stream_token_budget_bpe",
+    "web_domain_psl",
+    "ann_ivf_int8",
 ]
 
 

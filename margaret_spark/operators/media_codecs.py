@@ -92,7 +92,9 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG")
     try:
         return _decode_png_inner(blob, meta)
-    except (struct.error, IndexError) as e:
+    except (struct.error, IndexError, zlib.error) as e:
+        # zlib.error included: a corrupt IDAT stream must surface as
+        # the documented ValueError, not leak the zlib internal
         raise ValueError(f"png: truncated or corrupt stream: {e!r}") from e
 
 
@@ -185,7 +187,10 @@ def wav_meta(blob: bytes):
             if fmt_code != 1:
                 return None
         elif tag == b"data":
-            data_len = ln
+            # ACCUMULATE: decode_wav concatenates every data chunk, so
+            # the frame count must too (a last-chunk-wins here made
+            # meta disagree with decode on multi-data-chunk files)
+            data_len += ln
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if rate is None or channels in (None, 0):
         return None

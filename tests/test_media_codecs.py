@@ -248,3 +248,42 @@ def test_decoders_never_crash_on_garbage():
                 dec(blob)
             except (ValueError, zlib.error):
                 pass  # expected classification failures
+
+
+def test_decode_png_corrupt_idat_is_valueerror():
+    """A corrupt IDAT must surface as the documented ValueError, not a
+    leaked zlib.error (the decode path promises one exception type)."""
+    import pytest
+
+    from margaret_spark.operators.media_codecs import decode_png, encode_png
+
+    blob = bytearray(encode_png(4, 4, bytes(range(16))))
+    # flip bytes inside the IDAT payload (after sig+IHDR = 8+25 bytes,
+    # past the IDAT length+tag+zlib header)
+    blob[8 + 25 + 8 + 4] ^= 0xFF
+    blob[8 + 25 + 8 + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt|truncated|mismatch"):
+        decode_png(bytes(blob))
+
+
+def test_wav_meta_multi_data_chunks_consistent_with_decode():
+    """Nonstandard multi-data-chunk WAVs: meta's frame count must
+    equal what decode actually returns (both concatenate)."""
+    import struct
+
+    from margaret_spark.operators.media_codecs import decode_wav, wav_meta
+
+    d1 = struct.pack("<4h", 1, 2, 3, 4)
+    d2 = struct.pack("<2h", 5, 6)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(d1)) + d1
+        + b"data" + struct.pack("<I", len(d2)) + d2
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, n_frames, ch = wav_meta(blob)
+    r2, c2, samples = decode_wav(blob)
+    assert (rate, ch) == (8000, 1) == (r2, c2)
+    assert samples == [1, 2, 3, 4, 5, 6]
+    assert n_frames == len(samples)

@@ -374,3 +374,42 @@ def test_snapshot_catalog_cross_log_cut(spark, tmp_path):
 
     cat.drop(sid)
     assert cat.ids() == [sid2]
+
+
+def test_keeper_sink_only_never_materializes_driver_pandas(spark, tmp_path):
+    """The scale contract of the executor-side keeper sinks: with
+    sink_dir and NO callback, the foreachBatch body must never call
+    DataFrame.toPandas() — keeper rows flow executor → parquet, the
+    driver only coordinates (streaming/sinks.py delivery())."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_dedup_exact
+
+    calls = {"n": 0}
+    orig = DataFrame.toPandas
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(["a", "b", "a"])
+    sink = str(tmp_path / "sink")
+    DataFrame.toPandas = counting
+    try:
+        stream_dedup_exact(
+            log, F.col("value"), None, str(tmp_path / "ck"), sink_dir=sink
+        )
+    finally:
+        DataFrame.toPandas = orig
+    assert calls["n"] == 0
+    got = {
+        r["keep_seq"]
+        for r in read_keeper_sink(
+            spark, sink, "content_hash string, keep_seq long"
+        ).collect()
+    }
+    assert got == {0, 1}
