@@ -215,3 +215,34 @@ def test_parse_suffix_rules_collapses_per_key(spark):
         with_registered_domain_psl(
             spark.createDataFrame([("a",)], "host string"), "host", []
         )
+
+
+def test_stream_web_filter_psl_rules(spark, tmp_path):
+    """The streaming web filter with a real suffix list: the per-depth
+    rule tables become stream-static broadcast joins; a domain that
+    the heuristic would mis-split (PSL-correct 'example.co.uk') is
+    resolved and blocklist-filtered at ingest."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import stream_web_filter
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(
+        [
+            "https://blog.bad.co.uk/x",      # PSL domain bad.co.uk: blocked
+            "https://news.good.co.uk/y",     # good.co.uk: kept
+            "https://www.town.ck/z",   # *.ck: suffix town.ck, kept
+        ]
+    )
+    sink = str(tmp_path / "sink")
+    stream_web_filter(
+        log,
+        F.col("value"),
+        blocked=["bad.co.uk"],
+        sink_dir=sink,
+        checkpoint_dir=str(tmp_path / "ck"),
+        psl_rules=["com", "uk", "co.uk", "*.ck"],
+    )
+    rows = {r["seq"]: r["url_domain"] for r in spark.read.parquet(sink).collect()}
+    assert rows == {1: "good.co.uk", 2: "www.town.ck"}
