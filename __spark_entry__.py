@@ -1612,6 +1612,70 @@ def q_events_cms(spark, sf_dir):
     )
 
 
+def q_events_bloom(spark, sf_dir):
+    """Bloom filter (functions.bloom): m=512/k=4 membership filter
+    built over the EVEN user ids, probed back over every distinct
+    user and compared to ground truth — member is TRUE for every
+    inserted key (no false negatives, the Bloom guarantee), and the
+    visible false positives at this fill rate are themselves
+    deterministic: the bit table uses the same md5 hash family as the
+    CMS, so filter AND verdicts are hash-exact cross-engine. Build is
+    one distinct aggregation bounded by m rows; the probe broadcasts
+    the bit table."""
+    from margaret_spark.functions.bloom import bloom_build, bloom_probe
+
+    ev = _events(spark, sf_dir).select("user_id").where(
+        F.col("user_id").isNotNull()
+    )
+    ins = ev.where(F.col("user_id") % 2 == 0)
+    bits = bloom_build(ins, "user_id", m_bits=512, k_hashes=4)
+    probed = bloom_probe(
+        bits, ev.distinct(), "user_id", m_bits=512, k_hashes=4
+    )
+    return probed.select(
+        "user_id",
+        F.col("member"),
+        (F.col("user_id") % 2 == 0).alias("actual"),
+    )
+
+
+def q_stream_bloom(spark, sf_dir):
+    """Streaming Bloom filter (streaming/cms.py stream_bloom): the
+    membership twin of stream_cms — each micro-batch writes its own
+    partial bit table (overwrite per batch=<id>, replay-idempotent),
+    and the global filter is the union-distinct of the partials (bits
+    OR). The merged filter equals the batch filter of the whole
+    corpus, which is exactly what the oracle states."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_bloom, stream_bloom
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = tempfile.mkdtemp(prefix="stream_bloom_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="source", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_bloom(
+            log,
+            F.col("value"),
+            sink,
+            os.path.join(base, "ckpt"),
+            m_bits=256,
+            k_hashes=4,
+            available_now=True,
+        )
+        out = read_bloom(spark, sink).select(
+            F.col("bit").cast("long").alias("bit")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_events_json(spark, sf_dir):
     """JSON codec surface (§2.5 op 37): extract props.k, aggregate."""
     ev = _events(spark, sf_dir)
@@ -3846,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "events_skew_report": q_events_skew_report,
         "events_cms": q_events_cms,
+        "events_bloom": q_events_bloom,
         "text_collocations": q_text_collocations,
         "docs_pagerank": q_docs_pagerank,
         "docs_triangles": q_docs_triangles,
@@ -3948,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "stream_web_filter": q_stream_web_filter,
         "stream_cms": q_stream_cms,
+        "stream_bloom": q_stream_bloom,
     }
 
 
@@ -4604,6 +4670,31 @@ def oracle_sql() -> dict[str, str]:
         "SELECT est.user_id, est_n, exact_n, "
         "CAST(est_n - exact_n AS BIGINT) AS overcount "
         "FROM est JOIN ex USING (user_id)"
+    )
+    # Bloom filter: deterministic md5 hash family (same as the CMS),
+    # so bit table and every membership verdict restate exactly in SQL
+    d["events_bloom"] = (
+        "WITH ins AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS ks "
+        "FROM events WHERE user_id IS NOT NULL AND user_id % 2 = 0), "
+        "bits AS (SELECT DISTINCT CAST(CAST('0x' || "
+        "substr(md5(i || '#' || ks), 1, 8) AS BIGINT) % 512 AS BIGINT) AS bit "
+        "FROM ins CROSS JOIN (SELECT unnest(range(4)) AS i)), "
+        "probe AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS ks "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "pb AS (SELECT user_id, CAST(CAST('0x' || "
+        "substr(md5(i || '#' || ks), 1, 8) AS BIGINT) % 512 AS BIGINT) AS bit "
+        "FROM probe CROSS JOIN (SELECT unnest(range(4)) AS i)) "
+        "SELECT user_id, CAST(count(b.bit) = 4 AS BOOLEAN) AS member, "
+        "CAST(user_id % 2 = 0 AS BOOLEAN) AS actual "
+        "FROM pb LEFT JOIN bits b USING (bit) GROUP BY user_id"
+    )
+    # streaming Bloom: OR-mergeable bits make the micro-batch merge
+    # equal the batch filter of the whole corpus
+    d["stream_bloom"] = (
+        "SELECT DISTINCT CAST(CAST('0x' || "
+        "substr(md5(i || '#' || source), 1, 8) AS BIGINT) % 256 AS BIGINT) "
+        "AS bit FROM documents "
+        "CROSS JOIN (SELECT unnest(range(4)) AS i)"
     )
     # URL dedup: the oracle states the canonical key as a CLOSED FORM
     # of doc_id (lowered host, no default port, tracking param gone) —

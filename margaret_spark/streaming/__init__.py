@@ -18,7 +18,12 @@ from margaret_spark.streaming.contamination import (
     stream_decontaminate,
     stream_decontaminate_spans,
 )
-from margaret_spark.streaming.cms import read_cms, stream_cms
+from margaret_spark.streaming.cms import (
+    read_bloom,
+    read_cms,
+    stream_bloom,
+    stream_cms,
+)
 from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
 from margaret_spark.streaming.scrub import scrub_expr, stream_scrub_pii
 from margaret_spark.streaming.webfilter import stream_web_filter
@@ -41,6 +46,8 @@ __all__ = [
     "stream_web_filter",
     "stream_cms",
     "read_cms",
+    "stream_bloom",
+    "read_bloom",
     "stream_decontaminate",
     "stream_decontaminate_spans",
     "stream_scd2",

@@ -1,7 +1,9 @@
-"""Streaming Count-Min sketch: maintain a fixed-size frequency sketch
-over a log's append stream — the heavy-hitter tracking a 100 TB ingest
-runs continuously (which domains/templates/users dominate arrivals)
-without ever holding per-key state.
+"""Streaming mergeable sketches: maintain a fixed-size Count-Min
+frequency sketch — and its membership twin, a Bloom filter — over a
+log's append stream: the heavy-hitter/seen-before tracking a 100 TB
+ingest runs continuously (which domains/templates/users dominate
+arrivals; has this key ever appeared) without ever holding per-key
+state.
 
 Counters are ADDITIVE, so the streaming form needs no state store at
 all: each micro-batch writes its own partial sketch (≤ depth·width
@@ -82,3 +84,57 @@ def read_cms(spark: SparkSession, sink_dir: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def stream_bloom(
+    log: OffsetLog,
+    key_expr: Column,
+    sink_dir: str,
+    checkpoint_dir: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain a Bloom filter over a log's append stream — the
+    membership twin of :func:`stream_cms`: bits are OR-mergeable, so
+    each micro-batch writes its own partial bit table (≤ m rows) into
+    a ``batch=<id>`` partition (overwrite — replay-idempotent) and the
+    global filter is the union-distinct of the partials
+    (:func:`read_bloom` ≡ ``functions.bloom.bloom_merge``). The merged
+    filter equals the batch filter of the whole stream by
+    construction. With ``available_now`` drains the log and returns;
+    otherwise returns the running StreamingQuery."""
+    from margaret_spark.functions.bloom import bloom_build
+
+    src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bits = bloom_build(
+            batch_df.select(key_expr.alias("__key")), "__key", m_bits, k_hashes
+        )
+        bits.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    w = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()
+
+
+def read_bloom(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """(bit,): the global filter — union-distinct of every batch
+    partial (bits are OR-mergeable). An empty sink is a valid empty
+    filter."""
+    from margaret_spark.streaming.sinks import has_batches
+
+    if not has_batches(sink_dir):
+        return spark.createDataFrame([], "bit long")
+    return spark.read.parquet(sink_dir).select("bit").distinct()

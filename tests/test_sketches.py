@@ -123,3 +123,90 @@ def test_cms_bad_params(spark):
         cms_sketch(df, "k", width=0)
     with _pytest.raises(ValueError):
         cms_merge()
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every inserted key probes TRUE (the Bloom contract); at m=4096,
+    k=4, n=200 the false-positive rate over never-inserted keys stays
+    far under the analytic bound's slack (~0.1% expected, assert <5%).
+    """
+    from pyspark.sql import functions as F
+
+    from margaret_spark.functions.bloom import bloom_build, bloom_probe
+
+    ins = spark.range(0, 200).select(F.col("id").cast("string").alias("k"))
+    other = spark.range(10_000, 11_000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    bits = bloom_build(ins, "k", m_bits=4096, k_hashes=4)
+    got_in = bloom_probe(bits, ins, "k", m_bits=4096, k_hashes=4).collect()
+    assert all(r["member"] for r in got_in)
+    got_out = bloom_probe(bits, other, "k", m_bits=4096, k_hashes=4).collect()
+    fp = sum(1 for r in got_out if r["member"])
+    assert fp / len(got_out) < 0.05
+
+
+def test_bloom_merge_equals_whole_and_nulls_skipped(spark):
+    from pyspark.sql import functions as F
+
+    from margaret_spark.functions.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    a = spark.createDataFrame([("x",), ("y",), (None,)], "k string")
+    b = spark.createDataFrame([("z",), ("x",)], "k string")
+    whole = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    merged = bloom_merge(
+        bloom_build(a, "k", 128, 3), bloom_build(b, "k", 128, 3)
+    )
+    want = {r["bit"] for r in bloom_build(whole, "k", 128, 3).collect()}
+    assert {r["bit"] for r in merged.collect()} == want
+    # NULL keys have no membership identity: the filter built from `a`
+    # alone must not contain any bits beyond x and y's
+    only_xy = bloom_build(
+        spark.createDataFrame([("x",), ("y",)], "k string"), "k", 128, 3
+    )
+    assert {r["bit"] for r in bloom_build(a, "k", 128, 3).collect()} == {
+        r["bit"] for r in only_xy.collect()
+    }
+    probed = {
+        r["k"]: r["member"]
+        for r in bloom_probe(merged, whole, "k", 128, 3).collect()
+    }
+    assert probed == {"x": True, "y": True, "z": True}
+
+
+def test_stream_bloom_merged_equals_batch_filter(spark, tmp_path):
+    """Multi-batch streaming filter re-unions to exactly the batch
+    filter of the whole log (bits are OR-mergeable)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from margaret_spark.functions.bloom import bloom_build
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_bloom, stream_bloom
+    from tests.test_streaming_chaos import _space_log_file_mtimes
+
+    keys = ["a", "b", "a", "c", "d", "b"]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    for k in keys:
+        log.append(k)
+    _space_log_file_mtimes(log)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    stream_bloom(
+        log, F.col("value"), sink, ckpt, m_bits=64, k_hashes=3,
+        available_now=True, max_files_per_trigger=2,
+    )
+    import os as _os
+
+    assert len([d for d in _os.listdir(sink) if d.startswith("batch=")]) >= 2
+    merged = {r["bit"] for r in read_bloom(spark, sink).collect()}
+    batch_df = spark.createDataFrame([(k,) for k in keys], "k string")
+    want = {
+        r["bit"] for r in bloom_build(batch_df, "k", 64, 3).collect()
+    }
+    assert merged == want
+    # empty sink reads as a typed empty filter
+    assert read_bloom(spark, str(tmp_path / "nope")).count() == 0
