@@ -527,40 +527,58 @@ def stream_dedup_exact(
     return w.trigger(processingTime="500 milliseconds").start()
 
 
-def _asof_func(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    import bisect
+def _asof_func_factory(history_horizon: int | None):
+    def _asof_func(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
 
-    rights = list(state.get[0]) if state.exists else []
-    lefts: list[int] = []
-    new_rights: list[int] = []
-    for pdf in pdfs:
-        for ts, side in zip(pdf["tsu"], pdf["side"]):
-            (lefts if side == "L" else new_rights).append(int(ts))
-    if new_rights:
-        # state is stored sorted: insort the (typically few) arrivals
-        # instead of re-sorting the whole history, and only rewrite
-        # the state store when the history actually changed
-        all_rights = rights
-        for t in sorted(new_rights):
-            bisect.insort(all_rights, t)
-        state.update((all_rights,))
-    else:
-        all_rights = rights
-    if not lefts:
-        return
-    matched = []
-    for t in lefts:
-        i = bisect.bisect_right(all_rights, t)
-        matched.append(all_rights[i - 1] if i else None)
-    yield pd.DataFrame(
-        {
-            "k": pd.Series([key[0]] * len(lefts), dtype="Int64"),
-            "tsu": pd.Series(lefts, dtype="Int64"),
-            "tsu_matched": pd.Series(matched, dtype="Int64"),
-        }
-    )
+        rights, max_left = (
+            (list(state.get[0]), state.get[1]) if state.exists else ([], None)
+        )
+        lefts: list[int] = []
+        new_rights: list[int] = []
+        for pdf in pdfs:
+            for ts, side in zip(pdf["tsu"], pdf["side"]):
+                (lefts if side == "L" else new_rights).append(int(ts))
+        changed = False
+        if new_rights:
+            # state is stored sorted: insort the (typically few)
+            # arrivals instead of re-sorting the whole history
+            for t in sorted(new_rights):
+                bisect.insort(rights, t)
+            changed = True
+        matched = []
+        if lefts:
+            for t in lefts:
+                i = bisect.bisect_right(rights, t)
+                matched.append(rights[i - 1] if i else None)
+            hi = max(lefts)
+            if max_left is None or hi > max_left:
+                max_left = hi
+                changed = True
+        if history_horizon is not None and max_left is not None:
+            # prune rights older than (newest left − horizon), KEEPING
+            # the single greatest right at-or-below the floor — it is
+            # the valid match for any future left down to the floor,
+            # so pruning is exact for lefts at most `horizon` late
+            floor = max_left - history_horizon
+            cut = bisect.bisect_right(rights, floor)
+            if cut > 1:
+                del rights[: cut - 1]
+                changed = True
+        if changed:
+            state.update((rights, max_left))
+        if lefts:
+            yield pd.DataFrame(
+                {
+                    "k": pd.Series([key[0]] * len(lefts), dtype="Int64"),
+                    "tsu": pd.Series(lefts, dtype="Int64"),
+                    "tsu_matched": pd.Series(matched, dtype="Int64"),
+                }
+            )
+
+    return _asof_func
 
 
 def stream_asof_join(
@@ -569,6 +587,7 @@ def stream_asof_join(
     on_rows: Optional[Callable[[pd.DataFrame], None]] = None,
     available_now: bool = True,
     sink_dir: str | None = None,
+    history_horizon: int | None = None,
 ):
     """Streaming AS-OF join as a custom stateful operator
     (``applyInPandasWithState``) — the semantics Spark's built-in
@@ -584,21 +603,33 @@ def stream_asof_join(
     the greatest right tsu ≤ tsu, or NULL.
 
     Scale shape: ONE state-store shuffle per micro-batch on the key;
-    state is the per-key right-side history (production would prune it
-    below a watermark — with availableNow catch-up the history is
-    exact and bounded by the log). Cross-batch caveat: a left row in
-    an EARLIER micro-batch than its matching right row matches only
-    what has arrived — the same arrival-order contract as any
-    stream-stream join without a lateness allowance.
+    state is the per-key right-side history. On a CONTINUOUS run that
+    history grows forever unless pruned — pass ``history_horizon`` (in
+    tsu units: the maximum lateness a left event may have relative to
+    the newest left seen on its key) and the state keeps only rights
+    newer than ``newest_left − horizon`` plus the single greatest
+    right at-or-below that floor (the valid match for any future
+    in-horizon left): state becomes O(rights within the horizon) per
+    key, and results are EXACT for every left at most ``horizon``
+    late — the same contract a watermark gives built-in stream-stream
+    joins. A left later than the horizon degrades gracefully: it can
+    match only retained rights (the floor right when at-or-before it,
+    else NULL — never a right later than the left, never an error).
+    Cross-batch caveat: a
+    left row in an EARLIER micro-batch than its matching right row
+    matches only what has arrived — the same arrival-order contract
+    as any stream-stream join without a lateness allowance.
 
     Output delivery: one row per LEFT event, so at scale pass
     ``sink_dir`` (executor-side parquet; read back with
     :func:`read_keeper_sink`) — ``on_rows`` remains the
     small-result/test path."""
+    if history_horizon is not None and history_horizon < 0:
+        raise ValueError(f"history_horizon must be >= 0: {history_horizon}")
     out = tagged.groupBy("k").applyInPandasWithState(
-        _asof_func,
+        _asof_func_factory(history_horizon),
         outputStructType="k long, tsu long, tsu_matched long",
-        stateStructType="rights array<long>",
+        stateStructType="rights array<long>, max_left long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1091,3 +1091,82 @@ def test_keeper_sink_empty_stream_is_typed_empty(spark, tmp_path):
     )
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["content_hash", "keep_seq"]
+
+
+def test_stream_asof_history_horizon_exact_within_bound(spark, tmp_path):
+    """Horizon-pruned as-of state: with every left at most `horizon`
+    late relative to the newest left on its key, results equal the
+    unpruned run exactly (the retained floor right covers the oldest
+    admissible left)."""
+    import pandas as pd
+
+    from margaret_spark.streaming import stream_asof_join
+    from tests.test_streaming_chaos import _file_stream, _write_batches
+
+    schema = "k long, side string, tsu long"
+    batches = [
+        [(1, "R", 10), (1, "R", 20), (1, "L", 25)],
+        [(1, "R", 30), (1, "L", 35), (1, "L", 22)],  # 22 is 13 late
+        [(1, "R", 40), (1, "L", 45), (1, "L", 33)],
+    ]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, schema, batches)
+
+    def run(ck, horizon):
+        got = []
+        stream_asof_join(
+            _file_stream(spark, src, schema),
+            ck,
+            got.append,
+            history_horizon=horizon,
+        )
+        return {
+            (int(r.k), int(r.tsu)): (
+                None if pd.isna(r.tsu_matched) else int(r.tsu_matched)
+            )
+            for pdf in got
+            for r in pdf.itertuples(index=False)
+        }
+
+    unpruned = run(str(tmp_path / "ck_a"), None)
+    pruned = run(str(tmp_path / "ck_b"), 15)
+    assert pruned == unpruned
+    assert pruned[(1, 22)] == 20 and pruned[(1, 33)] == 30
+
+
+def test_stream_asof_history_horizon_prunes_to_floor(spark, tmp_path):
+    """A left later than the horizon degrades gracefully: it can
+    only match rights that survived pruning (the floor right when it
+    is at-or-before the left, else NULL) — never an error, never a
+    right LATER than the left."""
+    import pandas as pd
+
+    from margaret_spark.streaming import stream_asof_join
+    from tests.test_streaming_chaos import _file_stream, _write_batches
+
+    schema = "k long, side string, tsu long"
+    batches = [
+        [(1, "R", 10), (1, "R", 20), (1, "R", 90), (1, "L", 100)],
+        # 85 late (horizon 50): its true match 10 was pruned; the
+        # retained floor right 20 is LATER than 15, so as-of
+        # semantics correctly yield NULL — and a left at 25 still
+        # finds the floor right 20
+        [(1, "L", 15), (1, "L", 25)],
+    ]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, schema, batches)
+    got = []
+    stream_asof_join(
+        _file_stream(spark, src, schema),
+        str(tmp_path / "ck"),
+        got.append,
+        history_horizon=50,
+    )
+    rows = {
+        int(r.tsu): (None if pd.isna(r.tsu_matched) else int(r.tsu_matched))
+        for pdf in got
+        for r in pdf.itertuples(index=False)
+    }
+    assert rows[100] == 90
+    assert rows[15] is None  # true match pruned; never a later right
+    assert rows[25] == 20    # the floor right serves in-range lates
