@@ -2193,6 +2193,22 @@ def q_text_bpe_count(spark, sf_dir):
     return bpe_ish_token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_text_lm_surprise(spark, sf_dir):
+    """Perplexity-style LM quality scoring (operators.lm): mean
+    inverse add-one conditional probability under a PRUNED bigram LM
+    (top-512 unigrams/bigrams by (count desc, gram asc) — the cap
+    binds at sf0.01, so the pruning cut itself is graded). Every term
+    is a ratio of exact integers under one IEEE division and the mean
+    is the house DECIMAL sum, so the whole score is hash-exact —
+    unlike log-based perplexity (cross-engine ln differs). Scoring is
+    one explode + two broadcast joins + one keyed aggregation."""
+    from margaret_spark.operators.lm import lm_surprise
+
+    return lm_surprise(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_ngrams=512
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -3976,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_eval": q_text_langid_eval,
         "text_bpe_count": q_text_bpe_count,
         "text_fingerprint": q_text_fingerprint,
+        "text_lm_surprise": q_text_lm_surprise,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_bpe_wordcounts": q_text_bpe_wordcounts,
         "pack_sequences_bpe": q_pack_sequences_bpe,
@@ -4701,6 +4718,7 @@ def oracle_sql() -> dict[str, str]:
     # an independent statement, not a SQL re-derivation
     _hosts_sql = ",".join(f"'{h}'" for h in _WEB_HOSTS)
     d["web_domain_psl"] = _psl_sql()
+    d["text_lm_surprise"] = _lm_surprise_sql()
     d["web_url_dedup"] = (
         "SELECT 'https://' || lower(([" + _hosts_sql + "])"
         "[CAST(doc_id % 8 AS INT) + 1]) || '/item-' || (doc_id % 50) "
@@ -4875,6 +4893,45 @@ def _psl_sql() -> str:
         "SELECT doc_id, host, "
         "CASE WHEN n > ps THEN array_to_string(ls[n-ps:n], '.') END "
         "AS domain_psl, CAST(ps AS INT) AS psl_len FROM p"
+    )
+
+
+def _lm_surprise_sql() -> str:
+    """The text_lm_surprise oracle: the pruned bigram LM and the
+    mean-inverse-probability score re-derived in SQL — same top-512
+    (count desc, gram asc) cut, same add-one smoothing with V = the
+    unigram table's row count, same pround-per-term + DECIMAL-sum
+    mean. All integer ratios under IEEE division: hash-exact."""
+    return (
+        f"WITH toks AS (SELECT doc_id, {_WORDS} AS t FROM documents), "
+        "u AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(t) AS gram FROM toks) GROUP BY gram "
+        "ORDER BY n DESC, gram ASC LIMIT 512), "
+        "big AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2), "
+        "b AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT t[i] || ' ' || t[i + 1] AS gram FROM big "
+        "CROSS JOIN LATERAL unnest(range(1, len(t))) AS p(i)) "
+        "GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 512), "
+        "v AS (SELECT count(*) AS v FROM u), "
+        "pairs AS (SELECT doc_id, t[i] AS w1, "
+        "t[i] || ' ' || t[i + 1] AS w12 FROM big "
+        "CROSS JOIN LATERAL unnest(range(1, len(t))) AS p(i)), "
+        "terms AS (SELECT doc_id, "
+        + _pr(
+            "CAST(COALESCE(u.n, 0) + v.v AS DOUBLE) / "
+            "(COALESCE(b.n, 0) + 1)"
+        )
+        + " AS s FROM pairs "
+        "LEFT JOIN u ON u.gram = pairs.w1 "
+        "LEFT JOIN b ON b.gram = pairs.w12 CROSS JOIN v), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        + _pr(
+            "CAST(SUM(CAST(s AS DECIMAL(38,4))) AS DOUBLE) / count(*)"
+        )
+        + " AS surprise FROM terms GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "a.surprise FROM documents d LEFT JOIN agg a USING (doc_id)"
     )
 
 

@@ -90,6 +90,7 @@ HEADLINE_V2 = [
     "stream_token_budget_bpe",
     "web_domain_psl",
     "ann_ivf_int8",
+    "text_lm_surprise",
 ]
 
 

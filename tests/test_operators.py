@@ -1883,3 +1883,57 @@ def test_ivf_int8_index_recall_vs_float_index(spark, emb, tmp_path):
         hits += r["neighbor_id"] in fl[r["query_id"]]
     assert total == 5 * 5
     assert hits / total >= 0.8
+
+
+def test_lm_surprise_hand_checked_and_reference_fit(spark):
+    """Mean inverse add-one probability against hand-computed values;
+    the reference-fit path (CCNet recipe) scores unseen text higher
+    than in-distribution text; short/NULL docs score NULL over 0."""
+    from margaret_spark.operators.lm import fit_bigram_lm, lm_surprise
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat"),
+            (3, "zq xv qqq"),
+            (4, "one"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["surprise"])
+        for r in lm_surprise(docs, "doc_id", "text", max_ngrams=100).collect()
+    }
+    # V = 9 distinct unigrams. doc 3: both bigrams (1+9)/(1+1) = 5.0;
+    # doc 2: (3+9)/(2+1) = 4.0 and (2+9)/(2+1) = 3.666667, summed at
+    # the DECIMAL(38,4) dsum scale: (4.0000 + 3.6667)/2 = 3.83335
+    assert out[3] == (2, 5.0)
+    assert out[2] == (2, 3.83335)
+    assert out[4] == (0, None) and out[5] == (0, None)
+
+    ref = docs.where(F.col("doc_id") <= 2)  # clean reference corpus
+    lm = fit_bigram_lm(ref, "doc_id", "text", max_ngrams=100)
+    scored = {
+        r["doc_id"]: r["surprise"]
+        for r in lm_surprise(
+            docs.where(F.col("doc_id").isin(2, 3)),
+            "doc_id",
+            "text",
+            lm=lm,
+        ).collect()
+    }
+    # in-distribution text scores lower (more LM-like) than junk
+    assert scored[2] < scored[3]
+
+
+def test_lm_pruning_cut_is_deterministic(spark):
+    """The top-K gram cut orders by (count desc, gram asc): with K=1
+    and tied counts, the lexicographically smallest gram survives."""
+    from margaret_spark.operators.lm import fit_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "bb aa"), (2, "aa bb")], "doc_id long, text string"
+    )
+    uni, _bi = fit_bigram_lm(docs, "doc_id", "text", max_ngrams=1)
+    assert [r["gram"] for r in uni.collect()] == ["aa"]
