@@ -371,6 +371,12 @@ def stream_token_budget(
 def _band_collision_func(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle bucket evicted: the next arrival re-claims it fresh —
+        # a near-dup against an evicted claimant is missed, the
+        # documented recall trade of bounding LSH state by time
+        state.remove()
+        return
     keep = state.get[0] if state.exists else None
     seqs: list[int] = []
     for pdf in pdfs:
@@ -406,6 +412,7 @@ def stream_dedup_minhash(
     n: int = 3,
     available_now: bool = True,
     sink_dir: str | None = None,
+    state_ttl: str | int | None = None,
 ):
     """Streaming MinHash-LSH near-dup detection over a log's append
     stream: each arriving document's band buckets are matched against
@@ -422,12 +429,27 @@ def stream_dedup_minhash(
     colliding in several bands emits once per band — dedupe on
     ``dup_seq`` if you only need the verdict. State is one long per
     claimed (band, bucket): O(distinct buckets), partitioned across
-    executors, never the documents themselves. Candidate delivery:
-    ``sink_dir`` (executor-side parquet — the scale path; read back
-    with :func:`read_keeper_sink`) and/or ``on_candidates``."""
+    executors, never the documents themselves. On a CONTINUOUS run
+    distinct buckets still grow with distinct content — ``state_ttl``
+    (e.g. ``"6 hours"``) arms a processing-time timeout that evicts
+    idle buckets, bounding state by the buckets active within the
+    window; the trade (documented, same as the bounded-horizon dedup)
+    is that a near-dup arriving after its claimant's eviction
+    re-claims the bucket instead of colliding. Like
+    :func:`stream_dedup_window`, ``state_ttl`` requires the
+    continuous trigger (``available_now=False``) — an availableNow
+    drain never terminates while timeouts are armed. Candidate
+    delivery: ``sink_dir`` (executor-side parquet — the scale path;
+    read back with :func:`read_keeper_sink`) and/or
+    ``on_candidates``."""
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
             f"bands must divide num_hashes: bands={bands}, num_hashes={num_hashes}"
+        )
+    if state_ttl is not None and available_now:
+        raise ValueError(
+            "state_ttl needs a continuous trigger: pass available_now=False "
+            "(an availableNow drain never terminates while timeouts are armed)"
         )
     from margaret_spark.functions.shingling import char_shingles, word_shingles
 
@@ -456,12 +478,23 @@ def stream_dedup_minhash(
     banded = src.select(
         F.col("seq"), F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
     )
+    fn = _band_collision_func
+    timeout = GroupStateTimeout.NoTimeout
+    if state_ttl is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+        inner = fn
+
+        def fn(key, pdfs, state):  # arm/refresh the eviction clock
+            yield from inner(key, pdfs, state)
+            if not state.hasTimedOut and state.exists:
+                state.setTimeoutDuration(state_ttl)
+
     out = banded.groupBy("band", "bucket").applyInPandasWithState(
-        _band_collision_func,
+        fn,
         outputStructType="dup_seq long, band int, keep_seq long",
         stateStructType="keep_seq long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
     w = (
         out.writeStream.foreachBatch(delivery(sink_dir, on_candidates))

@@ -1170,3 +1170,52 @@ def test_stream_asof_history_horizon_prunes_to_floor(spark, tmp_path):
     assert rows[100] == 90
     assert rows[15] is None  # true match pruned; never a later right
     assert rows[25] == 20    # the floor right serves in-range lates
+
+
+def test_stream_dedup_minhash_state_ttl_evicts_idle_buckets(spark, tmp_path):
+    """LSH bucket eviction: with a processing-time state_ttl, an idle
+    bucket's claimant is forgotten — an identical doc arriving after
+    eviction RE-CLAIMS the bucket (no collision emitted) instead of
+    colliding; a prompt duplicate still collides. availableNow +
+    state_ttl is rejected up front."""
+    import time
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from margaret_spark.streaming import stream_dedup_minhash
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    doc = "the quick brown fox jumps over the lazy dog again and again"
+    log.append(doc)
+
+    with _pytest.raises(ValueError, match="state_ttl"):
+        stream_dedup_minhash(
+            log, F.col("value"), lambda p: None, str(tmp_path / "cx"),
+            state_ttl=1000,
+        )
+
+    got: list = []
+    q = stream_dedup_minhash(
+        log, F.col("value"), got.append, str(tmp_path / "ck"),
+        num_hashes=8, bands=2, available_now=False, state_ttl=1000,
+    )
+
+    def dups():
+        return {int(r["dup_seq"]) for pdf in got for _, r in pdf.iterrows()}
+
+    try:
+        deadline = time.time() + 30
+        log.append(doc)  # prompt duplicate: must collide
+        while 1 not in dups() and time.time() < deadline:
+            time.sleep(0.3)
+        assert 1 in dups()
+        time.sleep(2.5)  # > state_ttl: the buckets are expiry-eligible
+        log.append("completely different words entirely here")  # fires timeouts
+        time.sleep(2.0)  # let the eviction batch complete
+        before = set(dups())
+        log.append(doc)  # identical again (seq 3) — buckets were evicted
+        time.sleep(4.0)
+        assert dups() == before, "evicted bucket should re-claim, not collide"
+    finally:
+        q.stop()
