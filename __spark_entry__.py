@@ -3193,6 +3193,49 @@ def q_stream_token_budget(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_lm_filter(spark, sf_dir):
+    """At-ingest LM quality gating (streaming/quality.py): a pruned
+    bigram LM is fitted ONCE on the even-doc reference corpus
+    (operators.lm.fit_bigram_lm, top-512 cut), then every document
+    streaming out of the log is scored inside foreachBatch (explode +
+    broadcast LM joins + per-doc agg — per-batch scoring of disjoint
+    seqs equals batch scoring of the whole log, since the model is
+    fixed) and kept iff surprise <= 190; keepers land executor-side
+    under batch=<id> partitions. The oracle re-fits and re-scores the
+    same recipe in SQL — hash-exact including the surprise values."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.operators.lm import fit_bigram_lm
+    from margaret_spark.streaming import read_keeper_sink, stream_lm_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = fit_bigram_lm(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", max_ngrams=512
+    )
+    base = tempfile.mkdtemp(prefix="stream_lmf_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_lm_filter(
+            log,
+            F.col("value"),
+            lm,
+            190.0,
+            sink,
+            os.path.join(base, "ckpt"),
+        )
+        out = read_keeper_sink(
+            spark, sink, "seq long, n_bigrams long, surprise double"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_token_budget_bpe(spark, sf_dir):
     """The token-budget gate fed by REAL byte-level BPE counts —
     production token accounting end-to-end: the ingest projection tags
@@ -3946,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_token_budget": q_stream_token_budget,
         "stream_token_budget_bpe": q_stream_token_budget_bpe,
+        "stream_lm_filter": q_stream_lm_filter,
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
         "stream_pii_redact": q_stream_pii_redact,
@@ -4719,6 +4763,14 @@ def oracle_sql() -> dict[str, str]:
     _hosts_sql = ",".join(f"'{h}'" for h in _WEB_HOSTS)
     d["web_domain_psl"] = _psl_sql()
     d["text_lm_surprise"] = _lm_surprise_sql()
+    # the at-ingest gate: same scorer, LM fitted on the even-doc
+    # reference corpus, keep surprise <= 190 (~the corpus median —
+    # the gate demonstrably drops, not rubber-stamps)
+    d["stream_lm_filter"] = (
+        "SELECT doc_id AS seq, n_bigrams, surprise FROM ("
+        + _lm_surprise_sql("WHERE doc_id % 2 = 0")
+        + ") WHERE surprise IS NOT NULL AND surprise <= 190.0"
+    )
     d["web_url_dedup"] = (
         "SELECT 'https://' || lower(([" + _hosts_sql + "])"
         "[CAST(doc_id % 8 AS INT) + 1]) || '/item-' || (doc_id % 50) "
@@ -4896,20 +4948,24 @@ def _psl_sql() -> str:
     )
 
 
-def _lm_surprise_sql() -> str:
-    """The text_lm_surprise oracle: the pruned bigram LM and the
-    mean-inverse-probability score re-derived in SQL — same top-512
-    (count desc, gram asc) cut, same add-one smoothing with V = the
-    unigram table's row count, same pround-per-term + DECIMAL-sum
-    mean. All integer ratios under IEEE division: hash-exact."""
+def _lm_surprise_sql(fit_where: str = "") -> str:
+    """The text_lm_surprise / stream_lm_filter oracle: the pruned
+    bigram LM and the mean-inverse-probability score re-derived in
+    SQL — same top-512 (count desc, gram asc) cut, same add-one
+    smoothing with V = the unigram table's row count, same
+    pround-per-term + DECIMAL-sum mean. All integer ratios under IEEE
+    division: hash-exact. ``fit_where`` restricts the FIT corpus (the
+    reference-corpus recipe) while every document is scored."""
     return (
         f"WITH toks AS (SELECT doc_id, {_WORDS} AS t FROM documents), "
+        f"fit AS (SELECT * FROM toks {fit_where}), "
         "u AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM ("
-        "SELECT unnest(t) AS gram FROM toks) GROUP BY gram "
+        "SELECT unnest(t) AS gram FROM fit) GROUP BY gram "
         "ORDER BY n DESC, gram ASC LIMIT 512), "
+        "fitbig AS (SELECT doc_id, t FROM fit WHERE len(t) >= 2), "
         "big AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2), "
         "b AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM ("
-        "SELECT t[i] || ' ' || t[i + 1] AS gram FROM big "
+        "SELECT t[i] || ' ' || t[i + 1] AS gram FROM fitbig "
         "CROSS JOIN LATERAL unnest(range(1, len(t))) AS p(i)) "
         "GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 512), "
         "v AS (SELECT count(*) AS v FROM u), "

@@ -91,6 +91,7 @@ def lm_surprise(
     lm: tuple[DataFrame, DataFrame] | None = None,
     max_ngrams: int = 65536,
     round_digits: int = 6,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, surprise): the mean-inverse-probability quality
     score of each document under the (pruned, add-one-smoothed)
@@ -101,12 +102,15 @@ def lm_surprise(
     fewer than 2 tokens score NULL over 0 bigrams.
 
     The smoothing vocabulary ``V`` is the fitted unigram table's row
-    count — a driver-side scalar on a bounded table. Scoring is one
-    explode + two BROADCAST joins + one keyed aggregation."""
+    count — a driver-side scalar on a bounded table (pass
+    ``vocab_size`` to skip the count when scoring repeatedly against
+    the same LM, e.g. per micro-batch). Scoring is one explode + two
+    BROADCAST joins + one keyed aggregation."""
     if lm is None:
         lm = fit_bigram_lm(df, id_col, text_col, max_ngrams)
     uni, bi = lm
-    v = uni.count()  # bounded table: metadata-cheap, deterministic
+    # bounded table: metadata-cheap, deterministic
+    v = vocab_size if vocab_size is not None else uni.count()
     toks = _doc_tokens(df, id_col, text_col)
     L = F.size("__toks")
     pairs = toks.select(

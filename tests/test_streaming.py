@@ -1219,3 +1219,63 @@ def test_stream_dedup_minhash_state_ttl_evicts_idle_buckets(spark, tmp_path):
         assert dups() == before, "evicted bucket should re-claim, not collide"
     finally:
         q.stop()
+
+
+def test_stream_lm_filter_gates_and_matches_batch(spark, tmp_path):
+    """The at-ingest LM gate keeps exactly the under-threshold subset
+    the batch scorer computes against the same fixed reference LM —
+    short/NULL docs (no score) drop conservatively; resume scores
+    only NEW appends."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.lm import fit_bigram_lm, lm_surprise
+    from margaret_spark.streaming import read_keeper_sink, stream_lm_filter
+
+    texts = [
+        "the cat sat on the mat",     # in-distribution (low surprise)
+        "the cat sat on the mat",
+        "zq xv qqq zz yy ww kk jj",   # junk (high surprise)
+        "one",                        # 0 bigrams -> dropped
+        None,                         # NULL -> dropped
+    ]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts[:2])], "doc_id long, text string"
+    )
+    lm = fit_bigram_lm(ref, "doc_id", "text", max_ngrams=64)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch = {
+        r["doc_id"]: r["surprise"]
+        for r in lm_surprise(docs, "doc_id", "text", lm=lm).collect()
+    }
+    thr = (batch[0] + batch[2]) / 2  # between clean and junk
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(texts)
+    sink = str(tmp_path / "sink")
+    stream_lm_filter(
+        log, F.col("value"), lm, thr, sink, str(tmp_path / "ck")
+    )
+    kept = {
+        r["seq"]: r["surprise"]
+        for r in read_keeper_sink(
+            spark, sink, "seq long, n_bigrams long, surprise double"
+        ).collect()
+    }
+    assert set(kept) == {0, 1}
+    assert kept[0] == batch[0] and kept[1] == batch[1]
+
+    # resume: a new clean doc is scored and admitted; nothing re-emits
+    log.append("the cat sat on the mat")
+    stream_lm_filter(
+        log, F.col("value"), lm, thr, sink, str(tmp_path / "ck")
+    )
+    kept2 = {
+        r["seq"]
+        for r in read_keeper_sink(
+            spark, sink, "seq long, n_bigrams long, surprise double"
+        ).collect()
+    }
+    assert kept2 == {0, 1, 5}
