@@ -2193,6 +2193,20 @@ def q_text_bpe_count(spark, sf_dir):
     return bpe_ish_token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (operators.text.winnow_fingerprints —
+    Schleimer et al. 2003, the MOSS local fingerprinting): per-window
+    minimum of md5 word-4-gram hashes, ties to the rightmost position,
+    packed argmin under one integer array_min. Pure per-row codegen
+    array math, zero shuffles; the oracle re-derives every selected
+    (pos, fp) in SQL from the same md5 family — hash-exact."""
+    from margaret_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=4, w=4
+    )
+
+
 def q_text_lm_surprise(spark, sf_dir):
     """Perplexity-style LM quality scoring (operators.lm): mean
     inverse add-one conditional probability under a PRUNED bigram LM
@@ -4037,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_count": q_text_bpe_count,
         "text_fingerprint": q_text_fingerprint,
         "text_lm_surprise": q_text_lm_surprise,
+        "text_winnow": q_text_winnow,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_bpe_wordcounts": q_text_bpe_wordcounts,
         "pack_sequences_bpe": q_pack_sequences_bpe,
@@ -4763,6 +4778,22 @@ def oracle_sql() -> dict[str, str]:
     _hosts_sql = ",".join(f"'{h}'" for h in _WEB_HOSTS)
     d["web_domain_psl"] = _psl_sql()
     d["text_lm_surprise"] = _lm_surprise_sql()
+    # winnowing: per-window packed argmin re-derived over DuckDB lists
+    # (1-based inclusive slicing: window j = grams[j : j+len-1])
+    _WB = 1 << 22
+    d["text_winnow"] = (
+        f"WITH toks AS (SELECT doc_id, {_WORDS} AS t FROM documents), "
+        "gr AS (SELECT doc_id, len(t) - 3 AS g, "
+        "list_transform(range(1, len(t) - 2), i -> "
+        "CAST(CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), "
+        f"1, 8) AS BIGINT) * {_WB} + ({_WB} - i) AS BIGINT)) AS grams "
+        "FROM toks WHERE len(t) >= 4), "
+        "sel AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, greatest(g - 3, 1) + 1), "
+        "j -> list_min(grams[j:j + least(4, g) - 1])))) AS p FROM gr) "
+        f"SELECT doc_id, CAST({_WB} - p % {_WB} AS BIGINT) AS pos, "
+        f"CAST(p // {_WB} AS BIGINT) AS fp FROM sel"
+    )
     # the at-ingest gate: same scorer, LM fitted on the even-doc
     # reference corpus, keep surprise <= 190 (~the corpus median —
     # the gate demonstrably drops, not rubber-stamps)

@@ -339,6 +339,74 @@ def doc_fingerprint(
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+#: winnowing position-packing base: fp·BASE + (BASE − pos) orders a
+#: window's grams by (hash asc, pos desc) under ONE integer min —
+#: bounds documents at BASE−1 (≈4.2M) tokens (chunk longer docs)
+_WINNOW_POS_BASE = 1 << 22
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """(id, pos, fp): winnowing fingerprints (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm) over the document's word
+    ``k``-grams: in every window of ``w`` consecutive gram hashes the
+    minimum is selected (ties → RIGHTMOST position, the paper's rule),
+    and the selected (pos, hash) set is the fingerprint. The winnowing
+    guarantee: any shared token run of ≥ ``w + k − 1`` tokens yields a
+    shared fingerprint, with fingerprint density bounded by ~2/(w+1) —
+    the LOCAL overlap detector next to the whole-document Karp–Rabin
+    (:func:`doc_fingerprint`).
+
+    Hashes are the engine-portable md5-first-8-hex construction (the
+    CMS/Bloom family), and the per-window argmin packs as
+    ``hash·2²² + (2²² − pos)`` so ONE integer ``array_min`` applies
+    the (hash asc, pos desc) rule — the whole operator is per-row
+    codegen array math, zero shuffles, zero UDFs; the only row
+    multiplication is the explode of the (density-bounded) selected
+    set. Documents with fewer than ``k`` tokens emit nothing; fewer
+    grams than ``w`` winnows one all-grams window."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1: k={k}, w={w}")
+    base = F.lit(_WINNOW_POS_BASE)
+    toks = words(F.col(text_col))
+    n = F.size(toks)
+    g = n - F.lit(k) + F.lit(1)
+
+    def packed(i: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h * base + (base - i)
+
+    grams = F.when(
+        g >= 1, F.transform(F.sequence(F.lit(1), g), packed)
+    ).otherwise(F.array().cast("array<long>"))
+    nwin = F.greatest(g - F.lit(w) + F.lit(1), F.lit(1))
+    wlen = F.least(F.lit(w), g)
+    sel = F.when(
+        g >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda j: F.array_min(F.slice(grams, j, wlen)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    out = df.select(F.col(id_col), F.explode(sel).alias("__p"))
+    # integer `div`, not `/`: packed reaches 2^54, past double's 2^53
+    # exact-integer range (same rationale as packing._pack_from_cum)
+    return out.select(
+        F.col(id_col),
+        (base - F.col("__p") % base).cast("long").alias("pos"),
+        F.expr(f"__p div {_WINNOW_POS_BASE}").cast("long").alias("fp"),
+    )
+
+
 def top_terms(
     df: DataFrame,
     id_col: str,

@@ -1937,3 +1937,38 @@ def test_lm_pruning_cut_is_deterministic(spark):
     )
     uni, _bi = fit_bigram_lm(docs, "doc_id", "text", max_ngrams=1)
     assert [r["gram"] for r in uni.collect()] == ["aa"]
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing contract (Schleimer et al. 2003): any shared token
+    run of >= w+k-1 tokens yields a shared fingerprint; selected
+    density stays near 2/(w+1); sub-k-token docs emit nothing; within
+    one doc the same window-min is recorded once (distinct set)."""
+    from margaret_spark.operators.text import winnow_fingerprints
+
+    k, w = 4, 4
+    shared = "alpha beta gamma delta epsilon zeta eta"  # w+k-1 = 7 toks
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r " + shared + " s t u v w x y z"),
+            (2, shared + " one two three four five six"),
+            (3, "tiny doc"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs, "doc_id", "text", k=k, w=w)
+    by_doc: dict = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    assert 3 not in by_doc and 4 not in by_doc
+    f1 = {fp for _p, fp in by_doc[1]}
+    f2 = {fp for _p, fp in by_doc[2]}
+    assert f1 & f2, "shared >= w+k-1 token run must share a fingerprint"
+    # distinct (pos, fp) pairs per doc
+    assert len(by_doc[1]) == len(set(by_doc[1]))
+    # density: #fps <= #windows, and roughly 2/(w+1) of the grams
+    n_toks = len(("p q r " + shared + " s t u v w x y z").split())
+    n_grams = n_toks - k + 1
+    assert len(by_doc[1]) <= n_grams - w + 1
+    assert len(by_doc[1]) >= n_grams * 1 // (w + 1)
