@@ -3816,6 +3816,25 @@ def q_corpus_mixture(spark, sf_dir):
     return mixture_weights(base, "source", "n_tokens", temperature=2.0)
 
 
+def q_corpus_mixture_materialize(spark, sf_dir):
+    """The training mix MATERIALIZED (operators.sampling.
+    materialize_mixture): temperature-2 weights turn into per-source
+    token budgets (floor(weight · 20000)) and each source admits its
+    deterministic (md5(id), id) prefix until the budget fills — the
+    end-to-end corpus-assembly step. sqrt weights + one IEEE multiply
+    + integer floor/cumsums: hash-exact, including every cumulative
+    sum and budget. Budget table broadcast; one shuffle on source."""
+    from margaret_spark.operators.sampling import materialize_mixture
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    base = docs.select("doc_id", "source").join(toks, "doc_id")
+    return materialize_mixture(
+        base, "source", "doc_id", "n_tokens", total_tokens=20_000
+    )
+
+
 def q_stream_web_filter(spark, sf_dir):
     """Streaming at-ingest web curation (streaming/webfilter.py): the
     synthetic messy URLs are appended to a real OffsetLog, the filter
@@ -4086,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": q_web_url_dedup,
         "web_domain_psl": q_web_domain_psl,
         "corpus_mixture": q_corpus_mixture,
+        "corpus_mixture_materialize": q_corpus_mixture_materialize,
         "export_shards": q_export_shards,
         "stream_web_filter": q_stream_web_filter,
         "stream_cms": q_stream_cms,
@@ -4823,6 +4843,23 @@ def oracle_sql() -> dict[str, str]:
         "OVER () AS DOUBLE) AS tot FROM s) "
         "SELECT source, n_docs, n_tokens, tokens_scaled, "
         + _pr("tokens_scaled / tot") + " AS weight FROM t"
+    )
+    # materialized mixture: the corpus_mixture oracle (as a subquery
+    # CTE) feeds floor(weight·total) budgets into the per-source
+    # (md5(id), id) cumsum admission rule
+    d["corpus_mixture_materialize"] = (
+        "WITH cm AS (SELECT * FROM (" + d["corpus_mixture"] + ") x), "
+        "b AS (SELECT source, CAST(floor(weight * 20000.0) AS BIGINT) "
+        "AS budget FROM cm), "
+        "per AS (SELECT doc_id, source, "
+        f"CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, source, n_tokens, "
+        "CAST(SUM(n_tokens) OVER (PARTITION BY source "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM per) "
+        "SELECT c.doc_id, c.source, c.n_tokens, c.cum AS cum_tokens, "
+        "b.budget FROM c JOIN b USING (source) "
+        "WHERE c.cum - c.n_tokens < b.budget"
     )
     # streaming web filter: the batch canonicalization restated over
     # the same synthetic URLs, minus the blocklisted domains

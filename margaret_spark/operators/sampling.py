@@ -298,3 +298,62 @@ def mixture_weights(
     return scaled.withColumn(
         "weight", pround(F.col("tokens_scaled") / total, round_digits)
     )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    total_tokens: int,
+    temperature: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assemble the training mix: turn :func:`mixture_weights` into an
+    ACTUAL kept-document set. Each source's token budget is
+    ``floor(weight · total_tokens)`` and its documents are admitted in
+    the deterministic (md5(id), id) order until the budget fills —
+    the end-to-end "build a T-temperature corpus of N tokens" step
+    that composes the two operators every multi-source pretraining
+    recipe chains by hand.
+
+    Output: (id, group, tokens, cum_tokens, budget) for kept rows.
+    Exact arithmetic end-to-end at ``temperature=2.0`` (sqrt weights,
+    one IEEE multiply, integer floor and cumsums) — hash-exact
+    cross-engine.
+
+    Scale shape: the budget table is |sources| rows (broadcast); the
+    admission rule is the per-source window cumsum of
+    :func:`token_budget_sample` — ONE shuffle on the source key. A
+    source's budget can exceed its own token mass (small sources
+    up-sampled by temperature keep everything; epoch-level repetition
+    is a loader concern, not a selection concern)."""
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be non-negative: {total_tokens}")
+    weights = mixture_weights(
+        df, group_col, tokens_col, temperature, round_digits
+    )
+    budgets = weights.select(
+        group_col,
+        F.floor(F.col("weight") * F.lit(float(total_tokens)))
+        .cast("long")
+        .alias("budget"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w).cast("long")
+    return (
+        df.join(F.broadcast(budgets), group_col)
+        .withColumn("__cum", cum)
+        .where(F.col("__cum") - F.col(tokens_col) < F.col("budget"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(tokens_col),
+            F.col("__cum").alias("cum_tokens"),
+            F.col("budget"),
+        )
+    )

@@ -298,3 +298,42 @@ def test_mixture_weights_bad_temperature(spark):
     df = spark.createDataFrame([("a", 1, 1)], "src string, id long, n_tokens long")
     with _pytest.raises(ValueError):
         mixture_weights(df, "src", "n_tokens", temperature=0)
+
+
+def test_materialize_mixture_budgets_and_admission(spark):
+    """The assembled mix: budgets = floor(weight * total) (sqrt
+    temperature-2 weights), each source admits its deterministic
+    md5-order prefix until the budget fills (exceed-by-at-most-one),
+    and a small up-sampled source whose budget exceeds its mass keeps
+    everything."""
+    from pyspark.sql import functions as F
+
+    from margaret_spark.operators.sampling import materialize_mixture
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 16 else "small", 100) for i in range(20)],
+        "id long, src string, toks long",
+    )
+    out = materialize_mixture(df, "src", "id", "toks", total_tokens=1000)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    # sqrt(1600)=40, sqrt(400)=20 -> weights 2/3, 1/3
+    assert {r["budget"] for r in by_src["big"]} == {666}
+    assert {r["budget"] for r in by_src["small"]} == {333}
+    # big: admitted until cum-toks < 666 -> 7 docs (cum 700: exceed by one)
+    assert len(by_src["big"]) == 7
+    assert max(r["cum_tokens"] for r in by_src["big"]) == 700
+    # small: budget 333 > guards nothing away (400 total, last cum-100=300<333)
+    assert len(by_src["small"]) == 4
+    # deterministic: same call, same rows
+    again = {(r["id"], r["cum_tokens"]) for r in materialize_mixture(
+        df, "src", "id", "toks", total_tokens=1000
+    ).collect()}
+    assert again == {(r["id"], r["cum_tokens"]) for r in rows}
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="non-negative"):
+        materialize_mixture(df, "src", "id", "toks", total_tokens=-1)
