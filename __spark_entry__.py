@@ -1612,6 +1612,38 @@ def q_events_cms(spark, sf_dir):
     )
 
 
+def q_events_hll(spark, sf_dir):
+    """HyperLogLog register table (functions.hll): 256 registers over
+    user_id on the deterministic md5 hash family — unlike the engine-
+    internal approx_count_distinct, the sketch TABLE reproduces
+    bit-for-bit in any engine (60-bit hex hash, bucket = h mod 256,
+    rank = first-1-bit position of the 52-bit value field via exact
+    string ops). One aggregation, shuffle bounded by 256 rows."""
+    from margaret_spark.functions.hll import hll_sketch
+
+    ev = _events(spark, sf_dir).select("user_id").where(
+        F.col("user_id").isNotNull()
+    )
+    return hll_sketch(ev, "user_id", p=8)
+
+
+def q_events_hll_estimate(spark, sf_dir):
+    """The RAW HLL estimator beside the exact count: α·m²·2^K over an
+    integer harmonic sum (each summand an exact power of two
+    accumulated as a long — order-independent), one IEEE division,
+    pround — hash-exact, which log-based sketch estimators never are.
+    The production small-range correction (ln — not cross-engine
+    bit-identical) is pinned in pytest instead."""
+    from margaret_spark.functions.hll import hll_estimate, hll_sketch
+
+    ev = _events(spark, sf_dir).select("user_id").where(
+        F.col("user_id").isNotNull()
+    )
+    est = hll_estimate(hll_sketch(ev, "user_id", p=8), p=8, corrected=False)
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_n"))
+    return est.crossJoin(exact)
+
+
 def q_events_bloom(spark, sf_dir):
     """Bloom filter (functions.bloom): m=512/k=4 membership filter
     built over the EVEN user ids, probed back over every distinct
@@ -1669,6 +1701,43 @@ def q_stream_bloom(spark, sf_dir):
         )
         out = read_bloom(spark, sink).select(
             F.col("bit").cast("long").alias("bit")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_stream_hll(spark, sf_dir):
+    """Streaming HyperLogLog (streaming/cms.py stream_hll): the
+    cardinality member of the additive-partial trio — each micro-batch
+    writes its own partial register table (replay-idempotent
+    batch=<id> overwrite), and the global sketch is the per-bucket MAX
+    of the partials, equal to the batch sketch of the whole corpus —
+    which is exactly what the oracle states."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_hll, stream_hll
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    base = tempfile.mkdtemp(prefix="stream_hll_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="source", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_hll(
+            log,
+            F.col("value"),
+            sink,
+            os.path.join(base, "ckpt"),
+            p=8,
+            available_now=True,
+        )
+        out = read_hll(spark, sink).select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("maxrank").cast("int").alias("maxrank"),
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
@@ -4003,6 +4072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_report": q_events_skew_report,
         "events_cms": q_events_cms,
         "events_bloom": q_events_bloom,
+        "events_hll": q_events_hll,
+        "events_hll_estimate": q_events_hll_estimate,
         "text_collocations": q_text_collocations,
         "docs_pagerank": q_docs_pagerank,
         "docs_triangles": q_docs_triangles,
@@ -4110,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_web_filter": q_stream_web_filter,
         "stream_cms": q_stream_cms,
         "stream_bloom": q_stream_bloom,
+        "stream_hll": q_stream_hll,
     }
 
 
@@ -4767,6 +4839,30 @@ def oracle_sql() -> dict[str, str]:
         "CAST(est_n - exact_n AS BIGINT) AS overcount "
         "FROM est JOIN ex USING (user_id)"
     )
+    # HLL: the register table and the raw estimator restated exactly —
+    # 60-bit hex hash, first-1-bit rank via the same lpad(bin())/strpos
+    # string ops, integer harmonic sum, one literal α·m²·2^K
+    _hll_regs = (
+        "SELECT CAST(b AS INT) AS bucket, CAST(max(CASE WHEN "
+        "strpos(s, '1') = 0 THEN 53 ELSE strpos(s, '1') END) AS INT) "
+        "AS maxrank FROM ("
+        "SELECT h % 256 AS b, lpad(bin(h // 256), 52, '0') AS s FROM ("
+        "SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) "
+        "AS BIGINT) AS h FROM events WHERE user_id IS NOT NULL)) "
+        "GROUP BY b"
+    )
+    d["events_hll"] = _hll_regs
+    _hll_num = repr((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 53))
+    d["events_hll_estimate"] = (
+        f"WITH regs AS ({_hll_regs}), "
+        "s AS (SELECT CAST(COALESCE(SUM(CAST(pow(2.0, 53 - maxrank) "
+        "AS BIGINT)), 0) AS BIGINT) AS ssum, count(*) AS n FROM regs) "
+        "SELECT floor((" + _hll_num + " / "
+        "(ssum + (256 - n) * 9007199254740992)) * 10000 + 0.5) / 10000 "
+        "AS est, "
+        "(SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events "
+        "WHERE user_id IS NOT NULL) AS exact_n FROM s"
+    )
     # Bloom filter: deterministic md5 hash family (same as the CMS),
     # so bit table and every membership verdict restate exactly in SQL
     d["events_bloom"] = (
@@ -4783,6 +4879,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, CAST(count(b.bit) = 4 AS BOOLEAN) AS member, "
         "CAST(user_id % 2 = 0 AS BOOLEAN) AS actual "
         "FROM pb LEFT JOIN bits b USING (bit) GROUP BY user_id"
+    )
+    # streaming HLL: max-mergeable registers make the micro-batch
+    # merge equal the batch register table of the whole corpus
+    d["stream_hll"] = (
+        "SELECT CAST(b AS INT) AS bucket, CAST(max(CASE WHEN "
+        "strpos(s, '1') = 0 THEN 53 ELSE strpos(s, '1') END) AS INT) "
+        "AS maxrank FROM ("
+        "SELECT h % 256 AS b, lpad(bin(h // 256), 52, '0') AS s FROM ("
+        "SELECT CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) AS h "
+        "FROM documents)) GROUP BY b"
     )
     # streaming Bloom: OR-mergeable bits make the micro-batch merge
     # equal the batch filter of the whole corpus

@@ -21,8 +21,10 @@ from margaret_spark.streaming.contamination import (
 from margaret_spark.streaming.cms import (
     read_bloom,
     read_cms,
+    read_hll,
     stream_bloom,
     stream_cms,
+    stream_hll,
 )
 from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
 from margaret_spark.streaming.quality import stream_lm_filter
@@ -50,6 +52,8 @@ __all__ = [
     "read_cms",
     "stream_bloom",
     "read_bloom",
+    "stream_hll",
+    "read_hll",
     "stream_decontaminate",
     "stream_decontaminate_spans",
     "stream_scd2",

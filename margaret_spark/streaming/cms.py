@@ -138,3 +138,59 @@ def read_bloom(spark: SparkSession, sink_dir: str) -> DataFrame:
     if not has_batches(sink_dir):
         return spark.createDataFrame([], "bit long")
     return spark.read.parquet(sink_dir).select("bit").distinct()
+
+
+def stream_hll(
+    log: OffsetLog,
+    key_expr: Column,
+    sink_dir: str,
+    checkpoint_dir: str,
+    p: int = 8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain a HyperLogLog sketch over a log's append stream — the
+    cardinality member of the additive-partial trio (CMS counts sum,
+    Bloom bits OR, HLL registers MAX): each micro-batch writes its own
+    partial register table (≤ 2^p rows) into a ``batch=<id>``
+    partition (overwrite — replay-idempotent) and the global sketch is
+    the per-bucket max of the partials (:func:`read_hll` ≡
+    ``functions.hll.hll_merge``), equal to the batch sketch of the
+    whole stream by construction."""
+    from margaret_spark.functions.hll import hll_sketch
+
+    src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = hll_sketch(
+            batch_df.select(key_expr.alias("__key")), "__key", p
+        )
+        sk.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    w = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()
+
+
+def read_hll(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """(bucket, maxrank): the global register table — per-bucket max
+    over every batch partial (registers are max-mergeable). An empty
+    sink is a valid empty sketch."""
+    from margaret_spark.streaming.sinks import has_batches
+
+    if not has_batches(sink_dir):
+        return spark.createDataFrame([], "bucket int, maxrank int")
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("bucket")
+        .agg(F.max("maxrank").alias("maxrank"))
+    )

@@ -210,3 +210,38 @@ def test_stream_bloom_merged_equals_batch_filter(spark, tmp_path):
     assert merged == want
     # empty sink reads as a typed empty filter
     assert read_bloom(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_hll_accuracy_merge_and_small_range(spark):
+    """Registers merge exactly (max-mergeable); estimate error stays
+    within ~3/sqrt(m) of truth at n >> m; the corrected estimator's
+    linear-counting branch handles tiny cardinalities; NULLs skip."""
+    from pyspark.sql import functions as F
+
+    from margaret_spark.functions.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    df = spark.range(0, 20_000).select(F.col("id").cast("string").alias("k"))
+    sk = hll_sketch(df, "k", p=8)
+    est = hll_estimate(sk, p=8, corrected=False).collect()[0]["est"]
+    assert abs(est - 20_000) / 20_000 < 3 / (256 ** 0.5)
+
+    a = hll_sketch(df.where(F.col("k").cast("long") % 3 == 0), "k", p=8)
+    b = hll_sketch(df.where(F.col("k").cast("long") % 3 != 0), "k", p=8)
+    whole = {(r["bucket"], r["maxrank"]) for r in sk.collect()}
+    merged = {(r["bucket"], r["maxrank"]) for r in hll_merge(a, b).collect()}
+    assert merged == whole
+
+    small = spark.createDataFrame(
+        [(str(i),) for i in range(25)] + [(None,)], "k string"
+    )
+    corr = hll_estimate(hll_sketch(small, "k", p=8), p=8).collect()[0]["est"]
+    assert abs(corr - 25) / 25 < 0.25  # linear counting regime
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="p must be"):
+        hll_sketch(df, "k", p=2)

@@ -1279,3 +1279,40 @@ def test_stream_lm_filter_gates_and_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert kept2 == {0, 1, 5}
+
+
+def test_stream_hll_merged_equals_batch_sketch(spark, tmp_path):
+    """Multi-batch streaming HLL re-maxes to exactly the batch
+    register table of the whole log (registers are max-mergeable);
+    empty sink reads as a typed empty sketch."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.functions.hll import hll_sketch
+    from margaret_spark.streaming import read_hll, stream_hll
+    from tests.test_streaming_chaos import _space_log_file_mtimes
+
+    keys = [f"k{i % 7}" for i in range(20)]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    for k in keys:
+        log.append(k)
+    _space_log_file_mtimes(log)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    stream_hll(
+        log, F.col("value"), sink, ckpt, p=8,
+        available_now=True, max_files_per_trigger=5,
+    )
+    import os as _os
+
+    assert len([d for d in _os.listdir(sink) if d.startswith("batch=")]) >= 2
+    merged = {
+        (r["bucket"], r["maxrank"]) for r in read_hll(spark, sink).collect()
+    }
+    batch_df = spark.createDataFrame([(k,) for k in keys], "k string")
+    want = {
+        (r["bucket"], r["maxrank"])
+        for r in hll_sketch(batch_df, "k", p=8).collect()
+    }
+    assert merged == want
+    empty = read_hll(spark, str(tmp_path / "nope"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["bucket", "maxrank"]
