@@ -1612,6 +1612,22 @@ def q_events_cms(spark, sf_dir):
     )
 
 
+def q_events_hist_quantiles(spark, sf_dir):
+    """Quantiles off the additive equi-width histogram
+    (operators.profiling.histogram_quantiles): per event_type, the
+    p10/p50/p90/p99 of value by cumulative-count interpolation — the
+    deterministic, MERGEABLE quantile summary beside the
+    engine-internal GK (approx_quantiles, graded rows-only). Integer
+    cumsums + ceil(q·N) ranks + one interpolation tree: hash-exact.
+    One bounded aggregation; everything after is ≤ groups×bins rows."""
+    from margaret_spark.operators.profiling import histogram_quantiles
+
+    ev = _events(spark, sf_dir)
+    return histogram_quantiles(
+        ev, "value", [0.1, 0.5, 0.9, 0.99], bins=64, group_col="event_type"
+    )
+
+
 def q_events_hll(spark, sf_dir):
     """HyperLogLog register table (functions.hll): 256 registers over
     user_id on the deterministic md5 hash family — unlike the engine-
@@ -4073,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms": q_events_cms,
         "events_bloom": q_events_bloom,
         "events_hll": q_events_hll,
+        "events_hist_quantiles": q_events_hist_quantiles,
         "events_hll_estimate": q_events_hll_estimate,
         "text_collocations": q_text_collocations,
         "docs_pagerank": q_docs_pagerank,
@@ -4838,6 +4855,34 @@ def oracle_sql() -> dict[str, str]:
         "SELECT est.user_id, est_n, exact_n, "
         "CAST(est_n - exact_n AS BIGINT) AS overcount "
         "FROM est JOIN ex USING (user_id)"
+    )
+    # histogram quantiles: the bucket grid, integer cumsums, ceil(q·N)
+    # ranks and the interpolation tree restated term-for-term
+    d["events_hist_quantiles"] = (
+        "WITH b AS (SELECT min(CAST(value AS DOUBLE)) AS lo, "
+        "max(CAST(value AS DOUBLE)) AS hi, "
+        "(max(CAST(value AS DOUBLE)) - min(CAST(value AS DOUBLE))) "
+        "/ CAST(64 AS DOUBLE) AS w FROM events), "
+        "h AS (SELECT event_type, "
+        "CAST(CASE WHEN b.w = 0.0 THEN 0 ELSE "
+        "least(floor((CAST(value AS DOUBLE) - b.lo) / b.w), 63) END AS INT) "
+        "AS bucket, CAST(count(*) AS BIGINT) AS n "
+        "FROM events, b WHERE value IS NOT NULL "
+        "AND CAST(value AS DOUBLE) >= b.lo AND CAST(value AS DOUBLE) <= b.hi "
+        "GROUP BY event_type, bucket), "
+        "c AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY event_type "
+        "ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, "
+        "CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot "
+        "FROM h), "
+        "x AS (SELECT c.*, q, CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT) "
+        "AS r, cum - n AS prev FROM c "
+        "CROSS JOIN (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q)) "
+        "SELECT event_type, q, "
+        + _pr(
+            "b.lo + b.w * (CAST(bucket AS DOUBLE) + "
+            "CAST(r - prev AS DOUBLE) / CAST(n AS DOUBLE))"
+        )
+        + " AS est FROM x, b WHERE prev < r AND r <= cum"
     )
     # HLL: the register table and the raw estimator restated exactly —
     # 60-bit hex hash, first-1-bit rank via the same lpad(bin())/strpos

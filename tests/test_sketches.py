@@ -245,3 +245,48 @@ def test_hll_accuracy_merge_and_small_range(spark):
 
     with _p.raises(ValueError, match="p must be"):
         hll_sketch(df, "k", p=2)
+
+
+def test_histogram_quantiles_accuracy_and_merge_equivalence(spark):
+    """Histogram-quantile contract: estimates land within one bucket
+    width of the exact quantiles on a uniform column; additive counts
+    mean the estimate over the whole equals the estimate over merged
+    partial histograms (same grid); q bounds validated."""
+    from pyspark.sql import functions as F
+
+    from margaret_spark.operators.profiling import (
+        histogram,
+        histogram_quantiles,
+    )
+
+    df = spark.range(0, 10_000).select(F.col("id").cast("double").alias("v"))
+    bins = 100
+    got = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(df, "v", [0.25, 0.5, 0.9], bins=bins).collect()
+    }
+    width = 9999.0 / bins
+    for q, est in got.items():
+        assert abs(est - q * 9999.0) <= width + 1e-9
+
+    # mergeability: partial histograms on the SAME grid re-sum to the
+    # whole-table histogram (counts are additive like the CMS)
+    lo, hi = 0.0, 9999.0
+    a = histogram(df.where(F.col("v") < 3000), "v", bins, lo=lo, hi=hi)
+    b = histogram(df.where(F.col("v") >= 3000), "v", bins, lo=lo, hi=hi)
+    merged = (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = histogram(df, "v", bins, lo=lo, hi=hi)
+    assert {(r["bucket"], r["n"]) for r in merged.collect()} == {
+        (r["bucket"], r["n"]) for r in whole.select("bucket", "n").collect()
+    }
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="quantiles must be"):
+        histogram_quantiles(df, "v", [0.0])
+    with _p.raises(ValueError, match="non-empty"):
+        histogram_quantiles(df, "v", [])
