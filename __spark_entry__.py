@@ -1660,6 +1660,66 @@ def q_events_hll_estimate(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+def q_events_hll_groups(spark, sf_dir):
+    """Per-group HLL (functions.hll with group_col): one independent
+    256-register sketch per event_type, raw estimates beside exact
+    distinct counts — the per-segment cardinality tracker. Same
+    hash-exact arithmetic as events_hll_estimate, shuffle bounded by
+    groups × 256 rows."""
+    from margaret_spark.functions.hll import hll_estimate, hll_sketch
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id").where(
+        F.col("user_id").isNotNull()
+    )
+    sk = hll_sketch(ev, "user_id", p=8, group_col="event_type")
+    est = hll_estimate(sk, p=8, corrected=False, group_col="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_n")
+    )
+    return est.join(exact, "event_type")
+
+
+def q_stream_histogram(spark, sf_dir):
+    """Streaming equi-width histogram (streaming/cms.py
+    stream_histogram): the distribution member of the
+    additive-partial family — a FIXED grid (32 bins over [0, 4096])
+    so per-micro-batch partials merge by re-sum; the global histogram
+    equals the batch histogram of the whole corpus, which is exactly
+    what the oracle states."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_histogram, stream_histogram
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("string").alias("v")
+    )
+    base = tempfile.mkdtemp(prefix="stream_hist_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="v", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_histogram(
+            log,
+            F.col("value").cast("double"),
+            sink,
+            os.path.join(base, "ckpt"),
+            bins=32,
+            lo=0.0,
+            hi=4096.0,
+            available_now=True,
+        )
+        out = read_histogram(spark, sink).select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_events_bloom(spark, sf_dir):
     """Bloom filter (functions.bloom): m=512/k=4 membership filter
     built over the EVEN user ids, probed back over every distinct
@@ -4091,6 +4151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll": q_events_hll,
         "events_hist_quantiles": q_events_hist_quantiles,
         "events_hll_estimate": q_events_hll_estimate,
+        "events_hll_groups": q_events_hll_groups,
+        "stream_histogram": q_stream_histogram,
         "text_collocations": q_text_collocations,
         "docs_pagerank": q_docs_pagerank,
         "docs_triangles": q_docs_triangles,
@@ -4907,6 +4969,34 @@ def oracle_sql() -> dict[str, str]:
         "AS est, "
         "(SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events "
         "WHERE user_id IS NOT NULL) AS exact_n FROM s"
+    )
+    # per-group HLL: the register derivation keyed by event_type, the
+    # same literal α·m²·2^K numerator, per-group integer harmonic sums
+    d["events_hll_groups"] = (
+        "WITH regs AS (SELECT event_type, CAST(b AS INT) AS bucket, "
+        "max(CASE WHEN strpos(s, '1') = 0 THEN 53 ELSE strpos(s, '1') END) "
+        "AS maxrank FROM ("
+        "SELECT event_type, h % 256 AS b, lpad(bin(h // 256), 52, '0') AS s "
+        "FROM (SELECT event_type, CAST('0x' || "
+        "substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h "
+        "FROM events WHERE user_id IS NOT NULL)) GROUP BY event_type, b), "
+        "s AS (SELECT event_type, CAST(SUM(CAST(pow(2.0, 53 - maxrank) "
+        "AS BIGINT)) AS BIGINT) AS ssum, count(*) AS n FROM regs "
+        "GROUP BY event_type), "
+        "ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS exact_n FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY event_type) "
+        "SELECT s.event_type, floor((" + _hll_num + " / "
+        "(ssum + (256 - n) * 9007199254740992)) * 10000 + 0.5) / 10000 "
+        "AS est, ex.exact_n FROM s JOIN ex USING (event_type)"
+    )
+    # streaming histogram: additive counts on a fixed [0, 4096]/32
+    # grid make the micro-batch merge equal the batch histogram
+    d["stream_histogram"] = (
+        "SELECT CAST(least(floor(CAST(n_chars AS DOUBLE) / 128.0), 31) "
+        "AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n FROM documents "
+        "WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) >= 0.0 "
+        "AND CAST(n_chars AS DOUBLE) <= 4096.0 GROUP BY 1"
     )
     # Bloom filter: deterministic md5 hash family (same as the CMS),
     # so bit table and every membership verdict restate exactly in SQL

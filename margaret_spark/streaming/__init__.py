@@ -21,9 +21,11 @@ from margaret_spark.streaming.contamination import (
 from margaret_spark.streaming.cms import (
     read_bloom,
     read_cms,
+    read_histogram,
     read_hll,
     stream_bloom,
     stream_cms,
+    stream_histogram,
     stream_hll,
 )
 from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
@@ -54,6 +56,8 @@ __all__ = [
     "read_bloom",
     "stream_hll",
     "read_hll",
+    "stream_histogram",
+    "read_histogram",
     "stream_decontaminate",
     "stream_decontaminate_spans",
     "stream_scd2",

@@ -194,3 +194,69 @@ def read_hll(spark: SparkSession, sink_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("maxrank").alias("maxrank"))
     )
+
+
+def stream_histogram(
+    log: OffsetLog,
+    value_expr: Column,
+    sink_dir: str,
+    checkpoint_dir: str,
+    bins: int,
+    lo: float,
+    hi: float,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain an equi-width histogram over a log's append stream —
+    the distribution member of the additive-partial family (counts
+    SUM like the CMS). The bucket grid must be FIXED up front
+    (``bins``/``lo``/``hi``): partials are only mergeable on one
+    shared grid, so unlike the batch operator there is no
+    min/max-defaulting — pick bounds from a reference corpus or a
+    first batch pass. Each micro-batch writes its partial
+    ``(bucket, n)`` table (≤ bins rows) into a ``batch=<id>``
+    partition (overwrite — replay-idempotent); the global histogram
+    is the re-sum (:func:`read_histogram`), equal to the batch
+    histogram of the whole stream, and feeds
+    ``profiling.histogram_quantiles``'s interpolation directly."""
+    from margaret_spark.operators.profiling import histogram
+
+    src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        h = histogram(
+            batch_df.select(value_expr.alias("__v")),
+            "__v",
+            bins,
+            lo=lo,
+            hi=hi,
+        ).select("bucket", "n")
+        h.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    w = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()
+
+
+def read_histogram(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """(bucket, n): the global histogram — re-sum of every batch
+    partial (counts are additive). An empty sink is a valid empty
+    histogram."""
+    from margaret_spark.streaming.sinks import has_batches
+
+    if not has_batches(sink_dir):
+        return spark.createDataFrame([], "bucket int, n long")
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

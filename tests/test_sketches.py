@@ -290,3 +290,35 @@ def test_histogram_quantiles_accuracy_and_merge_equivalence(spark):
         histogram_quantiles(df, "v", [0.0])
     with _p.raises(ValueError, match="non-empty"):
         histogram_quantiles(df, "v", [])
+
+
+def test_hll_per_group_sketches_are_independent(spark):
+    from pyspark.sql import functions as F
+
+    from margaret_spark.functions.hll import hll_estimate, hll_sketch
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 1000).cast("string").alias("k"),
+    )
+    sk = hll_sketch(df, "k", p=8, group_col="g")
+    ests = {
+        r["g"]: r["est"]
+        for r in hll_estimate(
+            sk, p=8, corrected=False, group_col="g"
+        ).collect()
+    }
+    # each group saw 500 distinct keys (evens/odds of 0..999)
+    for g, est in ests.items():
+        assert abs(est - 500) / 500 < 3 / (256 ** 0.5)
+    # the per-group sketch of one group equals the ungrouped sketch
+    # over that group's rows
+    solo = {
+        (r["bucket"], r["maxrank"])
+        for r in hll_sketch(df.where(F.col("g") == "0"), "k", p=8).collect()
+    }
+    grouped = {
+        (r["bucket"], r["maxrank"])
+        for r in sk.where(F.col("g") == "0").select("bucket", "maxrank").collect()
+    }
+    assert solo == grouped

@@ -1316,3 +1316,40 @@ def test_stream_hll_merged_equals_batch_sketch(spark, tmp_path):
     empty = read_hll(spark, str(tmp_path / "nope"))
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["bucket", "maxrank"]
+
+
+def test_stream_histogram_merged_equals_batch(spark, tmp_path):
+    """Fixed-grid streaming histogram re-sums to exactly the batch
+    histogram of the whole log; the merged counts feed
+    histogram_quantiles' interpolation unchanged."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.profiling import histogram
+    from margaret_spark.streaming import read_histogram, stream_histogram
+    from tests.test_streaming_chaos import _space_log_file_mtimes
+
+    vals = [5.0, 50.0, 50.0, 99.0, 10.0, 75.0]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.DoubleType())
+    for v in vals:
+        log.append(v)
+    _space_log_file_mtimes(log)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    stream_histogram(
+        log, F.col("value"), sink, ckpt, bins=10, lo=0.0, hi=100.0,
+        available_now=True, max_files_per_trigger=2,
+    )
+    import os as _os
+
+    assert len([d for d in _os.listdir(sink) if d.startswith("batch=")]) >= 2
+    merged = {
+        (r["bucket"], r["n"]) for r in read_histogram(spark, sink).collect()
+    }
+    batch_df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = {
+        (r["bucket"], r["n"])
+        for r in histogram(batch_df, "v", 10, lo=0.0, hi=100.0)
+        .select("bucket", "n")
+        .collect()
+    }
+    assert merged == want
+    assert read_histogram(spark, str(tmp_path / "nope")).count() == 0
