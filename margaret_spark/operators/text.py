@@ -386,16 +386,27 @@ def winnow_fingerprints(
     grams = F.when(
         g >= 1, F.transform(F.sequence(F.lit(1), g), packed)
     ).otherwise(F.array().cast("array<long>"))
-    nwin = F.greatest(g - F.lit(w) + F.lit(1), F.lit(1))
-    wlen = F.least(F.lit(w), g)
-    sel = F.when(
-        g >= 1,
-        F.array_distinct(
+
+    # BIND the gram array as a lambda variable before windowing:
+    # referencing the `grams` expression directly inside the window
+    # lambda re-inlines it, so every window recomputed the WHOLE
+    # md5 array — O(g²) hashes per document (measured 10× superlinear
+    # at sf0.1). transform() evaluates its input once per row and the
+    # lambda sees the materialized value, restoring O(g·w) integer
+    # comparisons over O(g) hashes, still zero shuffles.
+    def _windows(garr: Column) -> Column:
+        gn = F.size(garr)
+        nwin = F.greatest(gn - F.lit(w) + F.lit(1), F.lit(1))
+        wlen = F.least(F.lit(w), gn)
+        return F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), nwin),
-                lambda j: F.array_min(F.slice(grams, j, wlen)),
+                lambda j: F.array_min(F.slice(garr, j, wlen)),
             )
-        ),
+        )
+
+    sel = F.when(
+        g >= 1, F.get(F.transform(F.array(grams), _windows), 0)
     ).otherwise(F.array().cast("array<long>"))
     out = df.select(F.col(id_col), F.explode(sel).alias("__p"))
     # integer `div`, not `/`: packed reaches 2^54, past double's 2^53
