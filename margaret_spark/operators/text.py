@@ -369,31 +369,17 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1: k={k}, w={w}")
     base = F.lit(_WINNOW_POS_BASE)
-    toks = words(F.col(text_col))
-    n = F.size(toks)
-    g = n - F.lit(k) + F.lit(1)
+    empty = F.array().cast("array<long>")
 
-    def packed(i: Column) -> Column:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        return h * base + (base - i)
-
-    grams = F.when(
-        g >= 1, F.transform(F.sequence(F.lit(1), g), packed)
-    ).otherwise(F.array().cast("array<long>"))
-
-    # BIND the gram array as a lambda variable before windowing:
-    # referencing the `grams` expression directly inside the window
-    # lambda re-inlines it, so every window recomputed the WHOLE
-    # md5 array — O(g²) hashes per document (measured 10× superlinear
-    # at sf0.1). transform() evaluates its input once per row and the
-    # lambda sees the materialized value, restoring O(g·w) integer
-    # comparisons over O(g) hashes, still zero shuffles.
+    # BIND each intermediate array as a transform() lambda variable:
+    # a non-lambda-variable expression referenced inside a lambda body
+    # is RE-EVALUATED per element, so the naive form recomputed the
+    # whole token array per gram and the whole md5 gram array per
+    # window — O(g²) hashes per document (measured 10× superlinear at
+    # sf0.1; 242 s → 3.8 s after binding). transform() evaluates its
+    # input once per row and the lambda sees the stored value, so
+    # tokenization runs once, each gram hashes once, and windowing is
+    # O(g·w) integer comparisons — still zero shuffles.
     def _windows(garr: Column) -> Column:
         gn = F.size(garr)
         nwin = F.greatest(gn - F.lit(w) + F.lit(1), F.lit(1))
@@ -405,9 +391,35 @@ def winnow_fingerprints(
             )
         )
 
-    sel = F.when(
-        g >= 1, F.get(F.transform(F.array(grams), _windows), 0)
-    ).otherwise(F.array().cast("array<long>"))
+    def _per_doc(tarr: Column) -> Column:
+        g = F.size(tarr) - F.lit(k) + F.lit(1)
+
+        def packed(i: Column) -> Column:
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(tarr, i, k))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            return h * base + (base - i)
+
+        grams = F.when(
+            g >= 1, F.transform(F.sequence(F.lit(1), g), packed)
+        ).otherwise(empty)
+        # the g >= 1 guard must cover the WINDOW step too: windowing
+        # an empty gram array yields array_min(empty) = [NULL], which
+        # would explode into a phantom (NULL, NULL) fingerprint
+        return F.when(
+            g >= 1, F.get(F.transform(F.array(grams), _windows), 0)
+        ).otherwise(empty)
+
+    # NULL text: the single array element is NULL, g is NULL, the
+    # when() falls to the empty branch — no fingerprints
+    sel = F.coalesce(
+        F.get(F.transform(F.array(words(F.col(text_col))), _per_doc), 0),
+        empty,
+    )
     out = df.select(F.col(id_col), F.explode(sel).alias("__p"))
     # integer `div`, not `/`: packed reaches 2^54, past double's 2^53
     # exact-integer range (same rationale as packing._pack_from_cum)
