@@ -91,6 +91,17 @@ HEADLINE_V2 = [
     "web_domain_psl",
     "ann_ivf_int8",
     "text_lm_surprise",
+    # r6 late additions: sketches (batch + streaming), winnowing,
+    # at-ingest LM gate, mixture materialization
+    "text_winnow",
+    "events_bloom",
+    "events_hll",
+    "events_hist_quantiles",
+    "stream_bloom",
+    "stream_hll",
+    "stream_histogram",
+    "stream_lm_filter",
+    "corpus_mixture_materialize",
 ]
 
 
