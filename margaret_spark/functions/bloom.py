@@ -85,8 +85,11 @@ def bloom_probe(
 ) -> DataFrame:
     """Per probe key: present iff all ``k`` bit positions are set —
     TRUE for every inserted key (no false negatives), FALSE all but
-    (1 − e^(−kn/m))^k of the time for never-inserted keys. The bit
-    table is broadcast; probing is one narrow pass over the probes."""
+    (1 − e^(−kn/m))^k of the time for never-inserted keys. A NULL
+    probe key resolves to NULL member — the build side skips NULLs
+    (no membership identity), so a definite FALSE would assert
+    knowledge the filter doesn't have. The bit table is broadcast;
+    probing is one narrow pass over the probes."""
     probes = keys.select(
         F.col(key_col),
         F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("__i"),
@@ -97,6 +100,10 @@ def bloom_probe(
         )
         .groupBy(key_col)
         .agg(
-            (F.count(F.col("__set")) == F.lit(k_hashes)).alias(member_col)
+            F.when(
+                F.col(key_col).isNull(), F.lit(None).cast("boolean")
+            )
+            .otherwise(F.count(F.col("__set")) == F.lit(k_hashes))
+            .alias(member_col)
         )
     )

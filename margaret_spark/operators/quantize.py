@@ -155,14 +155,20 @@ def build_ivf_index_int8(
     indexes partition the corpus the same way — only the stored
     payload and the scoring arithmetic differ. Returns the centroid
     DataFrame (persisted under ``<path>/centroids``)."""
-    from margaret_spark.operators.similarity import _nearest_cells, l2_norm
+    from margaret_spark.operators.similarity import (
+        _nearest_cells,
+        _normalize_centroids,
+        l2_norm,
+    )
 
     if centroids is None:
         centroids = corpus.orderBy(F.col(id_col).asc()).limit(nlist).select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).cast("array<double>").alias("cent"),
         )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    _normalize_centroids(centroids).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
     spark = corpus.sparkSession
     cents = F.broadcast(
         spark.read.parquet(f"{path}/centroids").select(

@@ -240,6 +240,24 @@ def ivf_topk(
     )
 
 
+def _normalize_centroids(centroids: DataFrame) -> DataFrame:
+    """Validate/normalize a user-supplied centroid table to the
+    persisted contract ``(cent_id, cent array<double>)`` — the index
+    read paths select exactly those names, so a kmeans output with
+    different column names must fail HERE with a real message, not
+    later with an AnalysisException inside a search."""
+    missing = {"cent_id", "cent"} - set(centroids.columns)
+    if missing:
+        raise ValueError(
+            "centroids must carry columns (cent_id, cent); missing "
+            f"{sorted(missing)} — got {centroids.columns}. Rename/select "
+            "before passing (e.g. kmeans_centroids already emits them)."
+        )
+    return centroids.select(
+        "cent_id", F.col("cent").cast("array<double>").alias("cent")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -272,7 +290,9 @@ def build_ivf_index(
                 F.col(id_col).alias("cent_id"),
                 F.col(vec_col).cast("array<double>").alias("cent"),
             )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    _normalize_centroids(centroids).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
     spark = corpus.sparkSession
     cents = F.broadcast(
         spark.read.parquet(f"{path}/centroids").select(

@@ -404,9 +404,26 @@ def winnow_fingerprints(
             ).cast("long")
             return h * base + (base - i)
 
-        grams = F.when(
-            g >= 1, F.transform(F.sequence(F.lit(1), g), packed)
-        ).otherwise(empty)
+        # the packing aliases once positions reach the base: (base − i)
+        # goes non-positive and two different (hash, pos) grams could
+        # compare equal — fail LOUDLY instead of silently corrupting
+        # fingerprints (callers chunk longer docs first,
+        # e.g. chunking.chunk_documents)
+        over = F.raise_error(
+            F.concat(
+                F.lit(
+                    "winnow_fingerprints: document exceeds the "
+                    f"{_WINNOW_POS_BASE - 1}-gram packing bound ("
+                ),
+                g.cast("string"),
+                F.lit(" k-grams) — chunk longer documents first"),
+            )
+        ).cast("array<long>")
+        grams = (
+            F.when(g >= F.lit(_WINNOW_POS_BASE), over)
+            .when(g >= 1, F.transform(F.sequence(F.lit(1), g), packed))
+            .otherwise(empty)
+        )
         # the g >= 1 guard must cover the WINDOW step too: windowing
         # an empty gram array yields array_min(empty) = [NULL], which
         # would explode into a phantom (NULL, NULL) fingerprint

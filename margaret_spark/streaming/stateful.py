@@ -40,6 +40,20 @@ from margaret_spark.log import OffsetLog
 from margaret_spark.streaming.sinks import delivery, read_batch_sink
 
 
+def _require_checkpoint(checkpoint_dir: Optional[str]) -> str:
+    """Fail fast with a real message: a None checkpoint reaches
+    ``writeStream.option(...)`` as the string ``"None"`` or an opaque
+    py4j error depending on version — never what the caller meant.
+    Stateful state lives IN the checkpoint, so it is always
+    required."""
+    if checkpoint_dir is None:
+        raise ValueError(
+            "checkpoint_dir is required: stateful streaming state lives in "
+            "the checkpoint — pass a fresh directory per logical stream"
+        )
+    return checkpoint_dir
+
+
 def _latest_func(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -103,7 +117,7 @@ def stream_latest_index(
     w = (
         out.writeStream.foreachBatch(delivery(sink_dir, on_updates))
         .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", _require_checkpoint(checkpoint_dir))
     )
     if available_now:
         q = w.trigger(availableNow=True).start()
@@ -271,7 +285,7 @@ def stream_dedup_window(
     w = (
         out.writeStream.foreachBatch(delivery(sink_dir, on_keepers))
         .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", _require_checkpoint(checkpoint_dir))
     )
     if available_now:
         q = w.trigger(availableNow=True).start()
@@ -359,7 +373,7 @@ def stream_token_budget(
     w = (
         out.writeStream.foreachBatch(delivery(sink_dir, on_kept))
         .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", _require_checkpoint(checkpoint_dir))
     )
     if available_now:
         q = w.trigger(availableNow=True).start()
@@ -499,7 +513,7 @@ def stream_dedup_minhash(
     w = (
         out.writeStream.foreachBatch(delivery(sink_dir, on_candidates))
         .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", _require_checkpoint(checkpoint_dir))
     )
     if available_now:
         q = w.trigger(availableNow=True).start()
@@ -551,7 +565,7 @@ def stream_dedup_exact(
     w = (
         out.writeStream.foreachBatch(delivery(sink_dir, on_keepers))
         .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", _require_checkpoint(checkpoint_dir))
     )
     if available_now:
         q = w.trigger(availableNow=True).start()
@@ -669,7 +683,7 @@ def stream_asof_join(
     w = (
         out.writeStream.foreachBatch(delivery(sink_dir, on_rows))
         .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", _require_checkpoint(checkpoint_dir))
     )
     if available_now:
         q = w.trigger(availableNow=True).start()
@@ -756,7 +770,7 @@ def stream_topk(
     w = (
         out.writeStream.foreachBatch(on_batch_df)
         .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
+        .option("checkpointLocation", _require_checkpoint(checkpoint_dir))
     )
     if available_now:
         q = w.trigger(availableNow=True).start()

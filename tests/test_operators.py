@@ -1972,3 +1972,46 @@ def test_winnow_guarantee_and_density(spark):
     n_grams = n_toks - k + 1
     assert len(by_doc[1]) <= n_grams - w + 1
     assert len(by_doc[1]) >= n_grams * 1 // (w + 1)
+
+
+def test_winnow_oversized_doc_fails_loudly(spark):
+    """A document whose k-gram count reaches the position-packing base
+    (2^22) must raise, not silently alias fingerprints (r6 ADVICE:
+    the bound previously lived only in a comment)."""
+    import pytest
+
+    from margaret_spark.operators.text import (
+        _WINNOW_POS_BASE,
+        winnow_fingerprints,
+    )
+
+    k = 2
+    n_toks = _WINNOW_POS_BASE + k  # g = 2^22 + 1 >= base
+    big = " ".join("a" * 1 for _ in range(n_toks))
+    docs = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with pytest.raises(Exception, match="packing bound"):
+        winnow_fingerprints(docs, "doc_id", "text", k=k, w=4).collect()
+
+
+def test_ivf_centroid_schema_validated(spark, tmp_path):
+    """User-supplied centroids with wrong column names fail at build
+    time with a real message, not later with an AnalysisException in
+    the read path (r6 ADVICE) — both the float and int8 builders."""
+    import pytest
+
+    from margaret_spark.operators.quantize import build_ivf_index_int8
+    from margaret_spark.operators.similarity import build_ivf_index
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    bad = spark.createDataFrame(
+        [(0, [0.0, 1.0])], "cluster_id long, center array<double>"
+    )
+    with pytest.raises(ValueError, match="cent_id"):
+        build_ivf_index(emb, str(tmp_path / "f"), nlist=2, centroids=bad)
+    with pytest.raises(ValueError, match="cent_id"):
+        build_ivf_index_int8(
+            emb, str(tmp_path / "q"), nlist=2, centroids=bad
+        )

@@ -322,3 +322,24 @@ def test_hll_per_group_sketches_are_independent(spark):
         for r in sk.where(F.col("g") == "0").select("bucket", "maxrank").collect()
     }
     assert solo == grouped
+
+
+def test_bloom_probe_null_key_is_null_member(spark):
+    """NULL probe keys resolve to NULL member (unknown), mirroring the
+    build side's NULLs-have-no-membership-identity rule — not a
+    definite FALSE (r6 ADVICE)."""
+    from margaret_spark.functions.bloom import bloom_build, bloom_probe
+
+    bits = bloom_build(
+        spark.createDataFrame([("a",), ("b",)], "k string"), "k", 128, 3
+    )
+    probes = spark.createDataFrame(
+        [("a",), ("zzz",), (None,)], "k string"
+    )
+    got = {
+        r["k"]: r["member"]
+        for r in bloom_probe(bits, probes, "k", 128, 3).collect()
+    }
+    assert got["a"] is True
+    assert got["zzz"] is False
+    assert got[None] is None

@@ -1353,3 +1353,22 @@ def test_stream_histogram_merged_equals_batch(spark, tmp_path):
     }
     assert merged == want
     assert read_histogram(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_stateful_ops_require_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir=None must fail with a clear ValueError before
+    any stream starts, not an opaque py4j error from
+    checkpointLocation=None (r6 ADVICE)."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import stream_dedup_exact
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append("x")
+    with pytest.raises(ValueError, match="checkpoint_dir is required"):
+        stream_dedup_exact(
+            log, F.col("value"), sink_dir=str(tmp_path / "sink")
+        )
