@@ -2843,15 +2843,21 @@ def q_stream_dedup_exact(spark, sf_dir):
     SCALE path: each micro-batch's keepers land executor-side as a
     batch=<id> parquet partition (streaming/sinks.py — no driver
     toPandas; the keeper stream is one row per unique document ever
-    ingested), and the graded result is the sink read back.
-    Oracle-checked: keepers must be exactly min(seq) per distinct
-    content, and the state key (sha2 hex) is engine-identical to
-    DuckDB's sha256."""
+    ingested), the sink is then COMPACTED (batch partials folded into
+    a compacted=<hw> segment with a high-water manifest — the
+    long-running-stream small-file answer), and the graded result is
+    the compacted sink read back. Oracle-checked: keepers must be
+    exactly min(seq) per distinct content, and the state key (sha2
+    hex) is engine-identical to DuckDB's sha256."""
     import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
-    from margaret_spark.streaming import read_keeper_sink, stream_dedup_exact
+    from margaret_spark.streaming import (
+        compact_sink,
+        read_keeper_sink,
+        stream_dedup_exact,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="stream_dedup_")
@@ -2869,6 +2875,7 @@ def q_stream_dedup_exact(spark, sf_dir):
             sink_dir=sink,
             available_now=True,
         )
+        compact_sink(spark, sink)
         out = read_keeper_sink(
             spark, sink, "content_hash string, keep_seq long"
         )

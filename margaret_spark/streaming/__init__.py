@@ -3,7 +3,12 @@ from margaret_spark.streaming.live import (
     stream_changes,
     stream_build_index,
 )
+from margaret_spark.streaming.sinks import (
+    compact_sink,
+    read_sink_manifest,
+)
 from margaret_spark.streaming.stateful import (
+    latest_index_reduce,
     read_keeper_sink,
     read_latest_index_sink,
     stream_asof_join,
@@ -19,6 +24,10 @@ from margaret_spark.streaming.contamination import (
     stream_decontaminate_spans,
 )
 from margaret_spark.streaming.cms import (
+    bloom_reduce,
+    cms_reduce,
+    histogram_reduce,
+    hll_reduce,
     read_bloom,
     read_cms,
     read_histogram,
@@ -47,6 +56,13 @@ __all__ = [
     "stream_topk",
     "read_keeper_sink",
     "read_latest_index_sink",
+    "compact_sink",
+    "read_sink_manifest",
+    "latest_index_reduce",
+    "cms_reduce",
+    "bloom_reduce",
+    "hll_reduce",
+    "histogram_reduce",
     "stream_scrub_pii",
     "stream_web_filter",
     "stream_lm_filter",

@@ -17,18 +17,20 @@ stream by construction, which is how the graded query pins it.
 Scale shape: per batch, one bounded aggregation (the batch's rows
 never leave their executors un-aggregated) and one tiny parquet
 write; the merge scans ≤ batches·depth·width sketch rows, never the
-data.
+data. Long-running streams fold their partial pile with
+``sinks.compact_sink(..., reduce_fn=<the sink's *_reduce below>)`` —
+partials are additive/OR/max-mergeable, so the compacted segment is
+one bounded sketch table and reads stay identical.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from margaret_spark.functions.cms import cms_sketch
 from margaret_spark.log import OffsetLog
+from margaret_spark.streaming.sinks import read_batch_sink, write_batch
 
 
 def stream_cms(
@@ -53,9 +55,7 @@ def stream_cms(
         sk = cms_sketch(
             batch_df.select(key_expr.alias("__key")), "__key", depth, width
         )
-        sk.write.mode("overwrite").parquet(
-            os.path.join(sink_dir, f"batch={batch_id}")
-        )
+        write_batch(sk, batch_id, sink_dir)
 
     w = (
         src.writeStream.foreachBatch(on_batch)
@@ -69,20 +69,24 @@ def stream_cms(
     return w.trigger(processingTime="500 milliseconds").start()
 
 
-def read_cms(spark: SparkSession, sink_dir: str) -> DataFrame:
-    """(row, bucket, cnt): the global sketch — re-sum of every batch
-    partial (counters are additive; see ``functions.cms.cms_merge``).
-    A stream that produced zero batches (empty log / nothing drained
-    yet) is a valid empty sketch, not a schema-inference error.
-    """
-    from margaret_spark.streaming.sinks import has_batches
+def cms_reduce(df: DataFrame) -> DataFrame:
+    """The CMS partial fold (counters are additive) — the read-side
+    merge AND the ``compact_sink`` reducer (idempotent: reducing a
+    reduced segment is a no-op re-sum)."""
+    return df.groupBy("row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
 
-    if not has_batches(sink_dir):
-        return spark.createDataFrame([], "row int, bucket long, cnt long")
-    return (
-        spark.read.parquet(sink_dir)
-        .groupBy("row", "bucket")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
+
+def read_cms(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """(row, bucket, cnt): the global sketch — re-sum of the compacted
+    segment plus every live batch partial (see
+    ``functions.cms.cms_merge``). A stream that produced zero batches
+    (empty log / nothing drained yet) is a valid empty sketch, not a
+    schema-inference error.
+    """
+    return cms_reduce(
+        read_batch_sink(spark, sink_dir, "row int, bucket long, cnt long")
     )
 
 
@@ -113,9 +117,7 @@ def stream_bloom(
         bits = bloom_build(
             batch_df.select(key_expr.alias("__key")), "__key", m_bits, k_hashes
         )
-        bits.write.mode("overwrite").parquet(
-            os.path.join(sink_dir, f"batch={batch_id}")
-        )
+        write_batch(bits, batch_id, sink_dir)
 
     w = (
         src.writeStream.foreachBatch(on_batch)
@@ -129,15 +131,17 @@ def stream_bloom(
     return w.trigger(processingTime="500 milliseconds").start()
 
 
-def read_bloom(spark: SparkSession, sink_dir: str) -> DataFrame:
-    """(bit,): the global filter — union-distinct of every batch
-    partial (bits are OR-mergeable). An empty sink is a valid empty
-    filter."""
-    from margaret_spark.streaming.sinks import has_batches
+def bloom_reduce(df: DataFrame) -> DataFrame:
+    """The Bloom partial fold (bits OR ≡ union-distinct) — read-side
+    merge and ``compact_sink`` reducer."""
+    return df.select("bit").distinct()
 
-    if not has_batches(sink_dir):
-        return spark.createDataFrame([], "bit long")
-    return spark.read.parquet(sink_dir).select("bit").distinct()
+
+def read_bloom(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """(bit,): the global filter — union-distinct of the compacted
+    segment plus every live batch partial (bits are OR-mergeable). An
+    empty sink is a valid empty filter."""
+    return bloom_reduce(read_batch_sink(spark, sink_dir, "bit long"))
 
 
 def stream_hll(
@@ -165,9 +169,7 @@ def stream_hll(
         sk = hll_sketch(
             batch_df.select(key_expr.alias("__key")), "__key", p
         )
-        sk.write.mode("overwrite").parquet(
-            os.path.join(sink_dir, f"batch={batch_id}")
-        )
+        write_batch(sk, batch_id, sink_dir)
 
     w = (
         src.writeStream.foreachBatch(on_batch)
@@ -181,18 +183,18 @@ def stream_hll(
     return w.trigger(processingTime="500 milliseconds").start()
 
 
+def hll_reduce(df: DataFrame) -> DataFrame:
+    """The HLL partial fold (registers are max-mergeable) — read-side
+    merge and ``compact_sink`` reducer."""
+    return df.groupBy("bucket").agg(F.max("maxrank").alias("maxrank"))
+
+
 def read_hll(spark: SparkSession, sink_dir: str) -> DataFrame:
     """(bucket, maxrank): the global register table — per-bucket max
-    over every batch partial (registers are max-mergeable). An empty
-    sink is a valid empty sketch."""
-    from margaret_spark.streaming.sinks import has_batches
-
-    if not has_batches(sink_dir):
-        return spark.createDataFrame([], "bucket int, maxrank int")
-    return (
-        spark.read.parquet(sink_dir)
-        .groupBy("bucket")
-        .agg(F.max("maxrank").alias("maxrank"))
+    over the compacted segment plus every live batch partial. An
+    empty sink is a valid empty sketch."""
+    return hll_reduce(
+        read_batch_sink(spark, sink_dir, "bucket int, maxrank int")
     )
 
 
@@ -231,9 +233,7 @@ def stream_histogram(
             lo=lo,
             hi=hi,
         ).select("bucket", "n")
-        h.write.mode("overwrite").parquet(
-            os.path.join(sink_dir, f"batch={batch_id}")
-        )
+        write_batch(h, batch_id, sink_dir)
 
     w = (
         src.writeStream.foreachBatch(on_batch)
@@ -247,16 +247,16 @@ def stream_histogram(
     return w.trigger(processingTime="500 milliseconds").start()
 
 
-def read_histogram(spark: SparkSession, sink_dir: str) -> DataFrame:
-    """(bucket, n): the global histogram — re-sum of every batch
-    partial (counts are additive). An empty sink is a valid empty
-    histogram."""
-    from margaret_spark.streaming.sinks import has_batches
+def histogram_reduce(df: DataFrame) -> DataFrame:
+    """The histogram partial fold (counts are additive) — read-side
+    merge and ``compact_sink`` reducer."""
+    return df.groupBy("bucket").agg(F.sum("n").cast("long").alias("n"))
 
-    if not has_batches(sink_dir):
-        return spark.createDataFrame([], "bucket int, n long")
-    return (
-        spark.read.parquet(sink_dir)
-        .groupBy("bucket")
-        .agg(F.sum("n").cast("long").alias("n"))
+
+def read_histogram(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """(bucket, n): the global histogram — re-sum of the compacted
+    segment plus every live batch partial (counts are additive). An
+    empty sink is a valid empty histogram."""
+    return histogram_reduce(
+        read_batch_sink(spark, sink_dir, "bucket int, n long")
     )

@@ -126,18 +126,28 @@ def stream_latest_index(
     return w.trigger(processingTime="500 milliseconds").start()
 
 
+def latest_index_reduce(df: DataFrame) -> DataFrame:
+    """The latest-index fold: keep the newest emission per addr —
+    ``upd_seq`` strictly increases across a key's emissions, so
+    max_by is exact. The read-side reduction AND the
+    ``sinks.compact_sink`` reducer for this sink's UPDATE semantics
+    (idempotent: reducing a reduced segment changes nothing)."""
+    return df.groupBy("addr").agg(
+        F.max("upd_seq").alias("upd_seq"),
+        F.max_by("value", "upd_seq").alias("value"),
+    )
+
+
 def read_latest_index_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
     """The CURRENT index from a :func:`stream_latest_index` sink:
     batch partials carry update semantics (a key re-emits whenever its
     value changes), so the reduction keeps the newest emission per
-    addr — ``upd_seq`` strictly increases across a key's emissions, so
-    max_by is exact. One keyed aggregation over keeper rows only."""
-    df = read_batch_sink(
-        spark, sink_dir, "addr string, upd_seq long, value string"
-    )
-    return df.groupBy("addr").agg(
-        F.max("upd_seq").alias("upd_seq"),
-        F.max_by("value", "upd_seq").alias("value"),
+    addr. One keyed aggregation over the compacted segment plus live
+    keeper rows only."""
+    return latest_index_reduce(
+        read_batch_sink(
+            spark, sink_dir, "addr string, upd_seq long, value string"
+        )
     )
 
 

@@ -381,3 +381,148 @@ def test_kill_mid_stream_restart_sink_partitions_idempotent(spark, tmp_path):
     }
     assert got == want
     assert {s for _h, s in want} == {0, 1, 3, 4}
+
+
+def test_sink_compaction_replay_after_fold_is_noop(spark, tmp_path):
+    """Compaction × replay, end-to-end: the armed callback kills the
+    query after batch=1's partition committed but BEFORE its epoch
+    committed; compacting the sink then folds batches 0..1 into
+    compacted=1; the RESTART replays batch 1 under the same id —
+    recreating a batch=1 partition at/below the high water, which
+    readers must ignore (supersede rule) — and streams the rest live.
+    Final keeper set must equal a clean uncompacted run's, and a
+    second compaction must sweep the stale replayed partition."""
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_dedup_exact
+    from margaret_spark.streaming.sinks import _layout, compact_sink
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(["x", "y"])  # seqs 0, 1
+    log.append_many(["x", "z"])  # 2, 3 (x dup)
+    log.append_many(["w", "y"])  # 4, 5 (y dup)
+    _space_log_file_mtimes(log)
+    schema = "content_hash string, keep_seq long"
+
+    def run(ck, sink, fail_at):
+        counter = {"n": 0}
+        cb = None if fail_at is None else _armed(
+            lambda pdf: None, fail_at, counter
+        )
+        stream_dedup_exact(
+            log, F.col("value"), cb, ck, sink_dir=sink,
+            max_files_per_trigger=1,
+        )
+
+    chaos_sink = str(tmp_path / "sink_chaos")
+    with pytest.raises(Exception, match="chaos kill"):
+        run(str(tmp_path / "ck"), chaos_sink, fail_at=2)
+    assert os.path.isdir(os.path.join(chaos_sink, "batch=1"))
+    # fold everything committed so far (batches 0 and 1)
+    assert compact_sink(spark, chaos_sink) == 2
+    hw, live, _sup, _t = _layout(chaos_sink, spark)
+    assert hw == 1 and live == []
+    # restart: replays batch 1 (stale partition at <= hw), then 2..
+    run(str(tmp_path / "ck"), chaos_sink, fail_at=None)
+    hw, live, sup, _t = _layout(chaos_sink, spark)
+    assert hw == 1 and sup == [1] and live == [2], (hw, live, sup)
+
+    clean_sink = str(tmp_path / "sink_clean")
+    run(str(tmp_path / "ck_clean"), clean_sink, fail_at=None)
+    got = {
+        (r["content_hash"], r["keep_seq"])
+        for r in read_keeper_sink(spark, chaos_sink, schema).collect()
+    }
+    want = {
+        (r["content_hash"], r["keep_seq"])
+        for r in read_keeper_sink(spark, clean_sink, schema).collect()
+    }
+    assert got == want and {s for _h, s in want} == {0, 1, 3, 4}
+    # second compaction folds batch 2 and sweeps the stale replay
+    assert compact_sink(spark, chaos_sink) == 1
+    hw, live, sup, _t = _layout(chaos_sink, spark)
+    assert hw == 2 and live == [] and sup == []
+    got2 = {
+        (r["content_hash"], r["keep_seq"])
+        for r in read_keeper_sink(spark, chaos_sink, schema).collect()
+    }
+    assert got2 == want
+
+
+def test_sink_compaction_crash_windows(spark, tmp_path):
+    """The two compactor crash windows: (a) death BEFORE publish
+    leaves only a .compact-*.tmp — readers ignore it, the next run
+    sweeps and completes; (b) death AFTER publish but before the
+    sweep leaves the old segment + folded partials visible — readers
+    take the highest compacted= segment and ignore partials at/below
+    its high water."""
+    import shutil
+
+    from margaret_spark.streaming.sinks import (
+        _layout, compact_sink, read_batch_sink, write_batch,
+    )
+
+    d = str(tmp_path / "sink")
+    schema = "k string, v long"
+    for i, rows in enumerate([[("a", 1)], [("b", 2)], [("c", 3)]]):
+        write_batch(spark.createDataFrame(rows, schema), i, d)
+    want = [("a", 1), ("b", 2), ("c", 3)]
+
+    # (a) crashed-before-publish: a stale tmp with WRONG content
+    wrong = spark.createDataFrame([("zzz", 99)], schema)
+    wrong.write.mode("overwrite").parquet(os.path.join(d, ".compact-1.tmp"))
+    got = sorted(tuple(r) for r in read_batch_sink(spark, d, schema).collect())
+    assert got == want
+    assert compact_sink(spark, d, upto_batch=1) == 2
+    hw, live, _sup, tmps = _layout(d, spark)
+    assert hw == 1 and live == [2] and tmps == []
+    got = sorted(tuple(r) for r in read_batch_sink(spark, d, schema).collect())
+    assert got == want
+
+    # (b) crashed-after-publish: resurrect the OLD state next to the
+    # published segment — an older compacted=0 plus its folded batch
+    older = spark.createDataFrame([("a", 1)], schema)
+    older.write.mode("overwrite").parquet(os.path.join(d, "compacted=0"))
+    write_batch(spark.createDataFrame([("a", 1)], schema), 0, d)
+    got = sorted(tuple(r) for r in read_batch_sink(spark, d, schema).collect())
+    assert got == want  # highest segment wins; batch=0 <= hw ignored
+    assert compact_sink(spark, d) == 1  # folds batch 2, sweeps the rest
+    hw, live, sup, _t = _layout(d, spark)
+    assert hw == 2 and live == [] and sup == []
+    assert not os.path.exists(os.path.join(d, "compacted=0"))
+    got = sorted(tuple(r) for r in read_batch_sink(spark, d, schema).collect())
+    assert got == want
+    shutil.rmtree(d)
+
+
+def test_sink_compaction_with_reducers(spark, tmp_path):
+    """compact_sink(reduce_fn=...) under each sink's own semantics:
+    the latest-index UPDATE reduction and the CMS additive merge.
+    Reads before and after compaction are identical, and the
+    compacted segment is the REDUCED (bounded) table."""
+    from margaret_spark.streaming import (
+        cms_reduce, latest_index_reduce, read_cms,
+        read_latest_index_sink,
+    )
+    from margaret_spark.streaming.sinks import compact_sink, write_batch
+
+    # latest-index: addr "a" updates across batches; keep newest
+    li = str(tmp_path / "li")
+    s1 = "addr string, upd_seq long, value string"
+    write_batch(spark.createDataFrame([("a", 0, "v0"), ("b", 1, "w0")], s1), 0, li)
+    write_batch(spark.createDataFrame([("a", 2, "v1")], s1), 1, li)
+    before = sorted(tuple(r) for r in read_latest_index_sink(spark, li).collect())
+    assert compact_sink(spark, li, reduce_fn=latest_index_reduce) == 2
+    after = sorted(tuple(r) for r in read_latest_index_sink(spark, li).collect())
+    assert before == after == [("a", 2, "v1"), ("b", 1, "w0")]
+    seg = spark.read.parquet(os.path.join(li, "compacted=1"))
+    assert seg.count() == 2  # one row per addr, not per emission
+
+    # cms: counters re-sum
+    cm = str(tmp_path / "cms")
+    s2 = "row int, bucket long, cnt long"
+    write_batch(spark.createDataFrame([(0, 5, 2), (1, 9, 1)], s2), 0, cm)
+    write_batch(spark.createDataFrame([(0, 5, 3)], s2), 1, cm)
+    before = sorted(tuple(r) for r in read_cms(spark, cm).collect())
+    assert compact_sink(spark, cm, reduce_fn=cms_reduce) == 2
+    after = sorted(tuple(r) for r in read_cms(spark, cm).collect())
+    assert before == after == [(0, 5, 5), (1, 9, 1)]
