@@ -3231,6 +3231,66 @@ def q_multimodal_decode_video(spark, sf_dir):
     )
 
 
+def _image_dedup_base(spark, sf_dir):
+    """The shared fixture for the perceptual image-hash queries: 25
+    image groups (seed = doc_id % 25) of REAL greyscale PNGs with the
+    quadratic closed-form pixel stream (id*31 + j²) mod 256 — equal
+    seeds are exact duplicate images, different seeds are perceptually
+    distinct (cross-seed dHash Hamming ≥ 8 on this parameter grid).
+    The 25 distinct (seed, w, h) images are encoded ONCE and broadcast
+    back onto the corpus; decode then runs per document."""
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_png_blobs_quad,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 25).alias("seed"),
+        ((F.col("doc_id") % 25) % 5 + 16).cast("int").alias("w"),
+        ((F.col("doc_id") % 25) % 3 + 12).cast("int").alias("h"),
+    )
+    groups = docs.select("seed", "w", "h").distinct()
+    blobs = attach_synthetic_png_blobs_quad(groups, "seed", "w", "h")
+    # single-file table → 1-2 scan tasks; spread the per-row PNG
+    # decode across the pool before the Arrow stage
+    return docs.join(F.broadcast(blobs), "seed").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def q_multimodal_image_dhash(spark, sf_dir):
+    """Perceptual image hashing (dHash) on the graded surface
+    (operators.imagehash): REAL PNG decode (stdlib zlib/struct), then
+    a 9×8 nearest-neighbor grey grid and 64 gradient-direction bits —
+    pure integer math after decode, zero shuffles, zero extra UDFs.
+    The oracle recomputes every bit arithmetically from the closed
+    form (grid sampling floor-divs, quadratic pixel stream, two's-
+    complement bit packing) — any bug in decode, sampling, luma, or
+    packing hash-mismatches."""
+    from margaret_spark.operators.imagehash import image_dhash
+
+    base = _image_dedup_base(spark, sf_dir)
+    return image_dhash(base, "doc_id", "blob")
+
+
+def q_multimodal_image_dedup(spark, sf_dir):
+    """Image-level near-dup detection (the LAION-style multimodal
+    dedup stage): dHash each document's image, then all pairs within
+    Hamming ≤ 6 via the LOSSLESS pigeonhole block join (7 blocks of 9
+    bits; a pair within distance 6 agrees on ≥ 1 whole block — an
+    equality-join bucket, never a cross join; the exact Hamming check
+    rides inside the join condition). On this fixture the pairs are
+    exactly the 25 planted duplicate groups (cross-group Hamming ≥ 8).
+    The oracle re-derives the hashes arithmetically and takes the
+    brute-force Hamming self-join — banding must find exactly those
+    pairs (the pigeonhole guarantee, graded hash-exact, not
+    rows-only)."""
+    from margaret_spark.operators.imagehash import image_dedup_pairs
+
+    base = _image_dedup_base(spark, sf_dir)
+    return image_dedup_pairs(base, "doc_id", "blob", max_hamming=6)
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     """REAL byte-level BPE tokenization on the graded surface
     (operators.bpe): a GPT-2-style pre-tokenizer (Python∩Java∩RE2
@@ -4238,6 +4298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_wav": q_multimodal_decode_wav,
         "multimodal_video_meta": q_multimodal_video_meta,
         "multimodal_decode_video": q_multimodal_decode_video,
+        "multimodal_image_dhash": q_multimodal_image_dhash,
+        "multimodal_image_dedup": q_multimodal_image_dedup,
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -5304,6 +5366,35 @@ def _lm_surprise_sql(fit_where: str = "") -> str:
         "SELECT d.doc_id, "
         "CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
         "a.surprise FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+def _image_dhash_sql() -> str:
+    """The multimodal_image_dhash / _image_dedup oracle core: re-derive
+    every dHash bit arithmetically — grid cell (gy, gx) samples flat
+    pixel index j = (gy·h div 8)·w + (gx·w div 9) of the quadratic
+    closed form (seed·31 + j²) mod 256; bit gy·8+gx set iff
+    left < right; packed two's-complement (bit 63 = −2⁶³). Pure
+    integer arithmetic — hash-exact against the real
+    encode→decode→hash pipeline."""
+    return (
+        "d AS (SELECT doc_id, doc_id % 25 AS seed, "
+        "CAST((doc_id % 25) % 5 + 16 AS BIGINT) AS w, "
+        "CAST((doc_id % 25) % 3 + 12 AS BIGINT) AS h FROM documents), "
+        "g AS (SELECT doc_id, seed, w, h, CAST(t.range AS BIGINT) AS b, "
+        "CAST(t.range AS BIGINT) // 8 AS gy, "
+        "CAST(t.range AS BIGINT) % 8 AS gx FROM d CROSS JOIN range(64) t), "
+        "cells AS (SELECT doc_id, b, "
+        "((gy * h) // 8) * w + ((gx * w) // 9) AS j1, "
+        "((gy * h) // 8) * w + (((gx + 1) * w) // 9) AS j2, "
+        "seed FROM g), "
+        "bits AS (SELECT doc_id, b, "
+        "(seed * 31 + j1 * j1) % 256 AS g1, "
+        "(seed * 31 + j2 * j2) % 256 AS g2 FROM cells), "
+        "sig AS (SELECT doc_id, CAST(SUM(CASE WHEN g1 < g2 THEN "
+        "(CASE WHEN b = 63 THEN (-9223372036854775807 - 1) "
+        "ELSE (CAST(1 AS BIGINT) << b) END) ELSE 0 END) AS BIGINT) "
+        "AS dhash FROM bits GROUP BY doc_id)"
     )
 
 
@@ -6463,6 +6554,16 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM (SELECT doc_id, n_chars % 24 + 8 AS w, "
             "doc_id % 16 + 8 AS h, doc_id % 5 + 2 AS nf FROM documents) "
             "CROSS JOIN UNNEST(range(0, 16, 2)) AS t(f) WHERE f < nf"
+        ),
+        "multimodal_image_dhash": (
+            f"WITH {_image_dhash_sql()} SELECT doc_id, dhash FROM sig"
+        ),
+        "multimodal_image_dedup": (
+            f"WITH {_image_dhash_sql()} "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.dhash, b.dhash)) <= 6"
         ),
         # sampling: md5 is engine-identical; fixed-width lowercase-hex
         # compares in numeric order, so the row sets match exactly.

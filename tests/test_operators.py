@@ -2015,3 +2015,146 @@ def test_ivf_centroid_schema_validated(spark, tmp_path):
         build_ivf_index_int8(
             emb, str(tmp_path / "q"), nlist=2, centroids=bad
         )
+
+
+def _ref_dhash(grey_at, w, h):
+    """Python-reference dHash over a grey(y, x) sampler: 9x8 grid via
+    floor-div nearest neighbor, bit gy*8+gx set iff left < right,
+    packed into a signed 64-bit long."""
+    def grid(gy, gx):
+        return grey_at(gy * h // 8, gx * w // 9)
+
+    v = 0
+    for b in range(64):
+        gy, gx = divmod(b, 8)
+        if grid(gy, gx) < grid(gy, gx + 1):
+            v |= 1 << b
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_image_dhash_matches_reference_grey_and_rgb(spark):
+    """dHash over REAL decoded PNGs equals the python reference:
+    greyscale via the synthetic closed-form fixture, RGB via the
+    integer-luma path ((299R+587G+114B) div 1000)."""
+    from margaret_spark.operators.imagehash import image_dhash
+    from margaret_spark.operators.media_codecs import encode_png
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_png_blobs,
+    )
+
+    rows = [(i, 16 + (i % 3), 12 + (i % 2)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, w int, h int")
+    blobs = attach_synthetic_png_blobs(df, "doc_id", "w", "h")
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(blobs, "doc_id", "blob").collect()
+    }
+    for i, w, h in rows:
+        want = _ref_dhash(
+            lambda y, x, i=i, w=w: (i * 31 + (y * w + x)) % 256, w, h
+        )
+        assert got[i] == want, (i, got[i], want)
+
+    # RGB: luma path
+    w, h = 11, 9
+    px = bytes(
+        ((y * w + x) * c + 13) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in (1, 2, 3)
+    )
+    rgb = spark.createDataFrame(
+        [(1, bytearray(encode_png(w, h, px, color_type=2)))],
+        "doc_id long, blob binary",
+    )
+    got_rgb = image_dhash(rgb, "doc_id", "blob").collect()[0]["dhash"]
+
+    def grey(y, x):
+        o = (y * w + x) * 3
+        r, g, b = px[o], px[o + 1], px[o + 2]
+        return (299 * r + 587 * g + 114 * b) // 1000
+
+    assert got_rgb == _ref_dhash(grey, w, h)
+
+
+def test_image_dedup_finds_planted_jpeg_near_dups(spark):
+    """The LAION-style scenario: one source image re-encoded at two
+    JPEG qualities is a planted near-dup pair (small Hamming); an
+    unrelated image stays far. Pairs from the pigeonhole banding
+    equal the brute-force Hamming filter (lossless)."""
+    import itertools
+
+    import numpy as np
+
+    from margaret_spark.operators.imagehash import (
+        image_dedup_pairs,
+        image_dhash,
+    )
+    from margaret_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 256, size=(24, 33), dtype=np.uint8)
+    other = rng.randint(0, 256, size=(24, 33), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_jpeg(src, quality=90))),
+        (2, bytearray(encode_jpeg(src, quality=70))),  # planted near-dup
+        (3, bytearray(encode_jpeg(other, quality=90))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    sig = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(df, "doc_id", "blob").collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sig[1], sig[2]) <= 10  # re-encode keeps the gradient field
+    assert ham(sig[1], sig[3]) > 10  # unrelated content stays far
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_dedup_pairs(
+            df, "doc_id", "blob", max_hamming=10
+        ).collect()
+    )
+    want = sorted(
+        (a, b, ham(sig[a], sig[b]))
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if ham(sig[a], sig[b]) <= 10
+    )
+    assert got == want and (1, 2, ham(sig[1], sig[2])) in got
+
+
+def test_hamming_pairs_lossless_vs_bruteforce(spark):
+    """The factored pigeonhole join finds EXACTLY the brute-force
+    pairs for arbitrary signatures, including the sign bit."""
+    import itertools
+
+    from margaret_spark.operators.imagehash import hamming_pairs
+
+    sigs = [
+        (1, 0),
+        (2, 1),  # ham 1 from 0
+        (3, -1),  # all 64 bits set
+        (4, -2),  # ham 1 from -1
+        (5, (1 << 63) - 1 - 7),  # sign-boundary value
+        (6, 0b111),
+    ]
+    df = spark.createDataFrame(sigs, "id long, sig long")
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for k in (0, 3, 6):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(df, "id", "sig", max_hamming=k).collect()
+        )
+        vals = dict(sigs)
+        want = sorted(
+            (a, b, ham(vals[a], vals[b]))
+            for a, b in itertools.combinations(sorted(vals), 2)
+            if ham(vals[a], vals[b]) <= k
+        )
+        assert got == want, (k, got, want)

@@ -76,6 +76,10 @@ def test_entry_queries_plan_quality(spark):
         "multimodal_decode_wav",
         "multimodal_video_meta",
         "multimodal_decode_video",
+        # dHash: decode is the Arrow stage, the hash itself is integer
+        # codegen after it
+        "multimodal_image_dhash",
+        "multimodal_image_dedup",
         # codec round-trip is BY DESIGN a Python codec exercised
         # through an Arrow-batched pandas UDF
         "codec_roundtrip",
