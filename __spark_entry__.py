@@ -2368,6 +2368,52 @@ def q_text_lm_surprise(spark, sf_dir):
     )
 
 
+def _nb_model(spark, sf_dir):
+    """The shared text_nb_* fit: train on the doc_id % 3 == 0 slice,
+    labeled by a real text property (token count ≥ 40 → 'long'), with
+    max_vocab=16 < the corpus's 31 distinct tokens so the pruning cut
+    itself is graded (OOV tokens exercise the add-one fallback)."""
+    from margaret_spark.functions.shingling import words
+    from margaret_spark.operators.nbayes import fit_nb
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        "text",
+        F.when(F.size(words(F.col("text"))) >= 40, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("label"),
+    )
+    return docs, fit_nb(train, "label", "text", max_vocab=16)
+
+
+def q_text_nb_quality(spark, sf_dir):
+    """Trainable quality classifier (operators.nbayes): multinomial
+    Naive Bayes fitted on a labeled slice, scoring EVERY document
+    against every class — the GPT-3/LLaMA-style curation leg next to
+    the fixed rules and the LM gate. The decision statistic is the
+    prior-weighted mean INVERSE conditional probability (the log-free
+    lm_surprise construction: integer ratios under IEEE division +
+    DECIMAL mean), so fit, pruning cut, smoothing and scores are all
+    hash-exact — the oracle re-derives counts, the top-16 vocab cut,
+    V, priors and every per-token term in SQL."""
+    from margaret_spark.operators.nbayes import nb_scores
+
+    docs, model = _nb_model(spark, sf_dir)
+    return nb_scores(docs, "doc_id", "text", model)
+
+
+def q_text_nb_classify(spark, sf_dir):
+    """The argmin-score classification over q_text_nb_quality's
+    scores (ties → label ascending; zero-token documents surface as
+    pred NULL). Graded hash-exact — the oracle takes the same
+    row_number window over its re-derived scores."""
+    from margaret_spark.operators.nbayes import nb_classify
+
+    docs, model = _nb_model(spark, sf_dir)
+    return nb_classify(docs, "doc_id", "text", model)
+
+
 def q_text_fingerprint(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
