@@ -4333,6 +4333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_count": q_text_bpe_count,
         "text_fingerprint": q_text_fingerprint,
         "text_lm_surprise": q_text_lm_surprise,
+        "text_nb_quality": q_text_nb_quality,
+        "text_nb_classify": q_text_nb_classify,
         "text_winnow": q_text_winnow,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_bpe_wordcounts": q_text_bpe_wordcounts,
@@ -5154,6 +5156,26 @@ def oracle_sql() -> dict[str, str]:
     _hosts_sql = ",".join(f"'{h}'" for h in _WEB_HOSTS)
     d["web_domain_psl"] = _psl_sql()
     d["text_lm_surprise"] = _lm_surprise_sql()
+    # trainable NB quality classifier: scores under every class, then
+    # the argmin classification (ties -> label ascending; zero-token
+    # docs surface as NULL)
+    d["text_nb_quality"] = (
+        "WITH " + _nb_sql_core() + ", "
+        "ids AS (SELECT d.doc_id, l.label FROM documents d "
+        "CROSS JOIN labels l) "
+        "SELECT i.doc_id, i.label, "
+        "CAST(COALESCE(a.n_toks, 0) AS BIGINT) AS n_tokens, a.score "
+        "FROM ids i LEFT JOIN agg a "
+        "ON a.doc_id = i.doc_id AND a.label = i.label"
+    )
+    d["text_nb_classify"] = (
+        "WITH " + _nb_sql_core() + ", "
+        "rk AS (SELECT doc_id, label, score, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score ASC, label ASC) AS rnk "
+        "FROM agg WHERE score IS NOT NULL) "
+        "SELECT d.doc_id, r.label AS pred, r.score FROM documents d "
+        "LEFT JOIN (SELECT * FROM rk WHERE rnk = 1) r USING (doc_id)"
+    )
     # winnowing: per-window packed argmin re-derived over DuckDB lists
     # (1-based inclusive slicing: window j = grams[j : j+len-1])
     _WB = 1 << 22
@@ -5412,6 +5434,54 @@ def _lm_surprise_sql(fit_where: str = "") -> str:
         "SELECT d.doc_id, "
         "CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
         "a.surprise FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+def _nb_sql_core() -> str:
+    """The text_nb_quality / text_nb_classify oracle core (CTE body,
+    no WITH): re-derives ``operators.nbayes`` end-to-end in SQL —
+    the doc_id % 3 training slice with its length-derived labels, the
+    per-(token, label) counts, the top-16 (count desc, token asc)
+    vocab cut, V as the cut's distinct-token count, in-vocab class
+    token totals + class priors, then every per-token term
+    pround((N_c + V) / (cnt + 1)) and the prior-scaled DECIMAL mean.
+    Every quantity is a ratio of exact integers under one IEEE
+    division (the lm_surprise construction): hash-exact."""
+    term = _pr(
+        "CAST(l.n_tokens + v.v AS DOUBLE) / "
+        "CAST(COALESCE(c.n, 0) + 1 AS DOUBLE)"
+    )
+    mean = _pr("CAST(SUM(CAST(s AS DECIMAL(38,4))) AS DOUBLE) / count(*)")
+    score = _pr(f"{mean} * (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))")
+    return (
+        f"toks AS (SELECT doc_id, {_WORDS} AS t FROM documents), "
+        "train AS (SELECT doc_id, t, CASE WHEN len(t) >= 40 THEN 'long' "
+        "ELSE 'short' END AS label FROM toks WHERE doc_id % 3 = 0), "
+        "tl AS (SELECT label, unnest(t) AS token FROM train), "
+        "per_label AS (SELECT token, label, "
+        "CAST(count(*) AS BIGINT) AS n FROM tl GROUP BY token, label), "
+        "vocab AS (SELECT token FROM (SELECT token, SUM(n) AS tot "
+        "FROM per_label GROUP BY token "
+        "ORDER BY tot DESC, token ASC LIMIT 16)), "
+        "counts AS (SELECT p.token, p.label, p.n FROM per_label p "
+        "JOIN vocab USING (token)), "
+        "v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v "
+        "FROM counts), "
+        "dl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM train GROUP BY label), "
+        "tt AS (SELECT label, CAST(SUM(n) AS BIGINT) AS n_tokens "
+        "FROM counts GROUP BY label), "
+        "labels AS (SELECT dl.label, "
+        "CAST(COALESCE(tt.n_tokens, 0) AS BIGINT) AS n_tokens, dl.n_docs, "
+        "(SELECT CAST(SUM(n_docs) AS BIGINT) FROM dl) AS total "
+        "FROM dl LEFT JOIN tt USING (label)), "
+        "dt AS (SELECT doc_id, unnest(t) AS token FROM toks), "
+        "terms AS (SELECT dt.doc_id, l.label, l.n_docs, l.total, "
+        f"{term} AS s FROM dt CROSS JOIN labels l CROSS JOIN v "
+        "LEFT JOIN counts c ON c.token = dt.token AND c.label = l.label), "
+        "agg AS (SELECT doc_id, label, "
+        "CAST(count(*) AS BIGINT) AS n_toks, "
+        f"{score} AS score FROM terms GROUP BY doc_id, label, n_docs, total)"
     )
 
 

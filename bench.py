@@ -102,6 +102,19 @@ HEADLINE_V2 = [
     "stream_histogram",
     "stream_lm_filter",
     "corpus_mixture_materialize",
+    # r8: the graded tail the verdict flagged as invisible to BENCH
+    # deltas — the Arrow-heavy image dHash pair (new in r7), the HLL
+    # group-by, URL dedup, the incremental/cross-corpus dedup arms,
+    # streaming decontamination, and the r8 NB classifier pair
+    "multimodal_image_dhash",
+    "multimodal_image_dedup",
+    "events_hll_groups",
+    "web_url_dedup",
+    "dedup_incremental",
+    "dedup_cross_corpus",
+    "stream_decontaminate",
+    "text_nb_quality",
+    "text_nb_classify",
 ]
 
 
