@@ -174,7 +174,20 @@ def hamming_pairs(
         )
     nblocks = max_hamming + 1
     width = bits // nblocks
-    mask = -1 if width == 64 else (1 << width) - 1
+    # the bits % nblocks leftover high bits fold into the LAST block
+    # (wider final block) so every bit is covered: the pigeonhole
+    # argument needs the blocks to PARTITION the signature — an
+    # uncovered bit would keep recall lossless but let signatures
+    # differing only there share every bucket (weaker selectivity)
+    rem = bits % nblocks
+
+    def _block_val(b: int):
+        w = width + (rem if b == nblocks - 1 else 0)
+        m = -1 if w >= 64 else (1 << w) - 1
+        return F.shiftrightunsigned(F.col("__sig"), b * width).bitwiseAND(
+            F.lit(m)
+        )
+
     # materialize signatures once: exchange reuse across self-join
     # aliases is not guaranteed, and the signature pipeline upstream
     # (decode + hash) is the expensive part
@@ -185,14 +198,7 @@ def hamming_pairs(
         "id",
         "__sig",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__sig"), b * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(nblocks)
-                ]
-            )
+            F.array(*[_block_val(b) for b in range(nblocks)])
         ).alias("block", "bval"),
     )
     # merge-hint the self-join: both sides are the identical subplan,

@@ -25,8 +25,9 @@ applies: the highest ``compacted=<hw>`` segment is authoritative for
 batches ≤ hw; live partials count only above it. That rule is what
 keeps replay idempotent ACROSS compaction — a crash-replayed batch
 ≤ hw rewrites its partition, readers ignore it, and the next
-compaction sweeps it. Safe to run while the stream is live: batches
-above ``upto_batch`` are untouched.
+compaction sweeps it. Safe to run while the stream is live: the fold
+takes only the committed PREFIX of the live ids (``_SUCCESS``-gated),
+so an in-flight partial is never read torn and never superseded.
 
 Reading the keeper set back is a batch scan over the compacted
 segment plus the live partials (:func:`read_batch_sink`); operators
@@ -95,6 +96,23 @@ def _sink_entries(sink_dir: str, spark: Optional[SparkSession]) -> list[str]:
         return []
 
 
+def _entry_id(sink_dir: str, name: str) -> int:
+    """The integer id after ``=`` in a ``batch=<id>`` /
+    ``compacted=<id>`` entry name. A data-looking entry whose suffix
+    is NOT a decimal integer (a manual copy like ``batch=3.bak``, a
+    stray ``batch=__HIVE_DEFAULT_PARTITION__``) fails LOUDLY with the
+    offending path — silently skipping something that claims to be
+    sink data could hide real keeper rows from every reader."""
+    s = name.split("=", 1)[1]
+    if not s.isdigit():
+        raise ValueError(
+            f"foreign entry in sink dir: {sink_dir}/{name} — the suffix "
+            "after '=' must be a decimal batch id; move or delete the "
+            "entry (sink readers refuse to guess whether it holds data)"
+        )
+    return int(s)
+
+
 def _layout(
     sink_dir: str, spark: Optional[SparkSession]
 ) -> tuple[int, list[int], list[int], list[str]]:
@@ -108,9 +126,9 @@ def _layout(
     tmps: list[str] = []
     for n in _sink_entries(sink_dir, spark):
         if n.startswith("compacted="):
-            hw = max(hw, int(n.split("=", 1)[1]))
+            hw = max(hw, _entry_id(sink_dir, n))
         elif n.startswith("batch="):
-            batches.append(int(n.split("=", 1)[1]))
+            batches.append(_entry_id(sink_dir, n))
         elif n.startswith(".compact-") and n.endswith(".tmp"):
             tmps.append(n)
     live = sorted(b for b in batches if b > hw)
@@ -214,15 +232,14 @@ def read_sink_manifest(
         return None
     stream = fs.open(p)
     try:
-        data = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
+        # one bulk read (commons-io ships with Spark) — not the
+        # one-py4j-round-trip-per-byte loop this replaced
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
     finally:
         stream.close()
-    return json.loads(bytes(data).decode("utf-8"))
+    return json.loads(data.decode("utf-8"))
 
 
 def compact_sink(
@@ -230,11 +247,27 @@ def compact_sink(
     sink_dir: str,
     upto_batch: Optional[int] = None,
     reduce_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
+    require_commit_marker: bool = True,
 ) -> int:
     """Fold the live ``batch=*`` partials (ids ≤ ``upto_batch``;
-    default all) together with the previous compacted segment into
-    one new ``compacted=<new_hw>`` segment, then sweep everything it
-    supersedes. Returns the number of partials folded.
+    default all COMMITTED ones) together with the previous compacted
+    segment into one new ``compacted=<new_hw>`` segment, then sweep
+    everything it supersedes. Returns the number of partials folded.
+
+    **In-flight batches are never folded.** A partial is committed
+    iff its ``_SUCCESS`` marker exists (the Hadoop committer writes
+    it last); one the live stream is writing at this instant has no
+    marker yet, and folding it would read torn data AND raise the
+    high water past a batch whose completed write readers would then
+    ignore — silent loss. The fold takes the longest COMMITTED PREFIX
+    of the live ids (never skipping past an uncommitted batch, so the
+    high water can't leapfrog in-flight work), which also makes the
+    default safe to run concurrently with the live stream — the same
+    no-torn-reads guarantee margaret's mutex-serialized writer gives
+    (reference: offset2/log.go:431). Set
+    ``require_commit_marker=False`` only on clusters that disable
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs`` — there the
+    caller must bound ``upto_batch`` below the in-flight id.
 
     ``reduce_fn`` (optional) shrinks the segment under the sink's own
     read semantics — it must satisfy
@@ -256,14 +289,21 @@ def compact_sink(
       its partition; readers ignore it (supersede rule) and the next
       compaction sweeps it — replay stays a no-op.
 
-    Safe to run concurrently with the live stream (batches above
-    ``upto_batch`` are untouched); run ONE compactor per sink (see
-    the module note on non-atomic-rename object stores)."""
+    Run ONE compactor per sink (see the module note on
+    non-atomic-rename object stores)."""
     hw, live, superseded, tmps = _layout(sink_dir, spark)
     fs, jpath = _fs(spark, sink_dir)
     for n in tmps:
         fs.delete(jpath(f"{sink_dir}/{n}"), True)
-    fold = [b for b in live if upto_batch is None or b <= upto_batch]
+    fold: list[int] = []
+    for b in live:
+        if upto_batch is not None and b > upto_batch:
+            break
+        if require_commit_marker and not fs.exists(
+            jpath(f"{sink_dir}/batch={b}/_SUCCESS")
+        ):
+            break  # committed-prefix rule: never leapfrog in-flight work
+        fold.append(b)
     new_hw = hw
     if fold:
         new_hw = max(fold)

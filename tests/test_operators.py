@@ -2158,3 +2158,27 @@ def test_hamming_pairs_lossless_vs_bruteforce(spark):
             if ham(vals[a], vals[b]) <= k
         )
         assert got == want, (k, got, want)
+
+
+def test_hamming_pairs_top_bits_fold_into_last_block(spark):
+    """The bits % nblocks leftover high bits are part of the LAST
+    block, not uncovered: at max_hamming=6 (7 blocks of 9, last block
+    9+1=10 bits) a pair differing ONLY in bit 63 is found with the
+    right distance, and a pair differing in bits 62 AND 63 at
+    max_hamming=0 is correctly rejected (at k=0 the single block is
+    the whole signature — uncovered bits would falsely pair them
+    ONLY if the exact check were ever dropped; this pins the
+    partition invariant the docstring promises)."""
+    from margaret_spark.operators.imagehash import hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -(1 << 63)), (3, -(1 << 63) + (1 << 62))],
+        "id long, sig long",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_pairs(df, "id", "sig", max_hamming=6).collect()
+    )
+    assert got == [(1, 2, 1), (1, 3, 2), (2, 3, 1)]
+    got0 = hamming_pairs(df, "id", "sig", max_hamming=0).collect()
+    assert got0 == []

@@ -526,3 +526,101 @@ def test_sink_compaction_with_reducers(spark, tmp_path):
     assert compact_sink(spark, cm, reduce_fn=cms_reduce) == 2
     after = sorted(tuple(r) for r in read_cms(spark, cm).collect())
     assert before == after == [(0, 5, 5), (1, 9, 1)]
+
+
+def test_sink_compaction_never_folds_inflight_batch(spark, tmp_path):
+    """A compactor running concurrently with the live stream must not
+    fold a batch whose write is still in flight: a mid-write
+    ``batch=<id>`` has no ``_SUCCESS`` marker yet (the committer
+    writes it last), only ``_temporary`` + partial files. The default
+    fold takes the committed PREFIX only — the in-flight partial is
+    neither read torn nor superseded — and once the write completes,
+    the keeper set equals a clean run's."""
+    from margaret_spark.streaming.sinks import (
+        _layout, compact_sink, read_batch_sink, write_batch,
+    )
+
+    d = str(tmp_path / "sink")
+    schema = "k string, v long"
+    write_batch(spark.createDataFrame([("a", 1)], schema), 0, d)
+    write_batch(spark.createDataFrame([("b", 2)], schema), 1, d)
+    # batch=2 mid-write: committer state — _temporary only, no _SUCCESS
+    os.makedirs(os.path.join(d, "batch=2", "_temporary", "0"))
+
+    # default compaction folds ONLY the committed prefix (0, 1)
+    assert compact_sink(spark, d) == 2
+    hw, live, sup, _t = _layout(d, spark)
+    assert hw == 1 and live == [2] and sup == []
+    assert os.path.isdir(os.path.join(d, "batch=2", "_temporary"))
+
+    # the stream's write completes (overwrite, as foreachBatch does)
+    write_batch(spark.createDataFrame([("c", 3)], schema), 2, d)
+    got = sorted(tuple(r) for r in read_batch_sink(spark, d, schema).collect())
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+    # quiescent now: the next compaction folds it
+    assert compact_sink(spark, d) == 1
+    hw, live, _sup, _t = _layout(d, spark)
+    assert hw == 2 and live == []
+    got = sorted(tuple(r) for r in read_batch_sink(spark, d, schema).collect())
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_sink_compaction_committed_prefix_never_leapfrogs(spark, tmp_path):
+    """A crash-replay hole (batch 1 uncommitted while batch 2 is
+    committed) must stop the fold AT the hole: raising the high water
+    to 2 would supersede batch 1's completed replay — silent loss."""
+    from margaret_spark.streaming.sinks import _layout, compact_sink, write_batch
+
+    d = str(tmp_path / "sink")
+    schema = "k string, v long"
+    write_batch(spark.createDataFrame([("a", 1)], schema), 0, d)
+    os.makedirs(os.path.join(d, "batch=1", "_temporary", "0"))
+    write_batch(spark.createDataFrame([("c", 3)], schema), 2, d)
+
+    assert compact_sink(spark, d) == 1  # folds batch 0 only
+    hw, live, sup, _t = _layout(d, spark)
+    assert hw == 0 and live == [1, 2] and sup == []
+
+
+def test_sink_foreign_entry_fails_loudly(spark, tmp_path):
+    """A data-looking entry with a non-integer suffix (manual copy,
+    stray staging dir) names itself in the error instead of crashing
+    readers with a bare int() ValueError — and is never silently
+    skipped (it might hold real keeper rows)."""
+    from margaret_spark.streaming.sinks import has_batches, write_batch
+
+    d = str(tmp_path / "sink")
+    write_batch(spark.createDataFrame([("a", 1)], "k string, v long"), 0, d)
+    os.makedirs(os.path.join(d, "batch=3.bak"))
+    with pytest.raises(ValueError, match=r"batch=3\.bak"):
+        has_batches(d, spark)
+
+
+def test_sink_manifest_contents(spark, tmp_path):
+    """The audit manifest inside the published segment records the
+    fold: high_water, the folded batch ids, the previous high water.
+    (Also exercises the bulk Hadoop-FS read path.)"""
+    from margaret_spark.streaming.sinks import (
+        compact_sink, read_sink_manifest, write_batch,
+    )
+
+    d = str(tmp_path / "sink")
+    schema = "k string, v long"
+    assert read_sink_manifest(spark, d) is None  # no segment yet
+    write_batch(spark.createDataFrame([("a", 1)], schema), 0, d)
+    write_batch(spark.createDataFrame([("b", 2)], schema), 1, d)
+    assert compact_sink(spark, d) == 2
+    m = read_sink_manifest(spark, d)
+    assert m == {
+        "high_water": 1,
+        "folded_batches": [0, 1],
+        "previous_high_water": -1,
+    }
+    write_batch(spark.createDataFrame([("c", 3)], schema), 2, d)
+    assert compact_sink(spark, d) == 1
+    m = read_sink_manifest(spark, d)
+    assert m == {
+        "high_water": 2,
+        "folded_batches": [2],
+        "previous_high_water": 1,
+    }
