@@ -47,6 +47,14 @@ class LiveTail:
     results. Nulled entries are *not* visible to the file-source tail
     (patches are separate files), matching the reference's live path
     which replays appended frames.
+
+    An idle log does NOT end the stream: the reference's live query
+    blocks until the next append (``offset2/qry.go:126-158``), so a
+    quiet ``poll_timeout`` raises ``TimeoutError`` with the tail still
+    open — call ``next()`` again to keep waiting, or ``close()`` to
+    give up. Only ``Limit`` exhaustion (or ``close()``) ends the
+    iteration; silently converting an idle wait into end-of-stream
+    would make "no appends for 30 s" indistinguishable from "done".
     """
 
     _END = object()
@@ -97,8 +105,11 @@ class LiveTail:
         try:
             seq, value = self._q.get(timeout=self._poll_timeout)
         except queue.Empty:
-            self.close()
-            raise StopIteration from None
+            raise TimeoutError(
+                f"no append within poll_timeout={self._poll_timeout}s — "
+                "the live tail is still open: next() keeps waiting, "
+                "close() gives up"
+            ) from None
         if self._remaining is not None:
             self._remaining -= 1
         if self.log.codec is not None and value is not None:

@@ -47,6 +47,21 @@ def test_live_tail_bounds(spark, tmp_path):
         assert list(tail) == [(2, 3), (3, 4)]
 
 
+def test_live_tail_idle_timeout_keeps_tail_open(spark, tmp_path):
+    """An idle log must NOT end the live stream: the reference's live
+    query blocks until the next append (offset2/qry.go:126-158). A
+    poll_timeout expiry raises TimeoutError with the tail still open,
+    and an append made AFTER the timeout is still delivered."""
+    log = OffsetLog(spark, str(tmp_path / "log"))
+    log.append(10)
+    with LiveTail(log, SeqWrap(True), poll_timeout=3.0) as tail:
+        assert next(tail) == (0, 10)
+        with pytest.raises(TimeoutError, match="still open"):
+            next(tail)  # idle: no append within poll_timeout
+        log.append(20)
+        assert next(tail) == (1, 20)  # tail survived the timeout
+
+
 def test_live_reverse_rejected_streaming(spark, tmp_path):
     log = OffsetLog(spark, str(tmp_path / "log"))
     with pytest.raises(QuerySpecError):
