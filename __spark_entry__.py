@@ -3508,6 +3508,51 @@ def q_stream_lm_filter(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_nb_filter(spark, sf_dir):
+    """At-ingest TRAINED-classifier gating (streaming/quality.py):
+    the multinomial NB model is fitted ONCE on the doc_id % 3 labeled
+    slice (the q_text_nb_* recipe: length-derived long/short labels,
+    top-16 vocab cut), then every document streaming out of the log
+    is scored inside foreachBatch (explode + broadcast model joins +
+    keyed agg — per-batch scoring of disjoint seqs equals batch
+    scoring of the whole log, since the model is fixed) and kept iff
+    its score under the 'long' class is <= 3000 (~the corpus median —
+    the published GPT-3 recipe: threshold on the quality class's
+    classifier score; the gate demonstrably drops, not rubber-stamps);
+    zero-token docs (score NULL) drop conservatively. Keepers land
+    executor-side under batch=<id> partitions. The oracle re-fits and
+    re-scores the same recipe in SQL — hash-exact including the
+    scores. Completes the curation chain (rules → LM gate → trained
+    classifier) in streaming form."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_nb_filter
+
+    docs, model = _nb_model(spark, sf_dir)
+    docs = docs.select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_nbf_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_nb_filter(
+            log,
+            F.col("value"),
+            model,
+            sink,
+            os.path.join(base, "ckpt"),
+            score_label="long",
+            max_score=3000.0,
+        )
+        out = read_keeper_sink(spark, sink, "seq long, pred string, score double")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_token_budget_bpe(spark, sf_dir):
     """The token-budget gate fed by REAL byte-level BPE counts —
     production token accounting end-to-end: the ingest projection tags
@@ -4286,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_token_budget": q_stream_token_budget,
         "stream_token_budget_bpe": q_stream_token_budget_bpe,
         "stream_lm_filter": q_stream_lm_filter,
+        "stream_nb_filter": q_stream_nb_filter,
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
         "stream_pii_redact": q_stream_pii_redact,
@@ -5199,6 +5245,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id AS seq, n_bigrams, surprise FROM ("
         + _lm_surprise_sql("WHERE doc_id % 2 = 0")
         + ") WHERE surprise IS NOT NULL AND surprise <= 190.0"
+    )
+    # the at-ingest trained-classifier gate: same NB recipe, keep
+    # score under the 'long' class <= 3000 (~the corpus median — the
+    # GPT-3 threshold recipe; zero-token docs score NULL and drop)
+    d["stream_nb_filter"] = (
+        "WITH " + _nb_sql_core() + " "
+        "SELECT doc_id AS seq, label AS pred, score FROM agg "
+        "WHERE label = 'long' AND score IS NOT NULL AND score <= 3000.0"
     )
     d["web_url_dedup"] = (
         "SELECT 'https://' || lower(([" + _hosts_sql + "])"

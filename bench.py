@@ -115,6 +115,7 @@ HEADLINE_V2 = [
     "stream_decontaminate",
     "text_nb_quality",
     "text_nb_classify",
+    "stream_nb_filter",
 ]
 
 

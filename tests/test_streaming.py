@@ -1296,6 +1296,120 @@ def test_stream_lm_filter_gates_and_matches_batch(spark, tmp_path):
     assert kept2 == {0, 1, 5}
 
 
+def test_stream_nb_filter_gates_and_matches_batch(spark, tmp_path):
+    """The at-ingest trained-classifier gate keeps exactly the rows
+    the batch nb_classify assigns a kept label, with identical scores
+    — zero-token/NULL docs (pred NULL) drop conservatively; resume
+    classifies only NEW appends; an empty keep_labels is rejected."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.nbayes import fit_nb, nb_classify
+    from margaret_spark.streaming import read_keeper_sink, stream_nb_filter
+
+    train = spark.createDataFrame(
+        [
+            ("good", "the cat sat on the mat"),
+            ("good", "a dog sat on the rug"),
+            ("spam", "buy cheap pills now buy now"),
+            ("spam", "cheap pills cheap deals now"),
+        ],
+        "label string, text string",
+    )
+    model = fit_nb(train, "label", "text", max_vocab=64)
+
+    texts = [
+        "the cat sat on a rug",    # good-ish
+        "buy cheap pills deals",   # spam-ish
+        "dog on the mat",          # good-ish
+        "",                        # zero tokens -> dropped
+        None,                      # NULL -> dropped
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch = {
+        r["doc_id"]: (r["pred"], r["score"])
+        for r in nb_classify(docs, "doc_id", "text", model).collect()
+    }
+    want = {i: ps for i, ps in batch.items() if ps[0] == "good"}
+    preds = {p for p, _ in batch.values()}
+    assert want and "spam" in preds and None in preds  # gate must drop
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(texts)
+    sink = str(tmp_path / "sink")
+
+    with pytest.raises(ValueError, match="keep_labels"):
+        stream_nb_filter(
+            log, F.col("value"), model, sink, str(tmp_path / "ck0"),
+            keep_labels=[],
+        )
+    with pytest.raises(ValueError, match="exactly one admission rule"):
+        stream_nb_filter(
+            log, F.col("value"), model, sink, str(tmp_path / "ck0"),
+            keep_labels=["good"], score_label="good", max_score=1.0,
+        )
+    with pytest.raises(ValueError, match="BOTH score_label"):
+        stream_nb_filter(
+            log, F.col("value"), model, sink, str(tmp_path / "ck0"),
+            score_label="good",
+        )
+
+    stream_nb_filter(
+        log, F.col("value"), model, sink, str(tmp_path / "ck"),
+        keep_labels=["good"],
+    )
+    kept = {
+        r["seq"]: (r["pred"], r["score"])
+        for r in read_keeper_sink(
+            spark, sink, "seq long, pred string, score double"
+        ).collect()
+    }
+    assert kept == want
+
+    # resume: only the new append is classified; nothing re-emits
+    log.append("the cat sat")
+    new = spark.createDataFrame([(5, "the cat sat")], "doc_id long, text string")
+    p5 = nb_classify(new, "doc_id", "text", model).collect()[0]["pred"]
+    stream_nb_filter(
+        log, F.col("value"), model, sink, str(tmp_path / "ck"),
+        keep_labels=["good"],
+    )
+    kept2 = {
+        r["seq"]
+        for r in read_keeper_sink(
+            spark, sink, "seq long, pred string, score double"
+        ).collect()
+    }
+    assert kept2 == set(want) | ({5} if p5 == "good" else set())
+
+    # threshold mode (the GPT-3 recipe): keep score under 'good' at
+    # most the batch scorer's value for doc 0 — admits exactly the
+    # docs at or below it, regardless of which class wins the argmin
+    from margaret_spark.operators.nbayes import nb_scores
+
+    g = {
+        r["doc_id"]: r["score"]
+        for r in nb_scores(docs, "doc_id", "text", model).collect()
+        if r["label"] == "good" and r["score"] is not None
+    }
+    thr = g[0]
+    want_thr = {i: ("good", s) for i, s in g.items() if s <= thr}
+    sink2 = str(tmp_path / "sink_thr")
+    stream_nb_filter(
+        log, F.col("value"), model, sink2, str(tmp_path / "ck_thr"),
+        score_label="good", max_score=thr, max_files_per_trigger=1,
+    )
+    kept3 = {
+        r["seq"]: (r["pred"], r["score"])
+        for r in read_keeper_sink(
+            spark, sink2, "seq long, pred string, score double"
+        ).collect()
+        if r["seq"] <= 4  # the first log file; seq 5 was appended above
+    }
+    assert kept3 == want_thr and 0 in kept3 and len(kept3) < len(g)
+
+
 def test_stream_hll_merged_equals_batch_sketch(spark, tmp_path):
     """Multi-batch streaming HLL re-maxes to exactly the batch
     register table of the whole log (registers are max-mergeable);

@@ -383,6 +383,69 @@ def test_kill_mid_stream_restart_sink_partitions_idempotent(spark, tmp_path):
     assert {s for _h, s in want} == {0, 1, 3, 4}
 
 
+def test_stream_nb_filter_replay_after_kill_matches_clean(spark, tmp_path, monkeypatch):
+    """The trained-classifier gate under the house chaos scheme: the
+    bomb fires DURING the second micro-batch AFTER its partial landed
+    (the hard case — the partial exists but the epoch never
+    committed); the restart replays that batch under the same id, the
+    overwrite replaces the partial byte-identically, and the final
+    keeper set equals a clean run's."""
+    import margaret_spark.streaming.sinks as sinks
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.operators.nbayes import fit_nb
+    from margaret_spark.streaming import read_keeper_sink, stream_nb_filter
+
+    train = spark.createDataFrame(
+        [("good", "alpha beta gamma"), ("spam", "zz yy xx ww")],
+        "label string, text string",
+    )
+    model = fit_nb(train, "label", "text")
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(["alpha beta", "zz yy"])
+    log.append_many(["beta gamma"])
+    log.append_many(["alpha gamma", "xx ww"])
+    _space_log_file_mtimes(log)
+
+    real = sinks.write_batch
+
+    def run(sink, ck, fail_at):
+        counter = {"n": 0}
+        if fail_at is None:
+            monkeypatch.setattr(sinks, "write_batch", real)
+        else:
+            def bomb(batch_df, batch_id, sink_dir):
+                counter["n"] += 1
+                real(batch_df, batch_id, sink_dir)  # partial lands first
+                if counter["n"] == fail_at:
+                    raise _ChaosKill("chaos kill mid-stream")
+
+            monkeypatch.setattr(sinks, "write_batch", bomb)
+        stream_nb_filter(
+            log, F.col("value"), model, sink, ck,
+            keep_labels=["good"], max_files_per_trigger=1,
+        )
+
+    ck = str(tmp_path / "ck_chaos")
+    with pytest.raises(Exception, match="chaos kill"):
+        run(str(tmp_path / "sink_chaos"), ck, fail_at=2)
+    run(str(tmp_path / "sink_chaos"), ck, fail_at=None)
+    run(str(tmp_path / "sink_clean"), str(tmp_path / "ck_clean"), fail_at=None)
+
+    def keepers(sink):
+        return {
+            (r["seq"], r["pred"], r["score"])
+            for r in read_keeper_sink(
+                spark, sink, "seq long, pred string, score double"
+            ).collect()
+        }
+
+    got = keepers(str(tmp_path / "sink_chaos"))
+    want = keepers(str(tmp_path / "sink_clean"))
+    assert got == want, f"chaos {got} != clean {want}"
+    assert {s for s, _, _ in want} == {0, 2, 3}  # spam seqs 1, 4 dropped
+
+
 def test_sink_compaction_replay_after_fold_is_noop(spark, tmp_path):
     """Compaction × replay, end-to-end: the armed callback kills the
     query after batch=1's partition committed but BEFORE its epoch
