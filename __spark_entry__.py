@@ -3337,6 +3337,83 @@ def q_multimodal_image_dedup(spark, sf_dir):
     return image_dedup_pairs(base, "doc_id", "blob", max_hamming=6)
 
 
+def _audio_dedup_base(spark, sf_dir):
+    """The shared fixture for the perceptual audio-fingerprint
+    queries: 25 audio groups (seed = doc_id % 25) × 3 noise variants
+    (v = doc_id div 25 mod 3) of REAL PCM16 WAVs with the closed-form
+    waveform s[j] = ((seed·997 + j²·29 + j·17) mod 4096) − 2048 +
+    (32·v iff j mod 5 = 0) — same seed + same noise are exact
+    duplicates, same
+    seed + different noise are planted NEAR-duplicates (the additive
+    perturbation flips only gradient bits near energy ties), and
+    different seeds are perceptually distinct. The 75 distinct
+    (seed, v) clips are encoded ONCE and broadcast back onto the
+    corpus; decode then runs per document."""
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_wav_blobs_noisy,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 25).alias("seed"),
+        (F.expr("doc_id DIV 25") % 3).alias("v"),
+    ).withColumn("gid", F.col("seed") * 3 + F.col("v"))
+    groups = (
+        docs.select("gid", "seed", "v")
+        .distinct()
+        .select(
+            "gid",
+            "seed",
+            "v",
+            (F.lit(8000) + (F.col("seed") % 8) * 1000).cast("int").alias("rate"),
+            ((F.col("seed") % 5) * 16 + 64).cast("int").alias("n"),
+        )
+    )
+    blobs = attach_synthetic_wav_blobs_noisy(
+        groups.withColumn("noise", F.col("v") * 32),
+        "gid", "seed", "rate", "n", "noise",
+    )
+    # single-file table → 1-2 scan tasks; spread the per-row WAV
+    # decode across the pool before the Arrow stage
+    return docs.join(F.broadcast(blobs), "gid").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def q_multimodal_audio_fp(spark, sf_dir):
+    """Perceptual audio fingerprinting on the graded surface
+    (operators.audiohash): REAL PCM16 WAV decode (stdlib RIFF walk),
+    then 65 floor-div time frames, absolute-amplitude frame energies,
+    and 64 energy-gradient bits — pure integer math after decode,
+    zero shuffles, zero extra UDFs. The oracle recomputes every bit
+    arithmetically from the closed form (per-sample frame assignment
+    via the exact bucket inverse (65·(j+1)−1) div n, energy sums,
+    two's-complement bit packing) — any bug in decode, framing,
+    energy, or packing hash-mismatches."""
+    from margaret_spark.operators.audiohash import audio_fingerprint
+
+    base = _audio_dedup_base(spark, sf_dir)
+    return audio_fingerprint(base, "doc_id", "blob")
+
+
+def q_multimodal_audio_dedup(spark, sf_dir):
+    """Audio-level near-dup detection (the audio leg of multimodal
+    corpus dedup): energy-gradient fingerprint per document, then all
+    pairs within Hamming ≤ 6 via the LOSSLESS pigeonhole block join
+    (imagehash.hamming_pairs — the construction is modality-
+    agnostic). On this fixture the pairs are exactly the 25 planted
+    same-seed groups (exact dups at distance 0, noise variants within
+    ≤ 4 bits; cross-seed Hamming ≥ 9 on this parameter grid); the
+    oracle re-derives the fingerprints arithmetically and takes the
+    brute-force Hamming self-join — banding must find exactly those
+    pairs (the pigeonhole guarantee, graded hash-exact, not
+    rows-only)."""
+    from margaret_spark.operators.audiohash import audio_dedup_pairs
+
+    base = _audio_dedup_base(spark, sf_dir)
+    return audio_dedup_pairs(base, "doc_id", "blob", max_hamming=6)
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     """REAL byte-level BPE tokenization on the graded surface
     (operators.bpe): a GPT-2-style pre-tokenizer (Python∩Java∩RE2
@@ -4394,6 +4471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_video": q_multimodal_decode_video,
         "multimodal_image_dhash": q_multimodal_image_dhash,
         "multimodal_image_dedup": q_multimodal_image_dedup,
+        "multimodal_audio_fp": q_multimodal_audio_fp,
+        "multimodal_audio_dedup": q_multimodal_audio_dedup,
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -5568,6 +5647,41 @@ def _image_dhash_sql() -> str:
     )
 
 
+def _audio_afp_sql() -> str:
+    """The multimodal_audio_fp / _audio_dedup oracle core: re-derive
+    every energy-gradient bit arithmetically — sample j of doc's clip
+    is ((seed·997 + j²·29 + j·17) mod 4096) − 2048 + (32·v iff
+    j mod 5 = 0); its
+    frame is the exact bucket inverse (65·(j+1) − 1) div n of the
+    floor-div boundaries f·n div 65 (identity verified for all
+    n ≤ 299); frame energy = Σ|s|; bit f set iff e[f] < e[f+1]
+    (empty frames — n < 65 — carry energy 0); packed two's-complement
+    (bit 63 = −2⁶³). Pure integer arithmetic — hash-exact against the
+    real encode→decode→fingerprint pipeline."""
+    return (
+        "d AS (SELECT doc_id, doc_id % 25 AS seed, "
+        "(doc_id // 25) % 3 AS v, "
+        "CAST((doc_id % 25) % 5 * 16 + 64 AS BIGINT) AS n FROM documents), "
+        "sm AS (SELECT d.doc_id, "
+        "abs(((d.seed * 997 + i.range * i.range * 29 + i.range * 17) "
+        "% 4096) - 2048 "
+        "+ (CASE WHEN i.range % 5 = 0 THEN d.v * 32 ELSE 0 END)) AS m, "
+        "(65 * (i.range + 1) - 1) // d.n AS f "
+        "FROM d CROSS JOIN range(128) i WHERE i.range < d.n), "
+        "en AS (SELECT doc_id, f, CAST(SUM(m) AS BIGINT) AS e "
+        "FROM sm GROUP BY doc_id, f), "
+        "fr AS (SELECT doc_id, CAST(t.range AS BIGINT) AS f "
+        "FROM d CROSS JOIN range(65) t), "
+        "ee AS (SELECT fr.doc_id, fr.f, COALESCE(en.e, 0) AS e FROM fr "
+        "LEFT JOIN en ON en.doc_id = fr.doc_id AND en.f = fr.f), "
+        "sig AS (SELECT a.doc_id, CAST(SUM(CASE WHEN a.e < c.e THEN "
+        "(CASE WHEN a.f = 63 THEN (-9223372036854775807 - 1) "
+        "ELSE (CAST(1 AS BIGINT) << a.f) END) ELSE 0 END) AS BIGINT) "
+        "AS afp FROM ee a JOIN ee c ON c.doc_id = a.doc_id "
+        "AND c.f = a.f + 1 WHERE a.f < 64 GROUP BY a.doc_id)"
+    )
+
+
 def _oracle_sql_base() -> dict[str, str]:
     from margaret_spark.operators.bpe import PRETOKEN_RE as _BPE_PAT
 
@@ -6734,6 +6848,16 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming "
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             "AND bit_count(xor(a.dhash, b.dhash)) <= 6"
+        ),
+        "multimodal_audio_fp": (
+            f"WITH {_audio_afp_sql()} SELECT doc_id, afp FROM sig"
+        ),
+        "multimodal_audio_dedup": (
+            f"WITH {_audio_afp_sql()} "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.afp, b.afp)) <= 6"
         ),
         # sampling: md5 is engine-identical; fixed-width lowercase-hex
         # compares in numeric order, so the row sets match exactly.

@@ -116,6 +116,8 @@ HEADLINE_V2 = [
     "text_nb_quality",
     "text_nb_classify",
     "stream_nb_filter",
+    "multimodal_audio_fp",
+    "multimodal_audio_dedup",
 ]
 
 

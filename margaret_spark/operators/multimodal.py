@@ -213,6 +213,57 @@ def attach_synthetic_wav_blobs(
     return df.select(id_col, rate_col, n_col).mapInPandas(build, out_schema)
 
 
+def attach_synthetic_wav_blobs_noisy(
+    df: DataFrame,
+    id_col: str,
+    seed_col: str,
+    rate_col: str,
+    n_col: str,
+    noise_col: str,
+) -> DataFrame:
+    """(id, blob): a REAL PCM16 WAV per row whose waveform is a pure
+    function of ``seed`` plus a tiny additive perturbation — samples
+    ``s[j] = ((seed*997 + j*j*29 + j*17) mod 4096) - 2048 + (noise iff
+    j mod 5 = 0)`` (the quadratic term scrambles consecutive samples
+    so different seeds have genuinely independent energy profiles — a
+    linear ramp mod 4096 barely wraps over short clips and every
+    seed's gradient field degenerates to one switch point). Rows
+    sharing a seed but differing in ``noise`` are planted
+    NEAR-duplicates (the perturbation nudges each frame's energy by
+    at most ±noise·⌈frame/5⌉, flipping only gradient bits whose
+    adjacent energies were nearly tied) — the audio analogue of the
+    image fixture's re-encode noise. Closed-form for the oracle, real
+    RIFF bytes for the decoder. Partition-preserving mapInPandas, no
+    shuffle."""
+    from margaret_spark.operators.media_codecs import encode_wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for s, r, n, v in zip(
+                pdf[seed_col], pdf[rate_col], pdf[n_col], pdf[noise_col]
+            ):
+                s, r, n, v = int(s), int(r), int(n), int(v)
+                samples = [
+                    ((s * 997 + j * j * 29 + j * 17) % 4096) - 2048
+                    + (v if j % 5 == 0 else 0)
+                    for j in range(n)
+                ]
+                blobs.append(encode_wav(r, samples, channels=1))
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
+
+    return df.select(id_col, seed_col, rate_col, n_col, noise_col).mapInPandas(
+        build, out_schema
+    )
+
+
 def _parse_header(blob: bytes):
     """Dispatch on magic: real PNG / WAV first, then the fake formats.
     Returns (format, a, b, channels) where (a, b) is (width, height)

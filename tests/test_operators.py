@@ -2182,3 +2182,105 @@ def test_hamming_pairs_top_bits_fold_into_last_block(spark):
     assert got == [(1, 2, 1), (1, 3, 2), (2, 3, 1)]
     got0 = hamming_pairs(df, "id", "sig", max_hamming=0).collect()
     assert got0 == []
+
+
+def _ref_afp(samples):
+    """Python-reference audio fingerprint: 65 floor-div time frames,
+    absolute-amplitude frame energies, bit f set iff e[f] < e[f+1],
+    packed into a signed 64-bit long."""
+    n = len(samples)
+    e = [
+        sum(abs(x) for x in samples[f * n // 65 : (f + 1) * n // 65])
+        for f in range(65)
+    ]
+    v = 0
+    for f in range(64):
+        if e[f] < e[f + 1]:
+            v |= 1 << f
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_audio_fingerprint_matches_reference(spark):
+    """The energy-gradient fingerprint over REAL decoded WAVs equals
+    the python reference across frame regimes (n < 65: empty frames
+    carry energy 0; n > 65: multi-sample frames), a stereo clip
+    fingerprints its interleaved stream, and an empty clip is dropped
+    (no signal, not a constant hash)."""
+    from margaret_spark.operators.audiohash import audio_fingerprint
+    from margaret_spark.operators.media_codecs import encode_wav
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_wav_blobs,
+    )
+
+    rows = [(i, 8000, n) for i, n in enumerate([3, 40, 64, 65, 130, 200])]
+    df = spark.createDataFrame(rows, "doc_id long, rate int, n int")
+    blobs = attach_synthetic_wav_blobs(df, "doc_id", "rate", "n")
+    got = {
+        r["doc_id"]: r["afp"]
+        for r in audio_fingerprint(blobs, "doc_id", "blob").collect()
+    }
+    for i, _rate, n in rows:
+        samples = [((i * 7 + j * 13) % 4096) - 2048 for j in range(n)]
+        assert got[i] == _ref_afp(samples), (i, n)
+
+    # stereo: the interleaved stream is fingerprinted as-is
+    inter = [((j * j * 5 + j) % 4096) - 2048 for j in range(120)]
+    stereo = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(8000, inter, channels=2))),
+            (2, bytearray(encode_wav(8000, [], channels=1))),  # empty
+        ],
+        "doc_id long, blob binary",
+    )
+    out = {
+        r["doc_id"]: r["afp"]
+        for r in audio_fingerprint(stereo, "doc_id", "blob").collect()
+    }
+    assert out == {1: _ref_afp(inter)}  # empty clip dropped
+
+
+def test_audio_dedup_finds_planted_noise_near_dups(spark):
+    """The multimodal-pipeline scenario: one clip plus a low-level
+    additive-noise variant is a planted near-dup pair (small
+    Hamming); unrelated audio stays far. Pairs from the pigeonhole
+    banding equal the brute-force Hamming filter (lossless)."""
+    import itertools
+
+    from margaret_spark.operators.audiohash import (
+        audio_dedup_pairs,
+        audio_fingerprint,
+    )
+    from margaret_spark.operators.media_codecs import encode_wav
+
+    base = [((j * j * 29 + j * 17 + 500) % 4096) - 2048 for j in range(100)]
+    var = [s + (256 if j % 5 == 0 else 0) for j, s in enumerate(base)]
+    other = [((j * j * 37 + j * 23 + 2500) % 4096) - 2048 for j in range(100)]
+    rows = [
+        (1, bytearray(encode_wav(8000, base))),
+        (2, bytearray(encode_wav(8000, var))),  # planted near-dup
+        (3, bytearray(encode_wav(8000, other))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    sig = {
+        r["doc_id"]: r["afp"]
+        for r in audio_fingerprint(df, "doc_id", "blob").collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sig[1], sig[2]) <= 10  # noise keeps the energy gradient
+    assert ham(sig[1], sig[3]) > 10  # unrelated content stays far
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in audio_dedup_pairs(
+            df, "doc_id", "blob", max_hamming=10
+        ).collect()
+    )
+    want = sorted(
+        (a, b, ham(sig[a], sig[b]))
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if ham(sig[a], sig[b]) <= 10
+    )
+    assert got == want and (1, 2, ham(sig[1], sig[2])) in got

@@ -80,6 +80,10 @@ def test_entry_queries_plan_quality(spark):
         # codegen after it
         "multimodal_image_dhash",
         "multimodal_image_dedup",
+        # audio energy-gradient fingerprint: same split — Arrow WAV
+        # decode, integer codegen framing/energies/bits after it
+        "multimodal_audio_fp",
+        "multimodal_audio_dedup",
         # codec round-trip is BY DESIGN a Python codec exercised
         # through an Arrow-batched pandas UDF
         "codec_roundtrip",
