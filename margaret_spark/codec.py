@@ -45,7 +45,13 @@ class Codec(ABC):
 
 
 class JsonCodec(Codec):
-    """Canonical JSON (sorted keys, compact separators)."""
+    """Canonical JSON (sorted keys, compact separators).
+
+    Non-finite floats serialize as the JS literals ``NaN`` /
+    ``Infinity`` (Python's ``json`` default) — round-trip-closed with
+    this codec's own ``unmarshal``, but NOT RFC-8259 JSON; use the
+    msgpack/CBOR codecs when non-finite values must stay
+    interoperable."""
 
     storage_type = StringType()
 
@@ -69,6 +75,11 @@ def _mp_encode(obj: Any, out: bytearray) -> None:
     elif obj is True:
         out.append(0xC3)
     elif isinstance(obj, int):
+        if not -(2**63) <= obj < 2**64:
+            raise ValueError(
+                f"msgpack: int {obj} outside the 64-bit wire range "
+                "(int64..uint64) — the format cannot represent it"
+            )
         if 0 <= obj <= 0x7F:
             out.append(obj)
         elif -32 <= obj < 0:
@@ -255,6 +266,11 @@ def _cbor_encode(obj: Any, out: bytearray) -> None:
     elif obj is True:
         out.append(0xF5)
     elif isinstance(obj, int):
+        if not -(2**64) <= obj < 2**64:
+            raise ValueError(
+                f"cbor: int {obj} outside the 64-bit wire range "
+                "(major-0/1 argument is at most uint64)"
+            )
         if obj >= 0:
             _cbor_head(0, obj, out)
         else:
@@ -421,14 +437,34 @@ def _check_field(name: str, dt: T_mod.DataType, v: Any, array_mode: bool = False
 def _coerce_field(dt: T_mod.DataType, v: Any) -> Any:
     """Coerce a decoded wire value back to the schema's Python shape
     on the way OUT (unmarshal) — e.g. an int wire value in a double
-    field becomes float, CBOR's bytes-vs-str split is normalized."""
+    field becomes float, CBOR's bytes-vs-str split is normalized.
+    Coercions are NARROW: only numeric-to-numeric widening and the
+    bytes/str normalization are allowed — ``int("12")``-style string
+    parsing or bool-as-number would silently accept a corrupt or
+    misaligned wire value that the marshal side could never have
+    produced (the same strictness the reference's typed unmarshal
+    enforces by unmarshaling into a concrete Go field type)."""
     if v is None:
         return None
     t = T_mod
     if isinstance(dt, (t.LongType, t.IntegerType, t.ShortType, t.ByteType)):
-        return int(v)
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(
+                f"cannot coerce wire value of type {type(v).__name__} to int"
+            )
+        return v
     if isinstance(dt, (t.DoubleType, t.FloatType)):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(
+                f"cannot coerce wire value of type {type(v).__name__} to float"
+            )
         return float(v)
+    if isinstance(dt, t.BooleanType):
+        if not isinstance(v, bool):
+            raise ValueError(
+                f"cannot coerce wire value of type {type(v).__name__} to bool"
+            )
+        return v
     if isinstance(dt, t.StringType):
         if isinstance(v, str):
             return v

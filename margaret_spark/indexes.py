@@ -144,11 +144,25 @@ class OffsetSetterIndex(SeqSetterIndex):
         os.makedirs(self._ups_dir, exist_ok=True)
         self._cursor_path = os.path.join(path, "_cursor.json")
         self._lock = threading.Lock()
-        ids = [
-            int(n[3:-8])
-            for n in os.listdir(self._ups_dir)
-            if n.startswith("up-") and n.endswith(".parquet")
-        ]
+        ids = []
+        for n in os.listdir(self._ups_dir):
+            if n.startswith(".up-") and n.endswith(".parquet.tmp"):
+                # a crashed _write_upsert's unpublished temp: invisible
+                # to readers (dot-prefixed, Spark ignores it) but dead
+                # disk — sweep it here, the only single-writer moment
+                os.remove(os.path.join(self._ups_dir, n))
+                continue
+            if not (n.startswith("up-") and n.endswith(".parquet")):
+                continue
+            s = n[3:-8]
+            if not s.isdigit():
+                raise ValueError(
+                    f"foreign entry in upsert dir: {self._ups_dir}/{n} — "
+                    "the name must be up-<decimal id>.parquet; move or "
+                    "delete it (the index refuses to guess whether it "
+                    "holds upserts)"
+                )
+            ids.append(int(s))
         self._upd_id = max(ids) + 1 if ids else 0
         self._cells: dict[str, Observable] = {}
 

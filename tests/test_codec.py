@@ -151,6 +151,51 @@ def test_coerce_rejects_int_wire_value_for_string_field():
     assert _coerce_field(T.StringType(), "ok") == "ok"
 
 
+def test_coerce_is_strict_for_numeric_and_bool_fields():
+    # decode-side coercion must be NARROW: int("12")-style string
+    # parsing or bool-as-number would silently accept corrupt or
+    # misaligned wire values the marshal side can never produce
+    from pyspark.sql import types as T
+
+    from margaret_spark.codec import _coerce_field
+
+    # allowed: identity + numeric widening + bytes/str normalization
+    assert _coerce_field(T.LongType(), 7) == 7
+    assert _coerce_field(T.DoubleType(), 7) == 7.0
+    assert _coerce_field(T.DoubleType(), 7.5) == 7.5
+    assert _coerce_field(T.BooleanType(), True) is True
+    # rejected: strings in numeric fields, bools as numbers,
+    # floats truncating into int fields, non-bools in bool fields
+    for dt, bad in [
+        (T.LongType(), "12"),
+        (T.LongType(), True),
+        (T.LongType(), 3.5),
+        (T.DoubleType(), "3.5"),
+        (T.DoubleType(), False),
+        (T.BooleanType(), 1),
+        (T.BooleanType(), "true"),
+    ]:
+        with pytest.raises(ValueError, match="coerce"):
+            _coerce_field(dt, bad)
+
+
+@pytest.mark.parametrize("codec_name", ["msgpack", "cbor"])
+def test_int_outside_wire_range_fails_loudly(codec_name):
+    # a Python bigint beyond the 64-bit wire range used to escape as a
+    # bare struct.error from deep inside the encoder
+    from margaret_spark.codec import CborCodec, MsgpackCodec
+
+    c = MsgpackCodec() if codec_name == "msgpack" else CborCodec()
+    for v in (2**64, -(2**64) - 1, 2**100):
+        with pytest.raises(ValueError, match="wire range"):
+            c.marshal(v)
+    # the extremes of the representable range still round-trip
+    hi = 2**64 - 1
+    lo = -(2**63) if codec_name == "msgpack" else -(2**64)
+    assert c.unmarshal(c.marshal(hi)) == hi
+    assert c.unmarshal(c.marshal(lo)) == lo
+
+
 @pytest.mark.parametrize("codec", ["json", "msgpack", "cbor"])
 def test_codec_log_end_to_end(spark, tmp_path, codec):
     # offset2/test/test.go:21-25: one registered log flavor per codec.

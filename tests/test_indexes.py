@@ -66,6 +66,29 @@ def test_offset_index_reopen(spark, tmp_path):
     assert rows == {"a": "1"}
 
 
+def test_offset_index_reopen_sweeps_tmp_and_rejects_foreign(spark, tmp_path):
+    """A crashed _write_upsert's unpublished .up-*.parquet.tmp is
+    swept on reopen (it never held committed data); a foreign
+    up-<non-integer>.parquet fails LOUDLY with the path named instead
+    of a bare int() ValueError — silently skipping a file that claims
+    to be an upsert could hide committed writes."""
+    import os
+
+    p = str(tmp_path / "idx")
+    i1 = OffsetSetterIndex(spark, p)
+    i1.set("a", "1")
+    ups = os.path.join(p, "upserts")
+    tmp = os.path.join(ups, ".up-00000000000000000009.parquet.tmp")
+    open(tmp, "w").close()
+    i2 = OffsetSetterIndex(spark, p)
+    assert not os.path.exists(tmp)
+    assert i2.get("a").value() == "1"
+
+    open(os.path.join(ups, "up-abc.parquet"), "w").close()
+    with pytest.raises(ValueError, match="foreign entry"):
+        OffsetSetterIndex(spark, p)
+
+
 # --- interesting/boring resume fixture (indexes/test/sinkindex.go) --------
 
 VALUES = [
