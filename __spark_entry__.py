@@ -2414,6 +2414,50 @@ def q_text_nb_classify(spark, sf_dir):
     return nb_classify(docs, "doc_id", "text", model)
 
 
+def _dsir_model(spark, sf_dir):
+    """The shared corpus_dsir_* fit: even docs play the TARGET corpus
+    (curated reference), odd docs the RAW crawl; hashed word-bigram
+    features into 64 buckets (B << the ~1k distinct bigrams, so the
+    hashing itself — collisions included — is graded)."""
+    from margaret_spark.operators.dsir import fit_dsir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = fit_dsir(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "text",
+        n=2,
+        n_buckets=64,
+    )
+    return docs, model
+
+
+def q_corpus_dsir_weights(spark, sf_dir):
+    """DSIR-style data selection (operators.dsir): hashed word-bigram
+    bag models fitted on a target corpus and on the raw crawl, every
+    document weighted by its mean per-occurrence target/raw
+    probability ratio — the distribution-matching leg of the curation
+    chain (rules → LM gate → trained classifier → DSIR), made log-free
+    so it grades hash-exact. The oracle re-derives the bucket counts,
+    totals, add-one ratios and DECIMAL mean in SQL."""
+    from margaret_spark.operators.dsir import dsir_weights
+
+    docs, model = _dsir_model(spark, sf_dir)
+    return dsir_weights(docs, "doc_id", "text", model, n=2, n_buckets=64)
+
+
+def q_corpus_dsir_select(spark, sf_dir):
+    """The selection half of DSIR: top-50 most target-like documents
+    by (weight desc, doc_id asc) — the deterministic twin of the
+    paper's Gumbel resampling, compiled to TakeOrderedAndProject
+    (per-partition top-k + one 50-row merge, never a global sort).
+    Graded hash-exact against the oracle's ORDER BY ... LIMIT."""
+    from margaret_spark.operators.dsir import dsir_select
+
+    docs, model = _dsir_model(spark, sf_dir)
+    return dsir_select(docs, "doc_id", "text", model, k=50, n=2, n_buckets=64)
+
+
 def q_text_fingerprint(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -4498,6 +4542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_psl": q_web_domain_psl,
         "corpus_mixture": q_corpus_mixture,
         "corpus_mixture_materialize": q_corpus_mixture_materialize,
+        "corpus_dsir_weights": q_corpus_dsir_weights,
+        "corpus_dsir_select": q_corpus_dsir_select,
         "export_shards": q_export_shards,
         "stream_web_filter": q_stream_web_filter,
         "stream_cms": q_stream_cms,
@@ -5333,6 +5379,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id AS seq, label AS pred, score FROM agg "
         "WHERE label = 'long' AND score IS NOT NULL AND score <= 3000.0"
     )
+    # DSIR distribution matching: per-doc mean hashed-bigram
+    # target/raw probability ratio, then the deterministic top-50
+    d["corpus_dsir_weights"] = (
+        "WITH " + _dsir_sql_core() + " "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams, a.weight "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+    d["corpus_dsir_select"] = (
+        "WITH " + _dsir_sql_core() + " "
+        "SELECT doc_id, n_grams, weight FROM agg "
+        "WHERE weight IS NOT NULL "
+        "ORDER BY weight DESC, doc_id ASC LIMIT 50"
+    )
     d["web_url_dedup"] = (
         "SELECT 'https://' || lower(([" + _hosts_sql + "])"
         "[CAST(doc_id % 8 AS INT) + 1]) || '/item-' || (doc_id % 50) "
@@ -5567,6 +5627,44 @@ def _lm_surprise_sql(fit_where: str = "") -> str:
         "SELECT d.doc_id, "
         "CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
         "a.surprise FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+def _dsir_sql_core() -> str:
+    """The corpus_dsir_* oracle core (CTE body, no WITH): re-derives
+    ``operators.dsir`` end-to-end in SQL — word-bigram occurrences,
+    the md5-prefix 64-bucket feature hash (the house CMS convention),
+    per-corpus bucket counts and totals, the add-one probability
+    ratio ((cnt_t+1)/(N_t+B)) / ((cnt_r+1)/(N_r+B)) with the exact
+    Spark expression tree (two exact integer-ratio divisions, one
+    more exactly-rounded division), and the pround + DECIMAL mean.
+    Hash-exact."""
+    term = _pr(
+        "(CAST(COALESCE(ct.n_t, 0) + 1 AS DOUBLE) / CAST(tot.ntd AS DOUBLE))"
+        " / "
+        "(CAST(COALESCE(cr.n_r, 0) + 1 AS DOUBLE) / CAST(tot.nrd AS DOUBLE))"
+    )
+    mean = _pr("CAST(SUM(CAST(s AS DECIMAL(38,4))) AS DOUBLE) / count(*)")
+    return (
+        f"toks AS (SELECT doc_id, {_WORDS} AS t FROM documents), "
+        "g AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram FROM toks "
+        "CROSS JOIN LATERAL unnest(range(1, len(t))) AS p(i) "
+        "WHERE len(t) >= 2), "
+        "bk AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(gram), 1, 8) "
+        "AS BIGINT) % 64 AS BIGINT) AS bucket FROM g), "
+        "ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_t FROM bk "
+        "WHERE doc_id % 2 = 0 GROUP BY bucket), "
+        "cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_r FROM bk "
+        "WHERE doc_id % 2 = 1 GROUP BY bucket), "
+        "tot AS (SELECT "
+        "(SELECT COALESCE(SUM(n_t), 0) FROM ct) + 64 AS ntd, "
+        "(SELECT COALESCE(SUM(n_r), 0) FROM cr) + 64 AS nrd), "
+        "terms AS (SELECT bk.doc_id, "
+        f"{term} AS s FROM bk "
+        "LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket) "
+        "CROSS JOIN tot), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        f"{mean} AS weight FROM terms GROUP BY doc_id)"
     )
 
 

@@ -118,6 +118,8 @@ HEADLINE_V2 = [
     "stream_nb_filter",
     "multimodal_audio_fp",
     "multimodal_audio_dedup",
+    "corpus_dsir_weights",
+    "corpus_dsir_select",
 ]
 
 
