@@ -3674,6 +3674,50 @@ def q_stream_nb_filter(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_dsir_filter(spark, sf_dir):
+    """At-ingest DSIR distribution matching (streaming/quality.py):
+    the hashed-bigram models are fitted ONCE (even docs = target, odd
+    = raw, the corpus_dsir_* recipe), then every document streaming
+    out of the log is weighted inside foreachBatch (explode + bucket
+    + broadcast count join + keyed agg — per-batch scoring of
+    disjoint seqs equals batch scoring of the whole log, since the
+    model is fixed) and kept iff weight >= 1.0 (~the corpus median —
+    the gate demonstrably drops); no-feature docs (weight NULL) drop
+    conservatively. Keepers land executor-side under batch=<id>
+    partitions. The oracle re-fits and re-weights the same recipe in
+    SQL — hash-exact including the weights. Completes the curation
+    chain's fourth leg in streaming form."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_dsir_filter
+
+    docs, model = _dsir_model(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_dsir_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_dsir_filter(
+            log,
+            F.col("value"),
+            model,
+            1.0,
+            sink,
+            os.path.join(base, "ckpt"),
+            n=2,
+            n_buckets=64,
+        )
+        out = read_keeper_sink(
+            spark, sink, "seq long, n_grams long, weight double"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_token_budget_bpe(spark, sf_dir):
     """The token-budget gate fed by REAL byte-level BPE counts —
     production token accounting end-to-end: the ingest projection tags
@@ -4453,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_token_budget_bpe": q_stream_token_budget_bpe,
         "stream_lm_filter": q_stream_lm_filter,
         "stream_nb_filter": q_stream_nb_filter,
+        "stream_dsir_filter": q_stream_dsir_filter,
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
         "stream_pii_redact": q_stream_pii_redact,
@@ -5392,6 +5437,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, n_grams, weight FROM agg "
         "WHERE weight IS NOT NULL "
         "ORDER BY weight DESC, doc_id ASC LIMIT 50"
+    )
+    # the at-ingest distribution-matching gate: same DSIR recipe,
+    # keep weight >= 1.0 (~median; no-feature docs weigh NULL, drop)
+    d["stream_dsir_filter"] = (
+        "WITH " + _dsir_sql_core() + " "
+        "SELECT doc_id AS seq, n_grams, weight FROM agg "
+        "WHERE weight IS NOT NULL AND weight >= 1.0"
     )
     d["web_url_dedup"] = (
         "SELECT 'https://' || lower(([" + _hosts_sql + "])"

@@ -120,6 +120,7 @@ HEADLINE_V2 = [
     "multimodal_audio_dedup",
     "corpus_dsir_weights",
     "corpus_dsir_select",
+    "stream_dsir_filter",
 ]
 
 

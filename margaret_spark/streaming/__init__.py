@@ -38,7 +38,11 @@ from margaret_spark.streaming.cms import (
     stream_hll,
 )
 from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
-from margaret_spark.streaming.quality import stream_lm_filter, stream_nb_filter
+from margaret_spark.streaming.quality import (
+    stream_dsir_filter,
+    stream_lm_filter,
+    stream_nb_filter,
+)
 from margaret_spark.streaming.scrub import scrub_expr, stream_scrub_pii
 from margaret_spark.streaming.webfilter import stream_web_filter
 from margaret_spark.streaming.windows import session_windows, windowed_agg
@@ -67,6 +71,7 @@ __all__ = [
     "stream_web_filter",
     "stream_lm_filter",
     "stream_nb_filter",
+    "stream_dsir_filter",
     "stream_cms",
     "read_cms",
     "stream_bloom",

@@ -1,11 +1,12 @@
 """Streaming at-ingest quality gating: score every arriving document
 against a FIXED reference-fitted model and keep only documents the
 model admits — the CCNet-style perplexity filter
-(:func:`stream_lm_filter`) and the GPT-3/LLaMA-style trained quality
-classifier (:func:`stream_nb_filter`) applied at the moment of
+(:func:`stream_lm_filter`), the GPT-3/LLaMA-style trained quality
+classifier (:func:`stream_nb_filter`), and the DSIR distribution
+matcher (:func:`stream_dsir_filter`) applied at the moment of
 ingest, completing the ingest-hygiene set (PII scrub, dedup,
 decontamination, web curation, token budget, LM quality, trained
-classifier).
+classifier, distribution matching).
 
 Scale shape: the LM is the bounded pruned table pair from
 ``operators.lm.fit_bigram_lm`` (fit ONCE, on a clean reference
@@ -185,6 +186,78 @@ def stream_nb_filter(
                 & (F.col("score") <= F.lit(float(max_score)))
             ).select("seq", F.col("label").alias("pred"), "score")
         write_batch(kept.select("seq", "pred", "score"), batch_id, sink_dir)
+
+    src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
+    w = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()
+
+
+def stream_dsir_filter(
+    log: OffsetLog,
+    text_expr: Column,
+    model: "tuple[DataFrame, int, int]",
+    min_weight: float,
+    sink_dir: str,
+    checkpoint_dir: str,
+    n: int = 2,
+    n_buckets: int = 1024,
+    round_digits: int = 6,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Gate a log's append stream by DSIR importance weight
+    (``operators.dsir``): rows whose mean hashed-ngram target/raw
+    probability ratio is at least ``min_weight`` (higher = more
+    target-like) are written as ``(seq, n_grams, weight)`` batch
+    partials; rows below it — and rows with no features (fewer than
+    ``n`` tokens: no evidence either way is a DROP, the house
+    conservative-gate contract) — are dropped. The fourth at-ingest
+    curation gate: rules → LM → trained classifier → distribution
+    matching. Read the kept set back with
+    ``streaming.read_keeper_sink(spark, sink_dir, "seq long,
+    n_grams long, weight double")``.
+
+    Scale shape: the model is the BOUNDED (≤ n_buckets rows) count
+    table plus two precomputed totals from ``fit_dsir`` — pinned once
+    with ``localCheckpoint``, broadcast into each micro-batch's
+    scoring plan; scoring inside ``foreachBatch`` is the batch
+    operator's explode + bucket + broadcast join + keyed aggregation
+    (per-batch scoring of disjoint seqs equals batch scoring of the
+    whole log, since the model is fixed). ``n``/``n_buckets`` must
+    match the fit. With ``available_now`` drains the log and returns;
+    otherwise returns the running StreamingQuery."""
+    from margaret_spark.operators.dsir import dsir_weights
+    from margaret_spark.streaming.sinks import write_batch
+
+    counts, n_t_total, n_r_total = model
+    # pin the count table ONCE: a long-running gate must not
+    # recompute the fit lineage per micro-batch
+    counts = counts.localCheckpoint(eager=True)
+    pinned = (counts, n_t_total, n_r_total)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = dsir_weights(
+            batch_df.select(F.col("seq"), text_expr.alias("__text")),
+            "seq",
+            "__text",
+            pinned,
+            n=n,
+            n_buckets=n_buckets,
+            round_digits=round_digits,
+        )
+        kept = scored.where(
+            F.col("weight").isNotNull()
+            & (F.col("weight") >= F.lit(float(min_weight)))
+        )
+        write_batch(kept, batch_id, sink_dir)
 
     src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
     w = (

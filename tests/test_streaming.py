@@ -1410,6 +1410,76 @@ def test_stream_nb_filter_gates_and_matches_batch(spark, tmp_path):
     assert kept3 == want_thr and 0 in kept3 and len(kept3) < len(g)
 
 
+def test_stream_dsir_filter_gates_and_matches_batch(spark, tmp_path):
+    """The at-ingest DSIR gate keeps exactly the at-or-above-threshold
+    subset the batch weigher computes against the same fixed fitted
+    model — no-feature docs (single token / NULL) drop conservatively;
+    resume weighs only NEW appends."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.dsir import dsir_weights, fit_dsir
+    from margaret_spark.streaming import read_keeper_sink, stream_dsir_filter
+
+    target = spark.createDataFrame(
+        [Row(text="the cat sat"), Row(text="the cat ran far")]
+    )
+    raw = spark.createDataFrame(
+        [Row(text="buy pills now"), Row(text="cheap pills now now")]
+    )
+    model = fit_dsir(target, raw, "text", n=2, n_buckets=16)
+
+    texts = [
+        "the cat sat",      # target-like (high weight)
+        "buy pills now",    # raw-like (low weight)
+        "the cat ran",      # target-like
+        "one",              # no bigram -> dropped
+        None,               # NULL -> dropped
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["weight"])
+        for r in dsir_weights(
+            docs, "doc_id", "text", model, n=2, n_buckets=16
+        ).collect()
+        if r["weight"] is not None
+    }
+    thr = (batch[0][1] + batch[1][1]) / 2  # between target-like and raw-like
+    want = {i: gw for i, gw in batch.items() if gw[1] >= thr}
+    assert want and len(want) < len(batch)  # the gate must drop
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(texts)
+    sink = str(tmp_path / "sink")
+    stream_dsir_filter(
+        log, F.col("value"), model, thr, sink, str(tmp_path / "ck"),
+        n=2, n_buckets=16,
+    )
+    kept = {
+        r["seq"]: (r["n_grams"], r["weight"])
+        for r in read_keeper_sink(
+            spark, sink, "seq long, n_grams long, weight double"
+        ).collect()
+    }
+    assert kept == want
+
+    # resume: only the new append is weighed; nothing re-emits
+    log.append("the cat sat")
+    stream_dsir_filter(
+        log, F.col("value"), model, thr, sink, str(tmp_path / "ck"),
+        n=2, n_buckets=16,
+    )
+    kept2 = {
+        r["seq"]
+        for r in read_keeper_sink(
+            spark, sink, "seq long, n_grams long, weight double"
+        ).collect()
+    }
+    assert kept2 == set(want) | {5}  # same text as seq 0 -> admitted
+
+
 def test_stream_hll_merged_equals_batch_sketch(spark, tmp_path):
     """Multi-batch streaming HLL re-maxes to exactly the batch
     register table of the whole log (registers are max-mergeable);
