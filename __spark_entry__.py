@@ -3458,6 +3458,25 @@ def q_multimodal_audio_dedup(spark, sf_dir):
     return audio_dedup_pairs(base, "doc_id", "blob", max_hamming=6)
 
 
+def q_multimodal_dedup_clusters(spark, sf_dir):
+    """The decision stage of multimodal dedup, composed from the
+    library's own parts: audio energy-gradient fingerprints → lossless
+    pigeonhole Hamming pairs → connected components (dedup_clusters —
+    the SAME min-label-propagation operator the text jaccard family
+    uses; pair generators and the cluster step compose across
+    modalities). Every document gets cluster_id = min doc_id of its
+    near-dup component; keep-one-per-group is then a doc_id ==
+    cluster_id filter. The oracle re-derives the fingerprints
+    arithmetically, takes the brute-force Hamming self-join, and runs
+    a recursive reachability CTE — graded hash-exact."""
+    from margaret_spark.operators.audiohash import audio_dedup_pairs
+    from margaret_spark.operators.dedup import dedup_clusters
+
+    base = _audio_dedup_base(spark, sf_dir)
+    pairs = audio_dedup_pairs(base, "doc_id", "blob", max_hamming=6)
+    return dedup_clusters(base.select("doc_id"), pairs, "doc_id")
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     """REAL byte-level BPE tokenization on the graded surface
     (operators.bpe): a GPT-2-style pre-tokenizer (Python∩Java∩RE2
@@ -4562,6 +4581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dedup": q_multimodal_image_dedup,
         "multimodal_audio_fp": q_multimodal_audio_fp,
         "multimodal_audio_dedup": q_multimodal_audio_dedup,
+        "multimodal_dedup_clusters": q_multimodal_dedup_clusters,
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -7008,6 +7028,21 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming "
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             "AND bit_count(xor(a.afp, b.afp)) <= 6"
+        ),
+        "multimodal_dedup_clusters": (
+            f"WITH RECURSIVE {_audio_afp_sql()}, "
+            "mpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.afp, b.afp)) <= 6), "
+            "medges AS (SELECT id_a AS src, id_b AS dst FROM mpairs "
+            "UNION SELECT id_b, id_a FROM mpairs), "
+            "mreach(node, root) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.dst, r.root FROM mreach r JOIN medges e "
+            "ON e.src = r.node) "
+            "SELECT node AS doc_id, CAST(min(root) AS BIGINT) "
+            "AS cluster_id FROM mreach GROUP BY node"
         ),
         # sampling: md5 is engine-identical; fixed-width lowercase-hex
         # compares in numeric order, so the row sets match exactly.

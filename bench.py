@@ -121,6 +121,7 @@ HEADLINE_V2 = [
     "corpus_dsir_weights",
     "corpus_dsir_select",
     "stream_dsir_filter",
+    "multimodal_dedup_clusters",
 ]
 
 

@@ -84,6 +84,8 @@ def test_entry_queries_plan_quality(spark):
         # decode, integer codegen framing/energies/bits after it
         "multimodal_audio_fp",
         "multimodal_audio_dedup",
+        # composed: audio pairs (Arrow decode) -> connected components
+        "multimodal_dedup_clusters",
         # codec round-trip is BY DESIGN a Python codec exercised
         # through an Arrow-batched pandas UDF
         "codec_roundtrip",
