@@ -300,7 +300,9 @@ class OffsetMultiLog(MultiLog):
 
     Layout::
 
-        <path>/entries/entry-<n>.parquet      (addr, main_seq)
+        <path>/entries/entry-<n>.parquet      (addr, main_seq) single append
+        <path>/entries/entry-<n>/             one bulk append_df batch
+                                              (published with ONE rename)
         <path>/tombstone/tomb-<n>.parquet     (tomb_id, addr)
 
     A tombstone deletes every entry appended *before* it (entry files
@@ -336,11 +338,28 @@ class OffsetMultiLog(MultiLog):
 
     @staticmethod
     def _max_id(d: str, prefix: str) -> int:
-        ids = [
-            int(n[len(prefix) : -len(".parquet")].split(".")[0])
-            for n in os.listdir(d)
-            if n.startswith(prefix) and n.endswith(".parquet")
-        ]
+        """Highest published id under ``d``: ``<prefix><id>.parquet``
+        single-row files, or ``<prefix><id>`` DIRECTORIES (one bulk
+        ``append_df`` batch each — published with a single atomic
+        rename). Foreign names that claim the prefix fail LOUDLY with
+        the path named — guessing could replay an id and overwrite
+        committed data."""
+        ids = []
+        for n in os.listdir(d):
+            if not n.startswith(prefix):
+                continue
+            s = n[len(prefix) :]
+            if s.endswith(".parquet"):
+                s = s[: -len(".parquet")].split(".")[0]
+            elif not os.path.isdir(os.path.join(d, n)):
+                continue  # dot-tmp and other non-published artifacts
+            if not s.isdigit():
+                raise ValueError(
+                    f"foreign entry in multilog dir: {d}/{n} — the name "
+                    f"must be {prefix}<decimal id>[.parquet]; move or "
+                    "delete it (id recovery refuses to guess)"
+                )
+            ids.append(int(s))
         return max(ids) if ids else -1
 
     def _write(self, d: str, name: str, table) -> None:
@@ -470,11 +489,16 @@ class OffsetMultiLog(MultiLog):
     def append_df(self, df: DataFrame) -> None:
         """Bulk index build: append an (addr, main_seq) DataFrame
         through Spark — the scalable fan-out path. Spark writes to a
-        staging dir; the part files are then published into the flat
-        entries layout (atomic renames on the same filesystem)."""
-        import glob
-        import shutil
-
+        staging dir; the WHOLE batch is then published as the
+        ``entries/entry-<eid>`` directory with ONE rename, so a crash
+        can never tear it (the previous per-part rename loop could die
+        mid-loop and leave a prefix of the batch visible — silently
+        missing index entries once the janitor swept the rest; the
+        reference's mutex-serialized writer never exposes a torn
+        write, and neither may we). Spark's ``_SUCCESS`` marker and
+        pyarrow both ignore underscore/dot-prefixed files, and every
+        reader walks the directory form (pyarrow datasets recurse by
+        default; the Spark read uses ``recursiveFileLookup``)."""
         with self._lock:
             eid = self._entry_id
             self._entry_id += 1
@@ -485,12 +509,12 @@ class OffsetMultiLog(MultiLog):
             )
             staging = os.path.join(self.path, "_staging", str(eid))
             out.write.mode("overwrite").parquet(staging)
-            for k, part in enumerate(sorted(glob.glob(os.path.join(staging, "part-*.parquet")))):
-                os.rename(
-                    part,
-                    os.path.join(self._entries_dir, f"entry-{eid:020d}.{k:05d}.parquet"),
-                )
-            shutil.rmtree(staging, ignore_errors=True)
+            final = os.path.join(self._entries_dir, f"entry-{eid:020d}")
+            os.rename(staging, final)  # single-rename publish
+            try:
+                os.rmdir(os.path.join(self.path, "_staging"))
+            except OSError:
+                pass  # another batch still staging, or already gone
             self._member_cache.clear()  # bulk write touches arbitrary addrs
             watched = {
                 a
@@ -551,7 +575,13 @@ class OffsetMultiLog(MultiLog):
                 T.StructField("main_seq", T.LongType(), False),
             ]
         )
-        entries = self.spark.read.schema(schema).parquet(self._entries_dir)
+        entries = (
+            self.spark.read.schema(schema)
+            # bulk batches publish as entry-<eid>/ DIRECTORIES (one
+            # atomic rename each); walk into them
+            .option("recursiveFileLookup", "true")
+            .parquet(self._entries_dir)
+        )
         tomb_schema = T.StructType(
             [
                 T.StructField("tomb_id", T.LongType(), False),

@@ -351,10 +351,19 @@ def compact_multilog(mlog) -> int:
     import pyarrow.parquet as pq
 
     with mlog._lock:
+        # inputs: per-insert flat files AND bulk append_df batch
+        # DIRECTORIES (each published with one atomic rename) — the
+        # dataset read below walks both, so the sweep must too or a
+        # compacted multilog keeps every bulk batch as duplicate rows
+        # forever
         names = sorted(
             n
             for n in os.listdir(mlog._entries_dir)
-            if n.startswith("entry-") and n.endswith(".parquet")
+            if n.startswith("entry-")
+            and (
+                n.endswith(".parquet")
+                or os.path.isdir(os.path.join(mlog._entries_dir, n))
+            )
         )
         if len(names) <= 1:
             return 0
@@ -388,5 +397,11 @@ def compact_multilog(mlog) -> int:
         os.rename(tmp, final)
         for n in names:
             if n != name:
-                os.remove(os.path.join(mlog._entries_dir, n))
+                p = os.path.join(mlog._entries_dir, n)
+                if os.path.isdir(p):
+                    import shutil
+
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
         return len(names)

@@ -341,3 +341,79 @@ def test_multilog_open_sweeps_crash_leftovers(spark, tmp_path):
     assert not os.path.exists(tmpf)
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)  # possibly-live writer untouched
+
+
+def test_append_df_publish_is_atomic(spark, tmp_path, monkeypatch):
+    """A bulk batch is all-or-nothing: if the single publish rename
+    dies, NO entries from the batch are visible (the old per-part
+    rename loop could die mid-loop and leave a torn prefix), the
+    failed staging dir is janitor-swept on a later reopen, and a
+    retried append_df lands the whole batch."""
+    import os
+    import time
+
+    ml = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    ml.get("a").append(1)
+
+    batch = spark.createDataFrame(
+        [("a", 5), ("b", 7), ("b", 9)], "addr string, main_seq long"
+    )
+    real_rename = os.rename
+
+    def bomb(src, dst):
+        if os.sep + "entries" + os.sep + "entry-" in dst and os.path.isdir(src):
+            raise OSError("chaos: publish rename died")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", bomb)
+    with pytest.raises(OSError, match="publish rename"):
+        ml.append_df(batch)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # nothing from the batch leaked — not one row
+    rows = {(r["addr"], r["main_seq"]) for r in ml.df().collect()}
+    assert rows == {("a", 1)}
+    staging_root = str(tmp_path / "ml" / "_staging")
+    assert os.listdir(staging_root)  # the failed batch's leftovers
+
+    # reopen sweeps the stale staging (age-gated: backdate it)
+    for n in os.listdir(staging_root):
+        p = os.path.join(staging_root, n)
+        os.utime(p, (time.time() - 7200, time.time() - 7200))
+    ml2 = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    assert not os.path.exists(staging_root) or not os.listdir(staging_root)
+
+    # the retry publishes the whole batch through the directory form
+    ml2.append_df(batch)
+    rows = {(r["addr"], r["main_seq"]) for r in ml2.df().collect()}
+    assert rows == {("a", 1), ("a", 5), ("b", 7), ("b", 9)}
+    assert list(ml2.get("b").query()) == [7, 9]
+    # id recovery parses the published directory name
+    ml3 = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    assert ml3._entry_id == ml2._entry_id
+
+
+def test_compact_multilog_folds_bulk_batch_dirs(spark, tmp_path):
+    """Compaction treats bulk append_df directory batches as inputs:
+    they fold into the single merged file and are swept — membership,
+    ranks, and entry-id continuity preserved."""
+    import os
+
+    from margaret_spark.sources import compact_multilog
+
+    ml = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    ml.get("x").append(3)
+    ml.append_df(
+        spark.createDataFrame(
+            [("x", 1), ("y", 2)], "addr string, main_seq long"
+        )
+    )
+    before = {(r["addr"], r["main_seq"]) for r in ml.df().collect()}
+    n = compact_multilog(ml)
+    assert n == 2  # one flat file + one batch dir
+    names = os.listdir(ml._entries_dir)
+    assert len(names) == 1 and names[0].endswith(".m.parquet")
+    ml2 = OffsetMultiLog(spark, str(tmp_path / "ml"))
+    after = {(r["addr"], r["main_seq"]) for r in ml2.df().collect()}
+    assert after == before == {("x", 3), ("x", 1), ("y", 2)}
+    assert ml2._entry_id == ml._entry_id
