@@ -362,6 +362,21 @@ class OffsetLog(Log):
                 continue
             stem = name[: -len(".parquet")]
             parts = stem.split("-")
+            if (
+                len(parts) != 3
+                or parts[0] != "part"
+                or not parts[1].isdigit()
+                or not parts[2].isdigit()
+            ):
+                # LOUD with the path named: a foreign *.parquet here
+                # would otherwise crash with a bare int() error — or
+                # worse, parse as a bogus seq range and corrupt
+                # _recover_seq / the point-lookup index
+                raise ValueError(
+                    f"foreign entry in log data dir: {self._data_dir}/{name}"
+                    " — the name must be part-<first>-<last>.parquet; "
+                    "move or delete it (the seq index refuses to guess)"
+                )
             out.append((int(parts[1]), int(parts[2]), os.path.join(self._data_dir, name)))
         out.sort()
         # supersede rule: a file whose seq range is strictly contained
@@ -512,11 +527,20 @@ class OffsetLog(Log):
         return files[-1][1] if files else SEQ_EMPTY
 
     def _recover_patch_id(self) -> int:
-        ids = [
-            int(n[len("patch-") : -len(".parquet")])
-            for n in os.listdir(self._patch_dir)
-            if n.endswith(".parquet")
-        ] if os.path.isdir(self._patch_dir) else []
+        ids = []
+        if os.path.isdir(self._patch_dir):
+            for n in os.listdir(self._patch_dir):
+                if not n.endswith(".parquet"):
+                    continue
+                s = n[len("patch-") : -len(".parquet")]
+                if not (n.startswith("patch-") and s.isdigit()):
+                    raise ValueError(
+                        f"foreign entry in log patch dir: "
+                        f"{self._patch_dir}/{n} — the name must be "
+                        "patch-<decimal id>.parquet; move or delete it "
+                        "(patch-id recovery refuses to guess)"
+                    )
+                ids.append(int(s))
         return max(ids) + 1 if ids else 0
 
     def _has_patches(self) -> bool:
@@ -778,14 +802,24 @@ class OffsetLog(Log):
             raise OutOfBounds(seq)
         import bisect
 
-        import pyarrow.parquet as pq
-
         files = self._data_files()
         i = bisect.bisect_right([f[0] for f in files], seq) - 1
         first, last, fpath = files[i]
         assert first <= seq <= last, "filename index out of sync"
-        tbl = pq.read_table(fpath).to_pylist()
-        row = tbl[seq - first]
+        # push the point filter into the scan: one part may hold
+        # millions of rows (a bulk append_df batch directory, or the
+        # whole log after compact_small_files merges it into one file)
+        # — row-group seq statistics prune to ~one row group, instead
+        # of materializing the entire part for one row
+        import pyarrow.dataset as pads
+
+        rows = (
+            pads.dataset(fpath, format="parquet")
+            .to_table(filter=pads.field("seq") == seq)
+            .to_pylist()
+        )
+        assert len(rows) == 1, "filename index out of sync"
+        row = rows[0]
         assert row["seq"] == seq
         value, nulled = row["value"], False
         if self._has_patches():

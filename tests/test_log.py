@@ -193,3 +193,48 @@ def test_concurrent_appends_dense_unique_seqs(spark, tmp_path):
     log.check_consistency()
     vals = sorted(list(log.query()))
     assert len(vals) == 40 and len(set(vals)) == 40
+
+
+def test_point_get_on_bulk_and_compacted_parts(spark, tmp_path):
+    """get() pushes the point filter into the scan: correct on a bulk
+    append_df batch DIRECTORY, on flat per-append files, and after
+    compaction merges the log into one big file — never materializing
+    the whole part (the filtered dataset read prunes by row-group seq
+    stats)."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.sources import compact_log
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.LongType())
+    log.append_many([10, 11, 12])
+    log.append_df(
+        spark.createDataFrame([(100 + i,) for i in range(50)], "value long"),
+        order_by="value",
+    )
+    for s, want in [(0, 10), (2, 12), (3, 100), (30, 127), (52, 149)]:
+        assert log.get(s) == want, s
+    compact_log(log)
+    log2 = OffsetLog(spark, str(tmp_path / "log"))
+    for s, want in [(0, 10), (3, 100), (52, 149)]:
+        assert log2.get(s) == want, s
+
+
+def test_foreign_names_in_data_and_patch_dirs_fail_loudly(spark, tmp_path):
+    """A foreign *.parquet in data/ or patch/ fails with the path
+    named — a bare int() error (or worse, a bogus parsed seq range
+    corrupting recovery) must never happen."""
+    import os
+
+    from pyspark.sql import types as T
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.LongType())
+    log.append(1)
+    open(os.path.join(log._data_dir, "upload.parquet"), "w").close()
+    with pytest.raises(ValueError, match="foreign entry in log data dir"):
+        OffsetLog(spark, str(tmp_path / "log"))
+    os.remove(os.path.join(log._data_dir, "upload.parquet"))
+
+    log.null(0)
+    open(os.path.join(log._patch_dir, "patch-x.parquet"), "w").close()
+    with pytest.raises(ValueError, match="foreign entry in log patch dir"):
+        OffsetLog(spark, str(tmp_path / "log"))
