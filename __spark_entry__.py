@@ -3737,6 +3737,53 @@ def q_stream_dsir_filter(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_ivf_assign(spark, sf_dir):
+    """Streaming ANN intake (streaming/annintake.py): every embedding
+    streaming out of the log is routed to its nearest IVF cell under
+    FROZEN centroids (the 16 lowest-id vectors — the same seeding as
+    ann_ivf/dedup_embedding, so assignment is oracle-expressible)
+    inside foreachBatch — stateless broadcast ranking, per-batch
+    assignment of disjoint seqs equals batch assignment of the whole
+    log. Keepers (seq, cell, cos) land executor-side under batch=<id>
+    partitions; operators.similarity.ivf_index_append is the batch
+    fold into the persisted index. The oracle re-derives the ranking
+    with the house (rounded cosine desc, cent_id asc) tiebreak —
+    hash-exact including the cosines."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(16)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+    )
+    base = tempfile.mkdtemp(prefix="stream_ivf_")
+    try:
+        log = OffsetLog(
+            spark,
+            os.path.join(base, "log"),
+            value_type=T.ArrayType(T.FloatType()),
+        )
+        log.append_df(emb, value_col="embedding", order_by="vec_id")
+        sink = os.path.join(base, "sink")
+        stream_ivf_assign(
+            log,
+            F.col("value"),
+            cents,
+            sink,
+            os.path.join(base, "ckpt"),
+        )
+        out = read_keeper_sink(spark, sink, "seq long, cell long, cos double")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_token_budget_bpe(spark, sf_dir):
     """The token-budget gate fed by REAL byte-level BPE counts —
     production token accounting end-to-end: the ingest projection tags
@@ -4517,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_lm_filter": q_stream_lm_filter,
         "stream_nb_filter": q_stream_nb_filter,
         "stream_dsir_filter": q_stream_dsir_filter,
+        "stream_ivf_assign": q_stream_ivf_assign,
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
         "stream_pii_redact": q_stream_pii_redact,
@@ -5464,6 +5512,20 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + _dsir_sql_core() + " "
         "SELECT doc_id AS seq, n_grams, weight FROM agg "
         "WHERE weight IS NOT NULL AND weight >= 1.0"
+    )
+    # streaming ANN intake: nearest frozen centroid per embedding,
+    # the house (rounded cosine desc, cent_id asc) tiebreak
+    d["stream_ivf_assign"] = (
+        "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent "
+        "FROM embeddings ORDER BY vec_id LIMIT 16), "
+        "rk AS (SELECT e.vec_id AS seq, c.cent_id AS cell, "
+        + _pr(_cosine_sql("e.embedding", "c.cent"))
+        + " AS cos, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        + _pr(_cosine_sql("e.embedding", "c.cent"))
+        + " DESC, c.cent_id ASC) AS cr "
+        "FROM embeddings e CROSS JOIN cents c) "
+        "SELECT seq, CAST(cell AS BIGINT) AS cell, cos "
+        "FROM rk WHERE cr = 1"
     )
     d["web_url_dedup"] = (
         "SELECT 'https://' || lower(([" + _hosts_sql + "])"

@@ -122,6 +122,7 @@ HEADLINE_V2 = [
     "corpus_dsir_select",
     "stream_dsir_filter",
     "multimodal_dedup_clusters",
+    "stream_ivf_assign",
 ]
 
 

@@ -1480,6 +1480,62 @@ def test_stream_dsir_filter_gates_and_matches_batch(spark, tmp_path):
     assert kept2 == set(want) | {5}  # same text as seq 0 -> admitted
 
 
+def test_stream_ivf_assign_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming ANN intake routes each embedding to the same cell the
+    batch ranking picks (rounded cosine desc, cent_id asc — incl. the
+    tiebreak), drops NULL vectors, and on resume assigns only NEW
+    appends."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.streaming import read_keeper_sink, stream_ivf_assign
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "cent_id long, cent array<float>",
+    )
+    vecs = [
+        [2.0, 0.1],     # -> cell 0
+        [0.1, 3.0],     # -> cell 1
+        [5.0, 5.0],     # ties cells... nearest 2 exactly; 0/1 at cos .707
+        None,           # dropped
+        [1.0, 1.0],     # exactly on centroid 2
+    ]
+    log = OffsetLog(
+        spark, str(tmp_path / "log"), value_type=T.ArrayType(T.FloatType())
+    )
+    log.append_many(vecs)
+    sink = str(tmp_path / "sink")
+    stream_ivf_assign(
+        log, F.col("value"), cents, sink, str(tmp_path / "ck")
+    )
+    out = {
+        r["seq"]: (r["cell"], r["cos"])
+        for r in read_keeper_sink(
+            spark, sink, "seq long, cell long, cos double"
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 4}  # NULL vector (seq 3) dropped
+    assert out[0][0] == 0 and out[1][0] == 1
+    assert out[2][0] == 2 and out[4] == (2, 1.0)
+
+    # a vector equidistant from cells 0 and 1: the cent_id-asc
+    # tiebreak must pick 0
+    log.append([1.0, 1.0])  # cos to 0 == cos to 1 == .707107, to 2 = 1.0
+    log.append([3.0, -3.0])  # cos to 0 = .707107, 1 = -.707107, 2 = 0
+    stream_ivf_assign(
+        log, F.col("value"), cents, sink, str(tmp_path / "ck")
+    )
+    out2 = {
+        r["seq"]: (r["cell"], r["cos"])
+        for r in read_keeper_sink(
+            spark, sink, "seq long, cell long, cos double"
+        ).collect()
+    }
+    assert set(out2) == {0, 1, 2, 4, 5, 6}  # resume: only new seqs added
+    assert out2[5][0] == 2  # exact centroid wins over the .707 pair
+    assert out2[6] == (0, 0.707107)  # tie at .707107 -> lowest cent_id
+
+
 def test_stream_hll_merged_equals_batch_sketch(spark, tmp_path):
     """Multi-batch streaming HLL re-maxes to exactly the batch
     register table of the whole log (registers are max-mergeable);
