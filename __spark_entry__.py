@@ -2662,6 +2662,60 @@ def q_embeddings_kmeans(spark, sf_dir):
     return kmeans_assign_deterministic(emb, k=8, iters=2)
 
 
+def q_dedup_semantic_pairs(spark, sf_dir):
+    """SemDeDup pair stage (operators.semdedup.semantic_dedup_pairs,
+    after Abbas et al. 2023): within-cluster embedding near-dup pairs
+    over the Lloyd-refined cells — an equality self-join keyed on
+    cent_id (O(Σ|cell|²) cosines, never all-pairs; k grows with N at
+    scale), Arrow pair_dot scoring, pround'ed cosine ≥ 0.4. Graded
+    hash-exact: the oracle re-derives the k-means CTEs and the pair
+    join bit-for-bit."""
+    from margaret_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, k=8, iters=2, threshold=0.4)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup keeps (operators.semdedup.semantic_prune): drop every
+    row dominated by a smaller-id same-cluster row within 0.4 cosine
+    (the pair set's id_b side, removed with one left-anti join) —
+    the curation decision itself, not just the candidate pairs.
+    Graded hash-exact against the same generated oracle chain."""
+    from margaret_spark.operators.semdedup import semantic_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_prune(emb, k=8, iters=2, threshold=0.4)
+
+
+def q_ann_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (operators.pq, after Jégou et
+    al. 2011): 4 subspaces × 8 codes, 1 Lloyd round per subspace (all
+    subspaces trained in ONE DataFrame program keyed on sub), each
+    vector's nearest code per subspace with its pround'ed
+    quantization error — the 64×-compression stage of the ANN ladder
+    (float → int8 → PQ). Graded hash-exact: squared L2 goes through
+    the dot identity so the oracle evaluates the identical tree."""
+    from margaret_spark.operators.pq import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, codes=8, iters=1)
+    return pq_encode(emb, cb, m=4)
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """ADC top-k over PQ codes (operators.pq.pq_topk): per query a
+    broadcast m×k lookup table of pround'ed subspace distances; a
+    corpus row's approximate distance is the DECIMAL-exact sum of its
+    m looked-up entries (order-independent); top-5 by (distance asc,
+    id asc). The probe side reads only the CODE table — at 100 TB the
+    original vectors stay cold. Graded hash-exact."""
+    from margaret_spark.operators.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5, m=4, codes=8, iters=1)
+
+
 def q_docs_triangles(spark, sf_dir):
     """Triangle census of the near-dup graph (graph.triangle_stats
     over the capped-jaccard pairs): per-document degree, triangle
@@ -4546,6 +4600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pagerank": q_docs_pagerank,
         "docs_triangles": q_docs_triangles,
         "embeddings_kmeans": q_embeddings_kmeans,
+        "dedup_semantic_pairs": q_dedup_semantic_pairs,
+        "dedup_semantic": q_dedup_semantic,
+        "ann_pq_codes": q_ann_pq_codes,
+        "ann_pq_topk": q_ann_pq_topk,
         "events_histogram": q_events_histogram,
         "corpus_prior": q_corpus_prior,
         "events_pivot": q_events_pivot,
@@ -5031,13 +5089,18 @@ def _pagerank_sql(iters: int = 6, d: float = 0.85, rd: int = 9, cd: int = 12) ->
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12) -> str:
-    """Generated fixed-iteration Lloyd oracle mirroring
-    similarity.kmeans_assign_deterministic: per round one assignment
-    CTE (rounded-cosine rank, cent_id tiebreak — the ann_ivf pattern)
-    and one means CTE (pround'ed components, exact DECIMAL sum /
-    count, pround again — the pagerank recipe), empty cells keeping
-    the previous centroid; final CTE re-assigns every vector."""
+def _kmeans_ctes(
+    k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12
+) -> tuple[list[str], str]:
+    """The fixed-iteration Lloyd CTE chain mirroring
+    similarity.kmeans_assign_deterministic, returned as (ctes,
+    final-assignment SELECT body) so callers can either emit the
+    assignment directly (_kmeans_sql) or build on it (the SemDeDup
+    oracle). Per round one assignment CTE (rounded-cosine rank,
+    cent_id tiebreak — the ann_ivf pattern) and one means CTE
+    (pround'ed components, exact DECIMAL sum / count, pround again —
+    the pagerank recipe), empty cells keeping the previous centroid;
+    the final body re-assigns every vector."""
 
     def cos(a: str, b: str) -> str:
         return _pr(_cosine_sql(a, b), rd)
@@ -5074,13 +5137,175 @@ def _kmeans_sql(k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 
             f"FROM m{i} GROUP BY cent_id) g ON g.cent_id = c.cent_id)"
         )
     fc = cos("e.embedding", "c.cent")
-    return (
-        "WITH " + ", ".join(ctes) + " SELECT vec_id, cent_id, cosine FROM ("
+    fin = (
+        "SELECT vec_id, cent_id, cosine FROM ("
         f"SELECT e.vec_id, c.cent_id, {fc} AS cosine, "
         f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {fc} DESC, "
         f"c.cent_id ASC) AS cr FROM embeddings e CROSS JOIN cents{iters} c) "
         "WHERE cr = 1"
     )
+    return ctes, fin
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12) -> str:
+    """Generated Lloyd-assignment oracle (see _kmeans_ctes)."""
+    ctes, fin = _kmeans_ctes(k, iters, rd, cd, ds)
+    return "WITH " + ", ".join(ctes) + " " + fin
+
+
+def _semdedup_sql(
+    kind: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    rd: int = 6,
+) -> str:
+    """SemDeDup oracle (operators.semdedup): the Lloyd assignment CTEs
+    plus a within-cluster self-join at the pround'ed pair cosine, and
+    for kind='prune' the dominance anti-filter (drop every id_b)."""
+    ctes, fin = _kmeans_ctes(k, iters, rd)
+    ctes = list(ctes) + [f"fin AS ({fin})"]
+    sim = _pr(_cosine_sql("ea.embedding", "eb.embedding"), rd)
+    ctes.append(
+        "pairs AS (SELECT id_a, id_b, cent_id, cosine FROM ("
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cent_id, "
+        f"{sim} AS cosine "
+        "FROM fin a JOIN fin b ON a.cent_id = b.cent_id "
+        "AND a.vec_id < b.vec_id "
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id) "
+        f"WHERE cosine >= {threshold})"
+    )
+    if kind == "pairs":
+        return (
+            "WITH " + ", ".join(ctes)
+            + " SELECT id_a, id_b, cent_id, cosine FROM pairs"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT vec_id, cent_id, cosine AS cent_cosine FROM fin"
+        " WHERE vec_id NOT IN (SELECT id_b FROM pairs)"
+    )
+
+
+def _pq_ctes(
+    m: int = 4,
+    width: int = 16,
+    k: int = 8,
+    iters: int = 1,
+    rd: int = 6,
+    cd: int = 9,
+    ds: int = 12,
+) -> list[str]:
+    """Product-quantization oracle CTEs mirroring operators.pq: the
+    subvector table, per-subspace Lloyd codebooks (squared L2 via the
+    dot identity a·a + c·c − 2·a·c, pround'ed, code-id tiebreak;
+    pround/DECIMAL means; empty codes keep their centroid), and the
+    final per-(vector, subspace) encoding."""
+
+    def d2(a: str, b: str) -> str:
+        da = _DOT.format(a=a, b=a)
+        db = _DOT.format(a=b, b=b)
+        dab = _DOT.format(a=a, b=b)
+        return _pr(f"({da} + {db}) - (2.0 * {dab})", rd)
+
+    ctes = [
+        f"sv AS (SELECT vec_id, sub, "
+        f"list_slice(embedding, sub*{width}+1, sub*{width}+{width}) AS sv "
+        f"FROM (SELECT vec_id, embedding, unnest(range(0, {m})) AS sub "
+        "FROM embeddings))",
+        f"cb0 AS (SELECT sub, vec_id AS code_id, sv AS cent FROM sv "
+        f"WHERE vec_id IN (SELECT vec_id FROM embeddings "
+        f"ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cb{i - 1}"
+        dd = d2("s.sv", "c.cent")
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, sub, code_id, sv FROM ("
+            f"SELECT s.vec_id, s.sub, c.code_id, s.sv, "
+            f"row_number() OVER (PARTITION BY s.vec_id, s.sub "
+            f"ORDER BY {dd} ASC, c.code_id ASC) AS rn "
+            f"FROM sv s JOIN {prev} c ON c.sub = s.sub) WHERE rn = 1)"
+        )
+        comp = _pr("CAST(sv[d] AS DOUBLE)", cd)
+        ctes.append(
+            f"m{i} AS (SELECT sub, code_id, d, "
+            + _pr(
+                f"CAST(sum(CAST({comp} AS DECIMAL(38,{ds}))) AS DOUBLE)"
+                " / count(*)",
+                cd,
+            )
+            + f" AS mval FROM (SELECT sub, code_id, sv, "
+            f"unnest(range(1, len(sv)+1)) AS d FROM a{i}) "
+            "GROUP BY sub, code_id, d)"
+        )
+        ctes.append(
+            f"cb{i} AS (SELECT c.sub, c.code_id, "
+            "COALESCE(g.cent, c.cent) AS cent "
+            f"FROM {prev} c LEFT JOIN (SELECT sub, code_id, "
+            f"list(mval ORDER BY d) AS cent FROM m{i} "
+            "GROUP BY sub, code_id) g "
+            "ON g.sub = c.sub AND g.code_id = c.code_id)"
+        )
+    fdd = d2("s.sv", "c.cent")
+    ctes.append(
+        "enc AS (SELECT vec_id, sub, code_id, dist2 FROM ("
+        f"SELECT s.vec_id, s.sub, c.code_id, {fdd} AS dist2, "
+        "row_number() OVER (PARTITION BY s.vec_id, s.sub "
+        f"ORDER BY {fdd} ASC, c.code_id ASC) AS rn "
+        f"FROM sv s JOIN cb{iters} c ON c.sub = s.sub) WHERE rn = 1)"
+    )
+    return ctes
+
+
+def _pq_sql(
+    kind: str,
+    m: int = 4,
+    width: int = 16,
+    k: int = 8,
+    iters: int = 1,
+    topk: int = 5,
+    rd: int = 6,
+    ds: int = 12,
+) -> str:
+    """PQ oracle: kind='codes' emits the encoding table; kind='topk'
+    builds the per-query ADC lookup table and ranks the DECIMAL-exact
+    subspace-distance sums (distance asc, id asc)."""
+    ctes = _pq_ctes(m, width, k, iters, rd=rd, ds=ds)
+    if kind == "codes":
+        return (
+            "WITH " + ", ".join(ctes)
+            + " SELECT vec_id, sub, code_id, dist2 FROM enc"
+        )
+
+    def d2(a: str, b: str) -> str:
+        da = _DOT.format(a=a, b=a)
+        db = _DOT.format(a=b, b=b)
+        dab = _DOT.format(a=a, b=b)
+        return _pr(f"({da} + {db}) - (2.0 * {dab})", rd)
+
+    qdd = d2("q.sv", "c.cent")
+    ctes.append(
+        f"lut AS (SELECT q.vec_id AS query_id, q.sub, c.code_id, "
+        f"{qdd} AS dist2 FROM sv q JOIN cb{iters} c ON c.sub = q.sub "
+        "WHERE q.vec_id < 5)"
+    )
+    ctes.append(
+        "score AS (SELECT l.query_id, e.vec_id, "
+        f"CAST(sum(CAST(l.dist2 AS DECIMAL(38,{ds}))) AS DOUBLE) AS adist "
+        "FROM enc e JOIN lut l ON l.sub = e.sub AND l.code_id = e.code_id "
+        "GROUP BY l.query_id, e.vec_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT query_id, vec_id, adist, rank FROM ("
+        "SELECT query_id, vec_id, adist, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank "
+        f"FROM score) WHERE rank <= {topk}"
+    )
+
+
 
 
 def _quality_rules_sql() -> str:
@@ -6883,6 +7108,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "text_quality": _quality_sql(),
         "docs_pagerank": _pagerank_sql(),
         "embeddings_kmeans": _kmeans_sql(),
+        "dedup_semantic_pairs": _semdedup_sql("pairs"),
+        "dedup_semantic": _semdedup_sql("prune"),
+        "ann_pq_codes": _pq_sql("codes"),
+        "ann_pq_topk": _pq_sql("topk"),
         # bounds/width recomputed in-engine: min/max of doubles are the
         # exact same IEEE values Spark's driver aggregation found, and
         # every downstream tree is single-op IEEE arithmetic

@@ -1,0 +1,170 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication") — cluster-scoped embedding near-dup pruning,
+implemented Spark-first on public knowledge only.
+
+The construction (the paper's, re-expressed relationally):
+
+1. **Cluster** the embedding corpus with k-means — here the
+   deterministic, engine-reproducible Lloyd refinement the repo
+   already grades hash-exact (:func:`similarity.kmeans_assign_deterministic`:
+   lowest-id init, rounded-cosine assignment with centroid-id
+   tiebreak, pround/DECIMAL means).
+2. **Pair** only WITHIN a cluster: an equality self-join keyed on
+   ``cent_id`` — O(Σ |cell|²) cosines instead of the all-pairs O(N²).
+   At 100 TB k grows with N (SemDeDup used 50k clusters for LAION) so
+   the per-cell quadratic stays bounded; the join is a plain
+   shuffle-on-cent_id sort-merge join, never a cartesian product.
+3. **Prune** by the deterministic dominance rule used across this
+   repo's dedup families: a row is dropped iff some SAME-CLUSTER row
+   with a SMALLER id is within ``threshold`` cosine — i.e. every
+   ``id_b`` of the pair set. Keeps are a pure function of the input.
+
+Differences from ``dedup.embedding_dedup_pairs_ivf`` (the candidate
+near-dup JOIN): that operator blocks by UNREFINED seeded cells purely
+as a candidate generator; this one is the SemDeDup *curation* op —
+Lloyd-refined clusters (tighter cells → better recall at equal cost)
+plus the keep/drop decision itself.
+
+Reference parity anchor: the reference engine has no embedding
+operators (`margaret` is a log/index store) — this module is part of
+the beyond-reference LLM-pipeline surface the build brief mandates.
+
+Cross-engine exactness: assignment and pair cosines use the proven
+pround/pair_dot/DECIMAL recipe, so the DuckDB oracle in
+``__spark_entry__`` re-derives every kept row bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from margaret_spark.functions.numeric import pround
+from margaret_spark.functions.vectors import l2_norm, pair_dot
+from margaret_spark.operators.similarity import kmeans_assign_deterministic
+
+
+def _assigned_with_vectors(
+    corpus: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    comp_digits: int,
+    sum_scale: int,
+) -> DataFrame:
+    """(id, cent_id, cent_cosine, __v): the final k-means assignment
+    joined back to its vector. localCheckpoint'ed so the self-join
+    below neither recomputes the Lloyd rounds per side nor loses the
+    exchange to alias ambiguity (house rule)."""
+    assigned = kmeans_assign_deterministic(
+        corpus,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        comp_digits=comp_digits,
+        sum_scale=sum_scale,
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    )
+    return (
+        assigned.join(vecs, assigned[id_col] == vecs["__vid"])
+        .select(
+            F.col(id_col).alias("id"),
+            "cent_id",
+            F.col("cosine").alias("cent_cosine"),
+            "__v",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cluster near-dup pairs: (id_a, id_b, cent_id, cosine)
+    with id_a < id_b and rounded cosine ≥ ``threshold``.
+
+    Plan shape: one sort-merge self-join keyed on cent_id (the ONLY
+    shuffle beyond the k-means rounds), Arrow pair_dot scoring on the
+    surviving same-cell candidates. Pass ``assigned`` (from
+    :func:`_assigned_with_vectors`) to share the clustering with
+    :func:`semantic_prune`."""
+    if assigned is None:
+        assigned = _assigned_with_vectors(
+            corpus, k, iters, id_col, vec_col,
+            round_digits, comp_digits, sum_scale,
+        )
+    a = assigned.select(
+        F.col("id").alias("id_a"), "cent_id", F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"),
+        F.col("cent_id").alias("__cb"),
+        F.col("__v").alias("__vb"),
+    )
+    sim = pround(
+        pair_dot(F.col("__va"), F.col("__vb"))
+        / (l2_norm(F.col("__va")) * l2_norm(F.col("__vb"))),
+        round_digits,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cent_id") == F.col("__cb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cosine", sim)
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cent_id", "cosine")
+    )
+
+
+def semantic_prune(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> DataFrame:
+    """SemDeDup keeps: (``id_col``, cent_id, cent_cosine) for every
+    row NOT dominated by a smaller-id same-cluster row within
+    ``threshold`` cosine — drop set = the distinct ``id_b`` of
+    :func:`semantic_dedup_pairs`, removed with one broadcast-able
+    left-anti join. Deterministic: keeps are a pure function of the
+    input (no sampling, no float-sum ordering)."""
+    assigned = _assigned_with_vectors(
+        corpus, k, iters, id_col, vec_col,
+        round_digits, comp_digits, sum_scale,
+    )
+    pairs = semantic_dedup_pairs(
+        corpus, k, iters, threshold, id_col, vec_col,
+        round_digits, comp_digits, sum_scale, assigned=assigned,
+    )
+    dropped = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    return (
+        assigned.join(
+            dropped, assigned["id"] == dropped["__drop"], "left_anti"
+        )
+        .select(
+            F.col("id").alias(id_col), "cent_id", "cent_cosine"
+        )
+    )

@@ -66,6 +66,15 @@ def test_entry_queries_plan_quality(spark):
         "ann_recall",
         # Lloyd assignment scores |corpus|·k pairs through pair_dot
         "embeddings_kmeans",
+        # SemDeDup: Lloyd assignment + within-cell pair cosines both
+        # go through the Arrow dot kernel
+        "dedup_semantic_pairs",
+        "dedup_semantic",
+        # PQ: subspace Lloyd distances and the ADC LUT go through
+        # pair_dot; the code table and the DECIMAL distance sum are
+        # pure codegen
+        "ann_pq_codes",
+        "ann_pq_topk",
         # binary-blob plumbing is genuinely imperative: Arrow-batched
         # mapInPandas is its designed execution path (plan_summary now
         # counts MapInPandas nodes too, so the whole decode family

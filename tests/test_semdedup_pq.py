@@ -1,0 +1,125 @@
+"""SemDeDup semantic pruning (operators.semdedup) and product
+quantization (operators.pq): planted-duplicate recall, dominance
+semantics, codebook invariants, ADC vs exact ranking."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from margaret_spark.operators.pq import pq_encode, pq_topk, pq_train
+from margaret_spark.operators.semdedup import (
+    semantic_dedup_pairs,
+    semantic_prune,
+)
+
+
+def _unit(vals):
+    n = math.sqrt(sum(v * v for v in vals))
+    return [v / n for v in vals]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Two well-separated directions, 8-dim; ids 0-3 cluster A
+    (0 and 1 near-identical, 2 and 3 distinct-ish), ids 10-11
+    cluster B near-identical. Cross-cluster cosines ~0."""
+    a = [1.0, 0.0, 0.0, 0.0, 0.2, 0.0, 0.1, 0.0]
+    b = [0.0, 1.0, 0.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+    rows = [
+        (0, _unit(a)),
+        (1, _unit([v + 0.01 * (i % 3) for i, v in enumerate(a)])),
+        (2, _unit([v + (0.8 if i == 2 else 0.0) for i, v in enumerate(a)])),
+        (3, _unit([v + (0.9 if i == 5 else 0.0) for i, v in enumerate(a)])),
+        (10, _unit(b)),
+        (11, _unit([v + 0.01 * (i % 2) for i, v in enumerate(b)])),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_pairs_find_planted_dups_within_clusters(planted):
+    pairs = semantic_dedup_pairs(planted, k=2, iters=2, threshold=0.98)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (10, 11) in got
+    # never a cross-cluster pair: every pair shares a cent_id by
+    # construction, and the near-orthogonal directions can't reach
+    # the threshold anyway
+    assert all(not ({p[0], p[1]} == {1, 10}) for p in got)
+
+
+def test_semantic_prune_drops_exactly_the_dominated_rows(planted):
+    kept = semantic_prune(planted, k=2, iters=2, threshold=0.98)
+    ids = sorted(r.vec_id for r in kept.collect())
+    # 1 dominated by 0, 11 by 10; the distinct-ish rows survive
+    assert ids == [0, 2, 3, 10]
+    # output carries the final cluster assignment
+    cols = set(kept.columns)
+    assert cols == {"vec_id", "cent_id", "cent_cosine"}
+
+
+def test_semantic_prune_keeps_everything_below_threshold(planted):
+    kept = semantic_prune(planted, k=2, iters=1, threshold=1.1)
+    assert kept.count() == planted.count()
+
+
+@pytest.fixture(scope="module")
+def pqcorpus(spark):
+    """24 deterministic 8-dim vectors with two obvious groups per
+    half-space so 2-subspace codebooks have structure to find."""
+    rows = []
+    for i in range(24):
+        base = [0.0] * 8
+        base[i % 4] = 1.0 + 0.05 * (i % 3)
+        base[4 + (i % 2)] = 0.5 + 0.1 * (i % 5)
+        rows.append((i, base))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_train_shapes_and_empty_code_retention(pqcorpus):
+    cb = pq_train(pqcorpus, m=2, codes=4, iters=2)
+    rows = cb.collect()
+    # every (sub, code) survives every round even if a cell empties
+    assert sorted((r.sub, r.code_id) for r in rows) == [
+        (s, c) for s in range(2) for c in range(4)
+    ]
+    assert all(len(r.cent) == 4 for r in rows)
+
+
+def test_pq_encode_assigns_every_subspace(pqcorpus):
+    cb = pq_train(pqcorpus, m=2, codes=4, iters=1)
+    enc = pq_encode(pqcorpus, cb, m=2)
+    assert enc.count() == 24 * 2
+    assert enc.select("vec_id", "sub").distinct().count() == 48
+    code_ids = {r.code_id for r in enc.select("code_id").distinct().collect()}
+    assert code_ids <= {0, 1, 2, 3}
+
+
+def test_pq_topk_self_is_rank_one_and_adc_orders_sanely(pqcorpus):
+    queries = pqcorpus.where(F.col("vec_id") < 3)
+    tk = pq_topk(pqcorpus, queries, k=4, m=2, codes=4, iters=1)
+    by_q = {}
+    for r in tk.collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) == 4
+        # the query itself shares every code with itself → minimal
+        # quantized distance; ties break on id so it may not be
+        # LITERALLY rank 1, but it must be in the minimal-dist group
+        self_d = [r.adist for r in rs if r.vec_id == qid]
+        assert self_d and self_d[0] == rs[0].adist
+        assert [r.adist for r in rs] == sorted(r.adist for r in rs)
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, codes=1, iters=0)
+
+
+def test_pq_rejects_empty_corpus(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(df, m=2, codes=1, iters=0)
