@@ -2716,6 +2716,24 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5, m=4, codes=8, iters=1)
 
 
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVFADC (operators.pq.ivfpq_topk, Jégou et al. 2011 §V): the
+    composed IVF + residual-PQ search — 16 seeded cells, PQ codebooks
+    trained on the residuals v − cent(cell), queries probe their 4
+    nearest cells and score ONLY those cells' code rows through a
+    broadcast per-(query, cell) residual lookup table. The index the
+    cluster stores is (cell, 4 codes) per vector — bytes — and the
+    probe never scans the corpus: the true 100 TB ANN serving shape.
+    Graded hash-exact against the composed ann_ivf + PQ oracle."""
+    from margaret_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 5),
+        k=5, nlist=16, nprobe=4, m=4, codes=8, iters=1,
+    )
+
+
 def q_docs_triangles(spark, sf_dir):
     """Triangle census of the near-dup graph (graph.triangle_stats
     over the capped-jaccard pairs): per-document degree, triangle
@@ -4604,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "events_histogram": q_events_histogram,
         "corpus_prior": q_corpus_prior,
         "events_pivot": q_events_pivot,
@@ -5196,9 +5215,12 @@ def _pq_ctes(
     rd: int = 6,
     cd: int = 9,
     ds: int = 12,
+    src: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> list[str]:
     """Product-quantization oracle CTEs mirroring operators.pq: the
-    subvector table, per-subspace Lloyd codebooks (squared L2 via the
+    subvector table (over ``src``, a SELECT producing (vec_id,
+    embedding) — the raw corpus for ann_pq_*, the IVF residual table
+    for ann_ivf_pq), per-subspace Lloyd codebooks (squared L2 via the
     dot identity a·a + c·c − 2·a·c, pround'ed, code-id tiebreak;
     pround/DECIMAL means; empty codes keep their centroid), and the
     final per-(vector, subspace) encoding."""
@@ -5213,7 +5235,7 @@ def _pq_ctes(
         f"sv AS (SELECT vec_id, sub, "
         f"list_slice(embedding, sub*{width}+1, sub*{width}+{width}) AS sv "
         f"FROM (SELECT vec_id, embedding, unnest(range(0, {m})) AS sub "
-        "FROM embeddings))",
+        f"FROM ({src})))",
         f"cb0 AS (SELECT sub, vec_id AS code_id, sv AS cent FROM sv "
         f"WHERE vec_id IN (SELECT vec_id FROM embeddings "
         f"ORDER BY vec_id LIMIT {k}))",
@@ -5299,6 +5321,86 @@ def _pq_sql(
     )
     return (
         "WITH " + ", ".join(ctes)
+        + " SELECT query_id, vec_id, adist, rank FROM ("
+        "SELECT query_id, vec_id, adist, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank "
+        f"FROM score) WHERE rank <= {topk}"
+    )
+
+
+def _ivfpq_sql(
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    width: int = 16,
+    k: int = 8,
+    iters: int = 1,
+    topk: int = 5,
+    rd: int = 6,
+    ds: int = 12,
+) -> str:
+    """IVFADC oracle (operators.pq.ivfpq_topk): the ann_ivf cell /
+    probe CTEs (seeded lowest-id centroids, rounded-cosine rank),
+    residuals v − cent(cell) per element, the PQ chain over the
+    residual table, per-(query, probed cell) residual lookup tables,
+    and the DECIMAL-exact subspace-distance sum ranked (asc, id asc)
+    with self-matches excluded."""
+    resid = (
+        "list_transform(range(1, len({v}) + 1), i -> "
+        "CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+    )
+    pre = [
+        f"cents AS (SELECT vec_id AS cent_id, embedding AS cent "
+        f"FROM embeddings ORDER BY vec_id LIMIT {nlist})",
+        "cell AS (SELECT neighbor_id, cent_id, cv, cent FROM ("
+        "SELECT e.vec_id AS neighbor_id, c.cent_id, e.embedding AS cv, "
+        "c.cent, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        + _pr(_cosine_sql("e.embedding", "c.cent"))
+        + " DESC, c.cent_id ASC) AS cr "
+        "FROM embeddings e CROSS JOIN cents c) WHERE cr = 1)",
+        "res AS (SELECT neighbor_id AS vec_id, cent_id AS cell, "
+        + resid.format(v="cv", c="cent")
+        + " AS rv FROM cell)",
+    ]
+    pq = _pq_ctes(
+        m, width, k, iters, rd=rd, ds=ds,
+        src="SELECT vec_id, rv AS embedding FROM res",
+    )
+
+    def d2(a: str, b: str) -> str:
+        da = _DOT.format(a=a, b=a)
+        db = _DOT.format(a=b, b=b)
+        dab = _DOT.format(a=a, b=b)
+        return _pr(f"({da} + {db}) - (2.0 * {dab})", rd)
+
+    qdd = d2("q.sv", "c.cent")
+    post = [
+        "probe AS (SELECT query_id, cent_id, qv, cent FROM ("
+        "SELECT q.vec_id AS query_id, c.cent_id, q.embedding AS qv, "
+        "c.cent, row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        + _pr(_cosine_sql("q.embedding", "c.cent"))
+        + " DESC, c.cent_id ASC) AS cr "
+        "FROM (SELECT * FROM embeddings WHERE vec_id < 5) q "
+        f"CROSS JOIN cents c) WHERE cr <= {nprobe})",
+        "qres AS (SELECT query_id, cent_id AS cell, "
+        + resid.format(v="qv", c="cent")
+        + " AS rv FROM probe)",
+        f"qsv AS (SELECT query_id, cell, sub, "
+        f"list_slice(rv, sub*{width}+1, sub*{width}+{width}) AS sv "
+        f"FROM (SELECT query_id, cell, rv, unnest(range(0, {m})) AS sub "
+        "FROM qres))",
+        f"lut AS (SELECT q.query_id, q.cell, q.sub, c.code_id, "
+        f"{qdd} AS dist2 FROM qsv q JOIN cb{iters} c ON c.sub = q.sub)",
+        "score AS (SELECT l.query_id, e.vec_id, "
+        f"CAST(sum(CAST(l.dist2 AS DECIMAL(38,{ds}))) AS DOUBLE) AS adist "
+        "FROM enc e JOIN res r ON r.vec_id = e.vec_id "
+        "JOIN lut l ON l.cell = r.cell AND l.sub = e.sub "
+        "AND l.code_id = e.code_id "
+        "WHERE l.query_id <> e.vec_id "
+        "GROUP BY l.query_id, e.vec_id)",
+    ]
+    return (
+        "WITH " + ", ".join(pre + pq + post)
         + " SELECT query_id, vec_id, adist, rank FROM ("
         "SELECT query_id, vec_id, adist, row_number() OVER ("
         "PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank "
@@ -7112,6 +7214,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "dedup_semantic": _semdedup_sql("prune"),
         "ann_pq_codes": _pq_sql("codes"),
         "ann_pq_topk": _pq_sql("topk"),
+        "ann_ivf_pq": _ivfpq_sql(),
         # bounds/width recomputed in-engine: min/max of doubles are the
         # exact same IEEE values Spark's driver aggregation found, and
         # every downstream tree is single-op IEEE arithmetic

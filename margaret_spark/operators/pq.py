@@ -202,6 +202,131 @@ def pq_encode(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> DataFrame:
+    """IVFADC — the composed IVF + residual-PQ search (Jégou et al.
+    2011 §V): (query_id, ``id_col``, adist, rank).
+
+    1. The corpus buckets into ``nlist`` seeded cells (the lowest-id
+       vectors as centroids — the same deterministic convention as
+       ``ann_ivf``, so cell membership is oracle-expressible).
+    2. PQ codebooks train on the RESIDUALS ``v − cent(cell)`` —
+       residuals concentrate near 0 so a small codebook spends its
+       precision where the data is; one global codebook (the classic
+       IVFADC layout).
+    3. A query probes its ``nprobe`` nearest cells; per probed cell
+       its own residual ``q − cent`` builds a broadcast ADC lookup
+       table, and only that cell's code rows are scored — the
+       per-query work is |probed cells| · codes LUT entries plus a
+       code-table join, never a corpus scan.
+
+    This is the 100 TB serving shape: the index is (cell, m codes)
+    per vector — bytes, not the float vectors — partition-prunable by
+    cell and scored by a broadcast LUT join. Self-matches are
+    excluded (``ann_ivf`` convention). Hash-exact: every distance is
+    the pround'ed dot-identity tree over DECIMAL-exact sums."""
+    dim = infer_dim(corpus, vec_col)
+    if dim is None:
+        raise ValueError("cannot build an IVFPQ index on an empty corpus")
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    from margaret_spark.operators.similarity import _nearest_cells
+
+    from margaret_spark.functions.vectors import l2_norm
+
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("__cent"),
+            l2_norm(F.col(vec_col)).alias("__centn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    residual = F.zip_with(
+        F.col("__v"),
+        F.col("__cent"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    res = (
+        _nearest_cells(corpus, cents, id_col, vec_col, "id", 1, round_digits)
+        .join(F.broadcast(cents.select("cent_id", "__cent")), "cent_id")
+        .select(
+            "id",
+            F.col("cent_id").alias("cell"),
+            residual.alias("res"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cb = pq_train(
+        res, m, codes, iters, id_col="id", vec_col="res",
+        round_digits=round_digits, comp_digits=comp_digits,
+        sum_scale=sum_scale, dim=dim,
+    )
+    enc = pq_encode(res, cb, m, id_col="id", vec_col="res",
+                    round_digits=round_digits, dim=dim)
+    enc = enc.join(res.select("id", "cell"), "id")
+    probes = (
+        _nearest_cells(queries, cents, id_col, vec_col, "query_id",
+                       nprobe, round_digits)
+        .join(F.broadcast(cents.select("cent_id", "__cent")), "cent_id")
+        .select(
+            "query_id",
+            F.col("cent_id").alias("cell"),
+            residual.alias("qres"),
+        )
+    )
+    width = dim // m
+    qslices = F.array(
+        *[F.slice(F.col("qres"), s * width + 1, width) for s in range(m)]
+    )
+    qsv = probes.select(
+        "query_id", "cell", F.posexplode(qslices).alias("sub", "sv")
+    ).withColumn("nsq", pair_dot(F.col("sv"), F.col("sv")))
+    lut = (
+        qsv.join(F.broadcast(cb), "sub")
+        .withColumn(
+            "__ld2",
+            _dist2(
+                F.col("nsq"),
+                F.col("cnsq"),
+                pair_dot(F.col("sv"), F.col("cent")),
+                round_digits,
+            ),
+        )
+        .select("query_id", "cell", "sub", "code_id",
+                F.col("__ld2").alias("__qd2"))
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["cell", "sub", "code_id"])
+        .where(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(dsum("__qd2", scale=sum_scale).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col), "adist", "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

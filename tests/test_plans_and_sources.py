@@ -75,6 +75,7 @@ def test_entry_queries_plan_quality(spark):
         # pure codegen
         "ann_pq_codes",
         "ann_pq_topk",
+        "ann_ivf_pq",
         # binary-blob plumbing is genuinely imperative: Arrow-batched
         # mapInPandas is its designed execution path (plan_summary now
         # counts MapInPandas nodes too, so the whole decode family

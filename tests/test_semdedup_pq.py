@@ -111,6 +111,58 @@ def test_pq_topk_self_is_rank_one_and_adc_orders_sanely(pqcorpus):
         assert [r.adist for r in rs] == sorted(r.adist for r in rs)
 
 
+def test_ivfpq_probes_only_cells_and_excludes_self(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from margaret_spark.operators.pq import ivfpq_topk
+
+    tk = ivfpq_topk(
+        df, df.where(F.col("vec_id") < 3),
+        k=3, nlist=4, nprobe=2, m=2, codes=4, iters=1,
+    )
+    got = tk.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        assert all(r.vec_id != qid for r in rs)  # self excluded
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: r.rank)
+        assert [r.adist for r in ordered] == sorted(r.adist for r in rs)
+
+
+def test_ivfpq_recall_against_exact_neighbors(spark):
+    """With generous probes/codes on a small corpus, IVFADC's top-3
+    must overlap the exact cosine top-3 — the ANN contract."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from margaret_spark.operators.pq import ivfpq_topk
+    from margaret_spark.operators.similarity import brute_force_topk
+
+    qs = df.where(F.col("vec_id") < 2)
+    approx = ivfpq_topk(df, qs, k=3, nlist=2, nprobe=2, m=4, codes=8, iters=2)
+    exact = brute_force_topk(df, qs, k=4)
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r.query_id, set()).add(r.vec_id)
+    e = {}
+    for r in exact.collect():
+        if r.neighbor_id != r.query_id:
+            e.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(a[q] & e.get(q, set())) for q in a)
+    total = sum(len(v) for v in a.values())
+    assert hits / total >= 0.5, (hits, total, a, e)
+
+
 def test_pq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
