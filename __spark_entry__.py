@@ -3809,6 +3809,51 @@ def q_stream_dsir_filter(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_pq_assign(spark, sf_dir):
+    """Streaming PQ intake (streaming/annintake.stream_pq_assign):
+    every embedding streaming out of the log is compressed at ingest
+    to its m=4 nearest-code ids under a FROZEN codebook
+    (operators.pq.pq_train on the reference corpus — fit once, the
+    at-ingest-model house rule). Stateless broadcast ranking, so
+    per-batch encoding of disjoint seqs equals batch encoding of the
+    whole corpus — which is exactly what the oracle states: the PQ
+    CTE chain's enc table keyed by seq. Keepers (seq, sub, code_id,
+    dist2) land executor-side as batch=<id> partials; the serving
+    code table IVFADC reads is their fold."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.operators.pq import pq_train
+    from margaret_spark.streaming import read_keeper_sink, stream_pq_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_train(emb, m=4, codes=8, iters=1)
+    base = tempfile.mkdtemp(prefix="stream_pq_")
+    try:
+        log = OffsetLog(
+            spark,
+            os.path.join(base, "log"),
+            value_type=T.ArrayType(T.FloatType()),
+        )
+        log.append_df(emb, value_col="embedding", order_by="vec_id")
+        sink = os.path.join(base, "sink")
+        stream_pq_assign(
+            log,
+            F.col("value"),
+            cb,
+            sink,
+            os.path.join(base, "ckpt"),
+        )
+        out = read_keeper_sink(
+            spark, sink, "seq long, sub long, code_id long, dist2 double"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_ivf_assign(spark, sf_dir):
     """Streaming ANN intake (streaming/annintake.py): every embedding
     streaming out of the log is routed to its nearest IVF cell under
@@ -4642,6 +4687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_nb_filter": q_stream_nb_filter,
         "stream_dsir_filter": q_stream_dsir_filter,
         "stream_ivf_assign": q_stream_ivf_assign,
+        "stream_pq_assign": q_stream_pq_assign,
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
         "stream_pii_redact": q_stream_pii_redact,
@@ -5842,6 +5888,11 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming ANN intake: nearest frozen centroid per embedding,
     # the house (rounded cosine desc, cent_id asc) tiebreak
+    d["stream_pq_assign"] = (
+        "WITH " + ", ".join(_pq_ctes())
+        + " SELECT vec_id AS seq, CAST(sub AS BIGINT) AS sub, "
+        "code_id, dist2 FROM enc"
+    )
     d["stream_ivf_assign"] = (
         "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent "
         "FROM embeddings ORDER BY vec_id LIMIT 16), "

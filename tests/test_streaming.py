@@ -1627,3 +1627,60 @@ def test_stateful_ops_require_checkpoint_dir(spark, tmp_path):
         stream_dedup_exact(
             log, F.col("value"), sink_dir=str(tmp_path / "sink")
         )
+
+
+def test_stream_pq_assign_matches_batch_encode_and_resumes(spark, tmp_path):
+    """Streaming PQ intake compresses each appended vector to exactly
+    the codes the batch encoder picks (pround'ed squared-L2 rank,
+    code-id-asc tiebreak), drops NULL vectors, and on resume encodes
+    only NEW appends."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.pq import pq_encode, pq_train
+    from margaret_spark.streaming import read_keeper_sink, stream_pq_assign
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), float(i % 2), 1.0])
+         for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_train(corpus, m=2, codes=3, iters=1)
+
+    vecs = [
+        [2.0, 0.1, 0.0, 1.0],
+        [0.1, 3.0, 1.0, 1.0],
+        None,  # dropped
+        [1.0, 1.0, 1.0, 1.0],
+    ]
+    log = OffsetLog(
+        spark, str(tmp_path / "log"), value_type=T.ArrayType(T.FloatType())
+    )
+    log.append_many(vecs)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    stream_pq_assign(log, F.col("value"), cb, sink, ckpt)
+    out = {
+        (r["seq"], r["sub"]): r["code_id"]
+        for r in read_keeper_sink(
+            spark, sink, "seq long, sub long, code_id long, dist2 double"
+        ).collect()
+    }
+    assert {s for s, _ in out} == {0, 1, 3}  # NULL (seq 2) dropped
+    # streaming codes == batch encoder codes on the identical vectors
+    batch_in = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs) if v is not None],
+        "vec_id long, embedding array<float>",
+    )
+    expect = {
+        (r["vec_id"], r["sub"]): r["code_id"]
+        for r in pq_encode(batch_in, cb, m=2).collect()
+    }
+    assert out == expect
+
+    # resume: a new append is encoded; old seqs aren't re-emitted twice
+    log.append([9.0, 9.0, 9.0, 9.0])
+    stream_pq_assign(log, F.col("value"), cb, sink, ckpt)
+    out2 = read_keeper_sink(
+        spark, sink, "seq long, sub long, code_id long, dist2 double"
+    )
+    assert out2.where(F.col("seq") == 4).count() == 2  # m=2 rows
+    assert out2.count() == len(out) + 2
