@@ -1158,6 +1158,10 @@ def _blocked_allpairs_cosine(
     spark = df.sparkSession
     bp = [(i * nblocks + j, i, j) for i in range(nblocks) for j in range(i, nblocks)]
     bp_df = F.broadcast(spark.createDataFrame(bp, "bp long, bi int, bj int"))
+    # the output id type follows the input id column — every pair
+    # generator in this module accepts string-keyed corpora (see
+    # dedup_clusters), so the applyInPandas schema must not pin long
+    id_t = df.schema[id_col].dataType.simpleString()
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -1177,8 +1181,14 @@ def _blocked_allpairs_cosine(
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        # object-dtype empties: Arrow accepts them for any target type
+        # (an int64 pin here crashed string-keyed corpora)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="object"),
+                "id_b": pd.Series([], dtype="object"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
         )
         L = pdf[pdf["side"] == 0]
         R = pdf[pdf["side"] == 1]
@@ -1210,13 +1220,16 @@ def _blocked_allpairs_cosine(
             keep = ia < ib  # both orientations present in a same-block pair
             ia, ib, c = ia[keep], ib[keep], c[keep]
         else:
-            lo = np.minimum(ia, ib)
-            hi = np.maximum(ia, ib)
+            # np.where (not np.minimum) so object/string id arrays
+            # order with Python comparison semantics too
+            swap = ia > ib
+            lo = np.where(swap, ib, ia)
+            hi = np.where(swap, ia, ib)
             ia, ib = lo, hi
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": c})
 
     return both.groupBy("bp").applyInPandas(
-        score, "id_a long, id_b long, cosine double"
+        score, f"id_a {id_t}, id_b {id_t}, cosine double"
     )
 
 

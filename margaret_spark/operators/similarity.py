@@ -408,9 +408,11 @@ def lsh_bucketed_topk(
         raise ValueError(f"nbits must be in 1..63: {nbits}")
     spark = corpus.sparkSession
     dim = infer_dim(corpus, vec_col)
-    if dim is None:  # empty corpus: same schema as brute_force_topk
+    if dim is None:  # empty corpus: same schema as brute_force_topk,
+        # id columns keeping the input id type (not pinned to long)
+        id_t = corpus.schema[id_col].dataType.simpleString()
         return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
+            [], f"query_id {id_t}, neighbor_id {id_t}, cosine double, rank int"
         )
     planes = _hyperplanes_df(spark, dim, nbits, seed)
 
@@ -514,8 +516,18 @@ def ann_recall_at_k(
     approx = ivf_topk(
         corpus, queries, k=k, nlist=nlist, nprobe=nprobe, centroids=centroids
     ).select("query_id", "neighbor_id")
-    n_exact = exact.groupBy("query_id").agg(
-        F.count("*").cast("long").alias("n_exact")
+    # anchor on the query set: a query whose exact top-k is EMPTY
+    # (it is the whole corpus) must still report a row, not vanish
+    # from the groupBy
+    qids = queries.select(F.col(id_col).alias("query_id")).distinct()
+    n_exact = qids.join(
+        exact.groupBy("query_id").agg(
+            F.count("*").cast("long").alias("__ne")
+        ),
+        "query_id",
+        "left",
+    ).select(
+        "query_id", F.coalesce(F.col("__ne"), F.lit(0)).cast("long").alias("n_exact")
     )
     n_hits = (
         approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
@@ -531,7 +543,14 @@ def ann_recall_at_k(
         )
         .withColumn(
             "recall",
-            pround(F.col("n_hits") / F.col("n_exact"), round_digits),
+            # a query whose true top-k is empty (corpus = the query
+            # itself) has no defined recall; report 1.0 — the index
+            # missed nothing — instead of a NULL from 0/0
+            pround(
+                F.when(F.col("n_exact") > 0, F.col("n_hits") / F.col("n_exact"))
+                .otherwise(F.lit(1.0)),
+                round_digits,
+            ),
         )
     )
 

@@ -2284,3 +2284,42 @@ def test_audio_dedup_finds_planted_noise_near_dups(spark):
         if ham(sig[a], sig[b]) <= 10
     )
     assert got == want and (1, 2, ham(sig[1], sig[2])) in got
+
+
+def test_blocked_allpairs_cosine_accepts_string_ids(spark):
+    """The exact all-pairs embedding dedup must follow the input id
+    TYPE (the family contract dedup_clusters documents) — the
+    applyInPandas schema used to pin long and crash string-keyed
+    corpora."""
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [1.0, 0.001]),
+        ("c", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    got = embedding_dedup_pairs(
+        df, "doc", "embedding", threshold=0.99, nblocks=2
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [("a", "b")]
+    assert all(r.id_a < r.id_b for r in got)
+
+
+def test_lsh_empty_corpus_keeps_id_type(spark):
+    from margaret_spark.operators.similarity import lsh_bucketed_topk
+
+    df = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = lsh_bucketed_topk(df, df, k=3)
+    assert out.count() == 0
+    assert dict(out.dtypes)["query_id"] == "string"
+
+
+def test_ann_recall_zero_denominator_reports_one(spark):
+    """A query whose exact top-k is empty (it is the whole corpus) has
+    recall 1.0 — the index missed nothing — not NULL from 0/0."""
+    from margaret_spark.operators.similarity import ann_recall_at_k
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    row = ann_recall_at_k(df, df, "vec_id", "embedding", k=3, nlist=1, nprobe=1).collect()
+    assert len(row) == 1 and row[0]["n_exact"] == 0 and row[0]["recall"] == 1.0
