@@ -2734,6 +2734,43 @@ def q_ann_ivf_pq(spark, sf_dir):
     )
 
 
+def q_docs_hash_embed(spark, sf_dir):
+    """Hashing-trick document embeddings (operators.hashembed, after
+    Weinberger et al. 2009): every document's 64-dim signed
+    bucket-count vector, L2-normalized — vocabulary-free text
+    vectorization that feeds the whole vector stack (semantic dedup,
+    k-means, ANN, PQ) on corpora without a neural embedding column.
+    Emitted exploded as (doc_id, pos, val); graded hash-exact — one
+    md5 per token drives bucket and sign, counts are exact integers,
+    and the normalization tree is IEEE-identical in the oracle."""
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64)
+    return emb.select(
+        "doc_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+
+
+def q_docs_semantic_dedup(spark, sf_dir):
+    """The full text → vector → SemDeDup composition: hashed doc
+    embeddings (q_docs_hash_embed's operator) pruned by
+    semdedup.semantic_prune over k=8 Lloyd-refined cells at 0.88
+    cosine — semantic near-dup curation for corpora with NO model
+    embeddings at all. Keeps ~434/500 at sf0.01. Graded hash-exact:
+    the oracle chains the hashed-embedding CTEs into the re-sourced
+    k-means + pair-join chain."""
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+    from margaret_spark.operators.semdedup import semantic_prune
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64)
+    return semantic_prune(
+        emb, k=8, iters=1, threshold=0.88,
+        id_col="doc_id", vec_col="embedding",
+    )
+
+
 def q_docs_triangles(spark, sf_dir):
     """Triangle census of the near-dup graph (graph.triangle_stats
     over the capped-jaccard pairs): per-document degree, triangle
@@ -4668,6 +4705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "docs_hash_embed": q_docs_hash_embed,
+        "docs_semantic_dedup": q_docs_semantic_dedup,
         "events_histogram": q_events_histogram,
         "corpus_prior": q_corpus_prior,
         "events_pivot": q_events_pivot,
@@ -5155,7 +5194,8 @@ def _pagerank_sql(iters: int = 6, d: float = 0.85, rd: int = 9, cd: int = 12) ->
 
 
 def _kmeans_ctes(
-    k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12
+    k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12,
+    src: str = "embeddings",
 ) -> tuple[list[str], str]:
     """The fixed-iteration Lloyd CTE chain mirroring
     similarity.kmeans_assign_deterministic, returned as (ctes,
@@ -5172,7 +5212,7 @@ def _kmeans_ctes(
 
     ctes = [
         f"cents0 AS (SELECT vec_id AS cent_id, embedding AS cent "
-        f"FROM embeddings ORDER BY vec_id LIMIT {k})"
+        f"FROM {src} ORDER BY vec_id LIMIT {k})"
     ]
     for i in range(1, iters + 1):
         prev = f"cents{i - 1}"
@@ -5182,7 +5222,7 @@ def _kmeans_ctes(
             f"row_number() OVER (PARTITION BY e.vec_id ORDER BY "
             + cos("e.embedding", "c.cent")
             + f" DESC, c.cent_id ASC) AS cr "
-            f"FROM embeddings e CROSS JOIN {prev} c) WHERE cr = 1)"
+            f"FROM {src} e CROSS JOIN {prev} c) WHERE cr = 1)"
         )
         contrib = _pr("CAST(embedding[d] AS DOUBLE)", cd)
         ctes.append(
@@ -5206,7 +5246,7 @@ def _kmeans_ctes(
         "SELECT vec_id, cent_id, cosine FROM ("
         f"SELECT e.vec_id, c.cent_id, {fc} AS cosine, "
         f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {fc} DESC, "
-        f"c.cent_id ASC) AS cr FROM embeddings e CROSS JOIN cents{iters} c) "
+        f"c.cent_id ASC) AS cr FROM {src} e CROSS JOIN cents{iters} c) "
         "WHERE cr = 1"
     )
     return ctes, fin
@@ -5224,12 +5264,19 @@ def _semdedup_sql(
     iters: int = 2,
     threshold: float = 0.4,
     rd: int = 6,
+    src: str = "embeddings",
+    id_name: str = "vec_id",
+    pre_ctes: list[str] | None = None,
 ) -> str:
     """SemDeDup oracle (operators.semdedup): the Lloyd assignment CTEs
-    plus a within-cluster self-join at the pround'ed pair cosine, and
-    for kind='prune' the dominance anti-filter (drop every id_b)."""
-    ctes, fin = _kmeans_ctes(k, iters, rd)
-    ctes = list(ctes) + [f"fin AS ({fin})"]
+    (re-sourced onto ``src`` — the raw embeddings table, or a derived
+    vector CTE from ``pre_ctes`` such as the hashed-doc-embedding
+    chain) plus a within-cluster self-join at the pround'ed pair
+    cosine, and for kind='prune' the dominance anti-filter (drop
+    every id_b). ``id_name`` renames the output id column."""
+    ctes, fin = _kmeans_ctes(k, iters, rd, src=src)
+    ctes = (list(pre_ctes) if pre_ctes else []) + list(ctes)
+    ctes.append(f"fin AS ({fin})")
     sim = _pr(_cosine_sql("ea.embedding", "eb.embedding"), rd)
     ctes.append(
         "pairs AS (SELECT id_a, id_b, cent_id, cosine FROM ("
@@ -5237,20 +5284,57 @@ def _semdedup_sql(
         f"{sim} AS cosine "
         "FROM fin a JOIN fin b ON a.cent_id = b.cent_id "
         "AND a.vec_id < b.vec_id "
-        "JOIN embeddings ea ON ea.vec_id = a.vec_id "
-        "JOIN embeddings eb ON eb.vec_id = b.vec_id) "
+        f"JOIN {src} ea ON ea.vec_id = a.vec_id "
+        f"JOIN {src} eb ON eb.vec_id = b.vec_id) "
         f"WHERE cosine >= {threshold})"
     )
     if kind == "pairs":
         return (
             "WITH " + ", ".join(ctes)
-            + " SELECT id_a, id_b, cent_id, cosine FROM pairs"
+            + " SELECT id_a"
+            + ("" if id_name == "vec_id" else f" AS {id_name}_a")
+            + ", id_b"
+            + ("" if id_name == "vec_id" else f" AS {id_name}_b")
+            + ", cent_id, cosine FROM pairs"
         )
     return (
         "WITH " + ", ".join(ctes)
-        + " SELECT vec_id, cent_id, cosine AS cent_cosine FROM fin"
-        " WHERE vec_id NOT IN (SELECT id_b FROM pairs)"
+        + f" SELECT vec_id AS {id_name}, cent_id, cosine AS cent_cosine"
+        " FROM fin WHERE vec_id NOT IN (SELECT id_b FROM pairs)"
     )
+
+
+#: hashed-doc-embedding oracle chain (operators.hashembed): one md5
+#: per token feeds both the bucket (first 8 hex digits) and the sign
+#: (9th digit's parity); signed integer bucket sums densify against
+#: the full bucket range and L2-normalize (integer-valued doubles sum
+#: exactly in any order, so the fold needs no DECIMAL)
+def _hashembed_ctes(dim: int = 64) -> list[str]:
+    b = (
+        "CAST(CAST('0x' || substr(md5('e#' || tok), 1, 8) AS BIGINT) "
+        f"% {dim} AS INT)"
+    )
+    s = (
+        "(CAST(CAST('0x' || substr(md5('e#' || tok), 9, 1) AS BIGINT) "
+        "% 2 AS BIGINT) * 2 - 1)"
+    )
+    return [
+        f"htoks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents)",
+        f"hsums AS (SELECT doc_id, {b} AS b, CAST(sum({s}) AS BIGINT) AS v "
+        "FROM htoks GROUP BY 1, 2)",
+        "hdense AS (SELECT d.doc_id, p.pos, "
+        "CAST(COALESCE(s.v, 0) AS DOUBLE) AS rawval "
+        "FROM (SELECT doc_id FROM documents) d "
+        f"CROSS JOIN (SELECT unnest(range(0, {dim})) AS pos) p "
+        "LEFT JOIN hsums s ON s.doc_id = d.doc_id AND s.b = p.pos)",
+        "hnorm AS (SELECT doc_id, sqrt(sum(rawval * rawval)) AS nrm "
+        "FROM hdense GROUP BY doc_id)",
+        "hemb AS (SELECT d.doc_id, d.pos, CASE WHEN n.nrm > 0.0 "
+        "THEN d.rawval / n.nrm ELSE d.rawval END AS val "
+        "FROM hdense d JOIN hnorm n ON n.doc_id = d.doc_id)",
+        "hvec AS (SELECT doc_id AS vec_id, list(val ORDER BY pos) "
+        "AS embedding FROM hemb GROUP BY doc_id)",
+    ]
 
 
 def _pq_ctes(
@@ -7266,6 +7350,14 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_pq_codes": _pq_sql("codes"),
         "ann_pq_topk": _pq_sql("topk"),
         "ann_ivf_pq": _ivfpq_sql(),
+        "docs_hash_embed": (
+            "WITH " + ", ".join(_hashembed_ctes())
+            + " SELECT doc_id, CAST(pos AS INT) AS pos, val FROM hemb"
+        ),
+        "docs_semantic_dedup": _semdedup_sql(
+            "prune", k=8, iters=1, threshold=0.88,
+            src="hvec", id_name="doc_id", pre_ctes=_hashembed_ctes(),
+        ),
         # bounds/width recomputed in-engine: min/max of doubles are the
         # exact same IEEE values Spark's driver aggregation found, and
         # every downstream tree is single-op IEEE arithmetic

@@ -123,6 +123,12 @@ HEADLINE_V2 = [
     "stream_dsir_filter",
     "multimodal_dedup_clusters",
     "stream_ivf_assign",
+    # r8 second half: SemDeDup pruning, the PQ quantization ladder
+    # (flat ADC + composed IVFADC), streaming PQ intake
+    "dedup_semantic",
+    "ann_pq_topk",
+    "ann_ivf_pq",
+    "stream_pq_assign",
 ]
 
 

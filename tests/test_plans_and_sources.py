@@ -76,6 +76,9 @@ def test_entry_queries_plan_quality(spark):
         "ann_pq_codes",
         "ann_pq_topk",
         "ann_ivf_pq",
+        # SemDeDup over hashed doc vectors: the embed stage is pure
+        # JVM codegen; the kmeans/pair cosines go through pair_dot
+        "docs_semantic_dedup",
         # binary-blob plumbing is genuinely imperative: Arrow-batched
         # mapInPandas is its designed execution path (plan_summary now
         # counts MapInPandas nodes too, so the whole decode family

@@ -175,3 +175,49 @@ def test_pq_rejects_empty_corpus(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         pq_train(df, m=2, codes=1, iters=0)
+
+
+def test_hash_doc_embeddings_contract(spark):
+    """Every input row gets a row; token-less docs are the zero
+    vector; identical texts embed identically; normalized rows have
+    unit norm; the embedding is a pure function of the text."""
+    import math
+
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox"),
+            (3, ""),
+            (4, None),
+            (5, "entirely different words here altogether"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.embedding for r in hash_doc_embeddings(df, dim=16).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(len(v) == 16 for v in out.values())
+    assert out[1] == out[2]
+    assert out[3] == [0.0] * 16 and out[4] == [0.0] * 16
+    for d in (1, 5):
+        assert abs(math.sqrt(sum(x * x for x in out[d])) - 1.0) < 1e-12
+    assert out[1] != out[5]
+
+    raw = {
+        r.doc_id: r.embedding
+        for r in hash_doc_embeddings(df, dim=16, normalize=False).collect()
+    }
+    # un-normalized entries are signed integer counts
+    assert all(x == int(x) for x in raw[1])
+    assert sum(abs(x) for x in raw[1]) > 0
+
+
+def test_hash_doc_embeddings_rejects_bad_dim(spark):
+    import pytest as _pytest
+
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="dim"):
+        hash_doc_embeddings(df, dim=0)
