@@ -1660,6 +1660,51 @@ def q_events_hll_estimate(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+def q_events_kmv(spark, sf_dir):
+    """KMV distinct sketch (functions.kmv, Beyer et al. 2007): the 64
+    smallest distinct md5-derived 48-bit user hashes — the one sketch
+    in the family that supports set operations (intersection
+    estimates, which HLL registers cannot express). One distinct
+    aggregate + TakeOrdered(64); hash-exact."""
+    from margaret_spark.functions.kmv import kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_sketch(ev, "user_id", k=64)
+
+
+def q_events_kmv_estimate(spark, sf_dir):
+    """The kth-minimum distinct estimator over the KMV sketch:
+    (n_sketch, kth, estimate) with estimate = (k−1)·2^48/h_(k) when
+    the sketch is full, exact count otherwise. At sf0.01 (150 distinct
+    users > k=64) the estimator path engages. Hash-exact: integer
+    inputs under one IEEE multiply/divide + pround."""
+    from margaret_spark.functions.kmv import kmv_estimate, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_estimate(kmv_sketch(ev, "user_id", k=64), k=64)
+
+
+def q_events_kmv_intersect(spark, sf_dir):
+    """KMV multiset intersection — "how many users do two corpora
+    SHARE" without an exact join: sketch A = purchasers with
+    user_id%3≠0, sketch B = even users; X = the union's KMV, K∩ = X
+    members present in both sides, est_intersection = (K∩/|X|)·
+    est(|A∪B|). The set-operation capability that justifies KMV next
+    to HLL. Hash-exact."""
+    from margaret_spark.functions.kmv import kmv_intersect, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    a = kmv_sketch(
+        ev.where(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 3 != 0)
+        ),
+        "user_id",
+        k=64,
+    )
+    b = kmv_sketch(ev.where(F.col("user_id") % 2 == 0), "user_id", k=64)
+    return kmv_intersect(a, b, k=64)
+
+
 def q_events_hll_groups(spark, sf_dir):
     """Per-group HLL (functions.hll with group_col): one independent
     256-register sketch per event_type, raw estimates beside exact
@@ -4695,6 +4740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hist_quantiles": q_events_hist_quantiles,
         "events_hll_estimate": q_events_hll_estimate,
         "events_hll_groups": q_events_hll_groups,
+        "events_kmv": q_events_kmv,
+        "events_kmv_estimate": q_events_kmv_estimate,
+        "events_kmv_intersect": q_events_kmv_intersect,
         "stream_histogram": q_stream_histogram,
         "text_collocations": q_text_collocations,
         "docs_pagerank": q_docs_pagerank,
@@ -5830,6 +5878,9 @@ def oracle_sql() -> dict[str, str]:
     )
     # per-group HLL: the register derivation keyed by event_type, the
     # same literal α·m²·2^K numerator, per-group integer harmonic sums
+    d["events_kmv"] = "WITH td AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5('k#' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS BIGINT) AS h FROM (SELECT user_id FROM events) WHERE user_id IS NOT NULL), t AS (SELECT h FROM td ORDER BY h LIMIT 64) SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rk, h FROM t"
+    d["events_kmv_estimate"] = "WITH td AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5('k#' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS BIGINT) AS h FROM (SELECT user_id FROM events) WHERE user_id IS NOT NULL), t AS (SELECT h FROM td ORDER BY h LIMIT 64), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth FROM t) SELECT n_sketch, kth, CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE) ELSE (FLOOR((63e0 * 281474976710656e0 / CAST(kth AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END AS estimate FROM agg"
+    d["events_kmv_intersect"] = "WITH ad AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5('k#' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS BIGINT) AS h FROM (SELECT user_id FROM events WHERE event_type = 'purchase' AND user_id % 3 <> 0) WHERE user_id IS NOT NULL), a AS (SELECT h FROM ad ORDER BY h LIMIT 64), bd AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5('k#' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS BIGINT) AS h FROM (SELECT user_id FROM events WHERE user_id % 2 = 0) WHERE user_id IS NOT NULL), b AS (SELECT h FROM bd ORDER BY h LIMIT 64), xu AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT 64), fl AS (SELECT x.h, (a.h IS NOT NULL) AS ina, (b.h IS NOT NULL) AS inb FROM xu x LEFT JOIN a ON a.h = x.h LEFT JOIN b ON b.h = x.h), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_union_sketch, max(h) AS kth, CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS k_common FROM fl) SELECT n_union_sketch, k_common, CASE WHEN n_union_sketch < 64 THEN CAST(n_union_sketch AS DOUBLE) ELSE (FLOOR((63e0 * 281474976710656e0 / CAST(kth AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END AS est_union, (FLOOR(((CAST(k_common AS DOUBLE) / n_union_sketch) * (CASE WHEN n_union_sketch < 64 THEN CAST(n_union_sketch AS DOUBLE) ELSE (FLOOR((63e0 * 281474976710656e0 / CAST(kth AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END)) * 1000000.0 + 0.5) / 1000000.0) AS est_intersection FROM agg"
     d["events_hll_groups"] = (
         "WITH regs AS (SELECT event_type, CAST(b AS INT) AS bucket, "
         "max(CASE WHEN strpos(s, '1') = 0 THEN 53 ELSE strpos(s, '1') END) "

@@ -343,3 +343,66 @@ def test_bloom_probe_null_key_is_null_member(spark):
     assert got["a"] is True
     assert got["zzz"] is False
     assert got[None] is None
+
+
+def test_kmv_sketch_merge_equals_whole(spark):
+    """KMV merge is lossless: the merged sketch of two halves equals
+    the sketch of the union — the multiset-operation contract."""
+    from margaret_spark.functions.kmv import kmv_merge, kmv_sketch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 137,) for i in range(1000)], "k long"
+    )
+    a = kmv_sketch(df.where(F.col("k") % 2 == 0), "k", k=32)
+    b = kmv_sketch(df.where(F.col("k") % 2 == 1), "k", k=32)
+    merged = {(r.rk, r.h) for r in kmv_merge(a, b, k=32).collect()}
+    whole = {(r.rk, r.h) for r in kmv_sketch(df, "k", k=32).collect()}
+    assert merged == whole
+
+
+def test_kmv_estimate_modes_and_accuracy(spark):
+    from margaret_spark.functions.kmv import kmv_estimate, kmv_sketch
+
+    # not-full sketch: exact count
+    small = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    row = kmv_estimate(kmv_sketch(small, "k", k=64), k=64).collect()[0]
+    assert row["n_sketch"] == 10 and row["estimate"] == 10.0
+
+    # full sketch: estimator within a loose relative band (k=64 →
+    # ~1/sqrt(62) ≈ 13% stderr; allow 3σ)
+    big = spark.createDataFrame([(i % 1000,) for i in range(5000)], "k long")
+    row = kmv_estimate(kmv_sketch(big, "k", k=64), k=64).collect()[0]
+    assert row["n_sketch"] == 64
+    assert 1000 * 0.6 <= row["estimate"] <= 1000 * 1.5, row["estimate"]
+
+
+def test_kmv_intersect_planted_overlap(spark):
+    from margaret_spark.functions.kmv import kmv_intersect, kmv_sketch
+    from pyspark.sql import functions as F
+
+    # A = 0..599, B = 400..999 → |A∩B| = 200, |A∪B| = 1000
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    a = kmv_sketch(df.where(F.col("k") < 600), "k", k=128)
+    b = kmv_sketch(df.where(F.col("k") >= 400), "k", k=128)
+    row = kmv_intersect(a, b, k=128).collect()[0]
+    assert row["n_union_sketch"] == 128
+    assert 1000 * 0.6 <= row["est_union"] <= 1000 * 1.5
+    assert 200 * 0.4 <= row["est_intersection"] <= 200 * 2.2, row
+
+    # exact mode: unions that fit the sketch are exact
+    sa = kmv_sketch(df.where(F.col("k") < 30), "k", k=64)
+    sb = kmv_sketch(df.where((F.col("k") >= 20) & (F.col("k") < 50)), "k", k=64)
+    row = kmv_intersect(sa, sb, k=64).collect()[0]
+    assert row["n_union_sketch"] == 50 and row["est_union"] == 50.0
+    assert row["k_common"] == 10 and abs(row["est_intersection"] - 10.0) < 1e-9
+
+
+def test_kmv_rejects_k_below_two(spark):
+    import pytest as _pytest
+
+    from margaret_spark.functions.kmv import kmv_sketch
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, "k", k=1)
