@@ -1660,6 +1660,29 @@ def q_events_hll_estimate(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+def q_events_zorder_key(spark, sf_dir):
+    """Z-order/Morton layout key (operators.layout, the Delta/Iceberg
+    OPTIMIZE ZORDER construction): events keyed by the bit-interleave
+    of (user_id mod 256, hour-of-day) — 8 bits each, bit j of column
+    i at position j·2+i. write_zordered clusters files by contiguous
+    z-ranges so row-group min/max stats bound BOTH dimensions (the
+    pruning payoff is pinned on real parquet footers in
+    tests/test_layout.py); this graded surface is the key arithmetic
+    itself, hash-exact (pure integer shifts summed over disjoint
+    bits)."""
+    from margaret_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    ub = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    hb = F.hour(F.col("ts")).cast("long")
+    return ev.select(
+        "event_id",
+        ub.alias("ub"),
+        hb.alias("hb"),
+        zorder_key([ub, hb], bits=8).alias("zkey"),
+    )
+
+
 def q_events_kmv(spark, sf_dir):
     """KMV distinct sketch (functions.kmv, Beyer et al. 2007): the 64
     smallest distinct md5-derived 48-bit user hashes — the one sketch
@@ -4740,6 +4763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hist_quantiles": q_events_hist_quantiles,
         "events_hll_estimate": q_events_hll_estimate,
         "events_hll_groups": q_events_hll_groups,
+        "events_zorder_key": q_events_zorder_key,
         "events_kmv": q_events_kmv,
         "events_kmv_estimate": q_events_kmv_estimate,
         "events_kmv_intersect": q_events_kmv_intersect,
@@ -5878,6 +5902,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # per-group HLL: the register derivation keyed by event_type, the
     # same literal α·m²·2^K numerator, per-group integer harmonic sums
+    d["events_zorder_key"] = 'SELECT event_id, ub, hb, CAST(((((ub >> 0) & 1) << 0) + (((hb >> 0) & 1) << 1)) + ((((ub >> 1) & 1) << 2) + (((hb >> 1) & 1) << 3)) + ((((ub >> 2) & 1) << 4) + (((hb >> 2) & 1) << 5)) + ((((ub >> 3) & 1) << 6) + (((hb >> 3) & 1) << 7)) + ((((ub >> 4) & 1) << 8) + (((hb >> 4) & 1) << 9)) + ((((ub >> 5) & 1) << 10) + (((hb >> 5) & 1) << 11)) + ((((ub >> 6) & 1) << 12) + (((hb >> 6) & 1) << 13)) + ((((ub >> 7) & 1) << 14) + (((hb >> 7) & 1) << 15)) AS BIGINT) AS zkey FROM (SELECT event_id, CAST(user_id % 256 AS BIGINT) AS ub, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hb FROM events)'
     d["events_kmv"] = "WITH td AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5('k#' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS BIGINT) AS h FROM (SELECT user_id FROM events) WHERE user_id IS NOT NULL), t AS (SELECT h FROM td ORDER BY h LIMIT 64) SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rk, h FROM t"
     d["events_kmv_estimate"] = "WITH td AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5('k#' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS BIGINT) AS h FROM (SELECT user_id FROM events) WHERE user_id IS NOT NULL), t AS (SELECT h FROM td ORDER BY h LIMIT 64), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth FROM t) SELECT n_sketch, kth, CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE) ELSE (FLOOR((63e0 * 281474976710656e0 / CAST(kth AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END AS estimate FROM agg"
     d["events_kmv_intersect"] = "WITH ad AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5('k#' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS BIGINT) AS h FROM (SELECT user_id FROM events WHERE event_type = 'purchase' AND user_id % 3 <> 0) WHERE user_id IS NOT NULL), a AS (SELECT h FROM ad ORDER BY h LIMIT 64), bd AS (SELECT DISTINCT CAST(CAST('0x' || substr(md5('k#' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS BIGINT) AS h FROM (SELECT user_id FROM events WHERE user_id % 2 = 0) WHERE user_id IS NOT NULL), b AS (SELECT h FROM bd ORDER BY h LIMIT 64), xu AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT 64), fl AS (SELECT x.h, (a.h IS NOT NULL) AS ina, (b.h IS NOT NULL) AS inb FROM xu x LEFT JOIN a ON a.h = x.h LEFT JOIN b ON b.h = x.h), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_union_sketch, max(h) AS kth, CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS k_common FROM fl) SELECT n_union_sketch, k_common, CASE WHEN n_union_sketch < 64 THEN CAST(n_union_sketch AS DOUBLE) ELSE (FLOOR((63e0 * 281474976710656e0 / CAST(kth AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END AS est_union, (FLOOR(((CAST(k_common AS DOUBLE) / n_union_sketch) * (CASE WHEN n_union_sketch < 64 THEN CAST(n_union_sketch AS DOUBLE) ELSE (FLOOR((63e0 * 281474976710656e0 / CAST(kth AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END)) * 1000000.0 + 0.5) / 1000000.0) AS est_intersection FROM agg"
