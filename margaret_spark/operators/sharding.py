@@ -102,9 +102,20 @@ def read_shard(spark, path: str, shard: int) -> DataFrame:
 
 def list_shards(path: str) -> list[int]:
     """Shard ids present on disk (driver-side listing of the one
-    partition level — N entries, not the file tree)."""
-    return sorted(
-        int(name.split("=", 1)[1])
-        for name in os.listdir(path)
-        if name.startswith("shard=")
-    )
+    partition level — N entries, not the file tree). A foreign
+    ``shard=<non-integer>`` entry fails loudly with the path named
+    (house rule: never let a stray file corrupt or crash a listing
+    with a bare parse error)."""
+    out = []
+    for name in os.listdir(path):
+        if not name.startswith("shard="):
+            continue
+        suffix = name.split("=", 1)[1]
+        try:
+            out.append(int(suffix))
+        except ValueError:
+            raise ValueError(
+                f"foreign entry in shard layout: {os.path.join(path, name)!r} "
+                "(expected shard=<integer>)"
+            ) from None
+    return sorted(out)

@@ -93,3 +93,25 @@ def test_write_read_roundtrip(spark, corpus, tmp_path):
 def test_bad_num_shards(spark, corpus):
     with pytest.raises(ValueError):
         assign_shards(corpus, "doc_id", 0)
+
+
+def test_list_shards_rejects_foreign_entries(spark, tmp_path):
+    """A stray shard=<non-integer> directory must fail loudly with the
+    path named, not crash with a bare int() ValueError (and non-shard
+    entries are simply ignored)."""
+    import os
+
+    import pytest as _pytest
+
+    from margaret_spark.operators.sharding import list_shards, write_shards
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(20)], "doc_id long, t string")
+    path = str(tmp_path / "shards")
+    write_shards(df, path, "doc_id", num_shards=4)
+    assert list_shards(path) == sorted(list_shards(path))
+    os.mkdir(os.path.join(path, "shard=3.bak"))
+    with _pytest.raises(ValueError, match="shard=3.bak"):
+        list_shards(path)
+    os.rmdir(os.path.join(path, "shard=3.bak"))
+    os.mkdir(os.path.join(path, "_staging"))
+    assert len(list_shards(path)) >= 1  # non-shard entries ignored
