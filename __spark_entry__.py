@@ -2051,6 +2051,23 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs, "doc_id")
 
 
+def q_docs_kcore(spark, sf_dir):
+    """k-core of the near-dup graph (graph.k_core, Seidman 1983): the
+    maximal subgraph where every document keeps ≥ 2 near-dup
+    neighbors — separates REAL template families (mutually similar
+    cliques) from incidental pairwise matches before cluster
+    collapse. Fixed 4 peel rounds (converges in 1 on this corpus;
+    extra rounds are no-ops — pytest pins the fixpoint), so the
+    unrolled-CTE oracle is hash-exact."""
+    from margaret_spark.operators.graph import k_core
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, mode="word", n=3, max_df="auto"
+    )
+    return k_core(pairs, "id_a", "id_b", k=2, rounds=4)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@5 of the IVF index against brute force
     (operators.similarity.ann_recall_at_k) — the eval that justifies
@@ -4809,6 +4826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "docs_kcore": q_docs_kcore,
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "dedup_spans": q_dedup_spans,
         "dedup_span_stats": q_dedup_span_stats,
@@ -5262,6 +5280,36 @@ def _pagerank_sql(iters: int = 6, d: float = 0.85, rd: int = 9, cd: int = 12) ->
         )
     return (
         "WITH " + ", ".join(ctes) + f" SELECT node AS doc_id, rank FROM r{iters}"
+    )
+
+
+def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    """k-core oracle: the jaccard pair CTEs (shared with
+    dedup_clusters) + ``rounds`` unrolled peel steps, each
+    MATERIALIZED (DuckDB would otherwise re-inline the whole chain
+    per reference — exponential), ending in degrees >= k over the
+    surviving edge set — the exact fixed-round semantics of
+    graph.k_core(rounds=N)."""
+    cut = _CLUSTER_CTES.index(", edges AS (")
+    chain = _CLUSTER_CTES[:cut] + (
+        ", e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs)"
+    )
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        chain += (
+            f", d{i} AS MATERIALIZED (SELECT node, count(*) AS c FROM ("
+            f"SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) "
+            "GROUP BY node)"
+            f", e{i} AS MATERIALIZED (SELECT a, b FROM {prev} "
+            f"WHERE a IN (SELECT node FROM d{i} WHERE c >= {k}) "
+            f"AND b IN (SELECT node FROM d{i} WHERE c >= {k}))"
+        )
+        prev = f"e{i}"
+    return (
+        "WITH " + chain + " SELECT node, CAST(c AS BIGINT) AS core_degree "
+        "FROM (SELECT node, count(*) AS c FROM ("
+        f"SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) "
+        f"GROUP BY node) WHERE c >= {k}"
     )
 
 
@@ -7174,6 +7222,7 @@ def _oracle_sql_base() -> dict[str, str]:
             "WHERE s.doc_id = t.doc_id AND t.p BETWEEN s.s AND s.e)) "
             + _CUT_SPAN_SELECT
         ),
+        "docs_kcore": _kcore_sql(),
         "dedup_clusters": (
             "WITH RECURSIVE " + _CLUSTER_CTES + " "
             "SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id "

@@ -188,3 +188,76 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int = 2,
+    rounds: int | None = None,
+) -> DataFrame:
+    """(node, core_degree): the k-core of the undirected simple graph
+    — the maximal subgraph in which every node keeps degree ≥ k
+    (Seidman 1983, "Network structure and minimum degree"; public
+    literature) — by iterated peeling: drop nodes with degree < k,
+    recompute, repeat. On a near-dup pair graph the k-core separates
+    REAL template families (mutually similar cliques) from incidental
+    pairwise matches and star-shaped shingle collisions, which is the
+    inspection step before bulk cluster-collapse.
+
+    ``rounds=None`` peels to the fixpoint with a cheap convergence
+    probe per round (``limit(1).count()`` on the dropped set, the
+    dedup_clusters discipline); a fixed ``rounds`` runs exactly that
+    many peels — converged peels are no-ops, so any rounds ≥ the
+    convergence depth yields the true k-core, and the fixed form is
+    what a SQL oracle can state (unrolled CTEs). Peel depth is
+    bounded by max-degree in theory but 1-3 rounds in practice on
+    near-dup graphs (cliques survive intact; chains dissolve fast).
+
+    Scale shape per round: one map-side-combined degree aggregation
+    plus two semi-joins of the edge list against the surviving node
+    set — all keyed on node ids, never wider than (node, node);
+    lineage is checkpoint-truncated per round."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if rounds is not None and rounds < 0:
+        raise ValueError(f"rounds must be >= 0: {rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("node"))
+            .unionByName(ed.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("__d"))
+        )
+
+    i = 0
+    while True:
+        deg = degrees(e)
+        keep = deg.where(F.col("__d") >= k).select("node")
+        if rounds is None:
+            dropped = deg.where(F.col("__d") < k).limit(1).count()
+            if dropped == 0:
+                break
+        elif i >= rounds:
+            break
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        i += 1
+    return degrees(e).where(F.col("__d") >= k).select(
+        "node", F.col("__d").cast("long").alias("core_degree")
+    )

@@ -2323,3 +2323,47 @@ def test_ann_recall_zero_denominator_reports_one(spark):
     )
     row = ann_recall_at_k(df, df, "vec_id", "embedding", k=3, nlist=1, nprobe=1).collect()
     assert len(row) == 1 and row[0]["n_exact"] == 0 and row[0]["recall"] == 1.0
+
+
+def test_k_core_peels_chains_keeps_cliques(spark):
+    """A 4-clique survives the 2-core; a chain hanging off it
+    dissolves entirely; fixed rounds >= convergence equal the
+    fixpoint (rounds=None)."""
+    from margaret_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "id_a long, id_b long")
+
+    core = {(r.node, r.core_degree) for r in k_core(edges, "id_a", "id_b", k=2).collect()}
+    assert core == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+    fixed = {
+        (r.node, r.core_degree)
+        for r in k_core(edges, "id_a", "id_b", k=2, rounds=5).collect()
+    }
+    assert fixed == core
+
+    # k=4 empties this graph entirely
+    assert k_core(edges, "id_a", "id_b", k=4).count() == 0
+
+    # duplicate + reversed edges collapse (simple-graph semantics)
+    noisy = spark.createDataFrame(
+        clique + [(b, a) for a, b in clique], "id_a long, id_b long"
+    )
+    assert {
+        (r.node, r.core_degree)
+        for r in k_core(noisy, "id_a", "id_b", k=2).collect()
+    } == core
+
+
+def test_k_core_guards(spark):
+    import pytest as _pytest
+
+    from margaret_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="k must be"):
+        k_core(edges, "id_a", "id_b", k=0)
+    with _pytest.raises(ValueError, match="rounds"):
+        k_core(edges, "id_a", "id_b", k=2, rounds=-1)
