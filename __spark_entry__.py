@@ -2819,6 +2819,22 @@ def q_ann_ivf_pq(spark, sf_dir):
     )
 
 
+def q_embeddings_contrastive(spark, sf_dir):
+    """Contrastive triplet mining (semdedup.contrastive_triplets,
+    FaceNet-style hard-negative selection): anchor-positive =
+    within-cluster pairs at cosine >= 0.4; per anchor the hardest
+    same-cluster negative below 0.3 (highest cosine under the bar, id
+    tiebreak) attaches to each positive — the training-pair prep step
+    for embedding models, mined deterministically from the corpus
+    itself. One cluster-scoped pair pass split two ways; hash-exact."""
+    from margaret_spark.operators.semdedup import contrastive_triplets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return contrastive_triplets(
+        emb, k=8, iters=2, pos_threshold=0.4, neg_threshold=0.3, n_neg=1
+    )
+
+
 def q_docs_hash_embed(spark, sf_dir):
     """Hashing-trick document embeddings (operators.hashembed, after
     Weinberger et al. 2009): every document's 64-dim signed
@@ -4791,6 +4807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans": q_embeddings_kmeans,
         "dedup_semantic_pairs": q_dedup_semantic_pairs,
         "dedup_semantic": q_dedup_semantic,
+        "embeddings_contrastive": q_embeddings_contrastive,
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq": q_ann_ivf_pq,
@@ -5455,6 +5472,48 @@ def _hashembed_ctes(dim: int = 64) -> list[str]:
         "hvec AS (SELECT doc_id AS vec_id, list(val ORDER BY pos) "
         "AS embedding FROM hemb GROUP BY doc_id)",
     ]
+
+
+
+
+def _contrastive_sql(
+    k: int = 8,
+    iters: int = 2,
+    pos_t: float = 0.4,
+    neg_t: float = 0.3,
+    n_neg: int = 1,
+    rd: int = 6,
+) -> str:
+    """Contrastive-triplet oracle (semdedup.contrastive_triplets):
+    the Lloyd CTEs + the UNthresholded within-cluster pair pass,
+    split at the two bars, hardest-negative window per anchor."""
+    ctes, fin = _kmeans_ctes(k, iters, rd)
+    ctes = list(ctes) + [f"fin AS ({fin})"]
+    sim = _pr(_cosine_sql("ea.embedding", "eb.embedding"), rd)
+    ctes.append(
+        "allp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"{sim} AS cosine "
+        "FROM fin a JOIN fin b ON a.cent_id = b.cent_id "
+        "AND a.vec_id < b.vec_id "
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id)"
+    )
+    ctes.append(
+        "pos AS (SELECT id_a AS anchor, id_b AS positive, "
+        f"cosine AS pos_cos FROM allp WHERE cosine >= {pos_t})"
+    )
+    ctes.append(
+        "neg AS (SELECT anchor, negative, neg_cos FROM ("
+        "SELECT id_a AS anchor, id_b AS negative, cosine AS neg_cos, "
+        "row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, "
+        f"id_b ASC) AS rn FROM allp WHERE cosine < {neg_t}) "
+        f"WHERE rn <= {n_neg})"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT anchor, positive, negative, pos_cos, neg_cos "
+        "FROM pos JOIN neg USING (anchor)"
+    )
 
 
 def _pq_ctes(
@@ -7472,6 +7531,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "embeddings_kmeans": _kmeans_sql(),
         "dedup_semantic_pairs": _semdedup_sql("pairs"),
         "dedup_semantic": _semdedup_sql("prune"),
+        "embeddings_contrastive": _contrastive_sql(),
         "ann_pq_codes": _pq_sql("codes"),
         "ann_pq_topk": _pq_sql("topk"),
         "ann_ivf_pq": _ivfpq_sql(),

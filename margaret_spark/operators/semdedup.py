@@ -168,3 +168,72 @@ def semantic_prune(
             F.col("id").alias(id_col), "cent_id", "cent_cosine"
         )
     )
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    pos_threshold: float = 0.4,
+    neg_threshold: float = 0.3,
+    n_neg: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> DataFrame:
+    """(anchor, positive, negative, pos_cos, neg_cos): contrastive
+    training triplets mined from the clustered corpus — the data-prep
+    step for training/fine-tuning embedding models (anchor-positive =
+    semantic near-dups; hard negatives = same-cluster rows that are
+    close in topic but NOT duplicates, the negatives that actually
+    teach a margin — Schroff et al. 2015 "FaceNet" semi-hard mining,
+    public literature).
+
+    Construction: ONE within-cluster pair-cosine pass (the SemDeDup
+    join), split at the two thresholds — positives at
+    ``cosine ≥ pos_threshold``, negative CANDIDATES at
+    ``cosine < neg_threshold`` — and per anchor the ``n_neg`` HARDEST
+    negatives (highest cosine below the bar, id tiebreak) attach to
+    every positive of that anchor. Anchors are the ``id_a`` (smaller
+    id) side of each pair — deterministic, no sampling.
+
+    Scale shape: the pair pass is the cluster-scoped equality join
+    (never all-pairs); the negative ranking is one (id_a)-keyed
+    window over same-cell candidate rows; the final attach is an
+    equality join on the anchor id. Hash-exact end-to-end."""
+    if not pos_threshold >= neg_threshold:
+        raise ValueError(
+            f"pos_threshold must be >= neg_threshold: {pos_threshold} < {neg_threshold}"
+        )
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1: {n_neg}")
+    allp = semantic_dedup_pairs(
+        corpus, k, iters, threshold=-1.0, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, comp_digits=comp_digits,
+        sum_scale=sum_scale,
+    )
+    pos = allp.where(F.col("cosine") >= F.lit(pos_threshold)).select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    neg = (
+        allp.where(F.col("cosine") < F.lit(neg_threshold))
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= n_neg)
+        .select(
+            F.col("id_a").alias("anchor"),
+            F.col("id_b").alias("negative"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor", "positive", "negative", "pos_cos", "neg_cos"
+    )

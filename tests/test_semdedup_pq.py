@@ -221,3 +221,37 @@ def test_hash_doc_embeddings_rejects_bad_dim(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="dim"):
         hash_doc_embeddings(df, dim=0)
+
+
+def test_contrastive_triplets_semantics(planted):
+    """Positives are near-dup pairs; the attached negative is the
+    HARDEST same-cluster non-dup (highest cosine below the bar);
+    anchors without a qualifying negative emit nothing."""
+    from margaret_spark.operators.semdedup import contrastive_triplets
+
+    out = contrastive_triplets(
+        planted, k=2, iters=2,
+        pos_threshold=0.98, neg_threshold=0.9, n_neg=1,
+    ).collect()
+    rows = {(r.anchor, r.positive): r for r in out}
+    # cluster A: positive (0,1); hard negatives exist (2,3 in-cell)
+    assert (0, 1) in rows
+    r = rows[(0, 1)]
+    assert r.negative in (2, 3) and r.neg_cos < 0.9
+    assert r.pos_cos >= 0.98
+    # cluster B has positive (10,11) but NO other member -> no triplet
+    assert all(a != 10 for a, _ in rows)
+
+
+def test_contrastive_triplets_guards(spark):
+    import pytest as _pytest
+
+    from margaret_spark.operators.semdedup import contrastive_triplets
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="pos_threshold"):
+        contrastive_triplets(df, pos_threshold=0.2, neg_threshold=0.5)
+    with _pytest.raises(ValueError, match="n_neg"):
+        contrastive_triplets(df, n_neg=0)
