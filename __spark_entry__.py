@@ -3947,6 +3947,39 @@ def q_stream_dsir_filter(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_hash_embed(spark, sf_dir):
+    """Streaming at-ingest document vectorization
+    (streaming/annintake.stream_hash_embed): every text streaming out
+    of the log becomes its 64-dim hashed signed-bucket vector on
+    arrival — the front stage of the streaming vector chain (text ->
+    vector -> IVF cell -> PQ codes, each an at-ingest operator here).
+    Stateless per document, so per-batch embedding of disjoint seqs
+    equals batch embedding of the corpus — exactly what the oracle
+    (the hashembed CTE chain keyed by seq) states. Hash-exact."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_hash_embed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_hembed_")
+    try:
+        log = OffsetLog(
+            spark, os.path.join(base, "log"), value_type=T.StringType()
+        )
+        log.append_df(docs, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_hash_embed(
+            log, F.col("value"), sink, os.path.join(base, "ckpt"), dim=64
+        )
+        out = read_keeper_sink(spark, sink, "seq long, pos long, val double")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_pq_assign(spark, sf_dir):
     """Streaming PQ intake (streaming/annintake.stream_pq_assign):
     every embedding streaming out of the log is compressed at ingest
@@ -4832,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_nb_filter": q_stream_nb_filter,
         "stream_dsir_filter": q_stream_dsir_filter,
         "stream_ivf_assign": q_stream_ivf_assign,
+        "stream_hash_embed": q_stream_hash_embed,
         "stream_pq_assign": q_stream_pq_assign,
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
@@ -6155,6 +6189,10 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming ANN intake: nearest frozen centroid per embedding,
     # the house (rounded cosine desc, cent_id asc) tiebreak
+    d["stream_hash_embed"] = (
+        "WITH " + ", ".join(_hashembed_ctes())
+        + " SELECT doc_id AS seq, CAST(pos AS BIGINT) AS pos, val FROM hemb"
+    )
     d["stream_pq_assign"] = (
         "WITH " + ", ".join(_pq_ctes())
         + " SELECT vec_id AS seq, CAST(sub AS BIGINT) AS sub, "

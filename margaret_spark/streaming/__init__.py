@@ -38,7 +38,11 @@ from margaret_spark.streaming.cms import (
     stream_hll,
 )
 from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
-from margaret_spark.streaming.annintake import stream_ivf_assign, stream_pq_assign
+from margaret_spark.streaming.annintake import (
+    stream_hash_embed,
+    stream_ivf_assign,
+    stream_pq_assign,
+)
 from margaret_spark.streaming.quality import (
     stream_dsir_filter,
     stream_lm_filter,
@@ -73,6 +77,7 @@ __all__ = [
     "stream_lm_filter",
     "stream_nb_filter",
     "stream_dsir_filter",
+    "stream_hash_embed",
     "stream_ivf_assign",
     "stream_pq_assign",
     "stream_cms",

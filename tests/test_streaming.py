@@ -1684,3 +1684,43 @@ def test_stream_pq_assign_matches_batch_encode_and_resumes(spark, tmp_path):
     )
     assert out2.where(F.col("seq") == 4).count() == 2  # m=2 rows
     assert out2.count() == len(out) + 2
+
+
+def test_stream_hash_embed_matches_batch_and_resumes(spark, tmp_path):
+    """At-ingest hashed vectorization equals the batch embedder on the
+    identical texts (NULL text -> zero vector, still emitted), and on
+    resume embeds only NEW appends."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+    from margaret_spark.streaming import read_keeper_sink, stream_hash_embed
+
+    texts = ["the quick brown fox", None, "lorem ipsum dolor"]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(texts)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    stream_hash_embed(log, F.col("value"), sink, ckpt, dim=16)
+    out = {}
+    for r in read_keeper_sink(
+        spark, sink, "seq long, pos long, val double"
+    ).collect():
+        out.setdefault(r.seq, {})[r.pos] = r.val
+    assert set(out) == {0, 1, 2}  # NULL text still embeds (zero vector)
+    assert all(len(v) == 16 for v in out.values())
+    assert set(out[1].values()) == {0.0}
+
+    batch_in = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "seq long, text string"
+    )
+    expect = {
+        r.seq: r.embedding
+        for r in hash_doc_embeddings(batch_in, "seq", "text", dim=16).collect()
+    }
+    for s in (0, 2):
+        assert [out[s][p] for p in range(16)] == expect[s]
+
+    log.append("a fresh document arrives")
+    stream_hash_embed(log, F.col("value"), sink, ckpt, dim=16)
+    out2 = read_keeper_sink(spark, sink, "seq long, pos long, val double")
+    assert out2.where(F.col("seq") == 3).count() == 16
+    assert out2.count() == 16 * 4
