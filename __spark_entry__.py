@@ -1852,6 +1852,37 @@ def q_stream_bloom(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_kmv(spark, sf_dir):
+    """Streaming KMV (streaming/cms.stream_kmv): the set-operations
+    member of the mergeable-partial family — each micro-batch writes
+    its own <= k smallest distinct user hashes (replay-idempotent
+    batch=<id> overwrite), and the global sketch is the k smallest of
+    their union, equal to the batch sketch of the whole stream
+    (min-k is a lossless union fold) — exactly what the oracle
+    states. Completes the streaming twins: CMS sum, Bloom OR, HLL
+    max, histogram add, KMV union-cut."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_kmv, stream_kmv
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    base = tempfile.mkdtemp(prefix="stream_kmv_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.LongType())
+        log.append_df(ev, value_col="user_id", order_by="event_id")
+        sink = os.path.join(base, "sink")
+        stream_kmv(
+            log, F.col("value"), sink, os.path.join(base, "ckpt"), k=64
+        )
+        out = read_kmv(spark, sink, k=64)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_hll(spark, sf_dir):
     """Streaming HyperLogLog (streaming/cms.py stream_hll): the
     cardinality member of the additive-partial trio — each micro-batch
@@ -4965,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms": q_stream_cms,
         "stream_bloom": q_stream_bloom,
         "stream_hll": q_stream_hll,
+        "stream_kmv": q_stream_kmv,
     }
 
 
@@ -6092,6 +6124,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # streaming HLL: max-mergeable registers make the micro-batch
     # merge equal the batch register table of the whole corpus
+    d["stream_kmv"] = d["events_kmv"]
     d["stream_hll"] = (
         "SELECT CAST(b AS INT) AS bucket, CAST(max(CASE WHEN "
         "strpos(s, '1') = 0 THEN 53 ELSE strpos(s, '1') END) AS INT) "

@@ -35,7 +35,9 @@ from margaret_spark.streaming.cms import (
     stream_bloom,
     stream_cms,
     stream_histogram,
+    read_kmv,
     stream_hll,
+    stream_kmv,
 )
 from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
 from margaret_spark.streaming.annintake import (
@@ -84,7 +86,9 @@ __all__ = [
     "read_cms",
     "stream_bloom",
     "read_bloom",
+    "read_kmv",
     "stream_hll",
+    "stream_kmv",
     "read_hll",
     "stream_histogram",
     "read_histogram",

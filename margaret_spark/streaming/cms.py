@@ -260,3 +260,63 @@ def read_histogram(spark: SparkSession, sink_dir: str) -> DataFrame:
     return histogram_reduce(
         read_batch_sink(spark, sink_dir, "bucket int, n long")
     )
+
+
+def stream_kmv(
+    log: OffsetLog,
+    key_expr: Column,
+    sink_dir: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain a KMV distinct sketch over a log's append stream —
+    the SET-OPERATIONS member of the mergeable-partial family (CMS
+    counts sum, Bloom bits OR, HLL registers max, KMV hash sets
+    union-then-cut): each micro-batch writes its own ≤ k smallest
+    distinct hashes as a ``batch=<id>`` partial (overwrite —
+    replay-idempotent) and the global sketch is the k smallest of
+    their union (:func:`read_kmv`), equal to the batch sketch of the
+    whole stream because min-k is a lossless union fold."""
+    from margaret_spark.functions.kmv import kmv_sketch
+
+    src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(
+            batch_df.select(key_expr.alias("__key")), "__key", k
+        ).select("h")
+        write_batch(sk, batch_id, sink_dir)
+
+    w = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()
+
+
+def kmv_reduce(df: DataFrame, k: int = 64) -> DataFrame:
+    """The KMV partial fold (k smallest of the distinct union) —
+    read-side merge and ``compact_sink`` reducer. Hash-only table;
+    ranks are assigned by the reader."""
+    return df.select("h").distinct().orderBy(F.col("h").asc()).limit(k)
+
+
+def read_kmv(spark: SparkSession, sink_dir: str, k: int = 64) -> DataFrame:
+    """(rk, h): the global KMV sketch — k smallest distinct hashes
+    over the compacted segment plus every live batch partial, rank-
+    numbered like ``functions.kmv.kmv_sketch``. An empty sink is a
+    valid empty sketch."""
+    from pyspark.sql import Window
+
+    merged = kmv_reduce(read_batch_sink(spark, sink_dir, "h long"), k)
+    w = Window.orderBy(F.col("h").asc())
+    return merged.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).select("rk", "h")

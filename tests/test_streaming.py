@@ -1724,3 +1724,37 @@ def test_stream_hash_embed_matches_batch_and_resumes(spark, tmp_path):
     out2 = read_keeper_sink(spark, sink, "seq long, pos long, val double")
     assert out2.where(F.col("seq") == 3).count() == 16
     assert out2.count() == 16 * 4
+
+
+def test_stream_kmv_merged_equals_batch_sketch(spark, tmp_path):
+    """Multi-batch streaming KMV re-cuts to exactly the batch sketch
+    of the whole log (min-k is a lossless union fold); empty sink
+    reads as a typed empty sketch."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.functions.kmv import kmv_sketch
+    from margaret_spark.streaming import read_kmv, stream_kmv
+    from tests.test_streaming_chaos import _space_log_file_mtimes
+
+    keys = [f"k{i % 97}" for i in range(300)]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    for kk in keys:
+        log.append(kk)
+    _space_log_file_mtimes(log)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    stream_kmv(
+        log, F.col("value"), sink, ckpt, k=32,
+        available_now=True, max_files_per_trigger=60,
+    )
+    import os as _os
+
+    batches = [d for d in _os.listdir(sink) if d.startswith("batch=")]
+    assert len(batches) >= 2  # genuinely multi-batch
+    got = [(r.rk, r.h) for r in read_kmv(spark, sink, k=32).collect()]
+    df = spark.createDataFrame([(kk,) for kk in keys], "k string")
+    want = [(r.rk, r.h) for r in kmv_sketch(df, "k", k=32).collect()]
+    assert sorted(got) == sorted(want)
+
+    empty_sink = str(tmp_path / "empty")
+    _os.makedirs(empty_sink)
+    assert read_kmv(spark, empty_sink, k=32).count() == 0
