@@ -2454,6 +2454,60 @@ def q_text_bpe_count(spark, sf_dir):
     return bpe_ish_token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_text_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per source (the budgeting number a
+    training pipeline needs before it can convert corpus bytes to
+    token budgets): chars-per-BPE-token and BPE-tokens-per-word by
+    source, over the REAL byte-level tokenizer (operators.bpe). All
+    ratios are exact-integer division under pround — hash-exact; the
+    oracle re-tokenizes with the recursive-CTE BPE encoder."""
+    from margaret_spark.functions.numeric import pround as _pround
+    from margaret_spark.functions.shingling import words
+    from margaret_spark.operators.bpe import bpe_token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("__ch"),
+        F.coalesce(bpe_token_count_col(F.col("text")), F.lit(0))
+        .cast("long")
+        .alias("__nt"),
+        # size(NULL) is -1 (not NULL) in Spark — coalesce the ARRAY
+        F.size(
+            F.coalesce(words(F.col("text")), F.array().cast("array<string>"))
+        )
+        .cast("long")
+        .alias("__nw"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__ch").cast("long").alias("total_chars"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.sum("__nw").cast("long").alias("total_words"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "total_words",
+        _pround(
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_chars").cast("double") / F.col("total_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chars_per_token"),
+        _pround(
+            F.when(
+                F.col("total_words") > 0,
+                F.col("total_tokens").cast("double") / F.col("total_words"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("tokens_per_word"),
+    )
+
+
 def q_text_winnow(spark, sf_dir):
     """Winnowing fingerprints (operators.text.winnow_fingerprints —
     Schleimer et al. 2003, the MOSS local fingerprinting): per-window
@@ -4944,6 +4998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_langid_eval": q_text_langid_eval,
         "text_bpe_count": q_text_bpe_count,
+        "text_bpe_fertility": q_text_bpe_fertility,
         "text_fingerprint": q_text_fingerprint,
         "text_lm_surprise": q_text_lm_surprise,
         "text_nb_quality": q_text_nb_quality,
@@ -7707,6 +7762,27 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             + " AS accuracy "
             "FROM documents d JOIN pred p ON d.doc_id = p.doc_id GROUP BY d.lang"
+        ),
+        "text_bpe_fertility": (
+            _bpe_doc_tokens_cte()
+            + ", per AS (SELECT d.source, "
+            "CAST(COALESCE(length(d.text), 0) AS BIGINT) AS ch, "
+            "CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS nt, "
+            "CAST(CASE WHEN d.text IS NULL THEN 0 ELSE "
+            "len(list_filter(string_split_regex(trim(lower(d.text)), "
+            "'\\s+'), x -> x <> '')) END AS BIGINT) AS nw "
+            "FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(ch) AS BIGINT) AS total_chars, "
+            "CAST(sum(nt) AS BIGINT) AS total_tokens, "
+            "CAST(sum(nw) AS BIGINT) AS total_words, "
+            "CASE WHEN sum(nt) > 0 THEN "
+            "(FLOOR((CAST(sum(ch) AS DOUBLE) / sum(nt)) * 1000000.0 + 0.5) "
+            "/ 1000000.0) ELSE 0.0 END AS chars_per_token, "
+            "CASE WHEN sum(nw) > 0 THEN "
+            "(FLOOR((CAST(sum(nt) AS DOUBLE) / sum(nw)) * 1000000.0 + 0.5) "
+            "/ 1000000.0) ELSE 0.0 END AS tokens_per_word "
+            "FROM per GROUP BY source"
         ),
         "text_bpe_count": (
             "SELECT doc_id, len(regexp_extract_all(text, "

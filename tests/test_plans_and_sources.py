@@ -106,6 +106,7 @@ def test_entry_queries_plan_quality(spark):
         # the BPE merge loop is genuinely imperative per pre-token;
         # its designed execution path is one Arrow-batched projection
         "text_bpe_tokens",
+        "text_bpe_fertility",
         "pack_sequences_bpe",
     }
     for name, fn in entry.queries().items():
