@@ -2146,6 +2146,24 @@ def q_ann_ivf_indexed(spark, sf_dir):
     return ivf_index_search(spark, path, queries, k=5, nprobe=4)
 
 
+def q_ann_ivf_pq_indexed(spark, sf_dir):
+    """The persisted IVFADC serving path (pq.build_ivfpq_index /
+    ivfpq_index_search): centroids + residual codebook + per-vector
+    codes written Hive-partitioned by cell — bytes per vector,
+    partition-pruned probes, broadcast residual LUTs. Same
+    construction as ann_ivf_pq, so the same composed oracle checks
+    bit-identical results (index == in-flight pinned in pytest)."""
+    import tempfile
+
+    from margaret_spark.operators.pq import build_ivfpq_index, ivfpq_index_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="margaret_ivfpq_idx_")
+    build_ivfpq_index(emb, path, nlist=16, m=4, codes=8, iters=1)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivfpq_index_search(spark, path, queries, k=5, nprobe=4)
+
+
 def q_ann_ivf_int8(spark, sf_dir):
     """The int8-quantized persisted IVF index
     (operators.quantize.build_ivf_index_int8 / ivf_index_search_int8):
@@ -4929,6 +4947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_ivf_pq_indexed": q_ann_ivf_pq_indexed,
         "docs_hash_embed": q_docs_hash_embed,
         "docs_semantic_dedup": q_docs_semantic_dedup,
         "events_histogram": q_events_histogram,
@@ -7661,6 +7680,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_pq_codes": _pq_sql("codes"),
         "ann_pq_topk": _pq_sql("topk"),
         "ann_ivf_pq": _ivfpq_sql(),
+        "ann_ivf_pq_indexed": _ivfpq_sql(),
         "docs_hash_embed": (
             "WITH " + ", ".join(_hashembed_ctes())
             + " SELECT doc_id, CAST(pos AS INT) AS pos, val FROM hemb"

@@ -396,3 +396,161 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "adist", "rank")
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 4,
+    codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> None:
+    """Persist an IVFADC index: ``<path>/centroids`` (the nlist seeded
+    cell centroids), ``<path>/codebooks`` (the residual PQ codebook,
+    m·codes rows), and ``<path>/codes`` — each vector's m residual
+    code ids written Hive-partitioned by cell. This is what a 100 TB
+    deployment actually stores: BYTES per vector, partition-prunable
+    by cell; the float vectors never land in the index. Build cost is
+    one assignment pass, the bounded codebook training, one encode
+    pass, one partitioned write."""
+    from margaret_spark.functions.vectors import l2_norm
+    from margaret_spark.operators.similarity import _nearest_cells
+
+    dim = infer_dim(corpus, vec_col)
+    if dim is None:
+        raise ValueError("cannot build an IVFPQ index on an empty corpus")
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    spark = corpus.sparkSession
+    corpus.orderBy(F.col(id_col).asc()).limit(nlist).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).cast("array<double>").alias("cent"),
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    residual = F.zip_with(
+        F.col("__v"),
+        F.col("__cent"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    res = (
+        _nearest_cells(corpus, cents, id_col, vec_col, "id", 1, round_digits)
+        .join(F.broadcast(cents.select("cent_id", "__cent")), "cent_id")
+        .select("id", F.col("cent_id").alias("cell"), residual.alias("res"))
+        .localCheckpoint(eager=False)
+    )
+    cb = pq_train(
+        res, m, codes, iters, id_col="id", vec_col="res",
+        round_digits=round_digits, comp_digits=comp_digits,
+        sum_scale=sum_scale, dim=dim,
+    )
+    cb.select("sub", "code_id", "cent").write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+    enc = pq_encode(res, cb, m, id_col="id", vec_col="res",
+                    round_digits=round_digits, dim=dim)
+    (
+        enc.join(res.select("id", "cell"), "id")
+        .select("cell", "id", "sub", "code_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def ivfpq_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    sum_scale: int = 12,
+) -> DataFrame:
+    """Top-k against a persisted :func:`build_ivfpq_index` —
+    (query_id, ``id_col``, adist, rank), identical results to the
+    in-flight :func:`ivfpq_topk` with the same parameters (pinned in
+    tests). The broadcast probe set triggers dynamic partition
+    pruning on the Hive-partitioned code table, so the scan reads
+    O(probed cells) of 1-byte-per-subspace codes — the compounding of
+    the IVF read cut with PQ compression that makes this the 100 TB
+    serving shape."""
+    from margaret_spark.functions.vectors import l2_norm
+    from margaret_spark.operators.similarity import _nearest_cells
+
+    cents = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    cb = _with_nsq(
+        spark.read.parquet(f"{path}/codebooks")
+    ).localCheckpoint(eager=False)
+    first = cb.agg(
+        F.min(F.size("cent")).alias("w"), F.max("sub").alias("mx")
+    ).first()
+    if first["w"] is None:
+        raise ValueError(f"empty codebook under {path}/codebooks")
+    width, mval = int(first["w"]), int(first["mx"]) + 1
+    residual = F.zip_with(
+        F.col("__v"),
+        F.col("__cent"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    probes = (
+        _nearest_cells(queries, cents, id_col, vec_col, "query_id",
+                       nprobe, round_digits)
+        .join(F.broadcast(cents.select("cent_id", "__cent")), "cent_id")
+        .select("query_id", F.col("cent_id").alias("cell"),
+                residual.alias("qres"))
+    )
+    qslices = F.array(
+        *[F.slice(F.col("qres"), s * width + 1, width) for s in range(mval)]
+    )
+    qsv = probes.select(
+        "query_id", "cell", F.posexplode(qslices).alias("sub", "sv")
+    ).withColumn("nsq", pair_dot(F.col("sv"), F.col("sv")))
+    lut = (
+        qsv.join(F.broadcast(cb), "sub")
+        .withColumn(
+            "__ld2",
+            _dist2(
+                F.col("nsq"),
+                F.col("cnsq"),
+                pair_dot(F.col("sv"), F.col("cent")),
+                round_digits,
+            ),
+        )
+        .select("query_id", "cell", "sub", "code_id",
+                F.col("__ld2").alias("__qd2"))
+    )
+    enc = spark.read.parquet(f"{path}/codes")
+    scored = (
+        enc.join(F.broadcast(lut), ["cell", "sub", "code_id"])
+        .where(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(dsum("__qd2", scale=sum_scale).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias(id_col), "adist", "rank")
+    )

@@ -77,6 +77,7 @@ def test_entry_queries_plan_quality(spark):
         "ann_pq_codes",
         "ann_pq_topk",
         "ann_ivf_pq",
+        "ann_ivf_pq_indexed",
         # SemDeDup over hashed doc vectors: the embed stage is pure
         # JVM codegen; the kmeans/pair cosines go through pair_dot
         "docs_semantic_dedup",

@@ -255,3 +255,36 @@ def test_contrastive_triplets_guards(spark):
         contrastive_triplets(df, pos_threshold=0.2, neg_threshold=0.5)
     with _pytest.raises(ValueError, match="n_neg"):
         contrastive_triplets(df, n_neg=0)
+
+
+def test_ivfpq_index_build_search_equals_inflight(spark, tmp_path):
+    """The persisted IVFADC index returns EXACTLY the in-flight
+    ivfpq_topk result with the same parameters, and the probe scan
+    reads only probed cell partitions (dynamic pruning via the
+    broadcast LUT join)."""
+    import random
+
+    from margaret_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_index_search,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where(F.col("vec_id") < 3)
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(df, path, nlist=4, m=2, codes=4, iters=1)
+    got = {
+        (r.query_id, r.vec_id): (r.adist, r.rank)
+        for r in ivfpq_index_search(spark, path, qs, k=3, nprobe=2).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id): (r.adist, r.rank)
+        for r in ivfpq_topk(
+            df, qs, k=3, nlist=4, nprobe=2, m=2, codes=4, iters=1
+        ).collect()
+    }
+    assert got == want and len(got) > 0
