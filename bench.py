@@ -129,6 +129,16 @@ HEADLINE_V2 = [
     "ann_pq_topk",
     "ann_ivf_pq",
     "stream_pq_assign",
+    "ann_ivf_pq_indexed",
+    "docs_hash_embed",
+    "docs_semantic_dedup",
+    "docs_kcore",
+    "embeddings_contrastive",
+    "events_kmv_intersect",
+    "events_zorder_key",
+    "stream_hash_embed",
+    "stream_kmv",
+    "text_bpe_fertility",
 ]
 
 
