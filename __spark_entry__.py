@@ -2969,8 +2969,12 @@ def q_docs_semantic_dedup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64)
+    # k = 32 (vs the embeddings table's 8): documents GROW with SF, and
+    # the SemDeDup knob is exactly "grow k with N" — cells stay small
+    # enough that the within-cell pair pass never dominates (the r8
+    # bench caught k=8 at 28 s on sf0.1; k=32 cuts the pair count 4x)
     return semantic_prune(
-        emb, k=8, iters=1, threshold=0.88,
+        emb, k=32, iters=1, threshold=0.88,
         id_col="doc_id", vec_col="embedding",
     )
 
@@ -7686,7 +7690,7 @@ def _oracle_sql_base() -> dict[str, str]:
             + " SELECT doc_id, CAST(pos AS INT) AS pos, val FROM hemb"
         ),
         "docs_semantic_dedup": _semdedup_sql(
-            "prune", k=8, iters=1, threshold=0.88,
+            "prune", k=32, iters=1, threshold=0.88,
             src="hvec", id_name="doc_id", pre_ctes=_hashembed_ctes(),
         ),
         # bounds/width recomputed in-engine: min/max of doubles are the
