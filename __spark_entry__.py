@@ -2876,6 +2876,24 @@ def q_dedup_semantic(spark, sf_dir):
     return semantic_prune(emb, k=8, iters=2, threshold=0.4)
 
 
+def q_dedup_semantic_incremental(spark, sf_dir):
+    """Incremental SemDeDup (semdedup.semantic_dedup_incremental):
+    the odd-id half of the embedding corpus (new crawl) deduped
+    against the even-id half (existing corpus) at the SEMANTIC level
+    — clusters fitted on existing and FROZEN (the at-ingest-model
+    house rule), every new vector labeled dup_of_existing /
+    dup_in_batch / new. Completes the ingest-dedup matrix (exact /
+    containment / text near-dup / semantic). Hash-exact."""
+    from margaret_spark.operators.semdedup import semantic_dedup_incremental
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_incremental(
+        emb.where(F.col("vec_id") % 2 == 1),
+        emb.where(F.col("vec_id") % 2 == 0),
+        k=8, iters=1, threshold=0.4,
+    )
+
+
 def q_ann_pq_codes(spark, sf_dir):
     """Product-quantization encoding (operators.pq, after Jégou et
     al. 2011): 4 subspaces × 8 codes, 1 Lloyd round per subspace (all
@@ -4947,6 +4965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_kmeans": q_embeddings_kmeans,
         "dedup_semantic_pairs": q_dedup_semantic_pairs,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "embeddings_contrastive": q_embeddings_contrastive,
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
@@ -5657,6 +5676,56 @@ def _contrastive_sql(
         "WITH " + ", ".join(ctes)
         + " SELECT anchor, positive, negative, pos_cos, neg_cos "
         "FROM pos JOIN neg USING (anchor)"
+    )
+
+
+def _semdedup_incr_sql(
+    k: int = 8, iters: int = 1, threshold: float = 0.4, rd: int = 6
+) -> str:
+    """Incremental SemDeDup oracle (semdedup.semantic_dedup_incremental):
+    centroids fitted on the EXISTING (even-id) half and frozen, both
+    halves assigned under the house rule, pair checks equality-joined
+    on the cell, the three-way status CASE."""
+    pre = [
+        "exv AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 2 = 0)"
+    ]
+    ctes, _fin = _kmeans_ctes(k, iters, rd, src="exv")
+    cn = f"cents{iters}"
+
+    def assign(name: str, src: str) -> str:
+        c = _pr(_cosine_sql("e.embedding", "c.cent"), rd)
+        return (
+            f"{name} AS (SELECT vec_id, cent_id FROM ("
+            f"SELECT e.vec_id, c.cent_id, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {c} DESC, c.cent_id ASC) AS cr "
+            f"FROM ({src}) e CROSS JOIN {cn} c) WHERE cr = 1)"
+        )
+
+    sim = _pr(_cosine_sql("en.embedding", "eo.embedding"), rd)
+    post = [
+        assign("aex", "SELECT vec_id, embedding FROM exv"),
+        assign(
+            "anew",
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1",
+        ),
+        "dupex AS (SELECT DISTINCT n.vec_id FROM anew n "
+        "JOIN aex o ON o.cent_id = n.cent_id "
+        "JOIN embeddings en ON en.vec_id = n.vec_id "
+        "JOIN embeddings eo ON eo.vec_id = o.vec_id "
+        f"WHERE {sim} >= {threshold})",
+        "dupb AS (SELECT DISTINCT n.vec_id FROM anew n "
+        "JOIN anew o ON o.cent_id = n.cent_id AND o.vec_id < n.vec_id "
+        "JOIN embeddings en ON en.vec_id = n.vec_id "
+        "JOIN embeddings eo ON eo.vec_id = o.vec_id "
+        f"WHERE {sim} >= {threshold})",
+    ]
+    return (
+        "WITH " + ", ".join(pre + list(ctes) + post)
+        + " SELECT n.vec_id, n.cent_id, CASE "
+        "WHEN n.vec_id IN (SELECT vec_id FROM dupex) THEN 'dup_of_existing' "
+        "WHEN n.vec_id IN (SELECT vec_id FROM dupb) THEN 'dup_in_batch' "
+        "ELSE 'new' END AS status FROM anew n"
     )
 
 
@@ -7680,6 +7749,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "embeddings_kmeans": _kmeans_sql(),
         "dedup_semantic_pairs": _semdedup_sql("pairs"),
         "dedup_semantic": _semdedup_sql("prune"),
+        "dedup_semantic_incremental": _semdedup_incr_sql(),
         "embeddings_contrastive": _contrastive_sql(),
         "ann_pq_codes": _pq_sql("codes"),
         "ann_pq_topk": _pq_sql("topk"),

@@ -240,3 +240,113 @@ def contrastive_triplets(
     return pos.join(neg, "anchor").select(
         "anchor", "positive", "negative", "pos_cos", "neg_cos"
     )
+
+
+def semantic_dedup_incremental(
+    new_rows: DataFrame,
+    existing: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> DataFrame:
+    """Incremental SemDeDup — the daily-ingest form: label every NEW
+    vector ``'dup_of_existing'`` (a same-cluster existing row within
+    ``threshold`` cosine), ``'dup_in_batch'`` (no existing match, but
+    an earlier — smaller-id — new row matches), or ``'new'``. The
+    semantic member of the ingest-dedup matrix
+    (``dedup.incremental_exact_dedup`` is the exact-content version;
+    ``ngram_jaccard_join`` the near-dup text version).
+
+    Clusters are fitted on the EXISTING corpus and FROZEN
+    (:func:`similarity.kmeans_centroids_deterministic` — the
+    at-ingest-model house rule: arrivals never move the cells), then
+    both sides assign under the same deterministic rule. Pair checks
+    are equality joins keyed on the cell — O(|new|·|cell|) cosines,
+    never |new|·|existing|.
+
+    Output: (``id_col``, cent_id, status) for every new row."""
+    from margaret_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_centroids_deterministic,
+    )
+
+    cents = kmeans_centroids_deterministic(
+        existing, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, comp_digits=comp_digits,
+        sum_scale=sum_scale,
+    )
+
+    def _with_vec(df: DataFrame) -> DataFrame:
+        a = assign_to_centroids(df, cents, id_col, vec_col, round_digits)
+        return (
+            a.join(
+                df.select(
+                    F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+                ),
+                a[id_col] == F.col("__vid"),
+            )
+            .select(F.col(id_col).alias("id"), "cent_id", "__v")
+            .localCheckpoint(eager=False)
+        )
+
+    anew = _with_vec(new_rows)
+    aex = _with_vec(existing)
+    sim = pround(
+        pair_dot(F.col("__vn"), F.col("__vo"))
+        / (l2_norm(F.col("__vn")) * l2_norm(F.col("__vo"))),
+        round_digits,
+    )
+    n_side = anew.select(
+        F.col("id").alias("__idn"), "cent_id", F.col("__v").alias("__vn")
+    )
+    e_side = aex.select(
+        F.col("id").alias("__ido"),
+        F.col("cent_id").alias("__ce"),
+        F.col("__v").alias("__vo"),
+    )
+    dup_ex = (
+        n_side.join(e_side, F.col("cent_id") == F.col("__ce"))
+        .where(sim >= F.lit(threshold))
+        .select(F.col("__idn").alias("__dup"))
+        .distinct()
+    )
+    b_side = anew.select(
+        F.col("id").alias("__ido"),
+        F.col("cent_id").alias("__ce"),
+        F.col("__v").alias("__vo"),
+    )
+    dup_batch = (
+        n_side.join(
+            b_side,
+            (F.col("cent_id") == F.col("__ce"))
+            & (F.col("__ido") < F.col("__idn")),
+        )
+        .where(sim >= F.lit(threshold))
+        .select(F.col("__idn").alias("__dup"))
+        .distinct()
+    )
+    status = (
+        F.when(F.col("__in_ex").isNotNull(), F.lit("dup_of_existing"))
+        .when(F.col("__in_b").isNotNull(), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        anew.join(
+            dup_ex.select(F.col("__dup").alias("id"), F.lit(1).alias("__in_ex")),
+            "id",
+            "left",
+        )
+        .join(
+            dup_batch.select(
+                F.col("__dup").alias("id"), F.lit(1).alias("__in_b")
+            ),
+            "id",
+            "left",
+        )
+        .select(F.col("id").alias(id_col), "cent_id", status.alias("status"))
+    )

@@ -70,6 +70,7 @@ def test_entry_queries_plan_quality(spark):
         # go through the Arrow dot kernel
         "dedup_semantic_pairs",
         "dedup_semantic",
+        "dedup_semantic_incremental",
         "embeddings_contrastive",
         # PQ: subspace Lloyd distances and the ADC LUT go through
         # pair_dot; the code table and the DECIMAL distance sum are

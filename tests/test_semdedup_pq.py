@@ -288,3 +288,37 @@ def test_ivfpq_index_build_search_equals_inflight(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_incremental_statuses(spark):
+    """Planted fixture: a new vector near an existing one is
+    dup_of_existing; two near-identical new vectors with no existing
+    match make (earlier, later) = (new, dup_in_batch); an isolated
+    new vector is new. Frozen existing-side clusters."""
+    from margaret_spark.operators.semdedup import semantic_dedup_incremental
+
+    a = _unit([1.0, 0.0, 0.1, 0.0])
+    b = _unit([0.0, 1.0, 0.0, 0.2])
+    c = _unit([0.5, 0.5, 0.5, 0.5])
+    existing = spark.createDataFrame(
+        [(0, a), (2, b)], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, _unit([v + 0.01 for v in a])),   # ~ existing 0
+            (3, c),                               # first of a new pair
+            (5, _unit([v + 0.005 for v in c])),   # ~ new 3
+            (7, _unit([-0.9, 0.1, 0.3, -0.2])),   # isolated
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.status
+        for r in semantic_dedup_incremental(
+            new, existing, k=2, iters=1, threshold=0.95
+        ).collect()
+    }
+    assert out[1] == "dup_of_existing"
+    assert out[3] == "new" and out[5] == "dup_in_batch"
+    assert out[7] == "new"
+    assert len(out) == 4
