@@ -554,3 +554,64 @@ def ivfpq_index_search(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("id").alias(id_col), "adist", "rank")
     )
+
+
+def ivfpq_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Incremental maintenance of a persisted :func:`build_ivfpq_index`:
+    encode NEW vectors under the index's FROZEN centroids and
+    codebook and append their code rows into the partitioned layout —
+    no rebuild, no rewrite of existing cells (the ivf_index_append
+    discipline). Appended rows are indistinguishable from build-time
+    rows; model drift under sustained ingest is the documented trade
+    (rebuild when recall decays). At 100 TB an append touches exactly
+    the new rows — a rebuild re-encodes the corpus."""
+    from margaret_spark.functions.vectors import l2_norm
+    from margaret_spark.operators.similarity import _nearest_cells
+
+    cents = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    cb = _with_nsq(spark.read.parquet(f"{path}/codebooks")).localCheckpoint(
+        eager=False
+    )
+    first = cb.agg(
+        F.min(F.size("cent")).alias("w"), F.max("sub").alias("mx")
+    ).first()
+    if first["w"] is None:
+        raise ValueError(f"empty codebook under {path}/codebooks")
+    width, m = int(first["w"]), int(first["mx"]) + 1
+    residual = F.zip_with(
+        F.col("__v"),
+        F.col("__cent"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    res = (
+        _nearest_cells(
+            new_vectors, cents, id_col, vec_col, "id", 1, round_digits
+        )
+        .join(F.broadcast(cents.select("cent_id", "__cent")), "cent_id")
+        .select("id", F.col("cent_id").alias("cell"), residual.alias("res"))
+        .localCheckpoint(eager=False)
+    )
+    enc = pq_encode(
+        res, cb, m, id_col="id", vec_col="res",
+        round_digits=round_digits, dim=width * m,
+    )
+    (
+        enc.join(res.select("id", "cell"), "id")
+        .select("cell", "id", "sub", "code_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )

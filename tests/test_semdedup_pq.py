@@ -322,3 +322,42 @@ def test_semantic_dedup_incremental_statuses(spark):
     assert out[3] == "new" and out[5] == "dup_in_batch"
     assert out[7] == "new"
     assert len(out) == 4
+
+
+def test_ivfpq_index_append_serves_new_vectors(spark, tmp_path):
+    """Appended vectors are indistinguishable from build-time rows:
+    their codes equal a frozen-model encode, and a search over the
+    appended index returns them when they are the nearest codes."""
+    import random
+
+    from margaret_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_search,
+    )
+
+    rng = random.Random(5)
+    old = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(old, path, nlist=4, m=2, codes=4, iters=1)
+    n_before = spark.read.parquet(path + "/codes").count()
+
+    # append near-copies of vectors 0 and 1 with fresh ids
+    base = {r.vec_id: r.embedding for r in old.where(F.col("vec_id") < 2).collect()}
+    new = spark.createDataFrame(
+        [(100 + i, [v + 0.001 for v in base[i]]) for i in (0, 1)],
+        "vec_id long, embedding array<double>",
+    )
+    ivfpq_index_append(spark, path, new)
+    codes = spark.read.parquet(path + "/codes")
+    assert codes.count() == n_before + 2 * 2  # m=2 rows per vector
+    assert codes.where(F.col("id") >= 100).count() == 4
+
+    # a near-copy query must surface its appended twin
+    qs = old.where(F.col("vec_id") == 0)
+    got = ivfpq_index_search(spark, path, qs, k=3, nprobe=4).collect()
+    ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+    assert 100 in ids, ids
