@@ -739,458 +739,3 @@ def kmeans_assign_deterministic(
         round_digits, comp_digits, sum_scale,
     )
     return assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
-
-
-def _normalize_centroids(centroids: DataFrame) -> DataFrame:
-    """Validate/normalize a user-supplied centroid table to the
-    persisted contract ``(cent_id, cent array<double>)`` — the index
-    read paths select exactly those names, so a kmeans output with
-    different column names must fail HERE with a real message, not
-    later with an AnalysisException inside a search."""
-    missing = {"cent_id", "cent"} - set(centroids.columns)
-    if missing:
-        raise ValueError(
-            "centroids must carry columns (cent_id, cent); missing "
-            f"{sorted(missing)} — got {centroids.columns}. Rename/select "
-            "before passing (e.g. kmeans_centroids already emits them)."
-        )
-    return centroids.select(
-        "cent_id", F.col("cent").cast("array<double>").alias("cent")
-    )
-
-
-def build_ivf_index(
-    corpus: DataFrame,
-    path: str,
-    nlist: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroids: DataFrame | None = None,
-    kmeans_iters: int = 0,
-    round_digits: int = 6,
-) -> DataFrame:
-    """Persist an IVF index: the corpus written Hive-partitioned by
-    nearest-centroid cell, plus the centroid table — the serving path
-    for repeated ANN queries at scale. Build cost is one assignment
-    pass + one partitioned write; afterwards :func:`ivf_index_search`
-    reads only the probed cells (partition pruning), so each query
-    batch touches nprobe/nlist of the corpus bytes instead of
-    re-assigning cells per batch as :func:`ivf_topk` does.
-
-    Row norms are precomputed into the index so the search never
-    rescans vectors it doesn't score. Returns the centroid DataFrame
-    (also persisted under ``<path>/centroids``)."""
-    if centroids is None:
-        if kmeans_iters > 0:
-            centroids = kmeans_centroids(
-                corpus, k=nlist, iters=kmeans_iters,
-                id_col=id_col, vec_col=vec_col, round_digits=round_digits,
-            )
-        else:
-            centroids = corpus.orderBy(F.col(id_col).asc()).limit(nlist).select(
-                F.col(id_col).alias("cent_id"),
-                F.col(vec_col).cast("array<double>").alias("cent"),
-            )
-    _normalize_centroids(centroids).write.mode("overwrite").parquet(
-        f"{path}/centroids"
-    )
-    spark = corpus.sparkSession
-    cents = F.broadcast(
-        spark.read.parquet(f"{path}/centroids").select(
-            "cent_id",
-            F.col("cent").alias("__cent"),
-            l2_norm(F.col("cent")).alias("__centn"),
-        )
-    )
-    assigned = _nearest_cells(
-        corpus, cents, id_col, vec_col, "id", 1, round_digits
-    ).select(
-        F.col("cent_id").alias("cell"),
-        "id",
-        F.col("__v").alias("v"),
-        F.col("__n").alias("nrm"),
-    )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
-    return spark.read.parquet(f"{path}/centroids")
-
-
-def ivf_index_search(
-    spark: SparkSession,
-    path: str,
-    queries: DataFrame,
-    k: int = 10,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 6,
-) -> DataFrame:
-    """Top-k search against a persisted :func:`build_ivf_index`.
-
-    The probe set (query × nprobe nearest cells) is broadcast into the
-    join against the partitioned cell table, so dynamic partition
-    pruning drops every unprobed cell at the scan — the corpus read is
-    O(probed cells), verified by plan assertion in tests. Results are
-    identical to :func:`ivf_topk` with the same centroids."""
-    cents = F.broadcast(
-        spark.read.parquet(f"{path}/centroids").select(
-            "cent_id",
-            F.col("cent").alias("__cent"),
-            l2_norm(F.col("cent")).alias("__centn"),
-        )
-    )
-    probes = _nearest_cells(
-        queries, cents, id_col, vec_col, "query_id", nprobe, round_digits
-    ).select(
-        F.col("cent_id").alias("cell"),
-        "query_id",
-        F.col("__v").alias("__qv"),
-        F.col("__n").alias("__qn"),
-    )
-    cells = spark.read.parquet(f"{path}/cells")
-    cos = pair_dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("nrm"))
-    scored = (
-        cells.join(F.broadcast(probes), "cell")
-        .where(F.col("query_id") != F.col("id"))
-        .withColumn("cosine", pround(cos, round_digits))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", F.col("id").alias("neighbor_id"), "cosine", "rank"
-        )
-    )
-
-
-def _hyperplanes_df(spark: SparkSession, dim: int, nbits: int, seed: int) -> DataFrame:
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((nbits, dim))
-    rows = [(int(i), [float(x) for x in planes[i]]) for i in range(nbits)]
-    return spark.createDataFrame(rows, "plane_id int, plane array<double>")
-
-
-def _signatures(
-    df: DataFrame, id_alias: str, vec_col: str, planes: DataFrame, dim: int | None = None
-) -> DataFrame:
-    """bucket = bits of sign(v·h_i), folded into a long. The plane table
-    is broadcast; signing is |v|·nbits rows through codegen."""
-    signed = (
-        df.crossJoin(F.broadcast(planes))
-        .withColumn(
-            "__bit",
-            F.when(
-                dot(F.col(vec_col), F.col("plane"), dim) >= 0, F.lit(1).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy(id_alias)
-        .agg(F.sum(F.expr("shiftleft(__bit, plane_id)")).alias("bucket"))
-    )
-    return signed
-
-
-def lsh_bucketed_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    nbits: int = 8,
-    seed: int = 42,
-    round_digits: int = 6,
-) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket."""
-    # the signature folds bit i as shiftleft(bit, plane_id) into one
-    # long: past 63 planes the shift wraps and distinct signatures
-    # silently alias to the same bucket — fail loudly instead
-    if not 1 <= nbits <= 63:
-        raise ValueError(f"nbits must be in 1..63: {nbits}")
-    spark = corpus.sparkSession
-    dim = infer_dim(corpus, vec_col)
-    if dim is None:  # empty corpus: same schema as brute_force_topk,
-        # id columns keeping the input id type (not pinned to long)
-        id_t = corpus.schema[id_col].dataType.simpleString()
-        return corpus.sparkSession.createDataFrame(
-            [], f"query_id {id_t}, neighbor_id {id_t}, cosine double, rank int"
-        )
-    planes = _hyperplanes_df(spark, dim, nbits, seed)
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
-    )
-    c_sig = _signatures(c, "neighbor_id", "__cv", planes).join(c, "neighbor_id")
-    q_sig = _signatures(q, "query_id", "__qv", planes).join(q, "query_id")
-
-    cos = pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-    scored = (
-        q_sig.join(c_sig, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", pround(cos, round_digits))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
-
-
-def range_search(
-    corpus: DataFrame,
-    queries: DataFrame,
-    radius: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 6,
-) -> DataFrame:
-    """All corpus neighbors with rounded cosine ≥ ``radius`` per query
-    (self-matches excluded) — the fixed-threshold companion of
-    :func:`brute_force_topk` (retrieval wants top-k; dedup sweeps and
-    recall audits want every match above a bar).
-
-    Same scale shape as the top-k path: queries broadcast, the corpus
-    streams through the scoring filter once — and unlike top-k there
-    is NO ranking window, so zero shuffles: the threshold prunes
-    inside the scan's stage."""
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            l2_norm(F.col(vec_col)).alias("__qn"),
-        )
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
-    cos = pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-    return (
-        q.crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", pround(cos, round_digits))
-        .where(F.col("cosine") >= radius)
-        .select("query_id", "neighbor_id", "cosine")
-    )
-
-
-def ann_recall_at_k(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 10,
-    nlist: int = 16,
-    nprobe: int = 4,
-    centroids: DataFrame | None = None,
-    round_digits: int = 6,
-) -> DataFrame:
-    """(query_id, n_exact, n_hits, recall): per-query recall@k of the
-    IVF index against brute force — the eval every ANN deployment runs
-    before trusting ``nlist``/``nprobe`` settings (recall is the knob
-    those parameters trade against probe cost).
-
-    ``n_exact`` is the true top-k size (< k on tiny corpora), the
-    denominator; ``n_hits`` counts IVF results that appear in the true
-    top-k (matched by neighbor id via a semi-join — rank order is not
-    penalized, matching the standard recall@k definition).
-
-    Scale shape: both arms are the library operators (brute force =
-    broadcast queries × one corpus stream; IVF = probed-cell join);
-    the comparison itself touches only 2·|queries|·k rows. Exact
-    integer counts + one IEEE division, so the metric is
-    oracle-reproducible bit-for-bit."""
-    exact = brute_force_topk(corpus, queries, k=k).select(
-        "query_id", "neighbor_id"
-    )
-    approx = ivf_topk(
-        corpus, queries, k=k, nlist=nlist, nprobe=nprobe, centroids=centroids
-    ).select("query_id", "neighbor_id")
-    # anchor on the query set: a query whose exact top-k is EMPTY
-    # (it is the whole corpus) must still report a row, not vanish
-    # from the groupBy
-    qids = queries.select(F.col(id_col).alias("query_id")).distinct()
-    n_exact = qids.join(
-        exact.groupBy("query_id").agg(
-            F.count("*").cast("long").alias("__ne")
-        ),
-        "query_id",
-        "left",
-    ).select(
-        "query_id", F.coalesce(F.col("__ne"), F.lit(0)).cast("long").alias("n_exact")
-    )
-    n_hits = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-    )
-    return (
-        n_exact.join(n_hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        )
-        .withColumn(
-            "recall",
-            # a query whose true top-k is empty (corpus = the query
-            # itself) has no defined recall; report 1.0 — the index
-            # missed nothing — instead of a NULL from 0/0
-            pround(
-                F.when(F.col("n_exact") > 0, F.col("n_hits") / F.col("n_exact"))
-                .otherwise(F.lit(1.0)),
-                round_digits,
-            ),
-        )
-    )
-
-
-def ivf_index_append(
-    spark: SparkSession,
-    path: str,
-    new_vectors: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 6,
-) -> None:
-    """Incremental maintenance of a persisted :func:`build_ivf_index`:
-    assign NEW vectors to their cells under the index's SAVED
-    centroids and append them into the partitioned layout — no
-    rebuild, no rewrite of existing cells. At 100 TB this is the only
-    viable ingest path: a rebuild re-shuffles the whole corpus, an
-    append touches exactly the new rows.
-
-    Appended rows are indistinguishable from build-time rows
-    (:func:`ivf_index_search` needs no changes), and because the
-    centroids are FROZEN the search result equals an in-flight
-    :func:`ivf_topk` over (old ∪ new) with those centroids — pinned in
-    tests. Centroid drift under sustained ingest is the documented
-    trade: re-run :func:`build_ivf_index` when recall (measure with
-    :func:`ann_recall_at_k`) decays."""
-    cents = F.broadcast(
-        spark.read.parquet(f"{path}/centroids").select(
-            "cent_id",
-            F.col("cent").alias("__cent"),
-            l2_norm(F.col("cent")).alias("__centn"),
-        )
-    )
-    assigned = _nearest_cells(
-        new_vectors, cents, id_col, vec_col, "id", 1, round_digits
-    ).select(
-        F.col("cent_id").alias("cell"),
-        "id",
-        F.col("__v").alias("v"),
-        F.col("__n").alias("nrm"),
-    )
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
-
-
-def kmeans_assign_deterministic(
-    corpus: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_digits: int = 6,
-    comp_digits: int = 9,
-    sum_scale: int = 12,
-) -> DataFrame:
-    """(id, cent_id, cosine): embedding clustering with a fully
-    deterministic, engine-reproducible Lloyd iteration — the graded
-    twin of :func:`kmeans_centroids` (whose float ``avg`` means are
-    shuffle-order-dependent). Same init (the ``k`` lowest-id vectors)
-    and the same assignment rule (rounded cosine, centroid-id
-    tiebreak); the means instead use the pround/DECIMAL recipe the
-    PageRank operator proved out: each component is pround'ed to
-    ``comp_digits``, summed exactly as DECIMAL(38, ``sum_scale``)
-    (order-independent), divided by the cell count, and pround'ed
-    again — the identical IEEE expression tree a SQL oracle evaluates,
-    so a fixed iteration count is hash-exact cross-engine. Returns the
-    FINAL assignment of every vector after ``iters`` refinements.
-
-    Scale shape per round (same as :func:`kmeans_centroids`): k
-    centroids broadcast, one narrow Arrow-batched scoring pass over
-    the corpus, one (cell, dim)-keyed aggregation for the means —
-    the corpus itself never shuffles; lineage is checkpoint-truncated
-    each round. Empty cells keep their previous centroid, so k never
-    silently shrinks."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1: {k}")
-    if iters < 0:
-        raise ValueError(f"iters must be >= 0: {iters}")
-    cents = F.broadcast(
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(k)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).cast("array<double>").alias("cent"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-
-    def _assign(cents_df):
-        scored = v.crossJoin(cents_df).withColumn(
-            "__sim",
-            pround(
-                pair_dot(F.col("v"), F.col("cent"))
-                / (l2_norm(F.col("v")) * l2_norm(F.col("cent"))),
-                round_digits,
-            ),
-        )
-        w = Window.partitionBy("id").orderBy(
-            F.col("__sim").desc(), F.col("cent_id").asc()
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
-            .select("id", "cent_id", "v", F.col("__sim"))
-        )
-
-    from margaret_spark.functions.numeric import dsum
-
-    for _ in range(iters):
-        assigned = _assign(cents)
-        dims = assigned.select(
-            "cent_id",
-            F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"),
-        ).withColumn("__c", pround(F.col("x"), comp_digits))
-        means = (
-            dims.groupBy("cent_id", "pos")
-            .agg(
-                pround(
-                    dsum("__c", scale=sum_scale) / F.count("*"), comp_digits
-                ).alias("m")
-            )
-            .groupBy("cent_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm"))
-            .select(
-                "cent_id",
-                F.transform(F.col("__pm"), lambda s: s["m"]).alias("cent"),
-            )
-        )
-        # empty cells keep their previous centroid (see kmeans_centroids)
-        means = (
-            cents.select("cent_id", F.col("cent").alias("__prev"))
-            .join(means, "cent_id", "left")
-            .select(
-                "cent_id", F.coalesce(F.col("cent"), F.col("__prev")).alias("cent")
-            )
-        )
-        cents = F.broadcast(means.localCheckpoint(eager=False))
-    return _assign(cents).select(
-        F.col("id").alias(id_col),
-        "cent_id",
-        F.col("__sim").alias("cosine"),
-    )

@@ -440,3 +440,27 @@ def test_keeper_sink_only_never_materializes_driver_pandas(spark, tmp_path):
         ).collect()
     }
     assert got == {0, 1}
+
+
+def test_no_shadowed_duplicate_toplevel_defs():
+    """Every module defines each top-level function/class exactly once.
+
+    Guards the bug class found in r8's continuation review: an edit to
+    similarity.py left a 450-line stale tail re-defining 10 functions,
+    so Python silently ran the LAST (old) copies and shadowed a
+    refactor. Results happened to be equivalent; the next divergence
+    would not be."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "margaret_spark"
+    offenders = []
+    for py in sorted(root.rglob("*.py")):
+        tree = ast.parse(py.read_text(), filename=str(py))
+        seen = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                if node.name in seen:
+                    offenders.append(f"{py}:{node.lineno} re-defines {node.name} (first at :{seen[node.name]})")
+                seen[node.name] = node.lineno
+    assert not offenders, "shadowed duplicate definitions:\n" + "\n".join(offenders)
