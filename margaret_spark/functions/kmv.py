@@ -128,10 +128,14 @@ def kmv_intersect(
     agg = flagged.agg(
         F.count("*").cast("long").alias("n_union_sketch"),
         F.max("h").alias("__kth"),
-        F.sum(
-            F.when(
-                F.col("__ina").isNotNull() & F.col("__inb").isNotNull(), 1
-            ).otherwise(0)
+        # coalesce: sum over ZERO rows (two empty sketches) is NULL
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__ina").isNotNull() & F.col("__inb").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("k_common"),
@@ -148,9 +152,15 @@ def kmv_intersect(
         "n_union_sketch",
         "k_common",
         est_union.alias("est_union"),
-        pround(
-            (F.col("k_common").cast("double") / F.col("n_union_sketch"))
-            * est_union,
-            round_digits,
-        ).alias("est_intersection"),
+        # two empty inputs: 0/0 would yield NULL — the true
+        # intersection of two empty sets is exactly 0
+        F.when(F.col("n_union_sketch") == 0, F.lit(0.0))
+        .otherwise(
+            pround(
+                (F.col("k_common").cast("double") / F.col("n_union_sketch"))
+                * est_union,
+                round_digits,
+            )
+        )
+        .alias("est_intersection"),
     )

@@ -75,8 +75,28 @@ def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
 def _pair_dot_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
     if len(va) == 0:
         return pd.Series(np.zeros(0, dtype=np.float64))
-    A = np.stack(va.to_numpy())
-    B = np.stack(vb.to_numpy())
+    if va.isna().any() or vb.isna().any():
+        # name the contract violation: without this check a NULL row
+        # surfaces as a cryptic np.stack shape error from inside numpy
+        raise ValueError(
+            "pair_dot: NULL vector in batch — vector operators require "
+            "non-NULL fixed-width arrays; filter NULL rows upstream "
+            "(e.g. .where(col.isNotNull()))"
+        )
+    try:
+        A = np.stack(va.to_numpy())
+        B = np.stack(vb.to_numpy())
+    except ValueError as e:
+        raise ValueError(
+            "pair_dot: ragged vector widths in batch — all vectors on "
+            "both sides must share one dimension; validate widths "
+            "upstream (size(col))"
+        ) from e
+    if A.shape != B.shape:
+        raise ValueError(
+            f"pair_dot: side widths differ ({A.shape[1]} vs {B.shape[1]}) "
+            "— both sides must share one dimension"
+        )
     # per-dimension sequential accumulation: for each row this is the
     # exact left fold 0.0 + a0*b0 + a1*b1 + ... (bit-equal to dot()),
     # vectorized across the Arrow batch. float32 -> float64 casts are
@@ -89,7 +109,9 @@ def _pair_dot_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
 
 def pair_dot(a: Column, b: Column) -> Column:
     """Arrow-batched dot product for pair-scoring joins (see module
-    doc). Requires fixed-width, non-null vectors within a batch."""
+    doc). Requires fixed-width, non-null vectors within a batch —
+    violations fail loudly with the cause named (NULL row, ragged
+    widths, or side-width mismatch), never a bare numpy shape error."""
     return _pair_dot_udf(a, b)
 
 

@@ -2367,3 +2367,36 @@ def test_k_core_guards(spark):
         k_core(edges, "id_a", "id_b", k=0)
     with _pytest.raises(ValueError, match="rounds"):
         k_core(edges, "id_a", "id_b", k=2, rounds=-1)
+
+
+def test_pair_dot_names_null_and_ragged_violations(spark):
+    """pair_dot contract violations fail loudly with the cause named
+    (found in the r8 part-7 review: a NULL embedding crashed pq_train
+    with a bare np.stack shape error from inside numpy)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from margaret_spark.functions.vectors import pair_dot
+
+    nulls = spark.createDataFrame(
+        [(1, [1.0, 2.0], [1.0, 2.0]), (2, None, [1.0, 2.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    with pytest.raises(Exception, match="NULL vector in batch"):
+        nulls.select(pair_dot(F.col("a"), F.col("b"))).collect()
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0], [1.0, 2.0]), (2, [1.0], [1.0, 2.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    # depending on how Arrow batches the rows, raggedness surfaces as
+    # either the within-side stack failure or the cross-side width
+    # check — both named pair_dot errors, never a bare numpy one
+    with pytest.raises(
+        Exception, match="ragged vector widths|side widths differ"
+    ):
+        ragged.select(pair_dot(F.col("a"), F.col("b"))).collect()
+    single = ragged.coalesce(1)
+    with pytest.raises(
+        Exception, match="ragged vector widths|side widths differ"
+    ):
+        single.select(pair_dot(F.col("a"), F.col("b"))).collect()

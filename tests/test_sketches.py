@@ -406,3 +406,16 @@ def test_kmv_rejects_k_below_two(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError, match="k must be"):
         kmv_sketch(df, "k", k=1)
+
+
+def test_kmv_intersect_empty_inputs_is_zero(spark):
+    """Two empty sketches: est_intersection must be 0.0, not the NULL
+    a naive 0/0 division produces."""
+    from margaret_spark.functions.kmv import kmv_intersect, kmv_sketch
+
+    empty = spark.createDataFrame([], "k long")
+    a = kmv_sketch(empty, "k", k=8)
+    row = kmv_intersect(a, a, k=8).collect()[0]
+    assert row.n_union_sketch == 0
+    assert row.k_common == 0
+    assert row.est_intersection == 0.0
