@@ -3716,6 +3716,41 @@ def q_multimodal_image_dedup(spark, sf_dir):
     return image_dedup_pairs(base, "doc_id", "blob", max_hamming=6)
 
 
+def q_multimodal_image_phash(spark, sf_dir):
+    """DCT perceptual hash (pHash) on the graded surface
+    (operators.imagehash.image_phash): REAL PNG decode, 16×16 box
+    floor-mean downsample + separable INTEGER DCT in one Arrow stage
+    (hardcoded round(cos·4096) basis — protocol constants shared
+    verbatim with this oracle), then the 64 low-frequency AC
+    coefficients (DC excluded — brightness invariance) thresholded
+    against their exact integer median pair (2·C > m32+m33) in
+    codegen. The oracle re-derives every box mean, coefficient, and
+    bit arithmetically from the closed-form pixel stream — any bug in
+    decode, luma, the box means, the DCT passes, the median rule, or
+    packing hash-mismatches. Robust where dHash is not: brightness
+    shifts move only the excluded DC, and pixel jitter cancels in the
+    box means (pinned in pytest on a JPEG re-encode)."""
+    from margaret_spark.operators.imagehash import image_phash
+
+    base = _image_dedup_base(spark, sf_dir)
+    return image_phash(base, "doc_id", "blob")
+
+
+def q_multimodal_image_phash_dedup(spark, sf_dir):
+    """Image near-dup pairs under pHash: hash + the lossless
+    pigeonhole Hamming join at max_hamming=10 (11 blocks; pHash's
+    frequency bits degrade more gracefully than dHash's spatial
+    gradients, so the band is wider). On this fixture the pairs are
+    exactly the 25 planted duplicate groups — cross-seed pHash
+    Hamming is ≥ 16 on this parameter grid. The oracle is the
+    brute-force Hamming self-join over the arithmetically re-derived
+    hashes: banding must find exactly those pairs."""
+    from margaret_spark.operators.imagehash import phash_dedup_pairs
+
+    base = _image_dedup_base(spark, sf_dir)
+    return phash_dedup_pairs(base, "doc_id", "blob", max_hamming=10)
+
+
 def _audio_dedup_base(spark, sf_dir):
     """The shared fixture for the perceptual audio-fingerprint
     queries: 25 audio groups (seed = doc_id % 25) × 3 noise variants
@@ -5058,6 +5093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_video": q_multimodal_decode_video,
         "multimodal_image_dhash": q_multimodal_image_dhash,
         "multimodal_image_dedup": q_multimodal_image_dedup,
+        "multimodal_image_phash": q_multimodal_image_phash,
+        "multimodal_image_phash_dedup": q_multimodal_image_phash_dedup,
         "multimodal_audio_fp": q_multimodal_audio_fp,
         "multimodal_audio_dedup": q_multimodal_audio_dedup,
         "multimodal_dedup_clusters": q_multimodal_dedup_clusters,
@@ -6742,6 +6779,67 @@ def _image_dhash_sql() -> str:
     )
 
 
+def _image_phash_sql() -> str:
+    """The multimodal_image_phash / _phash_dedup oracle core:
+    re-derive every pHash bit arithmetically from the closed-form
+    pixel stream. Per-pixel greys (the quadratic closed form) box-
+    floor-mean into the 16×16 grid (pixel (y, x) → cell
+    (y·16 div h, x·16 div w); cell grey = sum div count; empty cells —
+    h < 16 here — are 0 via the full cell spine); the two separable
+    DCT passes join against a VALUES table of the SAME hardcoded
+    integer basis the Spark operator uses (imported here, so the two
+    sides can never drift); the 64 AC coefficients (row-major
+    k = u·8+v in 1..64 — k = 0 is the excluded DC term) threshold
+    against the exact middle-pair sum (2·c > m32 + m33, order stats
+    via row_number); packed two's-complement (bit 63 = −2⁶³). Pure
+    integer arithmetic — hash-exact against the real
+    encode→decode→box-mean→DCT pipeline."""
+    from margaret_spark.operators.imagehash import _PHASH_B16
+
+    b16_rows = ", ".join(
+        f"({u}, {x}, {_PHASH_B16[u][x]})" for u in range(9) for x in range(16)
+    )
+    return (
+        "d AS (SELECT doc_id, doc_id % 25 AS seed, "
+        "CAST((doc_id % 25) % 5 + 16 AS BIGINT) AS w, "
+        "CAST((doc_id % 25) % 3 + 12 AS BIGINT) AS h FROM documents), "
+        "px AS (SELECT doc_id, "
+        "((CAST(t.range AS BIGINT) // w) * 16) // h AS gy, "
+        "((CAST(t.range AS BIGINT) % w) * 16) // w AS gx, "
+        "(seed * 31 + CAST(t.range AS BIGINT) * CAST(t.range AS BIGINT)) "
+        "% 256 AS g FROM d CROSS JOIN range(320) t "
+        "WHERE t.range < w * h), "
+        "cm AS (SELECT doc_id, gy, gx, SUM(g) // COUNT(*) AS g "
+        "FROM px GROUP BY doc_id, gy, gx), "
+        "spine AS (SELECT doc_id, CAST(t.range AS BIGINT) // 16 AS gy, "
+        "CAST(t.range AS BIGINT) % 16 AS gx FROM d CROSS JOIN range(256) t), "
+        "grid AS (SELECT spine.doc_id, spine.gy, spine.gx, "
+        "COALESCE(cm.g, 0) AS g FROM spine LEFT JOIN cm "
+        "ON cm.doc_id = spine.doc_id AND cm.gy = spine.gy "
+        "AND cm.gx = spine.gx), "
+        f"b16 AS (SELECT * FROM (VALUES {b16_rows}) AS t(u, x, val)), "
+        # column pass first (contract over gy — u is the VERTICAL
+        # frequency, matching the operator's B·G·B[:8]ᵀ), then the row
+        # pass over gx with v < 8
+        "tmat AS (SELECT grid.doc_id, b16.u, grid.gx AS xx, "
+        "SUM(grid.g * b16.val) AS t FROM grid JOIN b16 ON b16.x = grid.gy "
+        "GROUP BY grid.doc_id, b16.u, grid.gx), "
+        "co AS (SELECT tmat.doc_id, tmat.u * 8 + bv.u AS k, "
+        "SUM(tmat.t * bv.val) AS c FROM tmat JOIN b16 bv ON bv.x = tmat.xx "
+        "AND bv.u < 8 GROUP BY tmat.doc_id, tmat.u, bv.u), "
+        "ac AS (SELECT doc_id, k - 1 AS j, c FROM co "
+        "WHERE k BETWEEN 1 AND 64), "
+        "med AS (SELECT doc_id, SUM(CASE WHEN rn IN (32, 33) THEN c "
+        "ELSE 0 END) AS msum FROM (SELECT doc_id, c, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY c) AS rn FROM ac) GROUP BY doc_id), "
+        "sig AS (SELECT ac.doc_id, CAST(SUM(CASE WHEN 2 * ac.c > med.msum "
+        "THEN (CASE WHEN ac.j = 63 THEN (-9223372036854775807 - 1) "
+        "ELSE (CAST(1 AS BIGINT) << ac.j) END) ELSE 0 END) AS BIGINT) "
+        "AS phash FROM ac JOIN med ON med.doc_id = ac.doc_id "
+        "GROUP BY ac.doc_id)"
+    )
+
+
 def _audio_afp_sql() -> str:
     """The multimodal_audio_fp / _audio_dedup oracle core: re-derive
     every energy-gradient bit arithmetically — sample j of doc's clip
@@ -7981,6 +8079,16 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming "
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             "AND bit_count(xor(a.dhash, b.dhash)) <= 6"
+        ),
+        "multimodal_image_phash": (
+            f"WITH {_image_phash_sql()} SELECT doc_id, phash FROM sig"
+        ),
+        "multimodal_image_phash_dedup": (
+            f"WITH {_image_phash_sql()} "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.phash, b.phash)) <= 10"
         ),
         "multimodal_audio_fp": (
             f"WITH {_audio_afp_sql()} SELECT doc_id, afp FROM sig"

@@ -108,6 +108,8 @@ HEADLINE_V2 = [
     # streaming decontamination, and the r8 NB classifier pair
     "multimodal_image_dhash",
     "multimodal_image_dedup",
+    "multimodal_image_phash",
+    "multimodal_image_phash_dedup",
     "events_hll_groups",
     "web_url_dedup",
     "dedup_incremental",

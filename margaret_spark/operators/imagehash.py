@@ -245,3 +245,203 @@ def image_dedup_pairs(
         "dhash",
         max_hamming=max_hamming,
     )
+
+
+#: Integer DCT-II basis for pHash: ``round(cos(π(2i+1)u / 32) · 4096)``
+#: for u in 0..8 over 16 sample positions. HARDCODED — these are
+#: protocol constants shared verbatim with the SQL oracle, never
+#: recomputed at runtime (libm ``cos`` is not bit-identical across
+#: platforms; a 1-ulp difference could flip a rounded entry). A pytest
+#: re-derives them from ``math.cos`` and pins equality.
+_PHASH_B16 = (
+    (4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096, 4096),
+    (4076, 3920, 3612, 3166, 2598, 1931, 1189, 401, -401, -1189, -1931, -2598, -3166, -3612, -3920, -4076),
+    (4017, 3406, 2276, 799, -799, -2276, -3406, -4017, -4017, -3406, -2276, -799, 799, 2276, 3406, 4017),
+    (3920, 2598, 401, -1931, -3612, -4076, -3166, -1189, 1189, 3166, 4076, 3612, 1931, -401, -2598, -3920),
+    (3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784, 3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    (3612, 401, -3166, -3920, -1189, 2598, 4076, 1931, -1931, -4076, -2598, 1189, 3920, 3166, -401, -3612),
+    (3406, -799, -4017, -2276, 2276, 4017, 799, -3406, -3406, 799, 4017, 2276, -2276, -4017, -799, 3406),
+    (3166, -1931, -3920, 401, 4076, 1189, -3612, -2598, 2598, 3612, -1189, -4076, -401, 3920, 1931, -3166),
+    (2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+)
+
+#: pHash downsample grid (16×16 box cells) and AC selection: the 64
+#: row-major low-frequency coefficients k = u·8 + v in 1..64 — k = 0
+#: is the DC term, EXCLUDED from both bits and median, which makes the
+#: hash exactly invariant to constant brightness shifts (a shift moves
+#: only DC, up to clipping and the box-mean floor).
+_PHASH_G = 16
+
+
+def _phash_ac_columns():
+    """Lazy import-free singleton for the Arrow stage below."""
+    import numpy as np
+
+    return np.array(_PHASH_B16, dtype=np.int64)
+
+
+def phash_ac_from_decoded(
+    decoded: DataFrame,
+    id_col: str,
+    pixels_col: str = "pixels",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """(id, ac array<long>): the 64 integer low-frequency AC
+    coefficients of each decoded image — the frequency-domain half of
+    pHash, computed in ONE Arrow stage (vectorized numpy int64, exact):
+
+    1. integer luma per pixel (BT.601 ``(299R+587G+114B) div 1000``
+       when the flattened sample array carries ≥ 3 channels, first
+       channel otherwise — the ``_grey_grid`` convention),
+    2. 16×16 box floor-mean downsample (pixel (y, x) belongs to cell
+       ``(y·16 div H, x·16 div W)``; a cell's grey is
+       ``sum div count``, empty cells — possible when W or H < 16 —
+       are 0). Box AVERAGING is what makes pHash robust: pixel-level
+       jitter cancels inside a cell, where nearest-neighbor point
+       sampling would keep it (measured: JPEG q90↔q70 Hamming drops
+       ~2× vs point sampling),
+    3. separable integer DCT ``C = B · G · Bᵀ`` with the hardcoded
+       ``_PHASH_B16`` basis (all int64, max |C| < 2⁵¹ — exact),
+    4. keep the 64 row-major coefficients k = u·8+v in 1..64 (DC
+       excluded — brightness invariance).
+
+    Rows with empty pixel arrays are dropped (no image to hash)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _ac(px, w, h):
+        import numpy as np
+
+        B = _phash_ac_columns()
+        G = _PHASH_G
+        out = []
+        for p, wi, hi in zip(px.to_numpy(), w.to_numpy(), h.to_numpy()):
+            wi, hi = int(wi), int(hi)
+            if p is None or wi <= 0 or hi <= 0 or len(p) == 0:
+                out.append(None)
+                continue
+            arr = np.asarray(p, dtype=np.int64)
+            ch = len(arr) // (wi * hi)
+            if ch >= 3:
+                pix = arr.reshape(hi, wi, ch)
+                grey = (
+                    299 * pix[:, :, 0] + 587 * pix[:, :, 1] + 114 * pix[:, :, 2]
+                ) // 1000
+            elif ch == 2:
+                grey = arr.reshape(hi, wi, 2)[:, :, 0]
+            else:
+                grey = arr.reshape(hi, wi)
+            ys = (np.arange(hi) * G) // hi
+            xs = (np.arange(wi) * G) // wi
+            sums = np.zeros((G, G), dtype=np.int64)
+            cnts = np.zeros((G, G), dtype=np.int64)
+            np.add.at(sums, (ys[:, None], xs[None, :]), grey)
+            np.add.at(cnts, (ys[:, None], xs[None, :]), 1)
+            g = sums // np.maximum(cnts, 1)
+            # column pass over all 9 u-rows, row pass over v in 0..7:
+            # C is 9×8, so the flat index is exactly k = u*8 + v
+            flat = (B @ g @ B[:8].T).reshape(-1)
+            out.append(flat[1:65].tolist())
+        return pd.Series(out, dtype=object)
+
+    px = F.col(pixels_col)
+    return (
+        decoded.where(F.size(px) > 0)
+        .select(
+            F.col(id_col),
+            _ac(px, F.col(width_col), F.col(height_col)).alias("ac"),
+        )
+        .where(F.col("ac").isNotNull())
+    )
+
+
+def _phash_bits(c: Column, msum: Column) -> Column:
+    """Pack the 64 median-threshold bits: bit j set iff
+    ``2·C[j] > m32 + m33`` (comparing doubled coefficients against the
+    middle-pair order-stat sum keeps the classic above-the-median rule
+    in EXACT integers, no division). XOR chain of python-literal
+    shifts (the ``_dhash_bits`` assembly)."""
+    sig = None
+    for j in range(64):
+        term = F.shiftleft(
+            F.when(
+                F.lit(2) * F.element_at(c, j + 1) > msum,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+            j,
+        )
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sig
+
+
+def phash_from_ac(acs: DataFrame, id_col: str, ac_col: str = "ac") -> DataFrame:
+    """(id, phash long) from the AC-coefficient table: median
+    threshold + bit packing in pure integer codegen. The sorted array
+    and middle-pair sum are bound ONCE as ``transform()`` lambda
+    variables before the 64 bit terms read them (the winnowing O(g²)
+    lesson)."""
+    c0 = F.col(ac_col)
+    phash = F.get(
+        F.transform(
+            F.array(c0),
+            lambda c: F.get(
+                F.transform(
+                    F.array(
+                        F.element_at(F.array_sort(c), 32)
+                        + F.element_at(F.array_sort(c), 33)
+                    ),
+                    lambda msum: _phash_bits(c, msum),
+                ),
+                0,
+            ),
+        ),
+        0,
+    )
+    return acs.select(F.col(id_col), phash.alias("phash"))
+
+
+def image_phash(
+    df: DataFrame, id_col: str, blob_col: str, fake: bool = False
+) -> DataFrame:
+    """(id, phash long): pHash — the DCT perceptual hash (the
+    construction popularized by the public pHash/imagehash libraries:
+    downsample, transform to frequency space, keep the low-frequency
+    block, threshold against its median). Robust where dHash is not:
+    brightness/contrast shifts move only the EXCLUDED DC coefficient,
+    and pixel-level jitter cancels in the box means, while dHash's
+    spatial gradient bits sit directly on it.
+
+    This variant is HASH-EXACT end-to-end: real PNG/baseline-JPEG
+    Arrow decode (:func:`margaret_spark.operators.multimodal.decode_image`),
+    one more Arrow stage for luma + 16×16 box floor-means + the
+    separable INTEGER DCT (hardcoded ``round(cos·4096)`` basis —
+    protocol constants shared with the SQL oracle), then the median
+    rule and bit packing in integer codegen (``2·C > m32 + m33`` — no
+    division, no floats anywhere). Rows with NULL blobs are dropped
+    (decode contract)."""
+    from margaret_spark.operators.multimodal import decode_image
+
+    decoded = decode_image(df, id_col, blob_col, fake=fake)
+    return phash_from_ac(phash_ac_from_decoded(decoded, id_col), id_col)
+
+
+def phash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    max_hamming: int = 10,
+    fake: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, hamming): image near-duplicate pairs under pHash —
+    hash each blob, then the lossless pigeonhole Hamming join
+    (:func:`hamming_pairs`, modality-agnostic). pHash tolerates a
+    wider band than dHash (frequency-domain bits degrade gracefully),
+    hence the default ``max_hamming`` of 10 of 64."""
+    return hamming_pairs(
+        image_phash(df, id_col, blob_col, fake=fake),
+        id_col,
+        "phash",
+        max_hamming=max_hamming,
+    )

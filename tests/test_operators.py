@@ -2400,3 +2400,148 @@ def test_pair_dot_names_null_and_ragged_violations(spark):
         Exception, match="ragged vector widths|side widths differ"
     ):
         single.select(pair_dot(F.col("a"), F.col("b"))).collect()
+
+
+def _ref_phash(grey_at, w, h):
+    """Python-reference pHash over a grey(y, x) sampler: 16x16 box
+    floor-mean grid, separable integer DCT (the hardcoded basis), 64
+    DC-excluded AC coefficients thresholded against the middle-pair
+    sum, packed into a signed 64-bit long."""
+    import numpy as np
+
+    from margaret_spark.operators.imagehash import _PHASH_B16
+
+    B = np.array(_PHASH_B16, dtype=np.int64)
+    sums = np.zeros((16, 16), dtype=np.int64)
+    cnts = np.zeros((16, 16), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            sums[y * 16 // h, x * 16 // w] += grey_at(y, x)
+            cnts[y * 16 // h, x * 16 // w] += 1
+    g = sums // np.maximum(cnts, 1)
+    flat = (B @ g @ B[:8].T).reshape(-1)
+    ac = flat[1:65]
+    srt = np.sort(ac)
+    msum = int(srt[31]) + int(srt[32])
+    sig = sum((1 << j) for j, c in enumerate(ac) if 2 * int(c) > msum)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_phash_basis_constants_derive_from_cos():
+    """The hardcoded integer DCT basis equals round(cos(pi(2i+1)u/32)
+    * 4096) — the constants are protocol parameters (never recomputed
+    at runtime: libm cos is not bit-identical across platforms), and
+    this pins their derivation."""
+    import math
+
+    from margaret_spark.operators.imagehash import _PHASH_B16
+
+    want = tuple(
+        tuple(
+            round(math.cos(math.pi * (2 * x + 1) * u / 32) * 4096)
+            for x in range(16)
+        )
+        for u in range(9)
+    )
+    assert _PHASH_B16 == want
+
+
+def test_image_phash_matches_reference_grey_and_rgb(spark):
+    """pHash over REAL decoded PNGs equals the python reference:
+    greyscale via the synthetic closed-form fixture, RGB via the
+    integer-luma path."""
+    from margaret_spark.operators.imagehash import image_phash
+    from margaret_spark.operators.media_codecs import encode_png
+    from margaret_spark.operators.multimodal import (
+        attach_synthetic_png_blobs,
+    )
+
+    rows = [(i, 16 + (i % 3), 12 + (i % 2)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, w int, h int")
+    blobs = attach_synthetic_png_blobs(df, "doc_id", "w", "h")
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in image_phash(blobs, "doc_id", "blob").collect()
+    }
+    for i, w, h in rows:
+        want = _ref_phash(
+            lambda y, x, i=i, w=w: (i * 31 + (y * w + x)) % 256, w, h
+        )
+        assert got[i] == want, (i, got[i], want)
+
+    w, h = 11, 9
+    px = bytes(
+        ((y * w + x) * c + 13) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in (1, 2, 3)
+    )
+    rgb = spark.createDataFrame(
+        [(1, bytearray(encode_png(w, h, px, color_type=2)))],
+        "doc_id long, blob binary",
+    )
+    got_rgb = image_phash(rgb, "doc_id", "blob").collect()[0]["phash"]
+
+    def grey(y, x):
+        o = (y * w + x) * 3
+        r, g, b = px[o], px[o + 1], px[o + 2]
+        return (299 * r + 587 * g + 114 * b) // 1000
+
+    assert got_rgb == _ref_phash(grey, w, h)
+
+
+def test_image_phash_robust_to_reencode_and_brightness(spark):
+    """pHash's selling points over dHash, pinned: a JPEG re-encode and
+    a +30 brightness shift of a smooth image stay within the near-dup
+    band (box means cancel pixel jitter; brightness moves only the
+    EXCLUDED DC coefficient), unrelated content stays far, and the
+    pigeonhole banding equals the brute-force Hamming filter."""
+    import itertools
+
+    import numpy as np
+
+    from margaret_spark.operators.imagehash import (
+        image_phash,
+        phash_dedup_pairs,
+    )
+    from margaret_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(7)
+    yy, xx = np.mgrid[0:24, 0:33]
+    smooth = (
+        (np.sin(xx / 6.0) * 60 + np.cos(yy / 4.0) * 50 + 100)
+        + rng.randint(-8, 8, size=(24, 33))
+    ).clip(0, 255).astype(np.uint8)
+    other = ((np.sin(xx / 3.0 + 2) * 70 + yy * 3) % 256).astype(np.uint8)
+    bright = np.clip(smooth.astype(int) + 30, 0, 255).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_jpeg(smooth, quality=90))),
+        (2, bytearray(encode_jpeg(smooth, quality=70))),  # planted near-dup
+        (3, bytearray(encode_jpeg(other, quality=90))),
+        (4, bytearray(encode_jpeg(bright, quality=90))),  # brightness shift
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    sig = {
+        r["doc_id"]: r["phash"]
+        for r in image_phash(df, "doc_id", "blob").collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sig[1], sig[2]) <= 10  # re-encode
+    assert ham(sig[1], sig[4]) <= 10  # brightness shift
+    assert ham(sig[1], sig[3]) > 10  # unrelated content
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_dedup_pairs(
+            df, "doc_id", "blob", max_hamming=10
+        ).collect()
+    )
+    want = sorted(
+        (a, b, ham(sig[a], sig[b]))
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if ham(sig[a], sig[b]) <= 10
+    )
+    assert got == want and (1, 2, ham(sig[1], sig[2])) in got

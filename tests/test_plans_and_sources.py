@@ -96,6 +96,8 @@ def test_entry_queries_plan_quality(spark):
         # codegen after it
         "multimodal_image_dhash",
         "multimodal_image_dedup",
+        "multimodal_image_phash",
+        "multimodal_image_phash_dedup",
         # audio energy-gradient fingerprint: same split — Arrow WAV
         # decode, integer codegen framing/energies/bits after it
         "multimodal_audio_fp",
