@@ -2116,6 +2116,46 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_ann_matryoshka(spark, sf_dir):
+    """Matryoshka-truncation ANN (operators.similarity
+    .truncate_embeddings + brute_force_topk): exact top-5 by cosine
+    over the FIRST 16 of 64 dimensions — the MRL serving trade (search
+    the 4×-smaller prefix, re-rank survivors at full width if needed).
+    The oracle slices the same prefix (DuckDB 1-based inclusive
+    ``embedding[1:16]``) through the identical cosine tree, so ranks
+    and rounded cosines are hash-exact."""
+    from margaret_spark.operators.similarity import truncate_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tr = truncate_embeddings(emb, 16)
+    return brute_force_topk(tr, tr.where(F.col("vec_id") < 5), k=5)
+
+
+def q_ann_matryoshka_recall(spark, sf_dir):
+    """Recall@5 of the 16-dim Matryoshka prefix against the full
+    64-dim exact top-5 (operators.similarity.topk_recall — the shared
+    metric tail every approximate-search variant evaluates through).
+    THE number that decides whether the 4× prefix cut is safe for a
+    given corpus. Exact integer counts + one IEEE division —
+    hash-exact."""
+    from margaret_spark.operators.similarity import (
+        topk_recall,
+        truncate_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    tr = truncate_embeddings(emb, 16)
+    exact = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = brute_force_topk(
+        tr, tr.where(F.col("vec_id") < 5), k=5
+    ).select("query_id", "neighbor_id")
+    qids = queries.select(F.col("vec_id").alias("query_id")).distinct()
+    return topk_recall(exact, approx, qids)
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-cell ANN: seeded centroids, corpus bucketed by nearest cell,
     queries probe their 4 nearest cells only."""
@@ -5055,6 +5095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ann_ivf_int8": q_ann_ivf_int8,
         "ann_recall": q_ann_recall,
+        "ann_matryoshka": q_ann_matryoshka,
+        "ann_matryoshka_recall": q_ann_matryoshka_recall,
         "text_stats": q_text_stats,
         "text_topterms": q_text_topterms,
         "search_bm25": q_search_bm25,
@@ -6130,6 +6172,35 @@ def oracle_sql() -> dict[str, str]:
         "hits AS (SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hits "
         "FROM ivf i JOIN bf b ON i.query_id = b.query_id "
         "AND i.neighbor_id = b.neighbor_id GROUP BY i.query_id) "
+        "SELECT ex.query_id, ex.n_exact, "
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "floor((COALESCE(h.n_hits, 0) / ex.n_exact) * 1000000 + 0.5) "
+        "/ 1000000 AS recall "
+        "FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id"
+    )
+    # Matryoshka: the same brute-force shape over the 16-dim prefix
+    # (DuckDB list slicing is 1-based INCLUSIVE: [1:16] = first 16)
+    d["ann_matryoshka"] = (
+        "SELECT query_id, neighbor_id, cosine, rank FROM ("
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        + _pr(_cosine_sql("q.embedding[1:16]", "c.embedding[1:16]"))
+        + " AS cosine, "
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        + _pr(_cosine_sql("q.embedding[1:16]", "c.embedding[1:16]"))
+        + " DESC, c.vec_id ASC) AS INT) AS rank "
+        "FROM (SELECT * FROM embeddings WHERE vec_id < 5) q "
+        "JOIN embeddings c ON q.vec_id <> c.vec_id"
+        ") WHERE rank <= 5"
+    )
+    # recall of the prefix search vs the full-width exact top-k —
+    # the ann_recall composition with the truncated arm swapped in
+    d["ann_matryoshka_recall"] = (
+        f"WITH bf AS ({d['ann_topk']}), tr AS ({d['ann_matryoshka']}), "
+        "ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact "
+        "FROM bf GROUP BY query_id), "
+        "hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM tr t JOIN bf b ON t.query_id = b.query_id "
+        "AND t.neighbor_id = b.neighbor_id GROUP BY t.query_id) "
         "SELECT ex.query_id, ex.n_exact, "
         "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
         "floor((COALESCE(h.n_hits, 0) / ex.n_exact) * 1000000 + 0.5) "

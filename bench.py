@@ -48,6 +48,8 @@ HEADLINE = [
     "pack_sequences",
     "training_data",
     "ann_topk",
+    "ann_matryoshka",
+    "ann_matryoshka_recall",
     "ann_ivf",
     "text_stats",
     "text_repetition",

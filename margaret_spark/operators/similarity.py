@@ -516,11 +516,28 @@ def ann_recall_at_k(
     approx = ivf_topk(
         corpus, queries, k=k, nlist=nlist, nprobe=nprobe, centroids=centroids
     ).select("query_id", "neighbor_id")
+    qids = queries.select(F.col(id_col).alias("query_id")).distinct()
+    return topk_recall(exact, approx, qids, round_digits)
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_ids: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, n_exact, n_hits, recall): recall@k of ANY
+    approximate top-k result table against the exact one — the shared
+    metric tail of :func:`ann_recall_at_k`, factored out so every
+    approximate-search variant (IVF, PQ, truncated-dimension) can be
+    evaluated with the identical, oracle-reproducible expression tree.
+    Inputs are (query_id, neighbor_id) tables plus the (query_id)
+    anchor set. Matching is by neighbor id (rank order not penalized —
+    the standard recall@k definition)."""
     # anchor on the query set: a query whose exact top-k is EMPTY
     # (it is the whole corpus) must still report a row, not vanish
     # from the groupBy
-    qids = queries.select(F.col(id_col).alias("query_id")).distinct()
-    n_exact = qids.join(
+    n_exact = query_ids.join(
         exact.groupBy("query_id").agg(
             F.count("*").cast("long").alias("__ne")
         ),
@@ -552,6 +569,29 @@ def ann_recall_at_k(
                 round_digits,
             ),
         )
+    )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(``id_col``, ``vec_col``): Matryoshka truncation — keep each
+    vector's FIRST ``dims`` components (Kusupati et al. 2022,
+    "Matryoshka Representation Learning": MRL-trained embeddings pack
+    coarse-to-fine information front-loaded, so a prefix is itself a
+    usable lower-dim embedding). The standard serving trade at 100 TB:
+    search the 4×-smaller prefix (4× less scan + Arrow traffic per
+    pair), re-rank survivors at full width if needed. Cosine is
+    scale-invariant, so no renormalization is needed for similarity
+    search. Vectors shorter than ``dims`` keep their full length
+    (``slice`` truncates, never pads)."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1: {dims}")
+    return df.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
     )
 
 

@@ -55,6 +55,8 @@ def test_entry_queries_plan_quality(spark):
     ARROW_OK = {
         "dedup_embedding",
         "ann_topk",
+        "ann_matryoshka",
+        "ann_matryoshka_recall",
         "ann_range",
         "ann_lsh",
         "ann_ivf",

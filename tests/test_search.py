@@ -104,3 +104,45 @@ def test_tfidf_vectors(spark):
     w = {(r["id"], r["token"]): r["weight"] for r in rows}
     expect = (3 / 5) * ((5 + 1.0) / (2 + 0.5))
     assert w[(1, "spark")] == pytest.approx(math.floor(expect * 1e6 + 0.5) / 1e6)
+
+
+def test_truncate_embeddings_and_matryoshka_recall(spark):
+    """Matryoshka truncation keeps the first dims components; the
+    prefix search through topk_recall reports sane per-query recall,
+    and a full-width 'truncation' has recall exactly 1.0 (the approx
+    arm IS the exact arm)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from margaret_spark.operators.similarity import (
+        brute_force_topk,
+        topk_recall,
+        truncate_embeddings,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tr = truncate_embeddings(df, 4)
+    got = tr.where(F.col("vec_id") == 3).collect()[0]["embedding"]
+    assert got == rows[3][1][:4]
+    with pytest.raises(ValueError, match="dims must be >= 1"):
+        truncate_embeddings(df, 0)
+
+    queries = df.where(F.col("vec_id") < 4)
+    exact = brute_force_topk(df, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = brute_force_topk(
+        tr, tr.where(F.col("vec_id") < 4), k=3
+    ).select("query_id", "neighbor_id")
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    rec = {r.query_id: r for r in topk_recall(exact, approx, qids).collect()}
+    assert len(rec) == 4
+    for r in rec.values():
+        assert r.n_exact == 3 and 0.0 <= r.recall <= 1.0
+    # full-width prefix: approx == exact => recall 1.0 everywhere
+    full = topk_recall(exact, exact, qids).collect()
+    assert all(r.recall == 1.0 and r.n_hits == 3 for r in full)
