@@ -2228,6 +2228,21 @@ def q_ann_ivf_int8(spark, sf_dir):
     return ivf_index_search_int8(spark, path, queries, k=5, nprobe=4)
 
 
+def q_text_vocab_oov(spark, sf_dir):
+    """Per-source vocabulary coverage (operators.text
+    .vocab_oov_report): OOV token mass against the corpus's own
+    deterministic top-16 vocabulary (the synthetic corpus carries 31
+    distinct tokens, so the cut BINDS — real OOV mass at every SF) — the tokenizer-planning audit
+    next to text_bpe_fertility (a high-OOV source fragments under a
+    vocabulary fitted on the corpus mix). Exact integer counts + one
+    IEEE division; the oracle re-derives the vocabulary cut and the
+    per-source masses in SQL — hash-exact."""
+    from margaret_spark.operators.text import vocab_oov_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_oov_report(docs, "text", "source", top_v=16)
+
+
 def q_text_topterms(spark, sf_dir):
     from margaret_spark.operators.text import top_terms
 
@@ -5099,6 +5114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_matryoshka_recall": q_ann_matryoshka_recall,
         "text_stats": q_text_stats,
         "text_topterms": q_text_topterms,
+        "text_vocab_oov": q_text_vocab_oov,
         "search_bm25": q_search_bm25,
         "search_tfidf": q_search_tfidf,
         "sample_token_budget": q_sample_token_budget,
@@ -7796,6 +7812,33 @@ def _oracle_sql_base() -> dict[str, str]:
             + " DESC, l.neighbor_id ASC) AS INT) AS rank "
             "FROM probe p JOIN cell l ON p.cent_id = l.cent_id "
             "WHERE p.query_id <> l.neighbor_id) WHERE rank <= 5"
+        ),
+        # vocabulary cut by (count desc, token asc); per-source OOV
+        # mass anchored on the distinct source set; rate = one IEEE
+        # division of exact integers (NULL when a source has no
+        # tokens), pround'd like the Spark tree
+        "text_vocab_oov": (
+            f"WITH toks AS (SELECT source, unnest({_WORDS}) AS token "
+            "FROM documents), "
+            "vocab AS (SELECT token FROM (SELECT token, count(*) AS tot "
+            "FROM toks GROUP BY token ORDER BY tot DESC, token ASC "
+            "LIMIT 16)), "
+            "flagged AS (SELECT t.source, t.token, "
+            "v.token IS NOT NULL AS inv FROM toks t "
+            "LEFT JOIN vocab v ON v.token = t.token), "
+            "per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov, "
+            "CAST(count(DISTINCT CASE WHEN inv THEN NULL ELSE token END) "
+            "AS BIGINT) AS n_distinct_oov FROM flagged GROUP BY source), "
+            "grps AS (SELECT DISTINCT source FROM documents) "
+            "SELECT g.source, "
+            "CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov, "
+            "CAST(COALESCE(p.n_distinct_oov, 0) AS BIGINT) AS n_distinct_oov, "
+            "CASE WHEN COALESCE(p.n_tokens, 0) > 0 THEN "
+            + _pr("p.n_oov / p.n_tokens")
+            + " ELSE NULL END AS oov_rate "
+            "FROM grps g LEFT JOIN per p ON p.source = g.source"
         ),
         "text_topterms": (
             "SELECT token, doc_freq, total_count FROM ("

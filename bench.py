@@ -56,6 +56,7 @@ HEADLINE = [
     "text_langid",
     "text_topterms",
     "text_fingerprint",
+    "text_vocab_oov",
 ]
 
 # Families added to the measured bench in round 5 (span-level dedup,

@@ -587,3 +587,77 @@ def quality_percentile(
         F.col("quality"),
         pround(F.percent_rank().over(w), round_digits).alias("pctile"),
     )
+
+
+def vocab_oov_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_v: int = 4096,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(``group_col``, n_tokens, n_oov, n_distinct_oov, oov_rate):
+    per-group vocabulary coverage against the corpus's own
+    top-``top_v`` vocabulary — the tokenizer-planning audit next to
+    :func:`~margaret_spark.operators.bpe` fertility: a source whose
+    OOV mass is high will fragment under a vocabulary fitted on the
+    corpus mix, and its ``oov_rate`` quantifies exactly how much.
+
+    The vocabulary is the deterministic top-``top_v`` cut by
+    (occurrence count desc, token asc) — the ``nbayes`` convention —
+    so the report is a pure function of the corpus and grades
+    hash-exact (exact integer counts + one IEEE division). Groups
+    whose documents carry zero tokens report ``oov_rate`` NULL (no
+    evidence), never 0/0.
+
+    Shape at scale: one tokenize pass; token counts are a map-side-
+    combined groupBy (vocabulary-sized shuffle); the cut is
+    TakeOrdered(top_v); membership is one BROADCAST left join; the
+    report is one group-keyed aggregation anchored on the distinct
+    group set (a group of empty documents still reports)."""
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1: {top_v}")
+    toks = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.explode(words(F.col(text_col))).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__tot"))
+        .orderBy(F.col("__tot").desc(), F.col("token").asc())
+        .limit(top_v)
+        .select("token", F.lit(1).alias("__inv"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "token", "left")
+    per_grp = flagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.count_distinct(
+            F.when(F.col("__inv").isNull(), F.col("token"))
+        )
+        .cast("long")
+        .alias("n_distinct_oov"),
+    )
+    groups = df.select(F.col(group_col).alias("grp")).distinct()
+    return (
+        groups.join(per_grp, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.coalesce(F.col("n_distinct_oov"), F.lit(0))
+            .cast("long")
+            .alias("n_distinct_oov"),
+            pround(
+                F.when(
+                    F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                    F.col("n_oov") / F.col("n_tokens"),
+                ),
+                round_digits,
+            ).alias("oov_rate"),
+        )
+    )

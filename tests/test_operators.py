@@ -2545,3 +2545,41 @@ def test_image_phash_robust_to_reencode_and_brightness(spark):
         if ham(sig[a], sig[b]) <= 10
     )
     assert got == want and (1, 2, ham(sig[1], sig[2])) in got
+
+
+def test_vocab_oov_report_hand_fixture(spark):
+    """vocab_oov_report on a hand corpus: deterministic top-V cut
+    (count desc, token asc), per-group OOV masses, zero-token group
+    reports NULL rate (never 0/0), every group appears."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from margaret_spark.operators.text import vocab_oov_report
+
+    rows = [
+        ("a", "x x x y y z"),   # x:3 y:2 z:1
+        ("a", "x y w"),         # w:1
+        ("b", "z z q"),         # z:+2 q:1
+        ("c", None),            # zero tokens
+        ("c", ""),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    # counts: x:4 y:3 z:3 w:1 q:1 -> top_v=2 vocab = {x, y}
+    # (z ties y at 3? z:1+2=3, y:3 -> order by count desc, token asc:
+    #  x(4), y(3), z(3) -> top2 = x, y)
+    got = {
+        r["source"]: r
+        for r in vocab_oov_report(df, "text", "source", top_v=2).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    a = got["a"]  # tokens: 9 total, oov = z w (2 occurrences), distinct 2
+    assert (a.n_tokens, a.n_oov, a.n_distinct_oov) == (9, 2, 2)
+    assert a.oov_rate == round(2 / 9, 6) or abs(a.oov_rate - 2 / 9) < 1e-6
+    b = got["b"]  # z z q -> all 3 oov, distinct 2
+    assert (b.n_tokens, b.n_oov, b.n_distinct_oov) == (3, 3, 2)
+    assert b.oov_rate == 1.0
+    c = got["c"]
+    assert (c.n_tokens, c.n_oov, c.n_distinct_oov) == (0, 0, 0)
+    assert c.oov_rate is None
+    with pytest.raises(ValueError, match="top_v must be >= 1"):
+        vocab_oov_report(df, "text", "source", top_v=0)
