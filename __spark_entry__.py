@@ -4195,6 +4195,40 @@ def q_stream_hash_embed(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_image_phash(spark, sf_dir):
+    """Streaming at-ingest perceptual image hashing
+    (streaming/mediaintake.stream_image_phash): every image blob
+    streaming out of the log is pHash'd on arrival — the multimodal
+    leg of the at-ingest family (a LAION-style pipeline dedups
+    arrivals against the corpus signature table without re-scanning
+    it). Stateless per row, so per-batch hashing of disjoint seqs
+    equals batch hashing of the corpus — exactly what the oracle (the
+    pHash arithmetic chain keyed by the append rank) states.
+    Hash-exact."""
+    import shutil
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_image_phash
+
+    blobs = _image_dedup_base(spark, sf_dir).select("doc_id", "blob")
+    base = tempfile.mkdtemp(prefix="stream_iphash_")
+    try:
+        log = OffsetLog(
+            spark, os.path.join(base, "log"), value_type=T.BinaryType()
+        )
+        log.append_df(blobs, value_col="blob", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_image_phash(
+            log, F.col("value"), sink, os.path.join(base, "ckpt")
+        )
+        out = read_keeper_sink(spark, sink, "seq long, phash long")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_pq_assign(spark, sf_dir):
     """Streaming PQ intake (streaming/annintake.stream_pq_assign):
     every embedding streaming out of the log is compressed at ingest
@@ -5083,6 +5117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dsir_filter": q_stream_dsir_filter,
         "stream_ivf_assign": q_stream_ivf_assign,
         "stream_hash_embed": q_stream_hash_embed,
+        "stream_image_phash": q_stream_image_phash,
         "stream_pq_assign": q_stream_pq_assign,
         "stream_dedup_minhash": q_stream_dedup_minhash,
         "stream_dedup_window": q_stream_dedup_window,
@@ -8196,6 +8231,15 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "multimodal_image_phash": (
             f"WITH {_image_phash_sql()} SELECT doc_id, phash FROM sig"
+        ),
+        # the at-ingest twin: seq = the append rank (append_df orders
+        # by doc_id), hash = the identical pHash arithmetic
+        "stream_image_phash": (
+            f"WITH {_image_phash_sql()}, "
+            "rk AS (SELECT doc_id, CAST(row_number() OVER "
+            "(ORDER BY doc_id) - 1 AS BIGINT) AS seq FROM documents) "
+            "SELECT rk.seq, sig.phash FROM sig "
+            "JOIN rk ON rk.doc_id = sig.doc_id"
         ),
         "multimodal_image_phash_dedup": (
             f"WITH {_image_phash_sql()} "

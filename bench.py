@@ -113,6 +113,7 @@ HEADLINE_V2 = [
     "multimodal_image_dedup",
     "multimodal_image_phash",
     "multimodal_image_phash_dedup",
+    "stream_image_phash",
     "events_hll_groups",
     "web_url_dedup",
     "dedup_incremental",

@@ -45,6 +45,7 @@ from margaret_spark.streaming.annintake import (
     stream_ivf_assign,
     stream_pq_assign,
 )
+from margaret_spark.streaming.mediaintake import stream_image_phash
 from margaret_spark.streaming.quality import (
     stream_dsir_filter,
     stream_lm_filter,
@@ -80,6 +81,7 @@ __all__ = [
     "stream_nb_filter",
     "stream_dsir_filter",
     "stream_hash_embed",
+    "stream_image_phash",
     "stream_ivf_assign",
     "stream_pq_assign",
     "stream_cms",

@@ -1758,3 +1758,45 @@ def test_stream_kmv_merged_equals_batch_sketch(spark, tmp_path):
     empty_sink = str(tmp_path / "empty")
     _os.makedirs(empty_sink)
     assert read_kmv(spark, empty_sink, k=32).count() == 0
+
+
+def test_stream_image_phash_matches_batch_and_resumes(spark, tmp_path):
+    """At-ingest pHash equals the batch hasher on the identical blobs,
+    NULL blobs drop (seq gap, no placeholder hash), and a resume
+    hashes only NEW appends."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.imagehash import image_phash
+    from margaret_spark.operators.media_codecs import encode_png
+    from margaret_spark.streaming import read_keeper_sink, stream_image_phash
+
+    def png(seed, w=18, h=13):
+        px = bytes((seed * 31 + j * j) % 256 for j in range(w * h))
+        return bytearray(encode_png(w, h, px, color_type=0))
+
+    blobs = [png(0), None, png(1), png(0)]
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.BinaryType())
+    log.append_many(blobs)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    stream_image_phash(log, F.col("value"), sink, ckpt)
+    got = {
+        r.seq: r.phash
+        for r in read_keeper_sink(spark, sink, "seq long, phash long").collect()
+    }
+    assert set(got) == {0, 2, 3}  # NULL blob dropped -> seq gap
+    assert got[0] == got[3]  # identical blobs, identical hash
+
+    batch_in = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs) if b is not None],
+        "seq long, blob binary",
+    )
+    expect = {
+        r.seq: r.phash for r in image_phash(batch_in, "seq", "blob").collect()
+    }
+    assert got == expect
+
+    log.append(bytes(png(2)))
+    stream_image_phash(log, F.col("value"), sink, ckpt)
+    out2 = read_keeper_sink(spark, sink, "seq long, phash long")
+    assert out2.where(F.col("seq") == 4).count() == 1
+    assert out2.count() == 4
