@@ -2116,6 +2116,22 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_embeddings_pca(spark, sf_dir):
+    """PCA by power iteration (operators.pca.pca_top_component): the
+    corpus's principal direction + Rayleigh eigenvalue after 12 fixed
+    rounds — covariance as ONE distributed grammian pass (per-row d²
+    pround'ed products, (i,j)-keyed DECIMAL partial sums), iteration
+    on the bounded d²-row table. The oracle replays the identical
+    mean/center/product/round chain as unrolled MATERIALIZED CTEs —
+    hash-exact (exactness never depends on convergence; this
+    synthetic corpus is near-isotropic, the power-iteration worst
+    case, which the operator docstring documents)."""
+    from margaret_spark.operators.pca import pca_top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, iters=12)
+
+
 def q_ann_matryoshka(spark, sf_dir):
     """Matryoshka-truncation ANN (operators.similarity
     .truncate_embeddings + brute_force_topk): exact top-5 by cosine
@@ -5087,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pagerank": q_docs_pagerank,
         "docs_triangles": q_docs_triangles,
         "embeddings_kmeans": q_embeddings_kmeans,
+        "embeddings_pca": q_embeddings_pca,
         "dedup_semantic_pairs": q_dedup_semantic_pairs,
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
@@ -6229,6 +6246,7 @@ def oracle_sql() -> dict[str, str]:
         "/ 1000000 AS recall "
         "FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id"
     )
+    d["embeddings_pca"] = _pca_sql(iters=12)
     # Matryoshka: the same brute-force shape over the 16-dim prefix
     # (DuckDB list slicing is 1-based INCLUSIVE: [1:16] = first 16)
     d["ann_matryoshka"] = (
@@ -6898,6 +6916,92 @@ def _image_dhash_sql() -> str:
         "(CASE WHEN b = 63 THEN (-9223372036854775807 - 1) "
         "ELSE (CAST(1 AS BIGINT) << b) END) ELSE 0 END) AS BIGINT) "
         "AS dhash FROM bits GROUP BY doc_id)"
+    )
+
+
+def _pca_sql(iters: int = 12, d: int = 64, cd: int = 9, ss: int = 12, rd: int = 6) -> str:
+    """PCA power-iteration oracle, one exactness tool per phase (the
+    operators.pca split): means and covariance entries are pround'd
+    products under order-independent DECIMAL sums; the bounded
+    iteration is sequential LEFT FOLDS of pround'd terms in ascending
+    index order (list_reduce — the _DOT portability pattern), exactly
+    the nested-HOF expression the Spark operator compiles. The
+    covariance list and every iterate live in MATERIALIZED one-row
+    CTEs (DuckDB re-inlines multiply-referenced CTEs — the k-core
+    gotcha); sign convention and Rayleigh eigenvalue replayed
+    identically."""
+
+    def ds(expr):
+        return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{ss}))) AS DOUBLE)"
+
+    def fold(terms):
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), "
+            "(acc, e) -> acc + e)"
+        )
+
+    n = "(SELECT count(*) FROM embeddings)"
+    x0v = _pr(f"1.0 / sqrt({d}.0)", cd)
+    mean_expr = _pr(ds(_pr("x", cd)) + f" / {n}", cd)
+    prod_expr = _pr(ds(_pr("a.v * b.v", cd)) + f" / {n}", cd)
+    mv_terms = (
+        f"list_transform(range(0, {d}), j -> "
+        + _pr(f"ca[i.range * {d} + j + 1] * xa[j + 1]", cd)
+        + ")"
+    )
+    matvec = (
+        f"list_transform(range(0, {d}), i -> " + fold(mv_terms) + ")"
+    ).replace("i.range", "i")
+    sq_terms = "list_transform(ya, v -> " + _pr("v * v", cd) + ")"
+    ctes = [
+        f"comp AS (SELECT vec_id, CAST(t.range AS BIGINT) AS i, "
+        f"CAST(embedding[t.range + 1] AS DOUBLE) AS x "
+        f"FROM embeddings CROSS JOIN range({d}) t)",
+        f"mean AS (SELECT i, {mean_expr} AS m FROM comp GROUP BY i)",
+        "cen AS (SELECT c.vec_id, c.i, " + _pr("c.x - mean.m", cd)
+        + " AS v FROM comp c JOIN mean ON mean.i = c.i)",
+        f"cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j, {prod_expr} AS c "
+        "FROM cen a JOIN cen b ON a.vec_id = b.vec_id GROUP BY a.i, b.i)",
+        "covl AS MATERIALIZED (SELECT list(c ORDER BY i, j) AS ca FROM cov)",
+        f"x0 AS (SELECT list_transform(range(0, {d}), i -> {x0v}) AS xa)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"y{t} AS MATERIALIZED (SELECT {matvec} AS ya "
+            f"FROM covl, x{t - 1})"
+        )
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT ya, sqrt({fold(sq_terms)}) "
+            f"AS nrm FROM y{t})"
+        )
+        ctes.append(
+            f"x{t} AS MATERIALIZED (SELECT list_transform(ya, v -> "
+            + _pr("v / nrm", cd)
+            + f") AS xa FROM n{t})"
+        )
+    ctes.append(
+        f"yf AS MATERIALIZED (SELECT {matvec} AS ya FROM covl, x{iters})"
+    )
+    lam_terms = (
+        f"list_transform(range(1, {d} + 1), j -> "
+        + _pr("xa[j] * ya[j]", cd)
+        + ")"
+    )
+    ctes.append(
+        "lam AS MATERIALIZED (SELECT "
+        + _pr(fold(lam_terms), rd)
+        + f" AS l FROM x{iters}, yf)"
+    )
+    ctes.append(
+        f"sgn AS (SELECT CASE WHEN list_filter(xa, v -> v <> 0)[1] < 0 "
+        f"THEN -1.0 ELSE 1.0 END AS s FROM x{iters})"
+    )
+    comp_out = _pr("xa[CAST(t.range AS BIGINT) + 1] * sgn.s", cd)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT CAST(t.range AS BIGINT) AS pos, {comp_out} AS component, "
+        f"lam.l AS eigenvalue FROM x{iters} CROSS JOIN sgn CROSS JOIN lam "
+        f"CROSS JOIN range({d}) t"
     )
 
 

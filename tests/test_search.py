@@ -146,3 +146,46 @@ def test_truncate_embeddings_and_matryoshka_recall(spark):
     # full-width prefix: approx == exact => recall 1.0 everywhere
     full = topk_recall(exact, exact, qids).collect()
     assert all(r.recall == 1.0 and r.n_hits == 3 for r in full)
+
+
+def test_pca_power_iteration_finds_planted_direction(spark):
+    """PCA on a strongly anisotropic hand corpus: points spread along
+    (0.6, 0.8) with tiny orthogonal noise. The power iterate converges
+    to the planted direction, the sign convention makes the first
+    nonzero component positive, the eigenvalue approximates the
+    planted variance, and the covariance table is symmetric."""
+    import pytest
+
+    from margaret_spark.operators.pca import (
+        covariance_matrix,
+        pca_top_component,
+        power_iteration,
+    )
+
+    # t in [-10, 10) along (0.6, 0.8); orthogonal jitter +/- 0.05
+    rows = []
+    for i in range(40):
+        t = (i - 20) * 0.5
+        o = ((i * 7) % 5 - 2) * 0.025
+        rows.append((i, [0.6 * t - 0.8 * o, 0.8 * t + 0.6 * o]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cov = covariance_matrix(df, "embedding")
+    c = {(r.i, r.j): r.c for r in cov.collect()}
+    assert c[(0, 1)] == c[(1, 0)]  # symmetric
+    assert c[(0, 0)] > 0 and c[(1, 1)] > 0
+
+    out = {r.pos: r for r in pca_top_component(df, iters=12).collect()}
+    v0, v1 = out[0].component, out[1].component
+    assert v0 > 0  # sign convention: first nonzero positive
+    assert abs(v0 - 0.6) < 0.01 and abs(v1 - 0.8) < 0.01
+    lam = out[0].eigenvalue
+    assert out[1].eigenvalue == lam  # one value on every row
+    # planted variance along the direction: E[t^2] over the grid
+    want = sum(((i - 20) * 0.5) ** 2 for i in range(40)) / 40
+    assert abs(lam - want) / want < 0.05
+
+    with pytest.raises(ValueError, match="iters must be >= 0"):
+        power_iteration(cov, 2, iters=-1)
+    with pytest.raises(ValueError, match="empty corpus"):
+        pca_top_component(df.where("vec_id < 0"))
