@@ -140,6 +140,7 @@ HEADLINE_V2 = [
     "docs_semantic_dedup",
     "docs_kcore",
     "embeddings_contrastive",
+    "embeddings_pca",
     "events_kmv_intersect",
     "events_zorder_key",
     "stream_hash_embed",
