@@ -2132,6 +2132,21 @@ def q_embeddings_pca(spark, sf_dir):
     return pca_top_component(emb, iters=12)
 
 
+def q_embeddings_pca_project(spark, sf_dir):
+    """The PCA transform half (operators.pca.pca_project): every
+    corpus vector's coordinate along the fitted principal direction
+    (4 power rounds here — the projection is the thing under test;
+    exactness never depends on convergence). The component table is
+    bounded (d rows), broadcast as one array; the projection is the
+    fixed-order left fold of pround'd products per row — one scan,
+    zero shuffles. Hash-exact."""
+    from margaret_spark.operators.pca import pca_project, pca_top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = pca_top_component(emb, iters=4)
+    return pca_project(emb, comp)
+
+
 def q_ann_matryoshka(spark, sf_dir):
     """Matryoshka-truncation ANN (operators.similarity
     .truncate_embeddings + brute_force_topk): exact top-5 by cosine
@@ -2242,6 +2257,18 @@ def q_ann_ivf_int8(spark, sf_dir):
     build_ivf_index_int8(emb, path, nlist=16)
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_index_search_int8(spark, path, queries, k=5, nprobe=4)
+
+
+def q_text_simpson(spark, sf_dir):
+    """Per-document token concentration (operators.text.simpson_index):
+    the Simpson index (sum of n_t^2) / N^2 — the log-free entropy
+    cousin of the quality battery (keyword stuffing / degenerate
+    generations concentrate toward 1). Exact integer counts + one IEEE
+    division; zero-token documents report NULL. Hash-exact."""
+    from margaret_spark.operators.text import simpson_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return simpson_index(docs, "doc_id", "text")
 
 
 def q_text_vocab_oov(spark, sf_dir):
@@ -5104,6 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_triangles": q_docs_triangles,
         "embeddings_kmeans": q_embeddings_kmeans,
         "embeddings_pca": q_embeddings_pca,
+        "embeddings_pca_project": q_embeddings_pca_project,
         "dedup_semantic_pairs": q_dedup_semantic_pairs,
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
@@ -5167,6 +5195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_topterms": q_text_topterms,
         "text_vocab_oov": q_text_vocab_oov,
+        "text_simpson": q_text_simpson,
         "search_bm25": q_search_bm25,
         "search_tfidf": q_search_tfidf,
         "sample_token_budget": q_sample_token_budget,
@@ -6247,6 +6276,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id"
     )
     d["embeddings_pca"] = _pca_sql(iters=12)
+    d["embeddings_pca_project"] = (
+        # the transform half: signed component list from the 4-round
+        # fit, projection = the same fixed-order left fold per vector
+        f"WITH pc AS ({_pca_sql(iters=4)}), "
+        "wl AS (SELECT list(component ORDER BY pos) AS wa FROM pc) "
+        "SELECT e.vec_id, "
+        + _pr(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, 65), j -> "
+            + _pr("CAST(e.embedding[j] AS DOUBLE) * wa[j]", 9)
+            + ")), (acc, x) -> acc + x)"
+        )
+        + " AS proj FROM embeddings e, wl"
+    )
     # Matryoshka: the same brute-force shape over the 16-dim prefix
     # (DuckDB list slicing is 1-based INCLUSIVE: [1:16] = first 16)
     d["ann_matryoshka"] = (
@@ -7956,6 +7999,22 @@ def _oracle_sql_base() -> dict[str, str]:
         # mass anchored on the distinct source set; rate = one IEEE
         # division of exact integers (NULL when a source has no
         # tokens), pround'd like the Spark tree
+        "text_simpson": (
+            f"WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS token "
+            "FROM documents), "
+            "pt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY doc_id, token), "
+            "pd AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(SUM(n * n) AS BIGINT) AS sumsq FROM pt GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(pd.n_distinct, 0) AS BIGINT) AS n_distinct, "
+            "CASE WHEN COALESCE(pd.n_tokens, 0) > 0 THEN "
+            + _pr("pd.sumsq / (pd.n_tokens * pd.n_tokens)")
+            + " ELSE NULL END AS simpson "
+            "FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"
+        ),
         "text_vocab_oov": (
             f"WITH toks AS (SELECT source, unnest({_WORDS}) AS token "
             "FROM documents), "

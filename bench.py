@@ -57,6 +57,7 @@ HEADLINE = [
     "text_topterms",
     "text_fingerprint",
     "text_vocab_oov",
+    "text_simpson",
 ]
 
 # Families added to the measured bench in round 5 (span-level dedup,

@@ -17,8 +17,8 @@ Scale shape: the DISTRIBUTED work is one pass — per row the centered
 d-vector expands to its d² pround'ed products (bound once as a lambda
 variable), and a (i, j)-keyed map-side-combined aggregation collapses
 them to the d²-row covariance table. The iteration then collapses
-that bounded table into ONE ROW and compiles ALL rounds into a single
-nested-HOF expression — zero per-round Spark jobs (see
+that bounded table into ONE ROW and runs each round as a chained
+single-row projection — no per-round shuffles (see
 :func:`power_iteration`). (At d in the thousands you would swap the
 explode for per-partition Arrow grammians merged with the same
 DECIMAL sums; at d = 64-1024 the relational form is the simpler plan
@@ -144,15 +144,19 @@ def power_iteration(
 
     Plan shape — this is the part worth reading: the d² covariance
     table collapses into ONE ROW (an ``array_sort``'d d²-array), and
-    ALL ``iters`` rounds compile into a single nested-HOF expression
-    over that row — ``x ← pround(C·x / ‖C·x‖)`` with every
-    matrix-vector entry a sequential left fold of pround'ed products
-    (ascending j — the ``_DOT`` portability pattern: a fixed fold
-    order is bit-identical in any engine). ZERO per-round Spark jobs:
-    the previous relational form cost 2 tiny shuffles per round (~9 s
-    of pure job-scheduling latency for d = 64); this form is one
-    projection. Each intermediate (y, its norm, the next x) is bound
-    as a lambda variable before being read (the winnowing lesson).
+    each round is one chained single-row projection computing
+    ``x ← pround(C·x / ‖C·x‖)`` with every matrix-vector entry a
+    sequential left fold of pround'ed products (ascending j — the
+    ``_DOT`` portability pattern: a fixed fold order is bit-identical
+    in any engine). NO per-round shuffles: a relational loop (join +
+    groupBy per round) cost ~9 s of pure job-scheduling latency for
+    d = 64. The rounds are separate projections with a
+    ``localCheckpoint`` barrier each, NOT one nested expression — a
+    single all-rounds lambda chain exhausted the analyzer's
+    fixed-point budget and then sent resolution into a minutes-long
+    spin (recorded in NOTES); one bind level per projection keeps the
+    analyzer linear while the bound ``y`` keeps evaluation O(d²) per
+    round.
 
     The start vector is the uniform ``pround(1/√d)``. Sign
     convention: the first nonzero component is made positive
@@ -270,4 +274,43 @@ def pca_top_component(
     return power_iteration(
         cov, dim, iters=iters, comp_digits=comp_digits,
         round_digits=round_digits,
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    component: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    comp_digits: int = 9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(``id_col``, proj): each vector's coordinate along a fitted
+    principal direction — the PCA *transform* half (drift scores,
+    1-D corpus layout, whitening decisions). ``component`` is the
+    (pos, component) table :func:`power_iteration` returns; it is
+    bounded (d rows), assembled into one broadcast array, and the
+    projection is the fixed-order left fold of pround'ed products per
+    row (the ``_DOT`` portability pattern) — one corpus scan, zero
+    shuffles, hash-exact."""
+    warr = component.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "component"))),
+            lambda s: s["component"],
+        ).alias("__wa")
+    )
+    proj = pround(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__wa"),
+                lambda x, w: pround(x * w, comp_digits),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+        round_digits,
+    )
+    return df.crossJoin(F.broadcast(warr)).select(
+        F.col(id_col), proj.alias("proj")
     )

@@ -661,3 +661,54 @@ def vocab_oov_report(
             ).alias("oov_rate"),
         )
     )
+
+
+def simpson_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(``id_col``, n_tokens, n_distinct, simpson): per-document token
+    concentration — the Simpson index ``Σ_t p_t² = (Σ_t n_t²) / N²``
+    (Simpson 1949; public statistics). The log-free cousin of token
+    entropy for the quality battery: a document stuck on a few tokens
+    (keyword stuffing, boilerplate loops, degenerate generations)
+    concentrates toward 1, diverse prose sits near 1/n_distinct —
+    and unlike entropy the statistic is a ratio of EXACT integers
+    under one IEEE division, so it grades hash-exact. Zero-token
+    documents report NULL (no distribution), never 0/0; every input
+    row gets an output row.
+
+    Shape at scale: one tokenize pass, one (id, token)-keyed count
+    (map-side combinable), one id-keyed reduction — the corpus
+    shuffles twice on its own keys, nothing global."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.col(text_col))).alias("token"),
+    )
+    per_tok = toks.groupBy("id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_doc = per_tok.groupBy("id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("__sumsq"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
+            pround(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("__sumsq")
+                    / (F.col("n_tokens") * F.col("n_tokens")),
+                ),
+                round_digits,
+            ).alias("simpson"),
+        )
+    )

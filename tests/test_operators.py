@@ -2583,3 +2583,26 @@ def test_vocab_oov_report_hand_fixture(spark):
     assert c.oov_rate is None
     with pytest.raises(ValueError, match="top_v must be >= 1"):
         vocab_oov_report(df, "text", "source", top_v=0)
+
+
+def test_simpson_index_hand_fixture(spark):
+    """Simpson concentration on a hand corpus: uniform tokens hit
+    1/n_distinct, a single repeated token hits 1.0, empty/NULL text
+    reports NULL (never 0/0), every input row appears."""
+    from margaret_spark.operators.text import simpson_index
+
+    rows = [
+        (1, "a b c d"),      # uniform: 4 * (1/4)^2 = 0.25
+        (2, "x x x x x"),    # degenerate: 1.0
+        (3, "a a b"),        # (4 + 1) / 9
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in simpson_index(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1].simpson == 0.25 and got[1].n_distinct == 4
+    assert got[2].simpson == 1.0 and got[2].n_tokens == 5
+    assert abs(got[3].simpson - 5 / 9) < 1e-6
+    for d in (4, 5):
+        assert got[d].n_tokens == 0 and got[d].simpson is None

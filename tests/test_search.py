@@ -189,3 +189,22 @@ def test_pca_power_iteration_finds_planted_direction(spark):
         power_iteration(cov, 2, iters=-1)
     with pytest.raises(ValueError, match="empty corpus"):
         pca_top_component(df.where("vec_id < 0"))
+
+
+def test_pca_project_recovers_planted_coordinate(spark):
+    """Projecting the planted-direction corpus onto its own fitted
+    component recovers each point's coordinate along (0.6, 0.8)."""
+    from margaret_spark.operators.pca import pca_project, pca_top_component
+
+    rows = []
+    for i in range(40):
+        t = (i - 20) * 0.5
+        o = ((i * 7) % 5 - 2) * 0.025
+        rows.append((i, [0.6 * t - 0.8 * o, 0.8 * t + 0.6 * o]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comp = pca_top_component(df, iters=12)
+    got = {r.vec_id: r.proj for r in pca_project(df, comp).collect()}
+    assert len(got) == 40
+    for i in range(40):
+        t = (i - 20) * 0.5
+        assert abs(got[i] - t) < 0.05, (i, got[i], t)
