@@ -3945,6 +3945,33 @@ def q_multimodal_dedup_clusters(spark, sf_dir):
     return dedup_clusters(base.select("doc_id"), pairs, "doc_id")
 
 
+def q_multimodal_dedup_clusters_all(spark, sf_dir):
+    """CROSS-MODAL dedup clusters: the union of the image pHash pair
+    set (Hamming ≤ 10) and the audio fingerprint pair set (≤ 6) feeds
+    ONE connected-components pass — the composition a multimodal
+    pipeline actually runs (a document is a duplicate if ANY of its
+    modalities says so). Pair generators are modality-agnostic
+    (id_a, id_b) tables, so the union is free; the oracle re-derives
+    both hash families arithmetically, takes both brute-force Hamming
+    joins, unions, and runs the recursive reachability CTE — graded
+    hash-exact."""
+    from margaret_spark.operators.audiohash import audio_dedup_pairs
+    from margaret_spark.operators.dedup import dedup_clusters
+    from margaret_spark.operators.imagehash import phash_dedup_pairs
+
+    img = _image_dedup_base(spark, sf_dir)
+    aud = _audio_dedup_base(spark, sf_dir)
+    pairs = (
+        phash_dedup_pairs(img, "doc_id", "blob", max_hamming=10)
+        .select("id_a", "id_b")
+        .unionByName(
+            audio_dedup_pairs(aud, "doc_id", "blob", max_hamming=6)
+            .select("id_a", "id_b")
+        )
+    )
+    return dedup_clusters(img.select("doc_id"), pairs, "doc_id")
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     """REAL byte-level BPE tokenization on the graded surface
     (operators.bpe): a GPT-2-style pre-tokenizer (Python∩Java∩RE2
@@ -5237,6 +5264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_fp": q_multimodal_audio_fp,
         "multimodal_audio_dedup": q_multimodal_audio_dedup,
         "multimodal_dedup_clusters": q_multimodal_dedup_clusters,
+        "multimodal_dedup_clusters_all": q_multimodal_dedup_clusters_all,
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -8420,6 +8448,33 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming "
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             "AND bit_count(xor(a.afp, b.afp)) <= 6"
+        ),
+        # cross-modal: image pHash pairs UNION audio pairs -> one
+        # reachability pass (each hash chain wrapped as a derived
+        # table so the two generated sig CTEs cannot collide)
+        "multimodal_dedup_clusters_all": (
+            "WITH RECURSIVE "
+            "isig AS (SELECT * FROM ("
+            f"WITH {_image_phash_sql()} SELECT doc_id, phash FROM sig)), "
+            "asig AS (SELECT * FROM ("
+            f"WITH {_audio_afp_sql()} SELECT doc_id, afp FROM sig)), "
+            "mpairs AS ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM isig a "
+            "JOIN isig b ON a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.phash, b.phash)) <= 10 "
+            "UNION "
+            "SELECT a.doc_id, b.doc_id FROM asig a JOIN asig b "
+            "ON a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.afp, b.afp)) <= 6), "
+            "medges AS (SELECT id_a AS src, id_b AS dst FROM mpairs "
+            "UNION SELECT id_b, id_a FROM mpairs), "
+            "mreach(node, root) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.dst, r.root FROM mreach r JOIN medges e "
+            "ON e.src = r.node) "
+            "SELECT node AS doc_id, CAST(min(root) AS BIGINT) "
+            "AS cluster_id FROM mreach GROUP BY node"
         ),
         "multimodal_dedup_clusters": (
             f"WITH RECURSIVE {_audio_afp_sql()}, "

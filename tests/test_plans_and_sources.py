@@ -106,6 +106,7 @@ def test_entry_queries_plan_quality(spark):
         "multimodal_audio_dedup",
         # composed: audio pairs (Arrow decode) -> connected components
         "multimodal_dedup_clusters",
+        "multimodal_dedup_clusters_all",
         # codec round-trip is BY DESIGN a Python codec exercised
         # through an Arrow-batched pandas UDF
         "codec_roundtrip",
