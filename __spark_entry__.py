@@ -2992,6 +2992,36 @@ def q_dedup_semantic_incremental(spark, sf_dir):
     )
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC decontamination — the modern complement of the exact
+    n-gram stage (`decontaminate`/`decontaminate_spans`): flag every
+    TRAIN document whose hashed embedding is near-duplicate to a
+    TEST-set document (paraphrases and re-crawls that exact n-gram
+    matching misses). Composed from the library's own parts: the
+    vocabulary-free hashing-trick embedding (hashembed) feeds the
+    frozen-model incremental semantic matcher (clusters fitted on the
+    TEST set and frozen — arrivals never move the cells; checks are
+    cell-scoped equality joins, O(|train|·|cell|), never
+    |train|·|test|). Output: (doc_id, cent_id, contaminated) for
+    every train document. Hash-exact."""
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+    from margaret_spark.operators.semdedup import semantic_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64)
+    test = emb.where(F.col("doc_id") % 10 == 0)
+    train = emb.where(F.col("doc_id") % 10 != 0)
+    out = semantic_dedup_incremental(
+        train, test, k=8, iters=1, threshold=0.88,
+        id_col="doc_id", vec_col="embedding",
+    )
+    return out.select(
+        "doc_id",
+        "cent_id",
+        (F.col("status") == "dup_of_existing").alias("contaminated"),
+    )
+
+
 def q_ann_pq_codes(spark, sf_dir):
     """Product-quantization encoding (operators.pq, after Jégou et
     al. 2011): 4 subspaces × 8 codes, 1 Lloyd round per subspace (all
@@ -5162,6 +5192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_pairs": q_dedup_semantic_pairs,
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
+        "decontaminate_semantic": q_decontaminate_semantic,
         "embeddings_contrastive": q_embeddings_contrastive,
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
@@ -5880,6 +5911,49 @@ def _contrastive_sql(
         "WITH " + ", ".join(ctes)
         + " SELECT anchor, positive, negative, pos_cos, neg_cos "
         "FROM pos JOIN neg USING (anchor)"
+    )
+
+
+def _decon_sem_sql(
+    k: int = 8, iters: int = 1, threshold: float = 0.88, rd: int = 6
+) -> str:
+    """Semantic-decontamination oracle: the hashembed CTE chain feeds
+    the frozen-model incremental matcher (centroids fitted on the
+    test split of hvec), contaminated = a same-cell test vector
+    within the threshold cosine."""
+    pre = list(_hashembed_ctes()) + [
+        "exv AS (SELECT vec_id, embedding FROM hvec WHERE vec_id % 10 = 0)"
+    ]
+    ctes, _fin = _kmeans_ctes(k, iters, rd, src="exv")
+    cn = f"cents{iters}"
+
+    def assign(name: str, src: str) -> str:
+        c = _pr(_cosine_sql("e.embedding", "c.cent"), rd)
+        return (
+            f"{name} AS (SELECT vec_id, cent_id FROM ("
+            f"SELECT e.vec_id, c.cent_id, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {c} DESC, c.cent_id ASC) AS cr "
+            f"FROM ({src}) e CROSS JOIN {cn} c) WHERE cr = 1)"
+        )
+
+    sim = _pr(_cosine_sql("en.embedding", "eo.embedding"), rd)
+    post = [
+        assign("aex", "SELECT vec_id, embedding FROM exv"),
+        assign(
+            "anew",
+            "SELECT vec_id, embedding FROM hvec WHERE vec_id % 10 <> 0",
+        ),
+        "dupex AS (SELECT DISTINCT n.vec_id FROM anew n "
+        "JOIN aex o ON o.cent_id = n.cent_id "
+        "JOIN hvec en ON en.vec_id = n.vec_id "
+        "JOIN hvec eo ON eo.vec_id = o.vec_id "
+        f"WHERE {sim} >= {threshold})",
+    ]
+    return (
+        "WITH " + ", ".join(pre + list(ctes) + post)
+        + " SELECT n.vec_id AS doc_id, n.cent_id, "
+        "n.vec_id IN (SELECT vec_id FROM dupex) AS contaminated "
+        "FROM anew n"
     )
 
 
@@ -8185,6 +8259,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "text_quality": _quality_sql(),
         "docs_pagerank": _pagerank_sql(),
         "embeddings_kmeans": _kmeans_sql(),
+        "decontaminate_semantic": _decon_sem_sql(),
         "dedup_semantic_pairs": _semdedup_sql("pairs"),
         "dedup_semantic": _semdedup_sql("prune"),
         "dedup_semantic_incremental": _semdedup_incr_sql(),

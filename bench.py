@@ -119,6 +119,7 @@ HEADLINE_V2 = [
     "web_url_dedup",
     "dedup_incremental",
     "dedup_cross_corpus",
+    "decontaminate_semantic",
     "stream_decontaminate",
     "text_nb_quality",
     "text_nb_classify",

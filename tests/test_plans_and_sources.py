@@ -73,6 +73,7 @@ def test_entry_queries_plan_quality(spark):
         "dedup_semantic_pairs",
         "dedup_semantic",
         "dedup_semantic_incremental",
+        "decontaminate_semantic",
         "embeddings_contrastive",
         # PQ: subspace Lloyd distances and the ADC LUT go through
         # pair_dot; the code table and the DECIMAL distance sum are

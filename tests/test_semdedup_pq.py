@@ -361,3 +361,36 @@ def test_ivfpq_index_append_serves_new_vectors(spark, tmp_path):
     got = ivfpq_index_search(spark, path, qs, k=3, nprobe=4).collect()
     ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
     assert 100 in ids, ids
+
+
+def test_semantic_decontamination_flags_planted_paraphrase(spark):
+    """The decontaminate_semantic composition: a train document whose
+    text token-multiset matches a test document embeds identically
+    (hashing-trick vectors are token functionals) and flags
+    contaminated; unrelated train docs do not."""
+    from pyspark.sql import functions as F
+
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+    from margaret_spark.operators.semdedup import semantic_dedup_incremental
+
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog"),   # test
+        (20, "completely different content about spark plans"), # test
+        (1, "quick the brown fox jumps over the lazy dog the"), # train: same bag + one dup token
+        (3, "unrelated training text with its own vocabulary"),
+        (7, "another unrelated training document entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hash_doc_embeddings(df, "doc_id", "text", dim=32)
+    test = emb.where(F.col("doc_id") % 10 == 0)
+    train = emb.where(F.col("doc_id") % 10 != 0)
+    out = {
+        r.doc_id: r.status
+        for r in semantic_dedup_incremental(
+            train, test, k=2, iters=1, threshold=0.95,
+            id_col="doc_id", vec_col="embedding",
+        ).collect()
+    }
+    assert set(out) == {1, 3, 7}
+    assert out[1] == "dup_of_existing"  # the planted near-paraphrase
+    assert out[3] != "dup_of_existing" and out[7] != "dup_of_existing"
