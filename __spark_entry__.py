@@ -3037,6 +3037,25 @@ def q_ann_pq_codes(spark, sf_dir):
     return pq_encode(emb, cb, m=4)
 
 
+def q_ann_pq_distortion(spark, sf_dir):
+    """Per-subspace PQ quantization-error audit
+    (operators.pq.pq_distortion_report): the number that sizes a PQ
+    deployment (m, codes) before anyone trusts ADC distances — a
+    fat mean_dist2 means the codebook is too coarse for that
+    dimension range. One bounded aggregation over the code table;
+    hash-exact (the oracle aggregates the identical pround'd dist2
+    values under DECIMAL sums)."""
+    from margaret_spark.operators.pq import (
+        pq_distortion_report,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, codes=8, iters=1)
+    return pq_distortion_report(pq_encode(emb, cb, m=4))
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """ADC top-k over PQ codes (operators.pq.pq_topk): per query a
     broadcast m×k lookup table of pround'ed subspace distances; a
@@ -5195,6 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": q_decontaminate_semantic,
         "embeddings_contrastive": q_embeddings_contrastive,
         "ann_pq_codes": q_ann_pq_codes,
+        "ann_pq_distortion": q_ann_pq_distortion,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_ivf_pq_indexed": q_ann_ivf_pq_indexed,
@@ -8265,6 +8285,13 @@ def _oracle_sql_base() -> dict[str, str]:
         "dedup_semantic_incremental": _semdedup_incr_sql(),
         "embeddings_contrastive": _contrastive_sql(),
         "ann_pq_codes": _pq_sql("codes"),
+        "ann_pq_distortion": (
+            f'WITH enc AS ({_pq_sql("codes")}) '
+            "SELECT sub, CAST(count(*) AS BIGINT) AS n, "
+            + _pr("CAST(SUM(CAST(dist2 AS DECIMAL(38,12))) AS DOUBLE) / count(*)")
+            + " AS mean_dist2, max(dist2) AS max_dist2 "
+            "FROM enc GROUP BY sub"
+        ),
         "ann_pq_topk": _pq_sql("topk"),
         "ann_ivf_pq": _ivfpq_sql(),
         "ann_ivf_pq_indexed": _ivfpq_sql(),

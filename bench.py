@@ -135,6 +135,7 @@ HEADLINE_V2 = [
     # (flat ADC + composed IVFADC), streaming PQ intake
     "dedup_semantic",
     "ann_pq_topk",
+    "ann_pq_distortion",
     "ann_ivf_pq",
     "stream_pq_assign",
     "ann_ivf_pq_indexed",

@@ -615,3 +615,29 @@ def ivfpq_index_append(
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
+
+
+def pq_distortion_report(
+    encoded: DataFrame,
+    round_digits: int = 6,
+    sum_scale: int = 12,
+) -> DataFrame:
+    """(sub, n, mean_dist2, max_dist2): per-subspace quantization
+    error of a :func:`pq_encode` output — THE audit that sizes a PQ
+    deployment (too-coarse codebooks show up as a fat mean; one
+    misbehaving subspace — a dimension range the splits straddle badly
+    — shows up as an outlier row). One bounded aggregation over the
+    code table; the mean is the house order-independent DECIMAL sum
+    over the already-pround'ed per-row errors, so the report grades
+    hash-exact."""
+    return (
+        encoded.groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            pround(
+                dsum("dist2", scale=sum_scale) / F.count(F.lit(1)),
+                round_digits,
+            ).alias("mean_dist2"),
+            F.max("dist2").alias("max_dist2"),
+        )
+    )

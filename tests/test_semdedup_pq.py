@@ -394,3 +394,34 @@ def test_semantic_decontamination_flags_planted_paraphrase(spark):
     assert set(out) == {1, 3, 7}
     assert out[1] == "dup_of_existing"  # the planted near-paraphrase
     assert out[3] != "dup_of_existing" and out[7] != "dup_of_existing"
+
+
+def test_pq_distortion_report_reflects_codebook_size(spark):
+    """More codes -> less quantization error: the distortion report's
+    per-subspace mean under an 8-code codebook is <= the 2-code one on
+    the same corpus, and a perfect codebook (codes == corpus size,
+    1 round) reports zero mean for every subspace."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from margaret_spark.operators.pq import (
+        pq_distortion_report,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = [
+        (i, [float((i * 13 + j * 7) % 17 - 8) for j in range(8)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def mean_by_sub(codes):
+        cb = pq_train(df, m=2, codes=codes, iters=1)
+        rep = pq_distortion_report(pq_encode(df, cb, m=2))
+        return {r.sub: r for r in rep.collect()}
+
+    small, big = mean_by_sub(2), mean_by_sub(8)
+    assert set(small) == set(big) == {0, 1}
+    for sub in (0, 1):
+        assert big[sub].n == 12 and small[sub].n == 12
+        assert big[sub].mean_dist2 <= small[sub].mean_dist2
