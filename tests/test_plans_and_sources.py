@@ -79,6 +79,7 @@ def test_entry_queries_plan_quality(spark):
         # pair_dot; the code table and the DECIMAL distance sum are
         # pure codegen
         "ann_pq_codes",
+        "ann_pq_distortion",
         "ann_pq_topk",
         "ann_ivf_pq",
         "ann_ivf_pq_indexed",
