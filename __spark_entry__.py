@@ -5025,6 +5025,45 @@ def q_corpus_mixture_materialize(spark, sf_dir):
     )
 
 
+def q_corpus_unimax(spark, sf_dir):
+    """UniMax corpus mixing (operators.sampling.unimax_allocation;
+    Chung et al. 2023, public algorithm): distribute a 26,000-token
+    budget as uniformly as possible across sources with a 1-epoch cap
+    per source — the published fairness alternative to temperature
+    scaling. At sf0.01 the budget sits between L·min(cap) and Σcap, so
+    the waterfill transition BINDS mid-list (small sources capped at
+    their epoch limit, the rest sharing θ equally — both branches
+    graded). Exactness: pround'd caps/shares, DECIMAL prefix sums, one
+    IEEE division per rank — the oracle replays the identical window
+    program. Scale shape: one aggregation; windows run over ≤|sources|
+    rows."""
+    from margaret_spark.operators.sampling import unimax_allocation
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    base = docs.select("doc_id", "source").join(toks, "doc_id")
+    return unimax_allocation(base, "source", "n_tokens", budget=26_000)
+
+
+def q_corpus_unimax_materialize(spark, sf_dir):
+    """The UniMax mix MATERIALIZED (operators.sampling.
+    materialize_unimax): floor(alloc) per-source budgets feed the
+    same deterministic (md5(id), id) admission cumsum as the
+    temperature mix — end-to-end "build a fair N-token corpus".
+    Hash-exact: integer floors and cumsums over the unimax_allocation
+    tree. Budget table broadcast; one shuffle on source."""
+    from margaret_spark.operators.sampling import materialize_unimax
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    base = docs.select("doc_id", "source").join(toks, "doc_id")
+    return materialize_unimax(
+        base, "source", "doc_id", "n_tokens", budget=26_000
+    )
+
+
 def q_stream_web_filter(spark, sf_dir):
     """Streaming at-ingest web curation (streaming/webfilter.py): the
     synthetic messy URLs are appended to a real OffsetLog, the filter
@@ -5341,6 +5380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_psl": q_web_domain_psl,
         "corpus_mixture": q_corpus_mixture,
         "corpus_mixture_materialize": q_corpus_mixture_materialize,
+        "corpus_unimax": q_corpus_unimax,
+        "corpus_unimax_materialize": q_corpus_unimax_materialize,
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_dsir_select": q_corpus_dsir_select,
         "export_shards": q_export_shards,
@@ -6753,6 +6794,48 @@ def oracle_sql() -> dict[str, str]:
         "OVER () AS DOUBLE) AS tot FROM s) "
         "SELECT source, n_docs, n_tokens, tokens_scaled, "
         + _pr("tokens_scaled / tot") + " AS weight FROM t"
+    )
+    # UniMax waterfilling: ascending-cap ranks, DECIMAL cap prefix
+    # sums, per-rank equal share, transition rank star, θ at star —
+    # the exact window program of sampling.unimax_allocation
+    _UNIMAX_ORDER = "ORDER BY cap ASC, source ASC"
+    d["corpus_unimax"] = (
+        "WITH per AS (SELECT doc_id, source, "
+        f"CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents), "
+        "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM per GROUP BY source), "
+        "c AS (SELECT *, " + _pr("CAST(n_tokens AS DOUBLE) * 1.0")
+        + " AS cap FROM a), "
+        "r AS (SELECT *, "
+        f"CAST(row_number() OVER ({_UNIMAX_ORDER}) AS BIGINT) AS rk, "
+        "CAST(count(*) OVER () AS BIGINT) AS L, "
+        "CAST(SUM(CAST(cap AS DECIMAL(38,6))) OVER "
+        f"({_UNIMAX_ORDER} ROWS UNBOUNDED PRECEDING) "
+        "- CAST(cap AS DECIMAL(38,6)) AS DOUBLE) AS pfx FROM c), "
+        "s AS (SELECT *, "
+        + _pr("(26000.0 - pfx) / CAST(L - rk + 1 AS DOUBLE)")
+        + " AS share FROM r), "
+        "t AS (SELECT *, min(CASE WHEN cap > share THEN rk END) OVER () "
+        "AS star FROM s), "
+        "u AS (SELECT *, max(CASE WHEN rk = star THEN share END) OVER () "
+        "AS theta FROM t) "
+        "SELECT source, n_docs, n_tokens, cap, "
+        + _pr("CASE WHEN star IS NULL OR rk < star THEN cap ELSE theta END")
+        + " AS alloc FROM u"
+    )
+    d["corpus_unimax_materialize"] = (
+        "WITH um AS (SELECT * FROM (" + d["corpus_unimax"] + ") x), "
+        "b AS (SELECT source, CAST(floor(alloc) AS BIGINT) AS budget "
+        "FROM um), "
+        "per AS (SELECT doc_id, source, "
+        f"CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, source, n_tokens, "
+        "CAST(SUM(n_tokens) OVER (PARTITION BY source "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM per) "
+        "SELECT c.doc_id, c.source, c.n_tokens, c.cum AS cum_tokens, "
+        "b.budget FROM c JOIN b USING (source) "
+        "WHERE c.cum - c.n_tokens < b.budget"
     )
     # materialized mixture: the corpus_mixture oracle (as a subquery
     # CTE) feeds floor(weight·total) budgets into the per-source

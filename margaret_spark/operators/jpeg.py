@@ -685,10 +685,6 @@ def decode_jpeg_coefficients(blob: bytes) -> list[np.ndarray]:
     marker and entropy walks with :func:`decode_jpeg` (one parser, no
     drift)."""
     b = bytes(blob)
-    try:
-        st = _parse_stream(b)
-    except (struct.error, IndexError, KeyError) as e:
-        raise ValueError(f"jpeg: truncated or corrupt stream: {e!r}") from e
     blocks: list[np.ndarray] = []
 
     def on_block(ci, c, my, mx, by, bx, zz):
@@ -697,5 +693,13 @@ def decode_jpeg_coefficients(blob: bytes) -> list[np.ndarray]:
             q[ZROWS, ZCOLS] = zz
             blocks.append(q)
 
-    _walk_mcus(b, st, on_block)
+    try:
+        st = _parse_stream(b)
+        # the entropy walk must be inside the guard too: a corrupt
+        # entropy segment raises IndexError from the bit reader, and
+        # the contract (like decode_jpeg's) is ValueError, never a
+        # leaked internal
+        _walk_mcus(b, st, on_block)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"jpeg: truncated or corrupt stream: {e!r}") from e
     return blocks

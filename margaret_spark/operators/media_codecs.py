@@ -157,7 +157,12 @@ def encode_wav(sample_rate: int, samples, channels: int = 1) -> bytes:
         raise ValueError(f"channels must be >= 1: {channels}")
     if len(samples) % channels:
         raise ValueError("sample count not a multiple of channels")
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    try:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    except struct.error as e:
+        raise ValueError(
+            f"wav: sample outside the int16 range [-32768, 32767]: {e}"
+        ) from e
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -212,6 +217,8 @@ def decode_wav(blob: bytes) -> tuple[int, int, list[int]]:
         if tag == b"data":
             if pos + 8 + ln > n:  # header claims more than is present
                 raise ValueError("wav: truncated data chunk")
+            if ln % 2:  # PCM16 data must be whole int16s
+                raise ValueError(f"wav: odd data chunk length {ln}")
             samples.extend(
                 struct.unpack(f"<{ln // 2}h", bytes(blob[pos + 8 : pos + 8 + ln]))
             )

@@ -33,6 +33,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _id_field(df: DataFrame, id_col: str) -> T.StructField:
+    """The id column's field with its INPUT type — the consumer
+    operators (meta/decode/resize/features) work for any id type, like
+    the dedup family (``dedup.py:1164``); hardcoding long here crashed
+    string-keyed corpora with an Arrow conversion error. The
+    ``attach_synthetic_*`` fixture builders are the exception: their
+    closed forms do arithmetic ON the id, so they require numeric ids
+    by construction."""
+    return T.StructField(id_col, df.schema[id_col].dataType)
+
+
 IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("format", T.StringType()),
@@ -301,7 +312,7 @@ def extract_image_meta(
     Partition-preserving — no shuffle; each Arrow batch is parsed in
     one vectorized sweep."""
     out_schema = T.StructType(
-        [T.StructField(id_col, T.LongType())] + list(IMAGE_META_SCHEMA.fields)
+        [_id_field(df, id_col)] + list(IMAGE_META_SCHEMA.fields)
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -338,7 +349,7 @@ def decode_image(
     genuinely need native codecs absent from this container."""
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            _id_field(df, id_col),
             T.StructField("pixels", T.ArrayType(T.IntegerType())),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
@@ -401,10 +412,16 @@ def resize_image(
     re-encode, all stdlib (deterministic: source index =
     ``i*src/dst`` floor-div per axis). With ``fake=True`` the fake
     format rewrites its header to the target dimensions. Other formats
-    raise NotImplementedError."""
+    raise NotImplementedError. NULL blobs pass through as NULL (unlike
+    :func:`decode_image`, which drops them — a resize keeps the row
+    set so downstream joins stay 1:1 with the input)."""
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError(
+            f"target dimensions must be positive: {target_w}x{target_h}"
+        )
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            _id_field(df, id_col),
             T.StructField("blob", T.BinaryType()),
         ]
     )
@@ -494,7 +511,7 @@ def sample_video_frames(
     deterministic fake blob format (channels double as frame count)."""
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            _id_field(df, id_col),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("frame", T.BinaryType()),
         ]
@@ -618,7 +635,7 @@ def extract_audio_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     """(id, format, sample_rate, n_samples, channels, duration_s,
     n_bytes): audio header parse, partition-preserving mapInPandas."""
     out_schema = T.StructType(
-        [T.StructField(id_col, T.LongType())] + list(AUDIO_META_SCHEMA.fields)
+        [_id_field(df, id_col)] + list(AUDIO_META_SCHEMA.fields)
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -652,7 +669,7 @@ def decode_audio(
     centered at 128); other formats raise NotImplementedError."""
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            _id_field(df, id_col),
             T.StructField("sample_rate", T.IntegerType()),
             T.StructField("channels", T.IntegerType()),
             T.StructField("samples", T.ArrayType(T.IntegerType())),
@@ -713,7 +730,7 @@ def audio_features(
     NotImplementedError."""
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            _id_field(df, id_col),
             T.StructField("rms", T.DoubleType()),
             T.StructField("zero_crossings", T.IntegerType()),
         ]

@@ -166,6 +166,25 @@ def power_iteration(
         raise ValueError(f"dim must be >= 1: {dim}")
     if iters < 0:
         raise ValueError(f"iters must be >= 0: {iters}")
+    # the packed array is indexed as ca[i·d + j]: a SPARSE (i, j, c)
+    # table (any missing entry) would silently SHIFT every later
+    # element and the iteration would compute garbage — fail loudly
+    # instead (covariance_matrix is dense by construction; this guards
+    # hand-built inputs). One single-row check, no extra job.
+    dense = F.when(
+        F.size(F.col("__ca")) == F.lit(dim * dim), F.col("__ca")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "power_iteration: covariance table must be dense "
+                    f"({dim}x{dim} = {dim * dim} rows, one per (i, j)); got "
+                ),
+                F.size(F.col("__ca")).cast("string"),
+                F.lit(" rows"),
+            )
+        )
+    )
     row = (
         cov.groupBy()
         .agg(
@@ -175,7 +194,7 @@ def power_iteration(
             ).alias("__ca")
         )
         .select(
-            "__ca",
+            dense.alias("__ca"),
             F.array_repeat(
                 pround(F.lit(1.0) / F.sqrt(F.lit(float(dim))), comp_digits),
                 dim,

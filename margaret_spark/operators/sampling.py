@@ -357,3 +357,153 @@ def materialize_mixture(
             F.col("budget"),
         )
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    max_epochs: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """UniMax corpus mixing (Chung et al. 2023, public algorithm): the
+    FAIR alternative to temperature scaling — distribute a total token
+    ``budget`` as uniformly as possible across groups (languages /
+    sources), capping each group at ``max_epochs`` passes over its own
+    data, and redistribute what a capped group cannot absorb among the
+    rest. Temperature mixing (:func:`mixture_weights`) up-samples
+    small sources *proportionally*; UniMax gives every source an equal
+    share until its epoch cap binds — no head-language domination, no
+    tiny-language over-repetition.
+
+    Closed form (the published greedy, restated as waterfilling): sort
+    groups by cap ascending; group ``i`` (1-based, ``L`` groups) takes
+    ``min(cap_i, (budget − Σ_{j<i} alloc_j) / (L − i + 1))``. Because
+    caps ascend, allocations are cap_i exactly up to the first rank
+    where the equal share falls below the cap; every group from that
+    rank on takes the SAME share θ. So one window pass computes it:
+    prefix sums of caps (exact DECIMAL), per-rank share, the first
+    rank whose cap exceeds its share, θ at that rank.
+
+    Output: (group, n_docs, n_tokens, cap, alloc) — ``cap`` =
+    pround(n_tokens·max_epochs), ``alloc`` the UniMax token
+    allocation. If ``budget ≥ Σ cap`` every group is fully capped and
+    the leftover budget is intentionally unallocated (UniMax never
+    exceeds the epoch cap — that is its point).
+
+    Exactness: caps and shares are pround'd IEEE doubles of exact
+    integers, prefix sums are DECIMAL (order-independent), and the
+    transition rank is a comparison of pround'd values — hash-exact
+    cross-engine. Scale shape: one aggregation (|groups| rows move),
+    then unpartitioned windows over ≤ |groups| rows (groups are
+    sources/languages — bounded by design, like
+    :func:`mixture_weights`)."""
+    from margaret_spark.functions.numeric import pround
+
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative: {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive: {max_epochs}")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+    )
+    capped = agg.withColumn(
+        "cap",
+        pround(
+            F.col("n_tokens").cast("double") * F.lit(float(max_epochs)),
+            round_digits,
+        ),
+    )
+    order = [F.col("cap").asc(), F.col(group_col).asc()]
+    w_rank = Window.orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = f"decimal(38,{int(round_digits)})"
+    ranked = capped.select(
+        "*",
+        F.row_number().over(w_rank).cast("long").alias("__rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("__L"),
+        (
+            F.sum(F.col("cap").cast(dec)).over(w_cum)
+            - F.col("cap").cast(dec)
+        ).cast("double").alias("__prefix"),
+    )
+    share = pround(
+        (F.lit(float(budget)) - F.col("__prefix"))
+        / (F.col("__L") - F.col("__rk") + F.lit(1)).cast("double"),
+        round_digits,
+    )
+    flagged = ranked.select("*", share.alias("__share"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    star = F.min(
+        F.when(F.col("cap") > F.col("__share"), F.col("__rk"))
+    ).over(w_all)
+    final = flagged.select("*", star.alias("__star"))
+    # θ is the share AT the transition rank; max(share | rank = star)
+    # picks exactly it because shares are non-increasing past star
+    theta = F.max(
+        F.when(F.col("__rk") == F.col("__star"), F.col("__share"))
+    ).over(w_all)
+    alloc = F.when(
+        F.col("__star").isNull() | (F.col("__rk") < F.col("__star")),
+        F.col("cap"),
+    ).otherwise(theta)
+    return final.select(
+        F.col(group_col),
+        F.col("n_docs"),
+        F.col("n_tokens"),
+        F.col("cap"),
+        pround(alloc, round_digits).alias("alloc"),
+    )
+
+
+def materialize_unimax(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    max_epochs: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assemble the UniMax mix: :func:`unimax_allocation` budgets feed
+    the same deterministic (md5(id), id) per-group admission cumsum as
+    :func:`materialize_mixture` — each group keeps its document prefix
+    until ``floor(alloc)`` tokens fill. Output: (id, group, tokens,
+    cum_tokens, budget). One shuffle on the group key; the budget
+    table is |groups| rows, broadcast. Note ``max_epochs > 1`` means a
+    group's budget may exceed its own token mass — the group then
+    keeps everything and the loader repeats it (epoch-level
+    repetition is a loader concern, as with temperature mixing)."""
+    allocs = unimax_allocation(
+        df, group_col, tokens_col, budget, max_epochs, round_digits
+    )
+    budgets = allocs.select(
+        group_col,
+        F.floor(F.col("alloc")).cast("long").alias("budget"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w).cast("long")
+    return (
+        df.join(F.broadcast(budgets), group_col)
+        .withColumn("__cum", cum)
+        .where(F.col("__cum") - F.col(tokens_col) < F.col("budget"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(tokens_col),
+            F.col("__cum").alias("cum_tokens"),
+            F.col("budget"),
+        )
+    )

@@ -387,8 +387,10 @@ def extract_video_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     ``extract_image_meta``. Unrecognized blobs classify as NULL
     container (never raise): a curation filter drops them with a
     plain ``WHERE container IS NOT NULL``."""
+    from margaret_spark.operators.multimodal import _id_field
+
     out_schema = T.StructType(
-        [T.StructField(id_col, T.LongType())] + list(VIDEO_META_SCHEMA.fields)
+        [_id_field(df, id_col)] + list(VIDEO_META_SCHEMA.fields)
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -287,3 +287,87 @@ def test_wav_meta_multi_data_chunks_consistent_with_decode():
     assert (rate, ch) == (8000, 1) == (r2, c2)
     assert samples == [1, 2, 3, 4, 5, 6]
     assert n_frames == len(samples)
+
+
+def test_multimodal_consumers_accept_string_ids(spark):
+    # the id-type house rule (dedup.py:1164): consumer operators must
+    # not pin ids to long — a string-keyed corpus crashed every
+    # multimodal mapInPandas stage with an Arrow conversion error
+    from margaret_spark.operators.media_codecs import encode_png, encode_wav
+    from margaret_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        decode_image,
+        extract_audio_meta,
+        extract_image_meta,
+        resize_image,
+    )
+    from margaret_spark.operators.video_containers import (
+        encode_avi_stub,
+        extract_video_meta,
+    )
+
+    png = encode_png(4, 3, bytes(range(12)), color_type=0)
+    wav = encode_wav(8000, [1, -2, 3, -4])
+    avi = encode_avi_stub(40000, 50, 320, 240)
+    imgs = spark.createDataFrame([("doc-a", png)], "id string, blob binary")
+    auds = spark.createDataFrame([("doc-b", wav)], "id string, blob binary")
+    vids = spark.createDataFrame([("doc-c", avi)], "id string, blob binary")
+
+    m = extract_image_meta(imgs, "id", "blob").collect()
+    assert m[0]["id"] == "doc-a" and m[0]["format"] == "png"
+    d = decode_image(imgs, "id", "blob").collect()
+    assert d[0]["id"] == "doc-a" and d[0]["pixels"] == list(range(12))
+    r = decode_image(resize_image(imgs, "id", "blob", 2, 3), "id", "blob").collect()
+    assert r[0]["id"] == "doc-a" and r[0]["width"] == 2
+    am = extract_audio_meta(auds, "id", "blob").collect()
+    assert am[0]["id"] == "doc-b" and am[0]["format"] == "wav"
+    ad = decode_audio(auds, "id", "blob").collect()
+    assert ad[0]["id"] == "doc-b" and ad[0]["samples"] == [1, -2, 3, -4]
+    af = audio_features(auds, "id", "blob").collect()
+    assert af[0]["id"] == "doc-b" and af[0]["zero_crossings"] == 3
+    vm = extract_video_meta(vids, "id", "blob").collect()
+    assert vm[0]["id"] == "doc-c" and vm[0]["container"] == "avi"
+
+
+def test_resize_image_rejects_nonpositive_targets(spark):
+    from margaret_spark.operators.multimodal import resize_image
+
+    df = spark.createDataFrame([(1, b"x")], "id long, blob binary")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target dimensions"):
+        resize_image(df, "id", "blob", 0, 4)
+
+
+def test_wav_corrupt_streams_fail_as_valueerror():
+    # the codec house rule: corrupt wire input raises a NAMED
+    # ValueError, never a leaked struct.error
+    import struct
+
+    import pytest as _pytest
+
+    from margaret_spark.operators.media_codecs import decode_wav, encode_wav
+
+    with _pytest.raises(ValueError, match="int16 range"):
+        encode_wav(8000, [70000])
+
+    blob = bytearray(encode_wav(8000, [1, 2, 3]))
+    # find the data chunk and shrink its declared length to an odd value
+    i = bytes(blob).index(b"data")
+    blob[i + 4 : i + 8] = struct.pack("<I", 5)
+    with _pytest.raises(ValueError, match="odd data chunk"):
+        decode_wav(bytes(blob))
+
+
+def test_jpeg_coefficients_corrupt_entropy_is_valueerror():
+    import numpy as np
+    import pytest as _pytest
+
+    from margaret_spark.operators.jpeg import decode_jpeg_coefficients, encode_jpeg
+
+    img = (np.arange(64, dtype=np.uint8) % 256).reshape(8, 8)
+    blob = bytearray(encode_jpeg(img, quality=90))
+    # truncate mid-entropy-segment: the walk must surface ValueError
+    with _pytest.raises(ValueError, match="truncated or corrupt"):
+        decode_jpeg_coefficients(bytes(blob[:-12]))

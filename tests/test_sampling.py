@@ -337,3 +337,93 @@ def test_materialize_mixture_budgets_and_admission(spark):
 
     with _p.raises(ValueError, match="non-negative"):
         materialize_mixture(df, "src", "id", "toks", total_tokens=-1)
+
+
+def _greedy_unimax(caps, budget):
+    # sequential published greedy: ascending caps, each takes
+    # min(cap, remaining / remaining_groups)
+    out = []
+    remaining = float(budget)
+    n = len(caps)
+    for i, c in enumerate(sorted(caps)):
+        share = remaining / (n - i)
+        a = min(float(c), share)
+        out.append(round(a, 6))
+        remaining -= a
+    return out
+
+
+def test_unimax_allocation_matches_greedy(spark):
+    from margaret_spark.operators.sampling import unimax_allocation
+
+    rows = []
+    caps = {"a": 10, "b": 20, "c": 70}
+    for g, n in caps.items():
+        for i in range(n):
+            rows.append((f"{g}{i}", g, 1))
+    df = spark.createDataFrame(rows, "id string, src string, toks int")
+
+    got = {
+        r["src"]: r["alloc"]
+        for r in unimax_allocation(df, "src", "toks", budget=60).collect()
+    }
+    assert got == {"a": 10.0, "b": 20.0, "c": 30.0}
+
+    # budget below L*min(cap): everyone takes the equal share
+    got = {
+        r["src"]: r["alloc"]
+        for r in unimax_allocation(df, "src", "toks", budget=15).collect()
+    }
+    assert got == {"a": 5.0, "b": 5.0, "c": 5.0}
+
+    # budget above sum(caps): all capped, leftover unallocated
+    got = {
+        r["src"]: r["alloc"]
+        for r in unimax_allocation(df, "src", "toks", budget=1000).collect()
+    }
+    assert got == {"a": 10.0, "b": 20.0, "c": 70.0}
+
+    # epoch cap scales the per-group ceiling
+    got = {
+        r["src"]: r["alloc"]
+        for r in unimax_allocation(
+            df, "src", "toks", budget=1000, max_epochs=2.0
+        ).collect()
+    }
+    assert got == {"a": 20.0, "b": 40.0, "c": 140.0}
+
+    # randomized agreement with the sequential greedy
+    import random
+
+    rng = random.Random(7)
+    for trial in range(5):
+        caps2 = {f"s{j}": rng.randint(1, 50) for j in range(6)}
+        budget = rng.randint(0, 200)
+        rows2 = [
+            (f"{g}-{i}", g, 1) for g, n in caps2.items() for i in range(n)
+        ]
+        df2 = spark.createDataFrame(rows2, "id string, src string, toks int")
+        got2 = [
+            r["alloc"]
+            for r in unimax_allocation(df2, "src", "toks", budget=budget)
+            .orderBy("cap", "src")
+            .collect()
+        ]
+        want = _greedy_unimax(list(caps2.values()), budget)
+        assert got2 == pytest.approx(want, abs=1e-6), (caps2, budget)
+
+
+def test_materialize_unimax_admission(spark):
+    from margaret_spark.operators.sampling import materialize_unimax
+
+    rows = [(f"{g}{i}", g, 3) for g in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "id string, src string, toks int")
+    out = materialize_unimax(df, "src", "id", "toks", budget=30)
+    per = {}
+    for r in out.collect():
+        per.setdefault(r["src"], []).append(r)
+        assert r["budget"] == 15
+    # 3-token docs against a 15-token budget: exactly 5 kept per group
+    assert {g: len(v) for g, v in per.items()} == {"a": 5, "b": 5}
+    for v in per.values():
+        assert max(x["cum_tokens"] for x in v) == 15

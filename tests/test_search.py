@@ -208,3 +208,18 @@ def test_pca_project_recovers_planted_coordinate(spark):
     for i in range(40):
         t = (i - 20) * 0.5
         assert abs(got[i] - t) < 0.05, (i, got[i], t)
+
+
+def test_power_iteration_rejects_sparse_covariance(spark):
+    # the packed array indexes as ca[i*d+j]: a sparse (i, j, c) input
+    # would silently SHIFT every later entry — must fail loudly
+    import pytest as _pytest
+
+    from margaret_spark.operators.pca import power_iteration
+
+    sparse = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 1, 1.0), (0, 1, 0.5)],  # missing (1, 0)
+        "i long, j long, c double",
+    )
+    with _pytest.raises(Exception, match="must be dense"):
+        power_iteration(sparse, 2, iters=1).collect()
