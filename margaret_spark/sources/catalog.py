@@ -20,6 +20,25 @@ _EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json",
                ".jsonl": "json", ".ndjson": "json"}
 
 
+def _dir_format(path: str) -> str:
+    """Format of a DIRECTORY table: walk down past Hive-style
+    ``key=value`` partition dirs to the first data file and dispatch
+    on its extension (committer markers like ``_SUCCESS`` and hidden
+    files are skipped, as Spark's own scan does). Defaults to parquet
+    when no recognizable data file exists — the dominant layout at
+    scale. The walk is driver-side and stops at the first hit, so it
+    costs one or two listings, never a scan."""
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames.sort()
+        for f in sorted(filenames):
+            if f.startswith(("_", ".")):
+                continue
+            ext = os.path.splitext(f)[1]
+            if ext in _EXT_FORMAT:
+                return _EXT_FORMAT[ext]
+    return "parquet"
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -28,11 +47,17 @@ def read_table(
     **options,
 ) -> DataFrame:
     """Read one table from a file/directory, inferring the format from
-    the extension unless given. Always pass ``schema`` in production
-    paths — inference is a full extra scan at 100 TB."""
+    the extension (directories: from the first data file inside, past
+    any Hive ``key=value`` partition levels — Spark's partition
+    discovery then types the partition columns as usual) unless given.
+    Always pass ``schema`` in production paths — inference is a full
+    extra scan at 100 TB."""
     if fmt is None:
-        ext = os.path.splitext(path)[1]
-        fmt = _EXT_FORMAT.get(ext, "parquet")
+        if os.path.isdir(path):
+            fmt = _dir_format(path)
+        else:
+            ext = os.path.splitext(path)[1]
+            fmt = _EXT_FORMAT.get(ext, "parquet")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -58,16 +83,30 @@ class Catalog:
             p = os.path.join(self.root, name + ext)
             if os.path.exists(p):
                 return p
+        # directory-table layout: <root>/<name>/ holding the data
+        # files (optionally under key=value partition dirs) — the
+        # standard shape at scale, where a table IS a directory
+        p = os.path.join(self.root, name)
+        if os.path.isdir(p):
+            return p
         raise FileNotFoundError(f"no table file for {name!r} under {self.root}")
 
     def table(self, name: str) -> DataFrame:
         return read_table(self.spark, self.path(name), schema=self.schemas.get(name))
 
     def register_all(self) -> list[str]:
-        names = sorted(
-            {os.path.splitext(f)[0] for f in os.listdir(self.root)
-             if os.path.splitext(f)[1] in _EXT_FORMAT}
-        )
+        names = {
+            os.path.splitext(f)[0]
+            for f in os.listdir(self.root)
+            if os.path.splitext(f)[1] in _EXT_FORMAT
+        }
+        names |= {
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+            and not d.startswith(("_", "."))
+        }
+        names = sorted(names)
         for n in names:
             self.table(n).createOrReplaceTempView(n)
         return names

@@ -37,11 +37,21 @@ class SnapshotCatalog:
         return os.path.join(self.path, f"manifest-{sid:020d}.json")
 
     def ids(self) -> list[int]:
-        return sorted(
-            int(n[len("manifest-") : -len(".json")])
-            for n in os.listdir(self.path)
-            if n.startswith("manifest-") and n.endswith(".json")
-        )
+        out = []
+        for n in os.listdir(self.path):
+            if not (n.startswith("manifest-") and n.endswith(".json")):
+                continue  # foreign entries (tmp files, notes) are ignored
+            mid = n[len("manifest-") : -len(".json")]
+            # the foreign-name house rule: a manifest-SHAPED entry with
+            # a non-integer id must fail with the path named, not leak
+            # a bare ValueError (or worse, shadow a real snapshot)
+            if not mid.isdigit():
+                raise ValueError(
+                    f"snapshot catalog: foreign manifest-like entry "
+                    f"{os.path.join(self.path, n)!r} (id not an integer)"
+                )
+            out.append(int(mid))
+        return sorted(out)
 
     def snapshot(self, logs: dict[str, OffsetLog], note: str | None = None) -> int:
         """Record the current ``(seq, patch_id)`` of every log in one

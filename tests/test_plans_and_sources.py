@@ -471,3 +471,50 @@ def test_no_shadowed_duplicate_toplevel_defs():
                     offenders.append(f"{py}:{node.lineno} re-defines {node.name} (first at :{seen[node.name]})")
                 seen[node.name] = node.lineno
     assert not offenders, "shadowed duplicate definitions:\n" + "\n".join(offenders)
+
+
+def test_catalog_reads_directory_tables(spark, tmp_path):
+    # the scale-standard layout: a table IS a directory, optionally
+    # Hive-partitioned — the catalog must register it like a file
+    from pyspark.sql import functions as F
+
+    from margaret_spark.sources.catalog import Catalog, read_table
+
+    root = tmp_path / "warehouse"
+    root.mkdir()
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "id long, k string, v long"
+    )
+    # plain directory of parquet parts
+    df.write.mode("overwrite").parquet(str(root / "plaintab"))
+    # hive-partitioned directory (k=a / k=b subdirs)
+    df.write.mode("overwrite").partitionBy("k").parquet(str(root / "parttab"))
+    # a csv-file table alongside, to check mixed listings still work
+    df.write.mode("overwrite").option("header", "true").csv(str(root / "csvtab"))
+
+    cat = Catalog(spark, str(root))
+    names = cat.register_all()
+    assert names == ["csvtab", "parttab", "plaintab"]
+    assert spark.sql("SELECT count(*) c FROM plaintab").collect()[0]["c"] == 3
+    # partition columns survive discovery and prune
+    part = spark.sql("SELECT id FROM parttab WHERE k = 'a'")
+    assert sorted(r["id"] for r in part.collect()) == [1, 3]
+    # csv directory dispatches on the inner data files' extension
+    csvt = read_table(spark, str(root / "csvtab"))
+    assert csvt.count() == 3
+
+
+def test_snapshot_catalog_rejects_foreign_manifest_names(tmp_path):
+    import pytest as _pytest
+
+    from margaret_spark.sources.snapshot import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "snaps"))
+    # non-manifest entries are ignored
+    (tmp_path / "snaps" / "README.json").write_text("{}")
+    (tmp_path / "snaps" / "manifest-00000000000000000001.json.tmp").write_text("{}")
+    assert cat.ids() == []
+    # a manifest-shaped entry with a bogus id fails loudly, path named
+    (tmp_path / "snaps" / "manifest-3.bak.json").write_text("{}")
+    with _pytest.raises(ValueError, match="manifest-3.bak.json"):
+        cat.ids()
