@@ -5064,6 +5064,41 @@ def q_corpus_unimax_materialize(spark, sf_dir):
     )
 
 
+def q_pack_length_batches(spark, sf_dir):
+    """Length-bucketed batch assembly (operators.packing.
+    length_bucketed_batches): the padding-aware SFT/inference batching
+    — global (n_tokens, md5(id), id) order, fixed-rows batches, so
+    similar lengths share a batch. The global position uses the
+    two-pass partition-offset assignment (NO corpus-wide
+    single-partition window); the oracle replays the order with
+    row_number. Hash-exact integer arithmetic."""
+    from margaret_spark.operators.packing import length_bucketed_batches
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    return length_bucketed_batches(toks, "doc_id", "n_tokens", batch_rows=16)
+
+
+def q_pack_padding_report(spark, sf_dir):
+    """The per-batch padding audit (operators.packing.padding_report)
+    over the length-bucketed batches: padded_tokens = n_docs·max,
+    padding_waste = pround(1 − sum/padded) — what fraction of the
+    accelerator tensor the bucketing saves vs wastes. One keyed
+    aggregation; hash-exact."""
+    from margaret_spark.operators.packing import (
+        length_bucketed_batches,
+        padding_report,
+    )
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    return padding_report(
+        length_bucketed_batches(toks, "doc_id", "n_tokens", batch_rows=16)
+    )
+
+
 def q_stream_web_filter(spark, sf_dir):
     """Streaming at-ingest web curation (streaming/webfilter.py): the
     synthetic messy URLs are appended to a real OffsetLog, the filter
@@ -5382,6 +5417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_materialize": q_corpus_mixture_materialize,
         "corpus_unimax": q_corpus_unimax,
         "corpus_unimax_materialize": q_corpus_unimax_materialize,
+        "pack_length_batches": q_pack_length_batches,
+        "pack_padding_report": q_pack_padding_report,
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_dsir_select": q_corpus_dsir_select,
         "export_shards": q_export_shards,
@@ -6836,6 +6873,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c.doc_id, c.source, c.n_tokens, c.cum AS cum_tokens, "
         "b.budget FROM c JOIN b USING (source) "
         "WHERE c.cum - c.n_tokens < b.budget"
+    )
+    # length-bucketed batching: global (n_tokens, md5, id) order via
+    # row_number, fixed-rows batches — the exact order the two-pass
+    # position assignment reproduces
+    _LB_POS = (
+        "WITH per AS (SELECT doc_id, "
+        f"CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents), "
+        "p AS (SELECT doc_id, n_tokens, "
+        "CAST(row_number() OVER (ORDER BY n_tokens, "
+        "md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos "
+        "FROM per)"
+    )
+    d["pack_length_batches"] = (
+        _LB_POS + " SELECT doc_id, n_tokens, "
+        "CAST(pos // 16 AS BIGINT) AS batch_id, "
+        "CAST(pos % 16 AS BIGINT) AS pos_in_batch FROM p"
+    )
+    d["pack_padding_report"] = (
+        _LB_POS + ", b AS (SELECT CAST(pos // 16 AS BIGINT) AS batch_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(max(n_tokens) AS BIGINT) AS max_tokens, "
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM p GROUP BY 1) "
+        "SELECT batch_id, n_docs, max_tokens, sum_tokens, "
+        "CAST(n_docs * max_tokens AS BIGINT) AS padded_tokens, "
+        "CASE WHEN n_docs * max_tokens = 0 THEN 0.0 ELSE "
+        + _pr(
+            "1.0 - CAST(sum_tokens AS DOUBLE) / "
+            "CAST(n_docs * max_tokens AS DOUBLE)"
+        )
+        + " END AS padding_waste FROM b"
     )
     # materialized mixture: the corpus_mixture oracle (as a subquery
     # CTE) feeds floor(weight·total) budgets into the per-source

@@ -107,6 +107,7 @@ HEADLINE_V2 = [
     "stream_lm_filter",
     "corpus_mixture_materialize",
     "corpus_unimax_materialize",
+    "pack_padding_report",
     # r8: the graded tail the verdict flagged as invisible to BENCH
     # deltas — the Arrow-heavy image dHash pair (new in r7), the HLL
     # group-by, URL dedup, the incremental/cross-corpus dedup arms,

@@ -178,3 +178,87 @@ def pack_sequences_grouped(
         "__cum", F.sum(tokens_col).over(w).cast("long")
     )
     return _pack_from_cum(c, id_col, tokens_col, seq_len, extra=[F.col(group_col)])
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    batch_rows: int,
+) -> DataFrame:
+    """Length-bucketed batch assembly — the padding-aware counterpart
+    to the contiguous pretraining packing above: SFT / inference
+    pipelines pad every sequence in a batch to the batch maximum, so
+    batching similar lengths together is what keeps padding waste low
+    (the standard "sort by length, then batch" recipe). Documents are
+    globally ordered by (n_tokens, md5(id), id) — deterministic, ties
+    broken content-free — and assigned ``batch_id = pos div
+    batch_rows``.
+
+    Output: (id, n_tokens, batch_id, pos_in_batch). Zero-token rows
+    keep their batch slot (an empty sequence still occupies a row in
+    the padded tensor). Compose with :func:`padding_report` for the
+    per-batch waste audit.
+
+    Scale shape: the global order uses the same two-pass
+    partition-offset position assignment as the epoch shuffle
+    (``sampling.deterministic_shuffle``) — range partition on the sort
+    key, narrow within-partition sort, per-partition counts to the
+    driver; NO corpus-wide single-partition window."""
+    from margaret_spark.functions.seqassign import with_dense_seq
+
+    if batch_rows < 1:
+        raise ValueError(f"batch_rows must be >= 1: {batch_rows}")
+    keys = [
+        F.col(tokens_col).cast("long"),
+        F.md5(F.col(id_col).cast("string")),
+        F.col(id_col),
+    ]
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    staged = df.select(id_col, tokens_col).repartitionByRange(
+        n, *keys
+    ).sortWithinPartitions(*keys)
+    pos = with_dense_seq(staged, seq_col="__pos")
+    return pos.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.expr(f"__pos div {int(batch_rows)}").cast("long").alias("batch_id"),
+        (F.col("__pos") % F.lit(batch_rows)).cast("long").alias("pos_in_batch"),
+    )
+
+
+def padding_report(
+    batches: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(batch_id, n_docs, max_tokens, sum_tokens, padded_tokens,
+    padding_waste): the per-batch padding audit over
+    :func:`length_bucketed_batches` output — ``padded_tokens =
+    n_docs·max_tokens`` is what the accelerator actually computes,
+    ``padding_waste = pround(1 − sum/padded)`` the wasted fraction
+    (0.0 for an all-equal-length or empty-capacity batch). One
+    map-side-combined aggregation on batch_id; exact integer
+    arithmetic under one IEEE division — hash-exact."""
+    from margaret_spark.functions.numeric import pround
+
+    agg = batches.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    padded = (F.col("n_docs") * F.col("max_tokens")).cast("long")
+    waste = F.when(padded == 0, F.lit(0.0)).otherwise(
+        pround(
+            F.lit(1.0)
+            - F.col("sum_tokens").cast("double") / padded.cast("double"),
+            round_digits,
+        )
+    )
+    return agg.select(
+        "batch_id",
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        padded.alias("padded_tokens"),
+        waste.alias("padding_waste"),
+    )

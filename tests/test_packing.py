@@ -139,3 +139,44 @@ def test_pack_sequences_grouped_independent_streams(spark):
         ("b", 3): (0, 2, 0),        # b restarts at 0: tokens 0..299
         ("b", 4): (2, 2, 300 % 128),
     }
+
+
+def test_length_bucketed_batches_and_padding_report(spark):
+    import hashlib
+
+    from margaret_spark.operators.packing import (
+        length_bucketed_batches,
+        padding_report,
+    )
+
+    rows = [(f"d{i}", (i * 7) % 13 + 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "id string, toks int")
+    out = length_bucketed_batches(df, "id", "toks", batch_rows=4)
+    got = {r["id"]: r for r in out.collect()}
+    # python reference: global (toks, md5(id), id) order
+    order = sorted(rows, key=lambda r: (r[1], hashlib.md5(r[0].encode()).hexdigest(), r[0]))
+    for pos, (i, t) in enumerate(order):
+        assert got[i]["batch_id"] == pos // 4, (i, pos)
+        assert got[i]["pos_in_batch"] == pos % 4
+        assert got[i]["n_tokens"] == t
+    # batches hold similar lengths: per-batch max is non-decreasing
+    rep = {r["batch_id"]: r for r in padding_report(out).collect()}
+    assert len(rep) == 5
+    maxes = [rep[b]["max_tokens"] for b in sorted(rep)]
+    assert maxes == sorted(maxes)
+    for r in rep.values():
+        assert r["padded_tokens"] == r["n_docs"] * r["max_tokens"]
+        assert 0.0 <= r["padding_waste"] < 1.0
+    # waste matches the closed form
+    b0 = rep[0]
+    assert b0["padding_waste"] == round(1.0 - b0["sum_tokens"] / b0["padded_tokens"], 6)
+
+
+def test_length_bucketed_batches_rejects_bad_capacity(spark):
+    import pytest as _pytest
+
+    from margaret_spark.operators.packing import length_bucketed_batches
+
+    df = spark.createDataFrame([("a", 1)], "id string, toks int")
+    with _pytest.raises(ValueError, match="batch_rows"):
+        length_bucketed_batches(df, "id", "toks", batch_rows=0)
