@@ -180,3 +180,18 @@ def test_length_bucketed_batches_rejects_bad_capacity(spark):
     df = spark.createDataFrame([("a", 1)], "id string, toks int")
     with _pytest.raises(ValueError, match="batch_rows"):
         length_bucketed_batches(df, "id", "toks", batch_rows=0)
+
+
+def test_length_bucketed_batches_no_global_window(spark):
+    # positions come from the two-pass partition-offset assignment —
+    # never a corpus-wide single-partition window
+    from margaret_spark.operators.packing import length_bucketed_batches
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 17 AS INT) AS toks")
+    plan = (
+        length_bucketed_batches(df, "id", "toks", batch_rows=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan

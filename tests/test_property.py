@@ -328,3 +328,107 @@ def test_duplicate_spans_matches_model(spark, case):
         ).collect()
     }
     assert got == _span_model(texts, case["n"], case["scope"])
+
+
+# ---------------------------------------------------------------------------
+# codec round-trips: any valid PNG of the supported subset (mixed
+# per-scanline filters — encoders in the wild choose per line) and any
+# PCM16 WAV must decode back to the exact sample stream
+# ---------------------------------------------------------------------------
+
+png_case = st.fixed_dictionaries(
+    {
+        "w": st.integers(1, 12),
+        "h": st.integers(1, 10),
+        "ctype": st.sampled_from([0, 2, 6]),
+        "seed": st.integers(0, 2**31),
+        "filters": st.lists(st.integers(0, 4), min_size=10, max_size=10),
+    }
+)
+
+
+@given(case=png_case)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_mixed_filters(case):
+    import random
+    import struct
+    import zlib
+
+    from margaret_spark.operators.media_codecs import (
+        _CHANNELS,
+        _PNG_SIG,
+        _chunk,
+        _paeth,
+        decode_png,
+    )
+
+    w, h, ctype = case["w"], case["h"], case["ctype"]
+    ch = _CHANNELS[ctype]
+    rng = random.Random(case["seed"])
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y * stride : (y + 1) * stride]
+        ftype = case["filters"][y % len(case["filters"])]
+        filt = bytearray(line)
+        if ftype == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                filt[i] = (filt[i] - line[i - ch]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                filt[i] = (filt[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                filt[i] = (filt[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                filt[i] = (filt[i] - _paeth(a, prev[i], c)) & 0xFF
+        raw.append(ftype)
+        raw += filt
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    gw, gh, gch, out = decode_png(blob)
+    assert (gw, gh, gch) == (w, h, ch)
+    assert out == px
+
+
+wav_case = st.fixed_dictionaries(
+    {
+        "rate": st.integers(1, 192_000),
+        "channels": st.integers(1, 4),
+        "frames": st.integers(0, 50),
+        "seed": st.integers(0, 2**31),
+    }
+)
+
+
+@given(case=wav_case)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_any_rate_channels(case):
+    import random
+
+    from margaret_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav,
+        wav_meta,
+    )
+
+    rng = random.Random(case["seed"])
+    n = case["frames"] * case["channels"]
+    samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+    blob = encode_wav(case["rate"], samples, channels=case["channels"])
+    assert wav_meta(blob) == (case["rate"], case["frames"], case["channels"])
+    rate, ch, got = decode_wav(blob)
+    assert (rate, ch) == (case["rate"], case["channels"])
+    assert got == samples
