@@ -3008,12 +3008,21 @@ def q_decontaminate_semantic(spark, sf_dir):
     from margaret_spark.operators.semdedup import semantic_dedup_incremental
 
     docs = _t(spark, sf_dir, "documents")
-    emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64)
+    # pin the hashing-trick embedding once: four consumers (two
+    # assignment passes + two vector joins) would otherwise recompute
+    # the md5-per-token map build per branch
+    emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64).localCheckpoint(
+        eager=False
+    )
     test = emb.where(F.col("doc_id") % 10 == 0)
     train = emb.where(F.col("doc_id") % 10 != 0)
+    # batch_dups=False: decontamination asks only "is this train doc
+    # near the TEST set" — the train x train in-batch pass is the
+    # dominant cost (O(|train|^2/k) pair cosines) and cannot change
+    # the answer
     out = semantic_dedup_incremental(
         train, test, k=8, iters=1, threshold=0.88,
-        id_col="doc_id", vec_col="embedding",
+        id_col="doc_id", vec_col="embedding", batch_dups=False,
     )
     return out.select(
         "doc_id",

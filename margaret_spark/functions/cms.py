@@ -82,8 +82,11 @@ def cms_estimate(
     """Per probe key: min over its ``depth`` counters — ≥ the true
     count always, with the (ε, δ) overcount bound above. A key whose
     buckets are all absent from the sketch estimates 0 (never seen).
-    The sketch is broadcast: probing costs one narrow pass over the
-    probe keys."""
+    A NULL probe key estimates NULL — the build side skips NULLs (no
+    frequency identity), so a definite 0 would assert knowledge the
+    sketch doesn't have (the :func:`~margaret_spark.functions.bloom.
+    bloom_probe` NULL contract). The sketch is broadcast: probing
+    costs one narrow pass over the probe keys."""
     probes = keys.select(
         F.col(key_col),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
@@ -91,5 +94,11 @@ def cms_estimate(
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(est_col))
+        .agg(
+            F.when(F.col(key_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+            )
+            .alias(est_col)
+        )
     )

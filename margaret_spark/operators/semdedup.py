@@ -253,11 +253,19 @@ def semantic_dedup_incremental(
     round_digits: int = 6,
     comp_digits: int = 9,
     sum_scale: int = 12,
+    batch_dups: bool = True,
 ) -> DataFrame:
     """Incremental SemDeDup — the daily-ingest form: label every NEW
     vector ``'dup_of_existing'`` (a same-cluster existing row within
     ``threshold`` cosine), ``'dup_in_batch'`` (no existing match, but
-    an earlier — smaller-id — new row matches), or ``'new'``. The
+    an earlier — smaller-id — new row matches), or ``'new'``.
+
+    ``batch_dups=False`` skips the new×new in-batch pass entirely —
+    statuses are then only 'dup_of_existing'/'new'. Consumers that
+    only ask "is this near the EXISTING set" (semantic
+    decontamination: is this train doc near the test set) must pass
+    False: the in-batch self-join is the dominant cost (O(|new|²/k)
+    pair cosines) and cannot change their answer. The
     semantic member of the ingest-dedup matrix
     (``dedup.incremental_exact_dedup`` is the exact-content version;
     ``ngram_jaccard_join`` the near-dup text version).
@@ -315,6 +323,18 @@ def semantic_dedup_incremental(
         .select(F.col("__idn").alias("__dup"))
         .distinct()
     )
+    out = anew.join(
+        dup_ex.select(F.col("__dup").alias("id"), F.lit(1).alias("__in_ex")),
+        "id",
+        "left",
+    )
+    if not batch_dups:
+        status = F.when(
+            F.col("__in_ex").isNotNull(), F.lit("dup_of_existing")
+        ).otherwise(F.lit("new"))
+        return out.select(
+            F.col("id").alias(id_col), "cent_id", status.alias("status")
+        )
     b_side = anew.select(
         F.col("id").alias("__ido"),
         F.col("cent_id").alias("__ce"),
@@ -336,12 +356,7 @@ def semantic_dedup_incremental(
         .otherwise(F.lit("new"))
     )
     return (
-        anew.join(
-            dup_ex.select(F.col("__dup").alias("id"), F.lit(1).alias("__in_ex")),
-            "id",
-            "left",
-        )
-        .join(
+        out.join(
             dup_batch.select(
                 F.col("__dup").alias("id"), F.lit(1).alias("__in_b")
             ),

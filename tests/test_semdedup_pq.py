@@ -322,6 +322,20 @@ def test_semantic_dedup_incremental_statuses(spark):
     assert out[3] == "new" and out[5] == "dup_in_batch"
     assert out[7] == "new"
     assert len(out) == 4
+    # batch_dups=False skips the new x new pass: dup_of_existing flags
+    # are IDENTICAL (the decontamination contract); in-batch dups
+    # surface as plain 'new'
+    fast = {
+        r.vec_id: r.status
+        for r in semantic_dedup_incremental(
+            new, existing, k=2, iters=1, threshold=0.95, batch_dups=False
+        ).collect()
+    }
+    assert fast[1] == "dup_of_existing"
+    assert fast[3] == "new" and fast[5] == "new" and fast[7] == "new"
+    assert {i for i, st in out.items() if st == "dup_of_existing"} == {
+        i for i, st in fast.items() if st == "dup_of_existing"
+    }
 
 
 def test_ivfpq_index_append_serves_new_vectors(spark, tmp_path):

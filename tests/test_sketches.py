@@ -419,3 +419,17 @@ def test_kmv_intersect_empty_inputs_is_zero(spark):
     assert row.n_union_sketch == 0
     assert row.k_common == 0
     assert row.est_intersection == 0.0
+
+
+def test_cms_null_probe_estimates_null(spark):
+    # the bloom_probe NULL contract applied to CMS: the build skips
+    # NULL keys, so a NULL probe has no frequency identity — NULL
+    # estimate, not a definite 0
+    from margaret_spark.functions.cms import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    sk = cms_sketch(df, "k", depth=3, width=64)
+    probes = spark.createDataFrame([("a",), (None,)], "k string")
+    est = {r["k"]: r["est"] for r in cms_estimate(sk, probes, "k", depth=3, width=64).collect()}
+    assert est["a"] == 2
+    assert est[None] is None
