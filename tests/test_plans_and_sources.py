@@ -117,6 +117,11 @@ def test_entry_queries_plan_quality(spark):
         "text_bpe_tokens",
         "text_bpe_fertility",
         "pack_sequences_bpe",
+        # PCA: the covariance grammian's Arrow path (per-batch exact
+        # int64 partial sums — bit-identical to the relational tree,
+        # pinned in tests/test_search.py) is the default executor
+        "embeddings_pca",
+        "embeddings_pca_project",
     }
     for name, fn in entry.queries().items():
         assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)

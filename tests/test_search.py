@@ -223,3 +223,47 @@ def test_power_iteration_rejects_sparse_covariance(spark):
     )
     with _pytest.raises(Exception, match="must be dense"):
         power_iteration(sparse, 2, iters=1).collect()
+
+
+def test_covariance_arrow_equals_relational(spark):
+    # the arrow grammian must be BIT-identical to the relational
+    # pround/DECIMAL tree — same floors, same division tail
+    import random
+
+    from margaret_spark.operators.pca import covariance_matrix
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rel = {
+        (r["i"], r["j"]): r["c"]
+        for r in covariance_matrix(df, "embedding", method="relational").collect()
+    }
+    arr = {
+        (r["i"], r["j"]): r["c"]
+        for r in covariance_matrix(df, "embedding", method="arrow").collect()
+    }
+    assert rel == arr
+    assert len(arr) == 36
+
+
+def test_covariance_arrow_guards(spark):
+    import pytest as _pytest
+
+    from margaret_spark.operators.pca import covariance_matrix
+
+    big = spark.createDataFrame(
+        [(0, [100.0, 0.0]), (1, [0.0, 100.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="relational"):
+        covariance_matrix(big, "embedding", method="arrow").collect()
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="ragged|width"):
+        covariance_matrix(ragged, "embedding", method="arrow").collect()
+    with _pytest.raises(ValueError, match="method"):
+        covariance_matrix(big, "embedding", method="bogus")
