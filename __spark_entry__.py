@@ -3142,7 +3142,13 @@ def q_docs_semantic_dedup(spark, sf_dir):
     from margaret_spark.operators.semdedup import semantic_prune
 
     docs = _t(spark, sf_dir, "documents")
-    emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64)
+    # pin the hashing-trick embedding once: the Lloyd rounds, the
+    # assignment, and the vector join all consume it — unpinned, the
+    # md5-per-token map build recomputes per consumer (the
+    # decontaminate_semantic lesson)
+    emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64).localCheckpoint(
+        eager=False
+    )
     # k = 32 (vs the embeddings table's 8): documents GROW with SF, and
     # the SemDeDup knob is exactly "grow k with N" — cells stay small
     # enough that the within-cell pair pass never dominates (the r8

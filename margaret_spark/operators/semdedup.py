@@ -109,17 +109,25 @@ def semantic_dedup_pairs(
             corpus, k, iters, id_col, vec_col,
             round_digits, comp_digits, sum_scale,
         )
+    # norm per ROW before the pair join (the vectors.py rule): an
+    # in-join norm re-folds the d-element HOF once per PAIR per side —
+    # the dominant within-cell-pass cost. Same expression, same input,
+    # bit-identical cosine.
     a = assigned.select(
-        F.col("id").alias("id_a"), "cent_id", F.col("__v").alias("__va")
+        F.col("id").alias("id_a"),
+        "cent_id",
+        F.col("__v").alias("__va"),
+        l2_norm(F.col("__v")).alias("__na"),
     )
     b = assigned.select(
         F.col("id").alias("id_b"),
         F.col("cent_id").alias("__cb"),
         F.col("__v").alias("__vb"),
+        l2_norm(F.col("__v")).alias("__nb"),
     )
     sim = pround(
         pair_dot(F.col("__va"), F.col("__vb"))
-        / (l2_norm(F.col("__va")) * l2_norm(F.col("__vb"))),
+        / (F.col("__na") * F.col("__nb")),
         round_digits,
     )
     return (
@@ -304,18 +312,23 @@ def semantic_dedup_incremental(
 
     anew = _with_vec(new_rows)
     aex = _with_vec(existing)
+    # norms per row, before the pair joins (see semantic_dedup_pairs)
     sim = pround(
         pair_dot(F.col("__vn"), F.col("__vo"))
-        / (l2_norm(F.col("__vn")) * l2_norm(F.col("__vo"))),
+        / (F.col("__nn") * F.col("__no")),
         round_digits,
     )
     n_side = anew.select(
-        F.col("id").alias("__idn"), "cent_id", F.col("__v").alias("__vn")
+        F.col("id").alias("__idn"),
+        "cent_id",
+        F.col("__v").alias("__vn"),
+        l2_norm(F.col("__v")).alias("__nn"),
     )
     e_side = aex.select(
         F.col("id").alias("__ido"),
         F.col("cent_id").alias("__ce"),
         F.col("__v").alias("__vo"),
+        l2_norm(F.col("__v")).alias("__no"),
     )
     dup_ex = (
         n_side.join(e_side, F.col("cent_id") == F.col("__ce"))
@@ -339,6 +352,7 @@ def semantic_dedup_incremental(
         F.col("id").alias("__ido"),
         F.col("cent_id").alias("__ce"),
         F.col("__v").alias("__vo"),
+        l2_norm(F.col("__v")).alias("__no"),
     )
     dup_batch = (
         n_side.join(

@@ -105,13 +105,24 @@ def kmeans_centroids(
         )
         .localCheckpoint(eager=False)
     )
-    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # norms BEFORE the k-way expansion (the vectors.py rule): per pair
+    # the interpreted HOF fold costs ~|d| µs, so an in-join norm is
+    # evaluated k x (rows) x 2 times instead of rows + k — measured as
+    # the dominant kmeans cost at k=32. Same expression on the same
+    # input, so __sim is bit-identical.
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    )
     for _ in range(iters):
-        scored = v.crossJoin(cents).withColumn(
+        scored = v.crossJoin(
+            cents.withColumn("__cn", l2_norm(F.col("cent")))
+        ).withColumn(
             "__sim",
             pround(
                 pair_dot(F.col("v"), F.col("cent"))
-                / (l2_norm(F.col("v")) * l2_norm(F.col("cent"))),
+                / (F.col("__vn") * F.col("__cn")),
                 round_digits,
             ),
         )
@@ -648,12 +659,24 @@ def assign_to_centroids(
     :func:`kmeans_centroids_deterministic` output, or FROZEN saved
     centroids for incremental/at-ingest assignment. Broadcast join +
     one per-id window; the corpus never shuffles on its vectors."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    scored = v.crossJoin(F.broadcast(cents.select("cent_id", "cent"))).withColumn(
+    # norms before the k-way expansion (see kmeans_centroids_
+    # deterministic) — bit-identical __sim, k x fewer HOF folds
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    )
+    scored = v.crossJoin(
+        F.broadcast(
+            cents.select(
+                "cent_id", "cent", l2_norm(F.col("cent")).alias("__cn")
+            )
+        )
+    ).withColumn(
         "__sim",
         pround(
             pair_dot(F.col("v"), F.col("cent"))
-            / (l2_norm(F.col("v")) * l2_norm(F.col("cent"))),
+            / (F.col("__vn") * F.col("__cn")),
             round_digits,
         ),
     )
@@ -701,14 +724,22 @@ def kmeans_centroids_deterministic(
         )
         .localCheckpoint(eager=False)
     )
-    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # norms before the k-way expansion (see the iters loop above) —
+    # bit-identical __sim, k x fewer interpreted HOF folds
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    )
 
     def _assign(cents_df):
-        scored = v.crossJoin(cents_df).withColumn(
+        scored = v.crossJoin(
+            cents_df.withColumn("__cn", l2_norm(F.col("cent")))
+        ).withColumn(
             "__sim",
             pround(
                 pair_dot(F.col("v"), F.col("cent"))
-                / (l2_norm(F.col("v")) * l2_norm(F.col("cent"))),
+                / (F.col("__vn") * F.col("__cn")),
                 round_digits,
             ),
         )

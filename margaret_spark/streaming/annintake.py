@@ -65,11 +65,14 @@ def stream_ivf_assign(
         vecs = batch_df.select(
             F.col("seq"), vec_expr.alias("__v")
         ).where(F.col("__v").isNotNull())
+        # row norm once, not once per centroid (the vectors.py rule) —
+        # bit-identical __sim
+        vecs = vecs.withColumn("__vn", l2_norm(F.col("__v")))
         scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
             "__sim",
             pround(
                 pair_dot(F.col("__v"), F.col("__cent"))
-                / (l2_norm(F.col("__v")) * F.col("__centn")),
+                / (F.col("__vn") * F.col("__centn")),
                 round_digits,
             ),
         )
