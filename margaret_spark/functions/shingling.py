@@ -26,13 +26,31 @@ def gram_indices(count: Column) -> Column:
     return F.slice(F.sequence(F.lit(1), F.greatest(m, F.lit(1))), 1, m)
 
 
+def bind1(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE and hand it to ``fn`` as a lambda variable
+    (the transform-over-singleton bind). THE LOAD-BEARING RULE: an
+    outer expression referenced inside a HOF lambda re-evaluates per
+    ELEMENT — a token array read by every gram position re-tokenizes
+    the whole document per gram, O(tokens²) per row (measured 7x on
+    the gram expansion alone). A bound lambda variable is O(1) to
+    read. Same values either way — this changes evaluation strategy
+    only."""
+    return F.get(F.transform(F.array(col), fn), 0)
+
+
 def char_shingles(col: Column, n: int = 5, lower: bool = True) -> Column:
     """All distinct character n-grams of the (optionally lowercased)
     string, 1-based substring semantics. Strings shorter than ``n``
     have no n-gram — empty array (not a truncated partial gram)."""
     c = F.lower(col) if lower else col
-    idx = gram_indices(F.length(c) - F.lit(n - 1))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+    def inner(cs: Column) -> Column:
+        idx = gram_indices(F.length(cs) - F.lit(n - 1))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.substring(cs, i, n))
+        )
+
+    return bind1(c, inner)
 
 
 def word_shingles(col: Column, n: int = 3, lower: bool = True) -> Column:
@@ -40,8 +58,11 @@ def word_shingles(col: Column, n: int = 3, lower: bool = True) -> Column:
     Documents with fewer than ``n`` tokens have no n-gram — empty
     array (the naive ``sequence(1, cnt-n+1)`` index build crashes on
     them: see :func:`gram_indices`)."""
-    ws = words(col, lower=lower)
-    idx = gram_indices(F.size(ws) - F.lit(n - 1))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
-    )
+
+    def inner(ws: Column) -> Column:
+        idx = gram_indices(F.size(ws) - F.lit(n - 1))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+        )
+
+    return bind1(words(col, lower=lower), inner)

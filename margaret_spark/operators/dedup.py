@@ -1443,18 +1443,27 @@ def _positional_grams(
     (unlike the jaccard set index). Shared by the span detectors."""
     from margaret_spark.functions.shingling import gram_indices
 
+    from margaret_spark.functions.shingling import bind1
+
     d = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    toks = words(F.col(text_col))
-    idx = gram_indices(F.size(toks) - F.lit(n - 1))
-    positional = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.cast("int").alias("pos"),
-            F.sha2(F.concat_ws(" ", F.slice(toks, i, n)), 256).alias("g"),
-        ),
-    )
+
+    # token array bound ONCE (shingling.bind1) — an unbound reference
+    # re-tokenizes the document per gram position, O(tokens²) per row
+    def inner(toks: Column) -> Column:
+        idx = gram_indices(F.size(toks) - F.lit(n - 1))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.sha2(F.concat_ws(" ", F.slice(toks, i, n)), 256).alias(
+                    "g"
+                ),
+            ),
+        )
+
+    positional = bind1(words(F.col(text_col)), inner)
     return d.select(
         F.col(id_col).alias("__id"), F.explode(positional).alias("p")
     ).select("__id", F.col("p.pos").alias("pos"), F.col("p.g").alias("g"))

