@@ -247,12 +247,10 @@ def covariance_matrix(
     )
 
 
-def _bind(col: Column, fn) -> Column:
-    """Evaluate ``col`` ONCE and hand it to ``fn`` as a lambda
-    variable (the transform-over-singleton bind — the winnowing
-    lesson: expressions referenced inside HOF lambdas re-evaluate per
-    reference; a bound variable is O(1) to read)."""
-    return F.get(F.transform(F.array(col), fn), 0)
+# the transform-over-singleton bind lives in functions.shingling now
+# (one definition of the load-bearing pattern); kept as a module alias
+# because power_iteration reads better with the short name
+from margaret_spark.functions.shingling import bind1 as _bind  # noqa: E402
 
 
 def power_iteration(
