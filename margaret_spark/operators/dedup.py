@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from margaret_spark.functions.shingling import char_shingles, word_shingles, words
-from margaret_spark.functions.vectors import cosine_sim
 from margaret_spark.functions.numeric import pround
 
 

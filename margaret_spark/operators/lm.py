@@ -34,7 +34,7 @@ abruptly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from margaret_spark.functions.numeric import dsum, pround

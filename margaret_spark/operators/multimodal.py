@@ -30,7 +30,6 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 def _id_field(df: DataFrame, id_col: str) -> T.StructField:

@@ -17,7 +17,7 @@ errors (``offset2/qry.go:37``), a second upper bound errors
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterable, Optional
 
 from pyspark.sql import Column, DataFrame

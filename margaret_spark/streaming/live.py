@@ -27,12 +27,11 @@ import queue
 import shutil
 import uuid
 import threading
-from typing import Any, Callable, Iterator, Optional
+from typing import Any, Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from margaret_spark.errors import ErrNulled
 from margaret_spark.log import OffsetLog
 from margaret_spark.observable import Observable
 from margaret_spark.qry import QuerySpec, build_plan

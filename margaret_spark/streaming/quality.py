@@ -23,7 +23,6 @@ overwrite, the ``streaming/sinks.py`` contract).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
