@@ -166,6 +166,11 @@ def covariance_matrix(
         )
     scale = float(10**comp_digits)
     d = dim
+    # per-batch int64 exactness bound: each (i, j) partial adds at most
+    # |a·b|·10^c <= 64·10^c per row (|centered| <= 8 enforced below),
+    # so rows·64·10^c must stay under 2^63−1 — ~1.4e8 rows at the
+    # default 9 digits
+    max_batch_rows = (2**63 - 1) // (64 * 10**comp_digits)
     ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
 
     def grammian(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -194,14 +199,27 @@ def covariance_matrix(
                 )
             C = np.floor((X - means[None, :]) * scale + 0.5) / scale
             if np.abs(C).max() > 8.0:
-                # int64 headroom proof: |k| <= |a·b|·10^c <= 64·10^9;
-                # an Arrow batch is <= 50k rows, so |psum| <= 3.2e15,
-                # far inside int64. Larger magnitudes must use the
+                # int64 headroom proof: |k| <= |a·b|·10^c <= 64·10^c;
+                # with the batch-row guard below |psum| stays far
+                # inside int64. Larger magnitudes must use the
                 # DECIMAL relational path.
                 raise ValueError(
                     "covariance_matrix(method='arrow'): centered "
                     "component magnitude > 8 — use method='relational' "
                     "(DECIMAL headroom) for unnormalized corpora"
+                )
+            if len(C) > max_batch_rows:
+                # the int64 proof needs a row bound: numpy int64
+                # overflow WRAPS silently, and the Arrow batch size is
+                # user-configurable (maxRecordsPerBatch=0 delivers a
+                # whole partition as one batch) — so the bound is
+                # enforced here, not assumed from the default conf
+                raise ValueError(
+                    f"covariance_matrix(method='arrow'): Arrow batch "
+                    f"of {len(C)} rows exceeds the int64-exactness "
+                    f"bound {max_batch_rows} — lower spark.sql."
+                    f"execution.arrow.maxRecordsPerBatch or use "
+                    f"method='relational'"
                 )
             total = np.zeros((d, d), dtype=np.int64)
             for s0 in range(0, len(C), 256):
@@ -404,14 +422,21 @@ def pca_top_component(
     comp_digits: int = 9,
     sum_scale: int = 12,
     round_digits: int = 6,
+    method: str = "arrow",
 ) -> DataFrame:
     """(pos, component, eigenvalue): the corpus's principal direction —
-    :func:`covariance_matrix` composed with :func:`power_iteration`."""
+    :func:`covariance_matrix` composed with :func:`power_iteration`.
+
+    NULL/NaN contract: the default ``method='arrow'`` covariance
+    REJECTS non-finite embedding components (ValueError) — clean them
+    upstream; ``method='relational'`` propagates them silently into
+    the covariance as SQL arithmetic does. Pass ``method`` to pick."""
     dim = infer_dim(df, vec_col)
     if dim is None:
         raise ValueError("cannot run PCA on an empty corpus")
     cov = covariance_matrix(
-        df, vec_col, comp_digits=comp_digits, sum_scale=sum_scale, dim=dim
+        df, vec_col, comp_digits=comp_digits, sum_scale=sum_scale, dim=dim,
+        method=method,
     )
     return power_iteration(
         cov, dim, iters=iters, comp_digits=comp_digits,

@@ -395,7 +395,12 @@ def unimax_allocation(
     Exactness: caps and shares are pround'd IEEE doubles of exact
     integers, prefix sums are DECIMAL (order-independent), and the
     transition rank is a comparison of pround'd values — hash-exact
-    cross-engine. Scale shape: one aggregation (|groups| rows move),
+    cross-engine. Token-mass bound: the pround grid is exact only
+    while ``n_tokens·max_epochs·10^round_digits ≤ 2^53`` (~9e9 tokens
+    per group at the default 6 digits); past that the cap/share
+    doubles still replay identically in any engine (hash-exactness
+    holds) but the allocation can drift from the true waterfill by
+    grid quanta — drop ``round_digits`` for trillion-token groups. Scale shape: one aggregation (|groups| rows move),
     then unpartitioned windows over ≤ |groups| rows (groups are
     sources/languages — bounded by design, like
     :func:`mixture_weights`)."""

@@ -22,21 +22,41 @@ _EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json",
 
 def _dir_format(path: str) -> str:
     """Format of a DIRECTORY table: walk down past Hive-style
-    ``key=value`` partition dirs to the first data file and dispatch
-    on its extension (committer markers like ``_SUCCESS`` and hidden
-    files are skipped, as Spark's own scan does). Defaults to parquet
-    when no recognizable data file exists — the dominant layout at
-    scale. The walk is driver-side and stops at the first hit, so it
-    costs one or two listings, never a scan."""
-    for dirpath, dirnames, filenames in os.walk(path):
-        dirnames.sort()
-        for f in sorted(filenames):
+    ``key=value`` partition dirs to the first data level and dispatch
+    on its file extensions (committer markers like ``_SUCCESS`` and
+    hidden files are skipped, as Spark's own scan does). Defaults to
+    parquet when no recognizable data file exists — the dominant
+    layout at scale. The walk is bounded: one listing per partition
+    LEVEL (descending only into ``key=value`` dirs), and it stops at
+    the first level holding any data file — never a recursive tree
+    walk over arbitrary nested content."""
+    cur = path
+    while True:
+        try:
+            entries = sorted(os.listdir(cur))
+        except OSError:
+            return "parquet"
+        saw_file = False
+        for f in entries:
             if f.startswith(("_", ".")):
                 continue
+            if not os.path.isfile(os.path.join(cur, f)):
+                continue
+            saw_file = True
             ext = os.path.splitext(f)[1]
             if ext in _EXT_FORMAT:
                 return _EXT_FORMAT[ext]
-    return "parquet"
+        if saw_file:
+            return "parquet"  # data level reached, nothing recognized
+        nxt = next(
+            (d for d in entries
+             if "=" in d and not d.startswith(("_", "."))
+             and os.path.isdir(os.path.join(cur, d))),
+            None,
+        )
+        if nxt is None:
+            return "parquet"
+        cur = os.path.join(cur, nxt)
 
 
 def read_table(

@@ -45,7 +45,8 @@ class SnapshotCatalog:
             # the foreign-name house rule: a manifest-SHAPED entry with
             # a non-integer id must fail with the path named, not leak
             # a bare ValueError (or worse, shadow a real snapshot)
-            if not mid.isdigit():
+            # isascii() too: '²'.isdigit() is True but int() rejects it
+            if not (mid.isascii() and mid.isdigit()):
                 raise ValueError(
                     f"snapshot catalog: foreign manifest-like entry "
                     f"{os.path.join(self.path, n)!r} (id not an integer)"

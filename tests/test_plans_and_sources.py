@@ -509,6 +509,29 @@ def test_catalog_reads_directory_tables(spark, tmp_path):
     assert csvt.count() == 3
 
 
+def test_dir_format_walk_is_bounded(tmp_path):
+    # _dir_format must stop at the first level holding any data file
+    # and descend ONLY through key=value partition dirs — a huge
+    # mixed-content tree must not be recursively walked
+    from margaret_spark.sources.catalog import _dir_format
+
+    root = tmp_path / "tab"
+    root.mkdir()
+    # unrecognized data files at the top level: default parquet, and
+    # the recognizable file buried in a NON-partition subdir is never
+    # reached (the old os.walk would have found it)
+    (root / "data.bin").write_text("x")
+    deep = root / "notes" / "inner"
+    deep.mkdir(parents=True)
+    (deep / "rows.csv").write_text("a,b\n1,2\n")
+    assert _dir_format(str(root)) == "parquet"
+    # partition-level descent still dispatches on the leaf files
+    part = tmp_path / "ptab" / "k=a"
+    part.mkdir(parents=True)
+    (part / "part-0.csv").write_text("a,b\n1,2\n")
+    assert _dir_format(str(tmp_path / "ptab")) == "csv"
+
+
 def test_snapshot_catalog_rejects_foreign_manifest_names(tmp_path):
     import pytest as _pytest
 
@@ -522,4 +545,10 @@ def test_snapshot_catalog_rejects_foreign_manifest_names(tmp_path):
     # a manifest-shaped entry with a bogus id fails loudly, path named
     (tmp_path / "snaps" / "manifest-3.bak.json").write_text("{}")
     with _pytest.raises(ValueError, match="manifest-3.bak.json"):
+        cat.ids()
+    (tmp_path / "snaps" / "manifest-3.bak.json").unlink()
+    # non-ASCII digits pass str.isdigit() but int() rejects them —
+    # they must hit the loud guard, not leak a bare ValueError
+    (tmp_path / "snaps" / "manifest-²².json").write_text("{}")
+    with _pytest.raises(ValueError, match="foreign manifest-like entry"):
         cat.ids()

@@ -190,6 +190,22 @@ def test_pca_power_iteration_finds_planted_direction(spark):
     with pytest.raises(ValueError, match="empty corpus"):
         pca_top_component(df.where("vec_id < 0"))
 
+    # method passthrough: the relational covariance path reaches the
+    # same eigenvector (bit-identical arithmetic, pytest-pinned at the
+    # covariance layer; here the composed surface)
+    rel = {
+        r.pos: r.component
+        for r in pca_top_component(df, iters=12, method="relational").collect()
+    }
+    assert rel == {p: r.component for p, r in out.items()}
+
+    # arrow int64-exactness guard: at comp_digits=16 the safe batch is
+    # ~14 rows, so a 40-row single-partition batch must fail loudly
+    # (numpy int64 overflow would otherwise wrap SILENTLY)
+    # (the executor-side ValueError surfaces PySpark-wrapped)
+    with pytest.raises(Exception, match="int64-exactness bound"):
+        covariance_matrix(df.coalesce(1), "embedding", comp_digits=16).collect()
+
 
 def test_pca_project_recovers_planted_coordinate(spark):
     """Projecting the planted-direction corpus onto its own fitted
