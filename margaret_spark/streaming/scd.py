@@ -16,6 +16,15 @@ the log writers). A batch re-run after a crash is safe twice over:
   identical batch at the same version (already-closed rows compare
   content-equal and no-op).
 
+Concurrency: the manifest is a shared read-modify-write between the
+stream's publish and :func:`prune_history` — both serialize on a
+per-directory ``flock`` (see :func:`_manifest_lock`), so a prune run
+WHILE the stream is ingesting loses no published version and the
+stream never resurrects a pruned one (margaret's mutex-serialized
+writer never loses an acknowledged append — ``offset2/log.go:431``;
+this is the same guarantee for the history manifest). Readers stay
+lock-free: publish is an atomic rename.
+
 Scale shape: per batch, one open-set full-outer hash join (the merge)
 plus a parquet rewrite of the history. History rewrite cost grows with
 table size — for a 100 TB dimension, partition ``history_dir`` rows by
@@ -26,9 +35,10 @@ OPEN set and the batch.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
-from typing import Callable, Sequence
+from typing import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,6 +47,31 @@ from margaret_spark.functions.diff import scd2_merge
 from margaret_spark.log import OffsetLog
 
 _MANIFEST = "_versions.json"
+
+
+@contextlib.contextmanager
+def _manifest_lock(history_dir: str) -> Iterator[None]:
+    """Exclusive lock over the manifest's read-modify-write — the
+    stream's publish and :func:`prune_history` both update the SAME
+    file, and an unserialized read→republish in either loses the
+    other's entries (last-writer-wins). ``flock`` serializes across
+    threads AND processes on the posix paths this layer targets (the
+    manifest I/O here is ``os``-level local-fs by design, like the
+    log writers); the lock file sits beside the manifest so every
+    maintainer of one history dir contends on one inode. Lock-free
+    READERS stay safe without it: publish is an atomic rename, so
+    :func:`read_history` sees the old or the new manifest, never a
+    torn one."""
+    import fcntl
+
+    os.makedirs(history_dir, exist_ok=True)
+    p = os.path.join(history_dir, _MANIFEST + ".lock")
+    with open(p, "a") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
 
 def _read_manifest(history_dir: str) -> dict[int, str]:
@@ -65,6 +100,16 @@ def prune_history(history_dir: str, keep_last: int = 2) -> int:
     never a referenced-but-deleted version. Returns the number of
     versions removed.
 
+    Safe to run CONCURRENTLY with a live :func:`stream_scd2`: the
+    read→republish holds the manifest lock, so a version the stream
+    publishes mid-prune is either in the read (and kept — it is the
+    newest) or published after (prune cannot overwrite it); the
+    stream's own publish re-reads under the same lock, so it never
+    resurrects a pruned entry. Directory removal happens after the
+    lock is released — every doomed dir is already unreferenced, and
+    the stream's merge input (the newest, or newest-but-one on a
+    crash replay) is never doomed with ``keep_last >= 2``.
+
     ``keep_last`` must be >= 2: :func:`stream_scd2`'s crash replay of
     a micro-batch rebuilds from the newest version STRICTLY OLDER than
     the replayed batch — if only the replayed batch's own version
@@ -79,12 +124,13 @@ def prune_history(history_dir: str, keep_last: int = 2) -> int:
             "keep_last must be >= 2 (crash replay needs the "
             f"newest-but-one version): {keep_last}"
         )
-    versions = _read_manifest(history_dir)
-    doomed = sorted(versions)[:-keep_last]
-    if not doomed:
-        return 0
-    kept = {b: v for b, v in versions.items() if b not in set(doomed)}
-    _publish_manifest(history_dir, kept)
+    with _manifest_lock(history_dir):
+        versions = _read_manifest(history_dir)
+        doomed = sorted(versions)[:-keep_last]
+        if not doomed:
+            return 0
+        kept = {b: v for b, v in versions.items() if b not in set(doomed)}
+        _publish_manifest(history_dir, kept)
     for b in doomed:
         shutil.rmtree(versions[b], ignore_errors=True)
     return len(doomed)
@@ -132,7 +178,8 @@ def stream_scd2(
         latest = changes.groupBy(*keys).agg(
             *[F.max_by(a, "seq").alias(a) for a in attrs]
         )
-        versions = _read_manifest(history_dir)
+        with _manifest_lock(history_dir):
+            versions = _read_manifest(history_dir)
         older = [b for b in versions if b < batch_id]
         current = (
             spark.read.parquet(versions[max(older)]) if older else initial
@@ -140,8 +187,16 @@ def stream_scd2(
         merged = scd2_merge(current, latest, keys, version_of(batch_id))
         vdir = os.path.join(history_dir, f"v{batch_id:020d}")
         merged.write.mode("overwrite").parquet(vdir)
-        versions[batch_id] = vdir
-        _publish_manifest(history_dir, versions)
+        # publish under the manifest lock, against a FRESH read: a
+        # concurrent prune_history may have republished while this
+        # batch was merging — re-adding the stale `versions` dict here
+        # would resurrect pruned (deleted) entries, and prune writing
+        # after us would drop this batch's version. Both directions
+        # are closed by re-read + add-own-entry inside the lock.
+        with _manifest_lock(history_dir):
+            versions = _read_manifest(history_dir)
+            versions[batch_id] = vdir
+            _publish_manifest(history_dir, versions)
 
     w = (
         log.stream_df(max_files_per_trigger=max_files_per_trigger)

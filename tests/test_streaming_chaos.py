@@ -687,3 +687,145 @@ def test_sink_manifest_contents(spark, tmp_path):
         "folded_batches": [2],
         "previous_high_water": 1,
     }
+
+
+def _mk_scd2_log(spark, tmp_path, tag):
+    from margaret_spark.log import OffsetLog
+
+    log = OffsetLog(
+        spark, str(tmp_path / f"log_{tag}"), value_type=T.StringType()
+    )
+    log.append_many(['{"k":1,"v":"a"}', '{"k":2,"v":"b"}'])
+    log.append_many(['{"k":1,"v":"a2"}'])
+    log.append_many(['{"k":2,"v":"b2"}', '{"k":3,"v":"c"}'])
+    log.append_many(['{"k":3,"v":"c2"}', '{"k":1,"v":"a3"}'])
+    _space_log_file_mtimes(log)
+    return log
+
+
+def _scd2_prepare(b):
+    return b.select(
+        F.from_json(F.col("value"), "k long, v string").alias("c"), "seq"
+    ).select("c.*", "seq")
+
+
+def test_prune_concurrent_with_live_scd2_loses_no_version(
+    spark, tmp_path, monkeypatch
+):
+    """The r8-acknowledged manifest race, now guarded: prune_history
+    running CONCURRENTLY with a live stream_scd2 micro-batch must not
+    drop the version the stream publishes (prune's read→republish is
+    last-writer-wins without the lock) and the stream must not
+    resurrect pruned entries (its publish once re-added a stale dict).
+
+    Deterministic interleaving: a prune is injected INSIDE every
+    micro-batch — after the batch's merge-input manifest read, before
+    its publish — the exact window where the unguarded code lost
+    whichever side wrote first. Afterwards the history must equal a
+    clean run's, every manifest entry must resolve to a directory on
+    disk, and the final batch's version must be published."""
+    import margaret_spark.streaming.scd as scd_mod
+    from margaret_spark.streaming import prune_history, read_history, stream_scd2
+
+    initial = spark.createDataFrame(
+        [], "k long, v string, valid_from int, valid_to int"
+    )
+
+    # clean reference run (no pruning)
+    clean_log = _mk_scd2_log(spark, tmp_path, "clean")
+    clean_hist = str(tmp_path / "hist_clean")
+    stream_scd2(
+        clean_log, _scd2_prepare, "k", initial, clean_hist,
+        str(tmp_path / "ck_clean"), available_now=True,
+        max_files_per_trigger=1,
+    )
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"])
+        for r in read_history(spark, clean_hist).collect()
+    }
+
+    # chaos run: prune fires mid-batch, every batch
+    chaos_log = _mk_scd2_log(spark, tmp_path, "chaos")
+    chaos_hist = str(tmp_path / "hist_chaos")
+    real_merge = scd_mod.scd2_merge
+    pruned_total = {"n": 0}
+
+    def merge_with_prune(cur, latest, keys, ver):
+        pruned_total["n"] += prune_history(chaos_hist, keep_last=2)
+        return real_merge(cur, latest, keys, ver)
+
+    monkeypatch.setattr(scd_mod, "scd2_merge", merge_with_prune)
+    stream_scd2(
+        chaos_log, _scd2_prepare, "k", initial, chaos_hist,
+        str(tmp_path / "ck_chaos"), available_now=True,
+        max_files_per_trigger=1,
+    )
+    monkeypatch.setattr(scd_mod, "scd2_merge", real_merge)
+
+    assert pruned_total["n"] >= 1  # the interleaving actually pruned
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"])
+        for r in read_history(spark, chaos_hist).collect()
+    }
+    assert got == want
+    versions = scd_mod._read_manifest(chaos_hist)
+    assert max(versions) == 3  # the last batch's publish survived
+    for b, vdir in versions.items():
+        assert os.path.isdir(vdir), (b, vdir)  # no resurrected entries
+
+
+def test_prune_racing_live_scd2_threads(spark, tmp_path):
+    """True-concurrency variant: a background thread loops
+    prune_history while the stream drains all four micro-batches.
+    Nondeterministic interleaving, deterministic contract: final
+    history equals the clean run's, the newest version is published,
+    every manifest entry resolves, and nothing deadlocks (the test
+    finishing IS the deadlock assertion)."""
+    import threading
+
+    import margaret_spark.streaming.scd as scd_mod
+    from margaret_spark.streaming import prune_history, read_history, stream_scd2
+
+    initial = spark.createDataFrame(
+        [], "k long, v string, valid_from int, valid_to int"
+    )
+    log = _mk_scd2_log(spark, tmp_path, "race")
+    hist = str(tmp_path / "hist_race")
+    stop = threading.Event()
+
+    def janitor():
+        while not stop.is_set():
+            prune_history(hist, keep_last=2)
+
+    t = threading.Thread(target=janitor, daemon=True)
+    t.start()
+    try:
+        stream_scd2(
+            log, _scd2_prepare, "k", initial, hist,
+            str(tmp_path / "ck_race"), available_now=True,
+            max_files_per_trigger=1,
+        )
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not t.is_alive()
+
+    clean_hist = str(tmp_path / "hist_race_clean")
+    stream_scd2(
+        _mk_scd2_log(spark, tmp_path, "race_clean"), _scd2_prepare, "k",
+        initial, clean_hist, str(tmp_path / "ck_race_clean"),
+        available_now=True, max_files_per_trigger=1,
+    )
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"])
+        for r in read_history(spark, clean_hist).collect()
+    }
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"])
+        for r in read_history(spark, hist).collect()
+    }
+    assert got == want
+    versions = scd_mod._read_manifest(hist)
+    assert max(versions) == 3
+    for b, vdir in versions.items():
+        assert os.path.isdir(vdir), (b, vdir)
