@@ -57,6 +57,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_DEFERRED_TMPDIRS: list[str] = []
+
+
+def _defer_cleanup(base: str) -> None:
+    """Remove a graded stream's tempdir at PROCESS EXIT, not in the
+    query body: the returned DataFrame lazily reads the stream's sink,
+    and the driver collects AFTER the query function returns — an
+    eager ``finally: rmtree`` forced every ``q_stream_*`` to
+    materialize its keeper set through the driver
+    (collect + createDataFrame), putting N×dim rows through the
+    driver on every graded run. Deferral keeps the read executor-side
+    and the run hermetic (dirs are swept when the session ends)."""
+    import atexit
+    import shutil
+
+    if not _DEFERRED_TMPDIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in _DEFERRED_TMPDIRS
+            ]
+        )
+    _DEFERRED_TMPDIRS.append(base)
+
+
 # events.ts is TIMESTAMP(µs) in the parquet; the explicit schema is
 # kept because the streaming file source requires one. The session
 # timezone is UTC (session.py), so to_date/unix_micros below match
@@ -1295,7 +1320,6 @@ def q_stream_events_daily(spark, sf_dir):
     tumbling window, drained with availableNow and materialized — the
     result must equal the batch/SQL daily counts exactly. Puts the
     Structured Streaming path itself on the oracle-checked surface."""
-    import shutil
     import tempfile
 
     from margaret_spark.streaming import windowed_agg
@@ -1310,26 +1334,35 @@ def q_stream_events_daily(spark, sf_dir):
     ev = sdf.select(F.col("ts").alias("ets"), "event_type")
     agg = windowed_agg(ev, "ets", keys=["event_type"], window="1 day", watermark="0 seconds")
 
-    acc: dict = {}
+    from margaret_spark.streaming.sinks import read_batch_sink, write_batch
 
-    def on_batch(bdf, bid):
-        for r in bdf.collect():
-            acc[(r["window_start"], r["event_type"])] = r["n"]
-
-    ckpt = tempfile.mkdtemp(prefix="stream_daily_")
+    base = tempfile.mkdtemp(prefix="stream_daily_")
     try:
+        sink = os.path.join(base, "sink")
+
+        # update-mode emits each key's CURRENT count when it changes;
+        # stamping the batch id lets the read take latest-per-key —
+        # all executor-side (no driver dict)
+        def on_batch(bdf, bid):
+            write_batch(bdf.withColumn("__b", F.lit(bid)), bid, sink)
+
         q = (
             agg.writeStream.foreachBatch(on_batch)
             .outputMode("update")
-            .option("checkpointLocation", ckpt)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        out = read_batch_sink(
+            spark, sink,
+            "window_start timestamp, event_type string, n long, __b long",
+        )
+        return out.groupBy(
+            F.to_date("window_start").alias("day"), "event_type"
+        ).agg(F.max_by("n", "__b").cast("long").alias("n"))
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    rows = [(ws.date(), et, int(n)) for (ws, et), n in acc.items()]
-    return spark.createDataFrame(rows, "day date, event_type string, n long")
+        _defer_cleanup(base)
 
 
 def q_events_pivot(spark, sf_dir):
@@ -1359,7 +1392,6 @@ def q_stream_events_enriched(spark, sf_dir):
     customer dimension (broadcast — the stream side never shuffles),
     aggregated to per-nation event counts. The oracle is the plain
     batch join, so the streaming join path itself is oracle-checked."""
-    import shutil
     import tempfile
 
     sdf = (
@@ -1371,25 +1403,35 @@ def q_stream_events_enriched(spark, sf_dir):
         _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     )
     joined = sdf.join(cust, sdf.user_id == cust.c_custkey)
-    acc: dict = {}
 
-    def on_batch(bdf, bid):
-        for r in bdf.groupBy("c_nationkey").agg(F.count("*").alias("n")).collect():
-            acc[r["c_nationkey"]] = acc.get(r["c_nationkey"], 0) + int(r["n"])
+    from margaret_spark.streaming.sinks import read_batch_sink, write_batch
 
-    ckpt = tempfile.mkdtemp(prefix="stream_enrich_")
+    base = tempfile.mkdtemp(prefix="stream_enrich_")
     try:
+        sink = os.path.join(base, "sink")
+
+        # per-batch aggregate PARTIALS written executor-side; the read
+        # sums them — append semantics, replay-idempotent via the
+        # overwrite-per-batch partition rule
+        def on_batch(bdf, bid):
+            write_batch(
+                bdf.groupBy("c_nationkey").agg(F.count("*").alias("n")),
+                bid, sink,
+            )
+
         q = (
             joined.writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", ckpt)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        out = read_batch_sink(spark, sink, "c_nationkey long, n long")
+        return out.groupBy("c_nationkey").agg(
+            F.sum("n").cast("long").alias("n_events")
+        )
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    rows = [(int(k), int(v)) for k, v in acc.items()]
-    return spark.createDataFrame(rows, "c_nationkey long, n_events long")
+        _defer_cleanup(base)
 
 
 def q_stream_events_asof(spark, sf_dir):
@@ -1457,7 +1499,6 @@ def q_stream_topk_windowed(spark, sf_dir):
     key shows the operator composes to any keying without code
     changes. Hash-exact against the batch ranking window partitioned
     by (day, type)."""
-    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -1495,10 +1536,9 @@ def q_stream_topk_windowed(spark, sf_dir):
                 "score",
                 "rank",
             )
-            .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
     return final
 
 
@@ -1514,7 +1554,6 @@ def q_stream_topk(spark, sf_dir):
     DESC, event_id): incremental top-k merge under a total order is
     exact regardless of micro-batching. NULL scores are excluded on
     both sides (no rank under a total order)."""
-    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -1551,10 +1590,9 @@ def q_stream_topk(spark, sf_dir):
                 "score",
                 "rank",
             )
-            .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
     return final
 
 
@@ -1754,7 +1792,6 @@ def q_stream_histogram(spark, sf_dir):
     so per-micro-batch partials merge by re-sum; the global histogram
     equals the batch histogram of the whole corpus, which is exactly
     what the oracle states."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -1782,10 +1819,9 @@ def q_stream_histogram(spark, sf_dir):
             F.col("bucket").cast("int").alias("bucket"),
             F.col("n").cast("long").alias("n"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_events_bloom(spark, sf_dir):
@@ -1822,7 +1858,6 @@ def q_stream_bloom(spark, sf_dir):
     and the global filter is the union-distinct of the partials (bits
     OR). The merged filter equals the batch filter of the whole
     corpus, which is exactly what the oracle states."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -1846,10 +1881,9 @@ def q_stream_bloom(spark, sf_dir):
         out = read_bloom(spark, sink).select(
             F.col("bit").cast("long").alias("bit")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_kmv(spark, sf_dir):
@@ -1861,7 +1895,6 @@ def q_stream_kmv(spark, sf_dir):
     (min-k is a lossless union fold) — exactly what the oracle
     states. Completes the streaming twins: CMS sum, Bloom OR, HLL
     max, histogram add, KMV union-cut."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -1877,10 +1910,9 @@ def q_stream_kmv(spark, sf_dir):
             log, F.col("value"), sink, os.path.join(base, "ckpt"), k=64
         )
         out = read_kmv(spark, sink, k=64)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_hll(spark, sf_dir):
@@ -1890,7 +1922,6 @@ def q_stream_hll(spark, sf_dir):
     batch=<id> overwrite), and the global sketch is the per-bucket MAX
     of the partials, equal to the batch sketch of the whole corpus —
     which is exactly what the oracle states."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -1914,10 +1945,9 @@ def q_stream_hll(spark, sf_dir):
             F.col("bucket").cast("int").alias("bucket"),
             F.col("maxrank").cast("int").alias("maxrank"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_events_json(spark, sf_dir):
@@ -3352,7 +3382,6 @@ def q_stream_docs_scd2(spark, sf_dir):
     re-run-idempotent batches). Same change construction as the batch
     docs_scd2, so the published history is graded against the SAME
     closed-form oracle."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -3398,10 +3427,9 @@ def q_stream_docs_scd2(spark, sf_dir):
             available_now=True,
         )
         out = read_history(spark, os.path.join(base, "hist"))
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -3436,7 +3464,6 @@ def q_stream_dedup_exact(spark, sf_dir):
     the compacted sink read back. Oracle-checked: keepers must be
     exactly min(seq) per distinct content, and the state key (sha2
     hex) is engine-identical to DuckDB's sha256."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -3467,10 +3494,9 @@ def q_stream_dedup_exact(spark, sf_dir):
             spark, sink, "content_hash string, keep_seq long"
         )
         # the sink dir is deleted on return: materialize rows first
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_dedup_minhash(spark, sf_dir):
@@ -3568,7 +3594,6 @@ def q_stream_pii_redact(spark, sf_dir):
     checkpoint. The graded result is the SINK read back; the oracle
     is the batch redaction SQL, so ingest-time and batch scrubbing
     are pinned byte-identical."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -3591,10 +3616,9 @@ def q_stream_pii_redact(spark, sf_dir):
             F.col("seq").alias("doc_id"), "redacted"
         )
         # the sink dir is deleted on return: materialize rows first
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_sample_weighted(spark, sf_dir):
@@ -4131,7 +4155,6 @@ def q_stream_token_budget(spark, sf_dir):
     funnel. The oracle states the kept set as a per-source window
     cumsum over doc_id order (keep iff tokens-before-it < budget) —
     hash-exact including the cumulative sums."""
-    import shutil
     import tempfile
 
     from margaret_spark.functions.shingling import words
@@ -4158,10 +4181,9 @@ def q_stream_token_budget(spark, sf_dir):
             sink,
             "stratum string, seq long, n_tokens long, cum_tokens long",
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_lm_filter(spark, sf_dir):
@@ -4174,7 +4196,6 @@ def q_stream_lm_filter(spark, sf_dir):
     fixed) and kept iff surprise <= 190; keepers land executor-side
     under batch=<id> partitions. The oracle re-fits and re-scores the
     same recipe in SQL — hash-exact including the surprise values."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -4201,10 +4222,9 @@ def q_stream_lm_filter(spark, sf_dir):
         out = read_keeper_sink(
             spark, sink, "seq long, n_bigrams long, surprise double"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_nb_filter(spark, sf_dir):
@@ -4223,7 +4243,6 @@ def q_stream_nb_filter(spark, sf_dir):
     re-scores the same recipe in SQL — hash-exact including the
     scores. Completes the curation chain (rules → LM gate → trained
     classifier) in streaming form."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -4246,10 +4265,9 @@ def q_stream_nb_filter(spark, sf_dir):
             max_score=3000.0,
         )
         out = read_keeper_sink(spark, sink, "seq long, pred string, score double")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_dsir_filter(spark, sf_dir):
@@ -4265,7 +4283,6 @@ def q_stream_dsir_filter(spark, sf_dir):
     partitions. The oracle re-fits and re-weights the same recipe in
     SQL — hash-exact including the weights. Completes the curation
     chain's fourth leg in streaming form."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -4290,10 +4307,9 @@ def q_stream_dsir_filter(spark, sf_dir):
         out = read_keeper_sink(
             spark, sink, "seq long, n_grams long, weight double"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_hash_embed(spark, sf_dir):
@@ -4305,7 +4321,6 @@ def q_stream_hash_embed(spark, sf_dir):
     Stateless per document, so per-batch embedding of disjoint seqs
     equals batch embedding of the corpus — exactly what the oracle
     (the hashembed CTE chain keyed by seq) states. Hash-exact."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -4323,10 +4338,9 @@ def q_stream_hash_embed(spark, sf_dir):
             log, F.col("value"), sink, os.path.join(base, "ckpt"), dim=64
         )
         out = read_keeper_sink(spark, sink, "seq long, pos long, val double")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_image_phash(spark, sf_dir):
@@ -4339,7 +4353,6 @@ def q_stream_image_phash(spark, sf_dir):
     equals batch hashing of the corpus — exactly what the oracle (the
     pHash arithmetic chain keyed by the append rank) states.
     Hash-exact."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -4357,10 +4370,9 @@ def q_stream_image_phash(spark, sf_dir):
             log, F.col("value"), sink, os.path.join(base, "ckpt")
         )
         out = read_keeper_sink(spark, sink, "seq long, phash long")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_pq_assign(spark, sf_dir):
@@ -4374,7 +4386,6 @@ def q_stream_pq_assign(spark, sf_dir):
     CTE chain's enc table keyed by seq. Keepers (seq, sub, code_id,
     dist2) land executor-side as batch=<id> partials; the serving
     code table IVFADC reads is their fold."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -4402,10 +4413,9 @@ def q_stream_pq_assign(spark, sf_dir):
         out = read_keeper_sink(
             spark, sink, "seq long, sub long, code_id long, dist2 double"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_ivf_assign(spark, sf_dir):
@@ -4420,7 +4430,6 @@ def q_stream_ivf_assign(spark, sf_dir):
     fold into the persisted index. The oracle re-derives the ranking
     with the house (rounded cosine desc, cent_id asc) tiebreak —
     hash-exact including the cosines."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -4449,10 +4458,9 @@ def q_stream_ivf_assign(spark, sf_dir):
             os.path.join(base, "ckpt"),
         )
         out = read_keeper_sink(spark, sink, "seq long, cell long, cos double")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_token_budget_bpe(spark, sf_dir):
@@ -4465,7 +4473,6 @@ def q_stream_token_budget_bpe(spark, sf_dir):
     re-derives n_tokens with the recursive-CTE SQL BPE encoder (one
     lowest-rank-leftmost merge per step) and restates the gate as a
     per-source window cumsum — hash-exact across tokenizer AND gate."""
-    import shutil
     import tempfile
 
     from margaret_spark.operators.bpe import bpe_token_count_col
@@ -4492,10 +4499,9 @@ def q_stream_token_budget_bpe(spark, sf_dir):
             sink,
             "stratum string, seq long, n_tokens long, cum_tokens long",
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_events_sessions(spark, sf_dir):
@@ -4512,7 +4518,6 @@ def q_stream_events_sessions(spark, sf_dir):
     (streaming/windows.py session_windows) is watermarked and
     append-safe — production sinks should use append mode, not copy
     this."""
-    import shutil
     import tempfile
 
     from margaret_spark.streaming import session_windows
@@ -4549,9 +4554,9 @@ def q_stream_events_sessions(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        final = spark.read.parquet(out).localCheckpoint(eager=True)
+        final = spark.read.parquet(out)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
     return final
 
 
@@ -4694,7 +4699,6 @@ def q_stream_decontaminate(spark, sf_dir):
     oracle. The eval universe rides a broadcast variable; the
     per-row scoring is an Arrow-batched set intersection (stateless —
     no state store, no watermark)."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -4742,10 +4746,9 @@ def q_stream_decontaminate(spark, sf_dir):
             .join(ids, "seq")
             .select("doc_id", "n_shingles", "n_matched", "contamination")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_decontaminate_spans(spark, sf_dir):
@@ -4757,7 +4760,6 @@ def q_stream_decontaminate_spans(spark, sf_dir):
     `decontaminate_spans`, so the append-mode sink is hash-exact
     against the SAME SQL oracle. Stateless: the eval gram universe
     rides a broadcast; only position math runs per row."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -4799,10 +4801,9 @@ def q_stream_decontaminate_spans(spark, sf_dir):
             .join(ids, "seq")
             .select("doc_id", "clean_text", "n_tokens", "removed_tokens")
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_sample_shuffle(spark, sf_dir):
@@ -5123,7 +5124,6 @@ def q_stream_web_filter(spark, sf_dir):
     and batch canonicalization cannot drift. Stateless map+filter:
     no state store, no shuffle. The graded result is the sink read
     back; the oracle is the batch canonicalization SQL."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -5148,10 +5148,9 @@ def q_stream_web_filter(spark, sf_dir):
         out = spark.read.parquet(sink).select(
             F.col("seq").alias("doc_id"), "url_canonical", "url_domain"
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_stream_cms(spark, sf_dir):
@@ -5162,7 +5161,6 @@ def q_stream_cms(spark, sf_dir):
     counting), the global sketch is the re-sum. Counters are additive,
     so the merged result equals the batch sketch of the whole corpus —
     which is exactly what the oracle states."""
-    import shutil
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -5188,10 +5186,9 @@ def q_stream_cms(spark, sf_dir):
             F.col("bucket").cast("long").alias("bucket"),
             F.col("cnt").cast("long").alias("cnt"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return out
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        _defer_cleanup(base)
 
 
 def q_export_shards(spark, sf_dir):
