@@ -153,6 +153,14 @@ HEADLINE_V2 = [
     "text_bpe_fertility",
 ]
 
+# r9: FULL bench coverage — every graded queries() entry is measured.
+# The r8 verdict flagged ~113 graded queries invisible to BENCH deltas
+# (cheap variants of measured families, but a regression there was
+# unobservable). This list is built at runtime as "everything not
+# already in HEADLINE/HEADLINE_V2" so a query added to the contract
+# can never silently go unmeasured again.
+HEADLINE_V3: list[str] = []  # populated in main() from entry.queries()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,8 +178,10 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     qs = entry.queries()
+    measured = set(HEADLINE) | set(HEADLINE_V2)
+    HEADLINE_V3.extend(n for n in sorted(qs) if n not in measured)
     timings: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_V2:
+    for name in HEADLINE + HEADLINE_V2 + HEADLINE_V3:
         fn = qs[name]
         # one warm-up run (JIT/codegen compilation), then the best of
         # three measured runs — steady-state timing, standard
@@ -199,6 +209,11 @@ def main() -> None:
                 # THIS number round-over-round; "value" additionally
                 # includes the HEADLINE_V2 families added in r5
                 "subtotal_37q_r1_comparable": subtotal_v1,
+                # r9: the full graded contract is measured; this is the
+                # r8-comparable 111-query subtotal (HEADLINE+V2 only)
+                "subtotal_111q_r8_comparable": round(
+                    sum(timings[n] for n in HEADLINE + HEADLINE_V2), 3
+                ),
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": int(cpus) if str(cpus).isdigit() else cpus,
