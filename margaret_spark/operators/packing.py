@@ -227,6 +227,154 @@ def length_bucketed_batches(
     )
 
 
+def pack_best_fit(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    chunk_docs: int = 256,
+) -> DataFrame:
+    """Best-fit-decreasing bin packing: assign whole documents to
+    fixed-capacity ``seq_len`` packs WITHOUT splitting any document —
+    the published SFT-efficiency recipe (Ding et al. 2024, "Fewer
+    Truncations Improve Language Modeling": packing whole sequences
+    instead of the contiguous split-at-boundary stream removes
+    truncation damage at a small padding cost).
+
+    Output: (``id_col``, n_tokens, pack_id, pack_pos). ``pack_pos`` is
+    the arrival order within the pack. Zero-token rows are dropped;
+    OVERSIZE documents (n_tokens > seq_len) cannot fit any bin and are
+    each assigned a dedicated NEGATIVE pack_id (``-1, -2, ...`` in
+    (md5(id), id) order) — the consumer truncates or splits those at
+    its own policy, and the sign makes them impossible to confuse with
+    packed bins.
+
+    Algorithm (deterministic, engine-portable): documents are globally
+    ordered by (n_tokens DESC, md5(id), id) and cut into consecutive
+    chunks of ``chunk_docs``; within each chunk, classic best-fit
+    places every doc into the open bin with the SMALLEST remaining
+    capacity that still fits (tie → lowest bin id), else opens a new
+    bin. ``pack_id = chunk·chunk_docs + local_bin`` (a chunk of k docs
+    opens ≤ k bins, so ids never collide across chunks; they are
+    unique, not dense).
+
+    Scale shape: pure best-fit-decreasing is a sequential scan — a
+    non-starter at 100 TB. Chunk-local BFD is the standard
+    parallelization: the global DECREASING sort (the same two-pass
+    range-partition position assignment as
+    :func:`length_bucketed_batches` — no single-partition window)
+    keeps each chunk length-homogeneous, which is where BFD's packing
+    quality comes from, and every chunk packs independently in one
+    Arrow-batched ``applyInPandas`` pass (O(chunk²) integer work per
+    chunk, chunks run in parallel). Quality loss vs the sequential
+    algorithm is confined to at most one under-filled bin per chunk
+    tail."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    if not 1 <= chunk_docs <= 100_000:
+        raise ValueError(f"chunk_docs must be in [1, 100000]: {chunk_docs}")
+    from margaret_spark.functions.seqassign import with_dense_seq
+
+    base = df.select(id_col, tokens_col).where(F.col(tokens_col) > 0)
+    fits = base.where(F.col(tokens_col) <= seq_len)
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    staged = (
+        fits.select(
+            "*",
+            (-F.col(tokens_col).cast("long")).alias("__negn"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .repartitionByRange(n, "__negn", "__h", id_col)
+        .sortWithinPartitions("__negn", "__h", id_col)
+        .drop("__negn", "__h")
+    )
+    pos = with_dense_seq(staged, seq_col="__pos").withColumn(
+        "__chunk", F.expr(f"__pos div {int(chunk_docs)}").cast("long")
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, n_tokens long, pack_id long, pack_pos long"
+    )
+
+    def _bfd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("__pos")
+        chunk = int(pdf["__chunk"].iloc[0])
+        bins: list[int] = []  # remaining capacity per local bin
+        fill: list[int] = []  # docs placed per local bin (-> pack_pos)
+        out_bin, out_pos = [], []
+        for tok in pdf[tokens_col].astype("int64"):
+            tok = int(tok)
+            best = -1
+            for i, rem in enumerate(bins):
+                if rem >= tok and (best < 0 or rem < bins[best]):
+                    best = i
+            if best < 0:
+                best = len(bins)
+                bins.append(seq_len)
+                fill.append(0)
+            bins[best] -= tok
+            out_bin.append(chunk * chunk_docs + best)
+            out_pos.append(fill[best])
+            fill[best] += 1
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "n_tokens": pdf[tokens_col].astype("int64").values,
+                "pack_id": pd.Series(out_bin, dtype="int64"),
+                "pack_pos": pd.Series(out_pos, dtype="int64"),
+            }
+        )
+
+    packed = pos.groupBy("__chunk").applyInPandas(_bfd, out_schema)
+
+    over = df.select(id_col, tokens_col).where(F.col(tokens_col) > seq_len)
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    # oversize rows are RARE by construction (longer than the training
+    # sequence); the single-partition row_number window over them is a
+    # deliberate small-side simplification, not a corpus-wide one
+    over_packed = over.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (-F.row_number().over(w).cast("long")).alias("pack_id"),
+        F.lit(0).cast("long").alias("pack_pos"),
+    )
+    return packed.unionByName(over_packed)
+
+
+def capacity_report(
+    packs: DataFrame,
+    seq_len: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(pack_id, n_docs, sum_tokens, padding_waste): the per-pack
+    audit over :func:`pack_best_fit` output. Every pack is a
+    fixed-length ``seq_len`` training sequence, so ``padding_waste =
+    pround(1 − least(sum_tokens, seq_len)/seq_len)`` — the ``least``
+    clamps oversize single-doc packs (consumer truncates; utilization
+    is the full sequence) to waste 0. One map-side-combined
+    aggregation; exact integers under one IEEE division."""
+    from margaret_spark.functions.numeric import pround
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    agg = packs.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    used = F.least(F.col("sum_tokens"), F.lit(seq_len)).cast("double")
+    return agg.select(
+        "pack_id",
+        "n_docs",
+        "sum_tokens",
+        pround(F.lit(1.0) - used / F.lit(float(seq_len)), round_digits).alias(
+            "padding_waste"
+        ),
+    )
+
+
 def padding_report(
     batches: DataFrame,
     round_digits: int = 6,

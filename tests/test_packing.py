@@ -195,3 +195,118 @@ def test_length_bucketed_batches_no_global_window(spark):
         .toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def _seq_bfd(lengths, seq_len, chunk_docs):
+    """Sequential reference: chunk-local best-fit over docs already in
+    (n desc, md5(id), id) order; returns [(doc, pack_id, pack_pos)]."""
+    out = []
+    for c0 in range(0, len(lengths), chunk_docs):
+        chunk_i = c0 // chunk_docs
+        bins, fill = [], []
+        for doc, n in lengths[c0 : c0 + chunk_docs]:
+            best = -1
+            for i, rem in enumerate(bins):
+                if rem >= n and (best < 0 or rem < bins[best]):
+                    best = i
+            if best < 0:
+                best = len(bins)
+                bins.append(seq_len)
+                fill.append(0)
+            bins[best] -= n
+            out.append((doc, chunk_i * chunk_docs + best, fill[best]))
+            fill[best] += 1
+    return out
+
+
+def test_pack_best_fit_matches_sequential_reference(spark):
+    import hashlib
+
+    from margaret_spark.operators.packing import pack_best_fit
+
+    rows = [(i, (i * 37) % 97 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    got = {
+        r.id: (r.pack_id, r.pack_pos, r.n_tokens)
+        for r in pack_best_fit(df, "id", "n", seq_len=100, chunk_docs=64).collect()
+    }
+    ordered = sorted(
+        rows, key=lambda t: (-t[1], hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+    )
+    want = _seq_bfd(ordered, 100, 64)
+    assert len(got) == len(rows)
+    for doc, pack, pos in want:
+        n = dict(rows)[doc]
+        assert got[doc] == (pack, pos, n), (doc, got[doc], (pack, pos))
+
+
+def test_pack_best_fit_invariants_and_oversize(spark):
+    from margaret_spark.operators.packing import capacity_report, pack_best_fit
+
+    rows = [(1, 150), (2, 150), (3, 80), (4, 60), (5, 40), (6, 30), (7, 0)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    packed = pack_best_fit(df, "id", "n", seq_len=100, chunk_docs=256)
+    out = packed.collect()
+    # zero-token row dropped; every other doc assigned exactly once
+    assert sorted(r.id for r in out) == [1, 2, 3, 4, 5, 6]
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        if pid < 0:  # oversize: dedicated single-doc pack
+            assert len(members) == 1 and members[0].n_tokens > 100
+        else:  # capacity is never violated
+            assert sum(m.n_tokens for m in members) <= 100
+        # pack_pos is dense 0..k-1 within the pack
+        assert sorted(m.pack_pos for m in members) == list(range(len(members)))
+    # the two oversize docs land in distinct negative packs
+    assert sorted(pid for pid in by_pack if pid < 0) == [-2, -1]
+    # capacity_report: oversize packs clamp waste to 0, integers exact
+    rep = {r.pack_id: r for r in capacity_report(packed, seq_len=100).collect()}
+    for pid, r in rep.items():
+        assert r.n_docs == len(by_pack[pid])
+        assert r.sum_tokens == sum(m.n_tokens for m in by_pack[pid])
+        if pid < 0:
+            assert r.padding_waste == 0.0
+        else:
+            assert abs(r.padding_waste - (1 - min(r.sum_tokens, 100) / 100)) < 1e-9
+
+
+def test_pack_best_fit_deterministic_and_beats_next_fit(spark):
+    """Two runs are identical, and BFD's bin count is never worse than
+    arrival-order next-fit on the same corpus (the quality argument
+    for paying the decreasing sort)."""
+    from margaret_spark.operators.packing import pack_best_fit
+
+    rows = [(i, (i * 131) % 60 + 5) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    a = sorted(
+        (r.id, r.pack_id, r.pack_pos)
+        for r in pack_best_fit(df, "id", "n", seq_len=64, chunk_docs=128).collect()
+    )
+    b = sorted(
+        (r.id, r.pack_id, r.pack_pos)
+        for r in pack_best_fit(df, "id", "n", seq_len=64, chunk_docs=128).collect()
+    )
+    assert a == b
+    n_bins_bfd = len({p for _, p, _ in a})
+    # arrival-order next-fit reference
+    rem, bins = 0, 0
+    for _, n in rows:
+        if n > rem:
+            bins += 1
+            rem = 64
+        rem -= n
+    assert n_bins_bfd <= bins
+
+
+def test_pack_best_fit_validates_args(spark):
+    from margaret_spark.operators.packing import capacity_report, pack_best_fit
+
+    df = spark.createDataFrame([(1, 5)], "id long, n long")
+    with pytest.raises(ValueError):
+        pack_best_fit(df, "id", "n", seq_len=0)
+    with pytest.raises(ValueError):
+        pack_best_fit(df, "id", "n", seq_len=10, chunk_docs=0)
+    with pytest.raises(ValueError):
+        capacity_report(df.selectExpr("id as pack_id", "n as n_tokens"), seq_len=-1)

@@ -122,6 +122,10 @@ def test_entry_queries_plan_quality(spark):
         # pinned in tests/test_search.py) is the default executor
         "embeddings_pca",
         "embeddings_pca_project",
+        # chunk-local best-fit-decreasing is sequential bin state by
+        # nature; its designed path is one applyInPandas per chunk
+        "pack_bfd",
+        "pack_bfd_report",
     }
     for name, fn in entry.queries().items():
         assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)
