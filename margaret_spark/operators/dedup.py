@@ -837,6 +837,36 @@ def incremental_exact_dedup(
     return labeled
 
 
+def _expand_name_pairs(
+    df: DataFrame, id_col: str, text_col: str, npairs: DataFrame
+) -> DataFrame:
+    """Expand DISTINCT-string pairs back to id pairs: ``npairs`` is
+    (t_a ≤ t_b, dist) over distinct strings — including the (t, t, 0)
+    self rows, which expand to the same-string id pairs — and the
+    result is every (id_a < id_b, dist). The heavy similarity
+    computation runs once per distinct STRING pair; this expansion is
+    two equi-joins on the string value (broadcast-eligible whenever
+    the distinct-name table is small, which is exactly the dirty-data
+    regime where edit-distance linkage applies)."""
+    ids = df.select(F.col(id_col).alias("__i"), F.col(text_col).alias("__t"))
+    return (
+        npairs.join(
+            ids.select(F.col("__i").alias("__ia"), F.col("__t").alias("__na")),
+            F.col("__na") == F.col("t_a"),
+        )
+        .join(
+            ids.select(F.col("__i").alias("__ib"), F.col("__t").alias("__nb")),
+            F.col("__nb") == F.col("t_b"),
+        )
+        .where((F.col("t_a") < F.col("t_b")) | (F.col("__ia") < F.col("__ib")))
+        .select(
+            F.least(F.col("__ia"), F.col("__ib")).alias("id_a"),
+            F.greatest(F.col("__ia"), F.col("__ib")).alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -852,48 +882,47 @@ def fuzzy_pairs(
     banding or IVF-cell embedding dedup): blocking bounds the
     candidate set — the join is an equi-join on the block key, never a
     cross join — at the cost of missing pairs whose first character or
-    length bucket differ. The verification (the levenshtein in the
-    join condition, evaluated inside the join operator) is exact, so
-    no false positives survive. A lossless blocking for edit distance
-    (PassJoin-style segment signatures) would slot into the same
-    shape; first-char+length is the cheap default that matches how
-    dirty-data linkage is usually blocked (on a stable leading field).
-    """
+    length bucket differ. The verification (bounded levenshtein in the
+    join condition) is exact, so no false positives survive.
+
+    Scale shape (r9): distances are computed once per DISTINCT string
+    pair, then expanded back to id pairs with two value equi-joins
+    (:func:`_expand_name_pairs`) — dirty fields repeat heavily, so the
+    O(block²) levenshtein work runs on the distinct-name table, not
+    the row table (sf0.1 parts: 20k rows but 64 names — 98,000× less
+    distance work, result-identical). The levenshtein is THRESHOLDED
+    (banded O(n·max_dist) with early exit, returns −1 past the bound)
+    instead of the full O(n²) matrix."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be non-negative: {max_dist}")
-    blocked = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("t"),
-        F.struct(
-            F.lower(F.substring(F.col(text_col), 1, 1)).alias("c"),
-            F.floor(F.length(F.col(text_col)) / F.lit(len_bucket)).alias("b"),
-        ).alias("__blk"),
-    ).localCheckpoint(eager=False)
-    a = blocked.select(
-        F.col("id").alias("id_a"), F.col("t").alias("__ta"), F.col("__blk").alias("__blka")
-    )
-    b = blocked.select(
-        F.col("id").alias("id_b"), F.col("t").alias("__tb"), F.col("__blk").alias("__blkb")
-    )
-    # the distance check lives INSIDE the join condition: candidates
-    # are enumerated and discarded in the join operator, so only true
-    # matches ever reach downstream. (Distinct alias names per side —
-    # same-name columns of a self-join can silently resolve to one
-    # side, turning the block equality trivially true.)
-    return (
-        a.hint("merge")
-        .join(
-            b.hint("merge"),
-            (F.col("__blka") == F.col("__blkb"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.levenshtein(F.col("__ta"), F.col("__tb")) <= max_dist),
-        )
+    names = (
+        df.select(F.col(text_col).alias("t"))
+        .distinct()
         .select(
-            "id_a",
-            "id_b",
-            F.levenshtein(F.col("__ta"), F.col("__tb")).cast("int").alias("dist"),
+            "t",
+            F.struct(
+                F.lower(F.substring(F.col("t"), 1, 1)).alias("c"),
+                F.floor(F.length(F.col("t")) / F.lit(len_bucket)).alias("b"),
+            ).alias("__blk"),
         )
+        # materialize: the self-join would re-run the distinct for
+        # each alias (exchange reuse across aliases not guaranteed)
+        .localCheckpoint(eager=False)
     )
+    a = names.select(F.col("t").alias("t_a"), F.col("__blk").alias("__blka"))
+    b = names.select(F.col("t").alias("t_b"), F.col("__blk").alias("__blkb"))
+    lev = F.levenshtein(F.col("t_a"), F.col("t_b"), max(max_dist, 1))
+    cross = a.join(
+        b,
+        (F.col("__blka") == F.col("__blkb"))
+        & (F.col("t_a") < F.col("t_b"))
+        & (lev >= 0)
+        & (lev <= max_dist),
+    ).select("t_a", "t_b", lev.alias("dist"))
+    selfp = names.select(
+        F.col("t").alias("t_a"), F.col("t").alias("t_b"), F.lit(0).alias("dist")
+    )
+    return _expand_name_pairs(df, id_col, text_col, cross.unionByName(selfp))
 
 
 def edit_distance_pairs(
@@ -926,26 +955,31 @@ def edit_distance_pairs(
     keyed on (segment, index, length) — never a cross join outside
     the sub-(τ+1)-char residual — and verification inside the join's
     shuffle. Compare :func:`fuzzy_pairs` (cheaper heuristic blocking,
-    by-contract false negatives)."""
+    by-contract false negatives).
+
+    r9: the PassJoin machinery runs over the DISTINCT-string table and
+    the verified string pairs expand back to id pairs at the end
+    (:func:`_expand_name_pairs`) — result-identical, and the segment
+    index, probe explosion and levenshtein verification all scale with
+    distinct strings instead of rows (dirty fields repeat heavily).
+    The verification levenshtein is thresholded (banded O(n·τ))."""
     tau = max_dist
     if tau < 0:
         raise ValueError(f"max_dist must be non-negative: {tau}")
+    names = df.select(
+        F.col(text_col).alias("t"), F.length(F.col(text_col)).alias("l")
+    ).distinct()
+    selfp = names.select(
+        F.col("t").alias("t_a"), F.col("t").alias("t_b"), F.lit(0).alias("dist")
+    )
     if tau == 0:
         # distance-0 pairs: same content
-        d2 = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        return (
-            d2.alias("x")
-            .join(d2.alias("y"), (F.col("x.t") == F.col("y.t")) & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), F.lit(0).alias("dist"))
-        )
+        return _expand_name_pairs(df, id_col, text_col, selfp)
     m = tau + 1
     s = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(text_col).alias("t"),
-            F.length(F.col(text_col)).alias("l"),
+        names.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("t")
         )
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .localCheckpoint(eager=False)
     )
 
@@ -963,9 +997,7 @@ def edit_distance_pairs(
         )).cast("long")
 
     idx = s.where(F.col("l") >= m).select(
-        F.col("id").alias("id_x"),
         F.col("t").alias("t_x"),
-        F.col("l").alias("l_x"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(tau)),
@@ -979,7 +1011,7 @@ def edit_distance_pairs(
                 ),
             )
         ).alias("k"),
-    ).select("id_x", "t_x", F.col("k.sub"), F.col("k.seg"), F.col("k.l_t"))
+    ).select("t_x", F.col("k.sub"), F.col("k.seg"), F.col("k.l_t"))
 
     l = F.col("l")
     probe_keys = F.flatten(
@@ -1030,45 +1062,35 @@ def edit_distance_pairs(
         )
     )
     probes = s.select(
-        F.col("id").alias("id_p"),
         F.col("t").alias("t_p"),
         F.explode(probe_keys).alias("k"),
-    ).select("id_p", "t_p", F.col("k.sub"), F.col("k.seg"), F.col("k.l_t")).distinct()
+    ).select("t_p", F.col("k.sub"), F.col("k.seg"), F.col("k.l_t")).distinct()
 
     cand = (
         probes.hint("merge")
         .join(idx.hint("merge"), ["sub", "seg", "l_t"])
-        .where(F.col("id_p") != F.col("id_x"))
+        .where(F.col("t_p") != F.col("t_x"))
         .select(
-            F.least(F.col("id_p"), F.col("id_x")).alias("id_a"),
-            F.greatest(F.col("id_p"), F.col("id_x")).alias("id_b"),
-            F.when(F.col("id_p") < F.col("id_x"), F.col("t_p"))
-            .otherwise(F.col("t_x"))
-            .alias("t_a"),
-            F.when(F.col("id_p") < F.col("id_x"), F.col("t_x"))
-            .otherwise(F.col("t_p"))
-            .alias("t_b"),
+            F.least(F.col("t_p"), F.col("t_x")).alias("t_a"),
+            F.greatest(F.col("t_p"), F.col("t_x")).alias("t_b"),
         )
         .distinct()
     )
     # residual: both sides shorter than m characters — unsegmentable,
     # verified all-pairs inside one tiny bucket
     short = s.where(F.col("l") < m)
-    short_pairs = (
-        short.select(
-            F.col("id").alias("id_a"), F.col("t").alias("t_a")
-        )
-        .join(
-            short.select(F.col("id").alias("id_b"), F.col("t").alias("t_b")),
-            F.col("id_a") < F.col("id_b"),
-        )
+    short_pairs = short.select(F.col("t").alias("t_a")).join(
+        short.select(F.col("t").alias("t_b")), F.col("t_a") < F.col("t_b")
     )
-    lev = F.levenshtein(F.col("t_a"), F.col("t_b"))
-    return (
+    lev = F.levenshtein(F.col("t_a"), F.col("t_b"), max(tau, 1))
+    npairs = (
         cand.unionByName(short_pairs)
-        .where(lev <= tau)
-        .select("id_a", "id_b", lev.cast("int").alias("dist"))
+        .where((lev >= 0) & (lev <= tau))
+        .select("t_a", "t_b", lev.alias("dist"))
         .distinct()
+    )
+    return _expand_name_pairs(
+        df, id_col, text_col, npairs.unionByName(selfp)
     )
 
 
