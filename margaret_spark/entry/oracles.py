@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from __future__ import annotations
 import os
 import sys
 from collections.abc import Callable
@@ -161,6 +160,30 @@ def oracle_sql() -> dict[str, str]:
     # the ann_recall composition with the truncated arm swapped in
     d["ann_matryoshka_recall"] = (
         f"WITH bf AS ({d['ann_topk']}), tr AS ({d['ann_matryoshka']}), "
+        "ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact "
+        "FROM bf GROUP BY query_id), "
+        "hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM tr t JOIN bf b ON t.query_id = b.query_id "
+        "AND t.neighbor_id = b.neighbor_id GROUP BY t.query_id) "
+        "SELECT ex.query_id, ex.n_exact, "
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "floor((COALESCE(h.n_hits, 0) / ex.n_exact) * 1000000 + 0.5) "
+        "/ 1000000 AS recall "
+        "FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id"
+    )
+    # recall@5 of ADC-over-PQ-codes vs brute force: the same metric
+    # tail as ann_matryoshka_recall; the PQ arm asks for 6, drops the
+    # self-match (brute force excludes self, PQ scores every code) and
+    # re-ranks to 5 — both engines replay the same deterministic rank
+    _pq6 = (
+        "SELECT query_id, vec_id AS neighbor_id FROM ("
+        "SELECT query_id, vec_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rank) AS rr FROM ("
+        + _pq_sql("topk", topk=6)
+        + ") WHERE vec_id <> query_id) WHERE rr <= 5"
+    )
+    d["ann_pq_recall"] = (
+        f"WITH bf AS ({d['ann_topk']}), tr AS ({_pq6}), "
         "ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact "
         "FROM bf GROUP BY query_id), "
         "hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits "
@@ -613,6 +636,144 @@ def oracle_sql() -> dict[str, str]:
             "1.0 - CAST(least(sum_tokens, 2048) AS DOUBLE) / 2048.0"
         )
         + " AS padding_waste FROM agg"
+    )
+    # --- dedup-quality eval harness (operators/dedupeval.py) -------
+    # planted corpus: md5-first-hex-selected 3/16 of docs get a copy
+    # at id+1e9; 'none' = exact copy, 'token' = one appended token
+    _PLANT_SEL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')"
+
+    def _pdocs(mutate: str) -> str:
+        mtext = (
+            "text"
+            if mutate == "none"
+            else "text || ' zqdup' || CAST(doc_id AS VARCHAR)"
+        )
+        return (
+            "pdocs AS (SELECT doc_id, text FROM documents UNION ALL "
+            f"SELECT doc_id + 1000000000 AS doc_id, {mtext} AS text "
+            f"FROM documents WHERE {_PLANT_SEL}), "
+            "truth AS (SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b "
+            f"FROM documents WHERE {_PLANT_SEL})"
+        )
+
+    # metrics: normalized-distinct pair sets, full-outer join, exact
+    # integer counts, the same single-division trees as pair_metrics
+    _METRICS = (
+        ", np AS (SELECT DISTINCT least(id_a, id_b) AS a, "
+        "greatest(id_a, id_b) AS b FROM pred), "
+        "nt AS (SELECT DISTINCT least(id_a, id_b) AS a, "
+        "greatest(id_a, id_b) AS b FROM truth), "
+        "m AS (SELECT CAST(count(p.a) AS BIGINT) AS n_pred, "
+        "CAST(count(t.a) AS BIGINT) AS n_truth, "
+        "CAST(count(CASE WHEN p.a IS NOT NULL AND t.a IS NOT NULL "
+        "THEN 1 END) AS BIGINT) AS tp "
+        "FROM np p FULL OUTER JOIN nt t ON p.a = t.a AND p.b = t.b) "
+        "SELECT n_pred, n_truth, tp, "
+        "CASE WHEN n_pred > 0 THEN "
+        + _pr("CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)")
+        + ' ELSE 0.0 END AS "precision", '
+        "CASE WHEN n_truth > 0 THEN "
+        + _pr("CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)")
+        + " ELSE 0.0 END AS recall, "
+        "CASE WHEN n_pred + n_truth > 0 THEN "
+        + _pr("2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE)")
+        + " ELSE 0.0 END AS f1 FROM m"
+    )
+    d["dedup_eval_exact"] = (
+        "WITH " + _pdocs("none") + ", "
+        "ph AS (SELECT doc_id, md5(text) AS h FROM pdocs), "
+        "pred AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM ph a JOIN ph b ON a.h = b.h AND a.doc_id < b.doc_id)"
+        + _METRICS
+    )
+    d["dedup_eval_jaccard"] = (
+        "WITH " + _pdocs("token") + ", "
+        + _CAPPED_SHINGLE_CTES.replace("FROM documents", "FROM pdocs")
+        + ", sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+        "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id), "
+        "pred AS (SELECT id_a, id_b FROM inter "
+        "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+        "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2)"
+        + _METRICS
+    )
+    # doc-level twin of the pair metric tail (id_metrics)
+    _ID_METRICS = (
+        ", np AS (SELECT DISTINCT doc_id AS k FROM pred), "
+        "nt AS (SELECT DISTINCT doc_id AS k FROM truth), "
+        "m2 AS (SELECT CAST(count(p.k) AS BIGINT) AS n_pred, "
+        "CAST(count(t.k) AS BIGINT) AS n_truth, "
+        "CAST(count(CASE WHEN p.k IS NOT NULL AND t.k IS NOT NULL "
+        "THEN 1 END) AS BIGINT) AS tp "
+        "FROM np p FULL OUTER JOIN nt t ON p.k = t.k) "
+        "SELECT n_pred, n_truth, tp, "
+        "CASE WHEN n_pred > 0 THEN "
+        + _pr("CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)")
+        + ' ELSE 0.0 END AS "precision", '
+        "CASE WHEN n_truth > 0 THEN "
+        + _pr("CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)")
+        + " ELSE 0.0 END AS recall, "
+        "CASE WHEN n_pred + n_truth > 0 THEN "
+        + _pr("2.0 * CAST(tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE)")
+        + " ELSE 0.0 END AS f1 FROM m2"
+    )
+    # planted-contamination eval: span = first 6 tokens of the
+    # lowest-id >=10-token eval doc, appended to the md5-selected 3/16
+    # of the train half; detector = the graded trigram containment
+    # (same CTE shapes as d['decontaminate']) at bar n_matched >= 4
+    d["decontaminate_eval"] = (
+        "WITH tk AS (SELECT doc_id, "
+        f"{_WORDS} AS toks, text FROM documents), "
+        "donor AS (SELECT toks FROM tk "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '0ccccccc' "
+        "AND len(toks) >= 10 ORDER BY doc_id LIMIT 1), "
+        "sp AS (SELECT array_to_string(toks[1:6], ' ') AS s FROM donor), "
+        "corpus AS (SELECT doc_id, CASE WHEN "
+        f"{_PLANT_SEL} THEN text || ' ' || (SELECT s FROM sp) "
+        "ELSE text END AS text FROM tk "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '0ccccccc'), "
+        "truth AS (SELECT doc_id FROM tk "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '0ccccccc' "
+        f"AND {_PLANT_SEL}), "
+        "ct AS (SELECT doc_id, "
+        f"{_WORDS} AS toks FROM corpus), "
+        "cs AS (SELECT doc_id, list_distinct("
+        "list_transform(range(1, greatest(len(toks) - 1, 1)), "
+        "i -> array_to_string(toks[i:i+2], ' '))) AS shs FROM ct), "
+        "e AS (SELECT DISTINCT unnest(list_distinct("
+        "list_transform(range(1, greatest(len(toks) - 1, 1)), "
+        "i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM tk "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '0ccccccc'), "
+        "f AS (SELECT doc_id, unnest(shs) AS shingle FROM cs), "
+        "m AS (SELECT f.doc_id, count(*) AS n_matched FROM f "
+        "JOIN e USING (shingle) GROUP BY f.doc_id), "
+        "pred AS (SELECT doc_id FROM m WHERE n_matched >= 4)"
+        + _ID_METRICS
+    )
+    _PLANT_SEL_V = _PLANT_SEL.replace("doc_id", "vec_id")
+    d["dedup_eval_embedding"] = (
+        "WITH pemb AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings UNION ALL "
+        "SELECT vec_id + 1000000000 AS vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) "
+        "+ CAST(0.01 AS DOUBLE)) AS v "
+        f"FROM embeddings WHERE {_PLANT_SEL_V}), "
+        "truth AS (SELECT vec_id AS id_a, vec_id + 1000000000 AS id_b "
+        f"FROM embeddings WHERE {_PLANT_SEL_V}), "
+        "cents AS (SELECT vec_id AS cent_id, v AS cent "
+        "FROM pemb ORDER BY vec_id LIMIT 16), "
+        "cell AS (SELECT id, cent_id, v FROM ("
+        "SELECT e.vec_id AS id, c.cent_id, e.v, "
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        + _pr(_cosine_sql("e.v", "c.cent"))
+        + " DESC, c.cent_id ASC) AS cr "
+        "FROM pemb e CROSS JOIN cents c) WHERE cr = 1), "
+        "pred AS (SELECT a.id AS id_a, b.id AS id_b "
+        "FROM cell a JOIN cell b ON a.cent_id = b.cent_id AND a.id < b.id "
+        "WHERE " + _pr(_cosine_sql("a.v", "b.v")) + " >= 0.45)"
+        + _METRICS
     )
     # materialized mixture: the corpus_mixture oracle (as a subquery
     # CTE) feeds floor(weight·total) budgets into the per-source

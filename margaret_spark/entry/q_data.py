@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from __future__ import annotations
 import os
 import sys
 from collections.abc import Callable
@@ -112,6 +111,100 @@ def q_dedup_cross_corpus(spark, sf_dir):
         n=3,
         max_df="auto",
     )
+
+
+def _planted_docs(spark, sf_dir, mutate):
+    from margaret_spark.operators.dedupeval import plant_text_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return plant_text_duplicates(docs, "doc_id", "text", mutate=mutate)
+
+
+def q_dedup_eval_exact(spark, sf_dir):
+    """Dedup-quality harness, exact family: plant EXACT copies of the
+    md5-selected 3/16 of the corpus (operators.dedupeval), predict
+    pairs by content-hash equality, score precision/recall/f1 against
+    the planted truth. Harness-only shape: the md5(text) equi-self-
+    join emits O(group²) pairs per duplicate group — fine on a planted
+    eval sample; production dedup uses exact_dedup's group-by.
+    Hash-exact (integer counts, single IEEE divisions)."""
+    from margaret_spark.operators.dedupeval import pair_metrics
+
+    planted, truth = _planted_docs(spark, sf_dir, "none")
+    h = planted.select("doc_id", F.md5("text").alias("__h"))
+    pred = (
+        h.alias("a")
+        .join(h.alias("b"), "__h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    return pair_metrics(pred, truth)
+
+
+def q_dedup_eval_jaccard(spark, sf_dir):
+    """Dedup-quality harness, n-gram Jaccard family: plant one-token-
+    mutated copies, run the graded detector config (threshold 0.2,
+    word trigrams, max_df='auto' — resolved over the PLANTED corpus on
+    both engines), score against planted truth. Recall < 1 only where
+    a doc is too short for the mutated copy to clear the threshold;
+    precision < 1 only from organic near-dups (documented lower
+    bound). Hash-exact."""
+    from margaret_spark.operators.dedupeval import pair_metrics
+
+    planted, truth = _planted_docs(spark, sf_dir, "token")
+    pred = ngram_jaccard_pairs(
+        planted, "doc_id", "text", threshold=0.2, mode="word", n=3, max_df="auto"
+    )
+    return pair_metrics(pred, truth)
+
+
+def q_dedup_eval_minhash(spark, sf_dir):
+    """Dedup-quality harness, MinHash-LSH family (rows-only by the
+    same declared design as dedup_minhash: hash-permutation banding is
+    not oracle-expressible). Measures what the banding trade actually
+    costs: recall here vs the exact-Jaccard eval's recall is the
+    banding miss rate on identical planted truth."""
+    from margaret_spark.operators.dedupeval import pair_metrics
+
+    planted, truth = _planted_docs(spark, sf_dir, "token")
+    pred = minhash_dedup_pairs(planted, "doc_id", "text", threshold=0.2)
+    return pair_metrics(pred, truth)
+
+
+def q_dedup_eval_simhash(spark, sf_dir):
+    """Dedup-quality harness, SimHash family (rows-only: bit-sig
+    banding, same declared set as dedup_simhash). max_hamming=3 on
+    64-bit signatures, the graded detector config."""
+    from margaret_spark.operators.dedupeval import pair_metrics
+
+    planted, truth = _planted_docs(spark, sf_dir, "token")
+    pred = simhash_dedup_pairs(planted, "doc_id", "text", max_hamming=3)
+    return pair_metrics(pred, truth)
+
+
+def q_dedup_eval_embedding(spark, sf_dir):
+    """Dedup-quality harness, embedding-IVF family: plant +0.01-
+    shifted copies of the selected embeddings (cosine just under 1.0),
+    run the graded IVF detector (threshold 0.45, 16 seeded cells),
+    score against planted truth. A missed planted pair here is
+    EXACTLY the IVF cell-split miss the operator's docstring declares
+    — this query quantifies it. Hash-exact."""
+    from margaret_spark.operators.dedup import embedding_dedup_pairs_ivf
+    from margaret_spark.operators.dedupeval import (
+        pair_metrics,
+        plant_embedding_duplicates,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted, truth = plant_embedding_duplicates(
+        emb, "vec_id", "embedding", eps=0.01
+    )
+    pred = embedding_dedup_pairs_ivf(
+        planted, "vec_id", "embedding", threshold=0.45, nlist=16
+    )
+    return pair_metrics(pred, truth)
 
 
 def q_dedup_spans(spark, sf_dir):
@@ -1178,6 +1271,37 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5, m=4, codes=8, iters=1)
 
 
+def q_ann_pq_recall(spark, sf_dir):
+    """Recall@5 of ADC-over-PQ-codes against brute force — the eval
+    that closes the quantization ladder: ann_pq_distortion measures
+    reconstruction error, THIS measures what that error costs in
+    retrieval quality (the number an operator actually tunes m/codes
+    against). Both arms at the graded parameterizations; the shared
+    topk_recall metric tail (exact integer counts + one IEEE
+    division) keeps it hash-exact."""
+    from margaret_spark.operators.pq import pq_topk
+    from margaret_spark.operators.similarity import topk_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    # pq_topk scores the whole code table, so the query's own code is
+    # in its list (distance ~0) while brute force excludes self — ask
+    # for k+1, drop self, keep the first 5 by the PQ rank (the re-rank
+    # replays deterministically on both engines)
+    six = pq_topk(emb, q, k=6, m=4, codes=8, iters=1).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    approx = (
+        six.withColumn("__rr", F.row_number().over(w))
+        .where(F.col("__rr") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qids = q.select(F.col("vec_id").alias("query_id")).distinct()
+    return topk_recall(exact, approx, qids)
+
+
 def q_ann_ivf_pq(spark, sf_dir):
     """IVFADC (operators.pq.ivfpq_topk, Jégou et al. 2011 §V): the
     composed IVF + residual-PQ search — 16 seeded cells, PQ codebooks
@@ -1371,6 +1495,58 @@ def q_decontaminate(spark, sf_dir):
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) >= thr
     )
     return ngram_contamination(rest, eval_df, "doc_id", "text", mode="word", n=3)
+
+
+def q_decontaminate_eval(spark, sf_dir):
+    """Contamination-detector eval: PLANT leakage (a 6-token span from
+    the lowest-id ≥10-token eval doc, appended to the md5-selected
+    3/16 of train docs), run the graded ngram_contamination detector,
+    score doc-level precision/recall against the planted truth
+    (operators.dedupeval.id_metrics). The 6 contiguous planted tokens
+    guarantee 4 matching interior trigrams, so the detection bar is
+    n_matched ≥ 4; organic eval/train overlap makes planted-precision
+    a documented lower bound. Hash-exact."""
+    from margaret_spark.operators.dedup import ngram_contamination
+    from margaret_spark.operators.dedupeval import PLANT_PREFIXES, id_metrics
+    from margaret_spark.operators.sampling import hash_sample, hex_threshold
+    from margaret_spark.operators.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", 0.05)
+    thr = hex_threshold(0.05)
+    rest = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) >= thr
+    )
+    donor = (
+        eval_df.where(F.size(words(F.col("text"))) >= 10)
+        .orderBy("doc_id")
+        .limit(1)
+    )
+    span = donor.select(
+        F.concat_ws(" ", F.slice(words(F.col("text")), 1, 6)).alias("__span")
+    )
+    is_victim = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin(*PLANT_PREFIXES)
+    corpus = (
+        rest.select("doc_id", "text", is_victim.alias("__v"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("__v"), F.concat(F.col("text"), F.lit(" "), F.col("__span"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "__v",
+        )
+    )
+    scored = ngram_contamination(
+        corpus.select("doc_id", "text"), eval_df, "doc_id", "text"
+    )
+    pred = scored.where(F.col("n_matched") >= 4).select("doc_id")
+    truth = corpus.where(F.col("__v")).select("doc_id")
+    return id_metrics(pred, truth, "doc_id")
 
 
 def q_decontaminate_spans(spark, sf_dir):

@@ -1,0 +1,164 @@
+"""Dedup-quality eval harness (operators.dedupeval): planting is
+deterministic and content-free, metrics are exact set arithmetic, and
+on an organic-dup-free corpus the families hit their known scores."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from margaret_spark.operators.dedupeval import (
+    PLANT_OFFSET,
+    PLANT_PREFIXES,
+    pair_metrics,
+    plant_embedding_duplicates,
+    plant_text_duplicates,
+)
+
+
+def _clean_docs(spark, n=40, tokens=30):
+    """Organic-dup-free corpus: every doc uses its own vocabulary."""
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(tokens))) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def _expected_sel(ids):
+    return sorted(
+        i
+        for i in ids
+        if hashlib.md5(str(i).encode()).hexdigest()[0] in PLANT_PREFIXES
+    )
+
+
+def test_plant_text_duplicates_selection_and_truth(spark):
+    docs, rows = _clean_docs(spark)
+    planted, truth = plant_text_duplicates(docs, "doc_id", "text", mutate="none")
+    sel = _expected_sel([i for i, _ in rows])
+    t = sorted((r.id_a, r.id_b) for r in truth.collect())
+    assert t == [(i, i + PLANT_OFFSET) for i in sel]
+    assert planted.count() == len(rows) + len(sel)
+    # exact copies really are exact; token copies differ by one suffix
+    texts = {r.doc_id: r.text for r in planted.collect()}
+    for i in sel:
+        assert texts[i + PLANT_OFFSET] == texts[i]
+    planted2, _ = plant_text_duplicates(docs, "doc_id", "text", mutate="token")
+    texts2 = {r.doc_id: r.text for r in planted2.collect()}
+    for i in sel:
+        assert texts2[i + PLANT_OFFSET] == texts2[i] + f" zqdup{i}"
+    with pytest.raises(ValueError):
+        plant_text_duplicates(docs, "doc_id", "text", mutate="scramble")
+
+
+def test_pair_metrics_exact_math_and_normalization(spark):
+    # pred has a reversed pair, a duplicate, one hit, one miss
+    pred = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    row = pair_metrics(pred, truth).collect()[0]
+    assert (row.n_pred, row.n_truth, row.tp) == (3, 3, 2)
+    assert row.precision == pytest.approx(2 / 3, abs=1e-6)
+    assert row.recall == pytest.approx(2 / 3, abs=1e-6)
+    assert row.f1 == pytest.approx(4 / 6, abs=1e-6)
+    # empty prediction: ratios pin to 0.0, no NULL/NaN
+    empty = pred.where(F.lit(False))
+    row = pair_metrics(empty, truth).collect()[0]
+    assert (row.n_pred, row.n_truth, row.tp) == (0, 3, 0)
+    assert (row.precision, row.recall, row.f1) == (0.0, 0.0, 0.0)
+
+
+def test_exact_family_perfect_on_clean_corpus(spark):
+    docs, _ = _clean_docs(spark)
+    planted, truth = plant_text_duplicates(docs, "doc_id", "text", mutate="none")
+    h = planted.select("doc_id", F.md5("text").alias("h"))
+    pred = (
+        h.alias("a")
+        .join(h.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    row = pair_metrics(pred, truth).collect()[0]
+    assert (row.precision, row.recall, row.f1) == (1.0, 1.0, 1.0)
+
+
+def test_jaccard_and_minhash_recall_on_clean_corpus(spark):
+    from margaret_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs, _ = _clean_docs(spark, n=40, tokens=30)
+    planted, truth = plant_text_duplicates(docs, "doc_id", "text", mutate="token")
+    # one appended token on a 30-token doc: jaccard = 28/32 = 0.875,
+    # far above the 0.2 threshold; disjoint vocab kills cross pairs
+    jac = ngram_jaccard_pairs(planted, "doc_id", "text", threshold=0.2)
+    row = pair_metrics(jac, truth).collect()[0]
+    assert (row.precision, row.recall) == (1.0, 1.0)
+    # banding at jaccard .875 with 16 bands of 4 collides w.p. ~1;
+    # assert >=0.9 to keep hash-layout slack
+    mh = minhash_dedup_pairs(planted, "doc_id", "text", threshold=0.2)
+    row = pair_metrics(mh, truth).collect()[0]
+    assert row.precision == 1.0
+    assert row.recall >= 0.9
+    # and the banding can only LOSE pairs vs the exact family
+    assert row.tp <= pair_metrics(jac, truth).collect()[0].tp
+
+
+def test_simhash_eval_structure_and_determinism(spark):
+    from margaret_spark.operators.dedup import simhash_dedup_pairs
+
+    docs, _ = _clean_docs(spark, n=30, tokens=30)
+    planted, truth = plant_text_duplicates(docs, "doc_id", "text", mutate="token")
+    pred = simhash_dedup_pairs(planted, "doc_id", "text", max_hamming=3)
+    a = pair_metrics(pred, truth).collect()[0]
+    b = pair_metrics(pred, truth).collect()[0]
+    assert a == b
+    # disjoint vocabularies: any predicted pair IS a planted pair
+    # (precision 1.0 whenever anything is predicted at all)
+    assert a.n_truth == truth.count()
+    assert a.precision in (0.0, 1.0)
+    assert a.tp == a.n_pred
+
+
+def test_embedding_family_perfect_on_separated_vectors(spark):
+    from margaret_spark.operators.dedup import embedding_dedup_pairs_ivf
+
+    # 24 well-separated unit-ish vectors in R^8 (one-hot + tiny tail)
+    rows = [
+        (i, [1.0 if j == i % 8 else 0.001 * ((i + j) % 5) for j in range(8)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planted, truth = plant_embedding_duplicates(
+        emb, "vec_id", "embedding", eps=0.01
+    )
+    pred = embedding_dedup_pairs_ivf(
+        planted, "vec_id", "embedding", threshold=0.9, nlist=4
+    )
+    row = pair_metrics(pred, truth).collect()[0]
+    # +0.01 on every component keeps cosine ~0.9999 and the cell
+    # unchanged -> every planted pair is found...
+    assert row.recall == 1.0
+    # ...but same-axis vectors (i ≡ i+8 mod 8) are organic near-dups,
+    # so planted-precision is a lower bound BY DESIGN — it must still
+    # count every planted pair
+    assert row.tp == row.n_truth
+
+
+def test_id_metrics_math(spark):
+    from margaret_spark.operators.dedupeval import id_metrics
+
+    pred = spark.createDataFrame([(1,), (1,), (2,), (5,)], "doc_id long")
+    truth = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+    row = id_metrics(pred, truth, "doc_id").collect()[0]
+    assert (row.n_pred, row.n_truth, row.tp) == (3, 4, 2)
+    assert row.precision == pytest.approx(2 / 3, abs=1e-6)
+    assert row.recall == pytest.approx(0.5, abs=1e-6)
+    assert row.f1 == pytest.approx(4 / 7, abs=1e-6)
+    # empty truth: all ratios pin to 0.0
+    row = id_metrics(pred, truth.where(F.lit(False)), "doc_id").collect()[0]
+    assert (row.n_truth, row.recall, row.precision) == (0, 0.0, 0.0)

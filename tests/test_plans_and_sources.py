@@ -81,6 +81,7 @@ def test_entry_queries_plan_quality(spark):
         "ann_pq_codes",
         "ann_pq_distortion",
         "ann_pq_topk",
+        "ann_pq_recall",
         "ann_ivf_pq",
         "ann_ivf_pq_indexed",
         # SemDeDup over hashed doc vectors: the embed stage is pure
@@ -126,6 +127,9 @@ def test_entry_queries_plan_quality(spark):
         # nature; its designed path is one applyInPandas per chunk
         "pack_bfd",
         "pack_bfd_report",
+        # scores its planted corpus through the same IVF pair_dot
+        # kernel as dedup_embedding
+        "dedup_eval_embedding",
     }
     for name, fn in entry.queries().items():
         assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)
@@ -146,7 +150,10 @@ def test_round2_query_plan_shapes(spark):
 
     fuzzy = entry.q_fuzzy_part_names(spark, SF)
     s = plan_summary(fuzzy)
-    assert s["sortmerge_joins"] >= 1 and s["broadcast_joins"] == 0
+    # r9 distinct-name shape: the tiny name/name-pair sides broadcast
+    # (block join + the two id-expansion joins); the ROW table is
+    # never shuffled on the block key at all
+    assert s["broadcast_joins"] >= 1 and s["shuffles"] == 0
     assert_no_python_udf(fuzzy)
 
     emb = entry.q_dedup_embedding(spark, SF)
