@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from __future__ import annotations
 import os
 import sys
 from collections.abc import Callable
@@ -137,6 +136,19 @@ _CAPPED_SHINGLE_CTES = (
     "s AS (SELECT doc_id, sh FROM s0 "
     "WHERE sh NOT IN (SELECT sh FROM stop))"
 )
+
+
+def _scaled_k_limit(src: str, floor: int) -> str:
+    """LIMIT expression mirroring ``semdedup.scaled_k``: the cluster
+    count k = max(floor, ceil(√N)) is derived FROM THE DATA on both
+    engines (a fixed k is superlinear — cells grow with N, so the
+    within-cell pair stage grows N²/k; √N balances assignment and
+    pairs at N^1.5). ``src`` is the FROM clause of the fit corpus —
+    a table name or a parenthesized subquery."""
+    return (
+        f"(SELECT greatest({int(floor)}, "
+        f"CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM {src})"
+    )
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -430,7 +442,7 @@ def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
 
 
 def _kmeans_ctes(
-    k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12,
+    k: int | str = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12,
     src: str = "embeddings",
 ) -> tuple[list[str], str]:
     """The fixed-iteration Lloyd CTE chain mirroring
@@ -488,7 +500,7 @@ def _kmeans_ctes(
     return ctes, fin
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12) -> str:
+def _kmeans_sql(k: int | str = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 12) -> str:
     """Generated Lloyd-assignment oracle (see _kmeans_ctes)."""
     ctes, fin = _kmeans_ctes(k, iters, rd, cd, ds)
     return "WITH " + ", ".join(ctes) + " " + fin
@@ -496,7 +508,7 @@ def _kmeans_sql(k: int = 8, iters: int = 2, rd: int = 6, cd: int = 9, ds: int = 
 
 def _semdedup_sql(
     kind: str,
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 2,
     threshold: float = 0.4,
     rd: int = 6,
@@ -576,7 +588,7 @@ def _hashembed_ctes(dim: int = 64) -> list[str]:
 
 
 def _contrastive_sql(
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 2,
     pos_t: float = 0.4,
     neg_t: float = 0.3,
@@ -616,7 +628,7 @@ def _contrastive_sql(
 
 
 def _decon_sem_sql(
-    k: int = 8, iters: int = 1, threshold: float = 0.88, rd: int = 6
+    k: int | str = 8, iters: int = 1, threshold: float = 0.88, rd: int = 6
 ) -> str:
     """Semantic-decontamination oracle: the hashembed CTE chain feeds
     the frozen-model incremental matcher (centroids fitted on the
@@ -659,7 +671,7 @@ def _decon_sem_sql(
 
 
 def _semdedup_incr_sql(
-    k: int = 8, iters: int = 1, threshold: float = 0.4, rd: int = 6
+    k: int | str = 8, iters: int = 1, threshold: float = 0.4, rd: int = 6
 ) -> str:
     """Incremental SemDeDup oracle (semdedup.semantic_dedup_incremental):
     centroids fitted on the EXISTING (even-id) half and frozen, both

@@ -29,6 +29,7 @@ from margaret_spark.operators.text import (
 )
 from margaret_spark.qry import Gt, Gte, Limit, Lte, Reverse, build_plan, apply_plan
 from margaret_spark.indexes import latest_by_key, fanout
+from margaret_spark.entry.oracle_builders import _scaled_k_limit
 from margaret_spark.entry.oracle_builders import _CAPPED_SHINGLE_CTES, _CLUSTER_CTES, _CUT_HIT_FIRST_DOC, _CUT_HIT_FIRST_OCCURRENCE, _CUT_SPAN_SELECT, _DOT, _DUP_SPAN_CTES, _TRIANGLE_CTES, _WORDS, _bm25_sql, _bpe_doc_tokens_cte, _bpe_tokens_sql, _contrastive_sql, _cosine_sql, _cut_span_ctes, _decon_sem_sql, _hashembed_ctes, _ivfpq_sql, _kcore_sql, _kmeans_sql, _langid_sql, _pagerank_sql, _pq_ctes, _pq_sql, _pr, _quality_rules_sql, _quality_sql, _repetition_sql, _semdedup_incr_sql, _semdedup_sql, _tfidf_sql
 from margaret_spark.entry.q_data import _PII_REDACT_SQL, _PII_SALT_SQL
 from margaret_spark.entry.q_stream_media import _PSL_FIXTURE, _PSL_HOSTS, _WEB_BLOCKLIST, _WEB_HOSTS
@@ -2300,11 +2301,29 @@ def _oracle_sql_base() -> dict[str, str]:
         "text_quality": _quality_sql(),
         "docs_pagerank": _pagerank_sql(),
         "embeddings_kmeans": _kmeans_sql(),
-        "decontaminate_semantic": _decon_sem_sql(),
-        "dedup_semantic_pairs": _semdedup_sql("pairs"),
-        "dedup_semantic": _semdedup_sql("prune"),
-        "dedup_semantic_incremental": _semdedup_incr_sql(),
-        "embeddings_contrastive": _contrastive_sql(),
+        # the SemDeDup family derives k = max(floor, ceil(sqrt(N)))
+        # from its FIT corpus on both engines (semdedup.scaled_k /
+        # _scaled_k_limit): fixed k measured superlinear in the r9
+        # 10x probe (cells grow with N, pair stage N^2/k)
+        "decontaminate_semantic": _decon_sem_sql(
+            k=_scaled_k_limit(
+                "(SELECT 1 AS x FROM documents WHERE doc_id % 10 = 0)", 8
+            )
+        ),
+        "dedup_semantic_pairs": _semdedup_sql(
+            "pairs", k=_scaled_k_limit("embeddings", 8)
+        ),
+        "dedup_semantic": _semdedup_sql(
+            "prune", k=_scaled_k_limit("embeddings", 8)
+        ),
+        "dedup_semantic_incremental": _semdedup_incr_sql(
+            k=_scaled_k_limit(
+                "(SELECT 1 AS x FROM embeddings WHERE vec_id % 2 = 0)", 8
+            )
+        ),
+        "embeddings_contrastive": _contrastive_sql(
+            k=_scaled_k_limit("embeddings", 8)
+        ),
         "ann_pq_codes": _pq_sql("codes"),
         "ann_pq_distortion": (
             f'WITH enc AS ({_pq_sql("codes")}) '
@@ -2321,7 +2340,8 @@ def _oracle_sql_base() -> dict[str, str]:
             + " SELECT doc_id, CAST(pos AS INT) AS pos, val FROM hemb"
         ),
         "docs_semantic_dedup": _semdedup_sql(
-            "prune", k=32, iters=1, threshold=0.88,
+            "prune", k=_scaled_k_limit("documents", 32),
+            iters=1, threshold=0.88,
             src="hvec", id_name="doc_id", pre_ctes=_hashembed_ctes(),
         ),
         # bounds/width recomputed in-engine: min/max of doubles are the

@@ -1149,10 +1149,15 @@ def q_dedup_semantic_pairs(spark, sf_dir):
     scale), Arrow pair_dot scoring, pround'ed cosine ≥ 0.4. Graded
     hash-exact: the oracle re-derives the k-means CTEs and the pair
     join bit-for-bit."""
-    from margaret_spark.operators.semdedup import semantic_dedup_pairs
+    from margaret_spark.operators.semdedup import scaled_k, semantic_dedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(emb, k=8, iters=2, threshold=0.4)
+    # k follows the data (max(8, ceil(sqrt N)) — semdedup.scaled_k; the
+    # oracle derives the same k with a LIMIT subquery): fixed k is
+    # superlinear, cells grow with N (r9 10x probe: 9.9x wall at 10x)
+    return semantic_dedup_pairs(
+        emb, k=scaled_k(emb.count(), 8), iters=2, threshold=0.4
+    )
 
 
 def q_dedup_semantic(spark, sf_dir):
@@ -1161,10 +1166,12 @@ def q_dedup_semantic(spark, sf_dir):
     (the pair set's id_b side, removed with one left-anti join) —
     the curation decision itself, not just the candidate pairs.
     Graded hash-exact against the same generated oracle chain."""
-    from margaret_spark.operators.semdedup import semantic_prune
+    from margaret_spark.operators.semdedup import scaled_k, semantic_prune
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_prune(emb, k=8, iters=2, threshold=0.4)
+    return semantic_prune(
+        emb, k=scaled_k(emb.count(), 8), iters=2, threshold=0.4
+    )
 
 
 def q_dedup_semantic_incremental(spark, sf_dir):
@@ -1175,13 +1182,18 @@ def q_dedup_semantic_incremental(spark, sf_dir):
     house rule), every new vector labeled dup_of_existing /
     dup_in_batch / new. Completes the ingest-dedup matrix (exact /
     containment / text near-dup / semantic). Hash-exact."""
-    from margaret_spark.operators.semdedup import semantic_dedup_incremental
+    from margaret_spark.operators.semdedup import (
+        scaled_k,
+        semantic_dedup_incremental,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.where(F.col("vec_id") % 2 == 0)
+    # k from the FIT corpus (the frozen existing half)
     return semantic_dedup_incremental(
         emb.where(F.col("vec_id") % 2 == 1),
-        emb.where(F.col("vec_id") % 2 == 0),
-        k=8, iters=1, threshold=0.4,
+        existing,
+        k=scaled_k(existing.count(), 8), iters=1, threshold=0.4,
     )
 
 
@@ -1213,8 +1225,10 @@ def q_decontaminate_semantic(spark, sf_dir):
     # near the TEST set" — the train x train in-batch pass is the
     # dominant cost (O(|train|^2/k) pair cosines) and cannot change
     # the answer
+    from margaret_spark.operators.semdedup import scaled_k
+
     out = semantic_dedup_incremental(
-        train, test, k=8, iters=1, threshold=0.88,
+        train, test, k=scaled_k(test.count(), 8), iters=1, threshold=0.88,
         id_col="doc_id", vec_col="embedding", batch_dups=False,
     )
     return out.select(
@@ -1328,11 +1342,12 @@ def q_embeddings_contrastive(spark, sf_dir):
     tiebreak) attaches to each positive — the training-pair prep step
     for embedding models, mined deterministically from the corpus
     itself. One cluster-scoped pair pass split two ways; hash-exact."""
-    from margaret_spark.operators.semdedup import contrastive_triplets
+    from margaret_spark.operators.semdedup import contrastive_triplets, scaled_k
 
     emb = _t(spark, sf_dir, "embeddings")
     return contrastive_triplets(
-        emb, k=8, iters=2, pos_threshold=0.4, neg_threshold=0.3, n_neg=1
+        emb, k=scaled_k(emb.count(), 8), iters=2,
+        pos_threshold=0.4, neg_threshold=0.3, n_neg=1,
     )
 
 
@@ -1363,7 +1378,7 @@ def q_docs_semantic_dedup(spark, sf_dir):
     the oracle chains the hashed-embedding CTEs into the re-sourced
     k-means + pair-join chain."""
     from margaret_spark.operators.hashembed import hash_doc_embeddings
-    from margaret_spark.operators.semdedup import semantic_prune
+    from margaret_spark.operators.semdedup import scaled_k, semantic_prune
 
     docs = _t(spark, sf_dir, "documents")
     # pin the hashing-trick embedding once: the Lloyd rounds, the
@@ -1373,12 +1388,12 @@ def q_docs_semantic_dedup(spark, sf_dir):
     emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64).localCheckpoint(
         eager=False
     )
-    # k = 32 (vs the embeddings table's 8): documents GROW with SF, and
-    # the SemDeDup knob is exactly "grow k with N" — cells stay small
-    # enough that the within-cell pair pass never dominates (the r8
-    # bench caught k=8 at 28 s on sf0.1; k=32 cuts the pair count 4x)
+    # k = max(32, ceil(sqrt(n_docs))) — semdedup.scaled_k: the r9 10x
+    # probe measured fixed k=32 at 17x wall for 10x docs (cells grow
+    # with N, pair stage N^2/k); sqrt-k balances assignment and pairs
+    # at N^1.5. Floor 32 keeps sf0.01 (500 docs) exactly as before.
     return semantic_prune(
-        emb, k=32, iters=1, threshold=0.88,
+        emb, k=scaled_k(docs.count(), 32), iters=1, threshold=0.88,
         id_col="doc_id", vec_col="embedding",
     )
 

@@ -439,3 +439,31 @@ def test_pq_distortion_report_reflects_codebook_size(spark):
     for sub in (0, 1):
         assert big[sub].n == 12 and small[sub].n == 12
         assert big[sub].mean_dist2 <= small[sub].mean_dist2
+
+
+def test_scaled_k_rule_and_oracle_parity():
+    """k = max(floor, ceil(sqrt(N))) — exact integer rule, and the
+    DuckDB LIMIT-subquery twin picks the identical k for every corpus
+    size that matters (incl. perfect squares and off-by-one sizes)."""
+    import duckdb
+
+    from margaret_spark.entry.oracle_builders import _scaled_k_limit
+    from margaret_spark.operators.semdedup import scaled_k
+
+    assert scaled_k(0, 8) == 8
+    assert scaled_k(63, 8) == 8
+    assert scaled_k(65, 8) == 9
+    assert scaled_k(500, 8) == 23
+    assert scaled_k(500, 32) == 32
+    assert scaled_k(2000, 8) == 45
+    assert scaled_k(2500, 8) == 50  # perfect square
+    assert scaled_k(2499, 8) == 50
+    assert scaled_k(2501, 8) == 51
+    con = duckdb.connect()
+    for n in [1, 63, 64, 65, 500, 2000, 2499, 2500, 2501, 50000]:
+        con.execute(f"CREATE OR REPLACE TABLE t AS SELECT range AS id FROM range({n})")
+        got = con.execute(
+            "SELECT count(*) FROM (SELECT id FROM t ORDER BY id LIMIT "
+            + _scaled_k_limit("t", 8) + ")"
+        ).fetchone()[0]
+        assert got == min(scaled_k(n, 8), n), (n, got)
