@@ -1372,9 +1372,10 @@ def q_docs_hash_embed(spark, sf_dir):
 def q_docs_semantic_dedup(spark, sf_dir):
     """The full text → vector → SemDeDup composition: hashed doc
     embeddings (q_docs_hash_embed's operator) pruned by
-    semdedup.semantic_prune over k=8 Lloyd-refined cells at 0.88
-    cosine — semantic near-dup curation for corpora with NO model
-    embeddings at all. Keeps ~434/500 at sf0.01. Graded hash-exact:
+    semdedup.semantic_prune over scaled_k (max(32, ceil(√N)))
+    Lloyd-refined cells at 0.88 cosine — semantic near-dup curation
+    for corpora with NO model embeddings at all. Keeps ~434/500 at
+    sf0.01 (k floors to 32 there, unchanged). Graded hash-exact:
     the oracle chains the hashed-embedding CTEs into the re-sourced
     k-means + pair-join chain."""
     from margaret_spark.operators.hashembed import hash_doc_embeddings
