@@ -201,9 +201,8 @@ def main() -> None:
         # long-lived JVM, and the creeping heap pressure taxes every
         # later query (this is a session-hygiene step, not a timing
         # change - the checkpoints live WITHIN one execution)
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     total = round(sum(timings.values()), 3)
     subtotal_v1 = round(sum(timings[n] for n in HEADLINE), 3)
