@@ -638,6 +638,47 @@ def oracle_sql() -> dict[str, str]:
         )
         + " AS padding_waste FROM agg"
     )
+    # at-ingest online best-fit packing: arrival (seq) order, bins
+    # reset on chunk change (chunk = seq div 125 — computed over ALL
+    # seqs, so the fits recursion compares chunk columns instead of
+    # a position modulus); oversize rows take the window-free
+    # pack_id = -(seq+1). Same encoded-bin-list recursion as pack_bfd.
+    d["stream_pack_bfd"] = (
+        "WITH RECURSIVE per AS MATERIALIZED (SELECT "
+        "CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq, "
+        f"CAST(len({_WORDS}) AS BIGINT) AS n FROM documents), "
+        "fits AS MATERIALIZED (SELECT seq, n, seq // 125 AS ch, "
+        "CAST(row_number() OVER (ORDER BY seq) - 1 AS BIGINT) AS r "
+        "FROM per WHERE n > 0 AND n <= 2048), "
+        "steps AS ("
+        "SELECT CAST(-1 AS BIGINT) AS r, CAST(NULL AS BIGINT) AS seq, "
+        "CAST(NULL AS BIGINT) AS n, CAST(-1 AS BIGINT) AS ch, "
+        "CAST(NULL AS BIGINT) AS bid, CAST([] AS BIGINT[]) AS bins "
+        "UNION ALL "
+        "SELECT o.r, o.seq, o.n, o.ch, "
+        "CASE WHEN chosen IS NULL THEN len(eff) "
+        "ELSE chosen % 100000 END AS bid, "
+        "CASE WHEN chosen IS NULL "
+        "THEN list_append(eff, (2048 - o.n) * 100000 + len(eff)) "
+        "ELSE list_transform(eff, b -> CASE WHEN b = chosen "
+        "THEN b - o.n * 100000 ELSE b END) END AS bins "
+        "FROM (SELECT o.r, o.seq, o.n, o.ch, eff, "
+        "list_min(list_filter(eff, b -> b // 100000 >= o.n)) AS chosen "
+        "FROM steps s JOIN fits o ON o.r = s.r + 1 "
+        "CROSS JOIN LATERAL (SELECT CASE WHEN o.ch <> s.ch "
+        "THEN CAST([] AS BIGINT[]) ELSE s.bins END AS eff) e) o), "
+        "packed AS (SELECT seq, n AS n_tokens, "
+        "CAST(ch * 125 + bid AS BIGINT) AS pack_id, r "
+        "FROM steps WHERE r >= 0), "
+        "oversize AS (SELECT seq, n AS n_tokens, "
+        "CAST(-(seq + 1) AS BIGINT) AS pack_id, "
+        "CAST(-1 AS BIGINT) AS r FROM per WHERE n > 2048), "
+        "allp AS (SELECT seq, n_tokens, pack_id, "
+        "CAST(row_number() OVER (PARTITION BY pack_id ORDER BY r) - 1 "
+        "AS BIGINT) AS pack_pos FROM "
+        "(SELECT * FROM packed UNION ALL SELECT * FROM oversize) u) "
+        "SELECT seq, n_tokens, pack_id, pack_pos FROM allp"
+    )
     # --- dedup-quality eval harness (operators/dedupeval.py) -------
     # planted corpus: md5-first-hex-selected 3/16 of docs get a copy
     # at id+1e9; 'none' = exact copy, 'token' = one appended token
@@ -750,6 +791,24 @@ def oracle_sql() -> dict[str, str]:
         "m AS (SELECT f.doc_id, count(*) AS n_matched FROM f "
         "JOIN e USING (shingle) GROUP BY f.doc_id), "
         "pred AS (SELECT doc_id FROM m WHERE n_matched >= 4)"
+        + _ID_METRICS
+    )
+    # span-family eval: plant one shared 12-token span (5 interior
+    # 8-grams per victim) and replay the graded span detector over
+    # the planted corpus; truth = victims ∪ donor
+    d["dedup_eval_spans"] = (
+        "WITH donor AS (SELECT doc_id, "
+        f"{_WORDS} AS toks FROM documents "
+        f"WHERE len({_WORDS}) >= 12 ORDER BY doc_id LIMIT 1), "
+        "sp AS (SELECT doc_id AS did, "
+        "array_to_string(toks[1:12], ' ') AS s FROM donor), "
+        "pdocs AS (SELECT doc_id, CASE WHEN "
+        f"{_PLANT_SEL} THEN text || ' ' || (SELECT s FROM sp) "
+        "ELSE text END AS text FROM documents), "
+        + _DUP_SPAN_CTES[len("WITH "):].replace("FROM documents", "FROM pdocs")
+        + ", pred AS (SELECT DISTINCT doc_id FROM isl), "
+        "truth AS (SELECT doc_id FROM documents "
+        f"WHERE {_PLANT_SEL} UNION SELECT did FROM sp)"
         + _ID_METRICS
     )
     _PLANT_SEL_V = _PLANT_SEL.replace("doc_id", "vec_id")

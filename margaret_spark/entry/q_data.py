@@ -207,6 +207,56 @@ def q_dedup_eval_embedding(spark, sf_dir):
     return pair_metrics(pred, truth)
 
 
+def q_dedup_eval_spans(spark, sf_dir):
+    """Dedup-quality harness, exact-substring SPAN family: plant one
+    shared 12-token span (from the lowest-id ≥12-token doc) into the
+    md5-selected 3/16 of the corpus, run the graded word-8-gram span
+    detector, score doc-level precision/recall (id_metrics) against
+    the planted truth (victims ∪ the donor — the donor's own span
+    occurrence is genuine duplication once copies exist). The 12
+    appended tokens guarantee 5 shared interior 8-grams per victim,
+    so planted recall is structural; organic duplicated passages make
+    planted-precision the documented lower bound. Hash-exact."""
+    from margaret_spark.operators.dedup import duplicate_spans
+    from margaret_spark.operators.dedupeval import PLANT_PREFIXES, id_metrics
+    from margaret_spark.operators.text import words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    donor = (
+        docs.where(F.size(words(F.col("text"))) >= 12)
+        .orderBy("doc_id")
+        .limit(1)
+    )
+    span = donor.select(
+        F.col("doc_id").alias("__donor_id"),
+        F.concat_ws(" ", F.slice(words(F.col("text")), 1, 12)).alias("__span"),
+    )
+    is_victim = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin(*PLANT_PREFIXES)
+    planted = docs.crossJoin(F.broadcast(span)).select(
+        "doc_id",
+        F.when(
+            is_victim, F.concat(F.col("text"), F.lit(" "), F.col("__span"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "__donor_id",
+    )
+    pred = (
+        duplicate_spans(
+            planted.select("doc_id", "text"), "doc_id", "text", n=8,
+            scope="cross_doc",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    truth = planted.where(
+        is_victim | (F.col("doc_id") == F.col("__donor_id"))
+    ).select("doc_id")
+    return id_metrics(pred, truth, "doc_id")
+
+
 def q_dedup_spans(spark, sf_dir):
     """Exact-substring duplicate SPANS (dedup.duplicate_spans): the
     maximal cross-document repeated word-8-gram runs of every

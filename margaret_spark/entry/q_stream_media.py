@@ -1729,6 +1729,62 @@ def q_pack_bfd_report(spark, sf_dir):
     return capacity_report(q_pack_bfd(spark, sf_dir), seq_len=2048)
 
 
+def q_stream_pack_bfd(spark, sf_dir):
+    """At-ingest sequence packing (streaming/packing.stream_pack_bfd):
+    documents stream out of the log in two chunk-aligned micro-batches
+    and land in fixed-2048-token training packs ON ARRIVAL — online
+    best-fit (Johnson 1974), open bins reset every 125-doc chunk
+    (chunk = seq div 125, a pure seq function, so chunk-aligned
+    per-batch packing ≡ whole-log packing). Oversize docs take the
+    window-free pack_id = −(seq+1). The oracle replays the identical
+    arrival-order best-fit with the recursive open-bin CTE, reset on
+    chunk change. doc_id is dense from 0 in the testdata, so the log
+    seq IS doc_id. Hash-exact."""
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_pack_bfd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_pack_")
+    try:
+        n = docs.count()
+        split = max(125, (n // 2) // 125 * 125)
+        log = OffsetLog(
+            spark, os.path.join(base, "log"), value_type=T.StringType()
+        )
+        # ONE data file per append: append_df(order_by=...) would
+        # re-repartition to defaultParallelism (a file per partition),
+        # and maxFilesPerTrigger counts FILES — batches would be
+        # partition-sized, not chunk-aligned. Pre-sorting into a
+        # single partition keeps seq = doc_id order AND one file, so
+        # each append IS one chunk-aligned micro-batch.
+        for half in (
+            docs.where(F.col("doc_id") < split),
+            docs.where(F.col("doc_id") >= split),
+        ):
+            log.append_df(
+                half.repartition(1).sortWithinPartitions("doc_id"),
+                value_col="text",
+            )
+        stream_pack_bfd(
+            log,
+            F.col("value"),
+            os.path.join(base, "sink"),
+            os.path.join(base, "ckpt"),
+            seq_len=2048,
+            chunk_docs=125,
+            max_files_per_trigger=1,
+        )
+        return read_keeper_sink(
+            spark,
+            os.path.join(base, "sink"),
+            "seq long, n_tokens long, pack_id long, pack_pos long",
+        )
+    finally:
+        _defer_cleanup(base)
+
+
 def q_stream_web_filter(spark, sf_dir):
     """Streaming at-ingest web curation (streaming/webfilter.py): the
     synthetic messy URLs are appended to a real OffsetLog, the filter

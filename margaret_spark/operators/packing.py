@@ -344,6 +344,86 @@ def pack_best_fit(
     return packed.unionByName(over_packed)
 
 
+def pack_best_fit_arrival(
+    df: DataFrame,
+    seq_col: str,
+    tokens_col: str,
+    seq_len: int,
+    chunk_docs: int = 256,
+) -> DataFrame:
+    """ONLINE best-fit packing in arrival order — the at-ingest twin
+    of :func:`pack_best_fit` (classic online bin packing, Johnson
+    1974: place each arriving doc into the tightest open bin, no
+    sorting — the price of not seeing the future is bounded, online
+    best-fit is ~1.7-competitive).
+
+    ``seq_col`` must be a DENSE arrival sequence (a log seq): chunk
+    membership is the pure function ``seq div chunk_docs`` — computed
+    BEFORE dropping unpackable rows — so any seq-contiguous slice of
+    the corpus packs identically on its own. That property is what
+    makes the streaming twin exact: per-micro-batch packing of
+    chunk-aligned batches EQUALS batch packing of the whole log.
+    Open bins reset at every chunk boundary (bounded state by
+    construction; the tail bin per chunk is the quality cost).
+
+    Output (``seq_col``, n_tokens, pack_id, pack_pos): fitting docs
+    get ``pack_id = chunk·chunk_docs + local_bin``; zero-token rows
+    drop; oversize rows get the dedicated ``pack_id = −(seq+1)``
+    (window-free, so the streaming path needs no global state)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    if not 1 <= chunk_docs <= 100_000:
+        raise ValueError(f"chunk_docs must be in [1, 100000]: {chunk_docs}")
+
+    base = df.select(
+        F.col(seq_col).cast("long").alias("__seq"),
+        F.col(tokens_col).cast("long").alias("__n"),
+    ).withColumn("__chunk", F.expr(f"__seq div {int(chunk_docs)}"))
+    fits = base.where((F.col("__n") > 0) & (F.col("__n") <= seq_len))
+
+    out_schema = f"`{seq_col}` long, n_tokens long, pack_id long, pack_pos long"
+
+    def _bfd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("__seq")
+        chunk = int(pdf["__chunk"].iloc[0])
+        bins: list[int] = []
+        fill: list[int] = []
+        out_bin, out_pos = [], []
+        for tok in pdf["__n"]:
+            tok = int(tok)
+            best = -1
+            for i, rem in enumerate(bins):
+                if rem >= tok and (best < 0 or rem < bins[best]):
+                    best = i
+            if best < 0:
+                best = len(bins)
+                bins.append(seq_len)
+                fill.append(0)
+            bins[best] -= tok
+            out_bin.append(chunk * chunk_docs + best)
+            out_pos.append(fill[best])
+            fill[best] += 1
+        return pd.DataFrame(
+            {
+                seq_col: pdf["__seq"].values,
+                "n_tokens": pdf["__n"].values,
+                "pack_id": pd.Series(out_bin, dtype="int64"),
+                "pack_pos": pd.Series(out_pos, dtype="int64"),
+            }
+        )
+
+    packed = fits.groupBy("__chunk").applyInPandas(_bfd, out_schema)
+    over = base.where(F.col("__n") > seq_len).select(
+        F.col("__seq").alias(seq_col),
+        F.col("__n").alias("n_tokens"),
+        (-(F.col("__seq") + 1)).cast("long").alias("pack_id"),
+        F.lit(0).cast("long").alias("pack_pos"),
+    )
+    return packed.unionByName(over)
+
+
 def capacity_report(
     packs: DataFrame,
     seq_len: int,

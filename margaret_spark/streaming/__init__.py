@@ -40,6 +40,7 @@ from margaret_spark.streaming.cms import (
     stream_kmv,
 )
 from margaret_spark.streaming.scd import prune_history, read_history, stream_scd2
+from margaret_spark.streaming.packing import stream_pack_bfd
 from margaret_spark.streaming.annintake import (
     stream_hash_embed,
     stream_ivf_assign,
@@ -81,6 +82,7 @@ __all__ = [
     "stream_nb_filter",
     "stream_dsir_filter",
     "stream_hash_embed",
+    "stream_pack_bfd",
     "stream_image_phash",
     "stream_ivf_assign",
     "stream_pq_assign",

@@ -310,3 +310,97 @@ def test_pack_best_fit_validates_args(spark):
         pack_best_fit(df, "id", "n", seq_len=10, chunk_docs=0)
     with pytest.raises(ValueError):
         capacity_report(df.selectExpr("id as pack_id", "n as n_tokens"), seq_len=-1)
+
+
+def test_pack_best_fit_arrival_matches_online_reference(spark):
+    from margaret_spark.operators.packing import pack_best_fit_arrival
+
+    rows = [(i, (i * 37) % 130 + 1) for i in range(300)]  # some oversize (>100)
+    df = spark.createDataFrame(rows, "seq long, n long")
+    got = {
+        r.seq: (r.pack_id, r.pack_pos)
+        for r in pack_best_fit_arrival(df, "seq", "n", seq_len=100, chunk_docs=64).collect()
+    }
+    # sequential online reference: arrival order, reset at chunk edge
+    want = {}
+    bins, fill, chunk = [], [], -1
+    for seq, n in rows:
+        if n > 100:
+            want[seq] = (-(seq + 1), 0)
+            continue
+        if seq // 64 != chunk:
+            chunk, bins, fill = seq // 64, [], []
+        best = -1
+        for i, rem in enumerate(bins):
+            if rem >= n and (best < 0 or rem < bins[best]):
+                best = i
+        if best < 0:
+            best = len(bins)
+            bins.append(100)
+            fill.append(0)
+        bins[best] -= n
+        want[seq] = (chunk * 64 + best, fill[best])
+        fill[best] += 1
+    assert got == want
+
+
+def test_pack_best_fit_arrival_chunk_purity(spark):
+    """A chunk-aligned slice of the corpus packs identically on its
+    own — the property the streaming twin's exactness rests on."""
+    from margaret_spark.operators.packing import pack_best_fit_arrival
+
+    rows = [(i, (i * 53) % 90 + 1) for i in range(256)]
+    df = spark.createDataFrame(rows, "seq long, n long")
+    whole = {
+        r.seq: (r.pack_id, r.pack_pos)
+        for r in pack_best_fit_arrival(df, "seq", "n", 100, chunk_docs=64).collect()
+    }
+    part = {}
+    for lo, hi in [(0, 128), (128, 256)]:  # two aligned "micro-batches"
+        sl = df.where((F.col("seq") >= lo) & (F.col("seq") < hi))
+        for r in pack_best_fit_arrival(sl, "seq", "n", 100, chunk_docs=64).collect():
+            part[r.seq] = (r.pack_id, r.pack_pos)
+    assert whole == part
+
+
+def test_stream_pack_bfd_equals_batch_twin(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.operators.packing import pack_best_fit_arrival
+    from margaret_spark.operators.text import words
+    from margaret_spark.streaming import read_keeper_sink, stream_pack_bfd
+
+    texts = [(i, " ".join(f"w{j}" for j in range((i * 7) % 30 + 1))) for i in range(100)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    for half in (
+        docs.where(F.col("doc_id") < 50),
+        docs.where(F.col("doc_id") >= 50),
+    ):
+        # one pre-sorted partition -> one data file -> one micro-batch
+        log.append_df(
+            half.repartition(1).sortWithinPartitions("doc_id"),
+            value_col="text",
+        )
+    stream_pack_bfd(
+        log, F.col("value"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        seq_len=40, chunk_docs=25, max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r.seq, r.n_tokens, r.pack_id, r.pack_pos)
+        for r in read_keeper_sink(
+            spark, str(tmp_path / "sink"),
+            "seq long, n_tokens long, pack_id long, pack_pos long",
+        ).collect()
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("seq"),
+        F.size(words(F.col("text"))).cast("long").alias("nt"),
+    )
+    want = sorted(
+        (r.seq, r.n_tokens, r.pack_id, r.pack_pos)
+        for r in pack_best_fit_arrival(toks, "seq", "nt", 40, chunk_docs=25).collect()
+    )
+    assert got == want
+    assert len(got) == 100
