@@ -793,6 +793,32 @@ def oracle_sql() -> dict[str, str]:
         "pred AS (SELECT doc_id FROM m WHERE n_matched >= 4)"
         + _ID_METRICS
     )
+    # threshold-calibration histogram: the dedup_jaccard pair CTE at
+    # bar 0.1, bucketed by floor(jaccard*10) — same double bits, same
+    # IEEE mul/floor, so buckets replay exactly
+    d["dedup_threshold_histogram"] = (
+        f"WITH {_CAPPED_SHINGLE_CTES}, "
+        "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+        "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id), "
+        "p AS (SELECT " + _pr("c / (x.n + y.n - c)") + " AS jaccard "
+        "FROM inter JOIN sz x ON x.doc_id = id_a "
+        "JOIN sz y ON y.doc_id = id_b "
+        "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.1) "
+        "SELECT CAST(floor(jaccard * 10) AS INT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1"
+    )
+    # cluster-size distribution over the connected components
+    d["dedup_cluster_sizes"] = (
+        "WITH RECURSIVE " + _CLUSTER_CTES + ", "
+        "cl AS (SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cid "
+        "FROM reach GROUP BY node), "
+        "sz2 AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size "
+        "FROM cl GROUP BY cid) "
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters "
+        "FROM sz2 GROUP BY 1"
+    )
     # span-family eval: plant one shared 12-token span (5 interior
     # 8-grams per victim) and replay the graded span detector over
     # the planted corpus; truth = victims ∪ donor

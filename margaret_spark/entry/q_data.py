@@ -207,6 +207,49 @@ def q_dedup_eval_embedding(spark, sf_dir):
     return pair_metrics(pred, truth)
 
 
+def q_dedup_threshold_histogram(spark, sf_dir):
+    """Threshold-calibration histogram: pair counts per 0.1-wide
+    jaccard bucket over the capped trigram pair universe (floor of
+    the pround'ed similarity ×10 — identical double bits on both
+    engines, so the bucketing replays exactly). THE query a curation
+    team runs before picking the dedup threshold: where the organic
+    near-dup mass sits vs where boilerplate collisions start. One
+    extra aggregation over the dedup_jaccard pipeline; hash-exact."""
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.1, mode="word", n=3, max_df="auto",
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size distribution (n_clusters per size) over
+    the connected components of the capped-jaccard pair graph — the
+    collapse-impact report (how many docs a dedup pass would remove,
+    and whether mass sits in pairs or in mega-clusters). Two keyed
+    aggregations over the dedup_clusters output; hash-exact."""
+    from margaret_spark.operators.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.2, mode="word", n=3, max_df="auto",
+    )
+    clusters = dedup_clusters(
+        _t(spark, sf_dir, "documents"), pairs, "doc_id"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    return sizes.groupBy(F.col("__sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
 def q_dedup_eval_spans(spark, sf_dir):
     """Dedup-quality harness, exact-substring SPAN family: plant one
     shared 12-token span (from the lowest-id ≥12-token doc) into the
