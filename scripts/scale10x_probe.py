@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.1"
 OUT = "/tmp/scale10x"
-COPIES = 9  # + the original = 10x
+COPIES = int(os.environ.get("SCALE_COPIES", "9"))  # + the original; 9 -> 10x, 99 -> 100x
 KEY_STRIDE = 10_000_000
 
 HEAVY = [
@@ -67,9 +67,16 @@ def build_corpus(spark):
     eparts = [emb]
     other = [c for c in emb.columns if c not in ("vec_id", "embedding")]
     for k in range(1, COPIES + 1):
+        # rotation must stay inside the vector: r in 1..dim-1; past a
+        # full cycle of rotations, flip signs so no two copies share a
+        # transform (same-rotation copies would be planted EXACT dups
+        # and cosine is sign-covariant, so -rot never matches +rot)
+        r = (k - 1) % (dim - 1) + 1
         rot = F.concat(
-            F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+            F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r)
         )
+        if ((k - 1) // (dim - 1)) % 2 == 1:
+            rot = F.transform(rot, lambda x: -x)
         eparts.append(
             emb.select(
                 (F.col("vec_id") + k * KEY_STRIDE).alias("vec_id"),
@@ -96,23 +103,23 @@ def main() -> None:
     build_corpus(spark)
     qs = entry.queries()
 
-    print("| query | sf0.1 s | 10x s | ratio |")
+    print(f"| query | sf0.1 s | {COPIES + 1}x s | ratio |")
     print("|---|---|---|---|")
     for name in names:
         fn = qs[name]
         best = {}
-        for tag, d in (("base", SF_DIR), ("10x", OUT)):
+        for tag, d in (("base", SF_DIR), ("big", OUT)):
             fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
             b = None
-            for _ in range(2):
+            for _ in range(int(os.environ.get("SCALE_RUNS", "2"))):
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 b = dt if b is None or dt < b else b
             best[tag] = b
         print(
-            f"| {name} | {best['base']:.2f} | {best['10x']:.2f} "
-            f"| {best['10x'] / best['base']:.1f}x |"
+            f"| {name} | {best['base']:.2f} | {best['big']:.2f} "
+            f"| {best['big'] / best['base']:.1f}x |"
         )
 
 
