@@ -996,3 +996,130 @@ def _langid_sql() -> str:
         "SELECT doc_id, " + " ".join(case) + " AS pred_lang FROM ("
         f"SELECT doc_id, text, {_WORDS} AS toks, {scores} FROM documents)"
     )
+
+
+def _ngram_cov_ctes(n: int, alias: str) -> str:
+    """CTE chain ``{alias}`` → (doc_id, total, n_grams, z, top) for
+    word ``n``-grams: ``z`` is the (gram, count) struct list over the
+    distinct grams, ``top`` the (-count, gram) struct minimum — the
+    same count-desc/gram-asc tie-break the Spark operator applies via
+    ``array_min``. Assumes a prior ``t AS (SELECT doc_id, toks …)``."""
+    return (
+        f"g_{alias} AS (SELECT doc_id, "
+        f"list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) AS g, "
+        "length(array_to_string(toks, ' ')) AS total FROM t), "
+        f"z_{alias} AS (SELECT doc_id, total, len(g) AS n_grams, "
+        "[{'g': d, 'c': len(list_filter(g, x -> x = d))} "
+        f"for d in list_distinct(g)] AS z FROM g_{alias}), "
+        f"{alias} AS (SELECT doc_id, total, n_grams, z, "
+        "list_min([{'nc': -s.c, 'g': s.g} for s in z]) AS top "
+        f"FROM z_{alias})"
+    )
+
+
+def _ngram_top_frac(digits: int = 4) -> str:
+    return _pr(
+        "CASE WHEN total > 0 THEN "
+        "CAST(COALESCE(-top.nc, 0) * length(COALESCE(top.g, '')) AS DOUBLE)"
+        " / total ELSE 0.0 END",
+        digits,
+    )
+
+
+def _ngram_dup_frac(digits: int = 4) -> str:
+    return _pr(
+        "CASE WHEN total > 0 THEN "
+        "CAST(COALESCE(list_sum([s.c * length(s.g) for s in z if s.c >= 2])"
+        ", 0) AS DOUBLE) / total ELSE 0.0 END",
+        digits,
+    )
+
+
+def _ngram_coverage_sql(n: int = 2, digits: int = 4) -> str:
+    """text_ngram_coverage oracle: the single-n detailed report."""
+    return (
+        f"WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents), "
+        + _ngram_cov_ctes(n, "m")
+        + " SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+        "COALESCE(top.g, '') AS top_gram, "
+        "CAST(COALESCE(-top.nc, 0) AS BIGINT) AS top_count, "
+        + _ngram_top_frac(digits)
+        + " AS top_frac, "
+        + _ngram_dup_frac(digits)
+        + " AS dup_frac FROM m"
+    )
+
+
+def _gopher_battery_sql(
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (3, 4),
+    digits: int = 4,
+) -> str:
+    """text_gopher_battery oracle: one CTE chain per n, joined on
+    doc_id (every chain emits one row per document)."""
+    ctes = [f"t AS (SELECT doc_id, {_WORDS} AS toks FROM documents)"]
+    selects = []
+    joins = []
+    for n in top_ns:
+        a = f"top{n}"
+        ctes.append(_ngram_cov_ctes(n, f"m_{a}"))
+        ctes.append(
+            f"{a} AS (SELECT doc_id, "
+            + _ngram_top_frac(digits)
+            + f" AS top_{n}gram_frac FROM m_{a})"
+        )
+        selects.append(f"top_{n}gram_frac")
+        joins.append(a)
+    for n in dup_ns:
+        a = f"dup{n}"
+        ctes.append(_ngram_cov_ctes(n, f"m_{a}"))
+        ctes.append(
+            f"{a} AS (SELECT doc_id, "
+            + _ngram_dup_frac(digits)
+            + f" AS dup_{n}gram_frac FROM m_{a})"
+        )
+        selects.append(f"dup_{n}gram_frac")
+        joins.append(a)
+    sql = "WITH " + ", ".join(ctes)
+    sql += f" SELECT doc_id, {', '.join(selects)} FROM {joins[0]}"
+    for j in joins[1:]:
+        sql += f" JOIN {j} USING (doc_id)"
+    return sql
+
+
+def _line_repetition_sql(digits: int = 4) -> str:
+    """text_line_repetition oracle: replay the planted 6-token-line
+    construction (first line appended again for doc_id % 3 = 0) on the
+    token LIST directly — equivalent to the Spark side's
+    join-with-newlines-then-resplit because chunk lines are never
+    empty and never contain the separator."""
+    return (
+        f"WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents), "
+        "l0 AS (SELECT doc_id, "
+        "[array_to_string(toks[(i-1)*6+1:(i-1)*6+6], ' ') "
+        "for i in range(1, CAST(ceil(len(toks) / 6.0) AS BIGINT) + 1)]"
+        " AS lines FROM t), "
+        "l1 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "list_concat(lines, lines[1:1]) ELSE lines END AS lines FROM l0), "
+        "z AS (SELECT doc_id, len(lines) AS n_lines, "
+        "list_sum([length(x)::BIGINT for x in lines]) AS char_total, "
+        "[{'g': d, 'c': len(list_filter(lines, x -> x = d))} "
+        "for d in list_distinct(lines)] AS z FROM l1) "
+        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+        "CAST(len(z) AS BIGINT) AS n_distinct_lines, "
+        + _pr(
+            "CASE WHEN n_lines > 0 THEN "
+            "CAST(n_lines - len(z) AS DOUBLE) / n_lines ELSE 0.0 END",
+            digits,
+        )
+        + " AS dup_line_frac, "
+        + _pr(
+            "CASE WHEN COALESCE(char_total, 0) > 0 THEN "
+            "CAST(COALESCE(list_sum("
+            "[s.c * length(s.g) for s in z if s.c >= 2]), 0) AS DOUBLE)"
+            " / char_total ELSE 0.0 END",
+            digits,
+        )
+        + " AS dup_char_frac FROM z"
+    )

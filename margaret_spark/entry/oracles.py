@@ -30,6 +30,7 @@ from margaret_spark.operators.text import (
 from margaret_spark.qry import Gt, Gte, Limit, Lte, Reverse, build_plan, apply_plan
 from margaret_spark.indexes import latest_by_key, fanout
 from margaret_spark.entry.oracle_builders import _scaled_k_limit
+from margaret_spark.entry.oracle_builders import _gopher_battery_sql, _line_repetition_sql, _ngram_coverage_sql
 from margaret_spark.entry.oracle_builders import _CAPPED_SHINGLE_CTES, _CLUSTER_CTES, _CUT_HIT_FIRST_DOC, _CUT_HIT_FIRST_OCCURRENCE, _CUT_SPAN_SELECT, _DOT, _DUP_SPAN_CTES, _TRIANGLE_CTES, _WORDS, _bm25_sql, _bpe_doc_tokens_cte, _bpe_tokens_sql, _contrastive_sql, _cosine_sql, _cut_span_ctes, _decon_sem_sql, _hashembed_ctes, _ivfpq_sql, _kcore_sql, _kmeans_sql, _langid_sql, _pagerank_sql, _pq_ctes, _pq_sql, _pr, _quality_rules_sql, _quality_sql, _repetition_sql, _semdedup_incr_sql, _semdedup_sql, _tfidf_sql
 from margaret_spark.entry.q_data import _PII_REDACT_SQL, _PII_SALT_SQL
 from margaret_spark.entry.q_stream_media import _PSL_FIXTURE, _PSL_HOSTS, _WEB_BLOCKLIST, _WEB_HOSTS
@@ -2839,6 +2840,11 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM documents GROUP BY lang, n_chars // 100"
         ),
         "text_repetition": _repetition_sql(),
+        "text_ngram_coverage": _ngram_coverage_sql(n=2),
+        "text_gopher_battery": _gopher_battery_sql(
+            top_ns=(2, 3, 4), dup_ns=(3, 4)
+        ),
+        "text_line_repetition": _line_repetition_sql(),
         "text_bpe_tokens": _bpe_tokens_sql(),
         # train_bpe's distributed word-count stage: the same
         # pre-tokenizer regex in RE2, top-50 by (count desc, token asc)

@@ -1801,3 +1801,62 @@ def q_pack_sequences(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
     return pack_sequences(toks, "doc_id", "n_tokens", seq_len=2048)
+
+
+def q_text_ngram_coverage(spark, sf_dir):
+    """Top/duplicate bigram char coverage per document
+    (operators.text.ngram_coverage): the detailed single-n Gopher
+    repetition report — which bigram dominates each document, how
+    many occurrences, and what fraction of the document's characters
+    the top / any duplicated bigram covers."""
+    from margaret_spark.operators.text import ngram_coverage
+
+    return ngram_coverage(_t(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+def q_text_gopher_battery(spark, sf_dir):
+    """The Gopher repetition battery (operators.text
+    .gopher_repetition, Rae et al. 2021): per document, the char mass
+    of the most frequent {2,3,4}-gram and the char mass inside
+    duplicated {3,4}-grams. dup_ns stops at 4 because this corpus has
+    no duplicated 5-grams at any graded SF (the paper's 5..10 range
+    would grade all-zero columns — the "cut must bind" rule)."""
+    from margaret_spark.operators.text import gopher_repetition
+
+    return gopher_repetition(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        top_ns=(2, 3, 4),
+        dup_ns=(3, 4),
+    )
+
+
+def q_text_line_repetition(spark, sf_dir):
+    """Line-level repetition (operators.text.line_repetition) over a
+    deterministically PLANTED multi-line corpus — the driver documents
+    are single-line word soup, so the query first lays each document
+    out as 6-token lines and appends a copy of the first line to every
+    doc_id % 3 == 0 document (the planted duplicate), then measures
+    duplicate-line fraction and duplicated-line char mass. The oracle
+    replays the identical construction, so the planted third binds the
+    nonzero branch and the rest pin the zero branch."""
+    from margaret_spark.functions.shingling import bind1, gram_indices, words
+    from margaret_spark.operators.text import line_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def mk_lines(ws):
+        n_lines = F.ceil(F.size(ws) / F.lit(6.0)).cast("int")
+        return F.transform(
+            gram_indices(n_lines),
+            lambda i: F.concat_ws(" ", F.slice(ws, (i - F.lit(1)) * 6 + 1, 6)),
+        )
+
+    lines = bind1(words(F.col("text")), mk_lines)
+    text2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat_ws("\n", F.concat(lines, F.slice(lines, 1, 1))),
+    ).otherwise(F.concat_ws("\n", lines))
+    planted = docs.select("doc_id", text2.alias("text"))
+    return line_repetition(planted, "doc_id", "text")

@@ -727,3 +727,274 @@ def simpson_index(
             ).alias("simpson"),
         )
     )
+
+def _gram_coverage_struct(
+    ws: Column, n: int, round_digits: int
+) -> Column:
+    """Per-row struct (n_grams, top_gram, top_count, top_frac,
+    dup_frac) for word ``n``-grams of the bound token array ``ws`` —
+    the Gopher repetition-signal kernel (Rae et al. 2021, "Scaling
+    Language Models", Appendix A quality heuristics; public paper).
+
+    Definitions (documented here because the paper leaves the char
+    accounting loose, and the oracle replays exactly these):
+
+    - the normalized document is the tokens joined by single spaces;
+      ``total`` chars below is its length;
+    - ``top_frac``  = occurrences(top gram) · length(top gram) / total,
+      where the top gram is the most frequent n-gram, ties broken by
+      the lexicographically smallest gram;
+    - ``dup_frac``  = Σ over distinct n-grams occurring ≥ 2 times of
+      occurrences · length(gram), divided by ``total``.
+
+    Documents with fewer than ``n`` tokens report 0 counts/fractions
+    and an empty top gram. Cost is O(G·D) per document (G grams, D
+    distinct grams) — bounded by document length squared, never by
+    corpus size; every intermediate array is BOUND as a lambda
+    variable (the ``bind1`` rule) so nothing re-evaluates per element.
+    The top gram is picked via ``array_min`` over ``(-count, gram)``
+    structs — one O(D) fold, no comparator sort, and the same struct
+    ordering exists in the DuckDB oracle (``list_min``)."""
+    from margaret_spark.functions.shingling import bind1
+
+    g_expr = F.transform(
+        gram_indices(F.size(ws) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+
+    def with_g(g: Column) -> Column:
+        z_expr = F.transform(
+            F.array_distinct(g),
+            lambda d: F.struct(
+                d.alias("g"),
+                F.size(F.filter(g, lambda x: x == d)).alias("c"),
+            ),
+        )
+
+        def with_z(z: Column) -> Column:
+            top = F.array_min(
+                F.transform(
+                    z,
+                    lambda s: F.struct(
+                        (-s["c"]).alias("nc"), s["g"].alias("g")
+                    ),
+                )
+            )
+            dup_mass = F.aggregate(
+                z,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.when(
+                    s["c"] >= 2, s["c"].cast("long") * F.length(s["g"])
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            total = F.length(F.array_join(ws, " "))
+            top_count = F.coalesce(-top["nc"], F.lit(0)).cast("long")
+            top_gram = F.coalesce(top["g"], F.lit(""))
+            top_frac = pround(
+                F.when(
+                    total > 0,
+                    (top_count * F.length(top_gram)).cast("double") / total,
+                ).otherwise(F.lit(0.0)),
+                round_digits,
+            )
+            dup_frac = pround(
+                F.when(
+                    total > 0, dup_mass.cast("double") / total
+                ).otherwise(F.lit(0.0)),
+                round_digits,
+            )
+            return F.struct(
+                F.size(g).cast("long").alias("n_grams"),
+                top_gram.alias("top_gram"),
+                top_count.alias("top_count"),
+                top_frac.alias("top_frac"),
+                dup_frac.alias("dup_frac"),
+            )
+
+        return bind1(z_expr, with_z)
+
+    return bind1(g_expr, with_g)
+
+
+def ngram_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(id, n_grams, top_gram, top_count, top_frac, dup_frac): the
+    detailed single-``n`` repetition report — what fraction of the
+    document's characters the most frequent word n-gram covers, and
+    what fraction sits inside ANY duplicated n-gram. The per-document
+    drill-down behind :func:`gopher_repetition`; see
+    :func:`_gram_coverage_struct` for the exact char accounting.
+
+    Shape at scale: one narrow codegen projection, no shuffle — the
+    per-row cost is bounded by document length, so the pass is linear
+    in corpus size at any scale. CPU-heavy per row, so the corpus is
+    spread across the full parallelism first (same rationale as
+    :func:`repetition_score`)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    from margaret_spark.functions.shingling import bind1
+
+    s = bind1(
+        words(F.col(text_col)),
+        lambda ws: _gram_coverage_struct(ws, n, round_digits),
+    )
+    staged = df.select(F.col(id_col), s.alias("__s"))
+    return staged.select(
+        F.col(id_col),
+        F.col("__s")["n_grams"].alias("n_grams"),
+        F.col("__s")["top_gram"].alias("top_gram"),
+        F.col("__s")["top_count"].alias("top_count"),
+        F.col("__s")["top_frac"].alias("top_frac"),
+        F.col("__s")["dup_frac"].alias("dup_frac"),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    round_digits: int = 4,
+) -> DataFrame:
+    """The Gopher repetition battery (Rae et al. 2021): per document,
+    ``top_{n}gram_frac`` for n in ``top_ns`` (char mass of the most
+    frequent n-gram) and ``dup_{n}gram_frac`` for n in ``dup_ns``
+    (char mass inside duplicated n-grams). The standard web-corpus
+    repetition filter reads these against fixed thresholds (e.g. the
+    paper cuts docs with top-2-gram coverage > 0.20 or dup-5-gram
+    coverage > 0.15); this operator reports the raw fractions so the
+    cut stays a caller-side predicate.
+
+    One codegen projection per document — all n values are computed in
+    the same row pass over one bound token array; no shuffle, linear
+    in corpus size."""
+    for n in tuple(top_ns) + tuple(dup_ns):
+        if n < 1:
+            raise ValueError(f"n must be >= 1: {n}")
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    from margaret_spark.functions.shingling import bind1
+
+    def battery(ws: Column) -> Column:
+        fields = []
+        for n in top_ns:
+            fields.append(
+                _gram_coverage_struct(ws, n, round_digits)["top_frac"].alias(
+                    f"top_{n}gram_frac"
+                )
+            )
+        for n in dup_ns:
+            fields.append(
+                _gram_coverage_struct(ws, n, round_digits)["dup_frac"].alias(
+                    f"dup_{n}gram_frac"
+                )
+            )
+        return F.struct(*fields)
+
+    staged = df.select(
+        F.col(id_col),
+        bind1(words(F.col(text_col)), battery).alias("__b"),
+    )
+    cols = [F.col(id_col)]
+    for n in top_ns:
+        cols.append(F.col("__b")[f"top_{n}gram_frac"].alias(f"top_{n}gram_frac"))
+    for n in dup_ns:
+        cols.append(F.col("__b")[f"dup_{n}gram_frac"].alias(f"dup_{n}gram_frac"))
+    return staged.select(*cols)
+
+
+def line_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = r"\n",
+    round_digits: int = 4,
+) -> DataFrame:
+    """(id, n_lines, n_distinct_lines, dup_line_frac, dup_char_frac):
+    line-level repetition — the other half of the Gopher battery
+    (duplicate-line fraction and the char mass inside duplicated
+    lines). Lines are the non-empty segments after splitting on the
+    ``sep`` regex; they are compared EXACTLY (no trimming beyond the
+    empty-segment drop), and the char denominator is the sum of line
+    lengths (separators carry no mass).
+
+    Same shape as :func:`ngram_coverage`: one codegen projection, no
+    shuffle, per-row cost O(L·D) in lines × distinct lines — bounded
+    by document size, linear in corpus size."""
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    from margaret_spark.functions.shingling import bind1
+
+    lines_expr = F.filter(
+        F.split(F.col(text_col), sep), lambda seg: seg != ""
+    )
+
+    def with_lines(l: Column) -> Column:
+        z_expr = F.transform(
+            F.array_distinct(l),
+            lambda d: F.struct(
+                d.alias("g"),
+                F.size(F.filter(l, lambda x: x == d)).alias("c"),
+            ),
+        )
+
+        def with_z(z: Column) -> Column:
+            n_lines = F.size(l).cast("long")
+            n_distinct = F.size(z).cast("long")
+            char_total = F.aggregate(
+                l,
+                F.lit(0).cast("long"),
+                lambda acc, seg: acc + F.length(seg).cast("long"),
+            )
+            dup_chars = F.aggregate(
+                z,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.when(
+                    s["c"] >= 2, s["c"].cast("long") * F.length(s["g"])
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            dup_line_frac = pround(
+                F.when(
+                    n_lines > 0,
+                    (n_lines - n_distinct).cast("double") / n_lines,
+                ).otherwise(F.lit(0.0)),
+                round_digits,
+            )
+            dup_char_frac = pround(
+                F.when(
+                    char_total > 0, dup_chars.cast("double") / char_total
+                ).otherwise(F.lit(0.0)),
+                round_digits,
+            )
+            return F.struct(
+                n_lines.alias("n_lines"),
+                n_distinct.alias("n_distinct_lines"),
+                dup_line_frac.alias("dup_line_frac"),
+                dup_char_frac.alias("dup_char_frac"),
+            )
+
+        return bind1(z_expr, with_z)
+
+    staged = df.select(
+        F.col(id_col), bind1(lines_expr, with_lines).alias("__s")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__s")["n_lines"].alias("n_lines"),
+        F.col("__s")["n_distinct_lines"].alias("n_distinct_lines"),
+        F.col("__s")["dup_line_frac"].alias("dup_line_frac"),
+        F.col("__s")["dup_char_frac"].alias("dup_char_frac"),
+    )

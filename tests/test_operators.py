@@ -2606,3 +2606,71 @@ def test_simpson_index_hand_fixture(spark):
     assert abs(got[3].simpson - 5 / 9) < 1e-6
     for d in (4, 5):
         assert got[d].n_tokens == 0 and got[d].simpson is None
+
+
+def test_ngram_coverage_hand_fixture(spark):
+    from margaret_spark.operators.text import ngram_coverage
+
+    fixtures = [
+        (0, "a b a b a b"),        # bigrams: "a b"x3, "b a"x2 -> top "a b"
+        (1, "one two three"),      # all bigrams distinct, tie on count=1
+        (2, "x"),                  # too short for bigrams
+        (3, ""),
+    ]
+    df = spark.createDataFrame(fixtures, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_coverage(df, "doc_id", "text", n=2).collect()}
+    # doc0: normalized "a b a b a b" = 11 chars; top gram "a b" (3
+    # chars) occurs 3x -> 9/11; every bigram duplicated -> (3*3+2*3)/11
+    assert got[0].n_grams == 5
+    assert got[0].top_gram == "a b" and got[0].top_count == 3
+    assert got[0].top_frac == round(9 / 11, 4)
+    # overlapping grams can exceed 1.0 by design (char mass counts occurrences)
+    assert got[0].dup_frac == round(15 / 11, 4)
+    # doc1: counts all 1 -> tie broken by lexicographically smallest gram
+    assert got[1].top_gram == "one two" and got[1].top_count == 1
+    assert got[1].dup_frac == 0.0
+    # short/empty docs: zero counts, empty top gram, zero fractions
+    for d in (2, 3):
+        assert got[d].n_grams == 0 and got[d].top_gram == ""
+        assert got[d].top_count == 0
+        assert got[d].top_frac == 0.0 and got[d].dup_frac == 0.0
+
+
+def test_gopher_battery_columns_and_values(spark):
+    from margaret_spark.operators.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(0, "p q r p q r p q r p q r")], "doc_id long, text string"
+    )
+    out = gopher_repetition(df, "doc_id", "text", top_ns=(2, 3), dup_ns=(3,))
+    assert out.columns == ["doc_id", "top_2gram_frac", "top_3gram_frac", "dup_3gram_frac"]
+    row = out.collect()[0]
+    # normalized doc = 23 chars. top bigram "p q" (3 chars) x4 -> 12/23
+    assert row.top_2gram_frac == round(12 / 23, 4)
+    # top trigram "p q r" (5 chars) x4 -> 20/23
+    assert row.top_3gram_frac == round(20 / 23, 4)
+    # duplicated trigrams: "p q r"x4 (20), "q r p"x3 (15), "r p q"x3 (15) -> 50/23
+    assert row.dup_3gram_frac == round(50 / 23, 4)
+
+
+def test_line_repetition_hand_fixture(spark):
+    from margaret_spark.operators.text import line_repetition
+
+    fixtures = [
+        (0, "aaa\nbbb\naaa"),      # line "aaa" duplicated
+        (1, "one\ntwo\nthree"),    # all distinct
+        (2, "solo"),               # single line
+        (3, ""),                   # no lines
+        (4, "x\n\nx"),             # empty segment dropped, "x" duplicated
+    ]
+    df = spark.createDataFrame(fixtures, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_repetition(df, "doc_id", "text").collect()}
+    assert got[0].n_lines == 3 and got[0].n_distinct_lines == 2
+    assert got[0].dup_line_frac == round(1 / 3, 4)
+    # duplicated-line char mass: "aaa" x2 x len 3 = 6 of 9 total chars
+    assert got[0].dup_char_frac == round(6 / 9, 4)
+    assert got[1].dup_line_frac == 0.0 and got[1].dup_char_frac == 0.0
+    assert got[2].n_lines == 1 and got[2].dup_line_frac == 0.0
+    assert got[3].n_lines == 0 and got[3].dup_line_frac == 0.0
+    assert got[4].n_lines == 2 and got[4].n_distinct_lines == 1
+    assert got[4].dup_line_frac == 0.5 and got[4].dup_char_frac == 1.0
