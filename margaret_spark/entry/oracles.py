@@ -907,6 +907,50 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(n_chars) AS BIGINT) AS total_size "
         "FROM documents GROUP BY 1"
     )
+    # incremental-ingest eval: planted batch = exact copies of the
+    # selected 3/16 (+1e9) + guaranteed-fresh docs (disjoint md5
+    # selection, +2e9, unique ' zqnew<id>' suffix); the detector
+    # mirror is text-equality membership in the existing corpus
+    # (IS NOT DISTINCT FROM — the NULL-safe twin of the sentinel hash)
+    _FRESH_SEL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('3','4')"
+    d["dedup_eval_incremental"] = (
+        "WITH newd AS ("
+        "SELECT doc_id + 1000000000 AS doc_id, text FROM documents "
+        f"WHERE {_PLANT_SEL} "
+        "UNION ALL "
+        "SELECT doc_id + 2000000000 AS doc_id, "
+        "text || ' zqnew' || CAST(doc_id AS VARCHAR) AS text "
+        f"FROM documents WHERE {_FRESH_SEL}), "
+        "pred AS (SELECT n.doc_id FROM newd n WHERE EXISTS ("
+        "SELECT 1 FROM documents e "
+        "WHERE e.text IS NOT DISTINCT FROM n.text)), "
+        "truth AS (SELECT doc_id + 1000000000 AS doc_id FROM documents "
+        f"WHERE {_PLANT_SEL})" + _ID_METRICS
+    )
+    # cross-corpus eval: even ids = existing, incoming = odd ids +
+    # token-mutated copies of the selected EVEN docs; detector = the
+    # graded jaccard JOIN with max_df='auto' resolved over the
+    # COMBINED planted corpora (cap CTE reads pdocs)
+    d["dedup_eval_cross"] = (
+        "WITH pdocs AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000000 AS doc_id, "
+        "text || ' zqdup' || CAST(doc_id AS VARCHAR) AS text "
+        f"FROM documents WHERE doc_id % 2 = 0 AND {_PLANT_SEL}), "
+        "truth AS (SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b "
+        f"FROM documents WHERE doc_id % 2 = 0 AND {_PLANT_SEL}), "
+        + _CAPPED_SHINGLE_CTES.replace("FROM documents", "FROM pdocs")
+        + ", l AS (SELECT * FROM s "
+        "WHERE doc_id % 2 = 0 AND doc_id < 1000000000), "
+        "r AS (SELECT * FROM s "
+        "WHERE doc_id % 2 = 1 OR doc_id >= 1000000000), "
+        "szl AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id), "
+        "szr AS (SELECT doc_id, count(*) AS n FROM r GROUP BY doc_id), "
+        "inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, "
+        "count(*) AS c FROM l JOIN r ON l.sh = r.sh GROUP BY 1, 2), "
+        "pred AS (SELECT id_a, id_b FROM inter "
+        "JOIN szl x ON x.doc_id = id_a JOIN szr y ON y.doc_id = id_b "
+        "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2)" + _METRICS
+    )
     return d
 
 

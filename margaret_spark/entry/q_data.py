@@ -1860,3 +1860,62 @@ def q_text_line_repetition(spark, sf_dir):
     ).otherwise(F.concat_ws("\n", lines))
     planted = docs.select("doc_id", text2.alias("text"))
     return line_repetition(planted, "doc_id", "text")
+
+
+def q_dedup_eval_incremental(spark, sf_dir):
+    """Dedup-quality harness, incremental-ingest family: plant a
+    daily-ingest batch (exact copies of the md5-selected 3/16 +
+    guaranteed-fresh docs, operators.dedupeval.plant_ingest_batch),
+    run the graded incremental detector
+    (dedup.incremental_exact_dedup), and score the documents it labels
+    dup_of_existing against the planted copy ids — document-level
+    metrics (id_metrics), because the incremental detector's output is
+    a per-document label, not a pair list. Hash-exact."""
+    from margaret_spark.operators.dedup import incremental_exact_dedup
+    from margaret_spark.operators.dedupeval import (
+        id_metrics,
+        plant_ingest_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming, truth = plant_ingest_batch(docs, "doc_id", "text")
+    labeled = incremental_exact_dedup(
+        incoming, docs.select("doc_id", "text"), "doc_id", "text"
+    )
+    pred = labeled.where(F.col("status") == "dup_of_existing").select(
+        "doc_id"
+    )
+    return id_metrics(pred, truth, "doc_id")
+
+
+def q_dedup_eval_cross(spark, sf_dir):
+    """Dedup-quality harness, cross-corpus family: even ids play the
+    existing corpus, incoming is the odd ids plus one-token-mutated
+    copies of the selected even docs
+    (operators.dedupeval.plant_cross_corpus); the graded cross-corpus
+    detector (dedup.ngram_jaccard_join, threshold 0.2, word trigrams,
+    max_df='auto' over the combined corpora) is scored against the
+    planted cross-boundary truth pairs. Recall measures the join's
+    planted-dup sensitivity; precision is the documented lower bound
+    (organic cross-corpus near-dups count against it). Hash-exact."""
+    from margaret_spark.operators.dedup import ngram_jaccard_join
+    from margaret_spark.operators.dedupeval import (
+        pair_metrics,
+        plant_cross_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    existing, incoming, truth = plant_cross_corpus(docs, "doc_id", "text")
+    pred = ngram_jaccard_join(
+        existing,
+        incoming,
+        "doc_id",
+        "text",
+        threshold=0.2,
+        mode="word",
+        n=3,
+        max_df="auto",
+    ).select(
+        F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b")
+    )
+    return pair_metrics(pred, truth)

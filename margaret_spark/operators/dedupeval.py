@@ -195,3 +195,65 @@ def _flag_metrics(joined: DataFrame, round_digits: int) -> DataFrame:
             (F.col("n_pred") + F.col("n_truth")).cast("double"),
         ).alias("f1"),
     )
+
+
+def plant_ingest_batch(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    fresh_prefixes: tuple[str, ...] = ("3", "4"),
+    id_offset: int = PLANT_OFFSET,
+) -> tuple[DataFrame, DataFrame]:
+    """(incoming, truth): the planted daily-ingest batch for the
+    incremental-dedup eval — EXACT copies of the md5-selected 3/16
+    (ids ``+id_offset``) plus guaranteed-fresh documents (a disjoint
+    md5 selection, ids ``+2·id_offset``, with a per-id `` zqnew<id>``
+    suffix no existing document can contain). Truth is the copy id
+    set: a correct incremental detector labels exactly those
+    ``dup_of_existing``. Same determinism contract as
+    :func:`plant_text_duplicates`."""
+    base = docs.select(F.col(id_col), F.col(text_col))
+    sel = _selected(base, id_col)
+    copies = sel.select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col), F.col(text_col)
+    )
+    fresh = base.where(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).isin(
+            *fresh_prefixes
+        )
+    ).select(
+        (F.col(id_col) + F.lit(2 * id_offset)).alias(id_col),
+        F.concat(
+            F.col(text_col), F.lit(" zqnew"), F.col(id_col).cast("string")
+        ).alias(text_col),
+    )
+    truth = sel.select((F.col(id_col) + F.lit(id_offset)).alias(id_col))
+    return copies.unionByName(fresh), truth
+
+
+def plant_cross_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    id_offset: int = PLANT_OFFSET,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(existing, incoming, truth): the planted two-corpus fixture for
+    the cross-corpus near-dup eval — even ids play the existing
+    corpus, incoming is the odd ids plus one-token-mutated copies of
+    the md5-selected EVEN docs (so every truth pair crosses the corpus
+    boundary). Truth is (source id_a, copy id_b)."""
+    base = docs.select(F.col(id_col), F.col(text_col))
+    existing = base.where(F.col(id_col) % 2 == 0)
+    sel = _selected(existing, id_col)
+    copies = sel.select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+        F.concat(
+            F.col(text_col), F.lit(" zqdup"), F.col(id_col).cast("string")
+        ).alias(text_col),
+    )
+    incoming = base.where(F.col(id_col) % 2 == 1).unionByName(copies)
+    truth = sel.select(
+        F.col(id_col).alias("id_a"),
+        (F.col(id_col) + F.lit(id_offset)).alias("id_b"),
+    )
+    return existing, incoming, truth

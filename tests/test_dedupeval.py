@@ -162,3 +162,63 @@ def test_id_metrics_math(spark):
     # empty truth: all ratios pin to 0.0
     row = id_metrics(pred, truth.where(F.lit(False)), "doc_id").collect()[0]
     assert (row.n_truth, row.recall, row.precision) == (0, 0.0, 0.0)
+
+
+def test_plant_ingest_batch_and_incremental_eval(spark):
+    from margaret_spark.operators.dedup import incremental_exact_dedup
+    from margaret_spark.operators.dedupeval import (
+        id_metrics,
+        plant_ingest_batch,
+    )
+
+    docs, rows = _clean_docs(spark)
+    incoming, truth = plant_ingest_batch(docs, "doc_id", "text")
+    sel = _expected_sel([i for i, _ in rows])
+    fresh = sorted(
+        i
+        for i, _ in rows
+        if hashlib.md5(str(i).encode()).hexdigest()[0] in ("3", "4")
+    )
+    # batch composition: copies at +OFFSET, fresh at +2*OFFSET with a
+    # suffix no original contains
+    got = {r.doc_id: r.text for r in incoming.collect()}
+    assert sorted(got) == sorted(
+        [i + PLANT_OFFSET for i in sel] + [i + 2 * PLANT_OFFSET for i in fresh]
+    )
+    originals = {t for _, t in rows}
+    for i in sel:
+        assert got[i + PLANT_OFFSET] in originals
+    for i in fresh:
+        assert got[i + 2 * PLANT_OFFSET].endswith(f" zqnew{i}")
+        assert got[i + 2 * PLANT_OFFSET] not in originals
+    # on a clean corpus the exact incremental detector is perfect
+    labeled = incremental_exact_dedup(incoming, docs, "doc_id", "text")
+    pred = labeled.where(F.col("status") == "dup_of_existing").select("doc_id")
+    m = id_metrics(pred, truth, "doc_id").collect()[0]
+    assert (m.n_pred, m.n_truth, m.tp) == (len(sel), len(sel), len(sel))
+    assert m.precision == 1.0 and m.recall == 1.0 and m.f1 == 1.0
+
+
+def test_plant_cross_corpus_boundary_and_eval(spark):
+    from margaret_spark.operators.dedup import ngram_jaccard_join
+    from margaret_spark.operators.dedupeval import plant_cross_corpus
+
+    docs, rows = _clean_docs(spark)
+    existing, incoming, truth = plant_cross_corpus(docs, "doc_id", "text")
+    evens = [i for i, _ in rows if i % 2 == 0]
+    odds = [i for i, _ in rows if i % 2 == 1]
+    sel = _expected_sel(evens)
+    assert sorted(r.doc_id for r in existing.collect()) == evens
+    assert sorted(r.doc_id for r in incoming.collect()) == sorted(
+        odds + [i + PLANT_OFFSET for i in sel]
+    )
+    # every truth pair crosses the corpus boundary
+    t = sorted((r.id_a, r.id_b) for r in truth.collect())
+    assert t == [(i, i + PLANT_OFFSET) for i in sel]
+    # clean corpus: the join finds exactly the planted pairs
+    pred = ngram_jaccard_join(
+        existing, incoming, "doc_id", "text",
+        threshold=0.2, mode="word", n=3, max_df="auto",
+    ).select(F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b"))
+    m = pair_metrics(pred, truth).collect()[0]
+    assert m.precision == 1.0 and m.recall == 1.0
