@@ -95,6 +95,9 @@ def oracle_sql() -> dict[str, str]:
     # the at-ingest decontamination scorer must reproduce the batch
     # containment scoring exactly (same split, shingles, arithmetic)
     d["stream_decontaminate"] = d["decontaminate"]
+    # the Bloom-prefiltered scale path must be value-identical to the
+    # baseline (no false negatives + exact verify of positives)
+    d["decontaminate_bloom"] = d["decontaminate"]
     d["stream_decontaminate_spans"] = d["decontaminate_spans"]
     # the streaming SCD2 ingest publishes the identical history the
     # batch merge produces — same closed-form oracle

@@ -1919,3 +1919,25 @@ def q_dedup_eval_cross(spark, sf_dir):
         F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b")
     )
     return pair_metrics(pred, truth)
+
+
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination
+    (dedup.ngram_contamination_bloom): the identical contract to
+    q_decontaminate — same eval split, same trigram containment, same
+    output — but the corpus shingles probe a 16 KB broadcast Bloom
+    bitmap inside codegen FIRST, and only bloom-positives reach the
+    exact verify join. Bloom has no false negatives, so the oracle is
+    the decontaminate oracle verbatim; what this query grades is that
+    the scale path (bitmap prefilter + candidate-only verify) is
+    value-identical to the baseline."""
+    from margaret_spark.operators.dedup import ngram_contamination_bloom
+    from margaret_spark.operators.sampling import hash_sample, hex_threshold
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = hash_sample(docs, "doc_id", 0.05)
+    thr = hex_threshold(0.05)
+    rest = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) >= thr
+    )
+    return ngram_contamination_bloom(rest, eval_df, "doc_id", "text")

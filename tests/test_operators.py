@@ -2674,3 +2674,54 @@ def test_line_repetition_hand_fixture(spark):
     assert got[3].n_lines == 0 and got[3].dup_line_frac == 0.0
     assert got[4].n_lines == 2 and got[4].n_distinct_lines == 1
     assert got[4].dup_line_frac == 0.5 and got[4].dup_char_frac == 1.0
+
+
+def test_ngram_contamination_bloom_equals_baseline(spark):
+    from margaret_spark.operators.dedup import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "one two three four five six"),
+            (2, "alpha beta gamma zeta eta theta"),
+            (3, "xx"),          # too short for trigrams: 0 shingles
+            (4, None),          # NULL text must still report a row
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    base = {
+        r.doc_id: (r.n_shingles, r.n_matched, r.contamination)
+        for r in ngram_contamination(corpus, eval_df, "doc_id", "text").collect()
+    }
+    for kwargs in (
+        {},                                 # default bitmap
+        {"m_bits": 64, "k_hashes": 2},      # tiny, heavy-FP bitmap:
+        # false positives are verified away, results must not change
+        {"verify_broadcast": False},        # shuffle-join verify path
+    ):
+        got = {
+            r.doc_id: (r.n_shingles, r.n_matched, r.contamination)
+            for r in ngram_contamination_bloom(
+                corpus, eval_df, "doc_id", "text", **kwargs
+            ).collect()
+        }
+        assert got == base, kwargs
+    # sanity on the fixture itself: contamination really binds
+    assert base[0][1] > 0 and base[1][1] == 0
+
+
+def test_bloom_bitmap_words_packing():
+    from margaret_spark.operators.dedup import _bloom_bitmap_words
+
+    # bit 0 -> word0 lsb; bit 63 -> word0 sign bit (two's complement
+    # wrap for the Spark long literal); bit 64 -> word1 lsb
+    ws = _bloom_bitmap_words([0, 63, 64], 128)
+    assert len(ws) == 2
+    assert ws[0] == 1 - (1 << 63)
+    assert ws[1] == 1
