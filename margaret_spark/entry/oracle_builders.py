@@ -1123,3 +1123,118 @@ def _line_repetition_sql(digits: int = 4) -> str:
         )
         + " AS dup_char_frac FROM z"
     )
+
+
+def _icbrt_limit(src: str, floor: int) -> str:
+    """LIMIT/bound expression mirroring ``semdedup.icbrt_ceil``: the
+    per-level branching factor k = max(floor, ceil(∛N)) derived FROM
+    THE DATA. Float cbrt can sit 1 ulp off at perfect cubes, so the
+    integer correction CASE makes the value exact — bit-agreed with
+    the Python exact loop on every N."""
+    return (
+        f"(SELECT greatest({int(floor)}, "
+        "CASE WHEN r * r * r < n THEN r + 1 "
+        "WHEN (r - 1) * (r - 1) * (r - 1) >= n THEN r - 1 "
+        "ELSE r END) FROM (SELECT CAST(ceil(cbrt(count(*))) AS BIGINT) "
+        f"AS r, count(*) AS n FROM {src}))"
+    )
+
+
+def _hier_semdedup_sql(
+    kind: str,
+    k1: int | str = 4,
+    k2: int | str = 4,
+    iters: int = 2,
+    threshold: float = 0.4,
+    rd: int = 6,
+    cd: int = 9,
+    ds: int = 12,
+    src: str = "embeddings",
+) -> str:
+    """Hierarchical SemDeDup oracle (operators.semdedup
+    .semantic_dedup_pairs_hier / semantic_prune_hier): the coarse
+    Lloyd CTEs (_kmeans_ctes) plus a PER-CELL sub-level Lloyd —
+    sub-centroid init is the k2 lowest ids per coarse cell (sub_id =
+    rank), each round one within-cell assignment (rounded-cosine
+    desc, sub_id asc) and one (cent_id, sub_id, d)-keyed mean with
+    empty sub-cells keeping their previous centroid — then the pair
+    join keyed on (cent_id, sub_id), and for kind='prune' the
+    dominance anti-filter."""
+
+    def cos(a: str, b: str) -> str:
+        return _pr(_cosine_sql(a, b), rd)
+
+    ctes, fin = _kmeans_ctes(k1, iters, rd, cd, ds, src=src)
+    ctes = list(ctes)
+    ctes.append(f"coarse AS ({fin})")
+    ctes.append(
+        f"av AS (SELECT f.vec_id, f.cent_id, e.embedding "
+        f"FROM coarse f JOIN {src} e ON e.vec_id = f.vec_id)"
+    )
+    ctes.append(
+        "sub0 AS (SELECT cent_id, CAST(sub_id AS INT) AS sub_id, "
+        "embedding AS cent FROM ("
+        "SELECT cent_id, embedding, row_number() OVER ("
+        "PARTITION BY cent_id ORDER BY vec_id) AS sub_id FROM av) "
+        f"WHERE sub_id <= {k2})"
+    )
+    for i in range(1, iters + 1):
+        prev = f"sub{i - 1}"
+        ctes.append(
+            f"sa{i} AS (SELECT vec_id, cent_id, sub_id, embedding FROM ("
+            "SELECT a.vec_id, a.cent_id, c.sub_id, a.embedding, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            + cos("a.embedding", "c.cent")
+            + " DESC, c.sub_id ASC) AS cr "
+            f"FROM av a JOIN {prev} c ON c.cent_id = a.cent_id) "
+            "WHERE cr = 1)"
+        )
+        contrib = _pr("CAST(embedding[d] AS DOUBLE)", cd)
+        ctes.append(
+            f"sm{i} AS (SELECT cent_id, sub_id, d, "
+            + _pr(
+                f"CAST(sum(CAST({contrib} AS DECIMAL(38,{ds}))) AS DOUBLE)"
+                " / count(*)",
+                cd,
+            )
+            + " AS m FROM (SELECT cent_id, sub_id, embedding, "
+            f"unnest(range(1, len(embedding) + 1)) AS d FROM sa{i}) "
+            "GROUP BY cent_id, sub_id, d)"
+        )
+        ctes.append(
+            f"sub{i} AS (SELECT c.cent_id, c.sub_id, "
+            "COALESCE(g.cent, c.cent) AS cent "
+            f"FROM {prev} c LEFT JOIN (SELECT cent_id, sub_id, "
+            f"list(m ORDER BY d) AS cent FROM sm{i} "
+            "GROUP BY cent_id, sub_id) g "
+            "ON g.cent_id = c.cent_id AND g.sub_id = c.sub_id)"
+        )
+    fc = cos("a.embedding", "c.cent")
+    ctes.append(
+        "hfin AS (SELECT vec_id, cent_id, sub_id, cosine FROM ("
+        f"SELECT a.vec_id, a.cent_id, c.sub_id, {fc} AS cosine, "
+        f"row_number() OVER (PARTITION BY a.vec_id ORDER BY {fc} DESC, "
+        f"c.sub_id ASC) AS cr FROM av a JOIN sub{iters} c "
+        "ON c.cent_id = a.cent_id) WHERE cr = 1)"
+    )
+    sim = _pr(_cosine_sql("ea.embedding", "eb.embedding"), rd)
+    ctes.append(
+        "pairs AS (SELECT id_a, id_b, cent_id, sub_id, cosine FROM ("
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cent_id, "
+        f"a.sub_id, {sim} AS cosine "
+        "FROM hfin a JOIN hfin b ON a.cent_id = b.cent_id "
+        "AND a.sub_id = b.sub_id AND a.vec_id < b.vec_id "
+        f"JOIN {src} ea ON ea.vec_id = a.vec_id "
+        f"JOIN {src} eb ON eb.vec_id = b.vec_id) "
+        f"WHERE cosine >= {threshold})"
+    )
+    if kind == "pairs":
+        return (
+            "WITH " + ", ".join(ctes)
+            + " SELECT id_a, id_b, cent_id, sub_id, cosine FROM pairs"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT vec_id, cent_id, sub_id, cosine AS cent_cosine "
+        "FROM hfin WHERE vec_id NOT IN (SELECT id_b FROM pairs)"
+    )

@@ -30,6 +30,7 @@ from margaret_spark.operators.text import (
 from margaret_spark.qry import Gt, Gte, Limit, Lte, Reverse, build_plan, apply_plan
 from margaret_spark.indexes import latest_by_key, fanout
 from margaret_spark.entry.oracle_builders import _scaled_k_limit
+from margaret_spark.entry.oracle_builders import _hier_semdedup_sql, _icbrt_limit
 from margaret_spark.entry.oracle_builders import _gopher_battery_sql, _line_repetition_sql, _ngram_coverage_sql
 from margaret_spark.entry.oracle_builders import _CAPPED_SHINGLE_CTES, _CLUSTER_CTES, _CUT_HIT_FIRST_DOC, _CUT_HIT_FIRST_OCCURRENCE, _CUT_SPAN_SELECT, _DOT, _DUP_SPAN_CTES, _TRIANGLE_CTES, _WORDS, _bm25_sql, _bpe_doc_tokens_cte, _bpe_tokens_sql, _contrastive_sql, _cosine_sql, _cut_span_ctes, _decon_sem_sql, _hashembed_ctes, _ivfpq_sql, _kcore_sql, _kmeans_sql, _langid_sql, _pagerank_sql, _pq_ctes, _pq_sql, _pr, _quality_rules_sql, _quality_sql, _repetition_sql, _semdedup_incr_sql, _semdedup_sql, _tfidf_sql
 from margaret_spark.entry.q_data import _PII_REDACT_SQL, _PII_SALT_SQL
@@ -864,6 +865,30 @@ def oracle_sql() -> dict[str, str]:
         "FROM cell a JOIN cell b ON a.cent_id = b.cent_id AND a.id < b.id "
         "WHERE " + _pr(_cosine_sql("a.v", "b.v")) + " >= 0.45)"
         + _METRICS
+    )
+    # hierarchical-SemDeDup eval arm: the full two-level Lloyd pair
+    # chain re-sourced onto the planted embeddings (nested WITH in a
+    # subquery — outer CTEs are visible inside it), scored against the
+    # planted truth with the standard pair-metric tail
+    d["dedup_eval_semantic_hier"] = (
+        "WITH pemb2 AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+        "FROM embeddings UNION ALL "
+        "SELECT vec_id + 1000000000 AS vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) "
+        "+ CAST(0.01 AS DOUBLE)) AS embedding "
+        f"FROM embeddings WHERE {_PLANT_SEL_V}), "
+        "truth AS (SELECT vec_id AS id_a, vec_id + 1000000000 AS id_b "
+        f"FROM embeddings WHERE {_PLANT_SEL_V}), "
+        "pred AS (SELECT id_a, id_b FROM ("
+        + _hier_semdedup_sql(
+            "pairs",
+            k1=_icbrt_limit("pemb2", 4),
+            k2=_icbrt_limit("pemb2", 4),
+            threshold=0.45,
+            src="pemb2",
+        )
+        + ") z)" + _METRICS
     )
     # materialized mixture: the corpus_mixture oracle (as a subquery
     # CTE) feeds floor(weight·total) budgets into the per-source
@@ -2448,6 +2473,16 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "dedup_semantic": _semdedup_sql(
             "prune", k=_scaled_k_limit("embeddings", 8)
+        ),
+        "dedup_semantic_hier_pairs": _hier_semdedup_sql(
+            "pairs",
+            k1=_icbrt_limit("embeddings", 4),
+            k2=_icbrt_limit("embeddings", 4),
+        ),
+        "dedup_semantic_hier": _hier_semdedup_sql(
+            "prune",
+            k1=_icbrt_limit("embeddings", 4),
+            k2=_icbrt_limit("embeddings", 4),
         ),
         "dedup_semantic_incremental": _semdedup_incr_sql(
             k=_scaled_k_limit(

@@ -1941,3 +1941,68 @@ def q_decontaminate_bloom(spark, sf_dir):
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) >= thr
     )
     return ngram_contamination_bloom(rest, eval_df, "doc_id", "text")
+
+
+def q_dedup_semantic_hier_pairs(spark, sf_dir):
+    """Hierarchical SemDeDup pair stage (semdedup
+    .semantic_dedup_pairs_hier): the LINEAR-PATH variant of
+    dedup_semantic_pairs — coarse ∛N-way Lloyd cells refined by a
+    per-cell ∛N-way sub-level, pairs joined on (cent_id, sub_id).
+    Flat √N clustering balances at N^1.5; two ∛N levels balance at
+    N^(4/3). Both branching factors follow the data (icbrt_ceil; the
+    oracle derives the same value with a cbrt-plus-integer-correction
+    subquery). Graded hash-exact against the generated two-level
+    Lloyd oracle chain."""
+    from margaret_spark.operators.semdedup import (
+        icbrt_ceil,
+        semantic_dedup_pairs_hier,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = icbrt_ceil(emb.count(), 4)
+    return semantic_dedup_pairs_hier(
+        emb, k1=b, k2=b, iters=2, threshold=0.4
+    )
+
+
+def q_dedup_semantic_hier(spark, sf_dir):
+    """Hierarchical SemDeDup keeps (semdedup.semantic_prune_hier):
+    the dominance prune over the two-level quantizer cells — same
+    curation decision as dedup_semantic, N^(4/3) shape. Hash-exact."""
+    from margaret_spark.operators.semdedup import (
+        icbrt_ceil,
+        semantic_prune_hier,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = icbrt_ceil(emb.count(), 4)
+    return semantic_prune_hier(emb, k1=b, k2=b, iters=2, threshold=0.4)
+
+
+def q_dedup_eval_semantic_hier(spark, sf_dir):
+    """Dedup-quality harness, hierarchical-SemDeDup family: plant
+    +0.01-shifted embedding copies, run the two-level quantizer pair
+    detector at threshold 0.45, score against planted truth. A missed
+    planted pair here is the hierarchy's CELL-SPLIT miss (source and
+    copy landing in different (cent_id, sub_id) cells) — the exact
+    trade the N^(4/3) shape buys, quantified on the same planted truth
+    as the flat-IVF eval arm so the two recalls are directly
+    comparable. Hash-exact."""
+    from margaret_spark.operators.dedupeval import (
+        pair_metrics,
+        plant_embedding_duplicates,
+    )
+    from margaret_spark.operators.semdedup import (
+        icbrt_ceil,
+        semantic_dedup_pairs_hier,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted, truth = plant_embedding_duplicates(
+        emb, "vec_id", "embedding", eps=0.01
+    )
+    b = icbrt_ceil(planted.count(), 4)
+    pred = semantic_dedup_pairs_hier(
+        planted, k1=b, k2=b, iters=2, threshold=0.45
+    ).select("id_a", "id_b")
+    return pair_metrics(pred, truth)

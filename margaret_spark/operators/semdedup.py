@@ -37,7 +37,7 @@ pround/pair_dot/DECIMAL recipe, so the DuckDB oracle in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from margaret_spark.functions.numeric import pround
@@ -399,4 +399,250 @@ def semantic_dedup_incremental(
             "left",
         )
         .select(F.col("id").alias(id_col), "cent_id", status.alias("status"))
+    )
+
+
+def icbrt_ceil(n: int, floor: int = 4) -> int:
+    """``max(floor, ceil(∛n))`` with an EXACT integer cube root — the
+    per-level branching factor of the hierarchical quantizer. Two
+    levels of b = ∛N give k1·k2 = N^(2/3) cells of expected size
+    N^(1/3): assignment O(N·∛N) per level and within-cell pairs
+    O(N·∛N) balance at N^(4/3) — strictly below the flat √N
+    compromise's N^1.5 (see :func:`scaled_k`). The oracle derives the
+    same value with a float-cbrt-plus-integer-correction subquery, so
+    both engines agree on every n."""
+    n = max(int(n), 0)
+    if n == 0:
+        return max(int(floor), 1)
+    r = round(n ** (1.0 / 3.0))
+    while r * r * r < n:
+        r += 1
+    while r > 1 and (r - 1) * (r - 1) * (r - 1) >= n:
+        r -= 1
+    return max(int(floor), r)
+
+
+def _hier_assigned_with_vectors(
+    corpus: DataFrame,
+    k1: int,
+    k2: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    comp_digits: int,
+    sum_scale: int,
+) -> DataFrame:
+    """(id, cent_id, sub_id, cosine, __v, __vn): the two-level
+    hierarchical quantizer assignment — coarse Lloyd cells
+    (:func:`kmeans_assign_deterministic`, k1) refined by a PER-CELL
+    deterministic Lloyd over k2 sub-centroids, run for every cell at
+    once as one DataFrame program (the sub-centroid table is keyed by
+    (cent_id, sub_id) and every stage joins on cent_id — no per-cell
+    driver loop).
+
+    Determinism contract matches the flat path exactly: sub-centroid
+    init is the k2 lowest-id vectors per cell (sub_id = rank),
+    assignment ranks by (pround'ed cosine desc, sub_id asc), means go
+    through the pround/DECIMAL recipe, empty sub-cells keep their
+    previous centroid.
+
+    Scale shape: per Lloyd round one equi-join on cent_id (each row
+    meets only ITS cell's ≤k2 sub-centroids — never a k1·k2 cross
+    join), one per-id window, one (cent_id, sub_id, pos)-keyed mean.
+    The sub-centroid table is k1·k2·d values — a join table, never
+    required to broadcast. Each round localCheckpoints (house rule:
+    iterated plans and self-join inputs)."""
+    coarse = kmeans_assign_deterministic(
+        corpus, k=k1, iters=iters, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, comp_digits=comp_digits,
+        sum_scale=sum_scale,
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    av = (
+        coarse.join(vecs, coarse[id_col] == vecs["__vid"])
+        .select(
+            F.col(id_col).alias("id"),
+            "cent_id",
+            "__v",
+            l2_norm(F.col("__v")).alias("__vn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w0 = Window.partitionBy("cent_id").orderBy(F.col("id").asc())
+    subc = (
+        av.withColumn("__r", F.row_number().over(w0))
+        .where(F.col("__r") <= k2)
+        .select(
+            "cent_id",
+            F.col("__r").cast("int").alias("sub_id"),
+            F.col("__v").alias("cent"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _assign(subc_df: DataFrame) -> DataFrame:
+        scored = av.join(
+            subc_df.withColumn("__cn", l2_norm(F.col("cent"))), "cent_id"
+        ).withColumn(
+            "__sim",
+            pround(
+                pair_dot(F.col("__v"), F.col("cent"))
+                / (F.col("__vn") * F.col("__cn")),
+                round_digits,
+            ),
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("__sim").desc(), F.col("sub_id").asc()
+        )
+        # project vectors away before the window (house rule)
+        return (
+            scored.select("id", "cent_id", "sub_id", "__sim")
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("id", "cent_id", "sub_id", "__sim")
+        )
+
+    from margaret_spark.functions.numeric import dsum
+
+    for _ in range(iters):
+        assigned = _assign(subc).join(av.select("id", "__v"), "id")
+        dims = assigned.select(
+            "cent_id",
+            "sub_id",
+            F.posexplode(F.col("__v")).alias("pos", "x"),
+        ).withColumn("__c", pround(F.col("x"), comp_digits))
+        means = (
+            dims.groupBy("cent_id", "sub_id", "pos")
+            .agg(
+                pround(
+                    dsum("__c", scale=sum_scale) / F.count("*"), comp_digits
+                ).alias("m")
+            )
+            .groupBy("cent_id", "sub_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias(
+                    "__pm"
+                )
+            )
+            .select(
+                "cent_id",
+                "sub_id",
+                F.transform(F.col("__pm"), lambda s: s["m"]).alias("cent"),
+            )
+        )
+        subc = (
+            subc.select("cent_id", "sub_id", F.col("cent").alias("__prev"))
+            .join(means, ["cent_id", "sub_id"], "left")
+            .select(
+                "cent_id",
+                "sub_id",
+                F.coalesce(F.col("cent"), F.col("__prev")).alias("cent"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    final = _assign(subc)
+    return (
+        final.join(av.select("id", "__v", "__vn"), "id")
+        .select(
+            "id", "cent_id", "sub_id",
+            F.col("__sim").alias("cosine"), "__v", "__vn",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def semantic_dedup_pairs_hier(
+    corpus: DataFrame,
+    k1: int = 4,
+    k2: int = 4,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Hierarchical SemDeDup pair stage: near-dup pairs within the
+    (cent_id, sub_id) cells of the two-level quantizer — the LINEAR-
+    PATH variant of :func:`semantic_dedup_pairs` (flat √N clustering
+    balances at N^1.5; two ∛N levels balance at N^(4/3), and each
+    further level multiplies another N^ε off — the IVF-tree argument,
+    Jégou et al. 2011 §IVF). Same output contract as the flat pairs
+    plus the sub_id column; same determinism recipe end-to-end.
+
+    Pass ``assigned`` (from :func:`_hier_assigned_with_vectors`) to
+    share the quantizer with :func:`semantic_prune_hier`."""
+    if assigned is None:
+        assigned = _hier_assigned_with_vectors(
+            corpus, k1, k2, iters, id_col, vec_col,
+            round_digits, comp_digits, sum_scale,
+        )
+    a = assigned.select(
+        F.col("id").alias("id_a"), "cent_id", "sub_id",
+        F.col("__v").alias("__va"), F.col("__vn").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"),
+        F.col("cent_id").alias("__cb"),
+        F.col("sub_id").alias("__sb"),
+        F.col("__v").alias("__vb"),
+        F.col("__vn").alias("__nb"),
+    )
+    sim = pround(
+        pair_dot(F.col("__va"), F.col("__vb"))
+        / (F.col("__na") * F.col("__nb")),
+        round_digits,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cent_id") == F.col("__cb"))
+            & (F.col("sub_id") == F.col("__sb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cosine", sim)
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cent_id", "sub_id", "cosine")
+    )
+
+
+def semantic_prune_hier(
+    corpus: DataFrame,
+    k1: int = 4,
+    k2: int = 4,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> DataFrame:
+    """Hierarchical SemDeDup keeps: drop every row dominated by a
+    smaller-id row in the same (cent_id, sub_id) cell within
+    ``threshold`` cosine — :func:`semantic_prune` over the two-level
+    quantizer. Output (id_col, cent_id, sub_id, cent_cosine)."""
+    assigned = _hier_assigned_with_vectors(
+        corpus, k1, k2, iters, id_col, vec_col,
+        round_digits, comp_digits, sum_scale,
+    )
+    pairs = semantic_dedup_pairs_hier(
+        corpus, k1, k2, iters, threshold, id_col, vec_col,
+        round_digits, comp_digits, sum_scale, assigned=assigned,
+    )
+    doomed = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        assigned.join(doomed, "id", "left_anti")
+        .select(
+            F.col("id").alias(id_col),
+            "cent_id",
+            "sub_id",
+            F.col("cosine").alias("cent_cosine"),
+        )
     )

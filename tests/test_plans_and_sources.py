@@ -130,6 +130,11 @@ def test_entry_queries_plan_quality(spark):
         # scores its planted corpus through the same IVF pair_dot
         # kernel as dedup_embedding
         "dedup_eval_embedding",
+        # hierarchical SemDeDup: coarse + sub Lloyd assignment and the
+        # within-cell pair cosines all go through the Arrow dot kernel
+        "dedup_semantic_hier_pairs",
+        "dedup_semantic_hier",
+        "dedup_eval_semantic_hier",
     }
     for name, fn in entry.queries().items():
         assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)

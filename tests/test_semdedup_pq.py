@@ -467,3 +467,92 @@ def test_scaled_k_rule_and_oracle_parity():
             + _scaled_k_limit("t", 8) + ")"
         ).fetchone()[0]
         assert got == min(scaled_k(n, 8), n), (n, got)
+
+
+def test_icbrt_ceil_exact_integer_cube_root():
+    from margaret_spark.operators.semdedup import icbrt_ceil
+
+    assert icbrt_ceil(0, 1) == 1
+    assert icbrt_ceil(1, 1) == 1
+    assert icbrt_ceil(27, 1) == 3      # perfect cube stays exact
+    assert icbrt_ceil(28, 1) == 4
+    assert icbrt_ceil(10**9, 1) == 1000
+    assert icbrt_ceil(10**9 + 1, 1) == 1001
+    assert icbrt_ceil(5, 4) == 4       # floor binds
+
+
+@pytest.fixture(scope="module")
+def hier_planted(spark):
+    """Two coarse directions, each with two SPREAD low-id vectors (the
+    sub-level seeds) and a near-identical pair whose members must land
+    in the same sub-cell (they sit far from the second seed)."""
+    a = [1.0, 0.0, 0.0, 0.0, 0.2, 0.0, 0.1, 0.0]
+    b = [0.0, 1.0, 0.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+
+    def bump(v, i, x):
+        return [c + (x if j == i else 0.0) for j, c in enumerate(v)]
+
+    rows = [
+        (0, _unit(a)),                      # seed A1
+        (1, _unit(bump(a, 2, 2.0))),        # seed A2 (far from A1)
+        (2, _unit(bump(a, 4, 0.3))),        # near-dup pair close to A1
+        (3, _unit(bump(bump(a, 4, 0.3), 6, 0.01))),
+        (8, _unit(b)),                      # seed B1
+        (9, _unit(bump(b, 5, 2.0))),        # seed B2
+        (10, _unit(bump(b, 6, 0.3))),       # near-dup pair close to B1
+        (11, _unit(bump(bump(b, 6, 0.3), 7, 0.01))),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_hier_assignment_partitions_and_pairs_same_cell(hier_planted):
+    from margaret_spark.operators.semdedup import (
+        _hier_assigned_with_vectors,
+        semantic_dedup_pairs_hier,
+    )
+
+    assigned = _hier_assigned_with_vectors(
+        hier_planted, k1=2, k2=2, iters=2,
+        id_col="vec_id", vec_col="embedding",
+        round_digits=6, comp_digits=9, sum_scale=12,
+    )
+    rows = assigned.collect()
+    # every vector assigned exactly once; sub_id within 1..k2
+    assert sorted(r.id for r in rows) == [0, 1, 2, 3, 8, 9, 10, 11]
+    assert all(1 <= r.sub_id <= 2 for r in rows)
+    cell = {r.id: (r.cent_id, r.sub_id) for r in rows}
+    pairs = semantic_dedup_pairs_hier(
+        hier_planted, k1=2, k2=2, iters=2, threshold=0.9
+    ).collect()
+    # a pair is only ever emitted inside one (cent, sub) cell
+    for p in pairs:
+        assert cell[p.id_a] == cell[p.id_b] == (p.cent_id, p.sub_id)
+    # both planted near-identical pairs are found
+    found = {(p.id_a, p.id_b) for p in pairs}
+    assert (2, 3) in found and (10, 11) in found
+
+
+def test_hier_prune_drops_exactly_the_dominated_rows(hier_planted):
+    from margaret_spark.operators.semdedup import semantic_prune_hier
+
+    kept = semantic_prune_hier(
+        hier_planted, k1=2, k2=2, iters=2, threshold=0.9
+    ).collect()
+    ids = sorted(r.vec_id for r in kept)
+    # the 0.3-bump members sit within 0.9 cosine of their seed too:
+    # 2 and 3 are dominated by 0, 10 and 11 by 8 — seeds survive
+    assert ids == [0, 1, 8, 9]
+
+
+def test_hier_cell_split_miss_is_the_documented_trade(planted):
+    """When a coarse cell's ONLY members are the near-dup pair itself
+    and k2 matches, both become sub-seeds and the pair SPLITS — the
+    cell-split miss the dedup_eval_semantic_hier arm quantifies."""
+    from margaret_spark.operators.semdedup import semantic_dedup_pairs_hier
+
+    pairs = semantic_dedup_pairs_hier(
+        planted, k1=2, k2=2, iters=2, threshold=0.9
+    ).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    # cluster B = {10, 11} alone: its dup pair is the seed set -> split
+    assert (10, 11) not in found
