@@ -184,13 +184,17 @@ def main() -> None:
     for name in HEADLINE + HEADLINE_V2 + HEADLINE_V3:
         fn = qs[name]
         # one warm-up run (JIT/codegen compilation), then the best of
-        # three measured runs — steady-state timing, standard
-        # repeated-run methodology (HotSpot keeps tiering up through
-        # the first few runs of the multi-stage dedup pipelines, and
-        # this box shows ±0.5 s run-to-run noise)
+        # N measured runs — steady-state timing, standard repeated-run
+        # methodology (HotSpot keeps tiering up through the first few
+        # runs of the multi-stage dedup pipelines, and this box shows
+        # ±0.5 s run-to-run noise). The round-over-round comparable
+        # sets (HEADLINE + V2) stay best-of-3; the auto-complement
+        # tail runs best-of-2 to keep the full-coverage bench inside
+        # the driver's wall budget at 240+ measured queries.
+        runs = 3 if name in measured else 2
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = None
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
@@ -232,7 +236,7 @@ def main() -> None:
                 # steady-state estimator
                 "methodology": {
                     "warmup_runs": 1,
-                    "measured_runs": 3,
+                    "measured_runs": "3 (headline/v2 subtotals), 2 (tail)",
                     "aggregation": "best",
                     "sink": "noop",
                     "noise_note": "±0.5-1s run-to-run on this box; "

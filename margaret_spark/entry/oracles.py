@@ -443,6 +443,15 @@ def oracle_sql() -> dict[str, str]:
     # the at-ingest trained-classifier gate: same NB recipe, keep
     # score under the 'long' class <= 3000 (~the corpus median — the
     # GPT-3 threshold recipe; zero-token docs score NULL and drop)
+    # at-ingest Gopher repetition gate: the battery + cut restated
+    # over the batch table (stateless projection, so per-batch ==
+    # whole-log); seq == doc_id under the dense append mapping
+    d["stream_gopher_filter"] = (
+        "WITH gb AS ("
+        + _gopher_battery_sql(top_ns=(2,), dup_ns=(3,))
+        + ") SELECT doc_id AS seq, top_2gram_frac, dup_3gram_frac "
+        "FROM gb WHERE top_2gram_frac <= 0.09 AND dup_3gram_frac <= 0.02"
+    )
     d["stream_nb_filter"] = (
         "WITH " + _nb_sql_core() + " "
         "SELECT doc_id AS seq, label AS pred, score FROM agg "

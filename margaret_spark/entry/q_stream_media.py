@@ -1871,3 +1871,41 @@ def q_export_shards(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return shard_manifest(docs, "doc_id", 64, size_col="n_chars")
+
+
+def q_stream_gopher_filter(spark, sf_dir):
+    """At-ingest Gopher repetition gating (streaming/quality
+    .stream_gopher_filter): every document streaming out of the log is
+    scored by the repetition battery inside foreachBatch (a stateless
+    per-document codegen projection — no model, no cross-batch state)
+    and kept iff top-bigram char coverage <= 0.09 AND duplicated-
+    trigram char mass <= 0.02 (both cuts bind at every graded SF:
+    378/500 kept at sf0.01). Keepers land executor-side under
+    batch=<id> partitions. The oracle restates the battery + cut over
+    the batch table — per-batch gating of disjoint seqs equals batch
+    gating of the whole log. Hash-exact including the fractions."""
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.streaming import read_keeper_sink, stream_gopher_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_gopherf_")
+    try:
+        log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
+        log.append_df(docs, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_gopher_filter(
+            log,
+            F.col("value"),
+            sink,
+            os.path.join(base, "ckpt"),
+            max_top2=0.09,
+            max_dup3=0.02,
+        )
+        out = read_keeper_sink(
+            spark, sink, "seq long, top_2gram_frac double, dup_3gram_frac double"
+        )
+        return out
+    finally:
+        _defer_cleanup(base)

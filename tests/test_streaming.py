@@ -1800,3 +1800,56 @@ def test_stream_image_phash_matches_batch_and_resumes(spark, tmp_path):
     out2 = read_keeper_sink(spark, sink, "seq long, phash long")
     assert out2.where(F.col("seq") == 4).count() == 1
     assert out2.count() == 4
+
+
+def test_stream_gopher_filter_gates_and_matches_batch(spark, tmp_path):
+    """The at-ingest Gopher repetition gate keeps exactly the
+    under-threshold subset the batch battery computes — repetitive
+    docs drop at ingest, fractions identical to the batch operator;
+    appends after a restart gate only the NEW rows."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.text import gopher_repetition
+    from margaret_spark.streaming import read_keeper_sink, stream_gopher_filter
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",  # diverse: kept
+        "spam spam spam spam spam spam",                  # repetitive: dropped
+        "one two three four five six seven eight nine",   # kept
+        "ab cd ab cd ab cd ab cd",                        # repetitive: dropped
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batch = {
+        r["doc_id"]: (r["top_2gram_frac"], r["dup_3gram_frac"])
+        for r in gopher_repetition(
+            docs, "doc_id", "text", top_ns=(2,), dup_ns=(3,)
+        ).collect()
+    }
+    expect = {
+        i: v for i, v in batch.items() if v[0] <= 0.3 and v[1] <= 0.2
+    }
+    assert 0 in expect and 2 in expect and 1 not in expect and 3 not in expect
+
+    log = OffsetLog(spark, str(tmp_path / "log"), value_type=T.StringType())
+    log.append_many(texts)
+    sink = str(tmp_path / "sink")
+    stream_gopher_filter(
+        log, F.col("value"), sink, str(tmp_path / "ck"),
+        max_top2=0.3, max_dup3=0.2,
+    )
+    schema = "seq long, top_2gram_frac double, dup_3gram_frac double"
+    kept = {
+        r["seq"]: (r["top_2gram_frac"], r["dup_3gram_frac"])
+        for r in read_keeper_sink(spark, sink, schema).collect()
+    }
+    assert kept == expect
+    # resume: a new clean append is gated without rescoring the old
+    log.append_many(["unique tokens only here now"])
+    stream_gopher_filter(
+        log, F.col("value"), sink, str(tmp_path / "ck"),
+        max_top2=0.3, max_dup3=0.2,
+    )
+    kept2 = {r["seq"] for r in read_keeper_sink(spark, sink, schema).collect()}
+    assert kept2 == set(expect) | {4}
