@@ -2100,6 +2100,18 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
             "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2"
         ),
+        # containment-dup pairs: same capped universe and candidate
+        # set as dedup_jaccard, scored by the overlap coefficient
+        "dedup_overlap": (
+            f"WITH {_CAPPED_SHINGLE_CTES}, "
+            "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c "
+            "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_a, id_b, " + _pr("c / least(x.n, y.n)") + " AS overlap "
+            "FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+            "WHERE " + _pr("c / least(x.n, y.n)") + " >= 0.3"
+        ),
         # cross-corpus near-dup join: SAME capped shingle universe
         # (the cap resolves over the combined corpora = documents),
         # split into the even/odd halves after the stop filter

@@ -2006,3 +2006,18 @@ def q_dedup_eval_semantic_hier(spark, sf_dir):
         planted, k1=b, k2=b, iters=2, threshold=0.45
     ).select("id_a", "id_b")
     return pair_metrics(pred, truth)
+
+
+def q_dedup_overlap(spark, sf_dir):
+    """Containment-dup pairs (ngram_jaccard_pairs with
+    measure='overlap'): the Szymkiewicz–Simpson overlap coefficient
+    |A∩B| / min(|A|,|B|) over the same capped trigram universe as
+    dedup_jaccard — an excerpt fully contained in a longer document
+    scores 1.0 where jaccard reports only |A|/|B|, so this is the
+    family that catches quotes and boilerplate-wrapped reposts. Same
+    group-then-combine plan; hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, mode="word", n=3,
+        max_df="auto", measure="overlap",
+    )

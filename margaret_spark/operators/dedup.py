@@ -199,9 +199,13 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_df: int | float | str | None = None,
     round_digits: int = 6,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (id_a < id_b,
-    jaccard ≥ threshold).
+    jaccard ≥ threshold). ``measure='overlap'`` scores the same
+    candidate pairs with the Szymkiewicz–Simpson overlap coefficient
+    ``|A∩B| / min(|A|,|B|)`` instead (and names the output column
+    ``overlap``) — the containment-dup family.
 
     Pair generation is group-then-combine rather than a self-join: the
     inverted index is grouped per shingle (one shuffle), co-occurring
@@ -292,19 +296,24 @@ def ngram_jaccard_pairs(
     inter = pairs.groupBy("p.id_a", "p.id_b").agg(F.count("*").alias("__inter"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("__sa"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("__sb"))
+    if measure == "jaccard":
+        score = F.col("__inter") / (
+            F.col("__sa") + F.col("__sb") - F.col("__inter")
+        )
+    elif measure == "overlap":
+        # Szymkiewicz–Simpson overlap coefficient |A∩B| / min(|A|,|B|):
+        # an excerpt fully contained in a longer document scores 1.0
+        # where jaccard reports only |A|/|B| — the containment-dup
+        # family (quotes, boilerplate-wrapped reposts)
+        score = F.col("__inter") / F.least(F.col("__sa"), F.col("__sb"))
+    else:
+        raise ValueError(f"unknown measure: {measure}")
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            pround(
-                F.col("__inter")
-                / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
-                round_digits,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(measure, pround(score, round_digits))
+        .where(F.col(measure) >= threshold)
+        .select("id_a", "id_b", measure)
     )
 
 

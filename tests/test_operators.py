@@ -2725,3 +2725,33 @@ def test_bloom_bitmap_words_packing():
     assert len(ws) == 2
     assert ws[0] == 1 - (1 << 63)
     assert ws[1] == 1
+
+
+def test_ngram_overlap_measure_scores_containment(spark):
+    from margaret_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 is a verbatim excerpt of doc 0: every trigram of 1
+            # appears in 0 -> overlap 1.0, jaccard well below it
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "beta gamma delta epsilon"),
+            (2, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    ov = {
+        (r.id_a, r.id_b): r.overlap
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.9, measure="overlap"
+        ).collect()
+    }
+    assert ov == {(0, 1): 1.0}
+    jc = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.9, measure="jaccard"
+    ).collect()
+    assert jc == []  # jaccard misses the excerpt at the same bar
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, "doc_id", "text", measure="dice").collect()
