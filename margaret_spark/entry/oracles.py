@@ -2195,6 +2195,19 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY node"
         ),
+        # quality-aware collapse: clusters + the quality arithmetic,
+        # one (quality desc, doc_id asc) argmax per cluster
+        "dedup_keep_best": (
+            "WITH RECURSIVE " + _CLUSTER_CTES + ", "
+            "clusters AS (SELECT node AS doc_id, "
+            "CAST(min(root) AS BIGINT) AS cluster_id FROM reach GROUP BY node), "
+            "q AS (" + _quality_sql() + ") "
+            "SELECT doc_id, cluster_id, quality FROM ("
+            "SELECT c.doc_id, c.cluster_id, q.quality, "
+            "row_number() OVER (PARTITION BY c.cluster_id "
+            "ORDER BY q.quality DESC, c.doc_id ASC) AS r "
+            "FROM clusters c JOIN q USING (doc_id)) WHERE r = 1"
+        ),
         "corpus_curation": (
             "WITH RECURSIVE " + _CLUSTER_CTES + ", "
             "clusters AS (SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id "

@@ -2021,3 +2021,26 @@ def q_dedup_overlap(spark, sf_dir):
         docs, "doc_id", "text", threshold=0.3, mode="word", n=3,
         max_df="auto", measure="overlap",
     )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster collapse (dedup.keep_best_per_cluster):
+    connected components over the graded jaccard pair graph, then ONE
+    kept doc per cluster — the (quality desc, doc_id asc) argmax under
+    text.quality_score — instead of the min-id representative. The
+    curation decision a real pipeline makes: keep the best-written
+    copy of each duplicate family. Hash-exact (recursive-closure
+    clusters + the quality arithmetic both replay in SQL)."""
+    from margaret_spark.operators.dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+    )
+    from margaret_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, mode="word", n=3, max_df="auto"
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    scored = quality_score(docs, "doc_id", "text")
+    return keep_best_per_cluster(scored, clusters, "doc_id")

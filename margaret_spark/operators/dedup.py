@@ -1836,3 +1836,34 @@ def ngram_contamination_bloom(
             ).alias("contamination"),
         )
     )
+
+
+def keep_best_per_cluster(
+    scored: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware cluster collapse: ONE kept document per near-dup
+    cluster — the (``score_col`` desc, id asc) argmax, so the corpus
+    keeps its best-written copy instead of :func:`dedup_clusters`'
+    arbitrary min-id representative (the curation recipe behind "dedup
+    keeps the canonical page, not the first-crawled mirror").
+    ``scored`` is (id, score) — e.g. ``text.quality_score`` output;
+    ``clusters`` is :func:`dedup_clusters` output. Singletons pass
+    through (they are their own best). Output
+    (id_col, cluster_id, ``score_col``).
+
+    Scale shape: one equi-join on the id and one cluster-keyed window
+    — both ride the same cluster_id exchange; nothing global."""
+    j = clusters.join(
+        scored.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(F.col(id_col), F.col("cluster_id"), F.col(score_col))
+    )

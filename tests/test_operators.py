@@ -2755,3 +2755,23 @@ def test_ngram_overlap_measure_scores_containment(spark):
 
     with _pytest.raises(ValueError):
         ngram_jaccard_pairs(docs, "doc_id", "text", measure="dice").collect()
+
+
+def test_keep_best_per_cluster_argmax_and_singletons(spark):
+    from margaret_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (9, 0.3), (10, 0.3)],
+        "doc_id long, quality double",
+    )
+    kept = {
+        r.doc_id: (r.cluster_id, r.quality)
+        for r in keep_best_per_cluster(scored, clusters, "doc_id").collect()
+    }
+    # cluster 1: quality tie 2 vs 3 -> smaller id wins; singleton 7
+    # passes through; cluster 9: tie -> id 9
+    assert kept == {2: (1, 0.9), 7: (7, 0.1), 9: (9, 0.3)}
