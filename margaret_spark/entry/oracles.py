@@ -964,6 +964,25 @@ def oracle_sql() -> dict[str, str]:
         "truth AS (SELECT doc_id + 1000000000 AS doc_id FROM documents "
         f"WHERE {_PLANT_SEL})" + _ID_METRICS
     )
+    # containment eval: planted half-doc excerpts, overlap detector
+    # at 0.9 over the capped universe resolved on the planted corpus
+    d["dedup_eval_overlap"] = (
+        "WITH pdocs AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000000 AS doc_id, "
+        f"array_to_string(({_WORDS})[1:CAST(ceil(len({_WORDS}) / 2.0) "
+        "AS BIGINT)], ' ') AS text "
+        f"FROM documents WHERE {_PLANT_SEL}), "
+        "truth AS (SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b "
+        f"FROM documents WHERE {_PLANT_SEL}), "
+        + _CAPPED_SHINGLE_CTES.replace("FROM documents", "FROM pdocs")
+        + ", sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS c FROM s a JOIN s b ON a.sh = b.sh "
+        "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+        "pred AS (SELECT id_a, id_b FROM inter "
+        "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+        "WHERE " + _pr("c / least(x.n, y.n)") + " >= 0.9)" + _METRICS
+    )
     # cross-corpus eval: even ids = existing, incoming = odd ids +
     # token-mutated copies of the selected EVEN docs; detector = the
     # graded jaccard JOIN with max_df='auto' resolved over the

@@ -2044,3 +2044,25 @@ def q_dedup_keep_best(spark, sf_dir):
     clusters = dedup_clusters(docs, pairs, "doc_id")
     scored = quality_score(docs, "doc_id", "text")
     return keep_best_per_cluster(scored, clusters, "doc_id")
+
+
+def q_dedup_eval_overlap(spark, sf_dir):
+    """Dedup-quality harness, containment family: plant HALF-DOC
+    excerpts of the selected 3/16 (dedupeval.plant_excerpt_duplicates),
+    run the overlap-coefficient detector at 0.9 — every excerpt
+    trigram appears in its source, so overlap scores the planted pairs
+    1.0 where jaccard would sit near 0.5 and miss them. Recall < 1
+    only where the df-cap removed enough of an excerpt's trigrams;
+    precision is the planted lower bound. Hash-exact."""
+    from margaret_spark.operators.dedupeval import (
+        pair_metrics,
+        plant_excerpt_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted, truth = plant_excerpt_duplicates(docs, "doc_id", "text")
+    pred = ngram_jaccard_pairs(
+        planted, "doc_id", "text", threshold=0.9, mode="word", n=3,
+        max_df="auto", measure="overlap",
+    ).select("id_a", "id_b")
+    return pair_metrics(pred, truth)

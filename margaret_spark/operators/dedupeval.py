@@ -257,3 +257,35 @@ def plant_cross_corpus(
         (F.col(id_col) + F.lit(id_offset)).alias("id_b"),
     )
     return existing, incoming, truth
+
+
+def plant_excerpt_duplicates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    id_offset: int = PLANT_OFFSET,
+) -> tuple[DataFrame, DataFrame]:
+    """(planted, truth): excerpt twin of :func:`plant_text_duplicates`
+    — the md5-selected subset gets a copy holding only its FIRST HALF
+    (ceil(n/2) tokens). Every trigram of the excerpt appears in its
+    source, so a containment detector (overlap coefficient) scores the
+    pair 1.0 while jaccard sits near |A|/|B| ≈ 0.5 — the planted truth
+    that separates the two families."""
+    base = docs.select(F.col(id_col), F.col(text_col))
+    sel = _selected(base, id_col)
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    half = F.concat_ws(
+        " ",
+        F.slice(toks, 1, F.ceil(F.size(toks) / F.lit(2.0)).cast("int")),
+    )
+    copies = sel.select(
+        (F.col(id_col) + F.lit(id_offset)).alias(id_col),
+        half.alias(text_col),
+    )
+    truth = sel.select(
+        F.col(id_col).alias("id_a"),
+        (F.col(id_col) + F.lit(id_offset)).alias("id_b"),
+    )
+    return base.unionByName(copies), truth

@@ -222,3 +222,26 @@ def test_plant_cross_corpus_boundary_and_eval(spark):
     ).select(F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b"))
     m = pair_metrics(pred, truth).collect()[0]
     assert m.precision == 1.0 and m.recall == 1.0
+
+
+def test_plant_excerpt_and_overlap_eval(spark):
+    from margaret_spark.operators.dedup import ngram_jaccard_pairs
+    from margaret_spark.operators.dedupeval import plant_excerpt_duplicates
+
+    docs, rows = _clean_docs(spark)
+    planted, truth = plant_excerpt_duplicates(docs, "doc_id", "text")
+    sel = _expected_sel([i for i, _ in rows])
+    texts = {r.doc_id: r.text for r in planted.collect()}
+    for i in sel:
+        # the copy is exactly the first half of its source's tokens
+        toks = texts[i].split()
+        assert texts[i + PLANT_OFFSET] == " ".join(toks[: (len(toks) + 1) // 2])
+    # overlap at 0.9 finds every planted excerpt; jaccard at the same
+    # bar finds none (clean corpus: excerpt jaccard ~ 0.5)
+    ov = ngram_jaccard_pairs(
+        planted, "doc_id", "text", threshold=0.9, measure="overlap"
+    ).select("id_a", "id_b")
+    m = pair_metrics(ov, truth).collect()[0]
+    assert m.precision == 1.0 and m.recall == 1.0
+    jc = ngram_jaccard_pairs(planted, "doc_id", "text", threshold=0.9)
+    assert jc.count() == 0
