@@ -30,6 +30,7 @@ from margaret_spark.operators.text import (
 from margaret_spark.qry import Gt, Gte, Limit, Lte, Reverse, build_plan, apply_plan
 from margaret_spark.indexes import latest_by_key, fanout
 from margaret_spark.entry.oracle_builders import _scaled_k_limit
+from margaret_spark.entry.oracle_builders import _kmeans_ctes
 from margaret_spark.entry.oracle_builders import _hier_semdedup_sql, _icbrt_limit
 from margaret_spark.entry.oracle_builders import _gopher_battery_sql, _line_repetition_sql, _ngram_coverage_sql
 from margaret_spark.entry.oracle_builders import _CAPPED_SHINGLE_CTES, _CLUSTER_CTES, _CUT_HIT_FIRST_DOC, _CUT_HIT_FIRST_OCCURRENCE, _CUT_SPAN_SELECT, _DOT, _DUP_SPAN_CTES, _TRIANGLE_CTES, _WORDS, _bm25_sql, _bpe_doc_tokens_cte, _bpe_tokens_sql, _contrastive_sql, _cosine_sql, _cut_span_ctes, _decon_sem_sql, _hashembed_ctes, _ivfpq_sql, _kcore_sql, _kmeans_sql, _langid_sql, _pagerank_sql, _pq_ctes, _pq_sql, _pr, _quality_rules_sql, _quality_sql, _repetition_sql, _semdedup_incr_sql, _semdedup_sql, _tfidf_sql
@@ -2463,6 +2464,30 @@ def _oracle_sql_base() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
             "FROM toks WHERE n_tokens > 0) "
             "SELECT source, doc_id, n_tokens, "
+            "(cum - n_tokens) // 256 AS pack_first, "
+            "(cum - 1) // 256 AS pack_last, "
+            "(cum - n_tokens) % 256 AS offset_in_first FROM c"
+        ),
+        # semantic packing: hashembed CTEs -> re-sourced k-means fin ->
+        # per-cent_id partitioned cumsum with the shared pack arithmetic
+        "pack_semantic": (
+            "WITH "
+            + ", ".join(_hashembed_ctes(64))
+            + ", "
+            + ", ".join(
+                _kmeans_ctes(_scaled_k_limit("documents", 32), 2, src="hvec")[0]
+            )
+            + ", fin AS ("
+            + _kmeans_ctes(_scaled_k_limit("documents", 32), 2, src="hvec")[1]
+            + "), "
+            f"toks AS (SELECT doc_id, len({_WORDS}) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT f.cent_id, t.doc_id, t.n_tokens, "
+            "CAST(SUM(t.n_tokens) OVER (PARTITION BY f.cent_id "
+            "ORDER BY t.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            "FROM toks t JOIN fin f ON f.vec_id = t.doc_id "
+            "WHERE t.n_tokens > 0) "
+            "SELECT cent_id, doc_id, n_tokens, "
             "(cum - n_tokens) // 256 AS pack_first, "
             "(cum - 1) // 256 AS pack_last, "
             "(cum - n_tokens) % 256 AS offset_in_first FROM c"

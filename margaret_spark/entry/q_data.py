@@ -2066,3 +2066,35 @@ def q_dedup_eval_overlap(spark, sf_dir):
         max_df="auto", measure="overlap",
     ).select("id_a", "id_b")
     return pair_metrics(pred, truth)
+
+
+def q_pack_semantic(spark, sf_dir):
+    """Semantically-ordered packing: hashed doc embeddings → Lloyd
+    cells (scaled_k) → per-CLUSTER contiguous token streams
+    (pack_sequences_grouped with group = cent_id) — the in-batch
+    semantic-coherence layout (curriculum / retrieval-style batches
+    where a sequence holds topically-related documents instead of
+    crawl-order noise). Pure composition of three graded operators;
+    hash-exact end-to-end (hashembed CTEs → re-sourced k-means chain →
+    partitioned cumsum in the oracle)."""
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+    from margaret_spark.operators.packing import pack_sequences_grouped
+    from margaret_spark.operators.semdedup import scaled_k
+    from margaret_spark.operators.similarity import (
+        kmeans_assign_deterministic,
+    )
+    from margaret_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_doc_embeddings(docs, "doc_id", "text", dim=64).localCheckpoint(
+        eager=False
+    )
+    k = scaled_k(docs.count(), 32)
+    assigned = kmeans_assign_deterministic(
+        emb, k=k, iters=2, id_col="doc_id", vec_col="embedding"
+    )
+    toks = token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    base = assigned.select("doc_id", "cent_id").join(toks, "doc_id")
+    return pack_sequences_grouped(
+        base, "cent_id", "doc_id", "n_tokens", seq_len=256
+    )

@@ -404,3 +404,22 @@ def test_stream_pack_bfd_equals_batch_twin(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 100
+
+
+def test_pack_semantic_streams_are_per_cluster(spark):
+    """The semantic-packing composition gives every cluster its own
+    stream: pack numbering restarts at 0 per cent_id and offsets stay
+    inside seq_len."""
+    import __spark_entry__ as entry
+
+    out = entry.q_pack_semantic(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cent_id, []).append(r)
+    assert len(by_cluster) > 1
+    for cid, rows in by_cluster.items():
+        assert min(r.pack_first for r in rows) == 0, cid
+        for r in rows:
+            assert 0 <= r.offset_in_first < 256
+            assert r.pack_last >= r.pack_first

@@ -135,6 +135,9 @@ def test_entry_queries_plan_quality(spark):
         "dedup_semantic_hier_pairs",
         "dedup_semantic_hier",
         "dedup_eval_semantic_hier",
+        # semantic packing clusters through the same Lloyd pair_dot
+        # kernel; the packing cumsum itself is pure codegen
+        "pack_semantic",
     }
     for name, fn in entry.queries().items():
         assert_no_python_udf(fn(spark, SF), allow_arrow=name in ARROW_OK)
