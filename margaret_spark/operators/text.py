@@ -937,8 +937,12 @@ def line_repetition(
     )
     from margaret_spark.functions.shingling import bind1
 
-    lines_expr = F.filter(
-        F.split(F.col(text_col), sep), lambda seg: seg != ""
+    # NULL text behaves as the empty document (0 lines, 0 fractions):
+    # split(NULL) is NULL and every array fold would propagate it into
+    # NULL counts, breaking the every-row-reports contract
+    lines_expr = F.coalesce(
+        F.filter(F.split(F.col(text_col), sep), lambda seg: seg != ""),
+        F.array().cast("array<string>"),
     )
 
     def with_lines(l: Column) -> Column:

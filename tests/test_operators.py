@@ -2775,3 +2775,12 @@ def test_keep_best_per_cluster_argmax_and_singletons(spark):
     # cluster 1: quality tie 2 vs 3 -> smaller id wins; singleton 7
     # passes through; cluster 9: tie -> id 9
     assert kept == {2: (1, 0.9), 7: (7, 0.1), 9: (9, 0.3)}
+
+
+def test_line_repetition_null_text_reports_zeros(spark):
+    from margaret_spark.operators.text import line_repetition
+
+    df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    r = line_repetition(df, "doc_id", "text").collect()[0]
+    assert (r.n_lines, r.n_distinct_lines) == (0, 0)
+    assert r.dup_line_frac == 0.0 and r.dup_char_frac == 0.0

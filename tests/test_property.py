@@ -432,3 +432,104 @@ def test_wav_roundtrip_any_rate_channels(case):
     rate, ch, got = decode_wav(blob)
     assert (rate, ch) == (case["rate"], case["channels"])
     assert got == samples
+
+
+# --- Gopher repetition kernels vs a pure-Python model ---------------
+
+_tok = st.sampled_from(["a", "b", "ab", "ccc", "dd"])
+_doc = st.lists(_tok, min_size=0, max_size=12).map(" ".join)
+
+
+def _pr4(x: float) -> float:
+    import math
+
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def _cov_model(text: str, n: int):
+    from collections import Counter
+
+    toks = [t for t in text.split() if t]
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    total = len(" ".join(toks))
+    c = Counter(grams)
+    if c:
+        ng, cnt = min(((-v, g) for g, v in c.items()))[1], max(c.values())
+        top_gram, top_count = ng if c[ng] == cnt else min(
+            g for g, v in c.items() if v == cnt
+        ), cnt
+    else:
+        top_gram, top_count = "", 0
+    top_frac = _pr4(top_count * len(top_gram) / total) if total > 0 else 0.0
+    dup = sum(v * len(g) for g, v in c.items() if v >= 2)
+    dup_frac = _pr4(dup / total) if total > 0 else 0.0
+    return len(grams), top_gram, top_count, top_frac, dup_frac
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=6),
+    n=st.integers(1, 4),
+)
+def test_ngram_coverage_matches_model(spark, docs, n):
+    from margaret_spark.operators.text import ngram_coverage
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.top_gram, r.top_count, r.top_frac, r.dup_frac)
+        for r in ngram_coverage(df, "doc_id", "text", n=n).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _cov_model(d, n), (d, n)
+
+
+def _line_model(text: str):
+    segs = [s for s in (text or "").split("\n") if s != ""]
+    n, nd = len(segs), len(set(segs))
+    from collections import Counter
+
+    c = Counter(segs)
+    chars = sum(len(s) for s in segs)
+    dup = sum(v * len(s) for s, v in c.items() if v >= 2)
+    return (
+        n,
+        nd,
+        _pr4((n - nd) / n) if n > 0 else 0.0,
+        _pr4(dup / chars) if chars > 0 else 0.0,
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "yy", "x yy", ""]), min_size=0, max_size=6
+        ).map("\n".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_line_repetition_matches_model(spark, docs):
+    from margaret_spark.operators.text import line_repetition
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_lines, r.n_distinct_lines, r.dup_line_frac, r.dup_char_frac
+        )
+        for r in line_repetition(df, "doc_id", "text").collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _line_model(d), repr(d)
