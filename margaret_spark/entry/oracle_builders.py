@@ -1228,6 +1228,14 @@ def _hier_semdedup_sql(
         f"JOIN {src} eb ON eb.vec_id = b.vec_id) "
         f"WHERE cosine >= {threshold})"
     )
+    if kind == "assign":
+        # the frozen-model assignment alone (streaming at-ingest twin):
+        # drop the pair CTE, emit hfin under the keeper-sink names
+        return (
+            "WITH " + ", ".join(ctes[:-1])
+            + " SELECT vec_id AS seq, cent_id AS cell, sub_id AS sub, "
+            "cosine AS cos FROM hfin"
+        )
     if kind == "pairs":
         return (
             "WITH " + ", ".join(ctes)

@@ -2552,6 +2552,11 @@ def _oracle_sql_base() -> dict[str, str]:
         "dedup_semantic": _semdedup_sql(
             "prune", k=_scaled_k_limit("embeddings", 8)
         ),
+        "stream_hier_assign": _hier_semdedup_sql(
+            "assign",
+            k1=_icbrt_limit("embeddings", 4),
+            k2=_icbrt_limit("embeddings", 4),
+        ),
         "dedup_semantic_hier_pairs": _hier_semdedup_sql(
             "pairs",
             k1=_icbrt_limit("embeddings", 4),

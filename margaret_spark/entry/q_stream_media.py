@@ -1909,3 +1909,47 @@ def q_stream_gopher_filter(spark, sf_dir):
         return out
     finally:
         _defer_cleanup(base)
+
+
+def q_stream_hier_assign(spark, sf_dir):
+    """Streaming hierarchical ANN intake (streaming/annintake
+    .stream_hier_assign): every embedding streaming out of the log is
+    routed to its final (coarse, sub) pair-stage cell under a FROZEN
+    two-level quantizer (semdedup.hier_centroids, icbrt branching,
+    iters=2 — the N^(4/3) SemDeDup family's arrival-side feed) inside
+    foreachBatch. Stateless two-stage ranking; per-batch assignment of
+    disjoint seqs equals batch assignment of the whole log. The oracle
+    replays the full two-level Lloyd fit + assignment chain —
+    hash-exact including the sub-centroid cosines."""
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.operators.semdedup import hier_centroids, icbrt_ceil
+    from margaret_spark.streaming import read_keeper_sink, stream_hier_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = icbrt_ceil(emb.count(), 4)
+    cents, subc = hier_centroids(emb, k1=b, k2=b, iters=2)
+    base = tempfile.mkdtemp(prefix="stream_hier_")
+    try:
+        log = OffsetLog(
+            spark,
+            os.path.join(base, "log"),
+            value_type=T.ArrayType(T.FloatType()),
+        )
+        log.append_df(emb, value_col="embedding", order_by="vec_id")
+        sink = os.path.join(base, "sink")
+        stream_hier_assign(
+            log,
+            F.col("value").cast("array<double>"),
+            cents,
+            subc,
+            sink,
+            os.path.join(base, "ckpt"),
+        )
+        out = read_keeper_sink(
+            spark, sink, "seq long, cell long, sub int, cos double"
+        )
+        return out
+    finally:
+        _defer_cleanup(base)

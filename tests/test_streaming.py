@@ -1853,3 +1853,66 @@ def test_stream_gopher_filter_gates_and_matches_batch(spark, tmp_path):
     )
     kept2 = {r["seq"] for r in read_keeper_sink(spark, sink, schema).collect()}
     assert kept2 == set(expect) | {4}
+
+
+def test_stream_hier_assign_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming hierarchical intake routes each embedding to the same
+    (coarse, sub) cell the frozen batch assignment picks, drops NULL
+    vectors, and on resume assigns only NEW appends."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.semdedup import (
+        assign_to_hier_centroids,
+        hier_centroids,
+    )
+    from margaret_spark.streaming import read_keeper_sink, stream_hier_assign
+
+    fit = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.3, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 0.9, 0.3]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents, subc = hier_centroids(fit, k1=2, k2=2, iters=1)
+    vecs = [
+        [1.0, 0.1, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.1],
+        None,                  # dropped
+        [0.8, 0.4, 0.0, 0.0],
+    ]
+    batch_rows = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs) if v is not None],
+        "seq long, e array<double>",
+    )
+    expect = {
+        r.seq: (r.cent_id, r.sub_id, r.cosine)
+        for r in assign_to_hier_centroids(
+            batch_rows, cents, subc, id_col="seq", vec_col="e"
+        ).collect()
+    }
+
+    log = OffsetLog(
+        spark, str(tmp_path / "log"), value_type=T.ArrayType(T.DoubleType())
+    )
+    log.append_many(vecs)
+    sink = str(tmp_path / "sink")
+    stream_hier_assign(
+        log, F.col("value"), cents, subc, sink, str(tmp_path / "ck")
+    )
+    schema = "seq long, cell long, sub int, cos double"
+    out = {
+        r["seq"]: (r["cell"], r["sub"], r["cos"])
+        for r in read_keeper_sink(spark, sink, schema).collect()
+    }
+    assert set(out) == {0, 1, 3}  # NULL vector (seq 2) dropped
+    assert out == expect
+    # resume: only the new append is assigned
+    log.append([0.0, 0.0, 0.8, 0.4])
+    stream_hier_assign(
+        log, F.col("value"), cents, subc, sink, str(tmp_path / "ck")
+    )
+    out2 = read_keeper_sink(spark, sink, schema).collect()
+    assert {r["seq"] for r in out2} == {0, 1, 3, 4}
