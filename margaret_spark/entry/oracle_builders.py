@@ -1246,3 +1246,121 @@ def _hier_semdedup_sql(
         + " SELECT vec_id, cent_id, sub_id, cosine AS cent_cosine "
         "FROM hfin WHERE vec_id NOT IN (SELECT id_b FROM pairs)"
     )
+
+
+def _hier_incr_sql(
+    k1: int | str = 4,
+    k2: int | str = 4,
+    iters: int = 1,
+    threshold: float = 0.4,
+    rd: int = 6,
+    cd: int = 9,
+    ds: int = 12,
+) -> str:
+    """Incremental hierarchical SemDeDup oracle (semdedup
+    .semantic_dedup_incremental_hier): the two-level quantizer fitted
+    on the EXISTING (even-id) half and frozen — coarse Lloyd CTEs +
+    the per-cell sub-level chain, both re-sourced onto ``exv`` — then
+    both halves assigned coarse→sub under the house rule, pair checks
+    equality-joined on the (cent_id, sub_id) cell, the three-way
+    status CASE."""
+
+    def cos(a: str, b: str) -> str:
+        return _pr(_cosine_sql(a, b), rd)
+
+    pre = [
+        "exv AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 2 = 0)"
+    ]
+    ctes, fin = _kmeans_ctes(k1, iters, rd, cd, ds, src="exv")
+    ctes = pre + list(ctes)
+    ctes.append(f"coarse AS ({fin})")
+    ctes.append(
+        "av AS (SELECT f.vec_id, f.cent_id, e.embedding "
+        "FROM coarse f JOIN exv e ON e.vec_id = f.vec_id)"
+    )
+    ctes.append(
+        "sub0 AS (SELECT cent_id, CAST(sub_id AS INT) AS sub_id, "
+        "embedding AS cent FROM ("
+        "SELECT cent_id, embedding, row_number() OVER ("
+        "PARTITION BY cent_id ORDER BY vec_id) AS sub_id FROM av) "
+        f"WHERE sub_id <= {k2})"
+    )
+    for i in range(1, iters + 1):
+        prev = f"sub{i - 1}"
+        ctes.append(
+            f"sa{i} AS (SELECT vec_id, cent_id, sub_id, embedding FROM ("
+            "SELECT a.vec_id, a.cent_id, c.sub_id, a.embedding, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            + cos("a.embedding", "c.cent")
+            + " DESC, c.sub_id ASC) AS cr "
+            f"FROM av a JOIN {prev} c ON c.cent_id = a.cent_id) "
+            "WHERE cr = 1)"
+        )
+        contrib = _pr("CAST(embedding[d] AS DOUBLE)", cd)
+        ctes.append(
+            f"sm{i} AS (SELECT cent_id, sub_id, d, "
+            + _pr(
+                f"CAST(sum(CAST({contrib} AS DECIMAL(38,{ds}))) AS DOUBLE)"
+                " / count(*)",
+                cd,
+            )
+            + " AS m FROM (SELECT cent_id, sub_id, embedding, "
+            f"unnest(range(1, len(embedding) + 1)) AS d FROM sa{i}) "
+            "GROUP BY cent_id, sub_id, d)"
+        )
+        ctes.append(
+            f"sub{i} AS (SELECT c.cent_id, c.sub_id, "
+            "COALESCE(g.cent, c.cent) AS cent "
+            f"FROM {prev} c LEFT JOIN (SELECT cent_id, sub_id, "
+            f"list(m ORDER BY d) AS cent FROM sm{i} "
+            "GROUP BY cent_id, sub_id) g "
+            "ON g.cent_id = c.cent_id AND g.sub_id = c.sub_id)"
+        )
+    cn, sn = f"cents{iters}", f"sub{iters}"
+
+    def assign(name: str, src: str) -> str:
+        c1 = cos("e.embedding", "c.cent")
+        c2 = cos("e.embedding", "s.cent")
+        return (
+            f"{name}_c AS (SELECT vec_id, cent_id FROM ("
+            f"SELECT e.vec_id, c.cent_id, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {c1} DESC, c.cent_id ASC) AS cr "
+            f"FROM ({src}) e CROSS JOIN {cn} c) WHERE cr = 1), "
+            f"{name} AS (SELECT vec_id, cent_id, sub_id FROM ("
+            f"SELECT v.vec_id, v.cent_id, s.sub_id, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {c2} DESC, s.sub_id ASC) AS cr "
+            f"FROM {name}_c v JOIN {sn} s ON s.cent_id = v.cent_id "
+            f"JOIN embeddings e ON e.vec_id = v.vec_id) WHERE cr = 1)"
+        )
+
+    sim = _pr(_cosine_sql("en.embedding", "eo.embedding"), rd)
+    ctes.append(assign("aex", "SELECT vec_id, embedding FROM exv"))
+    ctes.append(
+        assign(
+            "anew",
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1",
+        )
+    )
+    ctes.append(
+        "dupex AS (SELECT DISTINCT n.vec_id FROM anew n "
+        "JOIN aex o ON o.cent_id = n.cent_id AND o.sub_id = n.sub_id "
+        "JOIN embeddings en ON en.vec_id = n.vec_id "
+        "JOIN embeddings eo ON eo.vec_id = o.vec_id "
+        f"WHERE {sim} >= {threshold})"
+    )
+    ctes.append(
+        "dupb AS (SELECT DISTINCT n.vec_id FROM anew n "
+        "JOIN anew o ON o.cent_id = n.cent_id AND o.sub_id = n.sub_id "
+        "AND o.vec_id < n.vec_id "
+        "JOIN embeddings en ON en.vec_id = n.vec_id "
+        "JOIN embeddings eo ON eo.vec_id = o.vec_id "
+        f"WHERE {sim} >= {threshold})"
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT n.vec_id, n.cent_id, n.sub_id, CASE "
+        "WHEN n.vec_id IN (SELECT vec_id FROM dupex) THEN 'dup_of_existing' "
+        "WHEN n.vec_id IN (SELECT vec_id FROM dupb) THEN 'dup_in_batch' "
+        "ELSE 'new' END AS status FROM anew n"
+    )

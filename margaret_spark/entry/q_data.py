@@ -2098,3 +2098,24 @@ def q_pack_semantic(spark, sf_dir):
     return pack_sequences_grouped(
         base, "cent_id", "doc_id", "n_tokens", seq_len=256
     )
+
+
+def q_dedup_semantic_incremental_hier(spark, sf_dir):
+    """Incremental hierarchical SemDeDup (semdedup
+    .semantic_dedup_incremental_hier): the odd-id half deduped against
+    the even-id half through the FROZEN two-level quantizer — the
+    N^(4/3) family's ingest form, completing its pairs/prune/
+    incremental/at-ingest symmetry with the flat family. Hash-exact
+    against the generated frozen-fit + two-stage-assignment oracle."""
+    from margaret_spark.operators.semdedup import (
+        icbrt_ceil,
+        semantic_dedup_incremental_hier,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    b = icbrt_ceil(existing.count(), 4)
+    return semantic_dedup_incremental_hier(
+        new, existing, k1=b, k2=b, iters=1, threshold=0.4
+    )

@@ -714,3 +714,123 @@ def semantic_prune_hier(
             F.col("cosine").alias("cent_cosine"),
         )
     )
+
+
+def semantic_dedup_incremental_hier(
+    new_rows: DataFrame,
+    existing: DataFrame,
+    k1: int = 4,
+    k2: int = 4,
+    iters: int = 1,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+    batch_dups: bool = True,
+) -> DataFrame:
+    """Incremental SemDeDup over the TWO-LEVEL quantizer: the
+    hierarchical twin of :func:`semantic_dedup_incremental` — the
+    quantizer is fitted on the EXISTING corpus and FROZEN
+    (:func:`hier_centroids`), both sides assign under the same
+    deterministic rule, and pair checks are equality joins keyed on
+    the (cent_id, sub_id) cell — O(|new|·|sub-cell|) cosines, the
+    N^(4/3) family's ingest form. Statuses and the ``batch_dups``
+    contract match the flat twin exactly. Output:
+    (``id_col``, cent_id, sub_id, status) for every new row."""
+    cents, subc = hier_centroids(
+        existing, k1, k2, iters, id_col, vec_col,
+        round_digits, comp_digits, sum_scale,
+    )
+
+    def _with_vec(df: DataFrame) -> DataFrame:
+        a = assign_to_hier_centroids(
+            df, cents, subc, id_col, vec_col, round_digits
+        )
+        return (
+            a.join(
+                df.select(
+                    F.col(id_col).alias("__vid"),
+                    F.col(vec_col).cast("array<double>").alias("__v"),
+                ),
+                a[id_col] == F.col("__vid"),
+            )
+            .select(F.col(id_col).alias("id"), "cent_id", "sub_id", "__v")
+            .localCheckpoint(eager=False)
+        )
+
+    anew = _with_vec(new_rows)
+    aex = _with_vec(existing)
+    sim = pround(
+        pair_dot(F.col("__vn"), F.col("__vo"))
+        / (F.col("__nn") * F.col("__no")),
+        round_digits,
+    )
+    n_side = anew.select(
+        F.col("id").alias("__idn"),
+        "cent_id",
+        "sub_id",
+        F.col("__v").alias("__vn"),
+        l2_norm(F.col("__v")).alias("__nn"),
+    )
+    e_side = aex.select(
+        F.col("id").alias("__ido"),
+        F.col("cent_id").alias("__ce"),
+        F.col("sub_id").alias("__se"),
+        F.col("__v").alias("__vo"),
+        l2_norm(F.col("__v")).alias("__no"),
+    )
+    cell_eq = (F.col("cent_id") == F.col("__ce")) & (
+        F.col("sub_id") == F.col("__se")
+    )
+    dup_ex = (
+        n_side.join(e_side, cell_eq)
+        .where(sim >= F.lit(threshold))
+        .select(F.col("__idn").alias("__dup"))
+        .distinct()
+    )
+    out = anew.join(
+        dup_ex.select(F.col("__dup").alias("id"), F.lit(1).alias("__in_ex")),
+        "id",
+        "left",
+    )
+    if not batch_dups:
+        status = F.when(
+            F.col("__in_ex").isNotNull(), F.lit("dup_of_existing")
+        ).otherwise(F.lit("new"))
+        return out.select(
+            F.col("id").alias(id_col), "cent_id", "sub_id",
+            status.alias("status"),
+        )
+    b_side = anew.select(
+        F.col("id").alias("__ido"),
+        F.col("cent_id").alias("__ce"),
+        F.col("sub_id").alias("__se"),
+        F.col("__v").alias("__vo"),
+        l2_norm(F.col("__v")).alias("__no"),
+    )
+    dup_batch = (
+        n_side.join(b_side, cell_eq & (F.col("__ido") < F.col("__idn")))
+        .where(sim >= F.lit(threshold))
+        .select(F.col("__idn").alias("__dup"))
+        .distinct()
+    )
+    status = (
+        F.when(F.col("__in_ex").isNotNull(), F.lit("dup_of_existing"))
+        .when(F.col("__in_b").isNotNull(), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        out.join(
+            dup_batch.select(
+                F.col("__dup").alias("id"), F.lit(1).alias("__in_b")
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            F.col("id").alias(id_col), "cent_id", "sub_id",
+            status.alias("status"),
+        )
+    )

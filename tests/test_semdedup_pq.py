@@ -556,3 +556,38 @@ def test_hier_cell_split_miss_is_the_documented_trade(planted):
     found = {(p.id_a, p.id_b) for p in pairs}
     # cluster B = {10, 11} alone: its dup pair is the seed set -> split
     assert (10, 11) not in found
+
+
+def test_hier_incremental_statuses(spark, hier_planted):
+    from margaret_spark.operators.semdedup import (
+        semantic_dedup_incremental_hier,
+    )
+
+    existing = hier_planted  # 0,1,2,3 (A-dir) and 8,9,10,11 (B-dir)
+    rows = {r.vec_id: r.embedding for r in hier_planted.collect()}
+    new = spark.createDataFrame(
+        [
+            (20, rows[2]),    # same as existing 2 -> dup_of_existing
+            (21, [v for v in rows[10]]),  # same as existing 10 -> dup
+            (22, [1.0 if i == 7 else 0.0 for i in range(8)]),  # new axis
+            (23, [1.0 if i == 7 else 0.0 for i in range(8)]),  # dup of 22 in batch
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.status
+        for r in semantic_dedup_incremental_hier(
+            new, existing, k1=2, k2=2, iters=1, threshold=0.95
+        ).collect()
+    }
+    assert out[20] == "dup_of_existing" and out[21] == "dup_of_existing"
+    assert out[22] == "new" and out[23] == "dup_in_batch"
+    # batch_dups=False never reports in-batch dups
+    out2 = {
+        r.vec_id: r.status
+        for r in semantic_dedup_incremental_hier(
+            new, existing, k1=2, k2=2, iters=1, threshold=0.95,
+            batch_dups=False,
+        ).collect()
+    }
+    assert out2[23] == "new" and out2[20] == "dup_of_existing"
