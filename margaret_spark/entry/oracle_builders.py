@@ -1140,26 +1140,21 @@ def _icbrt_limit(src: str, floor: int) -> str:
     )
 
 
-def _hier_semdedup_sql(
-    kind: str,
-    k1: int | str = 4,
-    k2: int | str = 4,
-    iters: int = 2,
-    threshold: float = 0.4,
-    rd: int = 6,
-    cd: int = 9,
-    ds: int = 12,
-    src: str = "embeddings",
-) -> str:
-    """Hierarchical SemDeDup oracle (operators.semdedup
-    .semantic_dedup_pairs_hier / semantic_prune_hier): the coarse
-    Lloyd CTEs (_kmeans_ctes) plus a PER-CELL sub-level Lloyd —
-    sub-centroid init is the k2 lowest ids per coarse cell (sub_id =
-    rank), each round one within-cell assignment (rounded-cosine
-    desc, sub_id asc) and one (cent_id, sub_id, d)-keyed mean with
-    empty sub-cells keeping their previous centroid — then the pair
-    join keyed on (cent_id, sub_id), and for kind='prune' the
-    dominance anti-filter."""
+def _hier_fit_assign_ctes(
+    k1: int | str,
+    k2: int | str,
+    iters: int,
+    rd: int,
+    cd: int,
+    ds: int,
+    src: str,
+) -> list[str]:
+    """The shared hierarchical-quantizer CTE chain: coarse Lloyd
+    (_kmeans_ctes) → coarse assignment (``coarse``/``av``) → per-cell
+    sub-level Lloyd (``sub0..sub{iters}``) → the full corpus
+    assignment ``hfin`` (vec_id, cent_id, sub_id, cosine). Pure
+    extraction from _hier_semdedup_sql — byte-identical output — so
+    the pair/prune/assign/search oracles all build on one chain."""
 
     def cos(a: str, b: str) -> str:
         return _pr(_cosine_sql(a, b), rd)
@@ -1217,6 +1212,27 @@ def _hier_semdedup_sql(
         f"c.sub_id ASC) AS cr FROM av a JOIN sub{iters} c "
         "ON c.cent_id = a.cent_id) WHERE cr = 1)"
     )
+    return ctes
+
+
+def _hier_semdedup_sql(
+    kind: str,
+    k1: int | str = 4,
+    k2: int | str = 4,
+    iters: int = 2,
+    threshold: float = 0.4,
+    rd: int = 6,
+    cd: int = 9,
+    ds: int = 12,
+    src: str = "embeddings",
+) -> str:
+    """Hierarchical SemDeDup oracle (operators.semdedup
+    .semantic_dedup_pairs_hier / semantic_prune_hier): the shared
+    fit+assignment chain (_hier_fit_assign_ctes) plus the pair join
+    keyed on (cent_id, sub_id), and for kind='prune' the dominance
+    anti-filter; kind='assign' emits the assignment alone under the
+    keeper-sink names (the streaming at-ingest twin)."""
+    ctes = _hier_fit_assign_ctes(k1, k2, iters, rd, cd, ds, src)
     sim = _pr(_cosine_sql("ea.embedding", "eb.embedding"), rd)
     ctes.append(
         "pairs AS (SELECT id_a, id_b, cent_id, sub_id, cosine FROM ("
@@ -1363,4 +1379,64 @@ def _hier_incr_sql(
         "WHEN n.vec_id IN (SELECT vec_id FROM dupex) THEN 'dup_of_existing' "
         "WHEN n.vec_id IN (SELECT vec_id FROM dupb) THEN 'dup_in_batch' "
         "ELSE 'new' END AS status FROM anew n"
+    )
+
+
+def _hier_ivf_sql(
+    k: int = 5,
+    k1: int | str = 4,
+    k2: int | str = 4,
+    iters: int = 2,
+    nprobe1: int = 2,
+    nprobe2: int = 4,
+    rd: int = 6,
+    cd: int = 9,
+    ds: int = 12,
+    src: str = "embeddings",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """Two-level IVF search oracle (semdedup.hier_ivf_topk): the
+    shared fit+assignment chain, then per query the nprobe1 nearest
+    COARSE cells (rounded cosine desc, cent_id asc), the nprobe2
+    nearest SUB-cells among those cells' sub-centroids (tie-break
+    cent_id asc, sub_id asc), and exact cosine top-k over the probed
+    sub-cells' members (self excluded)."""
+
+    def cos(a: str, b: str) -> str:
+        return _pr(_cosine_sql(a, b), rd)
+
+    ctes = _hier_fit_assign_ctes(k1, k2, iters, rd, cd, ds, src)
+    cn, sn = f"cents{iters}", f"sub{iters}"
+    ctes.append(
+        "probe1 AS (SELECT query_id, cent_id, embedding FROM ("
+        "SELECT e.vec_id AS query_id, c.cent_id, e.embedding, "
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        + cos("e.embedding", "c.cent")
+        + " DESC, c.cent_id ASC) AS cr "
+        f"FROM (SELECT vec_id, embedding FROM {src} "
+        f"WHERE {query_pred}) e CROSS JOIN {cn} c) "
+        f"WHERE cr <= {nprobe1})"
+    )
+    ctes.append(
+        "probe2 AS (SELECT query_id, cent_id, sub_id FROM ("
+        "SELECT p.query_id, p.cent_id, s.sub_id, "
+        "row_number() OVER (PARTITION BY p.query_id ORDER BY "
+        + cos("p.embedding", "s.cent")
+        + " DESC, p.cent_id ASC, s.sub_id ASC) AS cr "
+        f"FROM probe1 p JOIN {sn} s ON s.cent_id = p.cent_id) "
+        f"WHERE cr <= {nprobe2})"
+    )
+    qc = cos("qe.embedding", "ne.embedding")
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT query_id, neighbor_id, cosine, rank FROM ("
+        f"SELECT p.query_id, h.vec_id AS neighbor_id, {qc} AS cosine, "
+        "CAST(row_number() OVER (PARTITION BY p.query_id "
+        f"ORDER BY {qc} DESC, h.vec_id ASC) AS INT) AS rank "
+        "FROM probe2 p "
+        "JOIN hfin h ON h.cent_id = p.cent_id AND h.sub_id = p.sub_id "
+        f"JOIN {src} qe ON qe.vec_id = p.query_id "
+        f"JOIN {src} ne ON ne.vec_id = h.vec_id "
+        "WHERE h.vec_id <> p.query_id) "
+        f"WHERE rank <= {k}"
     )

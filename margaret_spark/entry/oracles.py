@@ -31,7 +31,7 @@ from margaret_spark.qry import Gt, Gte, Limit, Lte, Reverse, build_plan, apply_p
 from margaret_spark.indexes import latest_by_key, fanout
 from margaret_spark.entry.oracle_builders import _scaled_k_limit
 from margaret_spark.entry.oracle_builders import _kmeans_ctes
-from margaret_spark.entry.oracle_builders import _hier_incr_sql, _hier_semdedup_sql, _icbrt_limit
+from margaret_spark.entry.oracle_builders import _hier_incr_sql, _hier_ivf_sql, _hier_semdedup_sql, _icbrt_limit
 from margaret_spark.entry.oracle_builders import _gopher_battery_sql, _line_repetition_sql, _ngram_coverage_sql
 from margaret_spark.entry.oracle_builders import _CAPPED_SHINGLE_CTES, _CLUSTER_CTES, _CUT_HIT_FIRST_DOC, _CUT_HIT_FIRST_OCCURRENCE, _CUT_SPAN_SELECT, _DOT, _DUP_SPAN_CTES, _TRIANGLE_CTES, _WORDS, _bm25_sql, _bpe_doc_tokens_cte, _bpe_tokens_sql, _contrastive_sql, _cosine_sql, _cut_span_ctes, _decon_sem_sql, _hashembed_ctes, _ivfpq_sql, _kcore_sql, _kmeans_sql, _langid_sql, _pagerank_sql, _pq_ctes, _pq_sql, _pr, _quality_rules_sql, _quality_sql, _repetition_sql, _semdedup_incr_sql, _semdedup_sql, _tfidf_sql
 from margaret_spark.entry.q_data import _PII_REDACT_SQL, _PII_SALT_SQL
@@ -2551,6 +2551,13 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         "dedup_semantic": _semdedup_sql(
             "prune", k=_scaled_k_limit("embeddings", 8)
+        ),
+        "ann_hier": _hier_ivf_sql(
+            k=5,
+            k1=_icbrt_limit("embeddings", 4),
+            k2=_icbrt_limit("embeddings", 4),
+            nprobe1=2,
+            nprobe2=4,
         ),
         "stream_hier_assign": _hier_semdedup_sql(
             "assign",

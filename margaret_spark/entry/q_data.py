@@ -2119,3 +2119,22 @@ def q_dedup_semantic_incremental_hier(spark, sf_dir):
     return semantic_dedup_incremental_hier(
         new, existing, k1=b, k2=b, iters=1, threshold=0.4
     )
+
+
+def q_ann_hier(spark, sf_dir):
+    """Two-level IVF ANN (semdedup.hier_ivf_topk): one hierarchical
+    quantizer fit serves both the N^(4/3) dedup family and SEARCH —
+    queries probe their 2 nearest coarse cells, then the 4 nearest
+    sub-cells among those cells' sub-centroids, and score only those
+    sub-cells' members (exact cosine top-5, self excluded). Probe
+    fan-in is nprobe1·k2 sub-centroid scorings instead of a flat
+    index's k1·k2, candidate mass is sub-cell-sized. Hash-exact
+    against the generated two-level probe oracle."""
+    from margaret_spark.operators.semdedup import hier_ivf_topk, icbrt_ceil
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    b = icbrt_ceil(emb.count(), 4)
+    return hier_ivf_topk(
+        emb, queries, k=5, k1=b, k2=b, iters=2, nprobe1=2, nprobe2=4
+    )

@@ -834,3 +834,109 @@ def semantic_dedup_incremental_hier(
             status.alias("status"),
         )
     )
+
+
+def hier_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: int = 4,
+    k2: int = 4,
+    iters: int = 2,
+    nprobe1: int = 2,
+    nprobe2: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    cents: DataFrame | None = None,
+    subc: DataFrame | None = None,
+) -> DataFrame:
+    """Two-level IVF ANN over the hierarchical quantizer: a query
+    first picks its ``nprobe1`` nearest COARSE cells (broadcast k1
+    table), then the ``nprobe2`` nearest SUB-cells among those cells'
+    sub-centroids, and scores only those sub-cells' members — the
+    probe fan-in is nprobe1·k2 sub-centroid scorings instead of a
+    flat index's k1·k2, and the candidate mass is sub-cell-sized
+    (≈N/(k1·k2) per probe) instead of coarse-cell-sized. The serving
+    twin of the N^(4/3) SemDeDup family: one quantizer fit serves
+    both dedup and search. Pass frozen ``cents``/``subc``
+    (:func:`hier_centroids`) to skip the fit.
+
+    Deterministic end-to-end: every ranking is (rounded cosine desc,
+    id asc); sub-probes break ties (cent_id asc, sub_id asc).
+    Output (query_id, neighbor_id, cosine, rank). Recall < 1 by
+    design (ANN trade) — measure with ``similarity.topk_recall``."""
+    from margaret_spark.operators.similarity import _nearest_cells
+
+    if cents is None or subc is None:
+        cents, subc = hier_centroids(
+            corpus, k1, k2, iters, id_col, vec_col, round_digits
+        )
+    ca = assign_to_hier_centroids(
+        corpus, cents, subc, id_col, vec_col, round_digits
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    cells = (
+        ca.join(vecs, ca[id_col] == F.col("__vid"))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "cent_id",
+            "sub_id",
+            "__cv",
+            l2_norm(F.col("__cv")).alias("__cn"),
+        )
+    )
+    bc = F.broadcast(
+        cents.select(
+            "cent_id",
+            F.col("cent").alias("__cent"),
+            l2_norm(F.col("cent")).alias("__centn"),
+        )
+    )
+    probes1 = _nearest_cells(
+        queries, bc, id_col, vec_col, "query_id", nprobe1, round_digits
+    )
+    sub_scored = probes1.join(
+        F.broadcast(subc.withColumn("__sn", l2_norm(F.col("cent")))),
+        "cent_id",
+    ).withColumn(
+        "__ssim",
+        pround(
+            pair_dot(F.col("__v"), F.col("cent"))
+            / (F.col("__n") * F.col("__sn")),
+            round_digits,
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("__ssim").desc(), F.col("cent_id").asc(), F.col("sub_id").asc()
+    )
+    probes = (
+        sub_scored.select(
+            "query_id", "cent_id", "sub_id", "__ssim", "__v", "__n"
+        )
+        .withColumn("__pr", F.row_number().over(w2))
+        .where(F.col("__pr") <= nprobe2)
+        .select(
+            "query_id", "cent_id", "sub_id",
+            F.col("__v").alias("__qv"), F.col("__n").alias("__qn"),
+        )
+    )
+    cos = pair_dot(F.col("__qv"), F.col("__cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
+    scored = (
+        probes.join(cells, ["cent_id", "sub_id"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", pround(cos, round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

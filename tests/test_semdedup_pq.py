@@ -591,3 +591,42 @@ def test_hier_incremental_statuses(spark, hier_planted):
         ).collect()
     }
     assert out2[23] == "new" and out2[20] == "dup_of_existing"
+
+
+def test_hier_ivf_topk_recall_and_structure(spark):
+    """Two-level IVF search: ranks are dense and cosine-ordered, self
+    is excluded, and with generous probes the top-3 overlaps the
+    exact cosine top-3 (the ANN contract, same bar as IVFADC)."""
+    import random
+
+    from margaret_spark.operators.semdedup import hier_ivf_topk
+    from margaret_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where(F.col("vec_id") < 3)
+    approx = hier_ivf_topk(
+        df, qs, k=3, k1=3, k2=3, iters=1, nprobe1=2, nprobe2=4
+    )
+    got = approx.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        assert all(r.neighbor_id != qid for r in rs)
+        ordered = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in ordered] == list(range(1, len(rs) + 1))
+        assert [r.cosine for r in ordered] == sorted(
+            (r.cosine for r in rs), reverse=True
+        )
+    exact = brute_force_topk(df, qs, k=4)
+    e = {}
+    for r in exact.collect():
+        if r.neighbor_id != r.query_id:
+            e.setdefault(r.query_id, set()).add(r.neighbor_id)
+    a = {q: {r.neighbor_id for r in rs} for q, rs in by_q.items()}
+    hits = sum(len(a[q] & e.get(q, set())) for q in a)
+    total = sum(len(v) for v in a.values())
+    assert hits / total >= 0.5, (hits, total)
