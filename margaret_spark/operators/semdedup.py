@@ -850,6 +850,7 @@ def hier_ivf_topk(
     round_digits: int = 6,
     cents: DataFrame | None = None,
     subc: DataFrame | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Two-level IVF ANN over the hierarchical quantizer: a query
     first picks its ``nprobe1`` nearest COARSE cells (broadcast k1
@@ -899,10 +900,13 @@ def hier_ivf_topk(
     probes1 = _nearest_cells(
         queries, bc, id_col, vec_col, "query_id", nprobe1, round_digits
     )
-    sub_scored = probes1.join(
-        F.broadcast(subc.withColumn("__sn", l2_norm(F.col("cent")))),
-        "cent_id",
-    ).withColumn(
+    # k1·k2·d model values broadcast by default (serving: the probe
+    # side is tiny); at extreme quantizer sizes pass
+    # broadcast_model=False and let the planner pick the build side
+    sub_tbl = subc.withColumn("__sn", l2_norm(F.col("cent")))
+    if broadcast_model:
+        sub_tbl = F.broadcast(sub_tbl)
+    sub_scored = probes1.join(sub_tbl, "cent_id").withColumn(
         "__ssim",
         pround(
             pair_dot(F.col("__v"), F.col("cent"))
