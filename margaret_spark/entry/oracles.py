@@ -938,6 +938,12 @@ def oracle_sql() -> dict[str, str]:
     )
     # md5 shard draw: same first-8-hex-digits value, '0x'-cast in
     # DuckDB vs conv(,16,10) in Spark — both exact 32-bit integers
+    # size-balanced export: global (size desc, id) rank dealt mod 64
+    d["export_shards_balanced"] = (
+        "SELECT doc_id, n_chars, "
+        "CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) "
+        "% 64 AS BIGINT) AS shard FROM documents"
+    )
     d["export_shards"] = (
         "SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
         "AS BIGINT) % 64 AS BIGINT) AS shard, "

@@ -2138,3 +2138,19 @@ def q_ann_hier(spark, sf_dir):
     return hier_ivf_topk(
         emb, queries, k=5, k1=b, k2=b, iters=2, nprobe1=2, nprobe2=4
     )
+
+
+def q_export_shards_balanced(spark, sf_dir):
+    """Size-balanced shard assignment (sharding
+    .assign_shards_balanced): sorted round-robin over the global
+    (n_chars desc, doc_id asc) rank into 64 shards — the export used
+    when per-shard BYTES must match (balanced downstream tasks);
+    byte skew between shards is bounded by one maximal document,
+    where hash sharding only concentrates statistically. Global rank
+    is the two-pass partition-offset prefix sum (no single-partition
+    window — plan-pinned for the packing family). Hash-exact: the
+    oracle is one window rank + the modulo deal."""
+    from margaret_spark.operators.sharding import assign_shards_balanced
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_shards_balanced(docs, "doc_id", "n_chars", 64)

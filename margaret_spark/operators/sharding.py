@@ -119,3 +119,47 @@ def list_shards(path: str) -> list[int]:
                 "(expected shard=<integer>)"
             ) from None
     return sorted(out)
+
+
+def assign_shards_balanced(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    num_shards: int,
+) -> DataFrame:
+    """(id_col, ``size_col``, shard): SIZE-BALANCED shard assignment —
+    sorted round-robin: rows are globally ranked by (size desc, id
+    asc) and dealt ``rank % num_shards``. The classic LPT-lite
+    heuristic: after each full deal every shard holds one row from
+    each size stratum, so the byte skew between any two shards is
+    bounded by one maximal item — against hash sharding's
+    √-concentration this is the tool when per-shard BYTES must match
+    (balanced downstream tasks), at the cost of stability under
+    growth (adding rows re-ranks; use :func:`assign_shards` when
+    membership stability matters more than balance).
+
+    Scale shape: the global rank is the two-pass partition-offset
+    prefix sum (``packing.running_total`` over a ones column keyed by
+    a (−size, id) struct) — range partition + per-partition window,
+    never a single-partition global window. NULL sizes rank as size 0
+    (they still need a shard)."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1: {num_shards}")
+    from margaret_spark.operators.packing import running_total
+
+    staged = df.select(F.col(id_col), F.col(size_col)).select(
+        "*",
+        F.struct(
+            (-F.coalesce(F.col(size_col), F.lit(0))).alias("ns"),
+            F.col(id_col).alias("i"),
+        ).alias("__ord"),
+        F.lit(1).alias("__one"),
+    )
+    ranked = running_total(staged, "__one", "__ord", "__rk")
+    return ranked.select(
+        F.col(id_col),
+        F.col(size_col),
+        ((F.col("__rk") - F.lit(1)) % F.lit(num_shards))
+        .cast("long")
+        .alias("shard"),
+    )

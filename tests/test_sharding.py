@@ -115,3 +115,31 @@ def test_list_shards_rejects_foreign_entries(spark, tmp_path):
     os.rmdir(os.path.join(path, "shard=3.bak"))
     os.mkdir(os.path.join(path, "_staging"))
     assert len(list_shards(path)) >= 1  # non-shard entries ignored
+
+
+def test_assign_shards_balanced_skew_bound_and_determinism(spark):
+    from margaret_spark.operators.sharding import assign_shards_balanced
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(200)] + [(200, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    out = assign_shards_balanced(df, "doc_id", "n_chars", 8).collect()
+    assert len(out) == 201  # NULL size still lands in a shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.n_chars or 0)
+    assert set(by_shard) == set(range(8))
+    totals = {s: sum(v) for s, v in by_shard.items()}
+    # sorted round-robin: byte skew bounded by one maximal item
+    assert max(totals.values()) - min(totals.values()) <= 500
+    # row counts differ by at most one
+    counts = {s: len(v) for s, v in by_shard.items()}
+    assert max(counts.values()) - min(counts.values()) <= 1
+    # deterministic across runs
+    again = assign_shards_balanced(df, "doc_id", "n_chars", 8).collect()
+    assert sorted((r.doc_id, r.shard) for r in again) == sorted(
+        (r.doc_id, r.shard) for r in out
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        assign_shards_balanced(df, "doc_id", "n_chars", 0)
