@@ -990,6 +990,42 @@ def oracle_sql() -> dict[str, str]:
         "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
         "WHERE " + _pr("c / least(x.n, y.n)") + " >= 0.9)" + _METRICS
     )
+    # quality-aware-collapse eval: the overlap clusters over the
+    # planted-excerpt corpus, the quality argmax keep, and the dropped
+    # set scored against the planted excerpt ids
+    d["dedup_eval_keep_best"] = (
+        "WITH RECURSIVE pdocs AS (SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 1000000000 AS doc_id, "
+        f"array_to_string(({_WORDS})[1:CAST(ceil(len({_WORDS}) / 2.0) "
+        "AS BIGINT)], ' ') AS text "
+        f"FROM documents WHERE {_PLANT_SEL}), "
+        "truth AS (SELECT doc_id + 1000000000 AS doc_id FROM documents "
+        f"WHERE {_PLANT_SEL}), "
+        + _CAPPED_SHINGLE_CTES.replace("FROM documents", "FROM pdocs")
+        + ", sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS c FROM s a JOIN s b ON a.sh = b.sh "
+        "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+        "opairs AS (SELECT id_a, id_b FROM inter "
+        "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+        "WHERE " + _pr("c / least(x.n, y.n)") + " >= 0.9), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM opairs "
+        "UNION SELECT id_b, id_a FROM opairs), "
+        "reach(node, root) AS (SELECT doc_id, doc_id FROM pdocs "
+        "UNION SELECT e.dst, r.root FROM reach r "
+        "JOIN edges e ON e.src = r.node), "
+        "clusters AS (SELECT node AS doc_id, "
+        "CAST(min(root) AS BIGINT) AS cluster_id FROM reach GROUP BY node), "
+        "q AS (" + _quality_sql().replace("FROM documents", "FROM pdocs")
+        + "), "
+        "kept AS (SELECT doc_id FROM ("
+        "SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id "
+        "ORDER BY q.quality DESC, c.doc_id ASC) AS r "
+        "FROM clusters c JOIN q USING (doc_id)) WHERE r = 1), "
+        "pred AS (SELECT doc_id FROM pdocs "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM kept))" + _ID_METRICS
+    )
     # cross-corpus eval: even ids = existing, incoming = odd ids +
     # token-mutated copies of the selected EVEN docs; detector = the
     # graded jaccard JOIN with max_df='auto' resolved over the

@@ -2154,3 +2154,39 @@ def q_export_shards_balanced(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return assign_shards_balanced(docs, "doc_id", "n_chars", 64)
+
+
+def q_dedup_eval_keep_best(spark, sf_dir):
+    """Dedup-quality harness, quality-aware-collapse family: plant
+    half-doc excerpts, cluster via the overlap detector at 0.9, run
+    keep_best_per_cluster under text.quality_score, and score the
+    DROPPED set against the planted excerpt ids — measures how often
+    the collapse keeps the fuller copy (an excerpt usually loses on
+    the length term; a diversity-dense excerpt can legitimately win,
+    which is exactly what this eval quantifies instead of asserting).
+    Precision < 1 from organic containment clusters (documented lower
+    bound). Hash-exact."""
+    from margaret_spark.operators.dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+    from margaret_spark.operators.dedupeval import (
+        id_metrics,
+        plant_excerpt_duplicates,
+    )
+    from margaret_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    planted, truth = plant_excerpt_duplicates(docs, "doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        planted, "doc_id", "text", threshold=0.9, mode="word", n=3,
+        max_df="auto", measure="overlap",
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(planted, pairs, "doc_id")
+    scored = quality_score(planted, "doc_id", "text")
+    kept = keep_best_per_cluster(scored, clusters, "doc_id")
+    dropped = planted.select("doc_id").join(
+        kept.select("doc_id"), "doc_id", "left_anti"
+    )
+    return id_metrics(dropped, truth.select(F.col("id_b").alias("doc_id")), "doc_id")

@@ -245,3 +245,36 @@ def test_plant_excerpt_and_overlap_eval(spark):
     assert m.precision == 1.0 and m.recall == 1.0
     jc = ngram_jaccard_pairs(planted, "doc_id", "text", threshold=0.9)
     assert jc.count() == 0
+
+
+def test_keep_best_eval_drops_planted_excerpts_on_clean_corpus(spark):
+    from margaret_spark.operators.dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+    from margaret_spark.operators.dedupeval import (
+        id_metrics,
+        plant_excerpt_duplicates,
+    )
+    from margaret_spark.operators.text import quality_score
+
+    # per-doc unique vocab, no token repeats: the excerpt's diversity
+    # equals the source's, so the length term decides and every
+    # planted excerpt must be dropped
+    docs, rows = _clean_docs(spark)
+    planted, truth = plant_excerpt_duplicates(docs, "doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        planted, "doc_id", "text", threshold=0.9, measure="overlap"
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(planted, pairs, "doc_id")
+    kept = keep_best_per_cluster(
+        quality_score(planted, "doc_id", "text"), clusters, "doc_id"
+    )
+    dropped = planted.select("doc_id").join(
+        kept.select("doc_id"), "doc_id", "left_anti"
+    )
+    m = id_metrics(
+        dropped, truth.select(F.col("id_b").alias("doc_id")), "doc_id"
+    ).collect()[0]
+    assert m.precision == 1.0 and m.recall == 1.0
