@@ -2270,6 +2270,21 @@ def _oracle_sql_base() -> dict[str, str]:
             "ORDER BY q.quality DESC, c.doc_id ASC) AS r "
             "FROM clusters c JOIN q USING (doc_id)) WHERE r = 1"
         ),
+        # per-source duplication report over the same cluster chain
+        "dedup_rates_by_source": (
+            "WITH RECURSIVE " + _CLUSTER_CTES + ", "
+            "clusters AS (SELECT node AS doc_id, "
+            "CAST(min(root) AS BIGINT) AS cluster_id FROM reach GROUP BY node) "
+            "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_collapsed, "
+            + _pr(
+                "CAST(sum(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 "
+                "END) AS DOUBLE) / count(*)"
+            )
+            + " AS dup_frac "
+            "FROM clusters c JOIN documents d USING (doc_id) GROUP BY d.source"
+        ),
         "corpus_curation": (
             "WITH RECURSIVE " + _CLUSTER_CTES + ", "
             "clusters AS (SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id "

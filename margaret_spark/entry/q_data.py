@@ -2190,3 +2190,41 @@ def q_dedup_eval_keep_best(spark, sf_dir):
         kept.select("doc_id"), "doc_id", "left_anti"
     )
     return id_metrics(dropped, truth.select(F.col("id_b").alias("doc_id")), "doc_id")
+
+
+def q_dedup_rates_by_source(spark, sf_dir):
+    """Per-source duplication report: connected components over the
+    graded jaccard pair graph, then per source — docs, docs collapsed
+    into another doc's cluster (doc_id != cluster_id), and the dup
+    fraction. THE table a curation team reads to decide which sources
+    to distrust (a mirror-heavy source shows a high collapse rate).
+    One join + one aggregation over the cluster output; hash-exact."""
+    from margaret_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, mode="word", n=3, max_df="auto"
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    j = clusters.join(docs.select("doc_id", "source"), "doc_id")
+    from margaret_spark.functions.numeric import pround
+
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_collapsed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_collapsed",
+            pround(
+                F.col("n_collapsed").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_frac"),
+        )
+    )
