@@ -202,6 +202,21 @@ def oracle_sql() -> dict[str, str]:
         "/ 1000000 AS recall "
         "FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id"
     )
+    # hierarchical-index recall: the shared metric tail over the full
+    # (nested-WITH) ann_hier chain vs the brute-force arm
+    d["ann_hier_recall"] = (
+        f"WITH bf AS ({d['ann_topk']}), tr AS ({d['ann_hier']}), "
+        "ex AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact "
+        "FROM bf GROUP BY query_id), "
+        "hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM tr t JOIN bf b ON t.query_id = b.query_id "
+        "AND t.neighbor_id = b.neighbor_id GROUP BY t.query_id) "
+        "SELECT ex.query_id, ex.n_exact, "
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "floor((COALESCE(h.n_hits, 0) / ex.n_exact) * 1000000 + 0.5) "
+        "/ 1000000 AS recall "
+        "FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id"
+    )
     # the stateful streaming top-k must reproduce the batch ranking
     # window exactly (incremental bounded-heap merge is exact)
     d["stream_topk"] = (

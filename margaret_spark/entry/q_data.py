@@ -2228,3 +2228,25 @@ def q_dedup_rates_by_source(spark, sf_dir):
             ).alias("dup_frac"),
         )
     )
+
+
+def q_ann_hier_recall(spark, sf_dir):
+    """Recall@5 of the two-level hierarchical IVF against brute force
+    — the eval that justifies ann_hier's nprobe1/nprobe2 settings,
+    via the shared topk_recall metric tail (exact integer counts +
+    one IEEE division; hash-exact). Completes the recall-eval
+    discipline: every approximate index here (IVF, PQ, Matryoshka,
+    hierarchical) ships with its measured recall."""
+    from margaret_spark.operators.semdedup import hier_ivf_topk, icbrt_ceil
+    from margaret_spark.operators.similarity import topk_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    b = icbrt_ceil(emb.count(), 4)
+    approx = hier_ivf_topk(
+        emb, q, k=5, k1=b, k2=b, iters=2, nprobe1=2, nprobe2=4
+    ).select("query_id", "neighbor_id")
+    return topk_recall(
+        exact, approx, q.select(F.col("vec_id").alias("query_id"))
+    )
