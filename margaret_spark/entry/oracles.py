@@ -33,6 +33,7 @@ from margaret_spark.entry.oracle_builders import _scaled_k_limit
 from margaret_spark.entry.oracle_builders import _kmeans_ctes
 from margaret_spark.entry.oracle_builders import _hier_incr_sql, _hier_ivf_sql, _hier_semdedup_sql, _icbrt_limit
 from margaret_spark.entry.oracle_builders import _gopher_battery_sql, _line_repetition_sql, _ngram_coverage_sql
+from margaret_spark.entry.oracle_builders import _SHINGLES
 from margaret_spark.entry.oracle_builders import _CAPPED_SHINGLE_CTES, _CLUSTER_CTES, _CUT_HIT_FIRST_DOC, _CUT_HIT_FIRST_OCCURRENCE, _CUT_SPAN_SELECT, _DOT, _DUP_SPAN_CTES, _TRIANGLE_CTES, _WORDS, _bm25_sql, _bpe_doc_tokens_cte, _bpe_tokens_sql, _contrastive_sql, _cosine_sql, _cut_span_ctes, _decon_sem_sql, _hashembed_ctes, _ivfpq_sql, _kcore_sql, _kmeans_sql, _langid_sql, _pagerank_sql, _pq_ctes, _pq_sql, _pr, _quality_rules_sql, _quality_sql, _repetition_sql, _semdedup_incr_sql, _semdedup_sql, _tfidf_sql
 from margaret_spark.entry.q_data import _PII_REDACT_SQL, _PII_SALT_SQL
 from margaret_spark.entry.q_stream_media import _PSL_FIXTURE, _PSL_HOSTS, _WEB_BLOCKLIST, _WEB_HOSTS
@@ -2284,6 +2285,39 @@ def _oracle_sql_base() -> dict[str, str]:
             "row_number() OVER (PARTITION BY c.cluster_id "
             "ORDER BY q.quality DESC, c.doc_id ASC) AS r "
             "FROM clusters c JOIN q USING (doc_id)) WHERE r = 1"
+        ),
+        # per-doc n-gram novelty: df=1 share over the distinct-shingle
+        # inverted index
+        "text_novelty": (
+            f"WITH s0 AS ({_SHINGLES}), "
+            "dfc AS (SELECT sh, count(*) AS df FROM s0 GROUP BY sh), "
+            "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_unique FROM s0 JOIN dfc USING (sh) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams, "
+            "CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique, "
+            + _pr(
+                "CASE WHEN COALESCE(p.n_grams, 0) > 0 THEN "
+                "CAST(p.n_unique AS DOUBLE) / p.n_grams ELSE 0.0 END"
+            )
+            + " AS novelty FROM documents d LEFT JOIN per p USING (doc_id)"
+        ),
+        # cross-source near-dup matrix over the capped pair chain
+        "dedup_source_matrix": (
+            f"WITH {_CAPPED_SHINGLE_CTES}, "
+            "sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS c FROM s a JOIN s b ON a.sh = b.sh "
+            "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+            "pairs AS (SELECT id_a, id_b FROM inter "
+            "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+            "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2) "
+            "SELECT least(sa.source, sb.source) AS source_a, "
+            "greatest(sa.source, sb.source) AS source_b, "
+            "CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM pairs JOIN documents sa ON sa.doc_id = id_a "
+            "JOIN documents sb ON sb.doc_id = id_b GROUP BY 1, 2"
         ),
         # per-source duplication report over the same cluster chain
         "dedup_rates_by_source": (

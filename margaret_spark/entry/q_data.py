@@ -2250,3 +2250,71 @@ def q_ann_hier_recall(spark, sf_dir):
     return topk_recall(
         exact, approx, q.select(F.col("vec_id").alias("query_id"))
     )
+
+
+def q_text_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct trigrams that appear NOWHERE else in the corpus
+    (corpus-df = 1) — boilerplate- and template-heavy documents score
+    near 0, genuinely novel text near 1; the curation battery's
+    complement to the within-document repetition signals. One
+    inverted-index pass + one df aggregation + one per-doc share;
+    every count exact, one IEEE division. Hash-exact."""
+    from margaret_spark.functions.numeric import pround
+    from margaret_spark.functions.shingling import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    inv = docs.select(
+        F.col("doc_id"),
+        F.explode(word_shingles(F.col("text"), n=3)).alias("sh"),
+    )
+    df_counts = inv.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    per_doc = (
+        inv.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+        pround(
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_unique").cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("novelty"),
+    )
+
+
+def q_dedup_source_matrix(spark, sf_dir):
+    """Cross-source near-dup matrix: per (source_a ≤ source_b) pair,
+    how many jaccard near-dup pairs cross that source boundary — the
+    mirror-detection table (two sources sharing heavy pair mass are
+    mirrors/syndicators of each other). One pair pass + two source
+    joins + one aggregation; hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, mode="word", n=3, max_df="auto"
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")), "id_b")
+    )
+    return (
+        j.select(
+            F.least(F.col("__sa"), F.col("__sb")).alias("source_a"),
+            F.greatest(F.col("__sa"), F.col("__sb")).alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
