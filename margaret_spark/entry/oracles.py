@@ -2319,6 +2319,44 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM pairs JOIN documents sa ON sa.doc_id = id_a "
             "JOIN documents sb ON sb.doc_id = id_b GROUP BY 1, 2"
         ),
+        # the round-9-continuation end-to-end pipeline: gopher gate ->
+        # survivor clusters -> quality argmax keep -> balanced deal
+        "training_data_v2": (
+            "WITH RECURSIVE gb AS (SELECT * FROM ("
+            + _gopher_battery_sql(top_ns=(2,), dup_ns=(3,))
+            + ") z), "
+            "surv AS (SELECT d.doc_id, d.text, d.n_chars "
+            "FROM documents d JOIN gb USING (doc_id) "
+            "WHERE gb.top_2gram_frac <= 0.09 "
+            "AND gb.dup_3gram_frac <= 0.02), "
+            + _CAPPED_SHINGLE_CTES.replace("FROM documents", "FROM surv")
+            + ", sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS c FROM s a JOIN s b ON a.sh = b.sh "
+            "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+            "jpairs AS (SELECT id_a, id_b FROM inter "
+            "JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b "
+            "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2), "
+            "edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs "
+            "UNION SELECT id_b, id_a FROM jpairs), "
+            "reach(node, root) AS (SELECT doc_id, doc_id FROM surv "
+            "UNION SELECT e.dst, r.root FROM reach r "
+            "JOIN edges e ON e.src = r.node), "
+            "clusters AS (SELECT node AS doc_id, "
+            "CAST(min(root) AS BIGINT) AS cluster_id FROM reach "
+            "GROUP BY node), "
+            "q AS (" + _quality_sql().replace("FROM documents", "FROM surv")
+            + "), "
+            "kept AS (SELECT doc_id, cluster_id, quality FROM ("
+            "SELECT c.doc_id, c.cluster_id, q.quality, "
+            "row_number() OVER (PARTITION BY c.cluster_id "
+            "ORDER BY q.quality DESC, c.doc_id ASC) AS r "
+            "FROM clusters c JOIN q USING (doc_id)) WHERE r = 1) "
+            "SELECT k.doc_id, k.cluster_id, k.quality, v.n_chars, "
+            "CAST((row_number() OVER (ORDER BY v.n_chars DESC, "
+            "k.doc_id ASC) - 1) % 16 AS BIGINT) AS shard "
+            "FROM kept k JOIN surv v USING (doc_id)"
+        ),
         # per-source duplication report over the same cluster chain
         "dedup_rates_by_source": (
             "WITH RECURSIVE " + _CLUSTER_CTES + ", "

@@ -2318,3 +2318,57 @@ def q_dedup_source_matrix(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def q_training_data_v2(spark, sf_dir):
+    """The round-9-continuation end-to-end curation pipeline — the
+    session's new operators composed as one graded query:
+
+    1. GATE by the Gopher repetition battery (top-bigram char
+       coverage ≤ 0.09 AND duplicated-trigram char mass ≤ 0.02 — the
+       same cuts as the at-ingest stream_gopher_filter);
+    2. CLUSTER the survivors' jaccard near-dup graph (threshold 0.2,
+       max_df='auto' resolved over the SURVIVORS) and collapse each
+       cluster to its best-written copy (keep_best_per_cluster under
+       text.quality_score);
+    3. deal the kept docs into 16 SIZE-BALANCED shards
+       (assign_shards_balanced over n_chars).
+
+    Output (doc_id, cluster_id, quality, n_chars, shard) — one row
+    per kept document. Every stage hash-deterministic; the oracle
+    restates the battery, the recursive closure, the quality argmax
+    and the balanced deal as one chain."""
+    from margaret_spark.operators.dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+    )
+    from margaret_spark.operators.sharding import assign_shards_balanced
+    from margaret_spark.operators.text import gopher_repetition, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    battery = gopher_repetition(
+        docs, "doc_id", "text", top_ns=(2,), dup_ns=(3,)
+    )
+    survivors = (
+        docs.join(battery, "doc_id")
+        .where(
+            (F.col("top_2gram_frac") <= 0.09)
+            & (F.col("dup_3gram_frac") <= 0.02)
+        )
+        .select("doc_id", "text", "n_chars")
+        .localCheckpoint(eager=False)
+    )
+    pairs = ngram_jaccard_pairs(
+        survivors, "doc_id", "text", threshold=0.2, mode="word", n=3,
+        max_df="auto",
+    )
+    clusters = dedup_clusters(survivors, pairs, "doc_id")
+    kept = keep_best_per_cluster(
+        quality_score(survivors, "doc_id", "text"), clusters, "doc_id"
+    )
+    sized = kept.join(survivors.select("doc_id", "n_chars"), "doc_id")
+    shards = assign_shards_balanced(sized, "doc_id", "n_chars", 16)
+    return (
+        kept.join(shards.select("doc_id", "n_chars", "shard"), "doc_id")
+        .select("doc_id", "cluster_id", "quality", "n_chars", "shard")
+    )
