@@ -728,6 +728,54 @@ def simpson_index(
         )
     )
 
+def _value_counts(arr: Column, fn) -> Column:
+    """Hand ``fn`` the exact (g, c) value-count struct array of the
+    BOUND array ``arr``, computed by sorted run-length encoding:
+    sort, mark run starts (first element or value change), pair each
+    start with the next start, count = the gap. O(G log G) per row —
+    the naive distinct×filter scan is O(G·D), which on a single
+    million-gram document is a ~10¹²-comparison straggler task; this
+    keeps the per-document cost sort-bounded at ANY document length.
+    Values are identical (exact counts; run starts ARE the distinct
+    set). Empty in → empty out; every intermediate is bound (the
+    ``bind1`` rule), and the run-start predicate guards its i−1
+    lookup behind a lazy CASE (element 0 would throw)."""
+    from margaret_spark.functions.shingling import bind1
+
+    def with_sorted(sg: Column) -> Column:
+        size = F.size(sg)
+
+        def with_starts(bp: Column) -> Column:
+            k = F.size(bp)
+            nexts = F.slice(
+                F.concat(
+                    F.slice(bp, 2, F.greatest(k, F.lit(1))),
+                    F.array(size + F.lit(1)),
+                ),
+                1,
+                k,
+            )
+            z = F.zip_with(
+                bp,
+                nexts,
+                lambda s_, e_: F.struct(
+                    F.element_at(sg, s_).alias("g"),
+                    (e_ - s_).alias("c"),
+                ),
+            )
+            return fn(z)
+
+        starts_expr = F.filter(
+            gram_indices(size),
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(sg, i) != F.element_at(sg, i - F.lit(1))
+            ),
+        )
+        return bind1(starts_expr, with_starts)
+
+    return bind1(F.array_sort(arr), with_sorted)
+
+
 def _gram_coverage_struct(
     ws: Column, n: int, round_digits: int
 ) -> Column:
@@ -763,14 +811,6 @@ def _gram_coverage_struct(
     )
 
     def with_g(g: Column) -> Column:
-        z_expr = F.transform(
-            F.array_distinct(g),
-            lambda d: F.struct(
-                d.alias("g"),
-                F.size(F.filter(g, lambda x: x == d)).alias("c"),
-            ),
-        )
-
         def with_z(z: Column) -> Column:
             top = F.array_min(
                 F.transform(
@@ -812,7 +852,7 @@ def _gram_coverage_struct(
                 dup_frac.alias("dup_frac"),
             )
 
-        return bind1(z_expr, with_z)
+        return _value_counts(g, with_z)
 
     return bind1(g_expr, with_g)
 
@@ -946,14 +986,6 @@ def line_repetition(
     )
 
     def with_lines(l: Column) -> Column:
-        z_expr = F.transform(
-            F.array_distinct(l),
-            lambda d: F.struct(
-                d.alias("g"),
-                F.size(F.filter(l, lambda x: x == d)).alias("c"),
-            ),
-        )
-
         def with_z(z: Column) -> Column:
             n_lines = F.size(l).cast("long")
             n_distinct = F.size(z).cast("long")
@@ -990,7 +1022,7 @@ def line_repetition(
                 dup_char_frac.alias("dup_char_frac"),
             )
 
-        return bind1(z_expr, with_z)
+        return _value_counts(l, with_z)
 
     staged = df.select(
         F.col(id_col), bind1(lines_expr, with_lines).alias("__s")

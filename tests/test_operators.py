@@ -2845,3 +2845,27 @@ def test_text_novelty_and_source_matrix(spark):
     )
     m = {(r.a, r.b): r.n for r in j}
     assert m == {("web", "web"): 1, ("web", "wiki"): 2}
+
+
+def test_ngram_coverage_long_document_is_sort_bounded(spark):
+    """The sorted run-length counter keeps a single long document
+    sort-bounded (the old distinct×filter scan was O(G·D): a 20k-token
+    doc with ~5k distinct grams = ~10^8 comparisons in ONE task; this
+    must complete as a routine job). Values stay exact."""
+    import random
+
+    rng = random.Random(3)
+    toks = [f"w{rng.randrange(2000)}" for _ in range(20_000)]
+    doc = " ".join(toks)
+    from collections import Counter
+
+    grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    c = Counter(grams)
+    top_count = max(c.values())
+    top_gram = min(g for g, v in c.items() if v == top_count)
+    df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    from margaret_spark.operators.text import ngram_coverage
+
+    r = ngram_coverage(df, "doc_id", "text", n=2).collect()[0]
+    assert r.n_grams == len(grams)
+    assert (r.top_gram, r.top_count) == (top_gram, top_count)
