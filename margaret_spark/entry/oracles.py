@@ -218,6 +218,38 @@ def oracle_sql() -> dict[str, str]:
         "/ 1000000 AS recall "
         "FROM ex LEFT JOIN hits h ON ex.query_id = h.query_id"
     )
+    # reciprocal-rank fusion of the three approximate-index chains:
+    # fixed-order IEEE score tree over left-joined rank tables
+    d["ann_rrf"] = (
+        f"WITH a1 AS (SELECT query_id, neighbor_id, rank FROM ("
+        + d["ann_ivf"]
+        + ") z1), a2 AS (SELECT query_id, neighbor_id, rank FROM ("
+        + d["ann_hier"]
+        + ") z2), a3 AS (SELECT query_id, neighbor_id, rank FROM ("
+        + d["ann_matryoshka"]
+        + ") z3), "
+        "u AS (SELECT query_id, neighbor_id FROM a1 "
+        "UNION SELECT query_id, neighbor_id FROM a2 "
+        "UNION SELECT query_id, neighbor_id FROM a3), "
+        "f AS (SELECT u.query_id, u.neighbor_id, "
+        + _pr(
+            "0.0 + COALESCE(1.0 / (60.0 + r1.rank), 0.0) "
+            "+ COALESCE(1.0 / (60.0 + r2.rank), 0.0) "
+            "+ COALESCE(1.0 / (60.0 + r3.rank), 0.0)"
+        )
+        + " AS rrf FROM u "
+        "LEFT JOIN a1 r1 ON r1.query_id = u.query_id "
+        "AND r1.neighbor_id = u.neighbor_id "
+        "LEFT JOIN a2 r2 ON r2.query_id = u.query_id "
+        "AND r2.neighbor_id = u.neighbor_id "
+        "LEFT JOIN a3 r3 ON r3.query_id = u.query_id "
+        "AND r3.neighbor_id = u.neighbor_id) "
+        "SELECT query_id, neighbor_id, rrf, rank FROM ("
+        "SELECT query_id, neighbor_id, rrf, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY rrf DESC, neighbor_id ASC) AS INT) AS rank FROM f) "
+        "WHERE rank <= 5"
+    )
     # the stateful streaming top-k must reproduce the batch ranking
     # window exactly (incremental bounded-heap merge is exact)
     d["stream_topk"] = (

@@ -2372,3 +2372,31 @@ def q_training_data_v2(spark, sf_dir):
         kept.join(shards.select("doc_id", "n_chars", "shard"), "doc_id")
         .select("doc_id", "cluster_id", "quality", "n_chars", "shard")
     )
+
+
+def q_ann_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of the three graded approximate indexes
+    (similarity.rrf_fuse, Cormack et al. 2009): the flat IVF, the
+    two-level hierarchical IVF, and the Matryoshka prefix search —
+    each at its graded parameterization — fused by
+    Σ 1/(60 + rank_i) and re-ranked top-5. The retrieval ensemble a
+    serving stack runs when no single index dominates; cost is
+    queries·k·|arms|, corpus-size-free. Hash-exact (fixed-order IEEE
+    score tree; the oracle composes the three arm chains)."""
+    from margaret_spark.operators.semdedup import hier_ivf_topk, icbrt_ceil
+    from margaret_spark.operators.similarity import (
+        ivf_topk,
+        rrf_fuse,
+        truncate_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    a1 = ivf_topk(emb, q, k=5, nlist=16, nprobe=4)
+    b = icbrt_ceil(emb.count(), 4)
+    a2 = hier_ivf_topk(
+        emb, q, k=5, k1=b, k2=b, iters=2, nprobe1=2, nprobe2=4
+    )
+    tr = truncate_embeddings(emb, 16)
+    a3 = brute_force_topk(tr, tr.where(F.col("vec_id") < 5), k=5)
+    return rrf_fuse([a1, a2, a3], k=5)

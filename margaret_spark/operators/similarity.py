@@ -825,3 +825,54 @@ def kmeans_assign_deterministic(
         round_digits, comp_digits, sum_scale,
     )
     return assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public algorithm):
+    fuse several (query_id, neighbor_id, rank) tables into one ranking
+    by ``score = Σ_i 1/(k0 + rank_i)``, a candidate missing from a
+    table contributing 0 — the standard ensemble for heterogeneous
+    retrieval arms (here: different ANN indexes; classically BM25 +
+    vectors). ``k0=60`` is the paper's constant.
+
+    Determinism: the score is a FIXED-ORDER expression over the
+    (bounded, few) input tables — never a float SUM over rows — so the
+    IEEE tree replays identically in the oracle; the final ranking is
+    (pround'ed score desc, neighbor_id asc). Output
+    (query_id, neighbor_id, rrf, rank), top ``k`` per query.
+
+    Scale shape: each arm is already a top-k table (queries·k rows);
+    the fusion joins and re-ranks bounded candidate sets — cost is
+    queries·k·|arms|, independent of corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    out = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            "query_id", "neighbor_id", F.col("rank").alias(f"__r{i}")
+        )
+        out = (
+            t
+            if out is None
+            else out.join(t, ["query_id", "neighbor_id"], "full_outer")
+        )
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"__r{i}").cast("double")),
+            F.lit(0.0),
+        )
+    scored = out.withColumn("rrf", pround(score, round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rrf", "rank")
+    )

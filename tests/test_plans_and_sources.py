@@ -137,6 +137,7 @@ def test_entry_queries_plan_quality(spark):
         "dedup_semantic_incremental_hier",
         "ann_hier",
         "ann_hier_recall",
+        "ann_rrf",
         "dedup_eval_semantic_hier",
         # semantic packing clusters through the same Lloyd pair_dot
         # kernel; the packing cumsum itself is pure codegen

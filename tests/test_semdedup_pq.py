@@ -630,3 +630,25 @@ def test_hier_ivf_topk_recall_and_structure(spark):
     hits = sum(len(a[q] & e.get(q, set())) for q in a)
     total = sum(len(v) for v in a.values())
     assert hits / total >= 0.5, (hits, total)
+
+
+def test_rrf_fuse_math_and_missing_arms(spark):
+    from margaret_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    out = {r.neighbor_id: (r.rrf, r.rank) for r in rrf_fuse([a, b], k=3).collect()}
+    # 11 appears in both arms: 1/62 + 1/61; 10 and 12 in one each
+    assert out[11][0] == round(1 / 62 + 1 / 61, 6) and out[11][1] == 1
+    assert out[10][0] == round(1 / 61, 6)
+    assert out[12][0] == round(1 / 62, 6)
+    # equal scores tie-break on neighbor id: 10 (1/61) beats 12 (1/62)
+    assert out[10][1] == 2 and out[12][1] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([], k=3)
