@@ -153,6 +153,18 @@ HEADLINE_V2 = [
     "text_bpe_fertility",
 ]
 
+# r10: boot-speed canary (VERDICT r9 ask #3). The r8→r9b episode
+# showed the same code timing ~1.4× slower on a slower host boot, so
+# raw cross-round totals are NOT comparable without a per-boot speed
+# reference. These three queries run FIRST — isolated, warmup +
+# best-of-3, before the long session can contend — and their total
+# divided by the r9 fast-boot reference gives boot_speed_factor;
+# subtotals are reported both raw and canary-normalized. The
+# reference values are the r09_233q.json uncontended numbers at
+# sf0.1/local[32] (bench_local/README.md documents that boot).
+CANARY = ["log_scan", "tpch_q1", "dedup_jaccard"]
+CANARY_REF_SF01 = {"log_scan": 0.123, "tpch_q1": 1.168, "dedup_jaccard": 1.119}
+
 # r9: FULL bench coverage — every graded queries() entry is measured.
 # The r8 verdict flagged ~113 graded queries invisible to BENCH deltas
 # (cheap variants of measured families, but a regression there was
@@ -178,6 +190,25 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     qs = entry.queries()
+
+    def best_of(fn, runs: int) -> float:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    # boot-speed canary: isolated best-of-3 BEFORE the session loop
+    canary = {n: round(best_of(qs[n], 3), 3) for n in CANARY}
+    canary_total = round(sum(canary.values()), 3)
+    ref_total = round(sum(CANARY_REF_SF01.values()), 3)
+    boot_speed_factor = (
+        round(canary_total / ref_total, 3) if sf == "0.1" else None
+    )
+
     measured = set(HEADLINE) | set(HEADLINE_V2)
     HEADLINE_V3.extend(n for n in sorted(qs) if n not in measured)
     timings: dict[str, float] = {}
@@ -192,14 +223,7 @@ def main() -> None:
         # tail runs best-of-2 to keep the full-coverage bench inside
         # the driver's wall budget at 240+ measured queries.
         runs = 3 if name in measured else 2
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = None
-        for _ in range(runs):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+        timings[name] = round(best_of(fn, runs), 3)
         # drop the query's localCheckpoint RDD blocks: 233 queries x 4
         # executions otherwise accumulate cached blocks in the one
         # long-lived JVM, and the creeping heap pressure taxes every
@@ -224,6 +248,26 @@ def main() -> None:
                 # r8-comparable 111-query subtotal (HEADLINE+V2 only)
                 "subtotal_111q_r8_comparable": round(
                     sum(timings[n] for n in HEADLINE + HEADLINE_V2), 3
+                ),
+                # boot-speed canary (VERDICT r9 ask #3): isolated
+                # best-of-3 of three stable queries measured BEFORE the
+                # session loop, vs the r9 fast-boot reference. Compare
+                # rounds on the canary-normalized subtotals; a factor
+                # far from 1.0 means the HOST is the difference, not
+                # the code (r8→r9b measured exactly this at ~1.4×).
+                "canary": canary,
+                "canary_total": canary_total,
+                "canary_reference_total": ref_total if sf == "0.1" else None,
+                "boot_speed_factor": boot_speed_factor,
+                "subtotal_37q_canary_normalized": (
+                    round(subtotal_v1 / boot_speed_factor, 3)
+                    if boot_speed_factor
+                    else None
+                ),
+                "total_canary_normalized": (
+                    round(total / boot_speed_factor, 3)
+                    if boot_speed_factor
+                    else None
                 ),
                 "queries": timings,
                 "sf": float(sf),

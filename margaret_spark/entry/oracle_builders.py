@@ -1166,12 +1166,19 @@ def _hier_fit_assign_ctes(
         f"av AS (SELECT f.vec_id, f.cent_id, e.embedding "
         f"FROM coarse f JOIN {src} e ON e.vec_id = f.vec_id)"
     )
+    # Mirror semdedup.hier_centroids' empty-cell seed: a coarse cell
+    # with no fit-corpus member (Lloyd keeps stale centroids for empty
+    # cells) gets sub_id=1 = the coarse centroid itself, so the frozen
+    # model assigns EVERY arrival a (cent, sub) cell.
     ctes.append(
         "sub0 AS (SELECT cent_id, CAST(sub_id AS INT) AS sub_id, "
         "embedding AS cent FROM ("
         "SELECT cent_id, embedding, row_number() OVER ("
         "PARTITION BY cent_id ORDER BY vec_id) AS sub_id FROM av) "
-        f"WHERE sub_id <= {k2})"
+        f"WHERE sub_id <= {k2} "
+        f"UNION ALL SELECT c.cent_id, CAST(1 AS INT) AS sub_id, c.cent "
+        f"FROM cents{iters} c "
+        "WHERE c.cent_id NOT IN (SELECT cent_id FROM av))"
     )
     for i in range(1, iters + 1):
         prev = f"sub{i - 1}"
@@ -1295,12 +1302,19 @@ def _hier_incr_sql(
         "av AS (SELECT f.vec_id, f.cent_id, e.embedding "
         "FROM coarse f JOIN exv e ON e.vec_id = f.vec_id)"
     )
+    # Same empty-cell seed as _hier_fit_assign_ctes (see there): new
+    # arrivals (odd vec_ids) may land nearest to a coarse cell no
+    # fit-corpus vector chose; without the seed both engines would
+    # drop them (ADVICE r9) — with it, both keep them.
     ctes.append(
         "sub0 AS (SELECT cent_id, CAST(sub_id AS INT) AS sub_id, "
         "embedding AS cent FROM ("
         "SELECT cent_id, embedding, row_number() OVER ("
         "PARTITION BY cent_id ORDER BY vec_id) AS sub_id FROM av) "
-        f"WHERE sub_id <= {k2})"
+        f"WHERE sub_id <= {k2} "
+        f"UNION ALL SELECT c.cent_id, CAST(1 AS INT) AS sub_id, c.cent "
+        f"FROM cents{iters} c "
+        "WHERE c.cent_id NOT IN (SELECT cent_id FROM av))"
     )
     for i in range(1, iters + 1):
         prev = f"sub{i - 1}"

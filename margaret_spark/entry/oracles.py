@@ -986,11 +986,15 @@ def oracle_sql() -> dict[str, str]:
     )
     # md5 shard draw: same first-8-hex-digits value, '0x'-cast in
     # DuckDB vs conv(,16,10) in Spark — both exact 32-bit integers
-    # size-balanced export: global (size desc, id) rank dealt mod 64
+    # size-balanced export: global (size desc, id) rank dealt mod 64.
+    # COALESCE in the ORDER BY mirrors the operator's documented
+    # NULL-as-0 rule (assign_shards_balanced ranks NULL sizes as 0,
+    # interleaved with genuine zeros by id; a bare DESC would place
+    # NULLs after ALL non-null rows — ADVICE r9).
     d["export_shards_balanced"] = (
         "SELECT doc_id, n_chars, "
-        "CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) "
-        "% 64 AS BIGINT) AS shard FROM documents"
+        "CAST((row_number() OVER (ORDER BY COALESCE(n_chars, 0) DESC, "
+        "doc_id ASC) - 1) % 64 AS BIGINT) AS shard FROM documents"
     )
     d["export_shards"] = (
         "SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
@@ -2385,7 +2389,7 @@ def _oracle_sql_base() -> dict[str, str]:
             "ORDER BY q.quality DESC, c.doc_id ASC) AS r "
             "FROM clusters c JOIN q USING (doc_id)) WHERE r = 1) "
             "SELECT k.doc_id, k.cluster_id, k.quality, v.n_chars, "
-            "CAST((row_number() OVER (ORDER BY v.n_chars DESC, "
+            "CAST((row_number() OVER (ORDER BY COALESCE(v.n_chars, 0) DESC, "
             "k.doc_id ASC) - 1) % 16 AS BIGINT) AS shard "
             "FROM kept k JOIN surv v USING (doc_id)"
         ),
@@ -2729,6 +2733,15 @@ def _oracle_sql_base() -> dict[str, str]:
             "prune", k=_scaled_k_limit("embeddings", 8)
         ),
         "ann_hier": _hier_ivf_sql(
+            k=5,
+            k1=_icbrt_limit("embeddings", 4),
+            k2=_icbrt_limit("embeddings", 4),
+            nprobe1=2,
+            nprobe2=4,
+        ),
+        # the persisted serving twin ranks through the same probe/topk
+        # code under the same frozen model, so the oracle is identical
+        "ann_hier_indexed": _hier_ivf_sql(
             k=5,
             k1=_icbrt_limit("embeddings", 4),
             k2=_icbrt_limit("embeddings", 4),

@@ -1854,13 +1854,20 @@ def keep_best_per_cluster(
     through (they are their own best). Output
     (id_col, cluster_id, ``score_col``).
 
+    ``scored`` need not cover every clustered id: unscored members
+    rank AFTER every scored one (score NULL, ties by id asc), so a
+    cluster keeps a representative even when none of its members —
+    or only some — carry a score; the kept row's score is then NULL
+    (ADVICE r9: the old inner join silently dropped unscored members
+    and vanished all-unscored clusters entirely).
+
     Scale shape: one equi-join on the id and one cluster-keyed window
     — both ride the same cluster_id exchange; nothing global."""
     j = clusters.join(
-        scored.select(F.col(id_col), F.col(score_col)), id_col
+        scored.select(F.col(id_col), F.col(score_col)), id_col, "left"
     )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return (
         j.withColumn("__r", F.row_number().over(w))

@@ -469,8 +469,21 @@ def hier_centroids(
             F.col("__r").cast("int").alias("sub_id"),
             F.col("__v").alias("cent"),
         )
-        .localCheckpoint(eager=False)
     )
+    # Seed COARSE CELLS EMPTY AT FIT TIME (Lloyd keeps stale centroids
+    # for cells no vector chose) with sub_id=1 = the coarse centroid
+    # itself: every cent_id is guaranteed ≥1 sub-centroid, so
+    # assign_to_hier_centroids keeps its per-row output contract for
+    # new arrivals that land nearest to such a cell (the _sub_assign
+    # equi-join would otherwise silently drop them). No fit-corpus row
+    # belongs to an empty cell, so the fit iterations and every
+    # non-empty cell's sub-centroids are unchanged.
+    seed = cents.join(
+        F.broadcast(subc.select("cent_id").distinct()), "cent_id", "left_anti"
+    ).select(
+        "cent_id", F.lit(1).cast("int").alias("sub_id"), F.col("cent")
+    )
+    subc = subc.unionByName(seed).localCheckpoint(eager=False)
     from margaret_spark.functions.numeric import dsum
 
     for _ in range(iters):
@@ -867,8 +880,6 @@ def hier_ivf_topk(
     id asc); sub-probes break ties (cent_id asc, sub_id asc).
     Output (query_id, neighbor_id, cosine, rank). Recall < 1 by
     design (ANN trade) — measure with ``similarity.topk_recall``."""
-    from margaret_spark.operators.similarity import _nearest_cells
-
     if cents is None or subc is None:
         cents, subc = hier_centroids(
             corpus, k1, k2, iters, id_col, vec_col, round_digits
@@ -890,6 +901,32 @@ def hier_ivf_topk(
             l2_norm(F.col("__cv")).alias("__cn"),
         )
     )
+    probes = _hier_probes(
+        queries, cents, subc, nprobe1, nprobe2, id_col, vec_col,
+        round_digits, broadcast_model,
+    )
+    return _hier_topk_over_members(probes, cells, k, round_digits)
+
+
+def _hier_probes(
+    queries: DataFrame,
+    cents: DataFrame,
+    subc: DataFrame,
+    nprobe1: int,
+    nprobe2: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(query_id, cent_id, sub_id, __qv, __qn): each query's
+    ``nprobe2`` probed sub-cells among its ``nprobe1`` nearest coarse
+    cells — coarse rank (rounded cosine desc, cent_id asc), sub rank
+    (rounded cosine desc, cent_id asc, sub_id asc). The probe half of
+    :func:`hier_ivf_topk`, shared with the persisted-index serving
+    path (:func:`hier_index_search`) so both rank identically."""
+    from margaret_spark.operators.similarity import _nearest_cells
+
     bc = F.broadcast(
         cents.select(
             "cent_id",
@@ -917,7 +954,7 @@ def hier_ivf_topk(
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("__ssim").desc(), F.col("cent_id").asc(), F.col("sub_id").asc()
     )
-    probes = (
+    return (
         sub_scored.select(
             "query_id", "cent_id", "sub_id", "__ssim", "__v", "__n"
         )
@@ -928,6 +965,16 @@ def hier_ivf_topk(
             F.col("__v").alias("__qv"), F.col("__n").alias("__qn"),
         )
     )
+
+
+def _hier_topk_over_members(
+    probes: DataFrame, cells: DataFrame, k: int, round_digits: int
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): exact cosine top-k of
+    each query over its probed sub-cells' members (self excluded) —
+    the scoring tail shared by :func:`hier_ivf_topk` and
+    :func:`hier_index_search`. ``cells`` carries (neighbor_id,
+    cent_id, sub_id, __cv, __cn)."""
     cos = pair_dot(F.col("__qv"), F.col("__cv")) / (
         F.col("__qn") * F.col("__cn")
     )
@@ -936,6 +983,167 @@ def hier_ivf_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", pround(cos, round_digits))
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def build_hier_index(
+    corpus: DataFrame,
+    path: str,
+    k1: int | None = None,
+    k2: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> None:
+    """Persist the two-level hierarchical index (VERDICT r9 ask #2 —
+    the ``build_ivfpq_index`` treatment for the hier family):
+    ``<path>/cents`` (k1 coarse centroids), ``<path>/subc`` (the
+    per-cell sub-centroids incl. the empty-cell seed), and
+    ``<path>/vectors`` — each corpus vector + its precomputed norm
+    written Hive-partitioned by (cell, sub), so serving reads only
+    the probed sub-cells under dynamic partition pruning. The fit is
+    paid ONCE at build; :func:`hier_index_search` then costs only the
+    probe stages. ``k1``/``k2`` default to the icbrt branching rule
+    (:func:`icbrt_ceil`) from the corpus count."""
+    if k1 is None or k2 is None:
+        n = corpus.count()
+        b = icbrt_ceil(n, 4)
+        k1 = b if k1 is None else k1
+        k2 = b if k2 is None else k2
+    cents, subc = hier_centroids(
+        corpus, k1, k2, iters, id_col, vec_col,
+        round_digits, comp_digits, sum_scale,
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/cents")
+    subc.write.mode("overwrite").parquet(f"{path}/subc")
+    spark = corpus.sparkSession
+    # assign under the PERSISTED model (re-read), so build == append
+    # == serve all use the same frozen tables
+    fc = spark.read.parquet(f"{path}/cents")
+    fs = spark.read.parquet(f"{path}/subc")
+    ca = assign_to_hier_centroids(
+        corpus, fc, fs, id_col, vec_col, round_digits
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    (
+        ca.join(vecs, ca[id_col] == F.col("__vid"))
+        .select(
+            F.col("cent_id").alias("cell"),
+            F.col("sub_id").alias("sub"),
+            F.col(id_col).alias("id"),
+            "vec",
+            l2_norm(F.col("vec")).alias("vn"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell", "sub")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def hier_index_append(
+    spark,
+    path: str,
+    arrivals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Append new vectors to a persisted :func:`build_hier_index`
+    under the FROZEN quantizer (arrivals never move the cells — the
+    at-ingest-model house rule): assign each arrival its (cell, sub)
+    and append to the partitioned vector table; only the touched
+    sub-cell partitions gain files. The empty-cell seed guarantees
+    every arrival lands somewhere."""
+    cents = spark.read.parquet(f"{path}/cents")
+    subc = spark.read.parquet(f"{path}/subc")
+    ca = assign_to_hier_centroids(
+        arrivals, cents, subc, id_col, vec_col, round_digits
+    )
+    vecs = arrivals.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    (
+        ca.join(vecs, ca[id_col] == F.col("__vid"))
+        .select(
+            F.col("cent_id").alias("cell"),
+            F.col("sub_id").alias("sub"),
+            F.col(id_col).alias("id"),
+            "vec",
+            l2_norm(F.col("vec")).alias("vn"),
+        )
+        .write.mode("append")
+        .partitionBy("cell", "sub")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def hier_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe1: int = 2,
+    nprobe2: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k against a persisted :func:`build_hier_index` —
+    (query_id, neighbor_id, cosine, rank), identical results to the
+    in-flight :func:`hier_ivf_topk` under the same frozen model
+    (pinned in tests). The probe set is broadcast and joined on the
+    raw (cell, sub) partition columns, so dynamic partition pruning
+    cuts the vector scan to O(probed sub-cells) ≈ nprobe2·N/(k1·k2)
+    rows — the serving shape that turns the 15 s cold fit into a
+    probe-stage-only query."""
+    cents = spark.read.parquet(f"{path}/cents")
+    subc = spark.read.parquet(f"{path}/subc")
+    probes = _hier_probes(
+        queries, cents, subc, nprobe1, nprobe2, id_col, vec_col,
+        round_digits,
+    )
+    members = spark.read.parquet(f"{path}/vectors")
+    mt = dict(members.dtypes)
+    # cast the BUILD side to the inferred partition-column types (the
+    # scan side must stay a bare column reference or partition
+    # pruning can't fire)
+    p2 = probes.select(
+        "query_id",
+        F.col("cent_id").cast(mt["cell"]).alias("cell"),
+        F.col("sub_id").cast(mt["sub"]).alias("sub"),
+        "__qv",
+        "__qn",
+    )
+    joined = members.join(F.broadcast(p2), ["cell", "sub"]).select(
+        F.col("cell").alias("cent_id"),
+        F.col("sub").alias("sub_id"),
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("__cv"),
+        F.col("vn").alias("__cn"),
+        "query_id",
+        "__qv",
+        "__qn",
+    )
+    cos = pair_dot(F.col("__qv"), F.col("__cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
+    scored = joined.where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cosine", pround(cos, round_digits))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

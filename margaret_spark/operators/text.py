@@ -795,11 +795,21 @@ def _gram_coverage_struct(
     - ``dup_frac``  = Σ over distinct n-grams occurring ≥ 2 times of
       occurrences · length(gram), divided by ``total``.
 
+    Both fractions count EVERY occurrence's full gram length, so
+    overlapping occurrences can push them above 1.0 (e.g. "a a a a"
+    under n=2); Rae et al. count each character of the document at
+    most once, so their published thresholds sit on a different scale
+    — see :func:`streaming.quality.stream_gopher_filter` for the
+    calibration note where the paper's numbers are used as defaults.
+
     Documents with fewer than ``n`` tokens report 0 counts/fractions
-    and an empty top gram. Cost is O(G·D) per document (G grams, D
-    distinct grams) — bounded by document length squared, never by
-    corpus size; every intermediate array is BOUND as a lambda
-    variable (the ``bind1`` rule) so nothing re-evaluates per element.
+    and an empty top gram. Cost is O(G log G) per document (G grams):
+    the per-gram counts come from :func:`_value_counts`' sorted
+    run-length encoding (array_sort + boundary flags + a prefix-sum
+    fold), never a distinct-times-filter rescan — bounded by document
+    length, never by corpus size; every intermediate array is BOUND
+    as a lambda variable (the ``bind1`` rule) so nothing re-evaluates
+    per element.
     The top gram is picked via ``array_min`` over ``(-count, gram)``
     structs — one O(D) fold, no comparator sort, and the same struct
     ordering exists in the DuckDB oracle (``list_min``)."""

@@ -291,6 +291,16 @@ def stream_gopher_filter(
     paper's cut is a pure PER-DOCUMENT projection — no model, no
     state — so per-batch gating of disjoint seq sets trivially equals
     batch gating of the whole log (the graded oracle's statement).
+
+    Threshold calibration: the defaults (0.2 / 0.15) are Rae et al.'s
+    published numbers, but gopher_repetition counts EVERY occurrence's
+    full gram length (overlapping occurrences can push a fraction
+    above 1.0) while the paper counts each document character at most
+    once — on this metric the same numeric threshold therefore cuts
+    MORE documents than the paper's filter would. Keep the defaults
+    when you want a strictly-more-aggressive gate; recalibrate on a
+    sample (e.g. pick the quantile matching the paper's pass rate)
+    when you need the paper's selectivity.
     Read the kept set back with ``read_keeper_sink(spark, sink_dir,
     "seq long, top_2gram_frac double, dup_3gram_frac double")``."""
     from margaret_spark.operators.text import gopher_repetition

@@ -3,7 +3,13 @@
 entry under Spark and its oracle_sql() under DuckDB at sf0.01, compare
 row count, sorted column names, and the full sorted value multiset.
 
-Usage: python scripts/verify_correctness.py [sf_dir] [query ...]
+Usage: python scripts/verify_correctness.py [--json OUT] [sf_dir] [query ...]
+
+With ``--json OUT`` the per-query verdicts (status ok / rows-only /
+fail, row count, wall seconds, failure message) are also written as
+one JSON object to OUT — the committed round artifact
+(``bench_local/VERIFY_r{N}.json``) so the 200+ queries the driver's
+50-row sample never touches carry a reproducible record per round.
 """
 
 from __future__ import annotations
@@ -62,8 +68,14 @@ def approx_equal(a, b, tol=1e-9):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry
     from margaret_spark.session import get_spark
@@ -80,6 +92,7 @@ def main():
     oracles = entry.oracle_sql()
     n_pass = n_fail = n_weak = 0
     failures = []
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -92,10 +105,19 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             failures.append(name)
+            report[name] = {
+                "status": "fail", "rows": None,
+                "wall_s": round(time.time() - t0, 2),
+                "msg": f"spark error: {e}",
+            }
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(srows)} (no oracle; rows-only)  [{time.time()-t0:.1f}s]")
             n_weak += 1
+            report[name] = {
+                "status": "rows-only", "rows": len(srows),
+                "wall_s": round(time.time() - t0, 2),
+            }
             continue
         try:
             cur = con.execute(oracles[name])
@@ -105,6 +127,11 @@ def main():
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
             failures.append(name)
+            report[name] = {
+                "status": "fail", "rows": len(srows),
+                "wall_s": round(time.time() - t0, 2),
+                "msg": f"oracle error: {e}",
+            }
             continue
         sc, sr = norm_rows(scols, srows)
         oc, orr = norm_rows(ocols, orows)
@@ -126,11 +153,37 @@ def main():
             print(f"FAIL  {name}: {msg}")
             n_fail += 1
             failures.append(name)
+            report[name] = {
+                "status": "fail", "rows": len(sr),
+                "wall_s": round(time.time() - t0, 2), "msg": msg,
+            }
         else:
             print(f"ok    {name}: rows={len(sr)}  [{time.time()-t0:.1f}s]")
             n_pass += 1
+            report[name] = {
+                "status": "ok", "rows": len(sr),
+                "wall_s": round(time.time() - t0, 2),
+            }
 
     print(f"\n{n_pass} ok, {n_weak} rows-only, {n_fail} FAIL")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_ok": n_pass,
+                    "n_rows_only": n_weak,
+                    "n_fail": n_fail,
+                    "queries": report,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        print(f"wrote {json_out}")
     if failures:
         print("failures:", " ".join(failures))
         sys.exit(1)

@@ -2869,3 +2869,26 @@ def test_ngram_coverage_long_document_is_sort_bounded(spark):
     r = ngram_coverage(df, "doc_id", "text", n=2).collect()[0]
     assert r.n_grams == len(grams)
     assert (r.top_gram, r.top_count) == (top_gram, top_count)
+
+
+def test_keep_best_per_cluster_unscored_members(spark):
+    """ADVICE r9: `scored` need not cover every clustered id — an
+    unscored member ranks after every scored one; an all-unscored
+    cluster keeps its min-id representative with a NULL score,
+    instead of vanishing."""
+    from margaret_spark.operators.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long",
+    )
+    # cluster 1: id 3 unscored (loses to any scored member);
+    # cluster 7: nobody scored (keeps min-id 7, score NULL)
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9)], "doc_id long, quality double"
+    )
+    kept = {
+        r.doc_id: (r.cluster_id, r.quality)
+        for r in keep_best_per_cluster(scored, clusters, "doc_id").collect()
+    }
+    assert kept == {2: (1, 0.9), 7: (7, None)}

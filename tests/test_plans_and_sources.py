@@ -136,6 +136,7 @@ def test_entry_queries_plan_quality(spark):
         "dedup_semantic_hier",
         "dedup_semantic_incremental_hier",
         "ann_hier",
+        "ann_hier_indexed",
         "ann_hier_recall",
         "ann_rrf",
         "dedup_eval_semantic_hier",

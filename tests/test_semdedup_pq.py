@@ -652,3 +652,154 @@ def test_rrf_fuse_math_and_missing_arms(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([], k=3)
+
+
+def test_hier_empty_coarse_cell_seeded_and_arrivals_kept(spark):
+    """ADVICE r9 (semdedup._sub_assign): a coarse cell empty at fit
+    time (Lloyd keeps stale centroids for drained cells) must still
+    carry >=1 sub-centroid, so a NEW arrival nearest that cell is
+    assigned, not silently dropped by the cent_id equi-join.
+
+    Construction: two near-identical init vectors (angle eps small
+    enough that every fit-corpus cosine ROUNDS equal at 6 digits) ->
+    the cent_id-asc tiebreak drains cell 1 in every round AND in the
+    final assignment; an arrival at a wider angle sees the stale
+    cell-1 centroid strictly closer than the moved cell-0 mean."""
+    from margaret_spark.operators.semdedup import (
+        assign_to_hier_centroids,
+        hier_centroids,
+    )
+
+    eps = 0.0005
+    v1 = [math.cos(eps), math.sin(eps)]
+    fit = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, v1)]
+        + [(i, [1.0, 0.0]) for i in range(2, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, subc = hier_centroids(fit, k1=2, k2=2, iters=1)
+    cent_ids = {r.cent_id for r in cents.collect()}
+    sub_ids = {r.cent_id for r in subc.select("cent_id").distinct().collect()}
+    assert cent_ids == {0, 1}
+    # the guarantee: EVERY coarse cell has at least one sub-centroid
+    assert cent_ids <= sub_ids
+    # the seeded cell's sub0 is the coarse centroid itself
+    seeded = {
+        (r.cent_id, r.sub_id): r.cent
+        for r in subc.where(F.col("cent_id") == 1).collect()
+    }
+    assert list(seeded) == [(1, 1)]
+    stale = {r.cent_id: r.cent for r in cents.collect()}[1]
+    assert seeded[(1, 1)] == pytest.approx(stale)
+    # fit corpus all landed in cell 0 (cell 1 drained by the tiebreak)
+    arrivals = spark.createDataFrame(
+        [(100, [math.cos(0.1), math.sin(0.1)])],
+        "vec_id long, embedding array<double>",
+    )
+    out = assign_to_hier_centroids(arrivals, cents, subc).collect()
+    assert len(out) == 1  # per-row contract: nothing dropped
+    assert (out[0].cent_id, out[0].sub_id) == (1, 1)
+
+
+def test_hier_fit_unchanged_by_seed_on_nonempty_cells(planted):
+    """The empty-cell seed must not perturb cells that have members:
+    on a corpus with no drained cell, subc carries no extra rows and
+    every sub-centroid comes from the data."""
+    from margaret_spark.operators.semdedup import hier_centroids
+
+    cents, subc = hier_centroids(planted, k1=2, k2=2, iters=1)
+    members = {r.cent_id for r in subc.select("cent_id").distinct().collect()}
+    assert members == {r.cent_id for r in cents.collect()}
+    # k2=2 and both cells have >=2 members -> exactly 2 subs per cell
+    per_cell = {
+        r.cent_id: r.n
+        for r in subc.groupBy("cent_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 2 for n in per_cell.values())
+
+
+def test_hier_index_build_search_equals_inflight(spark, tmp_path):
+    """The persisted hierarchical index (VERDICT r9 ask #2) returns
+    EXACTLY the in-flight hier_ivf_topk result under the same frozen
+    model, and the vector scan carries dynamic-pruning partition
+    filters on BOTH (cell, sub) levels."""
+    import random
+
+    from margaret_spark.operators.semdedup import (
+        build_hier_index,
+        hier_index_search,
+        hier_ivf_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where(F.col("vec_id") < 3)
+
+    path = str(tmp_path / "hier")
+    build_hier_index(df, path, k1=4, k2=4, iters=1)
+    out = hier_index_search(spark, path, qs, k=3, nprobe1=2, nprobe2=4)
+    got = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+        for r in out.collect()
+    }
+    cents = spark.read.parquet(path + "/cents")
+    subc = spark.read.parquet(path + "/subc")
+    want = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+        for r in hier_ivf_topk(
+            df, qs, k=3, nprobe1=2, nprobe2=4, cents=cents, subc=subc
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    fmt = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression(cell" in fmt
+    assert "dynamicpruningexpression(sub" in fmt
+
+
+def test_hier_index_append_serves_new_vectors(spark, tmp_path):
+    """Appended vectors land in their frozen-model (cell, sub)
+    partition and are served by subsequent searches; the quantizer
+    tables are untouched (arrivals never move the cells)."""
+    import random
+
+    from margaret_spark.operators.semdedup import (
+        build_hier_index,
+        hier_index_append,
+        hier_index_search,
+    )
+
+    rng = random.Random(11)
+    old = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "hidx")
+    build_hier_index(old, path, k1=4, k2=4, iters=1)
+    n_before = spark.read.parquet(path + "/vectors").count()
+    subc_before = sorted(
+        map(tuple, spark.read.parquet(path + "/subc").collect())
+    )
+
+    base = {r.vec_id: r.embedding for r in old.where(F.col("vec_id") < 2).collect()}
+    new = spark.createDataFrame(
+        [(100 + i, [v + 0.001 for v in base[i]]) for i in (0, 1)],
+        "vec_id long, embedding array<double>",
+    )
+    hier_index_append(spark, path, new)
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.count() == n_before + 2
+    assert vecs.where(F.col("id") >= 100).count() == 2
+    assert (
+        sorted(map(tuple, spark.read.parquet(path + "/subc").collect()))
+        == subc_before
+    )
+
+    qs = old.where(F.col("vec_id") == 0)
+    got = hier_index_search(spark, path, qs, k=3, nprobe1=2, nprobe2=4)
+    ids = [r.neighbor_id for r in sorted(got.collect(), key=lambda r: r.rank)]
+    assert 100 in ids, ids

@@ -143,3 +143,20 @@ def test_assign_shards_balanced_skew_bound_and_determinism(spark):
 
     with _pytest.raises(ValueError):
         assign_shards_balanced(df, "doc_id", "n_chars", 0)
+
+
+def test_assign_shards_balanced_null_interleaves_with_zero(spark):
+    """ADVICE r9: NULL sizes rank AS 0 — interleaved with genuine
+    zero-size rows by id, not banished after them (the oracle now
+    ORDER BYs COALESCE(n_chars, 0) to match)."""
+    from margaret_spark.operators.sharding import assign_shards_balanced
+
+    rows = [(0, 5), (1, None), (2, 0), (3, None), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    out = {
+        r.doc_id: r.shard
+        for r in assign_shards_balanced(df, "doc_id", "n_chars", 2).collect()
+    }
+    # rank order: (5,0) (1,5) -> NULL=0 ties with zeros, id asc:
+    # (0,1) (0,2) (0,3) (0,4) -> shards 0 1 0 1 0 1
+    assert out == {0: 0, 5: 1, 1: 0, 2: 1, 3: 0, 4: 1}
