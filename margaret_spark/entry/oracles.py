@@ -98,6 +98,9 @@ def oracle_sql() -> dict[str, str]:
     # the at-ingest decontamination scorer must reproduce the batch
     # containment scoring exactly (same split, shingles, arithmetic)
     d["stream_decontaminate"] = d["decontaminate"]
+    # the at-ingest SEMANTIC gate must reproduce the batch composition
+    # exactly (same split, hashembed, frozen test-side fit, threshold)
+    d["stream_semantic_decontaminate"] = d["decontaminate_semantic"]
     # the Bloom-prefiltered scale path must be value-identical to the
     # baseline (no false negatives + exact verify of positives)
     d["decontaminate_bloom"] = d["decontaminate"]

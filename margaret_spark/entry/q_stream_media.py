@@ -1392,6 +1392,76 @@ def q_stream_decontaminate_spans(spark, sf_dir):
         _defer_cleanup(base)
 
 
+def q_stream_semantic_decontaminate(spark, sf_dir):
+    """At-ingest SEMANTIC decontamination (streaming/contamination
+    .stream_semantic_decontaminate — VERDICT r9 ask #4, completing the
+    at-ingest gate matrix exact / n-gram / bloom / semantic): the 90%
+    train split streams out of a real log as TEXT; each arrival is
+    hashing-trick embedded, assigned to its nearest cell under a model
+    fitted once on the 10% test split and FROZEN, and flagged
+    contaminated by the cell-scoped threshold-cosine check — the same
+    split, embedding, frozen fit, and pround arithmetic as the batch
+    `decontaminate_semantic` query, so the keeper sink is hash-exact
+    against the SAME generated oracle."""
+    import tempfile
+
+    from margaret_spark.log import OffsetLog
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+    from margaret_spark.operators.semdedup import scaled_k
+    from margaret_spark.streaming import (
+        read_keeper_sink,
+        stream_semantic_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    test = hash_doc_embeddings(
+        docs.where(F.col("doc_id") % 10 == 0), "doc_id", "text", dim=64
+    ).localCheckpoint(eager=False)
+    train = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_semdecon_")
+    try:
+        log = OffsetLog(
+            spark, os.path.join(base, "log"), value_type=T.StringType()
+        )
+        log.append_df(train, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
+        stream_semantic_decontaminate(
+            log,
+            F.col("value"),
+            test,
+            sink,
+            os.path.join(base, "ckpt"),
+            dim=64,
+            k=scaled_k(test.count(), 8),
+            iters=1,
+            threshold=0.88,
+            id_col="doc_id",
+        )
+        from margaret_spark.functions.seqassign import with_dense_seq
+
+        n_par = spark.sparkContext.defaultParallelism
+        ids = with_dense_seq(
+            train.select("doc_id")
+            .repartitionByRange(n_par, F.col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+            seq_col="seq",
+        )
+        out = (
+            read_keeper_sink(
+                spark, sink, "seq long, cell long, contaminated boolean"
+            )
+            .join(ids, "seq")
+            .select(
+                "doc_id",
+                F.col("cell").alias("cent_id"),
+                "contaminated",
+            )
+        )
+        return out
+    finally:
+        _defer_cleanup(base)
+
+
 def q_sample_shuffle(spark, sf_dir):
     """Deterministic epoch shuffle (operators.sampling.
     deterministic_shuffle): every document's position in the seed-7

@@ -22,6 +22,7 @@ from margaret_spark.streaming.stateful import (
 from margaret_spark.streaming.contamination import (
     stream_decontaminate,
     stream_decontaminate_spans,
+    stream_semantic_decontaminate,
 )
 from margaret_spark.streaming.cms import (
     bloom_reduce,
@@ -102,6 +103,7 @@ __all__ = [
     "read_histogram",
     "stream_decontaminate",
     "stream_decontaminate_spans",
+    "stream_semantic_decontaminate",
     "stream_scd2",
     "read_history",
     "prune_history",

@@ -1916,3 +1916,73 @@ def test_stream_hier_assign_matches_batch_and_resumes(spark, tmp_path):
     )
     out2 = read_keeper_sink(spark, sink, schema).collect()
     assert {r["seq"] for r in out2} == {0, 1, 3, 4}
+
+
+def test_stream_semantic_decontaminate_matches_batch(spark, tmp_path):
+    """The at-ingest semantic gate (VERDICT r9 ask #4) reproduces the
+    batch composition exactly — hashembed, frozen test-side fit,
+    cell-scoped threshold check — across MULTIPLE micro-batches
+    (max_files_per_trigger=1), including a planted near-copy
+    (flagged); a NULL-text doc (zero vector — undefined cosine) is
+    DROPPED under the no-geometry rule, surfaced by its seq gap."""
+    from pyspark.sql import types as T
+
+    from margaret_spark.operators.hashembed import hash_doc_embeddings
+    from margaret_spark.operators.semdedup import semantic_dedup_incremental
+    from margaret_spark.streaming import (
+        read_keeper_sink,
+        stream_semantic_decontaminate,
+    )
+
+    test_rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "pack my box with five dozen liquor jugs"),
+    ]
+    train_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated text about spark partitions"),
+        (3, None),
+        (4, "pack my box with five dozen liquor jugs"),
+        (5, "another unrelated document entirely different words"),
+    ]
+    test = hash_doc_embeddings(
+        spark.createDataFrame(test_rows, "doc_id long, text string"),
+        "doc_id", "text", dim=32,
+    ).localCheckpoint(eager=False)
+    train_df = spark.createDataFrame(train_rows, "doc_id long, text string")
+
+    # batch twin (same pieces as decontaminate_semantic) over the
+    # rows WITH geometry (the batch composition errors on zero
+    # vectors under ANSI division; the stream drops them)
+    train_emb = hash_doc_embeddings(
+        train_df.where(F.col("text").isNotNull()), "doc_id", "text", dim=32
+    )
+    want = {
+        (r.doc_id, r.cent_id, r.status == "dup_of_existing")
+        for r in semantic_dedup_incremental(
+            train_emb, test, k=2, iters=1, threshold=0.8,
+            id_col="doc_id", vec_col="embedding", batch_dups=False,
+        ).collect()
+    }
+
+    log = OffsetLog(
+        spark, str(tmp_path / "log"), value_type=T.StringType()
+    )
+    for _, txt in train_rows:  # one file per append -> 5 micro-batches
+        log.append(txt)
+    sink = str(tmp_path / "sink")
+    stream_semantic_decontaminate(
+        log, F.col("value"), test, sink, str(tmp_path / "ckpt"),
+        dim=32, k=2, iters=1, threshold=0.8, id_col="doc_id",
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r.seq + 1, r.cell, r.contaminated)
+        for r in read_keeper_sink(
+            spark, sink, "seq long, cell long, contaminated boolean"
+        ).collect()
+    }
+    assert got == want
+    flagged = {d for d, _, c in got if c}
+    assert 4 in flagged  # the exact copy
+    assert not any(d == 3 for d, _, _ in got)  # zero vector dropped
