@@ -739,7 +739,13 @@ def _value_counts(arr: Column, fn) -> Column:
     Values are identical (exact counts; run starts ARE the distinct
     set). Empty in → empty out; every intermediate is bound (the
     ``bind1`` rule), and the run-start predicate guards its i−1
-    lookup behind a lazy CASE (element 0 would throw)."""
+    lookup behind a lazy CASE (element 0 would throw).
+
+    Input contract: ``arr`` must not contain NULL elements —
+    ``array_sort`` places NULLs last and the ``!=`` run-start probe is
+    NULL there, so a NULL run would silently fold into the preceding
+    run's count. Every consumer feeds concat_ws/split output, which
+    cannot contain NULLs."""
     from margaret_spark.functions.shingling import bind1
 
     def with_sorted(sg: Column) -> Column:

@@ -58,21 +58,41 @@ def url_host(url: Column) -> Column:
     """Lowercased host: authority minus userinfo and port. Host
     grammar is reg-name-only: a bracketed IPv6 literal
     (``http://[::1]:8080/``) cannot be split on ':' and returns NULL
-    (→ NULL canonical form) rather than a mangled '[' host."""
-    no_user = _authority(url)
-    host = F.lower(F.split(no_user, r":").getItem(0))
-    return F.when(~no_user.contains("["), host)
+    (→ NULL canonical form) rather than a mangled '[' host.
+
+    The authority is BOUND (evaluated once — the ``bind1`` rule):
+    when the caller's ``url`` is a big derived expression, predicate
+    pushdown substitutes it into every reference, and the multiplied
+    tree is exactly what blew a blocklist Filter's generated method
+    past Janino's 64 KB limit (r10 probe: web_blocklist)."""
+    from margaret_spark.functions.shingling import bind1
+
+    def with_auth(a: Column) -> Column:
+        return F.when(
+            ~a.contains("["), F.lower(F.split(a, r":").getItem(0))
+        )
+
+    return bind1(_authority(url), with_auth)
 
 
 def url_port(url: Column) -> Column:
     """Explicit port string ('' when absent; NULL for bracketed IPv6
-    authorities — same reg-name-only grammar as :func:`url_host`)."""
-    no_user = _authority(url)
-    parts = F.split(no_user, r":")
-    return F.when(
-        ~no_user.contains("["),
-        F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(F.lit("")),
-    )
+    authorities — same reg-name-only grammar as :func:`url_host`).
+    Authority and its split are bound (see :func:`url_host`)."""
+    from margaret_spark.functions.shingling import bind1
+
+    def with_auth(a: Column) -> Column:
+        def with_parts(parts: Column) -> Column:
+            return F.when(
+                ~a.contains("["),
+                F.when(F.size(parts) > 1, parts.getItem(1)).otherwise(
+                    F.lit("")
+                ),
+            )
+
+        return bind1(F.split(a, r":"), with_parts)
+
+    return bind1(_authority(url), with_auth)
 
 
 def url_path(url: Column) -> Column:
@@ -134,20 +154,33 @@ def registered_domain(host: Column) -> Column:
     exactness matters use :func:`with_registered_domain_psl`, the
     data-driven twin that resolves against a real PSL via per-depth
     broadcast joins."""
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    # 0-based F.get returns NULL out of range — safe under the when
-    last = F.get(labels, n - F.lit(1))
-    second = F.get(labels, n - F.lit(2))
-    third = F.get(labels, n - F.lit(3))
-    use_three = (
-        (n >= 3) & second.isin(*SECOND_LEVEL_LABELS) & (F.length(last) <= 3)
-    )
-    return (
-        F.when(use_three, F.concat_ws(".", third, second, last))
-        .when(n >= 2, F.concat_ws(".", second, last))
-        .otherwise(host)
-    )
+    from margaret_spark.functions.shingling import bind1
+
+    def with_host(h: Column) -> Column:
+        def with_labels(labels: Column) -> Column:
+            n = F.size(labels)
+            # 0-based F.get returns NULL out of range — safe under
+            # the when
+            last = F.get(labels, n - F.lit(1))
+            second = F.get(labels, n - F.lit(2))
+            third = F.get(labels, n - F.lit(3))
+            use_three = (
+                (n >= 3)
+                & second.isin(*SECOND_LEVEL_LABELS)
+                & (F.length(last) <= 3)
+            )
+            return (
+                F.when(use_three, F.concat_ws(".", third, second, last))
+                .when(n >= 2, F.concat_ws(".", second, last))
+                .otherwise(h)
+            )
+
+        return bind1(F.split(h, r"\."), with_labels)
+
+    # host + its label split bound once (the bind1 rule): a derived
+    # host expression would otherwise be re-inlined per reference —
+    # 5x for the labels alone — by pushdown's alias substitution
+    return bind1(host, with_host)
 
 
 def parse_suffix_rules(
@@ -340,5 +373,13 @@ def filter_blocked_domains(
     ``url_domain`` instead."""
     if not blocked:
         return df
+    from margaret_spark.functions.shingling import bind1
+
     dom = registered_domain(url_host(F.col(url_col)))
-    return df.where(dom.isNull() | ~dom.isin(*blocked))
+    # dom bound once: the NULL-keep disjunction references it twice,
+    # which doubled the whole host-derivation tree in the Filter's
+    # generated code (the r10 64 KB culprit, with the synthetic-URL
+    # fixture substituted in by pushdown)
+    return df.where(
+        bind1(dom, lambda d: d.isNull() | ~d.isin(*blocked))
+    )
