@@ -1454,3 +1454,63 @@ def _hier_ivf_sql(
         "WHERE h.vec_id <> p.query_id) "
         f"WHERE rank <= {k}"
     )
+
+
+def _lsh_plan_sql(
+    num_hashes: int = 128,
+    threshold: float = 0.8,
+    steps: int = 200,
+    rd: int = 6,
+) -> str:
+    """LSH banding-design oracle (dedup.lsh_parameter_plan): one row
+    per divisor split of num_hashes, the S-curve p(s) = 1-(1-s^r)^b
+    with every power an explicit left-fold of multiplications
+    (list_reduce — Spark's aggregate-over-array_repeat twin; the
+    leading 1.0*s identity fold step is IEEE-exact, so both chains
+    are bit-identical), and the fp/fn integrals as composite Simpson
+    on the same fixed grid."""
+    t = float(threshold)
+    n = int(steps)
+    h1 = f"CAST({(t - 0.0) / n!r} AS DOUBLE)"
+    h2 = f"CAST({(1.0 - t) / n!r} AS DOUBLE)"
+
+    def ipow(x: str, cnt: str, tag: str) -> str:
+        return (
+            f"list_reduce(list_transform(range({cnt}), "
+            f"j{tag} -> ({x})), (a{tag}, v{tag}) -> a{tag} * v{tag})"
+        )
+
+    def p_of(s: str) -> str:
+        inner = ipow(s, "rows_per_band", "r")
+        outer = ipow(f"CAST(1.0 AS DOUBLE) - {inner}", "bands", "b")
+        return f"(CAST(1.0 AS DOUBLE) - {outer})"
+
+    def simpson(lo: str, h: str, integrand) -> str:
+        w = (
+            f"(CASE WHEN i = 0 OR i = {n} THEN CAST(1.0 AS DOUBLE) "
+            f"WHEN i % 2 = 1 THEN CAST(4.0 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END)"
+        )
+        s = f"({lo} + i * {h})"  # lo/h carry their own DOUBLE casts
+        return (
+            f"((list_reduce(list_transform(range(0, {n + 1}), "
+            f"i -> {w} * ({integrand(s)})), (sa, sx) -> sa + sx) "
+            f"* {h}) / CAST(3.0 AS DOUBLE))"
+        )
+
+    fp = simpson("CAST(0.0 AS DOUBLE)", h1, p_of)
+    fn = simpson(f"CAST({t!r} AS DOUBLE)", h2, lambda s: f"CAST(1.0 AS DOUBLE) - {p_of(s)}")
+    return (
+        f"WITH splits AS (SELECT CAST(b AS INT) AS bands, "
+        f"CAST({num_hashes} // b AS INT) AS rows_per_band "
+        f"FROM (SELECT unnest(range(1, {num_hashes + 1})) AS b) "
+        f"WHERE {num_hashes} % b = 0) "
+        f"SELECT bands, rows_per_band, "
+        + _pr(p_of(f"CAST({t!r} AS DOUBLE)"), rd)
+        + " AS p_at_threshold, "
+        + _pr(fp, rd)
+        + " AS fp_mass, "
+        + _pr(fn, rd)
+        + " AS fn_mass, "
+        + _pr(f"{fp} + {fn}", rd)
+        + " AS total_error FROM splits"
+    )

@@ -29,7 +29,7 @@ from margaret_spark.operators.text import (
 )
 from margaret_spark.qry import Gt, Gte, Limit, Lte, Reverse, build_plan, apply_plan
 from margaret_spark.indexes import latest_by_key, fanout
-from margaret_spark.entry.oracle_builders import _scaled_k_limit
+from margaret_spark.entry.oracle_builders import _lsh_plan_sql, _scaled_k_limit
 from margaret_spark.entry.oracle_builders import _kmeans_ctes
 from margaret_spark.entry.oracle_builders import _hier_incr_sql, _hier_ivf_sql, _hier_semdedup_sql, _icbrt_limit
 from margaret_spark.entry.oracle_builders import _gopher_battery_sql, _line_repetition_sql, _ngram_coverage_sql
@@ -2253,6 +2253,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # two occurrences with different preceding tokens), top-20 by
         # (length desc, text asc). Spark builds the same set through
         # the prefix-doubling suffix order instead.
+        "dedup_lsh_plan": _lsh_plan_sql(
+            num_hashes=128, threshold=0.8, steps=200
+        ),
         "dedup_repeated_substrings": (
             r"WITH tok AS (SELECT doc_id, "
             r"string_split_regex(trim(text), '\s+') AS ts FROM documents "

@@ -57,6 +57,24 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_plan(spark, sf_dir):
+    """MinHash-LSH banding design table (dedup.lsh_parameter_plan):
+    one row per divisor split of 128 hashes into bands×rows, scored by
+    the S-curve p(s)=1−(1−s^r)^b at jaccard threshold 0.8 — collision
+    probability at the threshold plus the false-positive /
+    false-negative masses (composite Simpson on a fixed grid). The
+    planning half the minhash family was missing: pick the split with
+    the smallest total_error BEFORE paying a corpus-scale banding
+    pass. Every power is a left-fold of multiplications (pow with a
+    runtime exponent is the non-portable ln family), so the whole
+    table is hash-exact."""
+    from margaret_spark.operators.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(
+        spark, num_hashes=128, threshold=0.8, simpson_steps=200
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH verified pairs (no SQL oracle: hash-permutation
     banding isn't expressible; the exact twin is q_dedup_jaccard)."""

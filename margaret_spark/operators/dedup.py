@@ -1874,3 +1874,100 @@ def keep_best_per_cluster(
         .where(F.col("__r") == 1)
         .select(F.col(id_col), F.col("cluster_id"), F.col(score_col))
     )
+
+
+def lsh_parameter_plan(
+    spark,
+    num_hashes: int = 128,
+    threshold: float = 0.8,
+    simpson_steps: int = 200,
+    round_digits: int = 6,
+) -> "DataFrame":
+    """(bands, rows_per_band, p_at_threshold, s_threshold, fp_mass,
+    fn_mass, total_error): the banding design table for
+    :func:`minhash_dedup_pairs` — one row per divisor split of
+    ``num_hashes`` into bands×rows, scoring each by the standard
+    MinHash-LSH S-curve ``p(s) = 1 − (1 − s^r)^b`` (Broder/MMDS,
+    public):
+
+    - ``p_at_threshold``: collision probability exactly at the target
+      jaccard ``threshold`` (want high);
+    - ``fp_mass``: ∫₀^t p(s) ds — expected collision mass spent on
+      BELOW-threshold pairs (verification cost; want low);
+    - ``fn_mass``: ∫_t^1 (1 − p(s)) ds — missed mass ABOVE the
+      threshold (recall loss; want low);
+    - ``total_error = fp_mass + fn_mass`` — the classic pick is the
+      divisor minimizing it.
+
+    Determinism: ``pow`` with a non-integer or runtime exponent is
+    the ``ln`` family (libm vs JVM may differ in the last ulp — the
+    hard-won cross-engine rule), so every power here is an explicit
+    left-fold of multiplications over ``array_repeat`` (r ≤
+    num_hashes, b ≤ num_hashes terms) and the integrals are composite
+    Simpson on a FIXED literal grid — identical IEEE operation order
+    on both engines, hash-exact. (The curve midpoint ``(1/b)^(1/r)``
+    is deliberately NOT a column: it needs a fractional power.)
+    Scale shape: the table has O(divisors) rows and the math runs on
+    literals — this is the PLANNING step you run once before a
+    corpus-scale banding pass, not a data operator."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    if simpson_steps < 2 or simpson_steps % 2:
+        raise ValueError(
+            f"simpson_steps must be even and >= 2: {simpson_steps}"
+        )
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    base = spark.createDataFrame(
+        [(b, num_hashes // b) for b in divisors],
+        "bands int, rows_per_band int",
+    )
+
+    def ipow(x, count_col):
+        # left-fold multiply: identical IEEE order on both engines
+        return F.aggregate(
+            F.array_repeat(x, count_col),
+            F.lit(1.0),
+            lambda acc, v: acc * v,
+        )
+
+    def p_of(s):
+        return F.lit(1.0) - ipow(
+            F.lit(1.0) - ipow(s, F.col("rows_per_band")), F.col("bands")
+        )
+
+    t = float(threshold)
+    n = int(simpson_steps)
+
+    def simpson(lo: float, hi: float, fn) -> "F.Column":
+        h = (hi - lo) / n
+        # fixed evaluation grid → fixed-order IEEE sum: fold the
+        # Simpson weights over a literal index array (bounded, n+1
+        # terms) so both engines accumulate in the same order
+        idx = F.array(*[F.lit(i) for i in range(n + 1)])
+        term = lambda i: fn(  # noqa: E731
+            F.lit(lo) + i.cast("double") * F.lit(h)
+        ) * F.when((i == 0) | (i == n), F.lit(1.0)).otherwise(
+            F.when(i % 2 == 1, F.lit(4.0)).otherwise(F.lit(2.0))
+        )
+        return (
+            F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + term(i))
+            * F.lit(h)
+            / F.lit(3.0)
+        )
+
+    return base.select(
+        "bands",
+        "rows_per_band",
+        pround(p_of(F.lit(t)), round_digits).alias("p_at_threshold"),
+        pround(simpson(0.0, t, p_of), round_digits).alias("fp_mass"),
+        pround(
+            simpson(t, 1.0, lambda s: F.lit(1.0) - p_of(s)), round_digits
+        ).alias("fn_mass"),
+        pround(
+            simpson(0.0, t, p_of)
+            + simpson(t, 1.0, lambda s: F.lit(1.0) - p_of(s)),
+            round_digits,
+        ).alias("total_error"),
+    )

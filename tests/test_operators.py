@@ -2892,3 +2892,42 @@ def test_keep_best_per_cluster_unscored_members(spark):
         for r in keep_best_per_cluster(scored, clusters, "doc_id").collect()
     }
     assert kept == {2: (1, 0.9), 7: (7, None)}
+
+
+def test_lsh_parameter_plan_math_and_guards(spark):
+    """The banding planner's S-curve math against closed-form checks:
+    p at threshold matches 1-(1-t^r)^b, b=1 is the AND-only corner
+    (tiny p), r=1 the OR-only corner (p ~ 1), and the masses behave
+    (fp grows with bands, fn shrinks; total_error has an interior
+    minimum for 128 hashes at threshold 0.8)."""
+    from margaret_spark.operators.dedup import lsh_parameter_plan
+
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in lsh_parameter_plan(
+            spark, num_hashes=128, threshold=0.8, simpson_steps=200
+        ).collect()
+    }
+    assert len(rows) == 8  # divisors of 128
+    t = 0.8
+    for (b, rr), row in rows.items():
+        assert b * rr == 128
+        want = 1.0 - (1.0 - t**rr) ** b
+        assert abs(row.p_at_threshold - want) < 1e-4
+        assert 0.0 <= row.fp_mass and 0.0 <= row.fn_mass
+        assert abs(row.total_error - (row.fp_mass + row.fn_mass)) < 2e-6
+    bs = sorted(b for b, _ in rows)
+    fp = [rows[(b, 128 // b)].fp_mass for b in bs]
+    fn = [rows[(b, 128 // b)].fn_mass for b in bs]
+    assert fp == sorted(fp)  # more bands -> more collisions below t
+    assert fn == sorted(fn, reverse=True)
+    best = min(rows.values(), key=lambda r: r.total_error)
+    assert (best.bands, best.rows_per_band) == (8, 16)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_parameter_plan(spark, num_hashes=0)
+    with _pytest.raises(ValueError):
+        lsh_parameter_plan(spark, threshold=1.0)
+    with _pytest.raises(ValueError):
+        lsh_parameter_plan(spark, simpson_steps=3)
