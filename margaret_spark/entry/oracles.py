@@ -2281,6 +2281,39 @@ def _oracle_sql_base() -> dict[str, str]:
             "c AS n_occurrences, nd AS n_docs "
             "FROM maximal ORDER BY l DESC, text ASC LIMIT 20"
         ),
+        # the cross-corpus leakage twin: same definitional chain plus
+        # per-tag (test-side) counts and the both-sides filter;
+        # maximality tested over the UNION's repeat set, as in Spark
+        "decontaminate_longest_overlaps": (
+            r"WITH tok AS (SELECT doc_id, "
+            r"string_split_regex(trim(text), '\s+') AS ts FROM documents "
+            r"WHERE text IS NOT NULL AND trim(text) <> ''), "
+            "sub AS (SELECT t.doc_id, p.pos, l.l, "
+            "t.ts[p.pos : p.pos + l.l - 1] AS w, "
+            "CASE WHEN p.pos = 1 THEN NULL ELSE t.ts[p.pos - 1] END AS prev "
+            "FROM tok t, "
+            "LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS pos) p, "
+            "LATERAL (SELECT unnest(range(5, 129)) AS l) l "
+            "WHERE p.pos + l.l - 1 <= len(t.ts)), "
+            "grp AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS nd, "
+            "CAST(count(*) FILTER (doc_id % 10 = 0) AS BIGINT) AS ct, "
+            "CAST(count(DISTINCT doc_id) FILTER (doc_id % 10 = 0) "
+            "AS BIGINT) AS ndt, "
+            "bool_or(pos = 1) AS at_start, min(prev) AS mn, max(prev) AS mx "
+            "FROM sub GROUP BY w, l HAVING count(*) >= 2), "
+            "maximal AS (SELECT * FROM grp g "
+            "WHERE (g.at_start OR g.mn <> g.mx) "
+            "AND g.ct > 0 AND g.c > g.ct "
+            "AND NOT EXISTS (SELECT 1 FROM grp g2 WHERE g2.l = g.l + 1 "
+            "AND g2.c = g.c AND g2.w[1:g.l] = g.w)) "
+            "SELECT CAST(row_number() OVER (ORDER BY l DESC, "
+            "array_to_string(w, ' ') ASC) AS BIGINT) AS rank, "
+            "array_to_string(w, ' ') AS text, CAST(l AS BIGINT) AS n_tokens, "
+            "c AS n_occurrences, nd AS n_docs, "
+            "ct AS n_occurrences_tagged, ndt AS n_docs_tagged "
+            "FROM maximal ORDER BY l DESC, text ASC LIMIT 20"
+        ),
         "dedup_spans": (_DUP_SPAN_CTES + " "
             "SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start, "
             "CAST(MAX(pos) + 7 AS INT) AS span_end, "

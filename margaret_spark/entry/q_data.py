@@ -336,6 +336,28 @@ def q_dedup_repeated_substrings(spark, sf_dir):
     return suffix_repeats(docs, "doc_id", "text", min_len=5, top_k=20)
 
 
+def q_decontaminate_longest_overlaps(spark, sf_dir):
+    """Cross-corpus longest-overlap leakage audit (suffixes
+    .suffix_repeats with tag_col/require_cross): the 20 longest
+    maximal repeated substrings that appear on BOTH sides of the
+    train/test split (doc_id % 10), with total and test-side
+    occurrence/document counts — "what is the longest test-set string
+    appearing verbatim in the training corpus", the ExactSubstr
+    leakage report (Lee et al. 2022). Same machinery and oracle
+    discipline as dedup_repeated_substrings; maximality stays
+    union-wide (safe: a same-count extension of a cross string is
+    itself cross and is reported instead)."""
+    from margaret_spark.operators.suffixes import suffix_repeats
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__is_test", F.col("doc_id") % 10 == 0
+    )
+    return suffix_repeats(
+        docs, "doc_id", "text", min_len=5, top_k=20,
+        tag_col="__is_test", require_cross=True,
+    )
+
+
 def q_dedup_spans(spark, sf_dir):
     """Exact-substring duplicate SPANS (dedup.duplicate_spans): the
     maximal cross-document repeated word-8-gram runs of every

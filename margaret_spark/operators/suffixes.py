@@ -81,6 +81,8 @@ def suffix_repeats(
     min_len: int = 5,
     top_k: int = 20,
     cap_log2: int = 7,
+    tag_col: str | None = None,
+    require_cross: bool = False,
 ) -> DataFrame:
     """(rank, text, n_tokens, n_occurrences, n_docs): the ``top_k``
     LONGEST maximal repeated token substrings of the corpus, ordered
@@ -105,7 +107,16 @@ def suffix_repeats(
     verbatim text — the oracle replays the DEFINITION (enumerate all
     substrings, count, test maximality) rather than the suffix-array
     construction, so agreement checks the semantics, not the method.
-    """
+
+    Cross-corpus leakage audit: pass ``tag_col`` (a boolean column —
+    e.g. "is a test-set document") to additionally report
+    ``n_occurrences_tagged`` / ``n_docs_tagged``, and
+    ``require_cross=True`` to keep only repeats occurring on BOTH
+    sides of the tag — "the longest test-set strings appearing
+    verbatim in the training corpus", the ExactSubstr leakage report.
+    Maximality stays corpus-union-wide, which is safe: if every
+    occurrence of a cross string extends identically, the extension
+    is itself cross and is reported instead."""
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2: {min_len}")
     if top_k < 1:
@@ -117,10 +128,18 @@ def suffix_repeats(
     if min_len > cap:
         raise ValueError(f"min_len {min_len} exceeds the cap {cap}")
 
+    if require_cross and tag_col is None:
+        raise ValueError("require_cross needs tag_col")
+    tag_expr = (
+        F.col(tag_col).cast("boolean")
+        if tag_col is not None
+        else F.lit(False)
+    )
     tdf = (
         df.select(
             F.col(id_col).alias("__id"),
             words(F.col(text_col), lower=False).alias("__ts"),
+            tag_expr.alias("__tag"),
         )
         .where(F.size("__ts") > 0)
         .localCheckpoint(eager=False)
@@ -305,11 +324,13 @@ def suffix_repeats(
     ]
     if not lclasses:
         spark = df.sparkSession
-        return spark.createDataFrame(
-            [],
+        schema = (
             "rank long, text string, n_tokens long, "
-            "n_occurrences long, n_docs long",
+            "n_occurrences long, n_docs long"
         )
+        if tag_col is not None:
+            schema += ", n_occurrences_tagged long, n_docs_tagged long"
+        return spark.createDataFrame([], schema)
     lc_arr = F.array(
         *[
             F.struct(F.lit(l).alias("l"), F.lit(kh).alias("kh"))
@@ -323,6 +344,7 @@ def suffix_repeats(
             tdf.select(
                 F.col("__id"),
                 F.col("__ts").alias("__tsq"),
+                F.col("__tag"),
             ),
             "__id",
         )
@@ -330,6 +352,7 @@ def suffix_repeats(
             "__id",
             "pos",
             "mat",
+            "__tag",
             (F.col("pos") == 1).alias("__at_start"),
             F.get(F.col("__tsq"), F.col("pos") - 2).alias("__prev"),
             F.explode(lc_arr).alias("__lc"),
@@ -337,6 +360,7 @@ def suffix_repeats(
         .select(
             "__id",
             "pos",
+            "__tag",
             "__at_start",
             "__prev",
             F.col("__lc.l").alias("l"),
@@ -377,6 +401,10 @@ def suffix_repeats(
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("__id").alias("n_docs"),
+            F.sum(F.col("__tag").cast("long")).alias("n_occurrences_tagged"),
+            F.countDistinct(
+                F.when(F.col("__tag"), F.col("__id"))
+            ).alias("n_docs_tagged"),
             F.max(F.col("__at_start").cast("int")).alias("__any_start"),
             F.min("__prev").alias("__mnp"),
             F.max("__prev").alias("__mxp"),
@@ -385,6 +413,11 @@ def suffix_repeats(
             (F.col("__any_start") == 1) | (F.col("__mnp") != F.col("__mxp"))
         )
     )
+    if require_cross:
+        matched = matched.where(
+            (F.col("n_occurrences_tagged") > 0)
+            & (F.col("n_occurrences") > F.col("n_occurrences_tagged"))
+        )
 
     # text for the surviving candidates, then the bounded top-k
     out = (
@@ -404,6 +437,10 @@ def suffix_repeats(
             F.col("l").cast("long").alias("n_tokens"),
             F.col("n_occurrences").cast("long").alias("n_occurrences"),
             F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_occurrences_tagged").cast("long").alias(
+                "n_occurrences_tagged"
+            ),
+            F.col("n_docs_tagged").cast("long").alias("n_docs_tagged"),
         )
         .orderBy(F.col("n_tokens").desc(), F.col("text").asc())
         .limit(int(top_k))
@@ -412,6 +449,9 @@ def suffix_repeats(
     # the unpartitioned window runs over ≤ top_k rows (the TakeOrdered
     # limit above) — the bounded-set exception to the no-global-window
     # rule, same as search.py's top-k survivors
+    cols = ["rank", "text", "n_tokens", "n_occurrences", "n_docs"]
+    if tag_col is not None:
+        cols += ["n_occurrences_tagged", "n_docs_tagged"]
     return out.withColumn(
         "rank", F.row_number().over(w).cast("long")
-    ).select("rank", "text", "n_tokens", "n_occurrences", "n_docs")
+    ).select(*cols)

@@ -123,3 +123,36 @@ def test_suffix_repeats_guards(spark):
     assert [f.name for f in out.schema.fields] == [
         "rank", "text", "n_tokens", "n_occurrences", "n_docs",
     ]
+
+
+def test_suffix_repeats_cross_corpus_tag(spark):
+    """tag_col/require_cross: only repeats with occurrences on BOTH
+    sides of the tag survive, tagged counts are exact, and a
+    same-side-only repeat is excluded."""
+    rows = [
+        (1, "s t u v w k1", False),
+        (2, "s t u v w k2", True),   # crosses the tag with doc 1
+        (3, "m n o p q k3", False),
+        (4, "m n o p q k4", False),  # same-side repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = [
+        tuple(r)
+        for r in suffix_repeats(
+            df, "doc_id", "text", min_len=3, top_k=10,
+            tag_col="is_t", require_cross=True,
+        ).collect()
+    ]
+    assert got == [(1, "s t u v w", 5, 2, 2, 1, 1)]
+    # without require_cross both repeats appear, with tagged counts
+    allr = {
+        r.text: (r.n_occurrences, r.n_occurrences_tagged)
+        for r in suffix_repeats(
+            df, "doc_id", "text", min_len=3, top_k=10, tag_col="is_t"
+        ).collect()
+    }
+    assert allr == {"s t u v w": (2, 1), "m n o p q": (2, 0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        suffix_repeats(df, "doc_id", "text", require_cross=True)
