@@ -120,3 +120,60 @@ def infer_dim(df: DataFrame, vec_col: str) -> int | None:
     empty input — callers fall back to the HOF path then."""
     row = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
     return int(row[0]["n"]) if row else None
+
+
+def centroid_dots(vec: Column, matrix: list) -> Column:
+    """array<double>: the left-fold dot of ``vec`` against EVERY row
+    of the bounded ``matrix`` (a collected k×d centroid table,
+    closure-shipped to the workers once per task) — the pair-scoring
+    kernel reshaped for one-side-small joins.
+
+    Why this exists (r10 100× probe): scoring N vectors against k
+    broadcast centroids as a crossJoin + :func:`pair_dot` ships BOTH
+    arrays per pair through the Arrow pipe — O(N·k·d) bytes; at the
+    third decade (500k docs × 708 cells × 64 dims ≈ 1 TB per
+    assignment pass) the 32 Python workers sat at ~18 % CPU,
+    pipe-bound. This kernel ships each vector ONCE — O(N·d) bytes, a
+    k× cut — and computes the k dots per row with the SAME
+    per-dimension sequential accumulation as :func:`pair_dot`
+    (acc(row, c) = 0.0 + a0·c0 + a1·c1 + …, vectorized across rows
+    AND centroids), so every dot is bit-equal to the pair kernel and
+    to the JVM/oracle left fold. Same loud contracts: NULL rows and
+    ragged widths fail with the cause named."""
+    M = np.asarray([list(map(float, row)) for row in matrix], dtype=np.float64)
+    if M.ndim != 2:
+        raise ValueError(
+            f"centroid_dots: matrix must be k x d, got shape {M.shape}"
+        )
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _udf(va: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=object)
+        if va.isna().any():
+            raise ValueError(
+                "centroid_dots: NULL vector in batch — vector operators "
+                "require non-NULL fixed-width arrays; filter NULL rows "
+                "upstream (e.g. .where(col.isNotNull()))"
+            )
+        try:
+            A = np.stack(va.to_numpy()).astype(np.float64)
+        except ValueError as e:
+            raise ValueError(
+                "centroid_dots: ragged vector widths in batch — all "
+                "vectors must share one dimension; validate widths "
+                "upstream (size(col))"
+            ) from e
+        if A.shape[1] != M.shape[1]:
+            raise ValueError(
+                f"centroid_dots: vector width {A.shape[1]} != centroid "
+                f"width {M.shape[1]}"
+            )
+        acc = np.zeros((A.shape[0], M.shape[0]), dtype=np.float64)
+        # per-dimension sequential accumulation — the exact left fold
+        # of pair_dot/dot(), vectorized over (rows x centroids)
+        for i in range(A.shape[1]):
+            acc += A[:, i : i + 1] * M[None, :, i]
+        return pd.Series(list(acc))
+
+    return _udf(vec)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from margaret_spark.functions.vectors import (
+    centroid_dots,
     cosine_sim,
     dot,
     infer_dim,
@@ -163,6 +164,51 @@ def kmeans_centroids(
     return cents
 
 
+#: above this centroid count the collected-matrix kernel would ship a
+#: multi-MB closure per task — fall back to the crossJoin pair scorer
+_MATRIX_KERNEL_MAX_K = 8192
+
+
+def _matrix_scored(
+    v: DataFrame, cents: DataFrame, id_alias: str, round_digits: int
+) -> DataFrame:
+    """(id_alias, cent_id, __sim): every (row × centroid) rounded
+    cosine, value-identical to the crossJoin + pair_dot pair scoring
+    but shipping each vector through the Arrow pipe ONCE — O(N·d)
+    bytes instead of O(N·k·d) (see functions.vectors.centroid_dots;
+    the r10 100× probe measured the pair shape pipe-bound at ~18 %
+    worker CPU). ``v`` carries (id_alias, __v, __n); ``cents`` is the
+    bounded (cent_id, cent) model table — collected sorted (one tiny
+    job), its norms taken from the SAME JVM l2_norm fold as before.
+    Returns None when the model exceeds the closure budget (caller
+    falls back to the pair scorer)."""
+    rows = (
+        cents.select(
+            "cent_id", "cent", l2_norm(F.col("cent")).alias("__cn")
+        )
+        .collect()
+    )
+    if len(rows) > _MATRIX_KERNEL_MAX_K:
+        return None
+    rows.sort(key=lambda r: r["cent_id"])
+    ids = F.array(*[F.lit(r["cent_id"]) for r in rows])
+    cns = F.array(*[F.lit(float(r["__cn"])) for r in rows])
+    dots = centroid_dots(F.col("__v"), [r["cent"] for r in rows])
+    return v.select(
+        id_alias,
+        "__n",
+        F.posexplode(dots).alias("__ci", "__dot"),
+    ).select(
+        id_alias,
+        F.element_at(ids, F.col("__ci") + 1).alias("cent_id"),
+        pround(
+            F.col("__dot")
+            / (F.col("__n") * F.element_at(cns, F.col("__ci") + 1)),
+            round_digits,
+        ).alias("__sim"),
+    )
+
+
 def _nearest_cells(
     df: DataFrame,
     cents: DataFrame,
@@ -175,19 +221,36 @@ def _nearest_cells(
     """Per row: the ``n`` nearest centroids by (rounded cosine desc,
     centroid id asc). ``cents`` must carry ``cent_id, __cent, __centn``
     and should be broadcast by the caller."""
-    scored = df.select(
+    v = df.select(
         F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
-    ).crossJoin(cents).withColumn(
+    )
+    w = Window.partitionBy(id_alias).orderBy(
+        F.col("__sim").desc(), F.col("cent_id").asc()
+    )
+    ms = _matrix_scored(
+        v,
+        cents.select("cent_id", F.col("__cent").alias("cent")),
+        id_alias,
+        round_digits,
+    )
+    if ms is not None:
+        # rank on the narrow (id, cent_id, sim) rows, join the
+        # vectors back only for the <= n survivors
+        return (
+            ms.withColumn("__cr", F.row_number().over(w))
+            .where(F.col("__cr") <= n)
+            .select(id_alias, "cent_id")
+            .join(v, id_alias)
+            .select(id_alias, "cent_id", "__v", "__n")
+        )
+    scored = v.crossJoin(cents).withColumn(
         "__sim",
         pround(
             pair_dot(F.col("__v"), F.col("__cent"))
             / (F.col("__n") * F.col("__centn")),
             round_digits,
         ),
-    )
-    w = Window.partitionBy(id_alias).orderBy(
-        F.col("__sim").desc(), F.col("cent_id").asc()
     )
     return (
         scored.withColumn("__cr", F.row_number().over(w))
@@ -668,33 +731,41 @@ def assign_to_centroids(
     # deterministic) — bit-identical __sim, k x fewer HOF folds
     v = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("__vn"),
-    )
-    scored = v.crossJoin(
-        F.broadcast(
-            cents.select(
-                "cent_id", "cent", l2_norm(F.col("cent")).alias("__cn")
-            )
-        )
-    ).withColumn(
-        "__sim",
-        pround(
-            pair_dot(F.col("v"), F.col("cent"))
-            / (F.col("__vn") * F.col("__cn")),
-            round_digits,
-        ),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
     w = Window.partitionBy("id").orderBy(
         F.col("__sim").desc(), F.col("cent_id").asc()
     )
-    # project the vector away BEFORE the window: the rank only needs
-    # (id, cent_id, sim), and carrying the d-double array through the
-    # window exchange cost k·d·8 bytes per row (measured 5x on the
-    # assignment stage). Same window, same rank, same output.
+    # matrix kernel: each vector through the Arrow pipe ONCE instead
+    # of once per centroid (see _matrix_scored; bit-identical __sim)
+    scored = _matrix_scored(v, cents, "id", round_digits)
+    if scored is None:
+        scored = (
+            v.crossJoin(
+                F.broadcast(
+                    cents.select(
+                        "cent_id",
+                        "cent",
+                        l2_norm(F.col("cent")).alias("__cn"),
+                    )
+                )
+            )
+            .withColumn(
+                "__sim",
+                pround(
+                    pair_dot(F.col("__v"), F.col("cent"))
+                    / (F.col("__n") * F.col("__cn")),
+                    round_digits,
+                ),
+            )
+            .select("id", "cent_id", "__sim")
+        )
+    # narrow window: the rank only needs (id, cent_id, sim); carrying
+    # the d-double array through the window exchange cost k·d·8 bytes
+    # per row (measured 5x on the assignment stage)
     return (
-        scored.select("id", "cent_id", "__sim")
-        .withColumn("__r", F.row_number().over(w))
+        scored.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") == 1)
         .select(
             F.col("id").alias(id_col),
@@ -743,23 +814,27 @@ def kmeans_centroids_deterministic(
     )
 
     def _assign(cents_df):
-        scored = v.crossJoin(
-            cents_df.withColumn("__cn", l2_norm(F.col("cent")))
-        ).withColumn(
-            "__sim",
-            pround(
-                pair_dot(F.col("v"), F.col("cent"))
-                / (F.col("__vn") * F.col("__cn")),
-                round_digits,
-            ),
-        )
         w = Window.partitionBy("id").orderBy(
             F.col("__sim").desc(), F.col("cent_id").asc()
         )
+        # matrix kernel (see _matrix_scored): per-round collect of the
+        # bounded centroid table, each vector piped once per pass
+        vm = v.select("id", F.col("v").alias("__v"), F.col("__vn").alias("__n"))
+        scored = _matrix_scored(vm, cents_df, "id", round_digits)
+        if scored is None:
+            scored = v.crossJoin(
+                cents_df.withColumn("__cn", l2_norm(F.col("cent")))
+            ).withColumn(
+                "__sim",
+                pround(
+                    pair_dot(F.col("v"), F.col("cent"))
+                    / (F.col("__vn") * F.col("__cn")),
+                    round_digits,
+                ),
+            ).select("id", "cent_id", "__sim")
         # narrow window (see assign_to_centroids), vector joined back
         picked = (
-            scored.select("id", "cent_id", "__sim")
-            .withColumn("__r", F.row_number().over(w))
+            scored.withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") == 1)
             .select("id", "cent_id", "__sim")
         )
