@@ -2247,7 +2247,9 @@ def _oracle_sql_base() -> dict[str, str]:
         ),
         # suffix-array-bar repeat enumeration: the oracle is the pure
         # DEFINITION — enumerate every substring of length in
-        # [5, 128], count occurrences, keep counts >= 2, test
+        # [5, 127] (the operator's 2^cap_log2 - 1 cap, r11 ADVICE:
+        # both engines share one upper bound), count occurrences,
+        # keep counts >= 2, test
         # right-maximality (no single-token extension with the same
         # count) and left-maximality (an occurrence at doc start, or
         # two occurrences with different preceding tokens), top-20 by
@@ -2265,7 +2267,7 @@ def _oracle_sql_base() -> dict[str, str]:
             "CASE WHEN p.pos = 1 THEN NULL ELSE t.ts[p.pos - 1] END AS prev "
             "FROM tok t, "
             "LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS pos) p, "
-            "LATERAL (SELECT unnest(range(5, 129)) AS l) l "
+            "LATERAL (SELECT unnest(range(5, 128)) AS l) l "
             "WHERE p.pos + l.l - 1 <= len(t.ts)), "
             "grp AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c, "
             "CAST(count(DISTINCT doc_id) AS BIGINT) AS nd, "
@@ -2293,7 +2295,7 @@ def _oracle_sql_base() -> dict[str, str]:
             "CASE WHEN p.pos = 1 THEN NULL ELSE t.ts[p.pos - 1] END AS prev "
             "FROM tok t, "
             "LATERAL (SELECT unnest(range(1, len(t.ts) + 1)) AS pos) p, "
-            "LATERAL (SELECT unnest(range(5, 129)) AS l) l "
+            "LATERAL (SELECT unnest(range(5, 128)) AS l) l "
             "WHERE p.pos + l.l - 1 <= len(t.ts)), "
             "grp AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c, "
             "CAST(count(DISTINCT doc_id) AS BIGINT) AS nd, "

@@ -2213,6 +2213,9 @@ def q_ann_hier_indexed(spark, sf_dir):
         path = tempfile.mkdtemp(prefix="margaret_hier_idx_")
         build_hier_index(emb, path, iters=2)
         _HIER_INDEX_CACHE[sf_dir] = path
+        # r11 ADVICE: remove the persisted index at session teardown
+        # (it is still reused across executions within the session)
+        _defer_cleanup(path)
     queries = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5)
     return hier_index_search(spark, path, queries, k=5, nprobe1=2, nprobe2=4)
 

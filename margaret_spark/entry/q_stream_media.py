@@ -1281,10 +1281,11 @@ def q_stream_decontaminate(spark, sf_dir):
     against the 5% hash-sample eval set's trigram universe as it
     arrives — same split, same shingling expressions, and the same
     pround arithmetic as the batch `decontaminate` query, so the
-    append-mode parquet sink is hash-exact against the SAME SQL
-    oracle. The eval universe rides a broadcast variable; the
-    per-row scoring is an Arrow-batched set intersection (stateless —
-    no state store, no watermark)."""
+    keeper sink is hash-exact against the SAME SQL oracle. Since r11
+    each micro-batch runs the batch operator's whole-stage-codegen
+    chain (broadcast-hash probe of the checkpointed eval universe)
+    through foreachBatch — zero Python-interpreter scoring
+    (stateless — no state store, no watermark)."""
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -1327,8 +1328,15 @@ def q_stream_decontaminate(spark, sf_dir):
             .sortWithinPartitions("doc_id"),
             seq_col="seq",
         )
+        from margaret_spark.streaming import read_keeper_sink
+
         out = (
-            spark.read.parquet(sink)
+            read_keeper_sink(
+                spark,
+                sink,
+                "seq long, n_shingles int, n_matched long, "
+                "contamination double",
+            )
             .join(ids, "seq")
             .select("doc_id", "n_shingles", "n_matched", "contamination")
         )
@@ -1343,9 +1351,11 @@ def q_stream_decontaminate_spans(spark, sf_dir):
     corpus remainder streams out of a real log and every eval-set
     trigram run is CUT as it arrives — same split, same JVM-side
     tokenization, same islands merge as the batch
-    `decontaminate_spans`, so the append-mode sink is hash-exact
-    against the SAME SQL oracle. Stateless: the eval gram universe
-    rides a broadcast; only position math runs per row."""
+    `decontaminate_spans`, so the keeper sink is hash-exact against
+    the SAME SQL oracle. Since r11 each micro-batch runs the batch
+    operator itself (dedup.cut_contaminated_spans) through
+    foreachBatch — identical codegen expressions, zero
+    Python-interpreter scoring. Stateless."""
     import tempfile
 
     from margaret_spark.log import OffsetLog
@@ -1382,8 +1392,15 @@ def q_stream_decontaminate_spans(spark, sf_dir):
             .sortWithinPartitions("doc_id"),
             seq_col="seq",
         )
+        from margaret_spark.streaming import read_keeper_sink
+
         out = (
-            spark.read.parquet(sink)
+            read_keeper_sink(
+                spark,
+                sink,
+                "seq long, clean_text string, n_tokens long, "
+                "removed_tokens long",
+            )
             .join(ids, "seq")
             .select("doc_id", "clean_text", "n_tokens", "removed_tokens")
         )

@@ -52,6 +52,20 @@ def with_dense_seq(
     log's arrival-order semantics: the assignment is deterministic for
     a deterministic input plan.
     """
+    return with_dense_seq_total(df, seq_col, start, order_within)[0]
+
+
+def with_dense_seq_total(
+    df: DataFrame,
+    seq_col: str = "seq",
+    start: int = 0,
+    order_within: Column | None = None,
+) -> tuple[DataFrame, int]:
+    """:func:`with_dense_seq` plus the TOTAL row count, which the
+    two-pass technique has already collected (the per-partition counts
+    sum to it) — callers that need the cardinality (e.g. the suffix
+    doubling loop's all-ranks-distinct convergence test) get it for
+    zero extra jobs."""
     if order_within is not None:
         df = df.sortWithinPartitions(order_within)
     mid = F.monotonically_increasing_id()
@@ -78,8 +92,9 @@ def with_dense_seq(
     for row in sorted(counts, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = acc
         acc += row["count"]
+    total = acc - start
     if not offsets:
-        return df.withColumn(seq_col, F.lit(None).cast("long"))
+        return df.withColumn(seq_col, F.lit(None).cast("long")), 0
     if len(offsets) <= _MAP_LITERAL_CAP:
         mapping = F.create_map(
             *[F.lit(int(x)) for kv in offsets.items() for x in kv]
@@ -89,7 +104,7 @@ def with_dense_seq(
                 seq_col, (mapping[F.col("__pid")] + F.col("__rank")).cast("long")
             )
             .drop("__pid", "__rank")
-        )
+        ), total
     # Past the cap a create_map literal is an expression-tree bomb
     # (a 100 TB input at 128 MB splits is ~800k partitions — 1.6M
     # literal nodes would choke analysis/codegen). Ship the offsets as
@@ -107,4 +122,4 @@ def with_dense_seq(
         .join(odf, "__pid")
         .withColumn(seq_col, (F.col("__off") + F.col("__rank")).cast("long"))
         .drop("__pid", "__rank", "__off")
-    )
+    ), total

@@ -177,3 +177,86 @@ def centroid_dots(vec: Column, matrix: list) -> Column:
         return pd.Series(list(acc))
 
     return _udf(vec)
+
+
+def group_dots(vec: Column, group: Column, groups: dict) -> Column:
+    """array<double>: the left-fold dot of ``vec`` against every
+    member vector of its ``group`` — :func:`centroid_dots` reshaped
+    for GROUP-KEYED one-side-small joins (a row only ever meets its
+    own group's centroids: the hier sub-assignment's cell, the PQ
+    assignment's subspace).
+
+    ``groups`` maps group key → the bounded member-vector list
+    (caller-ordered; the returned dots follow that order, so the
+    caller re-attaches member ids/norms positionally). The whole map
+    is closure-shipped once per task — callers must bound its total
+    row count (the ``_MATRIX_KERNEL_MAX_K``-style guard) and fall
+    back to the pair-scoring join past it.
+
+    Why: the equi-join + :func:`pair_dot` shape ships BOTH vectors
+    per (row × member) pair through the Arrow pipe — O(N·g·d) bytes
+    for per-group fan-out g; this ships each row vector ONCE
+    (O(N·d)) and returns only the g dots. The accumulation is the
+    identical per-dimension sequential fold, so every dot is
+    bit-equal to the pair kernel and the JVM/oracle left fold. Same
+    loud contracts: NULL rows/groups, ragged widths, and unknown
+    group keys fail with the cause named."""
+    mats: dict[int, np.ndarray] = {}
+    for key, rows in groups.items():
+        M = np.asarray([list(map(float, r)) for r in rows], dtype=np.float64)
+        if M.ndim != 2:
+            raise ValueError(
+                f"group_dots: group {key!r} must be a non-empty list of "
+                f"fixed-width vectors, got array shape {M.shape}"
+            )
+        mats[int(key)] = M
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _udf(va: pd.Series, ga: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=object)
+        if va.isna().any():
+            raise ValueError(
+                "group_dots: NULL vector in batch — vector operators "
+                "require non-NULL fixed-width arrays; filter NULL rows "
+                "upstream (e.g. .where(col.isNotNull()))"
+            )
+        if ga.isna().any():
+            raise ValueError(
+                "group_dots: NULL group key in batch — assign a group "
+                "to every row upstream"
+            )
+        try:
+            A = np.stack(va.to_numpy()).astype(np.float64)
+        except ValueError as e:
+            raise ValueError(
+                "group_dots: ragged vector widths in batch — all "
+                "vectors must share one dimension; validate widths "
+                "upstream (size(col))"
+            ) from e
+        g = ga.to_numpy()
+        out = np.empty(len(va), dtype=object)
+        for key in pd.unique(g):
+            M = mats.get(int(key))
+            if M is None:
+                raise ValueError(
+                    f"group_dots: unknown group key {key!r} — every row "
+                    "must belong to a group in the shipped map"
+                )
+            idx = np.nonzero(g == key)[0]
+            S = A[idx]
+            if S.shape[1] != M.shape[1]:
+                raise ValueError(
+                    f"group_dots: vector width {S.shape[1]} != group "
+                    f"{key!r} member width {M.shape[1]}"
+                )
+            acc = np.zeros((len(idx), M.shape[0]), dtype=np.float64)
+            # the identical per-dimension sequential fold (see
+            # centroid_dots), vectorized over (rows x members)
+            for i in range(S.shape[1]):
+                acc += S[:, i : i + 1] * M[None, :, i]
+            for j, row_dots in zip(idx, acc):
+                out[j] = row_dots
+        return pd.Series(out)
+
+    return _udf(vec, group)

@@ -1883,7 +1883,7 @@ def lsh_parameter_plan(
     simpson_steps: int = 200,
     round_digits: int = 6,
 ) -> "DataFrame":
-    """(bands, rows_per_band, p_at_threshold, s_threshold, fp_mass,
+    """(bands, rows_per_band, p_at_threshold, fp_mass,
     fn_mass, total_error): the banding design table for
     :func:`minhash_dedup_pairs` — one row per divisor split of
     ``num_hashes`` into bands×rows, scoring each by the standard

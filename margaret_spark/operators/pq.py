@@ -60,14 +60,27 @@ def _subvectors(
 ) -> DataFrame:
     """(id, sub, sv, nsq): the m contiguous slices of every vector,
     with the slice's raw self-dot (the ``a·a`` term of the distance
-    identity) computed once per row."""
+    identity) computed once per row.
+
+    r11: for slice widths inside the codegen unroll limit the
+    self-dot uses the JVM unrolled fold (``vectors.dot`` — the
+    documented bit-equal twin of ``pair_dot``'s per-dimension
+    accumulation), removing a whole Arrow round-trip of every slice
+    from every PQ path; wider slices keep the Arrow kernel."""
+    from margaret_spark.functions.vectors import _UNROLL_LIMIT, dot
+
     slices = F.array(
         *[F.slice(F.col(vec_col), s * width + 1, width) for s in range(m)]
+    )
+    nsq = (
+        dot(F.col("sv"), F.col("sv"), dim=width)
+        if width <= _UNROLL_LIMIT
+        else pair_dot(F.col("sv"), F.col("sv"))
     )
     return df.select(
         F.col(id_col).alias("id"),
         F.posexplode(slices).alias("sub", "sv"),
-    ).withColumn("nsq", pair_dot(F.col("sv"), F.col("sv")))
+    ).withColumn("nsq", nsq)
 
 
 def _dist2(nsq_v, nsq_c, dot, round_digits: int):
@@ -81,8 +94,87 @@ def _with_nsq(cb: DataFrame) -> DataFrame:
 
 
 def _assign(sv: DataFrame, cb: DataFrame, round_digits: int) -> DataFrame:
-    """Nearest code per (id, sub): broadcast codebook join, pround'ed
-    squared-L2 rank with code-id tiebreak. Keeps sv for the means."""
+    """Nearest code per (id, sub): pround'ed squared-L2 rank with
+    code-id tiebreak. Keeps sv for the means.
+
+    r11: scoring goes through the subspace-keyed matrix kernel
+    (``functions.vectors.group_dots``) when the codebook fits the
+    closure budget (m·codes rows — KB-sized by construction): the
+    broadcast join + ``pair_dot`` shape shipped BOTH slices per
+    (row-slice × code) pair through the Arrow pipe (O(N·m·codes·w)
+    bytes); the kernel ships each slice once and computes its
+    subspace's ``codes`` dots with the identical per-dimension left
+    fold — every ``__d2`` is the same IEEE tree on bit-equal dots
+    (``cnsq`` is collected from the same ``pair_dot`` column it
+    joined before). Past the budget the original join is unchanged."""
+    from margaret_spark.functions.vectors import group_dots
+    from margaret_spark.operators.similarity import _MATRIX_KERNEL_MAX_K
+
+    w = Window.partitionBy("id", "sub").orderBy(
+        F.col("__d2").asc(), F.col("code_id").asc()
+    )
+    rows = cb.select("sub", "code_id", "cent", "cnsq").collect()
+    if 0 < len(rows) <= _MATRIX_KERNEL_MAX_K:
+        by_sub: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (int(r["sub"]), r["code_id"])):
+            by_sub.setdefault(int(r["sub"]), []).append(r)
+        meta = F.create_map(
+            *[
+                x
+                for sub, mem in by_sub.items()
+                for x in (
+                    F.lit(sub).cast("long"),
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(int(m["code_id"])).cast("long").alias("c"),
+                                F.lit(float(m["cnsq"])).alias("q"),
+                            )
+                            for m in mem
+                        ]
+                    ),
+                )
+            ]
+        )
+        dots = group_dots(
+            F.col("sv"),
+            F.col("sub").cast("long"),
+            {sub: [m["cent"] for m in mem] for sub, mem in by_sub.items()},
+        )
+        scored = (
+            sv.select(
+                "id",
+                "sub",
+                "sv",
+                "nsq",
+                F.posexplode(dots).alias("__ci", "__dot"),
+            )
+            .select(
+                "id",
+                "sub",
+                "sv",
+                "nsq",
+                "__dot",
+                F.element_at(
+                    F.element_at(meta, F.col("sub").cast("long")),
+                    F.col("__ci") + 1,
+                ).alias("__m"),
+            )
+            .select(
+                "id",
+                "sub",
+                "sv",
+                F.col("__m.c").alias("code_id"),
+                _dist2(
+                    F.col("nsq"), F.col("__m.q"), F.col("__dot"), round_digits
+                ).alias("__d2"),
+            )
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("id", "sub", "code_id", "sv", F.col("__d2").alias("dist2"))
+        )
     scored = sv.join(F.broadcast(cb), "sub").withColumn(
         "__d2",
         _dist2(
@@ -91,9 +183,6 @@ def _assign(sv: DataFrame, cb: DataFrame, round_digits: int) -> DataFrame:
             pair_dot(F.col("sv"), F.col("cent")),
             round_digits,
         ),
-    )
-    w = Window.partitionBy("id", "sub").orderBy(
-        F.col("__d2").asc(), F.col("code_id").asc()
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))

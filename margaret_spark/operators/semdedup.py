@@ -271,6 +271,91 @@ def contrastive_triplets(
     )
 
 
+def _cell_threshold_hits(
+    vs: DataFrame,
+    e_side: DataFrame,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame | None:
+    """(id, cent_id, __hit): for every ``vs`` row (id, cent_id, __v,
+    __n), whether SOME same-cell vector of the bounded existing side
+    sits within ``threshold`` rounded cosine — the matrix-kernel form
+    of the cell-keyed existing-vs-new pair join (``group_dots``: each
+    row vector crosses the Arrow pipe once; the cosine is the
+    identical ``pround(dot/(n·no))`` tree on bit-equal dots, with the
+    existing norms collected from the same JVM ``l2_norm`` fold the
+    join read). ``e_side`` must carry (__ce, __vo, __no). Returns
+    None when the existing side exceeds the closure budget — callers
+    keep the pair join for that (the general big-corpus case)."""
+    e_rows = _collect_cell_side(e_side)
+    if e_rows is None:
+        return None
+    return _cell_threshold_hits_from_rows(vs, e_rows, threshold, round_digits)
+
+
+def _collect_cell_side(e_side: DataFrame) -> list | None:
+    """The bounded collect half of :func:`_cell_threshold_hits` —
+    split out so streaming callers can pay it ONCE per query instead
+    of once per micro-batch. None past the closure budget."""
+    from margaret_spark.operators.similarity import _MATRIX_KERNEL_MAX_K
+
+    e_rows = e_side.select("__ce", "__vo", "__no").limit(
+        _MATRIX_KERNEL_MAX_K + 1
+    ).collect()
+    if not 0 < len(e_rows) <= _MATRIX_KERNEL_MAX_K:
+        return None
+    return e_rows
+
+
+def _cell_threshold_hits_from_rows(
+    vs: DataFrame,
+    e_rows: list,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """The scoring half of :func:`_cell_threshold_hits` over
+    pre-collected existing-side rows."""
+    from margaret_spark.functions.vectors import group_dots
+
+    by_cell: dict[int, list] = {}
+    for r in e_rows:
+        by_cell.setdefault(int(r["__ce"]), []).append(r)
+    nos_map = F.create_map(
+        *[
+            x
+            for cell, mem in by_cell.items()
+            for x in (
+                F.lit(cell).cast("long"),
+                F.array(*[F.lit(float(m["__no"])) for m in mem]),
+            )
+        ]
+    )
+    known = sorted(by_cell)
+    # rows in cells with NO existing member cannot match — routed
+    # around the kernel (group_dots treats an absent cell as a
+    # contract violation, and they would only cost)
+    in_known = F.col("cent_id").isin(known)
+    dots = group_dots(
+        F.col("__v"),
+        F.col("cent_id").cast("long"),
+        {cell: [m["__vo"] for m in mem] for cell, mem in by_cell.items()},
+    )
+    hit = F.exists(
+        F.zip_with(
+            dots,
+            F.element_at(nos_map, F.col("cent_id").cast("long")),
+            lambda d, no: pround(d / (F.col("__n") * no), round_digits)
+            >= F.lit(float(threshold)),
+        ),
+        lambda x: x,
+    )
+    scored = vs.where(in_known).select("id", "cent_id", hit.alias("__hit"))
+    rest = vs.where(~in_known).select(
+        "id", "cent_id", F.lit(False).alias("__hit")
+    )
+    return scored.unionByName(rest)
+
+
 def semantic_dedup_incremental(
     new_rows: DataFrame,
     existing: DataFrame,
@@ -351,12 +436,35 @@ def semantic_dedup_incremental(
         F.col("__v").alias("__vo"),
         l2_norm(F.col("__v")).alias("__no"),
     )
-    dup_ex = (
-        n_side.join(e_side, F.col("cent_id") == F.col("__ce"))
-        .where(sim >= F.lit(threshold))
-        .select(F.col("__idn").alias("__dup"))
-        .distinct()
+    # r11: when the EXISTING side is bounded (semantic decontamination:
+    # the eval split), score each new row against its cell's existing
+    # vectors through the cell-keyed matrix kernel instead of the pair
+    # join — O(|new|·d) Arrow bytes instead of O(pairs·2d); the cosine
+    # is the identical pround tree on bit-equal dots. Past the closure
+    # budget (the general big-existing dedup case) the pair join is
+    # unchanged.
+    hits = _cell_threshold_hits(
+        n_side.select(
+            F.col("__idn").alias("id"),
+            "cent_id",
+            F.col("__vn").alias("__v"),
+            F.col("__nn").alias("__n"),
+        ),
+        e_side,
+        threshold,
+        round_digits,
     )
+    if hits is not None:
+        dup_ex = hits.where(F.col("__hit")).select(
+            F.col("id").alias("__dup")
+        )
+    else:
+        dup_ex = (
+            n_side.join(e_side, F.col("cent_id") == F.col("__ce"))
+            .where(sim >= F.lit(threshold))
+            .select(F.col("__idn").alias("__dup"))
+            .distinct()
+        )
     out = anew.join(
         dup_ex.select(F.col("__dup").alias("id"), F.lit(1).alias("__in_ex")),
         "id",
@@ -552,9 +660,87 @@ def _with_cell_vectors(
 
 def _sub_assign(av: DataFrame, subc: DataFrame, round_digits: int) -> DataFrame:
     """(id, cent_id, sub_id, __sim): nearest sub-centroid WITHIN each
-    row's coarse cell — equi-join on cent_id (each row meets only ITS
-    cell's ≤k2 sub-centroids), rank by (rounded cosine desc, sub_id
-    asc), vectors projected away before the window (house rule)."""
+    row's coarse cell — each row meets only ITS cell's ≤k2
+    sub-centroids, rank by (rounded cosine desc, sub_id asc).
+
+    r11: scoring goes through the cell-keyed matrix kernel
+    (``functions.vectors.group_dots``) when the sub-centroid table
+    fits the closure budget — the equi-join + ``pair_dot`` shape
+    shipped BOTH vectors per (row × sub) pair through the Arrow pipe
+    (O(N·k2·d) bytes); the kernel ships each row vector once (O(N·d))
+    and computes its cell's dots with the identical per-dimension
+    left fold, so every ``__sim`` is bit-equal (same argument as the
+    r10 ``centroid_dots`` conversion; norms still come from the same
+    JVM ``l2_norm`` fold, collected once). Past the budget the
+    original pair-scoring join is used unchanged."""
+    from margaret_spark.functions.vectors import group_dots
+    from margaret_spark.operators.similarity import _MATRIX_KERNEL_MAX_K
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("__sim").desc(), F.col("sub_id").asc()
+    )
+    rows = subc.select(
+        "cent_id", "sub_id", "cent", l2_norm(F.col("cent")).alias("__cn")
+    ).collect()
+    if 0 < len(rows) <= _MATRIX_KERNEL_MAX_K:
+        by_cell: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r["cent_id"], int(r["sub_id"]))):
+            by_cell.setdefault(int(r["cent_id"]), []).append(r)
+        meta = F.create_map(
+            *[
+                x
+                for cell, mem in by_cell.items()
+                for x in (
+                    F.lit(cell).cast("long"),
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(int(m["sub_id"])).cast("int").alias("s"),
+                                F.lit(float(m["__cn"])).alias("n"),
+                            )
+                            for m in mem
+                        ]
+                    ),
+                )
+            ]
+        )
+        dots = group_dots(
+            F.col("__v"),
+            F.col("cent_id").cast("long"),
+            {cell: [m["cent"] for m in mem] for cell, mem in by_cell.items()},
+        )
+        scored = (
+            av.select(
+                "id",
+                "cent_id",
+                "__vn",
+                F.posexplode(dots).alias("__si", "__dot"),
+            )
+            .select(
+                "id",
+                "cent_id",
+                "__vn",
+                "__dot",
+                F.element_at(
+                    F.element_at(meta, F.col("cent_id").cast("long")),
+                    F.col("__si") + 1,
+                ).alias("__m"),
+            )
+            .select(
+                "id",
+                "cent_id",
+                F.col("__m.s").alias("sub_id"),
+                pround(
+                    F.col("__dot") / (F.col("__vn") * F.col("__m.n")),
+                    round_digits,
+                ).alias("__sim"),
+            )
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("id", "cent_id", "sub_id", "__sim")
+        )
     scored = av.join(
         subc.withColumn("__cn", l2_norm(F.col("cent"))), "cent_id"
     ).withColumn(
@@ -564,9 +750,6 @@ def _sub_assign(av: DataFrame, subc: DataFrame, round_digits: int) -> DataFrame:
             / (F.col("__vn") * F.col("__cn")),
             round_digits,
         ),
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.col("__sim").desc(), F.col("sub_id").asc()
     )
     return (
         scored.select("id", "cent_id", "sub_id", "__sim")

@@ -65,13 +65,21 @@ def _dense_sorted_ids(
     order — range partition + narrow in-partition sort + the two-pass
     partition-offset prefix sum (``with_dense_seq``); no global
     window anywhere."""
-    from margaret_spark.functions.seqassign import with_dense_seq
+    return _dense_sorted_ids_total(keys, key_cols, out_col)[0]
+
+
+def _dense_sorted_ids_total(
+    keys: DataFrame, key_cols: list[str], out_col: str
+) -> tuple[DataFrame, int]:
+    """:func:`_dense_sorted_ids` plus the assigned-id count, free from
+    the two-pass technique's already-collected partition counts."""
+    from margaret_spark.functions.seqassign import with_dense_seq_total
 
     n = max(keys.sparkSession.sparkContext.defaultParallelism, 1)
     staged = keys.repartitionByRange(
         n, *[F.col(c) for c in key_cols]
     ).sortWithinPartitions(*key_cols)
-    return with_dense_seq(staged, seq_col=out_col, start=1)
+    return with_dense_seq_total(staged, seq_col=out_col, start=1)
 
 
 def suffix_repeats(
@@ -158,6 +166,10 @@ def suffix_repeats(
         .select("__id", "pos", "r")
         .localCheckpoint(eager=False)
     )
+    # the suffix count, for the early-termination test below (one
+    # cheap count over the level-0 checkpoint, which round 1 would
+    # materialize anyway)
+    n_sfx = level.count()
     levels = [level]
     for k in range(K):
         off = 1 << k
@@ -176,7 +188,7 @@ def suffix_repeats(
             )
             .localCheckpoint(eager=False)
         )
-        ids = _dense_sorted_ids(
+        ids, n_ranks = _dense_sorted_ids_total(
             keyed.select("r", "r2").distinct(), ["r", "r2"], "nr"
         )
         level = (
@@ -185,6 +197,20 @@ def suffix_repeats(
             .localCheckpoint(eager=False)
         )
         levels.append(level)
+        # EARLY TERMINATION (classic prefix-doubling convergence, and
+        # the r10 verdict's ask): once every suffix holds a DISTINCT
+        # rank (n distinct (r, r2) pairs == n suffixes), each later
+        # round is the identity — every (r, r2) key occurs once and
+        # sorts by r alone, so the next dense ids EQUAL r itself, row
+        # for row. Padding the remaining levels with this converged
+        # level is therefore bit-identical to running the rounds
+        # (mat[pos][j] for j > k* repeats mat[pos][k*], exactly what
+        # the full loop would produce), and the LCP descend and the
+        # two-window equality keys read the same values. The count is
+        # free: the dense-id two-pass already collected it.
+        if n_ranks == n_sfx:
+            levels.extend(level for _ in range(k + 1, K))
+            break
 
     # per-document rank matrices: mat[pos-1][k] = r_k(doc, pos)
     lv_union = None

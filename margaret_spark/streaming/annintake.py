@@ -61,6 +61,14 @@ def stream_ivf_assign(
         l2_norm(F.col("cent")).alias("__centn"),
     ).localCheckpoint(eager=True)
 
+    # r11: score through the collected-matrix kernel when the model
+    # fits the closure budget (see similarity._matrix_scored) — each
+    # batch vector crosses the Arrow pipe once instead of once per
+    # centroid; __sim is bit-identical (same fold, same JVM norms),
+    # so the keeper sink is unchanged. Fallback: the original
+    # crossJoin + pair_dot scoring.
+    from margaret_spark.operators.similarity import _matrix_scored
+
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         vecs = batch_df.select(
             F.col("seq"), vec_expr.alias("__v")
@@ -68,17 +76,26 @@ def stream_ivf_assign(
         # row norm once, not once per centroid (the vectors.py rule) —
         # bit-identical __sim
         vecs = vecs.withColumn("__vn", l2_norm(F.col("__v")))
-        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-            "__sim",
-            pround(
-                pair_dot(F.col("__v"), F.col("__cent"))
-                / (F.col("__vn") * F.col("__centn")),
-                round_digits,
-            ),
-        )
         w = Window.partitionBy("seq").orderBy(
             F.col("__sim").desc(), F.col("cent_id").asc()
         )
+        ms = _matrix_scored(
+            vecs.select("seq", "__v", F.col("__vn").alias("__n")),
+            cents.select("cent_id", F.col("__cent").alias("cent")),
+            "seq",
+            round_digits,
+        )
+        if ms is not None:
+            scored = ms
+        else:
+            scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+                "__sim",
+                pround(
+                    pair_dot(F.col("__v"), F.col("__cent"))
+                    / (F.col("__vn") * F.col("__centn")),
+                    round_digits,
+                ),
+            )
         kept = (
             scored.withColumn("__cr", F.row_number().over(w))
             .where(F.col("__cr") == 1)
@@ -129,7 +146,6 @@ def stream_pq_assign(
     by the seq gap, not guessed). Read back with
     ``read_keeper_sink(spark, sink_dir, "seq long, sub long,
     code_id long, dist2 double")``."""
-    from margaret_spark.functions.numeric import pround as _pround
     from margaret_spark.streaming.sinks import write_batch
 
     cb = codebooks.select("sub", "code_id", "cent").localCheckpoint(
@@ -145,36 +161,26 @@ def stream_pq_assign(
         "cnsq", pair_dot(F.col("cent"), F.col("cent"))
     ).localCheckpoint(eager=True)
 
+    # r11: encode through the shared PQ assignment (operators.pq
+    # _subvectors + _assign), which now routes slice scoring through
+    # the subspace-keyed matrix kernel — each slice crosses the Arrow
+    # pipe once instead of once per code, the self-dot folds in
+    # codegen, and __d2/the tiebreak are the identical expressions,
+    # so the keeper sink is unchanged (the dedicated test pins
+    # streaming ≡ batch encoder).
+    from margaret_spark.operators.pq import _assign, _subvectors
+
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         vecs = batch_df.select(F.col("seq"), vec_expr.alias("__v")).where(
             F.col("__v").isNotNull()
         )
-        slices = F.array(
-            *[F.slice(F.col("__v"), s * width + 1, width) for s in range(m)]
-        )
-        sv = vecs.select(
-            "seq", F.posexplode(slices).alias("sub", "sv")
-        ).withColumn("nsq", pair_dot(F.col("sv"), F.col("sv")))
-        scored = sv.join(F.broadcast(cbb), "sub").withColumn(
-            "__d2",
-            _pround(
-                (F.col("nsq") + F.col("cnsq"))
-                - (F.lit(2.0) * pair_dot(F.col("sv"), F.col("cent"))),
-                round_digits,
-            ),
-        )
-        w = Window.partitionBy("seq", "sub").orderBy(
-            F.col("__d2").asc(), F.col("code_id").asc()
-        )
-        kept = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(
-                "seq",
-                F.col("sub").cast("long").alias("sub"),
-                F.col("code_id").cast("long").alias("code_id"),
-                F.col("__d2").alias("dist2"),
-            )
+        kept = _assign(
+            _subvectors(vecs, m, "seq", "__v", width), cbb, round_digits
+        ).select(
+            F.col("id").alias("seq"),
+            F.col("sub").cast("long").alias("sub"),
+            F.col("code_id").cast("long").alias("code_id"),
+            F.col("dist2"),
         )
         write_batch(kept, batch_id, sink_dir)
 
