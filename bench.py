@@ -201,18 +201,32 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         return best
 
-    # boot-speed canary: isolated best-of-3 BEFORE the session loop
+    # boot-speed canary: isolated best-of-3 BEFORE the session loop.
+    # r11 (ADVICE): gate on the parsed SF value, not the exact
+    # directory-name string, so "sf0.10" still normalizes.
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
     canary = {n: round(best_of(qs[n], 3), 3) for n in CANARY}
     canary_total = round(sum(canary.values()), 3)
     ref_total = round(sum(CANARY_REF_SF01.values()), 3)
     boot_speed_factor = (
-        round(canary_total / ref_total, 3) if sf == "0.1" else None
+        round(canary_total / ref_total, 3) if sf_val == 0.1 else None
     )
 
     measured = set(HEADLINE) | set(HEADLINE_V2)
     HEADLINE_V3.extend(n for n in sorted(qs) if n not in measured)
     timings: dict[str, float] = {}
+    # r11 (ADVICE): the canary queries were already measured isolated
+    # warmup+best-of-3 above — reuse those timings instead of timing
+    # them a second time inside the session loop (the isolated number
+    # is the cleaner steady-state estimate, and it removes redundant
+    # warmups from the session wall time)
+    timings.update(canary)
     for name in HEADLINE + HEADLINE_V2 + HEADLINE_V3:
+        if name in canary:
+            continue
         fn = qs[name]
         # one warm-up run (JIT/codegen compilation), then the best of
         # N measured runs — steady-state timing, standard repeated-run
@@ -234,6 +248,49 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     subtotal_v1 = round(sum(timings[n] for n in HEADLINE), 3)
+    # r11 measurement-artifact fix (VERDICT r10 ask #7): the driver's
+    # BENCH capture keeps only the TAIL of stdout (~2000 chars) and
+    # parses a JSON line found there — r01-r05 parsed because the
+    # single output line was <2000 chars; it has been "parsed": null
+    # since r06, when the full per-query map outgrew the buffer. The
+    # full contract line (with the complete per-query map) is still
+    # printed, and a COMPACT summary line (metric/value/subtotals/
+    # canary — everything but the 267-entry map, which cannot fit) is
+    # printed both FIRST and LAST so a head- or tail-limited capture
+    # always contains one complete parseable line. The per-query map
+    # also lands in bench_local/ scoreboards each round. No timing
+    # methodology changed.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "subtotal_37q_r1_comparable": subtotal_v1,
+            "subtotal_111q_r8_comparable": round(
+                sum(timings[n] for n in HEADLINE + HEADLINE_V2), 3
+            ),
+            "canary": canary,
+            "canary_total": canary_total,
+            "canary_reference_total": ref_total if sf_val == 0.1 else None,
+            "boot_speed_factor": boot_speed_factor,
+            "subtotal_37q_canary_normalized": (
+                round(subtotal_v1 / boot_speed_factor, 3)
+                if boot_speed_factor
+                else None
+            ),
+            "total_canary_normalized": (
+                round(total / boot_speed_factor, 3)
+                if boot_speed_factor
+                else None
+            ),
+            "n_queries": len(timings),
+            "queries_detail": "full per-query map on the adjacent "
+            "output line and in bench_local/",
+            "sf": float(sf),
+            "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+        }
+    )
+    print(compact)
     print(
         json.dumps(
             {
@@ -257,7 +314,7 @@ def main() -> None:
                 # the code (r8→r9b measured exactly this at ~1.4×).
                 "canary": canary,
                 "canary_total": canary_total,
-                "canary_reference_total": ref_total if sf == "0.1" else None,
+                "canary_reference_total": ref_total if sf_val == 0.1 else None,
                 "boot_speed_factor": boot_speed_factor,
                 "subtotal_37q_canary_normalized": (
                     round(subtotal_v1 / boot_speed_factor, 3)
@@ -289,6 +346,9 @@ def main() -> None:
             }
         )
     )
+    # the LAST line: the compact summary again, so a tail-limited
+    # stdout capture (the driver's) ends with a complete JSON line
+    print(compact)
 
 
 if __name__ == "__main__":
