@@ -93,39 +93,44 @@ def q_stream_dedup_minhash(spark, sf_dir):
     (dup_seq → earliest keep_seq). Rows-only check (banding is not
     SQL-expressible — same status as the batch dedup_minhash, whose
     buckets this pipeline reproduces exactly; see
-    tests/test_streaming.py)."""
-    import shutil
+    tests/test_streaming.py). r11: candidates land executor-side
+    (sink_dir keeper delivery) and the per-dup earliest-keeper
+    reduction is one groupBy/min — the driver pandas loop this entry
+    carried (O(candidates) driver rows, a scale ceiling) is gone;
+    the reduced rows are identical (same min over the same
+    candidate set)."""
     import tempfile
 
     from margaret_spark.log import OffsetLog
-    from margaret_spark.streaming import stream_dedup_minhash
+    from margaret_spark.streaming import read_keeper_sink, stream_dedup_minhash
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="stream_mh_")
-    cands: list = []
     try:
         log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
         # distributed ingest (append_df): no driver-side materialization
         log.append_df(docs, value_col="text", order_by="doc_id")
+        sink = os.path.join(base, "sink")
         stream_dedup_minhash(
             log,
             F.col("value"),
-            cands.append,
+            None,
             os.path.join(base, "ckpt"),
             num_hashes=32,
             bands=8,
             available_now=True,
+            sink_dir=sink,
+        )
+        cands = read_keeper_sink(
+            spark, sink, "dup_seq long, band int, keep_seq long"
+        )
+        return (
+            cands.groupBy("dup_seq")
+            .agg(F.min("keep_seq").alias("keep_seq"))
+            .select("dup_seq", "keep_seq")
         )
     finally:
-        shutil.rmtree(base, ignore_errors=True)
-    best: dict[int, int] = {}
-    for pdf in cands:
-        for _, r in pdf.iterrows():
-            d, k = int(r["dup_seq"]), int(r["keep_seq"])
-            if d not in best or k < best[d]:
-                best[d] = k
-    rows = sorted(best.items())
-    return spark.createDataFrame(rows, "dup_seq long, keep_seq long")
+        _defer_cleanup(base)
 
 
 def q_stream_dedup_window(spark, sf_dir):
@@ -137,38 +142,38 @@ def q_stream_dedup_window(spark, sf_dir):
     synthetic quadratic-residue stream ((doc_id² ) % 53 — irregular
     per-content gaps, 140 keepers / 360 suppressions at sf0.01), so
     both branches of the rule are exercised; the oracle states the
-    same rule as ONE lag window. Hash-exact."""
-    import shutil
+    same rule as ONE lag window. Hash-exact. r11: keepers land
+    executor-side (sink_dir delivery) and the graded result is the
+    sink read back — the driver pandas loop is gone; rows are
+    identical (the keeper stream IS the result set)."""
     import tempfile
 
     from margaret_spark.log import OffsetLog
-    from margaret_spark.streaming import stream_dedup_window
+    from margaret_spark.streaming import read_keeper_sink, stream_dedup_window
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         ((F.col("doc_id") * F.col("doc_id")) % 53).cast("string").alias("content"),
     )
     base = tempfile.mkdtemp(prefix="stream_win_")
-    keepers: list = []
     try:
         log = OffsetLog(spark, os.path.join(base, "log"), value_type=T.StringType())
         log.append_df(docs, value_col="content", order_by="doc_id")
+        sink = os.path.join(base, "sink")
         stream_dedup_window(
             log,
             F.col("value"),
-            keepers.append,
+            None,
             os.path.join(base, "ckpt"),
             ttl_seqs=40,
             available_now=True,
+            sink_dir=sink,
+        )
+        return read_keeper_sink(
+            spark, sink, "content_hash string, keep_seq long"
         )
     finally:
-        shutil.rmtree(base, ignore_errors=True)
-    rows = [
-        (str(r["content_hash"]), int(r["keep_seq"]))
-        for pdf in keepers
-        for _, r in pdf.iterrows()
-    ]
-    return spark.createDataFrame(rows, "content_hash string, keep_seq long")
+        _defer_cleanup(base)
 
 
 def q_stream_pii_redact(spark, sf_dir):

@@ -212,9 +212,24 @@ def suffix_repeats(
             levels.extend(level for _ in range(k + 1, K))
             break
 
-    # per-document rank matrices: mat[pos-1][k] = r_k(doc, pos)
+    # per-document rank matrices: mat[pos-1][k] = r_k(doc, pos).
+    # Only the DISTINCT computed levels are materialized: once ranks
+    # converge at level k*, every later level repeats level k*'s
+    # values, and no consumer can observe them — the max adjacent LCP
+    # is < 2^k* (two suffixes sharing a 2^k*-token prefix would share
+    # a rank), so the two-window keys read levels <= k*-1 only, and
+    # the LCP descend's reads above k* come back NULL (F.get past the
+    # array end) exactly where the padded value could never test
+    # equal between two distinct suffixes — the descend adds 0 either
+    # way. Truncating the union cuts the rank-matrix shuffle from
+    # (K+1)·n to (k*+1)·n rows.
+    n_uniq = len(levels)
+    for i in range(1, len(levels)):
+        if levels[i] is levels[i - 1]:  # first padded copy
+            n_uniq = i
+            break
     lv_union = None
-    for k, lv in enumerate(levels):
+    for k, lv in enumerate(levels[:n_uniq]):
         tagged = lv.select(
             "__id", "pos", F.lit(k).alias("__k"), F.col("r").alias("__r")
         )
