@@ -97,17 +97,21 @@ def _assign(sv: DataFrame, cb: DataFrame, round_digits: int) -> DataFrame:
     """Nearest code per (id, sub): pround'ed squared-L2 rank with
     code-id tiebreak. Keeps sv for the means.
 
-    r11: scoring goes through the subspace-keyed matrix kernel
-    (``functions.vectors.group_dots``) when the codebook fits the
-    closure budget (m·codes rows — KB-sized by construction): the
+    r11: scoring goes through the subspace-keyed ranking kernel
+    (``functions.vectors.group_best``) when the codebook fits the
+    closure budget (m·codes rows — KB-sized by construction). The
     broadcast join + ``pair_dot`` shape shipped BOTH slices per
     (row-slice × code) pair through the Arrow pipe (O(N·m·codes·w)
-    bytes); the kernel ships each slice once and computes its
-    subspace's ``codes`` dots with the identical per-dimension left
-    fold — every ``__d2`` is the same IEEE tree on bit-equal dots
-    (``cnsq`` is collected from the same ``pair_dot`` column it
-    joined before). Past the budget the original join is unchanged."""
-    from margaret_spark.functions.vectors import group_dots
+    bytes) and then paid a ``row_number`` window — a full
+    shuffle+sort of N·m·codes rows — per call; the kernel ships each
+    slice once, scores its subspace's codes with the identical
+    per-dimension left fold + the same ``_dist2`` IEEE tree, and
+    returns ONLY the winner (ties → lowest code_id, Spark's window
+    order), so the output rows are bit-equal with no explode and no
+    exchange (``cnsq`` is collected from the same ``pair_dot`` column
+    it joined before). Past the budget the original join is
+    unchanged."""
+    from margaret_spark.functions.vectors import group_best
     from margaret_spark.operators.similarity import _MATRIX_KERNEL_MAX_K
 
     w = Window.partitionBy("id", "sub").orderBy(
@@ -116,64 +120,26 @@ def _assign(sv: DataFrame, cb: DataFrame, round_digits: int) -> DataFrame:
     rows = cb.select("sub", "code_id", "cent", "cnsq").collect()
     if 0 < len(rows) <= _MATRIX_KERNEL_MAX_K:
         by_sub: dict[int, list] = {}
+        # members sorted by code_id asc per subspace — the kernel's
+        # ties→lowest-index rule IS the (code_id asc) tiebreak then
         for r in sorted(rows, key=lambda r: (int(r["sub"]), r["code_id"])):
             by_sub.setdefault(int(r["sub"]), []).append(r)
-        meta = F.create_map(
-            *[
-                x
-                for sub, mem in by_sub.items()
-                for x in (
-                    F.lit(sub).cast("long"),
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(int(m["code_id"])).cast("long").alias("c"),
-                                F.lit(float(m["cnsq"])).alias("q"),
-                            )
-                            for m in mem
-                        ]
-                    ),
-                )
-            ]
-        )
-        dots = group_dots(
+        best = group_best(
             F.col("sv"),
             F.col("sub").cast("long"),
+            F.col("nsq"),
             {sub: [m["cent"] for m in mem] for sub, mem in by_sub.items()},
+            {sub: [int(m["code_id"]) for m in mem] for sub, mem in by_sub.items()},
+            {sub: [float(m["cnsq"]) for m in mem] for sub, mem in by_sub.items()},
+            mode="dist2",
+            round_digits=round_digits,
         )
-        scored = (
-            sv.select(
-                "id",
-                "sub",
-                "sv",
-                "nsq",
-                F.posexplode(dots).alias("__ci", "__dot"),
-            )
-            .select(
-                "id",
-                "sub",
-                "sv",
-                "nsq",
-                "__dot",
-                F.element_at(
-                    F.element_at(meta, F.col("sub").cast("long")),
-                    F.col("__ci") + 1,
-                ).alias("__m"),
-            )
-            .select(
-                "id",
-                "sub",
-                "sv",
-                F.col("__m.c").alias("code_id"),
-                _dist2(
-                    F.col("nsq"), F.col("__m.q"), F.col("__dot"), round_digits
-                ).alias("__d2"),
-            )
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("id", "sub", "code_id", "sv", F.col("__d2").alias("dist2"))
+        return sv.select("id", "sub", "sv", best.alias("__b")).select(
+            "id",
+            "sub",
+            F.col("__b.i").alias("code_id"),
+            "sv",
+            F.col("__b.s").alias("dist2"),
         )
     scored = sv.join(F.broadcast(cb), "sub").withColumn(
         "__d2",

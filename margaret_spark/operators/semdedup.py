@@ -663,17 +663,20 @@ def _sub_assign(av: DataFrame, subc: DataFrame, round_digits: int) -> DataFrame:
     row's coarse cell — each row meets only ITS cell's ≤k2
     sub-centroids, rank by (rounded cosine desc, sub_id asc).
 
-    r11: scoring goes through the cell-keyed matrix kernel
-    (``functions.vectors.group_dots``) when the sub-centroid table
-    fits the closure budget — the equi-join + ``pair_dot`` shape
+    r11: scoring goes through the cell-keyed ranking kernel
+    (``functions.vectors.group_best``) when the sub-centroid table
+    fits the closure budget. The equi-join + ``pair_dot`` shape
     shipped BOTH vectors per (row × sub) pair through the Arrow pipe
-    (O(N·k2·d) bytes); the kernel ships each row vector once (O(N·d))
-    and computes its cell's dots with the identical per-dimension
-    left fold, so every ``__sim`` is bit-equal (same argument as the
-    r10 ``centroid_dots`` conversion; norms still come from the same
-    JVM ``l2_norm`` fold, collected once). Past the budget the
-    original pair-scoring join is used unchanged."""
-    from margaret_spark.functions.vectors import group_dots
+    (O(N·k2·d) bytes) and then paid a ``row_number`` window — a full
+    shuffle+sort of N·k2 rows — per call; the kernel ships each row
+    vector once (O(N·d)), scores its cell's members with the
+    identical per-dimension left fold + pround IEEE tree, and returns
+    ONLY the winner (ties → lowest sub_id, Spark's window order), so
+    the output rows are bit-equal with no explode and no exchange.
+    Norms still come from the same JVM ``l2_norm`` fold, collected
+    once. Past the budget the original pair-scoring join is used
+    unchanged."""
+    from margaret_spark.functions.vectors import group_best
     from margaret_spark.operators.similarity import _MATRIX_KERNEL_MAX_K
 
     w = Window.partitionBy("id").orderBy(
@@ -684,62 +687,25 @@ def _sub_assign(av: DataFrame, subc: DataFrame, round_digits: int) -> DataFrame:
     ).collect()
     if 0 < len(rows) <= _MATRIX_KERNEL_MAX_K:
         by_cell: dict[int, list] = {}
+        # members sorted by sub_id asc per cell — the kernel's
+        # ties→lowest-index rule IS the (sub_id asc) tiebreak then
         for r in sorted(rows, key=lambda r: (r["cent_id"], int(r["sub_id"]))):
             by_cell.setdefault(int(r["cent_id"]), []).append(r)
-        meta = F.create_map(
-            *[
-                x
-                for cell, mem in by_cell.items()
-                for x in (
-                    F.lit(cell).cast("long"),
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(int(m["sub_id"])).cast("int").alias("s"),
-                                F.lit(float(m["__cn"])).alias("n"),
-                            )
-                            for m in mem
-                        ]
-                    ),
-                )
-            ]
-        )
-        dots = group_dots(
+        best = group_best(
             F.col("__v"),
             F.col("cent_id").cast("long"),
+            F.col("__vn"),
             {cell: [m["cent"] for m in mem] for cell, mem in by_cell.items()},
+            {cell: [int(m["sub_id"]) for m in mem] for cell, mem in by_cell.items()},
+            {cell: [float(m["__cn"]) for m in mem] for cell, mem in by_cell.items()},
+            mode="cosine",
+            round_digits=round_digits,
         )
-        scored = (
-            av.select(
-                "id",
-                "cent_id",
-                "__vn",
-                F.posexplode(dots).alias("__si", "__dot"),
-            )
-            .select(
-                "id",
-                "cent_id",
-                "__vn",
-                "__dot",
-                F.element_at(
-                    F.element_at(meta, F.col("cent_id").cast("long")),
-                    F.col("__si") + 1,
-                ).alias("__m"),
-            )
-            .select(
-                "id",
-                "cent_id",
-                F.col("__m.s").alias("sub_id"),
-                pround(
-                    F.col("__dot") / (F.col("__vn") * F.col("__m.n")),
-                    round_digits,
-                ).alias("__sim"),
-            )
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
-            .select("id", "cent_id", "sub_id", "__sim")
+        return av.select("id", "cent_id", best.alias("__b")).select(
+            "id",
+            "cent_id",
+            F.col("__b.i").cast("int").alias("sub_id"),
+            F.col("__b.s").alias("__sim"),
         )
     scored = av.join(
         subc.withColumn("__cn", l2_norm(F.col("cent"))), "cent_id"

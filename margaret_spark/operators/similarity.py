@@ -21,9 +21,10 @@ import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from margaret_spark.functions.vectors import (
-    centroid_dots,
+    centroid_best,
     cosine_sim,
     dot,
     infer_dim,
@@ -47,7 +48,116 @@ def brute_force_topk(
     results are stable across accumulation orders and engines. Norms
     are precomputed per row; the per-pair dot is the Arrow-batched
     ``pair_dot`` (same accumulation order as the fold — see
-    functions.vectors)."""
+    functions.vectors).
+
+    r11 shape: when the query side fits the closure budget (its
+    contract — queries ≪ corpus), each corpus batch is scored against
+    the collected query matrix in one Arrow pass and only the BATCH-
+    LOCAL top-k per query survives, under the identical
+    (cosine desc, neighbor_id asc) total order — a map-side top-k
+    reduction. Any row in the global top-k is necessarily in its
+    batch's local top-k under the same strict total order (ids are
+    unique), and a row outside its batch top-k has global rank ≥ its
+    batch rank > k — so the final window ranks a candidate set that
+    provably contains exactly the same winning rows, over ~tasks·k·Q
+    rows instead of N·Q. Scores are the identical fold + pround IEEE
+    tree (see vectors._pround_np), so values are bit-equal. Fallback
+    (too many queries / non-integral ids): the original broadcast
+    crossJoin."""
+    import numpy as np
+    import pandas as pd
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    id_type = corpus.schema[id_col].dataType
+    if isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        ).collect()
+    else:
+        qrows = []
+    if 0 < len(qrows) <= _MATRIX_KERNEL_MAX_K:
+        qids = np.asarray([int(r["query_id"]) for r in qrows], dtype=np.int64)
+        Qm = np.asarray(
+            [list(map(float, r["__qv"])) for r in qrows], dtype=np.float64
+        )
+        qns = np.asarray([float(r["__qn"]) for r in qrows], dtype=np.float64)
+        if Qm.ndim != 2:
+            raise ValueError(
+                f"brute_force_topk: ragged/empty query vectors, shape {Qm.shape}"
+            )
+        from margaret_spark.functions.vectors import _pround_np, _top_idx
+
+        nq = len(qids)
+        out_schema = T.StructType([
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ])
+
+        def _local_topk(batches):
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                if b["__cv"].isna().any():
+                    raise ValueError(
+                        "brute_force_topk: NULL vector in batch — filter "
+                        "NULL rows upstream (.where(col.isNotNull()))"
+                    )
+                C = np.stack(b["__cv"].to_numpy()).astype(np.float64)
+                if C.shape[1] != Qm.shape[1]:
+                    raise ValueError(
+                        f"brute_force_topk: corpus width {C.shape[1]} != "
+                        f"query width {Qm.shape[1]}"
+                    )
+                nid = b["neighbor_id"].to_numpy(dtype=np.int64)
+                cn = b["__cn"].to_numpy(dtype=np.float64)
+                acc = np.zeros((C.shape[0], nq), dtype=np.float64)
+                # the identical per-dimension sequential left fold
+                # (see vectors.centroid_dots); IEEE multiply commutes,
+                # so qv·cv per term is bit-equal to pair_dot's
+                for i in range(C.shape[1]):
+                    acc += C[:, i : i + 1] * Qm[None, :, i]
+                cos = _pround_np(acc / (qns[None, :] * cn[:, None]), round_digits)
+                # batch-local top-k per query under the EXACT window
+                # order (cosine desc, neighbor_id asc; NaN greatest):
+                # _top_idx ties→lowest index, so pre-order the batch
+                # rows by neighbor_id once
+                ordix = np.argsort(nid, kind="stable")
+                cosq = cos[ordix].T  # (nq, rows), rows now nid-ascending
+                top = _top_idx(cosq, k + 1, desc=True)  # +1 covers self-drop
+                qi, ni, ci = [], [], []
+                for qx in range(nq):
+                    sel = ordix[top[qx]]
+                    keep = nid[sel] != qids[qx]
+                    sel = sel[keep][:k]
+                    qi.append(np.full(len(sel), qids[qx], dtype=np.int64))
+                    ni.append(nid[sel])
+                    ci.append(cos[sel, qx])
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(qi),
+                    "neighbor_id": np.concatenate(ni),
+                    "cosine": np.concatenate(ci),
+                })
+
+        cand = c.mapInPandas(_local_topk, schema=out_schema).select(
+            F.col("query_id").cast(id_type).alias("query_id"),
+            F.col("neighbor_id").cast(id_type).alias("neighbor_id"),
+            "cosine",
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -55,19 +165,11 @@ def brute_force_topk(
             l2_norm(F.col(vec_col)).alias("__qn"),
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
     cos = pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", pround(cos, round_digits))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -169,44 +271,45 @@ def kmeans_centroids(
 _MATRIX_KERNEL_MAX_K = 8192
 
 
-def _matrix_scored(
-    v: DataFrame, cents: DataFrame, id_alias: str, round_digits: int
-) -> DataFrame:
-    """(id_alias, cent_id, __sim): every (row × centroid) rounded
-    cosine, value-identical to the crossJoin + pair_dot pair scoring
-    but shipping each vector through the Arrow pipe ONCE — O(N·d)
-    bytes instead of O(N·k·d) (see functions.vectors.centroid_dots;
-    the r10 100× probe measured the pair shape pipe-bound at ~18 %
-    worker CPU). ``v`` carries (id_alias, __v, __n); ``cents`` is the
-    bounded (cent_id, cent) model table — collected sorted (one tiny
-    job), its norms taken from the SAME JVM l2_norm fold as before.
-    Returns None when the model exceeds the closure budget (caller
-    falls back to the pair scorer)."""
+def _matrix_best(v: DataFrame, cents: DataFrame, n: int, round_digits: int):
+    """(``v`` plus ``__best``, cent_id DataType) or None: the ≤n
+    nearest centroids per row as an
+    ordered array<struct<c,s>> — the collected-matrix kernel with the
+    RANKING pushed into the Arrow batch (functions.vectors.
+    centroid_best). Replaces the r10 dots-then-window shape
+    (posexplode k dots → ``row_number() OVER (PARTITION BY id)``),
+    which materialized N·k JVM rows and paid a full shuffle+sort per
+    assignment pass; the kernel ships each vector through the pipe
+    once (O(N·d) bytes), scores with the identical fold + pround IEEE
+    tree, and keeps winners by the identical (sim desc, cent_id asc)
+    order — the surviving rows are bit-equal with zero exchanges.
+    ``v`` carries (…, __v, __n); ``cents`` is the bounded
+    (cent_id, cent) model table — collected sorted (one tiny job),
+    norms from the SAME JVM l2_norm fold as before. Returns None when
+    the model is empty or exceeds the closure budget (caller falls
+    back to the pair scorer)."""
     rows = (
         cents.select(
             "cent_id", "cent", l2_norm(F.col("cent")).alias("__cn")
         )
         .collect()
     )
-    if len(rows) > _MATRIX_KERNEL_MAX_K:
+    if not rows or len(rows) > _MATRIX_KERNEL_MAX_K:
         return None
+    id_type = cents.schema["cent_id"].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return None  # kernel ids are int64; non-integral keys → pair scorer
     rows.sort(key=lambda r: r["cent_id"])
-    ids = F.array(*[F.lit(r["cent_id"]) for r in rows])
-    cns = F.array(*[F.lit(float(r["__cn"])) for r in rows])
-    dots = centroid_dots(F.col("__v"), [r["cent"] for r in rows])
-    return v.select(
-        id_alias,
-        "__n",
-        F.posexplode(dots).alias("__ci", "__dot"),
-    ).select(
-        id_alias,
-        F.element_at(ids, F.col("__ci") + 1).alias("cent_id"),
-        pround(
-            F.col("__dot")
-            / (F.col("__n") * F.element_at(cns, F.col("__ci") + 1)),
-            round_digits,
-        ).alias("__sim"),
+    best = centroid_best(
+        F.col("__v"),
+        F.col("__n"),
+        [r["cent"] for r in rows],
+        [int(r["cent_id"]) for r in rows],
+        [float(r["__cn"]) for r in rows],
+        n,
+        round_digits,
     )
+    return v.withColumn("__best", best), id_type
 
 
 def _nearest_cells(
@@ -228,21 +331,21 @@ def _nearest_cells(
     w = Window.partitionBy(id_alias).orderBy(
         F.col("__sim").desc(), F.col("cent_id").asc()
     )
-    ms = _matrix_scored(
-        v,
-        cents.select("cent_id", F.col("__cent").alias("cent")),
-        id_alias,
+    mb = _matrix_best(
+        v, cents.select("cent_id", F.col("__cent").alias("cent")), n,
         round_digits,
     )
-    if ms is not None:
-        # rank on the narrow (id, cent_id, sim) rows, join the
-        # vectors back only for the <= n survivors
-        return (
-            ms.withColumn("__cr", F.row_number().over(w))
-            .where(F.col("__cr") <= n)
-            .select(id_alias, "cent_id")
-            .join(v, id_alias)
-            .select(id_alias, "cent_id", "__v", "__n")
+    if mb is not None:
+        # the kernel already ranked: explode the ≤n winners in place —
+        # no window exchange, no join back for the vectors
+        scored, id_type = mb
+        return scored.select(
+            id_alias, "__v", "__n", F.explode("__best").alias("__t")
+        ).select(
+            id_alias,
+            F.col("__t.c").cast(id_type).alias("cent_id"),
+            "__v",
+            "__n",
         )
     scored = v.crossJoin(cents).withColumn(
         "__sim",
@@ -734,33 +837,40 @@ def assign_to_centroids(
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
+    # ranking kernel: each vector through the Arrow pipe ONCE and the
+    # winner picked inside the batch (see _matrix_best) — no N·k
+    # explode, no row_number window exchange+sort
+    mb = _matrix_best(v, cents, 1, round_digits)
+    if mb is not None:
+        scored, id_type = mb
+        return scored.select(
+            F.col("id").alias(id_col),
+            F.col("__best")[0]["c"].cast(id_type).alias("cent_id"),
+            F.col("__best")[0]["s"].alias("cosine"),
+        )
     w = Window.partitionBy("id").orderBy(
         F.col("__sim").desc(), F.col("cent_id").asc()
     )
-    # matrix kernel: each vector through the Arrow pipe ONCE instead
-    # of once per centroid (see _matrix_scored; bit-identical __sim)
-    scored = _matrix_scored(v, cents, "id", round_digits)
-    if scored is None:
-        scored = (
-            v.crossJoin(
-                F.broadcast(
-                    cents.select(
-                        "cent_id",
-                        "cent",
-                        l2_norm(F.col("cent")).alias("__cn"),
-                    )
+    scored = (
+        v.crossJoin(
+            F.broadcast(
+                cents.select(
+                    "cent_id",
+                    "cent",
+                    l2_norm(F.col("cent")).alias("__cn"),
                 )
             )
-            .withColumn(
-                "__sim",
-                pround(
-                    pair_dot(F.col("__v"), F.col("cent"))
-                    / (F.col("__n") * F.col("__cn")),
-                    round_digits,
-                ),
-            )
-            .select("id", "cent_id", "__sim")
         )
+        .withColumn(
+            "__sim",
+            pround(
+                pair_dot(F.col("__v"), F.col("cent"))
+                / (F.col("__n") * F.col("__cn")),
+                round_digits,
+            ),
+        )
+        .select("id", "cent_id", "__sim")
+    )
     # narrow window: the rank only needs (id, cent_id, sim); carrying
     # the d-double array through the window exchange cost k·d·8 bytes
     # per row (measured 5x on the assignment stage)
@@ -814,24 +924,35 @@ def kmeans_centroids_deterministic(
     )
 
     def _assign(cents_df):
+        # ranking kernel (see _matrix_best): per-round collect of the
+        # bounded centroid table, each vector piped once, the winner
+        # picked in the batch — no window exchange AND no join-back
+        # for the vector (it is on the same row)
+        vm = v.select(
+            "id", "v", F.col("v").alias("__v"), F.col("__vn").alias("__n")
+        )
+        mb = _matrix_best(vm, cents_df, 1, round_digits)
+        if mb is not None:
+            scored, id_type = mb
+            return scored.select(
+                "id",
+                F.col("__best")[0]["c"].cast(id_type).alias("cent_id"),
+                "v",
+                F.col("__best")[0]["s"].alias("__sim"),
+            )
         w = Window.partitionBy("id").orderBy(
             F.col("__sim").desc(), F.col("cent_id").asc()
         )
-        # matrix kernel (see _matrix_scored): per-round collect of the
-        # bounded centroid table, each vector piped once per pass
-        vm = v.select("id", F.col("v").alias("__v"), F.col("__vn").alias("__n"))
-        scored = _matrix_scored(vm, cents_df, "id", round_digits)
-        if scored is None:
-            scored = v.crossJoin(
-                cents_df.withColumn("__cn", l2_norm(F.col("cent")))
-            ).withColumn(
-                "__sim",
-                pround(
-                    pair_dot(F.col("v"), F.col("cent"))
-                    / (F.col("__vn") * F.col("__cn")),
-                    round_digits,
-                ),
-            ).select("id", "cent_id", "__sim")
+        scored = v.crossJoin(
+            cents_df.withColumn("__cn", l2_norm(F.col("cent")))
+        ).withColumn(
+            "__sim",
+            pround(
+                pair_dot(F.col("v"), F.col("cent"))
+                / (F.col("__vn") * F.col("__cn")),
+                round_digits,
+            ),
+        ).select("id", "cent_id", "__sim")
         # narrow window (see assign_to_centroids), vector joined back
         picked = (
             scored.withColumn("__r", F.row_number().over(w))

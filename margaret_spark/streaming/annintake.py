@@ -61,13 +61,15 @@ def stream_ivf_assign(
         l2_norm(F.col("cent")).alias("__centn"),
     ).localCheckpoint(eager=True)
 
-    # r11: score through the collected-matrix kernel when the model
-    # fits the closure budget (see similarity._matrix_scored) — each
-    # batch vector crosses the Arrow pipe once instead of once per
-    # centroid; __sim is bit-identical (same fold, same JVM norms),
-    # so the keeper sink is unchanged. Fallback: the original
-    # crossJoin + pair_dot scoring.
-    from margaret_spark.operators.similarity import _matrix_scored
+    # r11: score through the collected-matrix RANKING kernel when the
+    # model fits the closure budget (see similarity._matrix_best) —
+    # each batch vector crosses the Arrow pipe once and the winner is
+    # picked inside the batch (no per-batch row_number window
+    # exchange); __sim is bit-identical (same fold + pround tree,
+    # same JVM norms, same (sim desc, cent_id asc) order), so the
+    # keeper sink is unchanged. Fallback: the original crossJoin +
+    # pair_dot scoring.
+    from margaret_spark.operators.similarity import _matrix_best
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         vecs = batch_df.select(
@@ -76,26 +78,32 @@ def stream_ivf_assign(
         # row norm once, not once per centroid (the vectors.py rule) —
         # bit-identical __sim
         vecs = vecs.withColumn("__vn", l2_norm(F.col("__v")))
+        mb = _matrix_best(
+            vecs.select("seq", "__v", F.col("__vn").alias("__n")),
+            cents.select("cent_id", F.col("__cent").alias("cent")),
+            1,
+            round_digits,
+        )
+        if mb is not None:
+            scored, _ = mb
+            kept = scored.select(
+                "seq",
+                F.col("__best")[0]["c"].alias("cell"),
+                F.col("__best")[0]["s"].alias("cos"),
+            )
+            write_batch(kept, batch_id, sink_dir)
+            return
         w = Window.partitionBy("seq").orderBy(
             F.col("__sim").desc(), F.col("cent_id").asc()
         )
-        ms = _matrix_scored(
-            vecs.select("seq", "__v", F.col("__vn").alias("__n")),
-            cents.select("cent_id", F.col("__cent").alias("cent")),
-            "seq",
-            round_digits,
+        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim",
+            pround(
+                pair_dot(F.col("__v"), F.col("__cent"))
+                / (F.col("__vn") * F.col("__centn")),
+                round_digits,
+            ),
         )
-        if ms is not None:
-            scored = ms
-        else:
-            scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-                "__sim",
-                pround(
-                    pair_dot(F.col("__v"), F.col("__cent"))
-                    / (F.col("__vn") * F.col("__centn")),
-                    round_digits,
-                ),
-            )
         kept = (
             scored.withColumn("__cr", F.row_number().over(w))
             .where(F.col("__cr") == 1)
