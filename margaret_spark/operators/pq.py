@@ -62,25 +62,21 @@ def _subvectors(
     with the slice's raw self-dot (the ``a·a`` term of the distance
     identity) computed once per row.
 
-    r11: for slice widths inside the codegen unroll limit the
-    self-dot uses the JVM unrolled fold (``vectors.dot`` — the
-    documented bit-equal twin of ``pair_dot``'s per-dimension
-    accumulation), removing a whole Arrow round-trip of every slice
-    from every PQ path; wider slices keep the Arrow kernel."""
-    from margaret_spark.functions.vectors import _UNROLL_LIMIT, dot
-
+    The self-dot stays on the Arrow ``pair_dot`` kernel deliberately:
+    an r11 A/B (4 alternating best-of-3 runs per query, sf0.1)
+    measured the JVM unrolled fold (``vectors.dot(sv, sv, width)`` —
+    the documented bit-equal twin) consistently SLOWER on every PQ
+    query (ann_pq_topk 2.14→2.78 s, distortion 1.86→2.09,
+    recall 3.48→4.15): 2·width array reads per exploded row in the
+    generated consume method cost more than one batched Arrow
+    round-trip of the slices."""
     slices = F.array(
         *[F.slice(F.col(vec_col), s * width + 1, width) for s in range(m)]
-    )
-    nsq = (
-        dot(F.col("sv"), F.col("sv"), dim=width)
-        if width <= _UNROLL_LIMIT
-        else pair_dot(F.col("sv"), F.col("sv"))
     )
     return df.select(
         F.col(id_col).alias("id"),
         F.posexplode(slices).alias("sub", "sv"),
-    ).withColumn("nsq", nsq)
+    ).withColumn("nsq", pair_dot(F.col("sv"), F.col("sv")))
 
 
 def _dist2(nsq_v, nsq_c, dot, round_digits: int):
