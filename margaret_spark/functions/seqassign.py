@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # monotonically_increasing_id layout: partition id in the upper 31
 # bits, consecutive-from-0 record number in the lower 33
@@ -123,3 +124,111 @@ def with_dense_seq_total(
         .withColumn(seq_col, (F.col("__off") + F.col("__rank")).cast("long"))
         .drop("__pid", "__rank", "__off")
     ), total
+
+
+def with_dense_rank_total(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str,
+    start: int = 1,
+) -> tuple[DataFrame, int, int]:
+    """Attach dense ids over the DISTINCT ``key_cols`` values, in key
+    sort order, to EVERY row (equal keys share an id). Returns
+    ``(df_with_out_col, n_distinct_keys, n_rows)``.
+
+    The join-free form of sorted dense-id assignment: where
+    ``distinct() → range-sorted dense ids → join back`` pays a
+    distinct exchange (evaluated twice — once more under the range
+    partitioner's sampling pass) plus a full join-back shuffle of the
+    payload rows, this ranks the rows THEMSELVES: range partition by
+    key (equal keys land in one partition, partition index order = key
+    order), narrow in-partition sort, one Arrow pass computing the
+    per-partition running distinct-prefix count (a cumulative sum of
+    key-change flags — inexpressible in codegen without a window, and
+    a window would re-shuffle), then the same two-pass
+    partition-offset prefix sum as :func:`with_dense_seq`, with
+    offsets in DISTINCT-KEY units (per-partition distinct counts =
+    each partition's max local rank). One keyed exchange total, and
+    the key cardinality + row count come back for free from the
+    offsets collect.
+
+    Contract: key columns must be non-null (NULL sort placement is not
+    replicated) and of binary-comparable types (ints/floats without
+    NaN/strings) — the ORDER is decided by Spark's range sort; the
+    Arrow pass only tests row-to-previous-row EQUALITY.
+    """
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 1)
+    staged = (
+        df.repartitionByRange(n, *[F.col(c) for c in key_cols])
+        .sortWithinPartitions(*key_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    out_schema = T.StructType(
+        list(staged.schema.fields) + [T.StructField("__lrk", T.LongType(), False)]
+    )
+    keys = list(key_cols)
+
+    def _local_ranks(batches):
+        import numpy as np
+
+        prev = None
+        rank = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = pdf[keys].to_numpy()
+            chg = np.empty(len(pdf), dtype=bool)
+            if len(pdf) > 1:
+                chg[1:] = (arr[1:] != arr[:-1]).any(axis=1)
+            chg[0] = prev is None or bool((arr[0] != prev).any())
+            loc = rank + np.cumsum(chg)
+            rank = int(loc[-1])
+            prev = arr[-1].copy()
+            pdf = pdf.copy()
+            pdf["__lrk"] = loc.astype("int64")
+            yield pdf
+
+    # Materialize before the offsets collect — same reasoning as
+    # with_dense_seq_total: both jobs must observe one partition
+    # layout, and the upstream (plus the range sampling pass) must not
+    # be paid twice.
+    ranked = staged.mapInPandas(_local_ranks, out_schema).localCheckpoint(
+        eager=False
+    )
+    stats = (
+        ranked.groupBy("__pid")
+        .agg(F.max("__lrk").alias("__d"), F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    offsets = {}
+    acc = start
+    nrows = 0
+    for row in sorted(stats, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__d"]
+        nrows += row["__c"]
+    total = acc - start
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long")), 0, 0
+    if len(offsets) <= _MAP_LITERAL_CAP:
+        mapping = F.create_map(
+            *[F.lit(int(x)) for kv in offsets.items() for x in kv]
+        )
+        res = ranked.withColumn(
+            out_col,
+            (mapping[F.col("__pid")] + F.col("__lrk") - 1).cast("long"),
+        ).drop("__pid", "__lrk")
+        return res, total, nrows
+    odf = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __off long",
+        )
+    )
+    res = (
+        ranked.join(odf, "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lrk") - 1).cast("long"))
+        .drop("__pid", "__lrk", "__off")
+    )
+    return res, total, nrows

@@ -13,15 +13,22 @@ exact strings each appear k times in the corpus"), length-descending.
 Spark-first construction (no per-node recursion, no UDFs — every
 stage is joins + the house two-pass dense-id assignment):
 
-1. **Prefix doubling**: level-k rank r_k(doc, pos) is a dense id such
-   that two suffixes share r_k iff their first 2^k tokens (capped at
-   doc end) are equal, and r_k order = lexicographic order of those
-   prefixes. Level 0 ranks the single token; level k+1 densifies the
-   pair (r_k(p), r_k(p + 2^k)), absent second half → 0 (sorts before
+1. **Prefix doubling (base 4)**: level-j rank r_j(doc, pos) is a
+   dense id such that two suffixes share r_j iff their first 4^j
+   tokens (capped at doc end) are equal, and r_j order =
+   lexicographic order of those prefixes. Level 0 ranks the single
+   token; level j+1 densifies the 4-tuple (r_j(p), r_j(p + 4^j),
+   r_j(p + 2·4^j), r_j(p + 3·4^j)), absent windows → 0 (sorts before
    every real rank: a proper prefix precedes its extensions). Each
-   level is one positional self-join + one distinct + one sorted
-   dense-id assignment — O(cap_log2) rounds of keyed shuffles, the
-   classic distributed suffix-array recipe.
+   level is one in-row window gather over the per-document rank
+   arrays + one sorted dense-RANK assignment on the rows themselves
+   (``seqassign.with_dense_rank_total`` — no distinct, no join-back)
+   + one groupBy rebuilding the arrays — ⌈cap_log2/2⌉ rounds of two
+   keyed shuffles each, the classic distributed suffix-array recipe
+   with the quadrupled radix halving the round count. Binary levels
+   2j+1, where the LCP descend or an equality key needs them, are
+   the PAIR of level-j windows at offsets 0 and 4^j (the doubling
+   invariant read backwards).
 2. **Suffix order**: order by (r_top, doc, pos) — r_top is unique per
    distinct (capped) suffix, so this IS the suffix array (ties =
    identical suffixes, ordered by position for determinism).
@@ -157,72 +164,116 @@ def suffix_repeats(
         F.posexplode("__ts").alias("__p0", "__tok"),
     ).select("__id", (F.col("__p0") + 1).alias("pos"), "__tok")
 
-    # level-0 ranks: dense ids of the distinct tokens in sort order
-    tok_ids = _dense_sorted_ids(
-        toks.select("__tok").distinct(), ["__tok"], "r"
-    )
-    level = (
-        toks.join(tok_ids, "__tok")
-        .select("__id", "pos", "r")
-        .localCheckpoint(eager=False)
-    )
-    # the suffix count, for the early-termination test below (one
-    # cheap count over the level-0 checkpoint, which round 1 would
-    # materialize anyway)
-    n_sfx = level.count()
-    levels = [level]
-    for k in range(K):
-        off = 1 << k
-        shifted = level.select(
-            "__id",
-            (F.col("pos") - F.lit(off)).alias("pos"),
-            F.col("r").alias("__r2"),
-        )
-        keyed = (
-            level.join(shifted, ["__id", "pos"], "left")
+    # Levels are carried as PER-DOCUMENT RANK ARRAYS (ra[pos-1] =
+    # r_k(doc, pos)) rather than (doc, pos, r) rows — r11 optimization
+    # round. The row form paid, per doubling round: a positional
+    # SELF-JOIN to fetch r(pos + 2^k) (two hash exchanges), a
+    # distinct() exchange (evaluated twice — once more under the range
+    # partitioner's sampling pass), and a join-back shuffle attaching
+    # the dense ids. In array form r(pos + 2^k) is an O(1) in-row
+    # ``F.get`` and the dense ids are computed ON the rows
+    # (with_dense_rank_total — identical ids: dense, 1-based, same
+    # (r, r2) sort order), so one round = one range exchange + one
+    # groupBy(__id) exchange rebuilding the arrays. The arrays are
+    # bounded by the doc-length cap (the same bound the final rank
+    # matrices already rely on).
+    def _to_arrays(rows: DataFrame) -> DataFrame:
+        return (
+            rows.groupBy("__id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "r"))).alias(
+                    "__pr"
+                )
+            )
             .select(
                 "__id",
-                "pos",
-                "r",
-                F.coalesce(F.col("__r2"), F.lit(0)).alias("r2"),
+                F.transform(F.col("__pr"), lambda s: s["r"]).alias("ra"),
             )
             .localCheckpoint(eager=False)
         )
-        ids, n_ranks = _dense_sorted_ids_total(
-            keyed.select("r", "r2").distinct(), ["r", "r2"], "nr"
+
+    from margaret_spark.functions.seqassign import with_dense_rank_total
+
+    # BASE-4 prefix doubling (r11 optimization round): level j ranks
+    # 4^j-token capped windows, built from FOUR level-(j-1) ranks per
+    # round — ceil(K/2) ranking rounds instead of K, and at this
+    # operator's scale each round is a fixed two-exchange cost, so
+    # halving the rounds halves the loop. Order/equality correctness
+    # is the same induction as binary doubling: a 4s-prefix is the
+    # concatenation of four s-windows, the 4-tuple of their ranks
+    # sorts lexicographically exactly as the concatenation does, and
+    # the absent-window sentinel 0 (a window starting past the doc
+    # end) sorts before every real rank — proper prefixes precede
+    # extensions, and partial (doc-capped) windows inherit the same
+    # property from the previous level. Binary levels 2j+1 needed by
+    # the LCP descend and the two-window equality keys are emulated
+    # as PAIRS of level-j ranks (the prefix-doubling invariant run
+    # backwards: r_{2j+1} ≡ (r_{2j}·, r_{2j}·shifted)), see _w_eq /
+    # the __q1a/__q1b key columns below.
+    R = (K + 1) // 2  # base-4 rounds; top span 4^R = 2^2R >= 2^K > cap
+
+    # level-0 ranks: dense ids of the distinct tokens in sort order,
+    # attached join-free; the suffix count for the early-termination
+    # test is free from the same offsets collect
+    ranked0, _n_tok, n_sfx = with_dense_rank_total(toks, ["__tok"], "r")
+    lvl = _to_arrays(ranked0.select("__id", "pos", "r"))
+    levels = [lvl]
+    for j in range(R):
+        s = 4 ** j
+        rows = lvl.select(
+            "__id", "ra", F.posexplode("ra").alias("__p0", "r")
+        ).select(
+            "__id",
+            (F.col("__p0") + 1).alias("pos"),
+            "r",
+            # absent windows → 0 (sorts before every real rank); the
+            # sentinel pattern is monotone (0s only at the tuple
+            # tail), consistent with prefix-precedes-extension
+            F.coalesce(F.get("ra", F.col("__p0") + s), F.lit(0)).alias(
+                "r2"
+            ),
+            F.coalesce(
+                F.get("ra", F.col("__p0") + 2 * s), F.lit(0)
+            ).alias("r3"),
+            F.coalesce(
+                F.get("ra", F.col("__p0") + 3 * s), F.lit(0)
+            ).alias("r4"),
         )
-        level = (
-            keyed.join(ids, ["r", "r2"])
-            .select("__id", "pos", F.col("nr").alias("r"))
-            .localCheckpoint(eager=False)
+        ranked, n_ranks, _n_rows = with_dense_rank_total(
+            rows, ["r", "r2", "r3", "r4"], "nr"
         )
-        levels.append(level)
+        lvl = _to_arrays(ranked.select("__id", "pos", F.col("nr").alias("r")))
+        levels.append(lvl)
         # EARLY TERMINATION (classic prefix-doubling convergence, and
-        # the r10 verdict's ask): once every suffix holds a DISTINCT
-        # rank (n distinct (r, r2) pairs == n suffixes), each later
-        # round is the identity — every (r, r2) key occurs once and
-        # sorts by r alone, so the next dense ids EQUAL r itself, row
-        # for row. Padding the remaining levels with this converged
-        # level is therefore bit-identical to running the rounds
-        # (mat[pos][j] for j > k* repeats mat[pos][k*], exactly what
-        # the full loop would produce), and the LCP descend and the
-        # two-window equality keys read the same values. The count is
-        # free: the dense-id two-pass already collected it.
+        # the r10 verdict's ask): n distinct keys == n suffixes means
+        # the JUST-ASSIGNED level's ranks are distinct per suffix, so
+        # every later round is the identity — its key tuples have a
+        # distinct first coordinate, the tuple sort equals the first-
+        # coordinate sort, and the next dense ids EQUAL r row for row.
+        # Padding the remaining levels with this converged level is
+        # therefore bit-identical to running the rounds, and the LCP
+        # descend and the two-window equality keys read the same
+        # values. The count is free: the dense-id two-pass already
+        # collected it.
         if n_ranks == n_sfx:
-            levels.extend(level for _ in range(k + 1, K))
+            levels.extend(lvl for _ in range(j + 1, R))
             break
 
-    # per-document rank matrices: mat[pos-1][k] = r_k(doc, pos).
-    # Only the DISTINCT computed levels are materialized: once ranks
-    # converge at level k*, every later level repeats level k*'s
-    # values, and no consumer can observe them — the max adjacent LCP
-    # is < 2^k* (two suffixes sharing a 2^k*-token prefix would share
-    # a rank), so the two-window keys read levels <= k*-1 only, and
-    # the LCP descend's reads above k* come back NULL (F.get past the
-    # array end) exactly where the padded value could never test
-    # equal between two distinct suffixes — the descend adds 0 either
-    # way. Truncating the union cuts the rank-matrix shuffle from
-    # (K+1)·n to (k*+1)·n rows.
+    # per-document rank matrices: mat[pos-1][j] = base-4 rank of the
+    # 4^j-token capped window at pos. Only the DISTINCT computed
+    # levels are materialized: once ranks converge at level j*, every
+    # later level repeats level j*'s values, and no consumer can
+    # observe them — the max adjacent LCP is < 4^j* (two suffixes
+    # sharing a 4^j*-token prefix would share a rank), so the
+    # two-window keys read levels <= j*-1 only, and the LCP descend's
+    # reads above j* come back NULL (F.get past the array end)
+    # exactly where the padded value could never test equal between
+    # two distinct suffixes — the descend adds 0 either way. With
+    # array-form levels the matrices are a union of n_docs·j* ARRAY
+    # rows (one per (doc, level), not one per (doc, pos, level)) +
+    # one groupBy(__id) + an in-row transpose — the r10 (K+1)·n-row
+    # union and its two keyed exchanges collapse to one exchange of
+    # level-count·docs rows.
     n_uniq = len(levels)
     for i in range(1, len(levels)):
         if levels[i] is levels[i - 1]:  # first padded copy
@@ -230,41 +281,32 @@ def suffix_repeats(
             break
     lv_union = None
     for k, lv in enumerate(levels[:n_uniq]):
-        tagged = lv.select(
-            "__id", "pos", F.lit(k).alias("__k"), F.col("r").alias("__r")
-        )
+        tagged = lv.select("__id", F.lit(k).alias("__k"), "ra")
         lv_union = tagged if lv_union is None else lv_union.unionByName(tagged)
-    per_pos = (
-        lv_union.groupBy("__id", "pos")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("__k", "__r"))
-            ).alias("__kr")
-        )
-        .select(
-            "__id",
-            "pos",
-            F.transform(F.col("__kr"), lambda s: s["__r"]).alias("__rk"),
-        )
+    per_doc = lv_union.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("__k", "ra"))).alias("__kr")
     )
+    # transpose (level, pos) → (pos, level): mat[i][k] = __kr[k].ra[i]
     mats = (
-        per_pos.groupBy("__id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "__rk"))
-            ).alias("__pm")
-        )
-        .select(
+        per_doc.select(
             "__id",
-            F.transform(F.col("__pm"), lambda s: s["__rk"]).alias("mat"),
+            F.transform(
+                F.col("__kr")[0]["ra"],
+                lambda _x, i: F.transform(
+                    F.col("__kr"), lambda s: F.get(s["ra"], i)
+                ),
+            ).alias("mat"),
         )
         .localCheckpoint(eager=False)
     )
 
-    # suffix order + adjacent pairs
-    top = levels[K]
+    # suffix order + adjacent pairs (top-level ranks back to rows via
+    # one narrow explode of the checkpointed arrays)
+    top = levels[R].select(
+        "__id", F.posexplode("ra").alias("__p0", "r")
+    ).select("__id", (F.col("__p0") + 1).alias("pos"), "r")
     sa = _dense_sorted_ids(
-        top.select("__id", "pos", "r"), ["r", "__id", "pos"], "idx"
+        top, ["r", "__id", "pos"], "idx"
     ).select("__id", "pos", "idx")
     a = sa.select(
         F.col("idx").alias("__i"),
@@ -282,13 +324,23 @@ def suffix_repeats(
         .join(mats.select(F.col("__id").alias("__idb"), F.col("mat").alias("__mb")), "__idb")
     )
 
-    # LCP descend: levels K-1..0, acc += 2^k when both ranks exist and
-    # agree at the shifted positions. F.get is 0-based and NULL out of
-    # range (ANSI-safe), so doc ends terminate naturally.
+    # LCP descend: binary levels K-1..0, acc += 2^k when the 2^k-token
+    # capped windows agree at the shifted positions. F.get is 0-based
+    # and NULL out of range (ANSI-safe), so doc ends terminate
+    # naturally. Over base-4 matrices, the window at an EVEN binary
+    # level 2j is level-j's rank directly; an ODD level 2j+1 window is
+    # the PAIR of level-j windows at offset 0 and 4^j — equal iff both
+    # halves are equal, with an absent half treated as the 0 sentinel
+    # on both sides (both docs end before it — the doubling key's own
+    # convention). Each step struct carries (p = 2^k, j = k//2,
+    # h = 4^j, odd) as literals.
     steps = F.array(
         *[
             F.struct(
-                F.lit(k).alias("k"), F.lit(1 << k).alias("p")
+                F.lit(1 << k).alias("p"),
+                F.lit(k // 2).alias("j"),
+                F.lit(1 << (2 * (k // 2))).alias("h"),
+                F.lit(k % 2).alias("odd"),
             )
             for k in range(K - 1, -1, -1)
         ]
@@ -296,11 +348,22 @@ def suffix_repeats(
 
     def _lcp(ma: Column, pa: Column, mb: Column, pb: Column) -> Column:
         def step(acc: Column, s: Column) -> Column:
-            ra = F.get(F.get(ma, pa - 1 + acc), s["k"])
-            rb = F.get(F.get(mb, pb - 1 + acc), s["k"])
-            # capped-rank equality means "equal up to min(2^k, suffix
+            ra = F.get(F.get(ma, pa - 1 + acc), s["j"])
+            rb = F.get(F.get(mb, pb - 1 + acc), s["j"])
+            eq = ra.isNotNull() & rb.isNotNull() & (ra == rb)
+            # second half of an odd-level window: equal capped first
+            # halves have equal LENGTH, so either both second halves
+            # exist (compare ranks) or both are absent (0 == 0)
+            ra2 = F.coalesce(
+                F.get(F.get(ma, pa - 1 + acc + s["h"]), s["j"]), F.lit(0)
+            )
+            rb2 = F.coalesce(
+                F.get(F.get(mb, pb - 1 + acc + s["h"]), s["j"]), F.lit(0)
+            )
+            eq = F.when(s["odd"] == 1, eq & (ra2 == rb2)).otherwise(eq)
+            # capped-window equality means "equal up to min(2^k, suffix
             # end)": for two suffixes that are identical to their ends
-            # the ranks agree at EVERY level, so the advance must be
+            # the windows agree at EVERY level, so the advance must be
             # clamped to the shorter remaining length or the lcp would
             # overshoot past both documents (r10 property test caught
             # exactly this on planted end-identical suffixes)
@@ -309,9 +372,7 @@ def suffix_repeats(
                 (F.size(ma) - (pa - 1 + acc)).cast("int"),
                 (F.size(mb) - (pb - 1 + acc)).cast("int"),
             )
-            return acc + F.when(
-                ra.isNotNull() & rb.isNotNull() & (ra == rb), adv
-            ).otherwise(F.lit(0))
+            return acc + F.when(eq, adv).otherwise(F.lit(0))
 
         return F.aggregate(steps, F.lit(0), step)
 
@@ -325,34 +386,50 @@ def suffix_repeats(
     ).where(F.col("l") >= F.lit(int(min_len)))
 
     # dedup identical candidate strings via the two-window equality
-    # key at k̂ = floor(log2 l): a descending when-chain, first match
-    # wins (l ≥ min_len ≥ 2, so some branch always fires)
-    khat = None
+    # key at k̂ = floor(log2 l): windows [0, 2^k̂) and [l−2^k̂, l)
+    # cover [0, l). Over base-4 matrices each window rank is one
+    # level-(k̂//2) rank (k̂ even) or the PAIR of level-(k̂//2) ranks
+    # at offsets 0 and 4^(k̂//2) (k̂ odd; unused pair slots are the 0
+    # sentinel — l is part of the key, so slot meaning is fixed).
+    # Every window lies inside the length-l occurrence (2·2^k̂ ≥ l ≥
+    # the window spans), so the ranks are non-null and depend only on
+    # the string content. The k̂-derived constants are parallel
+    # descending when-chains over l — first match wins (l ≥ min_len ≥
+    # 2, so some branch always fires).
+    khat, kj, kh4, kodd, k2 = None, None, None, None, None
     for k in range(K - 1, -1, -1):
         cond = F.col("l") >= F.lit(1 << k)
-        khat = F.when(cond, F.lit(k)) if khat is None else khat.when(cond, F.lit(k))
+        vals = (k, k // 2, 1 << (2 * (k // 2)), k % 2, 1 << k)
+        cur = [F.when(cond, F.lit(v)) for v in vals] if khat is None else [
+            c.when(cond, F.lit(v))
+            for c, v in zip((khat, kj, kh4, kodd, k2), vals)
+        ]
+        khat, kj, kh4, kodd, k2 = cur
 
+    def _wkey(m: Column, p: Column) -> tuple[Column, Column]:
+        """(primary, secondary) rank key of the 2^k̂ window at 1-based
+        position ``p`` of matrix ``m`` — secondary is 0 for even k̂."""
+        w1 = F.get(F.get(m, p - 1), kj)
+        w2 = F.when(
+            kodd == 1,
+            F.coalesce(F.get(F.get(m, p - 1 + kh4), kj), F.lit(0)),
+        ).otherwise(F.lit(0))
+        return w1, w2
+
+    a1, a2 = _wkey(F.col("__ma"), F.col("__pa"))
+    b1, b2 = _wkey(F.col("__ma"), F.col("__pa") + F.col("l") - k2)
     cand_occ = with_l.select(
         "__ida",
         "__pa",
         "l",
         khat.alias("__kh"),
-        F.get(F.get(F.col("__ma"), F.col("__pa") - 1), khat).alias("__r1"),
-        F.get(
-            F.get(
-                F.col("__ma"),
-                F.col("__pa")
-                - 1
-                + F.col("l")
-                # shiftleft's DataFrame helper only takes a literal
-                # count; the SQL function takes an expression
-                - F.call_function("shiftleft", F.lit(1), khat.cast("int")),
-            ),
-            khat,
-        ).alias("__r2"),
+        a1.alias("__r1a"),
+        a2.alias("__r1b"),
+        b1.alias("__r2a"),
+        b2.alias("__r2b"),
     )
     cands = (
-        cand_occ.groupBy("l", "__kh", "__r1", "__r2")
+        cand_occ.groupBy("l", "__kh", "__r1a", "__r1b", "__r2a", "__r2b")
         .agg(F.min(F.struct("__ida", "__pa")).alias("__rep"))
         .localCheckpoint(eager=False)
     )
@@ -374,13 +451,28 @@ def suffix_repeats(
         return spark.createDataFrame([], schema)
     lc_arr = F.array(
         *[
-            F.struct(F.lit(l).alias("l"), F.lit(kh).alias("kh"))
+            F.struct(
+                F.lit(l).alias("l"),
+                F.lit(kh).alias("kh"),
+                F.lit(kh // 2).alias("j"),
+                F.lit(1 << (2 * (kh // 2))).alias("h"),
+                F.lit(kh % 2).alias("odd"),
+                F.lit(1 << kh).alias("k2"),
+            )
             for l, kh in sorted(lclasses)
         ]
     )
+    # The probe's suffix set is every (doc, pos) — exactly the
+    # positions 1..len(mat) of each rank matrix, so enumerate them
+    # FROM mats (one narrow explode) instead of joining the suffix
+    # array back onto mats (r11: that join was a 2-exchange
+    # sort-merge of every suffix row, carrying nothing the matrices
+    # don't already hold). Classes that cannot fit at this position
+    # (l > remaining tokens) are pruned BEFORE the class explode —
+    # the old __fits filter ran after, so every suffix paid the full
+    # |classes| fan-out.
     sfx = (
-        sa.select("__id", "pos")
-        .join(mats, "__id")
+        mats
         .join(
             tdf.select(
                 F.col("__id"),
@@ -391,12 +483,27 @@ def suffix_repeats(
         )
         .select(
             "__id",
+            "mat",
+            "__tag",
+            "__tsq",
+            F.explode(
+                F.sequence(F.lit(1), F.size(F.col("mat")))
+            ).alias("pos"),
+        )
+        .select(
+            "__id",
             "pos",
             "mat",
             "__tag",
             (F.col("pos") == 1).alias("__at_start"),
             F.get(F.col("__tsq"), F.col("pos") - 2).alias("__prev"),
-            F.explode(lc_arr).alias("__lc"),
+            F.explode(
+                F.filter(
+                    lc_arr,
+                    lambda s: s["l"]
+                    <= F.size(F.col("mat")) - F.col("pos") + 1,
+                )
+            ).alias("__lc"),
         )
         .select(
             "__id",
@@ -406,39 +513,69 @@ def suffix_repeats(
             "__prev",
             F.col("__lc.l").alias("l"),
             F.col("__lc.kh").alias("__kh"),
-            F.get(F.get(F.col("mat"), F.col("pos") - 1), F.col("__lc.kh")).alias(
-                "__q1"
+            # the same (primary, secondary) window keys as the
+            # candidate side, with the class constants read from the
+            # literal struct instead of the k̂ when-chains
+            F.get(F.get(F.col("mat"), F.col("pos") - 1), F.col("__lc.j")).alias(
+                "__q1a"
             ),
+            F.when(
+                F.col("__lc.odd") == 1,
+                F.coalesce(
+                    F.get(
+                        F.get(F.col("mat"), F.col("pos") - 1 + F.col("__lc.h")),
+                        F.col("__lc.j"),
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("__q1b"),
             F.get(
                 F.get(
                     F.col("mat"),
-                    F.col("pos")
-                    - 1
-                    + F.col("__lc.l")
-                    - F.call_function(
-                        "shiftleft", F.lit(1), F.col("__lc.kh").cast("int")
-                    ),
+                    F.col("pos") - 1 + F.col("__lc.l") - F.col("__lc.k2"),
                 ),
-                F.col("__lc.kh"),
-            ).alias("__q2"),
-            (F.size(F.col("mat")) - F.col("pos") + 1 >= F.col("__lc.l")).alias(
-                "__fits"
-            ),
+                F.col("__lc.j"),
+            ).alias("__q2a"),
+            F.when(
+                F.col("__lc.odd") == 1,
+                F.coalesce(
+                    F.get(
+                        F.get(
+                            F.col("mat"),
+                            F.col("pos")
+                            - 1
+                            + F.col("__lc.l")
+                            - F.col("__lc.k2")
+                            + F.col("__lc.h"),
+                        ),
+                        F.col("__lc.j"),
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("__q2b"),
         )
-        .where(F.col("__fits") & F.col("__q1").isNotNull() & F.col("__q2").isNotNull())
+        # the fit test moved into the class-array filter above; the
+        # null guards stay (they are free and document the contract)
+        .where(F.col("__q1a").isNotNull() & F.col("__q2a").isNotNull())
     )
     matched = (
         sfx.join(
             cands.select(
                 "l",
                 "__kh",
-                F.col("__r1").alias("__q1"),
-                F.col("__r2").alias("__q2"),
+                F.col("__r1a").alias("__q1a"),
+                F.col("__r1b").alias("__q1b"),
+                F.col("__r2a").alias("__q2a"),
+                F.col("__r2b").alias("__q2b"),
                 "__rep",
             ),
-            ["l", "__kh", "__q1", "__q2"],
+            ["l", "__kh", "__q1a", "__q1b", "__q2a", "__q2b"],
         )
-        .groupBy("l", "__kh", "__q1", "__q2", "__rep")
+        .groupBy("l", "__kh", "__q1a", "__q1b", "__q2a", "__q2b", "__rep")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("__id").alias("n_docs"),
