@@ -2445,12 +2445,16 @@ def q_training_data_v2(spark, sf_dir):
     from margaret_spark.operators.text import gopher_repetition, quality_score
 
     docs = _t(spark, sf_dir, "documents")
+    # the battery carries text/n_chars through its single row pass
+    # (keep_cols) instead of being joined back onto a second scan of
+    # the corpus — the join was a sort-merge whose exchanges moved the
+    # full text payload once more (r11 optimization round, guide §2.4)
     battery = gopher_repetition(
-        docs, "doc_id", "text", top_ns=(2,), dup_ns=(3,)
+        docs, "doc_id", "text", top_ns=(2,), dup_ns=(3,),
+        keep_cols=("text", "n_chars"),
     )
     survivors = (
-        docs.join(battery, "doc_id")
-        .where(
+        battery.where(
             (F.col("top_2gram_frac") <= 0.09)
             & (F.col("dup_3gram_frac") <= 0.02)
         )

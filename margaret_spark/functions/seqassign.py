@@ -37,6 +37,71 @@ _MID_RECORD_MASK = (1 << _MID_RECORD_BITS) - 1
 #: instead of inlined as a create_map literal (see with_dense_seq).
 _MAP_LITERAL_CAP = 4096
 
+#: per-(application, n) hash-inversion tables for _bucket_exchange —
+#: pure Murmur3 preimages, data-independent (see the no-sampling note
+#: there); bounded: one dict of n ints per distinct partition count.
+_HASH_INV_CACHE: dict[tuple[str, int], dict[int, int]] = {}
+
+
+def _bucket_exchange(df: DataFrame, n: int, bucket: Column) -> DataFrame:
+    """Order-preserving exchange WITHOUT the range partitioner's
+    sampling pass: route rows so that bucket value b ∈ [0, n) lands
+    exactly in partition b.
+
+    ``repartitionByRange`` must first RUN THE UPSTREAM once more to
+    sample key boundaries — a full extra pass per exchange. When the
+    caller can compute an order-respecting bucket arithmetically
+    (monotone non-decreasing in key order, equal keys share a bucket —
+    e.g. ``floor((rank-1)·n / n_keys)`` over a dense integer rank of
+    known cardinality), that pass is pure waste. Hash partitioning
+    needs no sampling but scrambles order — unless each bucket is
+    first mapped through a Murmur3 PREIMAGE chosen so that
+    ``pmod(hash(x_b), n) == b``. The preimage table depends only on
+    (hash function, n) — never on the data — and is found once per
+    session with one tiny ``spark.range`` job, then inlined as a
+    create_map literal (n entries; partition counts at this exchange
+    are O(cores), not O(input files)).
+
+    The bucket column must be monotone non-decreasing in the intended
+    sort order with equal sort keys sharing a bucket; downstream may
+    then rely on partition id order == key order, exactly as after
+    ``repartitionByRange``. Skew note: arithmetic buckets split the
+    KEY range evenly, not the row mass — a hot key's rows share its
+    bucket either way (neither partitioner splits equal keys), but
+    sampling would have isolated the hot key; callers own that
+    trade-off."""
+    spark = df.sparkSession
+    key = (spark.sparkContext.applicationId, n)
+    inv = _HASH_INV_CACHE.get(key)
+    if inv is None:
+        m = 64 * n
+        while True:
+            rows = (
+                spark.range(0, m)
+                .select(
+                    F.pmod(F.hash(F.col("id")), F.lit(n)).alias("b"),
+                    F.col("id"),
+                )
+                .groupBy("b")
+                .agg(F.min("id").alias("x"))
+                .collect()
+            )
+            inv = {int(r["b"]): int(r["x"]) for r in rows}
+            if len(inv) == n:
+                break
+            m *= 2  # P(miss) per bucket ≈ e^-64 at the first size
+        _HASH_INV_CACHE[key] = inv
+    # values must be LONGS: Murmur3 hashes int and long differently,
+    # and the preimages were found under long hashing (spark.range)
+    mapping = F.create_map(
+        *[
+            c
+            for b in range(n)
+            for c in (F.lit(b), F.lit(inv[b]).cast("long"))
+        ]
+    )
+    return df.repartition(n, mapping[bucket.cast("int")])
+
 
 def with_dense_seq(
     df: DataFrame,
@@ -131,6 +196,7 @@ def with_dense_rank_total(
     key_cols: list[str],
     out_col: str,
     start: int = 1,
+    bucket: Column | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Attach dense ids over the DISTINCT ``key_cols`` values, in key
     sort order, to EVERY row (equal keys share an id). Returns
@@ -156,14 +222,28 @@ def with_dense_rank_total(
     replicated) and of binary-comparable types (ints/floats without
     NaN/strings) — the ORDER is decided by Spark's range sort; the
     Arrow pass only tests row-to-previous-row EQUALITY.
+
+    ``bucket``: an optional precomputed partition bucket in [0, n)
+    (n = defaultParallelism), monotone non-decreasing in key order
+    with equal keys sharing a bucket. When given, the exchange goes
+    through :func:`_bucket_exchange` instead of ``repartitionByRange``
+    — same partition-order guarantee, NO sampling pass (one fewer full
+    evaluation of the upstream per call).
     """
     spark = df.sparkSession
     n = max(spark.sparkContext.defaultParallelism, 1)
-    staged = (
-        df.repartitionByRange(n, *[F.col(c) for c in key_cols])
-        .sortWithinPartitions(*key_cols)
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    if bucket is not None:
+        staged = (
+            _bucket_exchange(df, n, bucket)
+            .sortWithinPartitions(*key_cols)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+    else:
+        staged = (
+            df.repartitionByRange(n, *[F.col(c) for c in key_cols])
+            .sortWithinPartitions(*key_cols)
+            .withColumn("__pid", F.spark_partition_id())
+        )
     out_schema = T.StructType(
         list(staged.schema.fields) + [T.StructField("__lrk", T.LongType(), False)]
     )

@@ -66,27 +66,60 @@ from margaret_spark.functions.shingling import bind1, words
 
 
 def _dense_sorted_ids(
-    keys: DataFrame, key_cols: list[str], out_col: str
+    keys: DataFrame,
+    key_cols: list[str],
+    out_col: str,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Assign dense 1-based ids to ``keys`` rows in (key_cols) sort
     order — range partition + narrow in-partition sort + the two-pass
     partition-offset prefix sum (``with_dense_seq``); no global
-    window anywhere."""
-    return _dense_sorted_ids_total(keys, key_cols, out_col)[0]
+    window anywhere. ``bucket`` (see ``seqassign._bucket_exchange``)
+    replaces the range partitioner's sampling pass with an arithmetic
+    order-preserving exchange when the caller can compute one."""
+    return _dense_sorted_ids_total(keys, key_cols, out_col, bucket)[0]
 
 
 def _dense_sorted_ids_total(
-    keys: DataFrame, key_cols: list[str], out_col: str
+    keys: DataFrame,
+    key_cols: list[str],
+    out_col: str,
+    bucket: Column | None = None,
 ) -> tuple[DataFrame, int]:
     """:func:`_dense_sorted_ids` plus the assigned-id count, free from
     the two-pass technique's already-collected partition counts."""
-    from margaret_spark.functions.seqassign import with_dense_seq_total
+    from margaret_spark.functions.seqassign import (
+        _bucket_exchange,
+        with_dense_seq_total,
+    )
 
     n = max(keys.sparkSession.sparkContext.defaultParallelism, 1)
-    staged = keys.repartitionByRange(
-        n, *[F.col(c) for c in key_cols]
-    ).sortWithinPartitions(*key_cols)
+    if bucket is not None:
+        staged = _bucket_exchange(keys, n, bucket).sortWithinPartitions(
+            *key_cols
+        )
+    else:
+        staged = keys.repartitionByRange(
+            n, *[F.col(c) for c in key_cols]
+        ).sortWithinPartitions(*key_cols)
     return with_dense_seq_total(staged, seq_col=out_col, start=1)
+
+
+def _rank_bucket(col: Column, n_keys: int, n_parts: int) -> Column:
+    """Partition bucket ``floor((col − 1)·n_parts / n_keys)`` for a
+    dense 1-based integer rank of known cardinality ``n_keys``,
+    clamped into [0, n_parts). Order-safe under double rounding: the
+    subtraction, the multiply, the divide and ``floor`` are each
+    monotone non-decreasing maps of the true value, so buckets never
+    invert the rank order, and equal ranks share a bucket by
+    determinism; the clamp guards the one representable top-end
+    round-up. Distributes DISTINCT ranks evenly — a heavy rank's rows
+    stay together (no partitioner splits equal keys; the range
+    sampler would merely have isolated them)."""
+    b = F.floor(
+        (col - 1) * F.lit(float(n_parts)) / F.lit(float(max(n_keys, 1)))
+    )
+    return F.least(F.greatest(b, F.lit(0)), F.lit(n_parts - 1))
 
 
 def suffix_repeats(
@@ -214,10 +247,14 @@ def suffix_repeats(
 
     # level-0 ranks: dense ids of the distinct tokens in sort order,
     # attached join-free; the suffix count for the early-termination
-    # test is free from the same offsets collect
+    # test is free from the same offsets collect. Level 0 keys are
+    # STRINGS — no arithmetic bucket exists, so this one call keeps
+    # the range partitioner (and its sampling pass).
     ranked0, _n_tok, n_sfx = with_dense_rank_total(toks, ["__tok"], "r")
     lvl = _to_arrays(ranked0.select("__id", "pos", "r"))
     levels = [lvl]
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    n_prev = _n_tok  # cardinality of the previous level's dense ranks
     for j in range(R):
         s = 4 ** j
         rows = lvl.select(
@@ -239,9 +276,17 @@ def suffix_repeats(
                 F.get("ra", F.col("__p0") + 3 * s), F.lit(0)
             ).alias("r4"),
         )
+        # the tuple key leads with the previous level's dense rank r ∈
+        # [1, n_prev] of KNOWN cardinality, so the partition bucket is
+        # arithmetic — no range-sampling pass for any doubling round
+        # (r11: the sampler re-ran the explode upstream once per round)
         ranked, n_ranks, _n_rows = with_dense_rank_total(
-            rows, ["r", "r2", "r3", "r4"], "nr"
+            rows,
+            ["r", "r2", "r3", "r4"],
+            "nr",
+            bucket=_rank_bucket(F.col("r"), n_prev, n_part),
         )
+        n_prev = n_ranks
         lvl = _to_arrays(ranked.select("__id", "pos", F.col("nr").alias("r")))
         levels.append(lvl)
         # EARLY TERMINATION (classic prefix-doubling convergence, and
@@ -305,8 +350,14 @@ def suffix_repeats(
     top = levels[R].select(
         "__id", F.posexplode("ra").alias("__p0", "r")
     ).select("__id", (F.col("__p0") + 1).alias("pos"), "r")
+    # n_prev is the top level's rank cardinality (== n_sfx when the
+    # loop converged early), so the suffix-order exchange is also
+    # arithmetic-bucketed — nearly one row per rank at this level
     sa = _dense_sorted_ids(
-        top, ["r", "__id", "pos"], "idx"
+        top,
+        ["r", "__id", "pos"],
+        "idx",
+        bucket=_rank_bucket(F.col("r"), n_prev, n_part),
     ).select("__id", "pos", "idx")
     a = sa.select(
         F.col("idx").alias("__i"),

@@ -921,6 +921,7 @@ def gopher_repetition(
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
     round_digits: int = 4,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher repetition battery (Rae et al. 2021): per document,
     ``top_{n}gram_frac`` for n in ``top_ns`` (char mass of the most
@@ -933,7 +934,14 @@ def gopher_repetition(
 
     One codegen projection per document — all n values are computed in
     the same row pass over one bound token array; no shuffle, linear
-    in corpus size."""
+    in corpus size.
+
+    ``keep_cols``: extra input columns carried through unchanged.
+    Composed pipelines that gate on the battery AND keep the text
+    (e.g. the curation pipeline) would otherwise JOIN the fractions
+    back onto a second scan of the corpus — a sort-merge join whose
+    exchanges carry the full text payload; carrying the columns
+    through the projection costs nothing (same single row pass)."""
     for n in tuple(top_ns) + tuple(dup_ns):
         if n < 1:
             raise ValueError(f"n must be >= 1: {n}")
@@ -960,6 +968,7 @@ def gopher_repetition(
 
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         bind1(words(F.col(text_col)), battery).alias("__b"),
     )
     cols = [F.col(id_col)]
@@ -967,7 +976,7 @@ def gopher_repetition(
         cols.append(F.col("__b")[f"top_{n}gram_frac"].alias(f"top_{n}gram_frac"))
     for n in dup_ns:
         cols.append(F.col("__b")[f"dup_{n}gram_frac"].alias(f"dup_{n}gram_frac"))
-    return staged.select(*cols)
+    return staged.select(*cols, *[F.col(c) for c in keep_cols])
 
 
 def line_repetition(
