@@ -556,6 +556,29 @@ def hier_centroids(
     previous centroid. Freeze the returned tables for incremental /
     at-ingest assignment (:func:`assign_to_hier_centroids`) — the
     at-ingest-model house rule: arrivals never move the cells."""
+    return _hier_fit_av(
+        corpus, k1, k2, iters, id_col, vec_col,
+        round_digits, comp_digits, sum_scale,
+    )[:2]
+
+
+def _hier_fit_av(
+    corpus: DataFrame,
+    k1: int,
+    k2: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    comp_digits: int = 9,
+    sum_scale: int = 12,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`hier_centroids` plus the checkpointed coarse-assigned
+    vector table ``av`` (id, cent_id, __v, __vn) the fit already
+    built — fit-then-self-assign callers reuse it instead of paying
+    the coarse assignment pass and the vector join a second time
+    (r11 optimization round: the recompute was a full corpus
+    assignment + join per fit-and-assign query)."""
     from margaret_spark.operators.similarity import (
         assign_to_centroids,
         kmeans_centroids_deterministic,
@@ -595,9 +618,9 @@ def hier_centroids(
     from margaret_spark.functions.numeric import dsum
 
     for _ in range(iters):
-        assigned = _sub_assign(av, subc, round_digits).join(
-            av.select("id", "__v"), "id"
-        )
+        # __v carried through the assignment projection — the former
+        # join-back re-fetched a column already on the av row
+        assigned = _sub_assign(av, subc, round_digits, keep=("__v",))
         dims = assigned.select(
             "cent_id",
             "sub_id",
@@ -632,7 +655,7 @@ def hier_centroids(
             )
             .localCheckpoint(eager=False)
         )
-    return cents, subc
+    return cents, subc, av
 
 
 def _with_cell_vectors(
@@ -658,10 +681,25 @@ def _with_cell_vectors(
     )
 
 
-def _sub_assign(av: DataFrame, subc: DataFrame, round_digits: int) -> DataFrame:
-    """(id, cent_id, sub_id, __sim): nearest sub-centroid WITHIN each
-    row's coarse cell — each row meets only ITS cell's ≤k2
-    sub-centroids, rank by (rounded cosine desc, sub_id asc).
+def _sub_assign(
+    av: DataFrame,
+    subc: DataFrame,
+    round_digits: int,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, cent_id, sub_id, __sim, *keep): nearest sub-centroid
+    WITHIN each row's coarse cell — each row meets only ITS cell's
+    ≤k2 sub-centroids, rank by (rounded cosine desc, sub_id asc).
+
+    ``keep``: extra ``av`` columns carried through. On the kernel
+    path the assignment is a NARROW projection over ``av``, so the
+    vector (and its hoisted norm) ride along for free — callers that
+    joined the output back onto ``av`` to re-fetch ``__v`` paid two
+    exchanges per call for columns already on the row (r11
+    optimization round, guide §2.4). The over-budget pair-scoring
+    fallback keeps the join-back INTERNALLY (carrying the vector
+    through its N·k2-row window shuffle would cost more than the
+    N-row join), so both paths return the same columns.
 
     r11: scoring goes through the cell-keyed ranking kernel
     (``functions.vectors.group_best``) when the sub-centroid table
@@ -701,11 +739,12 @@ def _sub_assign(av: DataFrame, subc: DataFrame, round_digits: int) -> DataFrame:
             mode="cosine",
             round_digits=round_digits,
         )
-        return av.select("id", "cent_id", best.alias("__b")).select(
+        return av.select("id", "cent_id", *keep, best.alias("__b")).select(
             "id",
             "cent_id",
             F.col("__b.i").cast("int").alias("sub_id"),
             F.col("__b.s").alias("__sim"),
+            *keep,
         )
     scored = av.join(
         subc.withColumn("__cn", l2_norm(F.col("cent"))), "cent_id"
@@ -717,12 +756,17 @@ def _sub_assign(av: DataFrame, subc: DataFrame, round_digits: int) -> DataFrame:
             round_digits,
         ),
     )
-    return (
+    out = (
         scored.select("id", "cent_id", "sub_id", "__sim")
         .withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") == 1)
         .select("id", "cent_id", "sub_id", "__sim")
     )
+    if keep:
+        out = out.join(av.select("id", *keep), "id").select(
+            "id", "cent_id", "sub_id", "__sim", *keep
+        )
+    return out
 
 
 def assign_to_hier_centroids(
@@ -732,21 +776,31 @@ def assign_to_hier_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    keep_vec: str | None = None,
 ) -> DataFrame:
     """(id_col, cent_id, sub_id, cosine): nearest (coarse, sub) cell
     per row under FROZEN :func:`hier_centroids` tables — the
     assignment half, usable for incremental / at-ingest arrivals.
-    ``cosine`` is to the winning SUB-centroid."""
+    ``cosine`` is to the winning SUB-centroid.
+
+    ``keep_vec``: also return the row's cast ``array<double>`` vector
+    under this name — carried through the assignment projection, so
+    callers that need (assignment, vector) stop joining the output
+    back onto a second pass over ``df`` (r11 optimization round)."""
     from margaret_spark.operators.similarity import assign_to_centroids
 
     coarse = assign_to_centroids(df, cents, id_col, vec_col, round_digits)
     av = _with_cell_vectors(df, coarse, id_col, vec_col)
-    return _sub_assign(av, subc, round_digits).select(
+    keep = ("__v",) if keep_vec is not None else ()
+    sel = [
         F.col("id").alias(id_col),
         "cent_id",
         "sub_id",
         F.col("__sim").alias("cosine"),
-    )
+    ]
+    if keep_vec is not None:
+        sel.append(F.col("__v").alias(keep_vec))
+    return _sub_assign(av, subc, round_digits, keep=keep).select(*sel)
 
 
 def _hier_assigned_with_vectors(
@@ -762,22 +816,20 @@ def _hier_assigned_with_vectors(
 ) -> DataFrame:
     """(id, cent_id, sub_id, cosine, __v, __vn): fit + self-assign —
     :func:`hier_centroids` composed with the final
-    :func:`_sub_assign` pass over the fitted tables, vectors joined
-    back for the pair stage. Identical expression trees to the
-    pre-refactor inline form (oracle parity pinned by the graded
-    dedup_semantic_hier* queries)."""
-    from margaret_spark.operators.similarity import assign_to_centroids
-
-    cents, subc = hier_centroids(
+    :func:`_sub_assign` pass over the fitted tables. The fit's own
+    coarse-assigned vector table is REUSED (``_hier_fit_av``) and the
+    vectors ride the assignment projection (``keep``) — the former
+    shape recomputed the coarse assignment + vector join and then
+    joined the vectors back a second time. Values identical (same
+    expression trees over the same rows; oracle parity pinned by the
+    graded dedup_semantic_hier* queries)."""
+    cents, subc, av = _hier_fit_av(
         corpus, k1, k2, iters, id_col, vec_col,
         round_digits, comp_digits, sum_scale,
     )
-    coarse = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
-    av = _with_cell_vectors(corpus, coarse, id_col, vec_col)
-    final = _sub_assign(av, subc, round_digits)
+    final = _sub_assign(av, subc, round_digits, keep=("__v", "__vn"))
     return (
-        final.join(av.select("id", "__v", "__vn"), "id")
-        .select(
+        final.select(
             "id", "cent_id", "sub_id",
             F.col("__sim").alias("cosine"), "__v", "__vn",
         )
@@ -907,18 +959,14 @@ def semantic_dedup_incremental_hier(
     )
 
     def _with_vec(df: DataFrame) -> DataFrame:
+        # the vector rides the assignment projection (keep_vec) —
+        # the former join re-scanned df to re-fetch it
         a = assign_to_hier_centroids(
-            df, cents, subc, id_col, vec_col, round_digits
+            df, cents, subc, id_col, vec_col, round_digits,
+            keep_vec="__v",
         )
         return (
-            a.join(
-                df.select(
-                    F.col(id_col).alias("__vid"),
-                    F.col(vec_col).cast("array<double>").alias("__v"),
-                ),
-                a[id_col] == F.col("__vid"),
-            )
-            .select(F.col(id_col).alias("id"), "cent_id", "sub_id", "__v")
+            a.select(F.col(id_col).alias("id"), "cent_id", "sub_id", "__v")
             .localCheckpoint(eager=False)
         )
 
@@ -1034,21 +1082,15 @@ def hier_ivf_topk(
             corpus, k1, k2, iters, id_col, vec_col, round_digits
         )
     ca = assign_to_hier_centroids(
-        corpus, cents, subc, id_col, vec_col, round_digits
+        corpus, cents, subc, id_col, vec_col, round_digits,
+        keep_vec="__cv",
     )
-    vecs = corpus.select(
-        F.col(id_col).alias("__vid"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
-    cells = (
-        ca.join(vecs, ca[id_col] == F.col("__vid"))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            "cent_id",
-            "sub_id",
-            "__cv",
-            l2_norm(F.col("__cv")).alias("__cn"),
-        )
+    cells = ca.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cent_id",
+        "sub_id",
+        "__cv",
+        l2_norm(F.col("__cv")).alias("__cn"),
     )
     probes = _hier_probes(
         queries, cents, subc, nprobe1, nprobe2, id_col, vec_col,
@@ -1181,15 +1223,10 @@ def build_hier_index(
     fc = spark.read.parquet(f"{path}/cents")
     fs = spark.read.parquet(f"{path}/subc")
     ca = assign_to_hier_centroids(
-        corpus, fc, fs, id_col, vec_col, round_digits
-    )
-    vecs = corpus.select(
-        F.col(id_col).alias("__vid"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        corpus, fc, fs, id_col, vec_col, round_digits, keep_vec="vec"
     )
     (
-        ca.join(vecs, ca[id_col] == F.col("__vid"))
-        .select(
+        ca.select(
             F.col("cent_id").alias("cell"),
             F.col("sub_id").alias("sub"),
             F.col(id_col).alias("id"),
@@ -1219,15 +1256,11 @@ def hier_index_append(
     cents = spark.read.parquet(f"{path}/cents")
     subc = spark.read.parquet(f"{path}/subc")
     ca = assign_to_hier_centroids(
-        arrivals, cents, subc, id_col, vec_col, round_digits
-    )
-    vecs = arrivals.select(
-        F.col(id_col).alias("__vid"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        arrivals, cents, subc, id_col, vec_col, round_digits,
+        keep_vec="vec",
     )
     (
-        ca.join(vecs, ca[id_col] == F.col("__vid"))
-        .select(
+        ca.select(
             F.col("cent_id").alias("cell"),
             F.col("sub_id").alias("sub"),
             F.col(id_col).alias("id"),
