@@ -77,9 +77,12 @@ def _assigned_with_vectors(
     sum_scale: int,
 ) -> DataFrame:
     """(id, cent_id, cent_cosine, __v): the final k-means assignment
-    joined back to its vector. localCheckpoint'ed so the self-join
-    below neither recomputes the Lloyd rounds per side nor loses the
-    exchange to alias ambiguity (house rule)."""
+    with its vector carried through the assignment projection
+    (``keep_vec`` — the former join-back re-scanned the corpus to
+    re-fetch a column the kernel path already had on the row).
+    localCheckpoint'ed so the self-join below neither recomputes the
+    Lloyd rounds per side nor loses the exchange to alias ambiguity
+    (house rule)."""
     assigned = kmeans_assign_deterministic(
         corpus,
         k=k,
@@ -89,13 +92,10 @@ def _assigned_with_vectors(
         round_digits=round_digits,
         comp_digits=comp_digits,
         sum_scale=sum_scale,
-    )
-    vecs = corpus.select(
-        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+        keep_vec="__v",
     )
     return (
-        assigned.join(vecs, assigned[id_col] == vecs["__vid"])
-        .select(
+        assigned.select(
             F.col(id_col).alias("id"),
             "cent_id",
             F.col("cosine").alias("cent_cosine"),
@@ -404,15 +404,13 @@ def semantic_dedup_incremental(
     )
 
     def _with_vec(df: DataFrame) -> DataFrame:
-        a = assign_to_centroids(df, cents, id_col, vec_col, round_digits)
+        # vector carried through the assignment projection (keep_vec)
+        # — the former join re-scanned df to re-fetch it
+        a = assign_to_centroids(
+            df, cents, id_col, vec_col, round_digits, keep_vec="__v"
+        )
         return (
-            a.join(
-                df.select(
-                    F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
-                ),
-                a[id_col] == F.col("__vid"),
-            )
-            .select(F.col(id_col).alias("id"), "cent_id", "__v")
+            a.select(F.col(id_col).alias("id"), "cent_id", "__v")
             .localCheckpoint(eager=False)
         )
 
@@ -580,7 +578,6 @@ def _hier_fit_av(
     (r11 optimization round: the recompute was a full corpus
     assignment + join per fit-and-assign query)."""
     from margaret_spark.operators.similarity import (
-        assign_to_centroids,
         kmeans_centroids_deterministic,
     )
 
@@ -589,8 +586,7 @@ def _hier_fit_av(
         round_digits=round_digits, comp_digits=comp_digits,
         sum_scale=sum_scale,
     )
-    coarse = assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
-    av = _with_cell_vectors(corpus, coarse, id_col, vec_col)
+    av = _with_cell_vectors(corpus, cents, id_col, vec_col, round_digits)
     w0 = Window.partitionBy("cent_id").orderBy(F.col("id").asc())
     subc = (
         av.withColumn("__r", F.row_number().over(w0))
@@ -659,23 +655,30 @@ def _hier_fit_av(
 
 
 def _with_cell_vectors(
-    corpus: DataFrame, coarse: DataFrame, id_col: str, vec_col: str
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
 ) -> DataFrame:
-    """(id, cent_id, __v, __vn): the coarse assignment joined back to
-    its vector with the row norm hoisted (the vectors.py rule),
-    localCheckpoint'ed (house rule: iterated plans / self-join
-    inputs)."""
-    vecs = corpus.select(
-        F.col(id_col).alias("__vid"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+    """(id, cent_id, __v, __vn): coarse assignment under ``cents``
+    with the row's cast vector and hoisted norm (the vectors.py rule)
+    carried through the assignment projection — the former shape
+    joined the assignment back onto a second corpus pass to re-fetch
+    the vector (r11 optimization round). localCheckpoint'ed (house
+    rule: iterated plans / self-join inputs)."""
+    from margaret_spark.operators.similarity import assign_to_centroids
+
+    coarse = assign_to_centroids(
+        corpus, cents, id_col, vec_col, round_digits, keep_vec="__rawv"
     )
+    cv = F.col("__rawv").cast("array<double>")
     return (
-        coarse.join(vecs, coarse[id_col] == vecs["__vid"])
-        .select(
+        coarse.select(
             F.col(id_col).alias("id"),
             "cent_id",
-            "__v",
-            l2_norm(F.col("__v")).alias("__vn"),
+            cv.alias("__v"),
+            l2_norm(cv).alias("__vn"),
         )
         .localCheckpoint(eager=False)
     )
@@ -787,10 +790,7 @@ def assign_to_hier_centroids(
     under this name — carried through the assignment projection, so
     callers that need (assignment, vector) stop joining the output
     back onto a second pass over ``df`` (r11 optimization round)."""
-    from margaret_spark.operators.similarity import assign_to_centroids
-
-    coarse = assign_to_centroids(df, cents, id_col, vec_col, round_digits)
-    av = _with_cell_vectors(df, coarse, id_col, vec_col)
+    av = _with_cell_vectors(df, cents, id_col, vec_col, round_digits)
     keep = ("__v",) if keep_vec is not None else ()
     sel = [
         F.col("id").alias(id_col),

@@ -823,13 +823,25 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    keep_vec: str | None = None,
+    keep_norm: str | None = None,
 ) -> DataFrame:
     """(id_col, cent_id, cosine): nearest centroid per row under the
     house deterministic rule (rounded cosine desc, cent_id asc).
     ``cents`` is (cent_id, cent) — e.g.
     :func:`kmeans_centroids_deterministic` output, or FROZEN saved
     centroids for incremental/at-ingest assignment. Broadcast join +
-    one per-id window; the corpus never shuffles on its vectors."""
+    one per-id window; the corpus never shuffles on its vectors.
+
+    ``keep_vec``/``keep_norm``: also return the row's RAW vector
+    column / its hoisted ``l2_norm`` under these names. On the kernel
+    path the assignment is a narrow projection over the vector row,
+    so both ride along for free — callers that need
+    (assignment, vector) stop joining the output back onto a second
+    pass over ``df`` (r11 optimization round, guide §2.4). The
+    fallback pair scorer attaches them with an internal id join (its
+    window must stay narrow — carrying d doubles through the N·k-row
+    exchange measured 5x)."""
     # norms before the k-way expansion (see kmeans_centroids_
     # deterministic) — bit-identical __sim, k x fewer HOF folds
     v = df.select(
@@ -837,6 +849,11 @@ def assign_to_centroids(
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
+    extra = []
+    if keep_vec is not None:
+        extra.append(F.col("__v").alias(keep_vec))
+    if keep_norm is not None:
+        extra.append(F.col("__n").alias(keep_norm))
     # ranking kernel: each vector through the Arrow pipe ONCE and the
     # winner picked inside the batch (see _matrix_best) — no N·k
     # explode, no row_number window exchange+sort
@@ -847,6 +864,7 @@ def assign_to_centroids(
             F.col("id").alias(id_col),
             F.col("__best")[0]["c"].cast(id_type).alias("cent_id"),
             F.col("__best")[0]["s"].alias("cosine"),
+            *extra,
         )
     w = Window.partitionBy("id").orderBy(
         F.col("__sim").desc(), F.col("cent_id").asc()
@@ -874,14 +892,18 @@ def assign_to_centroids(
     # narrow window: the rank only needs (id, cent_id, sim); carrying
     # the d-double array through the window exchange cost k·d·8 bytes
     # per row (measured 5x on the assignment stage)
-    return (
+    ranked = (
         scored.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") == 1)
-        .select(
-            F.col("id").alias(id_col),
-            "cent_id",
-            F.col("__sim").alias("cosine"),
-        )
+        .select("id", "cent_id", "__sim")
+    )
+    if extra:
+        ranked = ranked.join(v, "id")
+    return ranked.select(
+        F.col("id").alias(id_col),
+        "cent_id",
+        F.col("__sim").alias("cosine"),
+        *extra,
     )
 
 
@@ -1006,6 +1028,7 @@ def kmeans_assign_deterministic(
     round_digits: int = 6,
     comp_digits: int = 9,
     sum_scale: int = 12,
+    keep_vec: str | None = None,
 ) -> DataFrame:
     """(id, cent_id, cosine): embedding clustering with a fully
     deterministic, engine-reproducible Lloyd iteration — the graded
@@ -1015,12 +1038,14 @@ def kmeans_assign_deterministic(
     :func:`assign_to_centroids` (the final assignment) — identical
     expression trees to the pre-refactor inline form, so the graded
     oracle parity is unchanged. See those functions for the scale
-    shape and determinism arguments."""
+    shape and determinism arguments (and ``keep_vec``)."""
     cents = kmeans_centroids_deterministic(
         corpus, k, iters, id_col, vec_col,
         round_digits, comp_digits, sum_scale,
     )
-    return assign_to_centroids(corpus, cents, id_col, vec_col, round_digits)
+    return assign_to_centroids(
+        corpus, cents, id_col, vec_col, round_digits, keep_vec=keep_vec
+    )
 
 
 def rrf_fuse(

@@ -251,19 +251,16 @@ def stream_semantic_decontaminate(
     cents = kmeans_centroids_deterministic(
         test_vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
     ).localCheckpoint(eager=True)
+    # vector + hoisted norm carried through the assignment projection
+    # (keep_vec/keep_norm) — the former join re-scanned test_vectors
     aex = assign_to_centroids(test_vectors, cents, id_col, vec_col,
-                              round_digits)
+                              round_digits, keep_vec="__v",
+                              keep_norm="__n")
     e_side = (
-        aex.join(
-            test_vectors.select(
-                F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
-            ),
-            aex[id_col] == F.col("__vid"),
-        )
-        .select(
+        aex.select(
             F.col("cent_id").alias("__ce"),
             F.col("__v").alias("__vo"),
-            l2_norm(F.col("__v")).alias("__no"),
+            F.col("__n").alias("__no"),
         )
         .localCheckpoint(eager=True)
     )
@@ -291,21 +288,16 @@ def stream_semantic_decontaminate(
             .where(l2_norm(F.col("embedding")) > F.lit(0.0))
             .localCheckpoint(eager=False)
         )
+        # per-batch join-back removed the same way (keep_vec/keep_norm)
         a = assign_to_centroids(vecs, cents, "seq", "embedding",
-                                round_digits)
+                                round_digits, keep_vec="__v",
+                                keep_norm="__n")
         n_side = (
-            a.join(
-                vecs.select(
-                    F.col("seq").alias("__vid"),
-                    F.col("embedding").alias("__v"),
-                ),
-                a["seq"] == F.col("__vid"),
-            )
-            .select(
+            a.select(
                 F.col("seq").alias("__idn"),
                 "cent_id",
                 F.col("__v").alias("__vn"),
-                l2_norm(F.col("__v")).alias("__nn"),
+                F.col("__n").alias("__nn"),
             )
         )
         if e_rows is not None:
