@@ -64,6 +64,11 @@ from pyspark.sql import functions as F
 
 from margaret_spark.functions.shingling import bind1, words
 
+#: level-0 vocabulary rows collected to the driver when ranking the
+#: distinct tokens directly (suffix_repeats); past this the level-0
+#: ranks fall back to the distributed rank-on-rows recipe.
+_VOCAB_COLLECT_CAP = 65536
+
 
 def _dense_sorted_ids(
     keys: DataFrame,
@@ -245,12 +250,39 @@ def suffix_repeats(
     # the __q1a/__q1b key columns below.
     R = (K + 1) // 2  # base-4 rounds; top span 4^R = 2^2R >= 2^K > cap
 
-    # level-0 ranks: dense ids of the distinct tokens in sort order,
-    # attached join-free; the suffix count for the early-termination
-    # test is free from the same offsets collect. Level 0 keys are
-    # STRINGS — no arithmetic bucket exists, so this one call keeps
-    # the range partitioner (and its sampling pass).
-    ranked0, _n_tok, n_sfx = with_dense_rank_total(toks, ["__tok"], "r")
+    # level-0 ranks: dense ids of the distinct tokens in sort order.
+    # The VOCABULARY is usually tiny next to the position count
+    # (words repeat — that is the operator's whole premise), so rank
+    # the distinct tokens instead of the rows: one map-side-combined
+    # aggregation (shuffles ≤V keys, not N positions), a driver sort
+    # of ≤cap vocab rows, and a broadcast join-back that never
+    # exchanges the positions — replacing a range-sampling pass plus
+    # a full skewed string exchange of every position (r11: measured
+    # 6.4 s of the 17 s loop at sf0.1, V=31). Rank values are
+    # identical: dense, 1-based, in Spark's string sort order
+    # (UTF8String compares unsigned bytes; UTF-8 byte order == code
+    # point order, pinned here by sorting the encoded bytes). Corpora
+    # with vocabularies past the broadcast cap keep the rank-on-rows
+    # path.
+    vrows = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .limit(_VOCAB_COLLECT_CAP + 1)
+        .collect()
+    )
+    if len(vrows) <= _VOCAB_COLLECT_CAP:
+        vrows.sort(key=lambda r: r["__tok"].encode("utf-8"))
+        _n_tok = len(vrows)
+        n_sfx = sum(int(r["__c"]) for r in vrows)
+        vocab = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(r["__tok"], i + 1) for i, r in enumerate(vrows)],
+                "__tok string, r long",
+            )
+        )
+        ranked0 = toks.join(vocab, "__tok")
+    else:
+        ranked0, _n_tok, n_sfx = with_dense_rank_total(toks, ["__tok"], "r")
     lvl = _to_arrays(ranked0.select("__id", "pos", "r"))
     levels = [lvl]
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
