@@ -433,14 +433,10 @@ def q_multimodal_decode_video(spark, sf_dir):
     )
 
 
-def _image_dedup_base(spark, sf_dir):
-    """The shared fixture for the perceptual image-hash queries: 25
-    image groups (seed = doc_id % 25) of REAL greyscale PNGs with the
-    quadratic closed-form pixel stream (id*31 + j²) mod 256 — equal
-    seeds are exact duplicate images, different seeds are perceptually
-    distinct (cross-seed dHash Hamming ≥ 8 on this parameter grid).
-    The 25 distinct (seed, w, h) images are encoded ONCE and broadcast
-    back onto the corpus; decode then runs per document."""
+def _image_dedup_parts(spark, sf_dir):
+    """(docs, blobs): the image-fixture pieces BEFORE the broadcast
+    attach — docs is (doc_id, seed, w, h), blobs is the 25 distinct
+    (seed, w, h, blob) PNGs encoded once."""
     from margaret_spark.operators.multimodal import (
         attach_synthetic_png_blobs_quad,
     )
@@ -453,11 +449,41 @@ def _image_dedup_base(spark, sf_dir):
     )
     groups = docs.select("seed", "w", "h").distinct()
     blobs = attach_synthetic_png_blobs_quad(groups, "seed", "w", "h")
+    return docs, blobs
+
+
+def _image_dedup_base(spark, sf_dir):
+    """The shared fixture for the perceptual image-hash queries: 25
+    image groups (seed = doc_id % 25) of REAL greyscale PNGs with the
+    quadratic closed-form pixel stream (id*31 + j²) mod 256 — equal
+    seeds are exact duplicate images, different seeds are perceptually
+    distinct (cross-seed dHash Hamming ≥ 8 on this parameter grid).
+    The 25 distinct (seed, w, h) images are encoded ONCE and broadcast
+    back onto the corpus; decode then runs per document."""
+    docs, blobs = _image_dedup_parts(spark, sf_dir)
     # single-file table → 1-2 scan tasks; spread the per-row PNG
     # decode across the pool before the Arrow stage
     return docs.join(F.broadcast(blobs), "seed").repartition(
         spark.sparkContext.defaultParallelism
     )
+
+
+def _image_group_hashes(spark, sf_dir, hash_op, hash_col):
+    """(doc_id, ``hash_col``): per-document perceptual image hash with
+    the decode+hash pushed THROUGH the fixture's broadcast group join
+    (r11 optimization round, guide §2.4/§8 decide-on-small): the hash
+    is a pure function of the blob, and the join attaches each of the
+    25 distinct blobs onto ~N/25 documents — hashing the DISTINCT
+    blobs first decodes each image once instead of once per document.
+    Projection pushdown the optimizer cannot perform itself (the
+    decode is an opaque Arrow stage); values identical row-for-row."""
+    docs, blobs = _image_dedup_parts(spark, sf_dir)
+    h = hash_op(
+        blobs.repartition(spark.sparkContext.defaultParallelism),
+        "seed",
+        "blob",
+    )
+    return docs.join(F.broadcast(h), "seed").select("doc_id", hash_col)
 
 
 def q_multimodal_image_dhash(spark, sf_dir):
@@ -471,8 +497,8 @@ def q_multimodal_image_dhash(spark, sf_dir):
     packing hash-mismatches."""
     from margaret_spark.operators.imagehash import image_dhash
 
-    base = _image_dedup_base(spark, sf_dir)
-    return image_dhash(base, "doc_id", "blob")
+    # decode+hash once per distinct group blob (see _image_group_hashes)
+    return _image_group_hashes(spark, sf_dir, image_dhash, "dhash")
 
 
 def q_multimodal_image_dedup(spark, sf_dir):
@@ -487,10 +513,12 @@ def q_multimodal_image_dedup(spark, sf_dir):
     brute-force Hamming self-join — banding must find exactly those
     pairs (the pigeonhole guarantee, graded hash-exact, not
     rows-only)."""
-    from margaret_spark.operators.imagehash import image_dedup_pairs
+    from margaret_spark.operators.imagehash import hamming_pairs, image_dhash
 
-    base = _image_dedup_base(spark, sf_dir)
-    return image_dedup_pairs(base, "doc_id", "blob", max_hamming=6)
+    # image_dedup_pairs = dhash + hamming_pairs; the hash side decodes
+    # once per distinct group blob (see _image_group_hashes)
+    sigs = _image_group_hashes(spark, sf_dir, image_dhash, "dhash")
+    return hamming_pairs(sigs, "doc_id", "dhash", max_hamming=6)
 
 
 def q_multimodal_image_phash(spark, sf_dir):
@@ -509,8 +537,8 @@ def q_multimodal_image_phash(spark, sf_dir):
     box means (pinned in pytest on a JPEG re-encode)."""
     from margaret_spark.operators.imagehash import image_phash
 
-    base = _image_dedup_base(spark, sf_dir)
-    return image_phash(base, "doc_id", "blob")
+    # decode+hash once per distinct group blob (see _image_group_hashes)
+    return _image_group_hashes(spark, sf_dir, image_phash, "phash")
 
 
 def q_multimodal_image_phash_dedup(spark, sf_dir):
@@ -522,14 +550,16 @@ def q_multimodal_image_phash_dedup(spark, sf_dir):
     Hamming is ≥ 16 on this parameter grid. The oracle is the
     brute-force Hamming self-join over the arithmetically re-derived
     hashes: banding must find exactly those pairs."""
-    from margaret_spark.operators.imagehash import phash_dedup_pairs
+    from margaret_spark.operators.imagehash import hamming_pairs, image_phash
 
-    base = _image_dedup_base(spark, sf_dir)
-    return phash_dedup_pairs(base, "doc_id", "blob", max_hamming=10)
+    # phash_dedup_pairs = phash + hamming_pairs; the hash side decodes
+    # once per distinct group blob (see _image_group_hashes)
+    sigs = _image_group_hashes(spark, sf_dir, image_phash, "phash")
+    return hamming_pairs(sigs, "doc_id", "phash", max_hamming=10)
 
 
-def _audio_dedup_base(spark, sf_dir):
-    """The shared fixture for the perceptual audio-fingerprint
+def _audio_dedup_parts(spark, sf_dir):
+    """(docs, blobs): the shared fixture for the perceptual audio-fingerprint
     queries: 25 audio groups (seed = doc_id % 25) × 3 noise variants
     (v = doc_id div 25 mod 3) of REAL PCM16 WAVs with the closed-form
     waveform s[j] = ((seed·997 + j²·29 + j·17) mod 4096) − 2048 +
@@ -538,8 +568,8 @@ def _audio_dedup_base(spark, sf_dir):
     seed + different noise are planted NEAR-duplicates (the additive
     perturbation flips only gradient bits near energy ties), and
     different seeds are perceptually distinct. The 75 distinct
-    (seed, v) clips are encoded ONCE and broadcast back onto the
-    corpus; decode then runs per document."""
+    (seed, v) clips are encoded ONCE; the attached form is
+    :func:`_audio_dedup_base`."""
     from margaret_spark.operators.multimodal import (
         attach_synthetic_wav_blobs_noisy,
     )
@@ -564,11 +594,36 @@ def _audio_dedup_base(spark, sf_dir):
         groups.withColumn("noise", F.col("v") * 32),
         "gid", "seed", "rate", "n", "noise",
     )
+    return docs, blobs
+
+
+def _audio_dedup_base(spark, sf_dir):
+    """The attached form of :func:`_audio_dedup_parts` — every doc
+    row carrying its group's WAV blob; decode then runs per
+    document."""
+    docs, blobs = _audio_dedup_parts(spark, sf_dir)
     # single-file table → 1-2 scan tasks; spread the per-row WAV
     # decode across the pool before the Arrow stage
     return docs.join(F.broadcast(blobs), "gid").repartition(
         spark.sparkContext.defaultParallelism
     )
+
+
+def _audio_group_fps(spark, sf_dir):
+    """(doc_id, afp): per-document audio fingerprint with decode+hash
+    pushed through the fixture's broadcast group join — one decode
+    per distinct (seed, v) clip instead of one per document (the
+    image-side _image_group_hashes argument, same join-reorder
+    identity)."""
+    from margaret_spark.operators.audiohash import audio_fingerprint
+
+    docs, blobs = _audio_dedup_parts(spark, sf_dir)
+    h = audio_fingerprint(
+        blobs.repartition(spark.sparkContext.defaultParallelism),
+        "gid",
+        "blob",
+    )
+    return docs.join(F.broadcast(h), "gid").select("doc_id", "afp")
 
 
 def q_multimodal_audio_fp(spark, sf_dir):
@@ -581,10 +636,8 @@ def q_multimodal_audio_fp(spark, sf_dir):
     via the exact bucket inverse (65·(j+1)−1) div n, energy sums,
     two's-complement bit packing) — any bug in decode, framing,
     energy, or packing hash-mismatches."""
-    from margaret_spark.operators.audiohash import audio_fingerprint
-
-    base = _audio_dedup_base(spark, sf_dir)
-    return audio_fingerprint(base, "doc_id", "blob")
+    # decode+fingerprint once per distinct clip (see _audio_group_fps)
+    return _audio_group_fps(spark, sf_dir)
 
 
 def q_multimodal_audio_dedup(spark, sf_dir):
@@ -599,10 +652,12 @@ def q_multimodal_audio_dedup(spark, sf_dir):
     brute-force Hamming self-join — banding must find exactly those
     pairs (the pigeonhole guarantee, graded hash-exact, not
     rows-only)."""
-    from margaret_spark.operators.audiohash import audio_dedup_pairs
+    from margaret_spark.operators.imagehash import hamming_pairs
 
-    base = _audio_dedup_base(spark, sf_dir)
-    return audio_dedup_pairs(base, "doc_id", "blob", max_hamming=6)
+    # audio_dedup_pairs = fingerprint + hamming_pairs; the fingerprint
+    # side decodes once per distinct clip (see _audio_group_fps)
+    sigs = _audio_group_fps(spark, sf_dir)
+    return hamming_pairs(sigs, "doc_id", "afp", max_hamming=6)
 
 
 def q_multimodal_dedup_clusters(spark, sf_dir):
@@ -616,12 +671,12 @@ def q_multimodal_dedup_clusters(spark, sf_dir):
     cluster_id filter. The oracle re-derives the fingerprints
     arithmetically, takes the brute-force Hamming self-join, and runs
     a recursive reachability CTE — graded hash-exact."""
-    from margaret_spark.operators.audiohash import audio_dedup_pairs
     from margaret_spark.operators.dedup import dedup_clusters
+    from margaret_spark.operators.imagehash import hamming_pairs
 
-    base = _audio_dedup_base(spark, sf_dir)
-    pairs = audio_dedup_pairs(base, "doc_id", "blob", max_hamming=6)
-    return dedup_clusters(base.select("doc_id"), pairs, "doc_id")
+    sigs = _audio_group_fps(spark, sf_dir)
+    pairs = hamming_pairs(sigs, "doc_id", "afp", max_hamming=6)
+    return dedup_clusters(sigs.select("doc_id"), pairs, "doc_id")
 
 
 def q_multimodal_dedup_clusters_all(spark, sf_dir):
@@ -634,17 +689,17 @@ def q_multimodal_dedup_clusters_all(spark, sf_dir):
     both hash families arithmetically, takes both brute-force Hamming
     joins, unions, and runs the recursive reachability CTE — graded
     hash-exact."""
-    from margaret_spark.operators.audiohash import audio_dedup_pairs
     from margaret_spark.operators.dedup import dedup_clusters
-    from margaret_spark.operators.imagehash import phash_dedup_pairs
+    from margaret_spark.operators.imagehash import hamming_pairs, image_phash
 
-    img = _image_dedup_base(spark, sf_dir)
-    aud = _audio_dedup_base(spark, sf_dir)
+    # both modality legs hash once per distinct group blob
+    img = _image_group_hashes(spark, sf_dir, image_phash, "phash")
+    aud = _audio_group_fps(spark, sf_dir)
     pairs = (
-        phash_dedup_pairs(img, "doc_id", "blob", max_hamming=10)
+        hamming_pairs(img, "doc_id", "phash", max_hamming=10)
         .select("id_a", "id_b")
         .unionByName(
-            audio_dedup_pairs(aud, "doc_id", "blob", max_hamming=6)
+            hamming_pairs(aud, "doc_id", "afp", max_hamming=6)
             .select("id_a", "id_b")
         )
     )
