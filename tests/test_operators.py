@@ -2931,3 +2931,26 @@ def test_lsh_parameter_plan_math_and_guards(spark):
         lsh_parameter_plan(spark, threshold=1.0)
     with _pytest.raises(ValueError):
         lsh_parameter_plan(spark, simpson_steps=3)
+
+
+def test_gopher_repetition_keep_cols(spark):
+    """keep_cols carries payload columns through the battery's row
+    pass unchanged, with the fraction values identical to the plain
+    call (r11: the curation pipeline gates on the battery without a
+    join-back)."""
+    from margaret_spark.operators.text import gopher_repetition
+
+    rows = [(1, "a b a b a b", 11), (2, "x y z w q v", 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    plain = {
+        r.doc_id: (r.top_2gram_frac, r.dup_3gram_frac)
+        for r in gopher_repetition(
+            df, "doc_id", "text", top_ns=(2,), dup_ns=(3,)
+        ).collect()
+    }
+    kept = gopher_repetition(
+        df, "doc_id", "text", top_ns=(2,), dup_ns=(3,),
+        keep_cols=("text", "n_chars"),
+    ).collect()
+    assert {r.doc_id: (r.top_2gram_frac, r.dup_3gram_frac) for r in kept} == plain
+    assert {(r.doc_id, r.text, r.n_chars) for r in kept} == set(rows)

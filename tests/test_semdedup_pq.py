@@ -803,3 +803,31 @@ def test_hier_index_append_serves_new_vectors(spark, tmp_path):
     got = hier_index_search(spark, path, qs, k=3, nprobe1=2, nprobe2=4)
     ids = [r.neighbor_id for r in sorted(got.collect(), key=lambda r: r.rank)]
     assert 100 in ids, ids
+
+
+def test_assign_keep_vec_paths_agree(spark):
+    """assign_to_centroids keep_vec/keep_norm: the kernel path (int
+    cent ids) and the pair-scoring fallback (non-integral cent ids
+    force it) return identical assignments with the vector and norm
+    attached — r11 pinned after the join-back removal."""
+    from pyspark.sql import functions as F
+
+    from margaret_spark.operators.similarity import assign_to_centroids
+
+    vecs = [(i, [float(i % 5) + 0.5, float((i * 3) % 7), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.5]), (1, [0.0, 1.0, 1.5]), (2, [2.0, 2.0, 0.1])],
+        "cent_id int, cent array<double>",
+    )
+    kernel = assign_to_centroids(
+        df, cents, keep_vec="__kv", keep_norm="__kn"
+    ).collect()
+    # string cent ids bypass the kernel (non-integral) -> fallback path
+    fb = assign_to_centroids(
+        df, cents.withColumn("cent_id", F.col("cent_id").cast("string")),
+        keep_vec="__kv", keep_norm="__kn",
+    ).collect()
+    k = {r["vec_id"]: (int(r["cent_id"]), r["cosine"], tuple(r["__kv"]), r["__kn"]) for r in kernel}
+    f = {r["vec_id"]: (int(r["cent_id"]), r["cosine"], tuple(r["__kv"]), r["__kn"]) for r in fb}
+    assert k == f and len(k) == 40

@@ -156,3 +156,30 @@ def test_suffix_repeats_cross_corpus_tag(spark):
 
     with _pytest.raises(ValueError):
         suffix_repeats(df, "doc_id", "text", require_cross=True)
+
+
+def test_bucket_exchange_dense_rank_equivalence(spark):
+    """The arithmetic-bucket exchange (seqassign._bucket_exchange)
+    must reproduce the range partitioner's dense ranks exactly:
+    same values, same key order, same cardinality — r11 pinned after
+    the sampling-free rewrite of the suffix doubling loop."""
+    from pyspark.sql import functions as F
+
+    from margaret_spark.functions.seqassign import with_dense_rank_total
+    from margaret_spark.operators.suffixes import _rank_bucket
+
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    # skewed synthetic ranks (r ~ quadratic), secondary keys shuffled
+    rows = [(i, (i * i) % 37 + 1, (i * 7) % 11, (i * 13) % 5) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, r long, r2 long, r3 long")
+    base, n_base, rows_base = with_dense_rank_total(
+        df, ["r", "r2", "r3"], "nr"
+    )
+    bucketed, n_b, rows_b = with_dense_rank_total(
+        df, ["r", "r2", "r3"], "nr",
+        bucket=_rank_bucket(F.col("r"), 37, n_part),
+    )
+    assert (n_base, rows_base) == (n_b, rows_b)
+    a = {tuple(r) for r in base.select("id", "nr").collect()}
+    b = {tuple(r) for r in bucketed.select("id", "nr").collect()}
+    assert a == b
