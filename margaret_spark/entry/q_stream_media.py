@@ -513,12 +513,19 @@ def q_multimodal_image_dedup(spark, sf_dir):
     brute-force Hamming self-join — banding must find exactly those
     pairs (the pigeonhole guarantee, graded hash-exact, not
     rows-only)."""
-    from margaret_spark.operators.imagehash import hamming_pairs, image_dhash
+    from margaret_spark.operators.imagehash import (
+        hamming_pairs_grouped,
+        image_dhash,
+    )
 
     # image_dedup_pairs = dhash + hamming_pairs; the hash side decodes
-    # once per distinct group blob (see _image_group_hashes)
+    # once per distinct group blob (see _image_group_hashes), and the
+    # pair join runs at the distinct-VALUE level (identical output —
+    # hamming_pairs_grouped): the pigeonhole join compares 25 values,
+    # not N documents, and the doc pairs come from output-bound
+    # expansion joins
     sigs = _image_group_hashes(spark, sf_dir, image_dhash, "dhash")
-    return hamming_pairs(sigs, "doc_id", "dhash", max_hamming=6)
+    return hamming_pairs_grouped(sigs, "doc_id", "dhash", max_hamming=6)
 
 
 def q_multimodal_image_phash(spark, sf_dir):
@@ -550,12 +557,18 @@ def q_multimodal_image_phash_dedup(spark, sf_dir):
     Hamming is ≥ 16 on this parameter grid. The oracle is the
     brute-force Hamming self-join over the arithmetically re-derived
     hashes: banding must find exactly those pairs."""
-    from margaret_spark.operators.imagehash import hamming_pairs, image_phash
+    from margaret_spark.operators.imagehash import (
+        hamming_pairs_grouped,
+        image_phash,
+    )
 
     # phash_dedup_pairs = phash + hamming_pairs; the hash side decodes
-    # once per distinct group blob (see _image_group_hashes)
+    # once per distinct group blob (see _image_group_hashes); the pair
+    # join runs at the distinct-value level (hamming_pairs_grouped —
+    # identical output, and the widest band here means the doc-level
+    # join exploded 11 block rows per document)
     sigs = _image_group_hashes(spark, sf_dir, image_phash, "phash")
-    return hamming_pairs(sigs, "doc_id", "phash", max_hamming=10)
+    return hamming_pairs_grouped(sigs, "doc_id", "phash", max_hamming=10)
 
 
 def _audio_dedup_parts(spark, sf_dir):
@@ -652,12 +665,14 @@ def q_multimodal_audio_dedup(spark, sf_dir):
     brute-force Hamming self-join — banding must find exactly those
     pairs (the pigeonhole guarantee, graded hash-exact, not
     rows-only)."""
-    from margaret_spark.operators.imagehash import hamming_pairs
+    from margaret_spark.operators.imagehash import hamming_pairs_grouped
 
     # audio_dedup_pairs = fingerprint + hamming_pairs; the fingerprint
-    # side decodes once per distinct clip (see _audio_group_fps)
+    # side decodes once per distinct clip (see _audio_group_fps), and
+    # the pair join runs at the distinct-value level
+    # (hamming_pairs_grouped — identical output over 75 values)
     sigs = _audio_group_fps(spark, sf_dir)
-    return hamming_pairs(sigs, "doc_id", "afp", max_hamming=6)
+    return hamming_pairs_grouped(sigs, "doc_id", "afp", max_hamming=6)
 
 
 def q_multimodal_dedup_clusters(spark, sf_dir):
@@ -674,9 +689,31 @@ def q_multimodal_dedup_clusters(spark, sf_dir):
     from margaret_spark.operators.dedup import dedup_clusters
     from margaret_spark.operators.imagehash import hamming_pairs
 
-    sigs = _audio_group_fps(spark, sf_dir)
-    pairs = hamming_pairs(sigs, "doc_id", "afp", max_hamming=6)
-    return dedup_clusters(sigs.select("doc_id"), pairs, "doc_id")
+    # Decide on the small rows (guide §8): the doc-level near-dup
+    # relation is a pure function of the fingerprint VALUES, so the
+    # components run over one node per DISTINCT value (node id = the
+    # min doc_id holding it) instead of one per document. Docs sharing
+    # a value are always one component (Hamming 0 ≤ 6 emits their
+    # pairs), so doc components == value components, and the component
+    # min over value reps IS the min doc_id (the component's min doc
+    # is the rep of its own value). Identical output, with the
+    # pointer-jumping rounds and the pigeonhole join running over ~75
+    # value rows rather than the corpus.
+    # sigs feeds both the rep table and the final join-back —
+    # checkpoint so the decode+attach pipeline runs once
+    sigs = _audio_group_fps(spark, sf_dir).localCheckpoint(eager=False)
+    vreps = (
+        sigs.groupBy("afp")
+        .agg(F.min("doc_id").alias("vid"))
+        .localCheckpoint(eager=False)
+    )
+    vpairs = hamming_pairs(vreps, "vid", "afp", max_hamming=6)
+    comp = dedup_clusters(vreps.select("vid"), vpairs, "vid")
+    return (
+        sigs.join(vreps, "afp")
+        .join(comp, "vid")
+        .select("doc_id", "cluster_id")
+    )
 
 
 def q_multimodal_dedup_clusters_all(spark, sf_dir):
@@ -692,18 +729,63 @@ def q_multimodal_dedup_clusters_all(spark, sf_dir):
     from margaret_spark.operators.dedup import dedup_clusters
     from margaret_spark.operators.imagehash import hamming_pairs, image_phash
 
-    # both modality legs hash once per distinct group blob
-    img = _image_group_hashes(spark, sf_dir, image_phash, "phash")
-    aud = _audio_group_fps(spark, sf_dir)
+    # Decide on the small rows (guide §8), cross-modal form: the
+    # near-dup relation depends only on the hash VALUES, so components
+    # run over one node per distinct image hash plus one per distinct
+    # audio fingerprint (node id = min doc_id holding the value).
+    # Edges: within-modality value pairs from the pigeonhole join,
+    # plus one edge per distinct (image value, audio value) DOC
+    # combination — a document belongs to both of its value groups,
+    # which is exactly what merged them in the doc-level graph (docs
+    # sharing a value are one component via the Hamming-0 pairs).
+    # Component min over value reps == min doc_id of the doc
+    # component (the min doc is the rep of its own values), so the
+    # per-doc output is identical; the pointer jumping and both
+    # pigeonhole joins run over ~100 value rows, not the corpus.
+    # the (doc_id, hash) maps feed the rep tables, the cross-modal
+    # edges AND the final join-back — checkpoint so the decode+attach
+    # pipelines run once, not once per consumer
+    img = _image_group_hashes(spark, sf_dir, image_phash, "phash").localCheckpoint(
+        eager=False
+    )
+    aud = _audio_group_fps(spark, sf_dir).localCheckpoint(eager=False)
+    iv = (
+        img.groupBy("phash")
+        .agg(F.min("doc_id").alias("ivid"))
+        .localCheckpoint(eager=False)
+    )
+    av = (
+        aud.groupBy("afp")
+        .agg(F.min("doc_id").alias("avid"))
+        .localCheckpoint(eager=False)
+    )
+    xmodal = (
+        img.join(aud, "doc_id")
+        .join(iv, "phash")
+        .join(av, "afp")
+        .select(F.col("ivid").alias("id_a"), F.col("avid").alias("id_b"))
+        .distinct()
+    )
     pairs = (
-        hamming_pairs(img, "doc_id", "phash", max_hamming=10)
+        hamming_pairs(iv, "ivid", "phash", max_hamming=10)
         .select("id_a", "id_b")
         .unionByName(
-            hamming_pairs(aud, "doc_id", "afp", max_hamming=6)
+            hamming_pairs(av, "avid", "afp", max_hamming=6)
             .select("id_a", "id_b")
         )
+        .unionByName(xmodal)
     )
-    return dedup_clusters(img.select("doc_id"), pairs, "doc_id")
+    nodes = (
+        iv.select(F.col("ivid").alias("vid"))
+        .unionByName(av.select(F.col("avid").alias("vid")))
+        .distinct()
+    )
+    comp = dedup_clusters(nodes, pairs, "vid")
+    return (
+        img.join(iv, "phash")
+        .join(comp, F.col("ivid") == F.col("vid"))
+        .select("doc_id", "cluster_id")
+    )
 
 
 def q_text_bpe_tokens(spark, sf_dir):

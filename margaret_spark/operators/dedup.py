@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from margaret_spark.functions.shingling import char_shingles, word_shingles, words
+from margaret_spark.functions.shingling import (
+    bind1,
+    char_shingles,
+    word_shingles,
+    words,
+)
 from margaret_spark.functions.numeric import pround
 
 
@@ -1957,17 +1962,35 @@ def lsh_parameter_plan(
             / F.lit(3.0)
         )
 
+    # evaluate each integral ONCE per row (bind1 staging — the
+    # web_blocklist evaluate-once lesson): fp/fn each feed two output
+    # columns (their own pround and total_error's sum), and the folds
+    # run interpreted (higher-order functions don't codegen), so the
+    # naive four-instance projection paid both integrals twice. The
+    # staged struct is bit-identical: total_error rounds the RAW sum,
+    # exactly as before.
+    raw = F.struct(
+        simpson(0.0, t, p_of).alias("fp"),
+        simpson(t, 1.0, lambda s: F.lit(1.0) - p_of(s)).alias("fn"),
+    )
+    staged = bind1(
+        raw,
+        lambda r: F.struct(
+            pround(r["fp"], round_digits).alias("fp_mass"),
+            pround(r["fn"], round_digits).alias("fn_mass"),
+            pround(r["fp"] + r["fn"], round_digits).alias("total_error"),
+        ),
+    )
     return base.select(
         "bands",
         "rows_per_band",
         pround(p_of(F.lit(t)), round_digits).alias("p_at_threshold"),
-        pround(simpson(0.0, t, p_of), round_digits).alias("fp_mass"),
-        pround(
-            simpson(t, 1.0, lambda s: F.lit(1.0) - p_of(s)), round_digits
-        ).alias("fn_mass"),
-        pround(
-            simpson(0.0, t, p_of)
-            + simpson(t, 1.0, lambda s: F.lit(1.0) - p_of(s)),
-            round_digits,
-        ).alias("total_error"),
+        staged.alias("__o"),
+    ).select(
+        "bands",
+        "rows_per_band",
+        "p_at_threshold",
+        F.col("__o.fp_mass").alias("fp_mass"),
+        F.col("__o.fn_mass").alias("fn_mass"),
+        F.col("__o.total_error").alias("total_error"),
     )

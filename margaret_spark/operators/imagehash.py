@@ -227,6 +227,70 @@ def hamming_pairs(
     )
 
 
+def hamming_pairs_grouped(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 6,
+    bits: int = 64,
+) -> DataFrame:
+    """:func:`hamming_pairs` computed at the DISTINCT-VALUE level —
+    identical output (the pair set is a pure function of the two
+    signature VALUES), built for signature columns with heavy
+    duplication (perceptual hashes over a corpus of re-uploads: D
+    distinct values over N rows, D ≪ N). The doc-level pigeonhole
+    self-join explodes N·(max_hamming+1) block rows and pays the
+    final distinct over (agreeing blocks)× the true pair set; here
+    the pigeonhole join runs over the D distinct values only, and
+    the doc pairs come from two OUTPUT-BOUND expansion joins:
+
+    - cross-value: for each value pair (va < vb) within Hamming,
+      docs(va) × docs(vb) — each unordered doc pair appears exactly
+      once (a doc holds one value);
+    - same-value: the self-join on the signature with id_a < id_b —
+      Hamming 0, always within any threshold ≥ 0.
+
+    The union is exactly hamming_pairs' post-distinct row set (the
+    two legs are disjoint: va < vb vs va = vb), with the same
+    (id_a < id_b, hamming) columns."""
+    ids = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")
+    ).localCheckpoint(eager=False)
+    vals = ids.select(F.col("__sig").alias("__v")).distinct()
+    vp = hamming_pairs(vals, "__v", "__v", max_hamming, bits).select(
+        F.col("id_a").alias("__va"),
+        F.col("id_b").alias("__vb"),
+        "hamming",
+    )
+    cross = (
+        ids.select(F.col("id").alias("__ia"), F.col("__sig").alias("__va"))
+        .join(vp, "__va")
+        .join(
+            ids.select(
+                F.col("id").alias("__ib"), F.col("__sig").alias("__vb")
+            ),
+            "__vb",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        ids.select(F.col("id").alias("id_a"), "__sig")
+        .join(
+            ids.select(F.col("id").alias("id_b"), "__sig"),
+            "__sig",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.lit(0).cast("integer").alias("hamming")
+        )
+    )
+    return cross.unionByName(same)
+
+
 def image_dedup_pairs(
     df: DataFrame,
     id_col: str,

@@ -2160,6 +2160,42 @@ def test_hamming_pairs_lossless_vs_bruteforce(spark):
         assert got == want, (k, got, want)
 
 
+def test_hamming_pairs_grouped_equals_rowlevel(spark):
+    """hamming_pairs_grouped (the distinct-value factorization the
+    perceptual multimodal queries use) returns EXACTLY hamming_pairs'
+    row set — same (id_a < id_b, hamming) triples — on signatures
+    with heavy duplication, including the duplicate-value pairs
+    (Hamming 0), cross-value pairs, and sign-bit values."""
+    from margaret_spark.operators.imagehash import (
+        hamming_pairs,
+        hamming_pairs_grouped,
+    )
+
+    sigs = [
+        (1, 0),
+        (2, 0),  # dup of 1
+        (3, 1),  # ham 1 from the 0-group
+        (4, -1),
+        (5, -1),  # dup of 4
+        (6, -2),  # ham 1 from the -1 group
+        (7, 0),  # second dup of 1
+        (8, (1 << 63) - 1),  # isolated singleton value
+    ]
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    for k in (0, 1, 6):
+        want = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(df, "id", "sig", max_hamming=k).collect()
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs_grouped(
+                df, "id", "sig", max_hamming=k
+            ).collect()
+        )
+        assert got == want, (k, got, want)
+
+
 def test_hamming_pairs_top_bits_fold_into_last_block(spark):
     """The bits % nblocks leftover high bits are part of the LAST
     block, not uncovered: at max_hamming=6 (7 blocks of 9, last block
