@@ -2493,13 +2493,31 @@ def q_ann_rrf(spark, sf_dir):
         truncate_embeddings,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
-    a1 = ivf_topk(emb, q, k=5, nlist=16, nprobe=4)
     b = icbrt_ceil(emb.count(), 4)
-    a2 = hier_ivf_topk(
-        emb, q, k=5, k1=b, k2=b, iters=2, nprobe1=2, nprobe2=4
-    )
-    tr = truncate_embeddings(emb, 16)
-    a3 = brute_force_topk(tr, tr.where(F.col("vec_id") < 5), k=5)
+
+    # The three arms are independent and each runs its fit jobs at
+    # BUILD time (Lloyd collects + checkpoints), so building them
+    # sequentially serializes three job chains that never saturate the
+    # executor pool. Submit them from a small thread pool (guide §2.6:
+    # overlap independent jobs) — each arm's result is unchanged, the
+    # fuse consumes the same three DataFrames.
+    def _arm1():
+        return ivf_topk(emb, q, k=5, nlist=16, nprobe=4)
+
+    def _arm2():
+        return hier_ivf_topk(
+            emb, q, k=5, k1=b, k2=b, iters=2, nprobe1=2, nprobe2=4
+        )
+
+    def _arm3():
+        tr = truncate_embeddings(emb, 16)
+        return brute_force_topk(tr, tr.where(F.col("vec_id") < 5), k=5)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f1, f2, f3 = pool.submit(_arm1), pool.submit(_arm2), pool.submit(_arm3)
+        a1, a2, a3 = f1.result(), f2.result(), f3.result()
     return rrf_fuse([a1, a2, a3], k=5)

@@ -1094,8 +1094,12 @@ def q_stream_image_phash(spark, sf_dir):
         )
         log.append_df(blobs, value_col="blob", order_by="doc_id")
         sink = os.path.join(base, "sink")
+        # the fixture is re-upload-heavy (25 distinct blobs over the
+        # corpus): decode each distinct blob once per micro-batch and
+        # attach the hashes by blob equality — value-identical
         stream_image_phash(
-            log, F.col("value"), sink, os.path.join(base, "ckpt")
+            log, F.col("value"), sink, os.path.join(base, "ckpt"),
+            dedup_blobs=True,
         )
         out = read_keeper_sink(spark, sink, "seq long, phash long")
         return out

@@ -31,6 +31,7 @@ def stream_image_phash(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    dedup_blobs: bool = False,
 ):
     """Hash each image blob streaming out of ``log`` with the DCT
     perceptual hash: keepers are ``(seq, phash)`` batch partials.
@@ -39,13 +40,34 @@ def stream_image_phash(
     hashed to a meaningless constant). Read the signatures back with
     ``streaming.read_keeper_sink(spark, sink_dir, "seq long,
     phash long")``. With ``available_now`` drains the log and
-    returns; otherwise returns the running StreamingQuery."""
+    returns; otherwise returns the running StreamingQuery.
+
+    ``dedup_blobs``: decode each DISTINCT blob once per micro-batch
+    and join the 64-bit hashes back by blob equality — value-identical
+    (the hash is a pure function of the blob; undecodable blobs drop
+    their whole group, exactly as per-row decode drops each copy).
+    Turn it on for re-upload-heavy ingest, where it trades one
+    batch-local blob shuffle for the duplicate decodes; leave off when
+    arrivals are mostly unique blobs."""
+    from pyspark.sql import functions as F
+
     from margaret_spark.operators.imagehash import image_phash
     from margaret_spark.streaming.sinks import write_batch
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         blobs = batch_df.select("seq", blob_expr.alias("__blob"))
-        kept = image_phash(blobs, "seq", "__blob")
+        if dedup_blobs:
+            dv = (
+                blobs.select("__blob")
+                .distinct()
+                .withColumn("__bid", F.col("__blob"))
+            )
+            h = image_phash(dv, "__bid", "__blob").withColumnRenamed(
+                "__bid", "__blob"
+            )
+            kept = blobs.join(h, "__blob").select("seq", "phash")
+        else:
+            kept = image_phash(blobs, "seq", "__blob")
         write_batch(kept, batch_id, sink_dir)
 
     src = log.stream_df(max_files_per_trigger=max_files_per_trigger)
