@@ -165,6 +165,28 @@ HEADLINE_V2 = [
 CANARY = ["log_scan", "tpch_q1", "dedup_jaccard"]
 CANARY_REF_SF01 = {"log_scan": 0.123, "tpch_q1": 1.168, "dedup_jaccard": 1.119}
 
+# r12 (VERDICT r11 ask #1): the driver keeps only a ~2000-char stdout
+# TAIL and computes its per-query round-over-round comparison from the
+# "queries" map of the last parseable JSON line. The full 267-entry
+# map cannot fit that tail, so the FINAL line carries the per-query
+# map for exactly the driver-graded query set (the 50 names graded in
+# CORRECTNESS_r*.json — ~1.4 KB with timings, measured). The full map
+# still prints on the adjacent line and lands in bench_local/.
+DRIVER_GRADED = [
+    "log_scan", "log_get", "log_seq", "log_range", "log_limit",
+    "log_reverse", "log_append_seq", "log_nulled_overlay",
+    "log_replace_overlay", "log_check_consistency", "log_snapshot_read",
+    "mlog_list", "mlog_ranks", "mlog_sublog_get", "mlog_sublog_query",
+    "mlog_cardinalities", "mlog_has", "mlog_delete", "mlog_set_ops",
+    "kvidx_latest", "kvidx_point", "sink_fanout", "sink_fanout_multi",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q14", "tpch_q4",
+    "tpch_q10", "tpch_q18", "tpch_q22", "tpch_q7", "tpch_q17",
+    "tpch_q19", "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q20",
+    "tpch_q21", "customers_without_orders", "orders_topn_per_cust",
+    "events_daily", "events_sessions", "events_asof",
+]
+
 # r9: FULL bench coverage — every graded queries() entry is measured.
 # The r8 verdict flagged ~113 graded queries invisible to BENCH deltas
 # (cheap variants of measured families, but a regression there was
@@ -346,9 +368,35 @@ def main() -> None:
             }
         )
     )
-    # the LAST line: the compact summary again, so a tail-limited
-    # stdout capture (the driver's) ends with a complete JSON line
-    print(compact)
+    # the LAST line: the compact summary WITH the per-query map for
+    # the driver-graded 50 queries (r12, VERDICT r11 ask #1 — the
+    # driver's per-query/scaling comparison reads "queries" from the
+    # last parseable line of its ~2000-char tail; this line is ~1.4 KB
+    # so it always fits). Timing methodology unchanged; the full map
+    # is on the line above and in bench_local/.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": {
+                    n: timings[n] for n in DRIVER_GRADED if n in timings
+                },
+                "boot_speed_factor": boot_speed_factor,
+                "total_canary_normalized": (
+                    round(total / boot_speed_factor, 3)
+                    if boot_speed_factor
+                    else None
+                ),
+                "n_queries": len(timings),
+                "queries_detail": "graded-50 subset; full per-query "
+                "map on the adjacent output line and in bench_local/",
+                "sf": float(sf),
+                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

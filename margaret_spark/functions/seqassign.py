@@ -42,6 +42,13 @@ _MAP_LITERAL_CAP = 4096
 #: there); bounded: one dict of n ints per distinct partition count.
 _HASH_INV_CACHE: dict[tuple[str, int], dict[int, int]] = {}
 
+#: the built create_map literal Column per (application, n): Columns
+#: are immutable expression fragments, so one build serves every
+#: _bucket_exchange of the session — rebuilding it cost 2·n py4j
+#: round trips per exchange (r12: measured ~0.5 ms each; the suffix
+#: loop paid it five times per query).
+_HASH_INV_COL_CACHE: dict[tuple[str, int], Column] = {}
+
 
 def _bucket_exchange(df: DataFrame, n: int, bucket: Column) -> DataFrame:
     """Order-preserving exchange WITHOUT the range partitioner's
@@ -93,13 +100,16 @@ def _bucket_exchange(df: DataFrame, n: int, bucket: Column) -> DataFrame:
         _HASH_INV_CACHE[key] = inv
     # values must be LONGS: Murmur3 hashes int and long differently,
     # and the preimages were found under long hashing (spark.range)
-    mapping = F.create_map(
-        *[
-            c
-            for b in range(n)
-            for c in (F.lit(b), F.lit(inv[b]).cast("long"))
-        ]
-    )
+    mapping = _HASH_INV_COL_CACHE.get(key)
+    if mapping is None:
+        mapping = F.create_map(
+            *[
+                c
+                for b in range(n)
+                for c in (F.lit(b), F.lit(inv[b]).cast("long"))
+            ]
+        )
+        _HASH_INV_COL_CACHE[key] = mapping
     return df.repartition(n, mapping[bucket.cast("int")])
 
 
@@ -189,6 +199,262 @@ def with_dense_seq_total(
         .withColumn(seq_col, (F.col("__off") + F.col("__rank")).cast("long"))
         .drop("__pid", "__rank", "__off")
     ), total
+
+
+def _run_scan_factory(
+    keys: list[str],
+    out_col: str,
+    flag_col: str,
+    class_relative: bool,
+):
+    """Generator factory for the sorted-partition run scan shared by
+    :func:`with_class_rank_total` (class-relative first-index ranks)
+    and :func:`with_first_index_rank_total` (partition-local run-start
+    indices, offset-joined afterwards). A *run* is a maximal block of
+    rows with equal ``keys``; runs never span partitions (both staging
+    partitioners keep equal keys together). Per row the scan emits
+
+    - ``out_col``: class-relative → ``class_value + (run_start −
+      class_start)``; global → the 0-based partition row index of the
+      run's first row (the caller adds the partition row offset);
+    - ``flag_col``: True iff the row's run has ≥ 2 members (the class
+      stays *unresolved* — the singleton-freezing signal).
+
+    The flag needs one row of lookahead at batch boundaries: a run
+    whose so-far length is 1 at the end of a batch defers exactly that
+    one row (O(1) carry — the moment a second member arrives the whole
+    run is flagged True and emitted eagerly; at generator end the
+    deferred row flushes False)."""
+
+    def _scan(batches):
+        import numpy as np
+
+        prev_key = None  # full key of the last row seen
+        run_start = 0  # partition-global row idx of the open run's start
+        class_start = 0  # same for the open class (class_relative only)
+        row_base = 0  # rows seen before the current batch
+        held = None  # deferred single-member open run (1-row pdf)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            karr = pdf[keys].to_numpy()
+            idx = np.arange(m)
+            chg = np.empty(m, dtype=bool)
+            if m > 1:
+                chg[1:] = (karr[1:] != karr[:-1]).any(axis=1)
+            chg[0] = prev_key is None or bool((karr[0] != prev_key).any())
+            rs = np.maximum.accumulate(np.where(chg, row_base + idx, -1))
+            rs = np.where(rs >= 0, rs, run_start)
+            # next run start strictly after i (batch-local, m = none):
+            # suffix-min of (j if chg[j] else m) shifted left by one
+            nxt = np.minimum.accumulate(
+                np.append(np.where(chg, idx, m)[1:], m)[::-1]
+            )[::-1]
+            # exact global run length through this batch (for interior
+            # runs it IS the run length; for the tail run it is the
+            # length so far — ≥ 2 already proves the flag)
+            sofar = (row_base + nxt) - rs
+            out = pdf.copy()
+            if class_relative:
+                ccls = karr[:, 0].astype("int64")
+                chg_c = np.empty(m, dtype=bool)
+                if m > 1:
+                    chg_c[1:] = ccls[1:] != ccls[:-1]
+                chg_c[0] = prev_key is None or bool(
+                    ccls[0] != prev_key[0]
+                )
+                cs = np.maximum.accumulate(
+                    np.where(chg_c, row_base + idx, -1)
+                )
+                cs = np.where(cs >= 0, cs, class_start)
+                out[out_col] = ccls + (rs - cs)
+                class_start = int(cs[-1])
+            else:
+                out[out_col] = rs.astype("int64")
+            out[flag_col] = sofar >= 2
+            if held is not None:
+                # the previous batch's open run held its single row:
+                # a continuation (chg[0] False) proves ≥ 2 members
+                held[flag_col] = bool(not chg[0])
+                yield held
+                held = None
+            if (row_base + m) - int(rs[-1]) == 1:
+                held = out.iloc[[m - 1]].copy()
+                out = out.iloc[: m - 1]
+            if len(out):
+                yield out
+            row_base += m
+            prev_key = karr[-1].copy()
+            run_start = int(rs[-1])
+        if held is not None:
+            held[flag_col] = False
+            yield held
+
+    return _scan
+
+
+def with_class_rank_total(
+    df: DataFrame,
+    class_col: str,
+    sub_cols: list[str],
+    out_col: str,
+    flag_col: str,
+    bucket: Column | None = None,
+    materialize: bool = True,
+) -> tuple[DataFrame, int, int]:
+    """Class-relative FIRST-INDEX rank refinement — the
+    singleton-freezing step of prefix doubling (Larsson & Sadakane
+    1999's rank convention, distributed). Input rows are the members
+    of multi-member classes only; ``class_col`` holds each row's
+    current first-index rank (rank = 1 + count of strictly smaller
+    keys, over ALL rows including frozen ones), and the refined rank is
+
+        ``out_col = class_col + |rows in the same class whose
+        (sub_cols) sort strictly earlier|``
+
+    computed as (run start index − class start index) after one keyed
+    exchange + narrow in-partition sort. Because every member of a
+    class shares ``class_col`` and the partitioner keeps equal keys in
+    one partition, the computation is PARTITION-LOCAL: unlike
+    :func:`with_dense_rank_total` there is no offsets collect — the
+    one driver job is a global (count, flagged-count) aggregate, whose
+    flagged count the caller's convergence test needs anyway.
+
+    Correctness of the convention (the suffix loop's invariant): if
+    every input rank equals 1 + |strictly smaller previous-level keys|
+    over all rows, then out_col equals the same for the refined keys —
+    frozen singleton rows keep their rank bit-for-bit forever, so only
+    unresolved rows ever need re-ranking. ``flag_col`` marks rows
+    whose refined class still has ≥ 2 members.
+
+    Returns ``(ranked, n_flagged, n_rows)``."""
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    key_cols = [class_col] + list(sub_cols)
+    if bucket is not None:
+        staged = _bucket_exchange(df, n, bucket).sortWithinPartitions(
+            *key_cols
+        )
+    else:
+        # range-partition on the CLASS column only: the class-relative
+        # offset needs every member of a class in one partition, and a
+        # range boundary on the full key would split a class between
+        # sub-key ranges
+        staged = df.repartitionByRange(
+            n, F.col(class_col)
+        ).sortWithinPartitions(*key_cols)
+    out_schema = T.StructType(
+        list(staged.schema.fields)
+        + [
+            T.StructField(out_col, T.LongType(), False),
+            T.StructField(flag_col, T.BooleanType(), False),
+        ]
+    )
+    ranked = staged.mapInPandas(
+        _run_scan_factory(key_cols, out_col, flag_col, True), out_schema
+    )
+    if not materialize:
+        # the caller materializes downstream and reads the flagged
+        # count off its own checkpoint (the suffix loop: its arrays
+        # checkpoint is the round's single materialization anyway, and
+        # a second lazy localCheckpoint here would pay a full JVM
+        # planning pass per round — r12 measured ~0.4 s each)
+        return ranked, -1, -1
+    ranked = ranked.localCheckpoint(eager=False)
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.col(flag_col).cast("long")).alias("__f"),
+    ).collect()[0]
+    return ranked, int(stats["__f"] or 0), int(stats["__c"] or 0)
+
+
+def with_first_index_rank_total(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str,
+    flag_col: str,
+    start: int = 1,
+    bucket: Column | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Global FIRST-INDEX ranks over every row: ``out_col = start +
+    |rows with strictly smaller key_cols|`` (equal keys share the
+    rank; ranks are the run-start row indices of the key-sorted row
+    sequence — Larsson & Sadakane's convention, vs the DISTINCT-key
+    ids of :func:`with_dense_rank_total`). ``flag_col`` is True iff
+    the row's key occurs ≥ 2 times. Same staging and two-pass offset
+    recipe as with_dense_rank_total, with offsets in ROW units; the
+    flagged-row count comes back free from the same stats collect.
+
+    Returns ``(ranked, n_flagged, n_rows)``."""
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 1)
+    if bucket is not None:
+        staged = (
+            _bucket_exchange(df, n, bucket)
+            .sortWithinPartitions(*key_cols)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+    else:
+        staged = (
+            df.repartitionByRange(n, *[F.col(c) for c in key_cols])
+            .sortWithinPartitions(*key_cols)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+    out_schema = T.StructType(
+        list(staged.schema.fields)
+        + [
+            T.StructField("__lfi", T.LongType(), False),
+            T.StructField(flag_col, T.BooleanType(), False),
+        ]
+    )
+    ranked = staged.mapInPandas(
+        _run_scan_factory(list(key_cols), "__lfi", flag_col, False),
+        out_schema,
+    ).localCheckpoint(eager=False)
+    stats = (
+        ranked.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(F.col(flag_col).cast("long")).alias("__f"),
+        )
+        .collect()
+    )
+    offsets = {}
+    acc = start
+    nflag = 0
+    for row in sorted(stats, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__c"]
+        nflag += int(row["__f"] or 0)
+    total = acc - start
+    if not offsets:
+        return (
+            df.withColumn(out_col, F.lit(None).cast("long")).withColumn(
+                flag_col, F.lit(None).cast("boolean")
+            ),
+            0,
+            0,
+        )
+    if len(offsets) <= _MAP_LITERAL_CAP:
+        mapping = F.create_map(
+            *[F.lit(int(x)) for kv in offsets.items() for x in kv]
+        )
+        res = ranked.withColumn(
+            out_col, (mapping[F.col("__pid")] + F.col("__lfi")).cast("long")
+        ).drop("__pid", "__lfi")
+        return res, nflag, total
+    odf = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __off long",
+        )
+    )
+    res = (
+        ranked.join(odf, "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lfi")).cast("long"))
+        .drop("__pid", "__lfi", "__off")
+    )
+    return res, nflag, total
 
 
 def with_dense_rank_total(

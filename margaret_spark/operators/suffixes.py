@@ -13,22 +13,25 @@ exact strings each appear k times in the corpus"), length-descending.
 Spark-first construction (no per-node recursion, no UDFs — every
 stage is joins + the house two-pass dense-id assignment):
 
-1. **Prefix doubling (base 4)**: level-j rank r_j(doc, pos) is a
-   dense id such that two suffixes share r_j iff their first 4^j
+1. **Prefix doubling (base 4, singleton-frozen)**: level-j rank
+   r_j(doc, pos) is the FIRST-INDEX rank (1 + count of suffixes with
+   strictly smaller level-j capped window — Larsson & Sadakane 1999's
+   convention) such that two suffixes share r_j iff their first 4^j
    tokens (capped at doc end) are equal, and r_j order =
    lexicographic order of those prefixes. Level 0 ranks the single
-   token; level j+1 densifies the 4-tuple (r_j(p), r_j(p + 4^j),
+   token; level j+1 refines the 4-tuple (r_j(p), r_j(p + 4^j),
    r_j(p + 2·4^j), r_j(p + 3·4^j)), absent windows → 0 (sorts before
-   every real rank: a proper prefix precedes its extensions). Each
-   level is one in-row window gather over the per-document rank
-   arrays + one sorted dense-RANK assignment on the rows themselves
-   (``seqassign.with_dense_rank_total`` — no distinct, no join-back)
-   + one groupBy rebuilding the arrays — ⌈cap_log2/2⌉ rounds of two
-   keyed shuffles each, the classic distributed suffix-array recipe
-   with the quadrupled radix halving the round count. Binary levels
-   2j+1, where the LCP descend or an equality key needs them, are
-   the PAIR of level-j windows at offsets 0 and 4^j (the doubling
-   invariant read backwards).
+   every real rank: a proper prefix precedes its extensions). Under
+   the first-index convention a SINGLETON rank is final, so each
+   round re-ranks only the rows of multi-member classes
+   (``seqassign.with_class_rank_total`` — class-relative, no
+   offsets pass) + one groupBy rebuilding the arrays — ⌈cap_log2/2⌉
+   rounds whose rank exchange carries only the still-ambiguous rows,
+   the classic distributed suffix-array recipe with the quadrupled
+   radix halving the round count. Binary levels 2j+1, where the LCP
+   descend or an equality key needs them, are the PAIR of level-j
+   windows at offsets 0 and 4^j (the doubling invariant read
+   backwards).
 2. **Suffix order**: order by (r_top, doc, pos) — r_top is unique per
    distinct (capped) suffix, so this IS the suffix array (ties =
    identical suffixes, ordered by position for determinism).
@@ -215,22 +218,32 @@ def suffix_repeats(
     # groupBy(__id) exchange rebuilding the arrays. The arrays are
     # bounded by the doc-length cap (the same bound the final rank
     # matrices already rely on).
+    # r12 (singleton freezing): the arrays carry a parallel BOOLEAN
+    # array ua[pos-1] — True while the position's rank class still has
+    # ≥ 2 members ("unresolved"). Frozen (singleton) positions keep
+    # their rank value forever under the first-index rank convention
+    # (see the loop comment), so later rounds re-rank ONLY the
+    # unresolved rows.
     def _to_arrays(rows: DataFrame) -> DataFrame:
         return (
             rows.groupBy("__id")
             .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "r"))).alias(
-                    "__pr"
-                )
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "r", "u"))
+                ).alias("__pr")
             )
             .select(
                 "__id",
                 F.transform(F.col("__pr"), lambda s: s["r"]).alias("ra"),
+                F.transform(F.col("__pr"), lambda s: s["u"]).alias("ua"),
             )
             .localCheckpoint(eager=False)
         )
 
-    from margaret_spark.functions.seqassign import with_dense_rank_total
+    from margaret_spark.functions.seqassign import (
+        with_class_rank_total,
+        with_first_index_rank_total,
+    )
 
     # BASE-4 prefix doubling (r11 optimization round): level j ranks
     # 4^j-token capped windows, built from FOUR level-(j-1) ranks per
@@ -264,6 +277,21 @@ def suffix_repeats(
     # point order, pinned here by sorting the encoded bytes). Corpora
     # with vocabularies past the broadcast cap keep the rank-on-rows
     # path.
+    # r12 (singleton freezing, Larsson & Sadakane 1999 distributed):
+    # ranks use the FIRST-INDEX convention — r_j(p) = 1 + |suffixes
+    # whose level-j capped window is strictly smaller| — instead of
+    # dense distinct-key ids. Same order, same equality classes
+    # (downstream only ever compares ranks of one level for equality
+    # or sorts by them), but the convention makes singleton ranks
+    # FINAL: a position whose window is unique at level j keeps the
+    # same rank value at every later level (its smaller-window count
+    # never changes — no other suffix shares its prefix again), so
+    # each round re-ranks ONLY the rows of multi-member classes
+    # (with_class_rank_total refines class-relatively: new rank =
+    # class rank + in-class first-index). On repeat-bearing corpora
+    # unresolved rows collapse geometrically after round 1 — the rank
+    # exchange shrinks from ALL N positions per round to the
+    # still-ambiguous tail, and the sort keys stay the same width.
     vrows = (
         toks.groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -272,26 +300,56 @@ def suffix_repeats(
     )
     if len(vrows) <= _VOCAB_COLLECT_CAP:
         vrows.sort(key=lambda r: r["__tok"].encode("utf-8"))
-        _n_tok = len(vrows)
         n_sfx = sum(int(r["__c"]) for r in vrows)
+        # first-index rank = 1 + count of positions holding smaller
+        # tokens; a token occurring once is resolved already
+        vocab_rows = []
+        acc = 1
+        unresolved = 0
+        for r in vrows:
+            c = int(r["__c"])
+            vocab_rows.append((r["__tok"], acc, c >= 2))
+            acc += c
+            unresolved += c if c >= 2 else 0
         vocab = F.broadcast(
             df.sparkSession.createDataFrame(
-                [(r["__tok"], i + 1) for i, r in enumerate(vrows)],
-                "__tok string, r long",
+                vocab_rows, "__tok string, r long, u boolean"
             )
         )
         ranked0 = toks.join(vocab, "__tok")
     else:
-        ranked0, _n_tok, n_sfx = with_dense_rank_total(toks, ["__tok"], "r")
-    lvl = _to_arrays(ranked0.select("__id", "pos", "r"))
+        ranked0, unresolved, n_sfx = with_first_index_rank_total(
+            toks, ["__tok"], "r", "u"
+        )
+    lvl = _to_arrays(ranked0.select("__id", "pos", "r", "u"))
     levels = [lvl]
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    n_prev = _n_tok  # cardinality of the previous level's dense ranks
     for j in range(R):
+        # EARLY TERMINATION: no unresolved rows means every suffix's
+        # capped window is already unique at the last computed level,
+        # so every later round is the identity (each refinement class
+        # is a singleton and keeps its rank). Padding the remaining
+        # levels with the converged level is bit-identical to running
+        # the rounds — the LCP descend and the two-window equality
+        # keys read the same values (no two distinct suffixes can
+        # test equal at or above the converged level).
+        if unresolved == 0:
+            levels.extend(lvl for _ in range(j, R))
+            break
         s = 4 ** j
-        rows = lvl.select(
-            "__id", "ra", F.posexplode("ra").alias("__p0", "r")
-        ).select(
+        base = lvl.select(
+            "__id", "ra", "ua", F.posexplode("ra").alias("__p0", "r")
+        )
+        # frozen rows keep their rank (and stay frozen) — they skip
+        # the rank exchange entirely and only rejoin for the array
+        # rebuild
+        frozen = base.where(~F.get("ua", F.col("__p0"))).select(
+            "__id",
+            (F.col("__p0") + 1).alias("pos"),
+            "r",
+            F.lit(False).alias("u"),
+        )
+        rows = base.where(F.get("ua", F.col("__p0"))).select(
             "__id",
             (F.col("__p0") + 1).alias("pos"),
             "r",
@@ -308,33 +366,39 @@ def suffix_repeats(
                 F.get("ra", F.col("__p0") + 3 * s), F.lit(0)
             ).alias("r4"),
         )
-        # the tuple key leads with the previous level's dense rank r ∈
-        # [1, n_prev] of KNOWN cardinality, so the partition bucket is
-        # arithmetic — no range-sampling pass for any doubling round
-        # (r11: the sampler re-ran the explode upstream once per round)
-        ranked, n_ranks, _n_rows = with_dense_rank_total(
+        # the class key r is a first-index rank ∈ [1, n_sfx] whose
+        # VALUE is (1 + positions sorting earlier), so the arithmetic
+        # bucket splits by row MASS, not class id — no range-sampling
+        # pass, and better balance than dense ids gave (r11 note).
+        # materialize=False: the round's ONLY materialization is the
+        # arrays checkpoint below — a second lazy checkpoint here
+        # would pay one more full JVM planning pass per round (r12:
+        # ~0.4 s each at sf0.1; the rank pipeline is evaluated exactly
+        # once either way, inside the arrays checkpoint job)
+        ranked, _, _ = with_class_rank_total(
             rows,
-            ["r", "r2", "r3", "r4"],
+            "r",
+            ["r2", "r3", "r4"],
             "nr",
-            bucket=_rank_bucket(F.col("r"), n_prev, n_part),
+            "__u",
+            bucket=_rank_bucket(F.col("r"), n_sfx, n_part),
+            materialize=False,
         )
-        n_prev = n_ranks
-        lvl = _to_arrays(ranked.select("__id", "pos", F.col("nr").alias("r")))
+        merged = ranked.select(
+            "__id", "pos", F.col("nr").alias("r"), F.col("__u").alias("u")
+        ).unionByName(frozen)
+        lvl = _to_arrays(merged)
         levels.append(lvl)
-        # EARLY TERMINATION (classic prefix-doubling convergence, and
-        # the r10 verdict's ask): n distinct keys == n suffixes means
-        # the JUST-ASSIGNED level's ranks are distinct per suffix, so
-        # every later round is the identity — its key tuples have a
-        # distinct first coordinate, the tuple sort equals the first-
-        # coordinate sort, and the next dense ids EQUAL r row for row.
-        # Padding the remaining levels with this converged level is
-        # therefore bit-identical to running the rounds, and the LCP
-        # descend and the two-window equality keys read the same
-        # values. The count is free: the dense-id two-pass already
-        # collected it.
-        if n_ranks == n_sfx:
-            levels.extend(lvl for _ in range(j + 1, R))
-            break
+        # the round's convergence stat, read off the round's own
+        # checkpoint (this collect is ALSO what materializes it)
+        unresolved = int(
+            lvl.agg(
+                F.sum(
+                    F.size(F.filter("ua", lambda x: x)).cast("long")
+                ).alias("__u")
+            ).collect()[0]["__u"]
+            or 0
+        )
 
     # per-document rank matrices: mat[pos-1][j] = base-4 rank of the
     # 4^j-token capped window at pos. Only the DISTINCT computed
@@ -382,14 +446,14 @@ def suffix_repeats(
     top = levels[R].select(
         "__id", F.posexplode("ra").alias("__p0", "r")
     ).select("__id", (F.col("__p0") + 1).alias("pos"), "r")
-    # n_prev is the top level's rank cardinality (== n_sfx when the
-    # loop converged early), so the suffix-order exchange is also
+    # top-level first-index ranks live in [1, n_sfx] and are spread by
+    # row mass, so the suffix-order exchange is also
     # arithmetic-bucketed — nearly one row per rank at this level
     sa = _dense_sorted_ids(
         top,
         ["r", "__id", "pos"],
         "idx",
-        bucket=_rank_bucket(F.col("r"), n_prev, n_part),
+        bucket=_rank_bucket(F.col("r"), n_sfx, n_part),
     ).select("__id", "pos", "idx")
     a = sa.select(
         F.col("idx").alias("__i"),
@@ -417,16 +481,18 @@ def suffix_repeats(
     # on both sides (both docs end before it — the doubling key's own
     # convention). Each step struct carries (p = 2^k, j = k//2,
     # h = 4^j, odd) as literals.
-    steps = F.array(
-        *[
-            F.struct(
-                F.lit(1 << k).alias("p"),
-                F.lit(k // 2).alias("j"),
-                F.lit(1 << (2 * (k // 2))).alias("h"),
-                F.lit(k % 2).alias("odd"),
-            )
+    # literal struct arrays are built as ONE sql expression string:
+    # the F.array(F.struct(F.lit...)) form costs 5-7 py4j round trips
+    # per element (r12: the class array alone measured 1.7 s of driver
+    # wall at ~0.5 ms per round trip); F.expr is a single call and
+    # yields the same typed literal
+    steps = F.expr(
+        "array(%s)"
+        % ",".join(
+            "named_struct('p',%d,'j',%d,'h',%d,'odd',%d)"
+            % (1 << k, k // 2, 1 << (2 * (k // 2)), k % 2)
             for k in range(K - 1, -1, -1)
-        ]
+        )
     )
 
     def _lcp(ma: Column, pa: Column, mb: Column, pb: Column) -> Column:
@@ -532,18 +598,14 @@ def suffix_repeats(
         if tag_col is not None:
             schema += ", n_occurrences_tagged long, n_docs_tagged long"
         return spark.createDataFrame([], schema)
-    lc_arr = F.array(
-        *[
-            F.struct(
-                F.lit(l).alias("l"),
-                F.lit(kh).alias("kh"),
-                F.lit(kh // 2).alias("j"),
-                F.lit(1 << (2 * (kh // 2))).alias("h"),
-                F.lit(kh % 2).alias("odd"),
-                F.lit(1 << kh).alias("k2"),
-            )
+    # one sql-string literal build — see the `steps` comment
+    lc_arr = F.expr(
+        "array(%s)"
+        % ",".join(
+            "named_struct('l',%d,'kh',%d,'j',%d,'h',%d,'odd',%d,'k2',%d)"
+            % (l, kh, kh // 2, 1 << (2 * (kh // 2)), kh % 2, 1 << kh)
             for l, kh in sorted(lclasses)
-        ]
+        )
     )
     # The probe's suffix set is every (doc, pos) — exactly the
     # positions 1..len(mat) of each rank matrix, so enumerate them

@@ -2180,20 +2180,37 @@ def test_hamming_pairs_grouped_equals_rowlevel(spark):
         (6, -2),  # ham 1 from the -1 group
         (7, 0),  # second dup of 1
         (8, (1 << 63) - 1),  # isolated singleton value
+        # r12: the adaptive guard routes to the row-level path when
+        # distinct/rows ≥ 0.5 — pad the duplication so this fixture
+        # stays on the VALUE-LEVEL path it exists to test (5 distinct
+        # over 12 rows)
+        (9, 0),
+        (10, -1),
+        (11, 1),
+        (12, 1),
     ]
     df = spark.createDataFrame(sigs, "id long, sig long")
-    for k in (0, 1, 6):
-        want = sorted(
-            (r["id_a"], r["id_b"], r["hamming"])
-            for r in hamming_pairs(df, "id", "sig", max_hamming=k).collect()
-        )
-        got = sorted(
-            (r["id_a"], r["id_b"], r["hamming"])
-            for r in hamming_pairs_grouped(
-                df, "id", "sig", max_hamming=k
-            ).collect()
-        )
-        assert got == want, (k, got, want)
+    # and a unique-signature fixture (D == N) that exercises the
+    # guard's row-level branch — output must be identical regardless
+    # of which branch ran
+    uniq = spark.createDataFrame(
+        [(i, i * 3) for i in range(1, 9)], "id long, sig long"
+    )
+    for fixture in (df, uniq):
+        for k in (0, 1, 6):
+            want = sorted(
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in hamming_pairs(
+                    fixture, "id", "sig", max_hamming=k
+                ).collect()
+            )
+            got = sorted(
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in hamming_pairs_grouped(
+                    fixture, "id", "sig", max_hamming=k
+                ).collect()
+            )
+            assert got == want, (k, got, want)
 
 
 def test_hamming_pairs_top_bits_fold_into_last_block(spark):

@@ -158,6 +158,75 @@ def test_suffix_repeats_cross_corpus_tag(spark):
         suffix_repeats(df, "doc_id", "text", require_cross=True)
 
 
+def test_first_index_and_class_rank_semantics(spark):
+    """r12 singleton-freezing machinery: with_first_index_rank_total
+    assigns rank = 1 + |rows with strictly smaller key| and flags keys
+    occurring ≥ 2 times; with_class_rank_total refines multi-member
+    classes class-relatively so that the refined ranks equal the
+    global first-index ranks of the refined key. Run at a tiny Arrow
+    batch size so the run scan's cross-batch carry (deferred
+    single-member tail runs) is exercised."""
+    import random
+
+    from margaret_spark.functions.seqassign import (
+        with_class_rank_total,
+        with_first_index_rank_total,
+    )
+
+    rng = random.Random(7)
+    # skewed multiset: long equal runs (spanning several 7-row Arrow
+    # batches) plus singletons
+    rows = []
+    rid = 0
+    for a in range(1, 9):
+        for _ in range(rng.choice([1, 1, 2, 5, 23])):
+            rows.append((rid, a, rng.randint(0, 2)))
+            rid += 1
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+
+    def brute_first_index(keyed):
+        skeys = sorted(keyed.values())
+        from collections import Counter
+
+        cnt = Counter(keyed.values())
+        return (
+            {i: 1 + sum(1 for s in skeys if s < k) for i, k in keyed.items()},
+            {i: cnt[k] >= 2 for i, k in keyed.items()},
+        )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # global form over (a, b)
+        ranked, nflag, nrows = with_first_index_rank_total(
+            df, ["a", "b"], "r", "u"
+        )
+        got = {r["id"]: (r["r"], r["u"]) for r in ranked.collect()}
+        want_r, want_u = brute_first_index({i: (a, b) for i, a, b in rows})
+        assert nrows == len(rows)
+        assert got == {i: (want_r[i], want_u[i]) for i, _, _ in rows}
+        assert nflag == sum(want_u.values())
+
+        # class form: class col = first-index rank over `a` alone,
+        # input restricted to multi-member a-classes (the freezing
+        # contract); refined ranks must equal the global first-index
+        # ranks over (a, b)
+        ra, ua = brute_first_index({i: a for i, a, _ in rows})
+        unres = [(i, ra[i], b) for i, a, b in rows if ua[i]]
+        udf = spark.createDataFrame(unres, "id long, r long, b long")
+        refined, nflag2, nrows2 = with_class_rank_total(
+            udf, "r", ["b"], "nr", "uu"
+        )
+        got2 = {r["id"]: (r["nr"], r["uu"]) for r in refined.collect()}
+        assert nrows2 == len(unres)
+        want2 = {i: (want_r[i], want_u[i]) for i, _, _ in unres}
+        assert got2 == want2
+        assert nflag2 == sum(1 for v in want2.values() if v[1])
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_bucket_exchange_dense_rank_equivalence(spark):
     """The arithmetic-bucket exchange (seqassign._bucket_exchange)
     must reproduce the range partitioner's dense ranks exactly:
