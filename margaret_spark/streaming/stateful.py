@@ -476,6 +476,7 @@ def stream_dedup_minhash(
             "(an availableNow drain never terminates while timeouts are armed)"
         )
     from margaret_spark.functions.shingling import char_shingles, word_shingles
+    from margaret_spark.functions.xxh import with_minhash_sigs
 
     rows_per_band = num_hashes // bands
     sh = char_shingles(text_expr, n=n) if mode == "char" else word_shingles(
@@ -483,24 +484,33 @@ def stream_dedup_minhash(
     )
     src = log.stream_df().withColumn("__h", F.transform(sh, lambda s: F.xxhash64(s)))
     src = src.where(F.size("__h") > 0)
-    sig = [
-        F.array_min(F.transform(F.col("__h"), lambda h: F.xxhash64(h, F.lit(i))))
-        for i in range(num_hashes)
-    ]
+    # per-permutation mins via the vectorized numpy kernel
+    # (functions/xxh.py — bit-exact twin of the xxhash64 fold, pinned
+    # by test_minhash_sigs_kernel_matches_jvm): the JVM form ran
+    # num_hashes interpreted transform+array_min folds PER ROW (HOFs
+    # do not codegen) and re-hashed every element once per
+    # permutation; the kernel hashes each element once and folds the
+    # seeds over whole Arrow batches (r12, VERDICT r11 ask #4). Only
+    # (seq, __h) cross the Python boundary.
+    src = with_minhash_sigs(
+        src.select("seq", "__h"), "__h", "__sig", num_hashes
+    )
     band_hashes = [
         F.xxhash64(
             F.concat_ws(
                 ",",
                 *[
-                    sig[i].cast("string")
+                    F.col("__sig")[i].cast("string")
                     for i in range(b * rows_per_band, (b + 1) * rows_per_band)
                 ],
             )
         )
         for b in range(bands)
     ]
-    banded = src.select(
-        F.col("seq"), F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    # the band array must be a plain column before the explode — a
+    # generator expression cannot host the Python-evaluated __sig
+    banded = src.withColumn("__bands", F.array(*band_hashes)).select(
+        F.col("seq"), F.posexplode("__bands").alias("band", "bucket")
     )
     fn = _band_collision_func
     timeout = GroupStateTimeout.NoTimeout

@@ -64,14 +64,15 @@ def main():
 
     # variant: aggregate-fold per permutation (no intermediate array)
     LMAX = (1 << 63) - 1
-    sig_agg = [
-        F.aggregate(
+
+    def _fold(i):
+        return F.aggregate(
             F.col("__h"),
             F.lit(LMAX),
-            lambda acc, h, i=i: F.least(acc, F.xxhash64(h, F.lit(i))),
+            lambda acc, h: F.least(acc, F.xxhash64(h, F.lit(i))),
         )
-        for i in range(num_hashes)
-    ]
+
+    sig_agg = [_fold(i) for i in range(num_hashes)]
     t(
         "3 sig via 32x aggregate fold",
         lambda: noop(

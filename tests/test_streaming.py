@@ -604,6 +604,48 @@ def test_stream_scrub_pii_matches_batch(spark, tmp_path):
     assert {k: v for k, v in after.items() if k < 4} == want
 
 
+def test_minhash_sigs_kernel_matches_jvm(spark):
+    """The numpy xxhash64 kernel (functions/xxh.py) must be bit-exact
+    with the JVM expression form it replaced in the streaming MinHash
+    banding chain: per-permutation signed mins of xxhash64(h, i) over
+    the element-hash array — including negative hashes, single-element
+    arrays, and a row mix with NULL/empty arrays."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from margaret_spark.functions.xxh import with_minhash_sigs
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(50):
+        n = rng.choice([0, 1, 2, 7, 40])
+        rows.append(
+            (i, [rng.randint(-(2**63), 2**63 - 1) for _ in range(n)] or None)
+        )
+    df = spark.createDataFrame(rows, "id long, h array<long>").where(
+        F.size("h") > 0
+    )
+    k = 32
+    jvm = [
+        F.array_min(
+            F.transform(F.col("h"), lambda x: F.xxhash64(x, F.lit(i)))
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+    want = {
+        r["id"]: [r[f"m{i}"] for i in range(k)]
+        for r in df.select("id", *jvm).collect()
+    }
+    got = {
+        r["id"]: list(r["sig"])
+        for r in with_minhash_sigs(
+            df.select("id", "h"), "h", "sig", k
+        ).collect()
+    }
+    assert got == want
+
+
 def test_stream_dedup_minhash_collides_near_dups(spark, tmp_path):
     """Streaming LSH dedup: a near-duplicate arriving later collides
     with the first doc's banded buckets; unrelated text claims its own
